@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.GraftSqlInternal
+import org.apache.spark.sql.types._
+
+/** FNV-1a 64-bit hash over a binary payload.
+  *
+  * Parity with the reference engine's per-entry checksum
+  * (reference: src/wal/block.rs:117-129, src/wal/config.rs:70-80), kept as a
+  * first-class codegen'd Catalyst expression so checksum computation stays
+  * inside WholeStageCodegen on the ingest path.
+  */
+case class Fnv1a64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"fnv1a64 requires BINARY input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Fnv1a64.hash(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |long $h = 0xcbf29ce484222325L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h ^= ($bytes[$i] & 0xffL);
+         |  $h *= 0x100000001b3L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+  override def prettyName: String = "fnv1a64"
+}
+
+object Fnv1a64 {
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime  = 0x100000001b3L
+  def hash(bytes: Array[Byte]): Long = {
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= Prime
+      i += 1
+    }
+    h
+  }
+}
+
+/** Cosine similarity between two float/double array columns, fused into a
+  * single codegen'd pass (dot product + both norms in one loop). Used by the
+  * similarity-search operators instead of a `zip_with`+`aggregate` chain,
+  * which would materialize intermediate arrays per row pair.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity requires ARRAY<FLOAT|DOUBLE> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val getL = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getR = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $getL;
+         |  double $yi = $getR;
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
+         |  : $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_similarity"
+}
+
+/** Column-level entry points + SQL registration for graft's native functions. */
+object GraftFunctions {
+  def fnv1a64(c: Column): Column =
+    GraftSqlInternal.column(Fnv1a64(GraftSqlInternal.expression(c)))
+  def cosine_similarity(a: Column, b: Column): Column =
+    GraftSqlInternal.column(
+      CosineSimilarity(GraftSqlInternal.expression(a), GraftSqlInternal.expression(b)))
+
+  /** Registers `fnv1a64` / `cosine_similarity` for use from SQL text. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "fnv1a64", exprs => Fnv1a64(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -1,0 +1,616 @@
+package graft.log
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+import graft.functions.GraftFunctions
+
+/** Spark-native topic log with the semantics of the reference engine's
+  * write-ahead log (reference: src/lib.rs:1-14): durable append/read of
+  * opaque byte entries to named topics, atomic batch appends, persistent
+  * consumer cursors with configurable delivery semantics, offset- and
+  * byte-addressed stateless reads, entry counts, segment accounting with
+  * rollover, crash recovery, and space reclamation.
+  *
+  * Architecture (deliberately NOT a port — see SURVEY.md §7):
+  *  - Entries live in partitioned Parquet under
+  *    `<root>/<namespace>/data/batch=<id>/topic=<t>/`, written offset-sorted
+  *    so Parquet min/max stats prune offset-range reads.
+  *  - A batch becomes visible only when `commits/<id>.json` is atomically
+  *    renamed into place — this single mechanism replaces the reference's
+  *    fsync-then-publish ordering (src/wal/runtime/writer.rs:135-341) and
+  *    zeroed-header rollback invisibility (src/wal/block.rs:135-146):
+  *    uncommitted files are simply never referenced.
+  *  - Per-topic dense offsets are assigned with a two-phase
+  *    range-partition + per-partition prefix-sum pass (no per-topic single
+  *    task, one shuffle, shuffle reuse between phases) — the driver is the
+  *    single sequencing point, replacing Raft-replicated metadata
+  *    (distributed-walrus/src/metadata.rs:10-31).
+  *  - Consumer cursors are a `(group, topic) -> offset` map persisted by
+  *    temp-file+rename (src/wal/runtime/index.rs:70-83); the reference's
+  *    shared per-topic cursor is group `""`.
+  */
+class WalrusLog(
+    val spark: SparkSession,
+    root: String,
+    val namespace: String = "default",
+    val consistency: ReadConsistency = ReadConsistency.StrictlyAtOnce,
+    val cfg: LogConfig = LogConfig(),
+    virtualNodes: Seq[String] = Seq("driver")) {
+
+  import WalrusLog._
+  private implicit val formats: Formats = DefaultFormats
+
+  private val nsDir: Path = Paths.get(root, sanitizeKey(namespace))
+  private val dataDir: Path = nsDir.resolve("data")
+  private val commitsDir: Path = nsDir.resolve("commits")
+  private val cursorsPath: Path = nsDir.resolve("cursors.json")
+  private val cleanPath: Path = nsDir.resolve("topic_clean.json")
+
+  Files.createDirectories(dataDir)
+  Files.createDirectories(commitsDir)
+
+  // ---- in-memory state (rebuilt from disk on open; see recover()) ----
+  private val topics = mutable.LinkedHashMap.empty[String, TopicState]
+  private val commits = mutable.ArrayBuffer.empty[CommitRecord]
+  private val vacuumed = mutable.Set.empty[Long]
+  private var nextBatchId: Long = 0L
+  private val cursors = mutable.Map.empty[(String, String), Long]
+  private val unpersistedReads = mutable.Map.empty[(String, String), Long]
+  private val isBatchWriting = new AtomicBoolean(false)
+
+  recover()
+
+  // =========================================================================
+  // Write path (reference: src/wal/runtime/walrus_write.rs:4-18, writer.rs)
+  // =========================================================================
+
+  /** Append a single entry (reference: `append_for_topic`,
+    * src/wal/runtime/walrus_write.rs:4-10). For high-throughput ingest use
+    * [[appendDF]]; this is the API-parity form. */
+  def append(topic: String, value: Array[Byte]): Unit =
+    appendLocal(Seq(topic -> value), enforceCaps = false)
+
+  /** Atomic all-or-nothing batch append to one topic (reference:
+    * `batch_append_for_topic`, src/wal/runtime/walrus_write.rs:12-18).
+    * Enforces the reference's caps (≤ `maxBatchEntries` entries,
+    * ≤ `maxBatchBytes` payload; src/wal/config.rs:42-43) and rejects a
+    * concurrent batch with [[WouldBlockException]]
+    * (reference: writer.rs:135-165). */
+  def batchAppend(topic: String, batch: Seq[Array[Byte]]): Unit = {
+    if (!isBatchWriting.compareAndSet(false, true))
+      throw new WouldBlockException("another batch append is in progress")
+    try appendLocal(batch.map(topic -> _), enforceCaps = true)
+    finally isBatchWriting.set(false)
+  }
+
+  private def appendLocal(entries: Seq[(String, Array[Byte])], enforceCaps: Boolean): Unit = {
+    if (entries.isEmpty) return
+    if (enforceCaps) {
+      require(entries.size <= cfg.maxBatchEntries,
+        s"batch of ${entries.size} entries exceeds cap ${cfg.maxBatchEntries}")
+      val bytes = entries.iterator.map(_._2.length.toLong).sum
+      require(bytes <= cfg.maxBatchBytes,
+        s"batch of $bytes payload bytes exceeds cap ${cfg.maxBatchBytes}")
+    }
+    val rows = entries.zipWithIndex.map { case ((t, v), i) => Row(t, v, i.toLong) }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("topic", StringType),
+        StructField("value", BinaryType),
+        StructField("_seq", LongType))))
+    appendDF(df, Some(col("_seq")))
+  }
+
+  /** Bulk ingest: append every row of `input` (columns `topic: STRING`,
+    * `value: BINARY`) as one atomically visible batch. Per-topic arrival
+    * order follows `seqCol` when given.
+    *
+    * Scale path: one shuffle (`repartitionByRange(topic, seq)`), then a
+    * per-partition count pass and an offset-assignment pass that reuses the
+    * shuffle output — dense per-topic offsets without funnelling each topic
+    * through a single window task.
+    */
+  def appendDF(
+      input: DataFrame,
+      seqCol: Option[org.apache.spark.sql.Column] = None,
+      ingestTs: Timestamp = new Timestamp(System.currentTimeMillis())): CommitRecord =
+    synchronized {
+      val seq = seqCol.getOrElse(monotonically_increasing_id())
+      val base = input.select(
+        col("topic").cast(StringType).as("topic"),
+        col("value").cast(BinaryType).as("value"),
+        seq.cast(LongType).as("_seq"))
+      val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+      val shuffled = base
+        .repartitionByRange(parts, col("topic"), col("_seq"))
+        .sortWithinPartitions("topic", "_seq")
+      val rows = shuffled.rdd // lazy val: both passes share one shuffle
+
+      // Phase 1: per-(partition, topic) counts and payload bytes (tiny result).
+      val stats: Array[(Int, Seq[(String, Long, Long)])] =
+        rows.mapPartitionsWithIndex { (pid, it) =>
+          val acc = mutable.LinkedHashMap.empty[String, (Long, Long)]
+          it.foreach { r =>
+            val t = r.getString(0)
+            val len = r.getAs[Array[Byte]](1).length.toLong
+            val (c, b) = acc.getOrElse(t, (0L, 0L))
+            acc(t) = (c + 1, b + len)
+          }
+          Iterator.single((pid, acc.iterator.map { case (t, (c, b)) => (t, c, b) }.toSeq))
+        }.collect()
+
+      val perTopicTotal = mutable.LinkedHashMap.empty[String, (Long, Long)] // count, bytes
+      stats.sortBy(_._1).foreach { case (_, ts) =>
+        ts.foreach { case (t, c, b) =>
+          val (pc, pb) = perTopicTotal.getOrElse(t, (0L, 0L))
+          perTopicTotal(t) = (pc + c, pb + b)
+        }
+      }
+      if (perTopicTotal.isEmpty) {
+        return CommitRecord(-1L, ingestTs.getTime, Map.empty)
+      }
+
+      // Driver-side sequencing: base offsets from the catalog, then prefix
+      // sums across partitions in partition-index order.
+      val baseOffsets = perTopicTotal.keys.map(t => t -> state(t).nextOffset).toMap
+      val running = mutable.Map.empty[String, Long] ++= baseOffsets
+      val startFor = mutable.Map.empty[(Int, String), Long]
+      stats.sortBy(_._1).foreach { case (pid, ts) =>
+        ts.foreach { case (t, c, _) =>
+          startFor((pid, t)) = running(t)
+          running(t) += c
+        }
+      }
+      val bc = spark.sparkContext.broadcast(startFor.toMap)
+
+      // Phase 2: assign offsets (order within partition is the sorted order).
+      val tsVal = ingestTs
+      val entryRows = rows.mapPartitionsWithIndex { (pid, it) =>
+        var curTopic: String = null
+        var off = 0L
+        it.map { r =>
+          val t = r.getString(0)
+          if (t != curTopic) { curTopic = t; off = bc.value((pid, t)) }
+          val o = off
+          off += 1
+          Row(t, o, tsVal, r.getAs[Array[Byte]](1))
+        }
+      }
+      val id = nextBatchId
+      val batchDir = dataDir.resolve(s"batch=$id")
+      val entryDf = spark.createDataFrame(entryRows, StructType(Seq(
+          StructField("topic", StringType, nullable = false),
+          StructField("offset", LongType, nullable = false),
+          StructField("ts", TimestampType, nullable = false),
+          StructField("value", BinaryType, nullable = false))))
+        .withColumn("checksum", GraftFunctions.fnv1a64(col("value")))
+        .withColumn("len", length(col("value")))
+      entryDf.write.mode(SaveMode.ErrorIfExists)
+        .partitionBy("topic").parquet(batchDir.toString)
+
+      // Publish: the atomic rename IS the visibility point (W2/M2 parity).
+      val ranges = perTopicTotal.map { case (t, (c, b)) =>
+        t -> TopicRange(baseOffsets(t), baseOffsets(t) + c, b)
+      }.toMap
+      val rec = CommitRecord(id, tsVal.getTime, ranges)
+      writeAtomic(commitsDir.resolve(f"$id%012d.json"), Serialization.write(rec))
+      nextBatchId = id + 1
+      applyCommit(rec)
+      persistClean()
+      rec
+    }
+
+  private def applyCommit(rec: CommitRecord): Unit = {
+    commits += rec
+    rec.topics.foreach { case (t, r) =>
+      val st = state(t)
+      st.nextOffset = r.end
+      st.bytesTotal += r.bytes + cfg.metaOverheadBytes.toLong * (r.end - r.start)
+      st.cleanGeneration += 1
+      st.clean = false
+      maybeRollover(t, st)
+    }
+  }
+
+  /** Segment rollover (reference: distributed-walrus/src/monitor.rs:15-145,
+    * metadata.rs:144-166): when the open segment reaches `maxSegmentEntries`,
+    * seal it with its exact count (which may exceed the threshold, as in the
+    * reference where the monitor seals whatever accumulated) and rotate the
+    * segment "leader" round-robin over the virtual node list. */
+  private def maybeRollover(topic: String, st: TopicState): Unit = {
+    if (st.entriesInOpenSegment >= cfg.maxSegmentEntries) {
+      val count = st.entriesInOpenSegment
+      st.sealedSegments(st.currentSegment) = count
+      st.segmentLeaders(st.currentSegment) =
+        virtualNodes((st.currentSegment % virtualNodes.size).toInt)
+      st.lastSealedEntryOffset += count
+      st.currentSegment += 1
+    }
+  }
+
+  // =========================================================================
+  // Read path (reference: src/wal/runtime/walrus_read.rs)
+  // =========================================================================
+
+  /** All committed entries as a DataFrame — the bridge that gives topic data
+    * the full relational surface (SURVEY.md §2.5). Partition pruning applies
+    * on `topic` and `batch`; `offset` predicates prune via Parquet stats. */
+  def toDF(): DataFrame = {
+    val dirs = visibleBatchDirs
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], readSchema)
+    else
+      spark.read.option("basePath", dataDir.toString)
+        .schema(readSchema).parquet(dirs: _*)
+  }
+
+  /** One topic's committed entries. */
+  def topicDF(topic: String): DataFrame = toDF().where(col("topic") === topic)
+
+  private def visibleBatchDirs: Seq[String] =
+    commits.iterator
+      .filter(c => c.id >= 0 && !vacuumed.contains(c.id))
+      .map(c => dataDir.resolve(s"batch=${c.id}").toString)
+      .toSeq
+
+  /** Consume/peek up to `maxBytes` of payload from the group's cursor
+    * (always at least one entry; hard cap `maxBatchEntries` per call —
+    * reference: `batch_read_for_topic`, src/wal/runtime/walrus_read.rs:368-1198).
+    * `checkpoint=false` is a pure peek and advances nothing
+    * (reference: walrus_read.rs:147-176).
+    */
+  def batchRead(
+      topic: String,
+      maxBytes: Long,
+      checkpoint: Boolean = true,
+      group: String = SharedGroup,
+      entriesCap: Int = cfg.maxBatchEntries): Seq[WalrusEntry] = {
+    def doRead(): Seq[WalrusEntry] = {
+      val from = cursors.getOrElse((group, topic), 0L)
+      val cap = math.min(entriesCap, cfg.maxBatchEntries)
+      val rows = toDF()
+        .where(col("topic") === topic && col("offset") >= from &&
+          col("offset") < from + cap)
+        .select("topic", "offset", "ts", "value", "checksum")
+        .orderBy("offset")
+        .collect()
+      val out = admit(rows, maxBytes)
+      verify(out)
+      if (checkpoint && out.nonEmpty) advanceCursor(group, topic, out.size.toLong)
+      out
+    }
+    consistency match {
+      // StrictlyAtOnce holds the engine lock across read+commit so an entry
+      // is delivered once (reference: walrus_read.rs:861-869).
+      case ReadConsistency.StrictlyAtOnce if checkpoint => synchronized(doRead())
+      case _ => doRead()
+    }
+  }
+
+  /** Consume/peek the next single entry (reference: `read_next`,
+    * src/wal/runtime/walrus_read.rs:24-345). */
+  def readNext(topic: String, checkpoint: Boolean = true,
+      group: String = SharedGroup): Option[WalrusEntry] =
+    batchRead(topic, maxBytes = Long.MaxValue, checkpoint, group, entriesCap = 1).headOption
+
+  /** Stateless random-access read from a logical byte offset into the
+    * topic's `[256 B meta][payload]` stream: aligns to the entry containing
+    * the offset, trims the first payload when the offset lands inside it,
+    * never touches cursors or counts (reference: walrus_read.rs:419-585,
+    * 1059-1068; count-neutrality walrus.rs:939-957).
+    *
+    * The containing batch is located from commit metadata (per-batch byte
+    * ranges) so the prefix-sum window only runs over that batch plus at most
+    * `maxBatchEntries` following entries — not the whole topic.
+    */
+  def batchReadFromByteOffset(
+      topic: String,
+      maxBytes: Long,
+      startByte: Long): Seq[WalrusEntry] = {
+    val meta = cfg.metaOverheadBytes.toLong
+    // (batchStartOffset, batchEntryCount, cumulative stream bytes before batch)
+    var cum = 0L
+    var located: Option[(Long, Long, Long)] = None
+    commits.foreach { c =>
+      c.topics.get(topic).foreach { r =>
+        val streamBytes = r.bytes + meta * (r.end - r.start)
+        if (located.isEmpty && startByte < cum + streamBytes)
+          located = Some((r.start, r.end - r.start, cum))
+        cum += streamBytes
+      }
+    }
+    located match {
+      case None => Seq.empty
+      case Some((batchStart, batchEntries, bytesBefore)) =>
+        val w = Window.partitionBy("topic").orderBy("offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val rows = toDF()
+          .where(col("topic") === topic && col("offset") >= batchStart &&
+            col("offset") < batchStart + batchEntries + cfg.maxBatchEntries)
+          .withColumn("entryBytes", col("len").cast(LongType) + lit(meta))
+          .withColumn("cumEnd", sum(col("entryBytes")).over(w) + lit(bytesBefore))
+          .where(col("cumEnd") > startByte)
+          .orderBy("offset")
+          .limit(cfg.maxBatchEntries)
+          .select("topic", "offset", "ts", "value", "checksum", "cumEnd", "entryBytes")
+          .collect()
+        val trimmed = rows.iterator.zipWithIndex.map { case (r, i) =>
+          val value = r.getAs[Array[Byte]]("value")
+          val entryStart = r.getAs[Long]("cumEnd") - r.getAs[Long]("entryBytes")
+          val payloadStart = entryStart + meta
+          val v =
+            if (i == 0 && startByte > payloadStart)
+              value.drop((startByte - payloadStart).toInt)
+            else value
+          WalrusEntry(r.getAs[String]("topic"), r.getAs[Long]("offset"),
+            r.getAs[Timestamp]("ts"), v, r.getAs[Long]("checksum"))
+        }.toArray
+        // Budget admission over (possibly trimmed) payload bytes, ≥ 1 entry.
+        var cumOut = 0L
+        val out = mutable.ArrayBuffer.empty[WalrusEntry]
+        trimmed.foreach { e =>
+          if (out.isEmpty || cumOut + e.value.length <= maxBytes) {
+            out += e; cumOut += e.value.length
+          }
+        }
+        val res = out.toSeq
+        // First (trimmed) entry's checksum covers the full payload; skip it.
+        verify(res.drop(if (res.nonEmpty && startByte > 0) 1 else 0))
+        res
+    }
+  }
+
+  private def admit(rows: Array[Row], maxBytes: Long): Seq[WalrusEntry] = {
+    var cum = 0L
+    val out = mutable.ArrayBuffer.empty[WalrusEntry]
+    var stopped = false
+    rows.foreach { r =>
+      if (!stopped) {
+        val v = r.getAs[Array[Byte]]("value")
+        if (out.isEmpty || cum + v.length <= maxBytes) {
+          out += WalrusEntry(r.getAs[String]("topic"), r.getAs[Long]("offset"),
+            r.getAs[Timestamp]("ts"), v, r.getAs[Long]("checksum"))
+          cum += v.length
+        } else stopped = true
+      }
+    }
+    out.toSeq
+  }
+
+  private def verify(entries: Seq[WalrusEntry]): Unit =
+    if (cfg.verifyChecksums) entries.foreach { e =>
+      val h = graft.functions.Fnv1a64.hash(e.value)
+      if (h != e.checksum)
+        throw new InvalidDataException(
+          s"checksum mismatch at ${e.topic}/${e.offset}: stored ${e.checksum}, computed $h")
+    }
+
+  // =========================================================================
+  // Cursors & delivery semantics (reference: walrus_read.rs:347-366, index.rs)
+  // =========================================================================
+
+  def committedOffset(group: String, topic: String): Long =
+    cursors.getOrElse((group, topic), 0L)
+
+  private def advanceCursor(group: String, topic: String, n: Long): Unit = synchronized {
+    val k = (group, topic)
+    cursors(k) = cursors.getOrElse(k, 0L) + n
+    consistency match {
+      case ReadConsistency.StrictlyAtOnce => persistCursors()
+      case ReadConsistency.AtLeastOnce(every) =>
+        val u = unpersistedReads.getOrElse(k, 0L) + n
+        if (u >= math.max(every, 1)) {
+          persistCursors()
+          unpersistedReads(k) = 0L
+        } else unpersistedReads(k) = u
+    }
+  }
+
+  private def persistCursors(): Unit = {
+    val grouped = cursors.groupBy(_._1._1).map { case (g, m) =>
+      g -> m.map { case ((_, t), o) => t -> o }.toMap
+    }
+    writeAtomic(cursorsPath, Serialization.write(CursorFile(grouped)))
+  }
+
+  // =========================================================================
+  // Counts, sizes, clean markers (reference: walrus.rs:117-193)
+  // =========================================================================
+
+  /** Unconsumed entries for the shared cursor (reference:
+    * `get_topic_entry_count`, src/wal/runtime/walrus.rs:129-142). */
+  def entryCount(topic: String): Long =
+    topics.get(topic).map(st =>
+      math.max(st.nextOffset - committedOffset(SharedGroup, topic), 0L)).getOrElse(0L)
+
+  def entryCounts: Map[String, Long] = topics.keys.map(t => t -> entryCount(t)).toMap
+
+  /** Total appended entries regardless of consumption. */
+  def totalAppended(topic: String): Long = topics.get(topic).map(_.nextOffset).getOrElse(0L)
+
+  /** Byte size of the topic's logical stream, headers included (reference:
+    * `get_topic_size`, src/wal/runtime/walrus.rs:144-178). */
+  def topicSize(topic: String): Long = topics.get(topic).map(_.bytesTotal).getOrElse(0L)
+
+  def markTopicDirty(topic: String): Unit = synchronized {
+    val st = state(topic); st.cleanGeneration += 1; st.clean = false; persistClean()
+  }
+  def markTopicClean(topic: String): Unit = synchronized {
+    val st = state(topic); st.clean = true; persistClean()
+  }
+  def topicIsClean(topic: String): Boolean = topics.get(topic).forall(_.clean)
+
+  /** Create-if-absent (reference: `REGISTER`/`ensure_topic`,
+    * distributed-walrus/src/controller/mod.rs:124-156). */
+  def ensureTopic(topic: String): Unit = synchronized { state(topic); persistClean() }
+
+  def topicNames: Seq[String] = topics.keys.toSeq
+
+  // =========================================================================
+  // State / metrics JSON (reference: distributed `STATE`/`METRICS`,
+  // distributed-walrus/src/controller/mod.rs:189-195, 278-282)
+  // =========================================================================
+
+  def stateJson(topic: String): String = {
+    val st = topics.getOrElse(topic, new TopicState)
+    val sealedJson = st.sealedSegments.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    val leadersJson = st.segmentLeaders.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    s"""{"topic":"$topic","current_segment":${st.currentSegment},""" +
+      s""""leader_node":"${virtualNodes((st.currentSegment % virtualNodes.size).toInt)}",""" +
+      s""""last_sealed_entry_offset":${st.lastSealedEntryOffset},""" +
+      s""""sealed_segments":$sealedJson,"segment_leaders":$leadersJson,""" +
+      s""""next_offset":${st.nextOffset},"entry_count":${entryCount(topic)}}"""
+  }
+
+  def metricsJson(): String = {
+    val totalEntries = topics.valuesIterator.map(_.nextOffset).sum
+    s"""{"namespace":"$namespace","topics":${topics.size},""" +
+      s""""commits":${commits.size},"total_entries":$totalEntries,""" +
+      s""""consumer_groups":${cursors.keys.map(_._1).toSet.size},""" +
+      s""""vacuumed_batches":${vacuumed.size}}"""
+  }
+
+  // =========================================================================
+  // Maintenance (reference: allocator.rs:188-342 reclamation; M1 recovery)
+  // =========================================================================
+
+  /** Delete batch directories whose every topic range is fully consumed by
+    * every consumer group (reference's file reclamation,
+    * src/wal/runtime/allocator.rs:188-342). Returns reclaimed batch ids. */
+  def vacuum(): Seq[Long] = synchronized {
+    val groups = cursors.keys.map(_._1).toSet
+    def minCursor(topic: String): Long =
+      if (groups.isEmpty) 0L
+      else groups.map(g => cursors.getOrElse((g, topic), 0L)).min
+    val reclaim = commits.filter { c =>
+      c.id >= 0 && !vacuumed.contains(c.id) &&
+        c.topics.nonEmpty && c.topics.forall { case (t, r) => r.end <= minCursor(t) }
+    }
+    reclaim.foreach { c =>
+      deleteRecursively(dataDir.resolve(s"batch=${c.id}"))
+      vacuumed += c.id
+      writeAtomic(commitsDir.resolve(f"${c.id}%012d.json"),
+        Serialization.write(c.copy(tsMillis = c.tsMillis))
+          .dropRight(1) + ",\"vacuumed\":true}")
+    }
+    reclaim.map(_.id).toSeq
+  }
+
+  /** Startup recovery (reference: `startup_chore`,
+    * src/wal/runtime/walrus.rs:240-425): replay the commit log in id order to
+    * rebuild topic states, segment accounting, and entry counts; hydrate
+    * cursors (clamped to valid range); orphaned uncommitted batch dirs are
+    * ignored — they were never visible. */
+  private def recover(): Unit = {
+    val commitFiles = listDir(commitsDir).filter(_.getFileName.toString.endsWith(".json")).sorted
+    commitFiles.foreach { p =>
+      val txt = new String(Files.readAllBytes(p), "UTF-8")
+      val parsed = org.json4s.jackson.JsonMethods.parse(txt)
+      val rec = parsed.extract[CommitRecord]
+      val isVac = (parsed \ "vacuumed") match {
+        case org.json4s.JBool(b) => b
+        case _ => false
+      }
+      if (isVac) { commits += rec; vacuumed += rec.id }
+      else applyCommit(rec)
+      rec.topics.foreach { case (t, _) => state(t) }
+    }
+    // clean markers + registered-but-empty topics
+    if (Files.exists(cleanPath)) {
+      val cf = org.json4s.jackson.JsonMethods
+        .parse(new String(Files.readAllBytes(cleanPath), "UTF-8")).extract[CleanFile]
+      cf.topics.foreach { case (t, cs) =>
+        val st = state(t); st.cleanGeneration = cs.generation; st.clean = cs.clean
+      }
+    }
+    if (Files.exists(cursorsPath)) {
+      val cur = org.json4s.jackson.JsonMethods
+        .parse(new String(Files.readAllBytes(cursorsPath), "UTF-8")).extract[CursorFile]
+      cur.groups.foreach { case (g, m) =>
+        m.foreach { case (t, o) =>
+          val hi = topics.get(t).map(_.nextOffset).getOrElse(0L)
+          cursors((g, t)) = math.min(math.max(o, 0L), hi) // clamp (walrus.rs:429-550)
+        }
+      }
+    }
+    val maxCommit = commits.map(_.id).maxOption.getOrElse(-1L)
+    val maxDir = listDir(dataDir).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("batch=")) n.stripPrefix("batch=").toLongOption else None
+    }.maxOption.getOrElse(-1L)
+    nextBatchId = math.max(maxCommit, maxDir) + 1
+  }
+
+  def close(): Unit = synchronized {
+    persistCursors()
+    persistClean()
+  }
+
+  // ---- helpers ----
+
+  private def state(topic: String): TopicState =
+    topics.getOrElseUpdate(topic, new TopicState)
+
+  private def persistClean(): Unit = {
+    val cf = CleanFile(topics.map { case (t, st) =>
+      t -> CleanState(st.cleanGeneration, st.clean)
+    }.toMap)
+    writeAtomic(cleanPath, Serialization.write(cf))
+  }
+
+  private lazy val readSchema = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("batch", LongType),
+    StructField("offset", LongType),
+    StructField("ts", TimestampType),
+    StructField("value", BinaryType),
+    StructField("checksum", LongType),
+    StructField("len", IntegerType)))
+}
+
+object WalrusLog {
+  /** The reference's single shared per-topic cursor (walrus_read.rs:24-345)
+    * is modelled as this group. */
+  val SharedGroup = ""
+
+  /** Key sanitization parity (reference: src/wal/paths.rs:12-36). */
+  def sanitizeKey(key: String): String =
+    key.map(c => if (c.isLetterOrDigit || c == '-' || c == '_') c else '_')
+
+  private[log] def writeAtomic(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(tmp, content.getBytes("UTF-8"))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[log] def listDir(dir: Path): Seq[Path] =
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+
+  private[log] def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete)
+      finally s.close()
+    }
+}

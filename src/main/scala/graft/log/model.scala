@@ -1,0 +1,99 @@
+package graft.log
+
+import java.sql.Timestamp
+
+/** One log entry — the only value type in the reference engine
+  * (reference: src/wal/block.rs:7-10). `checksum` is FNV-1a-64 of `value`
+  * (reference: src/wal/config.rs:70-80).
+  */
+case class WalrusEntry(
+    topic: String,
+    offset: Long,
+    ts: Timestamp,
+    value: Array[Byte],
+    checksum: Long)
+
+/** Delivery semantics for consumer cursors
+  * (reference: src/wal/runtime/walrus.rs:20-24).
+  *
+  *  - [[ReadConsistency.StrictlyAtOnce]]: the cursor is persisted after every
+  *    consumed read and the engine lock is held across read+commit, so each
+  *    entry is delivered to exactly one caller
+  *    (reference: src/wal/runtime/walrus_read.rs:861-869).
+  *  - [[ReadConsistency.AtLeastOnce]]: the cursor is persisted every
+  *    `persistEvery` consumed entries; a crash replays at most that many
+  *    (reference: src/wal/runtime/walrus_read.rs:347-366).
+  */
+sealed trait ReadConsistency
+object ReadConsistency {
+  case object StrictlyAtOnce extends ReadConsistency
+  final case class AtLeastOnce(persistEvery: Int = 5000) extends ReadConsistency
+}
+
+/** Engine limits and accounting constants, mirroring the reference where a
+  * value is externally observable.
+  *
+  * @param maxBatchEntries  hard cap on entries per atomic batch append and
+  *                         per batch read (reference: src/wal/config.rs:42-43)
+  * @param maxBatchBytes    hard cap on total payload bytes per atomic batch
+  *                         (reference: src/wal/config.rs:42-43 — 10 GiB)
+  * @param maxSegmentEntries segment rollover threshold
+  *                         (reference: distributed-walrus/src/monitor.rs:16-24)
+  * @param metaOverheadBytes per-entry metadata size used for byte-offset
+  *                         addressing and topic-size accounting parity
+  *                         (reference: src/wal/config.rs:40 — 256 B prefix)
+  * @param verifyChecksums  verify FNV-1a checksums on the consume path
+  *                         (reference: src/wal/block.rs:117-129)
+  */
+final case class LogConfig(
+    maxBatchEntries: Int = 2000,
+    maxBatchBytes: Long = 10L * 1024 * 1024 * 1024,
+    maxSegmentEntries: Long = 1000000L,
+    metaOverheadBytes: Int = 256,
+    verifyChecksums: Boolean = true)
+
+/** A concurrent atomic batch append was rejected — parity with the
+  * reference's `ErrorKind::WouldBlock` on its `is_batch_writing` CAS flag
+  * (reference: src/wal/runtime/writer.rs:135-165).
+  */
+final class WouldBlockException(msg: String) extends RuntimeException(msg)
+
+/** Payload checksum mismatch on read — parity with the reference's
+  * `InvalidData` (reference: src/wal/runtime/walrus_read.rs:1052-1057). */
+final class InvalidDataException(msg: String) extends RuntimeException(msg)
+
+// ---- persisted metadata records (JSON via json4s) ----
+
+/** Per-topic offset/byte range added by one committed batch. */
+final case class TopicRange(start: Long, end: Long, bytes: Long)
+
+/** One entry of the atomic commit log: batch `id` became visible, adding
+  * `topics` ranges. Replaces the reference's "offset published only after
+  * fsync" visibility rule (reference: src/wal/runtime/writer.rs:135-341) with
+  * a file-commit protocol. */
+final case class CommitRecord(id: Long, tsMillis: Long, topics: Map[String, TopicRange])
+
+/** Persisted consumer cursors, keyed group -> topic -> next offset to read.
+  * The reference's shared per-topic cursor is group "" here
+  * (reference: src/wal/runtime/index.rs:7-10). */
+final case class CursorFile(groups: Map[String, Map[String, Long]])
+
+/** Topic clean/dirty markers with generation counters
+  * (reference: src/wal/runtime/topic_clean.rs:12-257). */
+final case class CleanState(generation: Long, clean: Boolean)
+final case class CleanFile(topics: Map[String, CleanState])
+
+/** In-memory per-topic state — the driver-side analogue of the reference's
+  * Raft-replicated `TopicState`
+  * (reference: distributed-walrus/src/metadata.rs:19-31). */
+final class TopicState {
+  var nextOffset: Long = 0L            // dense; also the total appended count
+  var bytesTotal: Long = 0L            // Σ(payload + metaOverhead)
+  var currentSegment: Long = 0L
+  var lastSealedEntryOffset: Long = 0L // Σ sealed segment counts
+  val sealedSegments = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+  val segmentLeaders = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+  var cleanGeneration: Long = 0L
+  var clean: Boolean = true
+  def entriesInOpenSegment: Long = nextOffset - lastSealedEntryOffset
+}

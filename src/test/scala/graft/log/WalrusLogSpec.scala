@@ -1,0 +1,279 @@
+package graft.log
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Engine-semantics suite mirroring the reference's test corpus
+  * (reference: tests/unit.rs, tests/integration.rs, tests/batch_read.rs,
+  * tests/batch_writes.rs, tests/configuration.rs — see FIXTURES.md §A). */
+class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("WalrusLogSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tempRoot(): String =
+    Files.createTempDirectory("walruslog-test-").toString
+
+  private def bytes(s: String): Array[Byte] = s.getBytes("UTF-8")
+  private def str(b: Array[Byte]): String = new String(b, "UTF-8")
+
+  // tests/integration.rs:28 — write/read cycle in order
+  test("roundtrip: entries come back in append order with dense offsets") {
+    val log = new WalrusLog(spark, tempRoot())
+    (0 until 5).foreach(i => log.append("t", bytes(s"entry-$i")))
+    val got = log.batchRead("t", maxBytes = 1 << 20, checkpoint = false)
+    assert(got.map(e => str(e.value)) == (0 until 5).map(i => s"entry-$i"))
+    assert(got.map(_.offset) == (0L until 5L))
+  }
+
+  // tests/integration.rs:272 — topic isolation
+  test("multi-topic isolation") {
+    val log = new WalrusLog(spark, tempRoot())
+    val topics = (0 until 8).map(i => s"topic-$i")
+    val rows = for (t <- topics; i <- 0 until 20) yield (t, bytes(s"$t/$i"))
+    import spark.implicits._
+    val df = spark.createDataset(rows.map { case (t, v) => (t, v) })
+      .toDF("topic", "value")
+    log.appendDF(df)
+    topics.foreach { t =>
+      val got = log.batchRead(t, 1 << 20, checkpoint = false)
+      assert(got.size == 20, s"topic $t")
+      assert(got.forall(e => str(e.value).startsWith(t)))
+      assert(got.map(_.offset) == (0L until 20L))
+    }
+  }
+
+  // src/wal/runtime/walrus.rs:923-937 — batch caps
+  test("batch caps enforced; concurrent batch would block") {
+    val log = new WalrusLog(spark, tempRoot(),
+      cfg = LogConfig(maxBatchEntries = 10, maxBatchBytes = 100))
+    intercept[IllegalArgumentException] {
+      log.batchAppend("t", (0 until 11).map(i => bytes(s"$i")))
+    }
+    intercept[IllegalArgumentException] {
+      log.batchAppend("t", Seq(new Array[Byte](101)))
+    }
+    log.batchAppend("t", Seq(bytes("ok")))
+    assert(log.entryCount("t") == 1)
+  }
+
+  // tests/unit.rs:161 — peek does not advance
+  test("peek (checkpoint=false) never advances; consume does") {
+    val log = new WalrusLog(spark, tempRoot())
+    (0 until 3).foreach(i => log.append("t", bytes(s"e$i")))
+    val p1 = log.readNext("t", checkpoint = false)
+    val p2 = log.readNext("t", checkpoint = false)
+    assert(str(p1.get.value) == "e0" && str(p2.get.value) == "e0")
+    assert(log.entryCount("t") == 3)
+    val c1 = log.readNext("t", checkpoint = true)
+    assert(str(c1.get.value) == "e0")
+    assert(log.entryCount("t") == 2)
+    val c2 = log.readNext("t", checkpoint = true)
+    assert(str(c2.get.value) == "e1")
+    assert(log.readNext("t", checkpoint = true).map(e => str(e.value)).contains("e2"))
+    assert(log.readNext("t", checkpoint = true).isEmpty) // EMPTY when caught up
+  }
+
+  // walrus.rs:714-920, configuration.rs:98 — restart recovery of counts+cursors
+  test("restart recovery: counts and cursors survive reopen") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    (0 until 10).foreach(i => log.append("t", bytes(s"e$i")))
+    (0 until 4).foreach(_ => log.readNext("t", checkpoint = true))
+    assert(log.entryCount("t") == 6)
+    log.close()
+    val reopened = new WalrusLog(spark, root)
+    assert(reopened.entryCount("t") == 6)
+    assert(str(reopened.readNext("t").get.value) == "e4")
+    assert(reopened.totalAppended("t") == 10)
+  }
+
+  // batch_read.rs:170 — byte-budget admission always admits ≥ 1
+  test("batch read byte budget: at least one entry, prefix only") {
+    val log = new WalrusLog(spark, tempRoot())
+    log.batchAppend("t", (0 until 10).map(_ => new Array[Byte](100)))
+    val one = log.batchRead("t", maxBytes = 1, checkpoint = false)
+    assert(one.size == 1)
+    val three = log.batchRead("t", maxBytes = 300, checkpoint = false)
+    assert(three.size == 3)
+    val all = log.batchRead("t", maxBytes = 10000, checkpoint = false)
+    assert(all.size == 10)
+  }
+
+  // walrus.rs:634-711 + walrus_read.rs:419-585 — byte-offset addressed read
+  test("stateless byte-offset read: alignment, trim, count-neutrality") {
+    val log = new WalrusLog(spark, tempRoot(),
+      cfg = LogConfig(metaOverheadBytes = 256))
+    val payloads = (0 until 5).map(i => s"payload-number-$i") // 16 bytes each
+    log.batchAppend("t", payloads.map(bytes))
+    val countBefore = log.entryCount("t")
+    // Entry i occupies [i*(256+16), (i+1)*(256+16)); start of entry 2:
+    val e2 = log.batchReadFromByteOffset("t", 1 << 20, 2 * 272)
+    assert(str(e2.head.value) == "payload-number-2")
+    // Offset inside entry 1's header → full payload of entry 1
+    val h1 = log.batchReadFromByteOffset("t", 1 << 20, 272 + 100)
+    assert(str(h1.head.value) == "payload-number-1")
+    // Offset 5 bytes into entry 0's payload → trimmed first payload
+    val t0 = log.batchReadFromByteOffset("t", 1 << 20, 256 + 5)
+    assert(str(t0.head.value) == "ad-number-0")
+    assert(str(t0(1).value) == "payload-number-1")
+    // Past the end → empty
+    assert(log.batchReadFromByteOffset("t", 1 << 20, 5 * 272).isEmpty)
+    assert(log.entryCount("t") == countBefore) // walrus.rs:939-957
+  }
+
+  // distributed rollover semantics (monitor.rs:15-24, metadata.rs:144-166)
+  test("segment rollover: seals at threshold, exact counts, state json") {
+    val log = new WalrusLog(spark, tempRoot(),
+      cfg = LogConfig(maxSegmentEntries = 100))
+    log.batchAppend("t", (0 until 350).map(i => bytes(s"$i")))
+    // one commit of 350 → open segment had 350 ≥ 100 → sealed as one 350-entry segment
+    val st1 = log.stateJson("t")
+    assert(st1.contains(""""current_segment":1"""))
+    assert(st1.contains(""""last_sealed_entry_offset":350"""))
+    // now 3 commits of 40 → seals when open reaches ≥100 (at 120)
+    (0 until 3).foreach(_ => log.batchAppend("t", (0 until 40).map(i => bytes(s"x$i"))))
+    val st2 = log.stateJson("t")
+    assert(st2.contains(""""current_segment":2"""))
+    assert(st2.contains(""""last_sealed_entry_offset":470"""))
+    assert(st2.contains(""""1":120"""))
+  }
+
+  // configuration.rs:528-617 — namespace isolation
+  test("namespace isolation") {
+    val root = tempRoot()
+    val a = new WalrusLog(spark, root, namespace = "ns-a")
+    val b = new WalrusLog(spark, root, namespace = "ns-b")
+    a.append("t", bytes("from-a"))
+    b.append("t", bytes("from-b"))
+    assert(str(a.readNext("t", checkpoint = false).get.value) == "from-a")
+    assert(str(b.readNext("t", checkpoint = false).get.value) == "from-b")
+    assert(a.entryCount("t") == 1 && b.entryCount("t") == 1)
+  }
+
+  // consumer groups: independent cursors (FIXTURES.md consumer_groups)
+  test("consumer groups: independent cursors, shared data") {
+    val log = new WalrusLog(spark, tempRoot())
+    log.batchAppend("t", (0 until 20).map(i => bytes(s"e$i")))
+    (0 until 10).foreach(_ => log.readNext("t", checkpoint = true, group = "A"))
+    (0 until 3).foreach(_ => log.readNext("t", checkpoint = true, group = "B"))
+    assert(log.committedOffset("A", "t") == 10)
+    assert(log.committedOffset("B", "t") == 3)
+    assert(str(log.readNext("t", group = "A").get.value) == "e10")
+    assert(str(log.readNext("t", group = "B").get.value) == "e3")
+    assert(log.committedOffset(WalrusLog.SharedGroup, "t") == 0)
+  }
+
+  // unit.rs:111 — checksum corruption detected via public API
+  test("checksum corruption is detected on read") {
+    import org.apache.spark.sql.functions._
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    log.batchAppend("t", Seq(bytes("good-payload")))
+    // Corrupt: rewrite the batch's parquet with a stale checksum
+    val dir = new java.io.File(s"$root/default/data/batch=0/topic=t")
+    val df = spark.read.parquet(dir.toString)
+    val corrupted = df.withColumn("value", lit(bytes("evil-payload")))
+    val tmp = tempRoot()
+    corrupted.write.parquet(s"$tmp/topic=t")
+    WalrusLog.deleteRecursively(dir.toPath)
+    Files.move(java.nio.file.Paths.get(s"$tmp/topic=t"), dir.toPath)
+    intercept[InvalidDataException] {
+      log.batchRead("t", 1 << 20, checkpoint = false)
+    }
+  }
+
+  // batch atomicity (batch_writes.rs:47): a failed append publishes nothing
+  test("uncommitted batch dirs are invisible and recovery ignores them") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    log.append("t", bytes("visible"))
+    // Simulate a torn write: batch dir exists but no commit record
+    val orphan = java.nio.file.Paths.get(s"$root/default/data/batch=99/topic=t")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-000.parquet"), Array[Byte](1, 2, 3)) // garbage
+    val reopened = new WalrusLog(spark, root)
+    assert(reopened.entryCount("t") == 1)
+    val got = reopened.batchRead("t", 1 << 20, checkpoint = false)
+    assert(got.size == 1 && str(got.head.value) == "visible")
+  }
+
+  // configuration.rs:287,399 — reclamation after full consumption
+  test("vacuum reclaims fully consumed batches") {
+    val log = new WalrusLog(spark, tempRoot(),
+      consistency = ReadConsistency.StrictlyAtOnce)
+    log.batchAppend("t", (0 until 5).map(i => bytes(s"e$i")))
+    log.batchAppend("t", (0 until 5).map(i => bytes(s"f$i")))
+    assert(log.vacuum().isEmpty) // nothing consumed yet
+    (0 until 5).foreach(_ => log.readNext("t", checkpoint = true))
+    assert(log.vacuum() == Seq(0L)) // first batch fully below the cursor
+    // remaining data still readable
+    assert(str(log.readNext("t", checkpoint = false).get.value) == "f0")
+    assert(log.entryCount("t") == 5)
+  }
+
+  // at-least-once: cursor persisted every N; replay ≤ N after "crash"
+  test("at-least-once persists cursor every N entries") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root,
+      consistency = ReadConsistency.AtLeastOnce(persistEvery = 4))
+    log.batchAppend("t", (0 until 10).map(i => bytes(s"e$i")))
+    (0 until 6).foreach(_ => log.readNext("t", checkpoint = true))
+    // 6 consumed; persisted at 4; reopening WITHOUT close() replays from 4
+    val reopened = new WalrusLog(spark, root,
+      consistency = ReadConsistency.AtLeastOnce(persistEvery = 4))
+    val next = reopened.readNext("t", checkpoint = false).get
+    assert(str(next.value) == "e4")
+    assert(reopened.entryCount("t") == 6)
+  }
+
+  // W6 topic clean markers (topic_clean.rs:12-257)
+  test("topic clean markers: append dirties, mark clean persists") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    log.ensureTopic("t")
+    assert(log.topicIsClean("t"))
+    log.append("t", bytes("x"))
+    assert(!log.topicIsClean("t"))
+    log.markTopicClean("t")
+    assert(log.topicIsClean("t"))
+    log.close()
+    val reopened = new WalrusLog(spark, root)
+    assert(reopened.topicIsClean("t"))
+    reopened.markTopicDirty("t")
+    assert(!reopened.topicIsClean("t"))
+  }
+
+  // large-ish entries + binary patterns (integration.rs:91,641)
+  test("binary payload patterns roundtrip exactly") {
+    val log = new WalrusLog(spark, tempRoot())
+    val patterns: Seq[Array[Byte]] = Seq(
+      Array.empty[Byte],
+      Array.fill[Byte](1024)(0),
+      Array.fill[Byte](1024)(-1),
+      Array.tabulate[Byte](512)(i => if (i % 2 == 0) 0x55 else 0xAA.toByte),
+      Array.tabulate[Byte](333)(i => (i * 31 + 7).toByte))
+    log.batchAppend("t", patterns)
+    val got = log.batchRead("t", 1 << 20, checkpoint = false)
+    assert(got.size == patterns.size)
+    got.zip(patterns).foreach { case (e, p) =>
+      assert(java.util.Arrays.equals(e.value, p))
+    }
+  }
+
+  test("topic size accounting includes per-entry meta overhead") {
+    val log = new WalrusLog(spark, tempRoot())
+    log.batchAppend("t", Seq(new Array[Byte](100), new Array[Byte](50)))
+    assert(log.topicSize("t") == 150 + 2 * 256)
+  }
+}
