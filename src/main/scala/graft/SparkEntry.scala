@@ -1,13 +1,560 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.log.{LogConfig, ReadConsistency, WalrusLog}
+import graft.operators.{Dedup, Similarity, TextAnalysis, TextOps}
+
+/** Driver contract: one query per implemented operator (SURVEY.md §2 +
+  * the LLM-pipeline extensions), each with an ANSI-SQL DuckDB oracle over
+  * the same parquet tables. Spark-side and SQL-side semantics are generated
+  * from shared integer/modular constants so results hash-match exactly.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- tables
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) — Spark only reads it as a long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+  }
+
+  // ------------------------------------------------------- log-layer setup
+  private val logCache = TrieMap.empty[(String, String), WalrusLog]
+  private val FixedTs = new Timestamp(1704067200000L) // deterministic ingest ts
+
+  /** Events ingested once per (sfDir, cfg) into a scratch WalrusLog:
+    * topic = event_type, value = utf-8 props, arrival order = event_id. */
+  private def eventsLog(spark: SparkSession, dir: String, key: String,
+      cfg: LogConfig): WalrusLog =
+    logCache.getOrElseUpdate((dir, key), {
+      val root = Files.createTempDirectory(s"graft-log-$key-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = cfg)
+      val ev = events(spark, dir).select(
+        col("event_type").as("topic"),
+        encode(col("props"), "UTF-8").as("value"),
+        col("event_id").as("_seq"))
+      log.appendDF(ev, Some(col("_seq")), FixedTs)
+      log
+    })
+
+  private def mainLog(spark: SparkSession, dir: String): WalrusLog =
+    eventsLog(spark, dir, "main", LogConfig())
+  private def segLog(spark: SparkSession, dir: String): WalrusLog =
+    eventsLog(spark, dir, "seg50", LogConfig(maxSegmentEntries = 50))
+
+  private def entriesToDF(spark: SparkSession, es: Seq[graft.log.WalrusEntry]): DataFrame = {
+    val rows = es.map(e => Row(e.topic, e.offset, new String(e.value, "UTF-8")))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("topic", StringType),
+        StructField("entry_offset", LongType),
+        StructField("value_str", StringType))))
+  }
+
+  // ------------------------------------------------- shared SQL generators
+  private val Meta = 256L
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+  private def dsumSql(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** SQL for the base-128 k-shingle code at position column `i` of `t`. */
+  private def codeSql(t: String, k: Int): String =
+    (0 until k).map { d =>
+      s"ascii(substr($t, i + $d, 1)) * CAST(${TextOps.pow128(k - 1 - d)} AS BIGINT)"
+    }.mkString(" + ")
+
+  private def permSql(code: String, a: Long, b: Long): String =
+    s"($a * CAST(($code) % ${TextOps.P} AS BIGINT) + $b) % ${TextOps.P}"
+
+  /** CTEs producing distinct (doc_id, code) k-shingles of documents
+    * restricted by `pred`. */
+  private def shinglesSql(k: Int, pred: String): String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE ($pred) AND length(text) >= $k),
+       |pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - ${k - 1})) AS i FROM d),
+       |codes AS (SELECT DISTINCT doc_id, ${codeSql("text", k)} AS code FROM pos)""".stripMargin
+
+  /** SQL 64-dim dot product between `a.embedding` and `b.embedding`. */
+  private def dotSql(a: String, b: String): String =
+    (1 to 64).map(i =>
+      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  private def normSqSql(a: String): String =
+    (1 to 64).map(i =>
+      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($a.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  /** SQL dot of embedding with the deterministic projection `j`. */
+  private def projDotSql(t: String, j: Int): String =
+    (0 until 64).map { d =>
+      val c = Similarity.projComponent(j, d)
+      s"CAST($t.embedding[${d + 1}] AS DOUBLE) * ($c)"
+    }.mkString(" + ")
+
+  // ================================================================ entry
+  /** Flagship: order-revenue ranking (join + decimal-exact agg + top-k). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("rel_q3_top_orders")(spark, "/root/testdata/sf0.001")
+
+  // ============================================================== queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- log layer (SURVEY §2.1/§2.2/§2.4 over the events topic log) ----
+    "log_append_dump" -> ((s, dir) => {
+      mainLog(s, dir).toDF()
+        .select(col("topic"), col("offset").as("entry_offset"),
+          decode(col("value"), "UTF-8").as("value_str"))
+        .orderBy("topic", "entry_offset")
+    }),
+    "log_batch_read_budget" -> ((s, dir) => {
+      val got = mainLog(s, dir).batchRead("purchase", maxBytes = 500L, checkpoint = false)
+      entriesToDF(s, got).select("entry_offset", "value_str").orderBy("entry_offset")
+    }),
+    "log_byte_offset_read" -> ((s, dir) => {
+      val got = mainLog(s, dir).batchReadFromByteOffset("purchase",
+        maxBytes = Long.MaxValue / 4, startByte = 1000L)
+      entriesToDF(s, got).select("entry_offset", "value_str").orderBy("entry_offset")
+    }),
+    "log_entry_counts" -> ((s, dir) => {
+      val log = mainLog(s, dir)
+      val rows = log.entryCounts.toSeq.map { case (t, c) => Row(t, c) }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType), StructField("cnt", LongType))))
+        .orderBy("topic")
+    }),
+    "log_topic_sizes" -> ((s, dir) => {
+      val log = mainLog(s, dir)
+      val rows = log.topicNames.sorted.map(t => Row(t, log.topicSize(t)))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType), StructField("bytes", LongType))))
+        .orderBy("topic")
+    }),
+    "log_segment_state" -> ((s, dir) => {
+      val log = segLog(s, dir)
+      val rows = log.topicNames.sorted.map { t =>
+        val js = log.stateJson(t)
+        def grab(k: String): Long =
+          raw""""$k":(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong).getOrElse(0L)
+        Row(t, grab("current_segment"), grab("last_sealed_entry_offset"))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("current_segment", LongType),
+          StructField("last_sealed", LongType))))
+        .orderBy("topic")
+    }),
+
+    // ---- relational surface over tables (SURVEY §2.5: free via toDF) ----
+    "rel_q1_pricing_summary" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "rel_q3_top_orders" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      val li = table(s, dir, "lineitem")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .where(col("c_acctbal") > 0)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "rel_window_running_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = table(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      o.select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("rn"),
+          sum(col("o_totalprice").cast("decimal(18,4)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"))
+        .orderBy("o_custkey", "rn")
+    }),
+    "rel_topn_orders" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+    "rel_set_ops" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val all = o.select(col("o_custkey")).distinct()
+      val high = o.where(col("o_totalprice") > 150000)
+        .select(col("o_custkey")).distinct()
+      all.except(high).select(lit("only_low").as("tag"), col("o_custkey"))
+        .unionAll(all.intersect(high).select(lit("has_high").as("tag"), col("o_custkey")))
+        .orderBy("tag", "o_custkey")
+    }),
+    "rel_scalar_functions" -> ((s, dir) => {
+      table(s, dir, "part").select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          length(col("p_type")).cast("long").as("type_len"),
+          (col("p_partkey") % 7).as("key_mod"),
+          round(col("p_retailprice"), 1).as("price_r1"),
+          floor(col("p_retailprice")).cast("long").as("price_floor"))
+        .orderBy("p_partkey")
+    }),
+    "rel_events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type", "hour_bucket")
+    }),
+
+    // ---- dedup family ----
+    "dedup_exact_keep" -> ((s, dir) =>
+      Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("keep_id")),
+    "dedup_minhash_signatures" -> ((s, dir) => {
+      val d = table(s, dir, "documents").where(col("doc_id") < 50)
+      Dedup.minHashSignatures(d, "doc_id", "text", k = 4, numHashes = 8)
+        .orderBy("doc_id")
+    }),
+    "dedup_minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minHashLshPairs(table(s, dir, "documents"), "doc_id", "text",
+          k = 5, bands = 4, rowsPerBand = 4)
+        .orderBy("id_a", "id_b")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHash(table(s, dir, "documents"), "doc_id", "text", k = 4, bits = 16)
+        .orderBy("doc_id")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+          table(s, dir, "documents").where(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = 8, minJaccard = 0.12)
+        .orderBy("id_a", "id_b")),
+    "dedup_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(
+          table(s, dir, "embeddings").where(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", minCosine = 0.35)
+        .withColumnRenamed("id_a", "vec_a").withColumnRenamed("id_b", "vec_b")
+        .orderBy("vec_a", "vec_b")),
+
+    // ---- similarity search ----
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rnk"),
+          col("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
+    "sim_lsh_buckets" -> ((s, dir) =>
+      Similarity.lshBuckets(table(s, dir, "embeddings"), "vec_id", "embedding", planes = 8)
+        .orderBy("vec_id")),
+    "sim_ivf_assign" -> ((s, dir) =>
+      Similarity.ivfAssign(table(s, dir, "embeddings"), "vec_id", "embedding", nCentroids = 8)
+        .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
+        .orderBy("vec_id")),
+
+    // ---- text analysis ----
+    "text_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+          col("subword_tokens").cast("long").as("subword_tokens"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("n_words"), col("mean_word_len"), col("stopword_ratio"),
+          col("punct_ratio"), col("quality_score"))
+        .orderBy("doc_id")),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("lang_pred"),
+          col("marker_hits").cast("long").as("marker_hits"))
+        .orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(table(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
+
+    // ---- multimodal columns ----
+    "mm_describe" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      val wrapped = graft.operators.Multimodal.wrap(
+        d, "doc_id", "payload", lit("text/plain"),
+        Seq("source" -> col("source"), "lang" -> col("lang")))
+      graft.operators.Multimodal.describe(wrapped)
+        .select(col("id").as("doc_id"), col("mime"),
+          col("byte_len").cast("long").as("byte_len"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ============================================================== oracles
+  def oracleSql: Map[String, String] = {
+    val mh8 = TextOps.hashCoeffs(8)
+    val (sa, sb) = TextOps.hashCoeffs(1).head
+    Map(
+      "log_append_dump" ->
+        """SELECT event_type AS topic,
+          |  row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS entry_offset,
+          |  props AS value_str
+          |FROM events ORDER BY topic, entry_offset""".stripMargin,
+      "log_batch_read_budget" ->
+        """WITH t AS (
+          |  SELECT props, row_number() OVER (ORDER BY event_id) - 1 AS off
+          |  FROM events WHERE event_type = 'purchase'),
+          |c AS (
+          |  SELECT off, props,
+          |    SUM(length(props)) OVER (ORDER BY off ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM t WHERE off < 2000)
+          |SELECT off AS entry_offset, props AS value_str
+          |FROM c WHERE cum <= 500 OR off = 0 ORDER BY entry_offset""".stripMargin,
+      "log_byte_offset_read" ->
+        s"""WITH t AS (
+           |  SELECT props, row_number() OVER (ORDER BY event_id) - 1 AS off
+           |  FROM events WHERE event_type = 'purchase'),
+           |c AS (
+           |  SELECT off, props,
+           |    SUM(length(props) + $Meta) OVER (ORDER BY off ROWS UNBOUNDED PRECEDING) AS cum_end
+           |  FROM t)
+           |SELECT off AS entry_offset,
+           |  CASE WHEN 1000 > cum_end - length(props)
+           |       THEN substr(props, CAST(1000 - (cum_end - length(props)) AS INT) + 1)
+           |       ELSE props END AS value_str
+           |FROM c WHERE cum_end > 1000 ORDER BY entry_offset LIMIT 2000""".stripMargin,
+      "log_entry_counts" ->
+        "SELECT event_type AS topic, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "log_topic_sizes" ->
+        (s"SELECT event_type AS topic, CAST(SUM(length(props)) + $Meta * count(*) AS BIGINT) AS bytes " +
+          "FROM events GROUP BY 1 ORDER BY 1"),
+      "log_segment_state" ->
+        """SELECT event_type AS topic,
+          |  CAST(CASE WHEN count(*) >= 50 THEN 1 ELSE 0 END AS BIGINT) AS current_segment,
+          |  CAST(CASE WHEN count(*) >= 50 THEN count(*) ELSE 0 END AS BIGINT) AS last_sealed
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "rel_q1_pricing_summary" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${dsumSql("l_quantity")} AS sum_qty,
+           |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+           |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           |  count(*) AS count_order
+           |FROM lineitem GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "rel_q3_top_orders" ->
+        """SELECT l_orderkey,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_lines
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_acctbal > 0
+          |GROUP BY l_orderkey
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+      "rel_window_running_total" ->
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(row_number() OVER w AS BIGINT) AS rn,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, rn""".stripMargin,
+      "rel_topn_orders" ->
+        ("SELECT o_orderkey, o_totalprice FROM orders " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"),
+      "rel_set_ops" ->
+        """SELECT 'only_low' AS tag, o_custkey FROM (
+          |  SELECT DISTINCT o_custkey FROM orders
+          |  EXCEPT
+          |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000)
+          |UNION ALL
+          |SELECT 'has_high' AS tag, o_custkey FROM (
+          |  SELECT DISTINCT o_custkey FROM orders
+          |  INTERSECT
+          |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000)
+          |ORDER BY tag, o_custkey""".stripMargin,
+      "rel_scalar_functions" ->
+        """SELECT p_partkey,
+          |  upper(p_brand) AS brand_u,
+          |  substr(p_name, 1, 5) AS name5,
+          |  CAST(length(p_type) AS BIGINT) AS type_len,
+          |  p_partkey % 7 AS key_mod,
+          |  round(p_retailprice, 1) AS price_r1,
+          |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor
+          |FROM part ORDER BY p_partkey""".stripMargin,
+      "rel_events_hourly" ->
+        s"""SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+           |  count(*) AS n, ${dsumSql("value")} AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_bucket""".stripMargin,
+
+      "dedup_exact_keep" ->
+        ("SELECT min(doc_id) AS keep_id, count(*) AS group_size " +
+          "FROM documents GROUP BY text ORDER BY keep_id"),
+      "dedup_minhash_signatures" -> {
+        val mins = mh8.zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(${permSql("code", a, b)}) AS mh$j"
+        }.mkString(",\n  ")
+        s"""${shinglesSql(4, "doc_id < 50")}
+           |SELECT doc_id,
+           |  $mins
+           |FROM codes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      "dedup_minhash_lsh_pairs" -> {
+        val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(${permSql("code", a, b)}) AS mh$j"
+        }.mkString(",\n  ")
+        val bandKeys = (0 until 4).map { bnd =>
+          (0 until 4).map(r => s"CAST(mh${bnd * 4 + r} AS VARCHAR)")
+            .mkString(s"SELECT doc_id, $bnd AS band, ", " || '_' || ", " AS bkey FROM sig")
+        }.mkString("\n  UNION ALL ")
+        s"""${shinglesSql(5, "TRUE")},
+           |sig AS (SELECT doc_id, $mins FROM codes GROUP BY doc_id),
+           |banded AS (
+           |  $bandKeys)
+           |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+           |WHERE l.doc_id < r.doc_id
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+      "dedup_simhash" -> {
+        val votes = (0 until 16).map { j =>
+          s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+        }.mkString(",\n  ")
+        val fp = (0 until 16).map { j =>
+          s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+        }.mkString(" + ")
+        s"""${shinglesSql(4, "TRUE")},
+           |h AS (SELECT doc_id, ${permSql("code", sa, sb)} AS h FROM codes),
+           |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+           |SELECT doc_id, $fp AS simhash FROM votes ORDER BY doc_id""".stripMargin
+      },
+      "dedup_ngram_jaccard" ->
+        s"""${shinglesSql(8, "doc_id % 5 = 0")},
+           |sz AS (SELECT doc_id, count(*) AS sz FROM codes GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           |  FROM codes a JOIN codes b USING (code)
+           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  round(CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+           |FROM inter
+           |JOIN sz sa ON sa.doc_id = id_a
+           |JOIN sz sb ON sb.doc_id = id_b
+           |WHERE round(CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) >= 0.12
+           |ORDER BY id_a, id_b""".stripMargin,
+      "dedup_embedding_neardup" ->
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  round((${dotSql("a", "b")}) /
+           |    (sqrt(${normSqSql("a")}) * sqrt(${normSqSql("b")})), 6) AS cosine
+           |FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |WHERE round((${dotSql("a", "b")}) /
+           |    (sqrt(${normSqSql("a")}) * sqrt(${normSqSql("b")})), 6) >= 0.35
+           |ORDER BY vec_a, vec_b""".stripMargin,
+
+      "sim_topk_bruteforce" ->
+        s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+           |c AS (SELECT vec_id, embedding FROM embeddings),
+           |p AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    round((${dotSql("q", "c")}) /
+           |      (sqrt(${normSqSql("q")}) * sqrt(${normSqSql("c")})), 6) AS cosine
+           |  FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+           |r AS (
+           |  SELECT query_id, neighbor_id, cosine,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM p)
+           |SELECT query_id, neighbor_id, rnk, cosine FROM r
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+      "sim_lsh_buckets" -> {
+        val bits = (0 until 8).map { j =>
+          s"CASE WHEN (${projDotSql("e", j)}) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+        }.mkString(" + ")
+        s"""SELECT e.vec_id, $bits AS bucket
+           |FROM embeddings e ORDER BY vec_id""".stripMargin
+      },
+      "sim_ivf_assign" -> {
+        val cells = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, round(${projDotSql("e", cIdx + 101)}, 6) AS sim FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH s AS (
+           |  $cells),
+           |r AS (SELECT vec_id, cid, row_number() OVER (
+           |  PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s)
+           |SELECT vec_id, cid AS centroid_id FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+      },
+
+      "text_token_stats" ->
+        """SELECT doc_id,
+          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+          |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS subword_tokens,
+          |  CAST(length(text) AS BIGINT) AS n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_quality" ->
+        """WITH b AS (
+          |  SELECT doc_id,
+          |    CAST(length(text) AS DOUBLE) AS nc,
+          |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+          |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is|a|in|that)\b')) AS DOUBLE) AS stop,
+          |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS na
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(nc AS BIGINT) AS n_chars,
+          |  CAST(nw AS BIGINT) AS n_words,
+          |  round((nc - (nw - 1.0)) / nw, 6) AS mean_word_len,
+          |  round(stop / nw, 6) AS stopword_ratio,
+          |  round(na / nc, 6) AS punct_ratio,
+          |  round(0.4 * least(nc / 400.0, 1.0) + 0.4 * least(stop / nw * 5.0, 1.0)
+          |    + 0.2 * (1.0 - least(na / nc * 4.0, 1.0)), 6) AS quality_score
+          |FROM b ORDER BY doc_id""".stripMargin,
+      "text_langid" -> {
+        val hitCols = TextAnalysis.LangMarkers.map { case (l, ws) =>
+          s"CAST(len(regexp_extract_all(text, '${ws.mkString("\\b(", "|", ")\\b")}')) AS BIGINT) AS hits_$l"
+        }.mkString(",\n    ")
+        val m = TextAnalysis.LangMarkers.map { case (l, _) => s"hits_$l" }
+          .mkString("greatest(", ", ", ")")
+        val pick = TextAnalysis.LangMarkers.map { case (l, _) =>
+          s"WHEN hits_$l = m AND m > 0 THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE 'und' END")
+        s"""WITH b AS (
+           |  SELECT doc_id,
+           |    $hitCols
+           |  FROM documents),
+           |c AS (SELECT doc_id, $m AS m, * FROM b)
+           |SELECT doc_id, $pick AS lang_pred, m AS marker_hits
+           |FROM c ORDER BY doc_id""".stripMargin
+      },
+      "text_fingerprint" ->
+        s"""${shinglesSql(8, "TRUE")}
+           |SELECT doc_id, MIN(${permSql("code", sa, sb)}) AS fingerprint
+           |FROM codes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "mm_describe" ->
+        """SELECT doc_id, 'text/plain' AS mime, CAST(length(text) AS BIGINT) AS byte_len
+          |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * These extend the reference's surface (which stores opaque bytes and has
+  * no content operators — SURVEY.md §2.5) with the dedup family the north
+  * star mandates. All variants are shuffle-conscious:
+  *  - exact: one hash-groupBy (map-side partial agg on the hash key);
+  *  - MinHash-LSH: signatures are one shingle-explode + one groupBy;
+  *    candidate generation joins on (band, bandKey) buckets so the join
+  *    fan-out is bounded by bucket sizes, never all-pairs;
+  *  - SimHash: same shape with a bit-aggregation instead of min;
+  *  - n-gram Jaccard: shingle-join restricted to candidate buckets or an
+  *    explicit id subset.
+  *
+  * At 100 TB: every stage is a plain shuffle on a key with map-side
+  * combine; skewed buckets (stop-shingle bands) should be handled by
+  * raising `bands`/`rowsPerBand` or salting the band join — documented at
+  * each call site.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id document per identical text.
+    * One groupBy on the text hash — the canonical 100 TB shape (hash first,
+    * so the shuffle key is 8 bytes, not the document). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.groupBy(xxhash64(col(textCol)).as("_h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+      .select(col("keep_id"), col("group_size"))
+  }
+
+  /** MinHash signatures: `numHashes` modular permutations over distinct
+    * k-shingle codes. Output: (id, mh0..mh{n-1}). */
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame = {
+    val coeffs = hashCoeffs(numHashes)
+    val sh = shingles(df, idCol, textCol, k)
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), j) =>
+      min(permHash(col("code"), a, b)).as(s"mh$j")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (`bands` ×
+    * `rowsPerBand`), bucket-join on identical band keys, emit each unordered
+    * pair once. Pair fan-out is per-bucket, never all-pairs. */
+  def minHashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val n = bands * rowsPerBand
+    val sig = minHashSignatures(df, idCol, textCol, k, n)
+    val bandCols = (0 until bands).map { b =>
+      val key = concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    val banded = sig
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash fingerprint (`bits` ≤ 31): per shingle hash, each bit votes
+    * ±1; the fingerprint sets bits with positive vote sums. */
+  def simHash(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, bits: Int = 16): DataFrame = {
+    val (a, b) = hashCoeffs(1).head
+    val sh = shingles(df, idCol, textCol, k)
+      .withColumn("h", permHash(col("code"), a, b))
+    val bitVotes = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val votes = sh.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
+    val fp = (0 until bits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ `maxHamming`. The self-join
+    * is on bit-count of xor; for scale, pre-bucket on fingerprint chunks
+    * (pigeonhole) — with `bits`=16 and distance ≤3, any match shares one of
+    * 4 nibble-groups; here the input is already bounded so a broadcast
+    * self-join suffices. */
+  def simHashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val fp = simHash(df, idCol, textCol, k, bits)
+    val l = fp.select(col(idCol).as("id_a"), col("simhash").as("h_a"))
+    val r = fp.select(col(idCol).as("id_b"), col("simhash").as("h_b"))
+    l.join(r, col("id_a") < col("id_b"))
+      .where(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs sharing ≥ 1 k-shingle:
+    * shingle equi-join, then |A∩B| / (|A|+|B|−|A∩B|). Use over LSH
+    * candidates (or an id subset) — the shingle join is the verify stage,
+    * not the discovery stage, at scale. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minJaccard: Double = 0.2): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val l = sh.select(col(idCol).as("id_a"), col("code"))
+    val r = sh.select(col(idCol).as("id_b"), col("code"))
+    val inter = l.join(r, Seq("code"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("both"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("both").cast("double") /
+          (col("sz_a") + col("sz_b") - col("both")).cast("double"), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs among documents: pairs with
+    * cosine ≥ `minCosine` (rounded to 6 dp for cross-engine determinism).
+    * Discovery at scale should go through [[Similarity.lshBuckets]]; this is
+    * the exact verify stage. */
+  def embeddingNearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_similarity
+    val l = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine_similarity(col("v_a"), col("v_b")), 6))
+      .where(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: media as opaque `BINARY` payloads wrapped in
+  * a typed struct `{mime STRING, bytes BINARY, meta MAP<STRING,STRING>}` —
+  * the standard lakehouse shape for image/audio/video at 100 TB (payload
+  * stays columnar + splittable; metadata stays queryable without decoding).
+  *
+  * Decode / feature-extraction runs as batched partition-local functions
+  * (the Scala analogue of `mapInPandas`): one iterator pass per partition,
+  * vectorizable batch shape, no per-row JVM↔native churn. The actual codec
+  * call is STUBBED (no media libraries in this environment) behind
+  * [[MediaCodecStub]] — deterministic fake outputs, real plumbing.
+  */
+object Multimodal {
+
+  case class MediaCell(mime: String, bytes: Array[Byte], meta: Map[String, String])
+  case class MediaRow(id: Long, media: MediaCell)
+  case class MediaFeatures(
+      id: Long, mime: String, byte_len: Int,
+      width: Int, height: Int, feature: Array[Float])
+
+  /** Wrap raw columns into the multimodal struct. */
+  def wrap(df: DataFrame, idCol: String, bytesCol: String,
+      mime: org.apache.spark.sql.Column,
+      metaPairs: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val metaCol = map(metaPairs.flatMap { case (k, v) => Seq(lit(k), v) }: _*)
+    df.select(col(idCol).as("id"),
+      struct(mime.as("mime"), col(bytesCol).as("bytes"), metaCol.as("meta")).as("media"))
+  }
+
+  /** Metadata-only projection — never touches payload bytes, so Parquet
+    * column pruning keeps the scan narrow. */
+  def describe(df: DataFrame): DataFrame =
+    df.select(col("id"), col("media.mime").as("mime"),
+      length(col("media.bytes")).as("byte_len"),
+      map_keys(col("media.meta")).as("meta_keys"))
+
+  /** STUB media codec: deterministic fake decode. A real deployment swaps
+    * this object for JNI/FFI codec calls; the Spark-side contract (batch
+    * iterator in, fixed-schema iterator out) is unchanged. */
+  object MediaCodecStub {
+    /** Fake "decode": derives dimensions and a 8-dim feature vector from
+      * the payload via FNV-1a — deterministic, schema-faithful. */
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        val h = graft.functions.Fnv1a64.hash(r.media.bytes)
+        val w = 16 + (math.abs(h % 1024)).toInt
+        val ht = 16 + (math.abs((h >>> 10) % 1024)).toInt
+        val feat = Array.tabulate(8) { i =>
+          (((h >>> (i * 8)) & 0xff).toFloat / 255.0f) - 0.5f
+        }
+        MediaFeatures(r.id, r.media.mime, r.media.bytes.length, w, ht, feat)
+      }
+  }
+
+  /** Batched decode/feature-extract over the multimodal struct —
+    * partition-local, one batch iterator per partition (mapInPandas shape).
+    * Repartition count should target ~128 MB of payload per task at scale. */
+  def extractFeatures(spark: SparkSession, df: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    df.as[MediaRow].mapPartitions(MediaCodecStub.decodeBatch _)
+  }
+
+  /** Frame-sampling plumbing for video-like payloads: emits `n` byte-range
+    * "frames" per payload (stub slices; real impl calls the demuxer), as
+    * (id, frame_idx, frame_bytes). */
+  def sampleFrames(spark: SparkSession, df: DataFrame, n: Int): DataFrame = {
+    import spark.implicits._
+    df.as[MediaRow].flatMap { r =>
+      val len = r.media.bytes.length
+      if (len == 0) Iterator.empty
+      else (0 until n).iterator.map { i =>
+        val from = (len.toLong * i / n).toInt
+        val until = (len.toLong * (i + 1) / n).toInt
+        (r.id, i, java.util.Arrays.copyOfRange(r.media.bytes, from, until))
+      }
+    }.toDF("id", "frame_idx", "frame_bytes")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.cosine_similarity
+
+/** Approximate/exact nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (query set × corpus, fused cosine in
+  * one codegen'd expression, per-query top-k via window rank). Scale path:
+  * sign-random-projection LSH buckets — candidates are generated per bucket
+  * so the join is bucket-local, then exact cosine re-ranks.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random projection component for plane `j`,
+    * dimension `d`: an LCG value mapped to [-0.5, 0.5). Integer arithmetic +
+    * a power-of-two divide → exactly representable, engine-independent. */
+  def projComponent(j: Int, d: Int): Double = {
+    val x = (1103515245L * (j * 64L + d) + 12345L) % 65536L
+    val pos = if (x < 0) x + 65536L else x
+    pos.toDouble / 65536.0 - 0.5
+  }
+
+  /** Brute-force cosine top-k: for each query row, the `k` nearest corpus
+    * rows (self excluded) by cosine, rounded to 6 dp before ranking so ties
+    * resolve identically everywhere; tie-break on neighbor id.
+    *
+    * The corpus side should be the big one: Catalyst broadcasts the query
+    * side; each executor scans its corpus partitions once — no shuffle of
+    * the corpus. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine_similarity(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Sign-random-projection bucket id (`planes` ≤ 31 hyperplanes): bit `j`
+    * set iff `dot(vec, r_j) > 0`. Vectors in the same bucket are ANN
+    * candidates. Bucket computation is a single narrow projection —
+    * no shuffle until the bucket groupBy/join. */
+  def lshBuckets(
+      emb: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame = {
+    val bucketBits = (0 until planes).map { j =>
+      val dot = (0 until 64).map { d =>
+        element_at(col(vecCol), d + 1).cast("double") * lit(projComponent(j, d))
+      }.reduce(_ + _)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    emb.select(col(idCol), bucketBits.reduce(_ + _).as("bucket"))
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest of `nCentroids`
+    * deterministic pseudo-random centroids (coarse quantizer), then search
+    * only the probe's cell(s). Returns (id, centroid_id) assignments;
+    * querying joins on centroid_id before exact re-rank — the classic
+    * inverted-file layout, expressed as a bucket join. */
+  def ivfAssign(
+      emb: DataFrame, idCol: String, vecCol: String, nCentroids: Int): DataFrame = {
+    val sims = (0 until nCentroids).map { cIdx =>
+      val dot = (0 until 64).map { d =>
+        element_at(col(vecCol), d + 1).cast("double") * lit(projComponent(cIdx + 101, d))
+      }.reduce(_ + _)
+      struct(round(dot, 6).as("sim"), lit(cIdx).as("cid"))
+    }
+    emb.select(col(idCol),
+      greatest(sims: _*).getField("cid").as("centroid_id"))
+  }
+
+  /** ANN top-k via LSH buckets: candidates = same-bucket pairs, exact
+    * cosine re-rank inside the bucket, per-query top-k. Recall trades off
+    * with `planes`; at scale add multi-probe (flip one bit) to recover
+    * boundary losses. */
+  def lshTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int, k: Int): DataFrame = {
+    val b = lshBuckets(emb, idCol, vecCol, planes)
+    val v = emb.select(col(idCol), col(vecCol))
+    val withB = v.join(b, idCol)
+    val l = withB.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"))
+    val r = withB.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"))
+    val scored = l.join(r, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine_similarity(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+}

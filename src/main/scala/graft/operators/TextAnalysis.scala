@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * All semantics are pure `functions._` compositions (codegen'd, no UDFs)
+  * with integer/regex primitives reproducible in ANSI SQL. */
+object TextAnalysis {
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately small, deterministic sets. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "is", "a"),
+    "es" -> Seq("el", "la", "de", "que", "los", "es"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren"))
+
+  private def markerCount(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(text, lit(words.mkString("\\b(", "|", ")\\b")), lit(0)))
+
+  /** Token statistics: whitespace tokens plus a BPE-ish subword estimate
+    * (runs of ≤4 letters / digits / single punctuation — the classic
+    * pre-tokenizer shape). */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(split(col(textCol), " ")).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]"), lit(0))).as("subword_tokens"),
+      length(col(textCol)).as("n_chars"))
+
+  /** Quality scoring: length, word-shape, stopword and punctuation ratios,
+    * combined into a deterministic [0,1] score (rounded to 6 dp). */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val nWords = size(split(t, " ")).cast("double")
+    val stop = markerCount(t, Seq("the", "and", "of", "to", "is", "a", "in", "that"))
+      .cast("double")
+    val nonAlnum = (length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))).cast("double")
+    val meanWordLen = (nChars - (nWords - lit(1.0))) / nWords
+    val stopRatio = stop / nWords
+    val punctRatio = nonAlnum / nChars
+    // Heuristic score: reward mid-length docs + stopword presence,
+    // penalize punctuation soup. Clamped to [0,1].
+    val lenScore = least(nChars / lit(400.0), lit(1.0))
+    val raw = lit(0.4) * lenScore + lit(0.4) * least(stopRatio * lit(5.0), lit(1.0)) +
+      lit(0.2) * (lit(1.0) - least(punctRatio * lit(4.0), lit(1.0)))
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      nWords.cast("long").as("n_words"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(raw, 6).as("quality_score"))
+  }
+
+  /** Language ID: per-language marker-stopword hit counts; winner is the
+    * highest count (ties broken by language code ascending), `und` when no
+    * marker fires. A deterministic n-gram-heuristic stand-in for a real
+    * langid model. */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = LangMarkers.map { case (lang, words) =>
+      struct(markerCount(col(textCol), words).as("hits"), lit(lang).as("lang"))
+    }
+    // greatest(struct) orders by hits, then lang DESC — to break ties
+    // ascending we invert: compare on (hits, reversed lang). Simpler: take
+    // max hits, then the first language reaching it.
+    val hitCols = LangMarkers.map { case (lang, words) =>
+      markerCount(col(textCol), words).as(s"hits_$lang")
+    }
+    val withHits = df.select((col(idCol) +: col(textCol).as("_t") +: hitCols): _*)
+    val maxHits = greatest(LangMarkers.map { case (l, _) => col(s"hits_$l") }: _*)
+    val pick = LangMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col(s"hits_$lang") === col("_max") && col("_max") > 0, lit(lang)).otherwise(acc)
+    }
+    withHits.withColumn("_max", maxHits)
+      .withColumn("lang_pred", pick)
+      .select(col(idCol), col("lang_pred"),
+        col("_max").as("marker_hits"))
+  }
+
+  /** Document fingerprint: minimum modular hash over the document's
+    * k-shingle codes — a winnowing-style content fingerprint; equal
+    * fingerprints are near-dup candidates. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val (a, b) = hashCoeffs(1).head
+    shingles(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(min(permHash(col("code"), a, b)).as("fingerprint"))
+  }
+}

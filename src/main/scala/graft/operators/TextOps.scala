@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared deterministic text primitives for the dedup / text-analysis
+  * operators. All arithmetic is integer/modular so results are exactly
+  * reproducible by any ANSI-SQL engine (the DuckDB oracle in particular) —
+  * no engine-specific hash functions in the semantics-bearing path.
+  *
+  * A character k-shingle is encoded injectively as a base-128 integer
+  * (`code = Σ ascii(c_d) * 128^(k-1-d)`, charset is ASCII), then hashed with
+  * `h_j(code) = (a_j * (code mod P) + b_j) mod P`, P = 2^31 - 1.
+  */
+object TextOps {
+  /** Mersenne prime 2^31-1: keeps `a * code + b` inside 63 bits. */
+  final val P = 2147483647L
+
+  /** Deterministic per-permutation coefficients (odd multipliers derived
+    * from the golden-ratio constant, reduced mod P). */
+  def hashCoeffs(n: Int): Seq[(Long, Long)] =
+    (0 until n).map { j =>
+      val a = ((2L * j + 1) * 2654435761L) % P
+      val b = (j * 40503L + 2654435769L) % P
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** Column: base-128 code of the k-char shingle of `text` starting at
+    * 1-based position `pos` (requires ASCII input; safe for < 9 chars). */
+  def shingleCode(text: Column, pos: Column, k: Int): Column = {
+    require(k <= 9, "base-128 shingle codes overflow beyond k=9")
+    (0 until k).map { d =>
+      ascii(text.substr(pos + lit(d), lit(1))).cast("long") * lit(pow128(k - 1 - d))
+    }.reduce(_ + _)
+  }
+
+  def pow128(e: Int): Long = { var v = 1L; (0 until e).foreach(_ => v *= 128L); v }
+
+  /** `(doc_id, code)` distinct k-shingle codes per document. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), col(textCol).as("_t"))
+      .where(length(col("_t")) >= k)
+      .withColumn("_i", explode(sequence(lit(1), length(col("_t")) - lit(k - 1))))
+      .select(col(idCol), shingleCode(col("_t"), col("_i"), k).cast("long").as("code"))
+      .distinct()
+
+  /** Modular permutation hash of a code column. */
+  def permHash(code: Column, a: Long, b: Long): Column =
+    (lit(a) * (code % lit(P)) + lit(b)) % lit(P)
+}
