@@ -126,8 +126,14 @@ class WalrusLog(
   def appendDF(
       input: DataFrame,
       seqCol: Option[org.apache.spark.sql.Column] = None,
-      ingestTs: Timestamp = new Timestamp(System.currentTimeMillis())): CommitRecord =
+      ingestTs: Timestamp = new Timestamp(System.currentTimeMillis()),
+      tag: Option[String] = None): CommitRecord =
     synchronized {
+      // Idempotence for streaming-sink epoch retries: a commit tagged with
+      // an already-committed tag is a no-op (exactly-once foreachBatch).
+      tag.foreach { t =>
+        commits.find(_.tag.contains(t)).foreach { existing => return existing }
+      }
       val seq = seqCol.getOrElse(monotonically_increasing_id())
       val base = input.select(
         col("topic").cast(StringType).as("topic"),
@@ -177,7 +183,9 @@ class WalrusLog(
       val bc = spark.sparkContext.broadcast(startFor.toMap)
 
       // Phase 2: assign offsets (order within partition is the sorted order).
-      val tsVal = ingestTs
+      // Ingest time is stored as epoch micros (LongType) so the streaming
+      // source's plain parquet readers never meet INT96; toDF() converts.
+      val tsUs = ingestTs.getTime * 1000L
       val entryRows = rows.mapPartitionsWithIndex { (pid, it) =>
         var curTopic: String = null
         var off = 0L
@@ -186,7 +194,7 @@ class WalrusLog(
           if (t != curTopic) { curTopic = t; off = bc.value((pid, t)) }
           val o = off
           off += 1
-          Row(t, o, tsVal, r.getAs[Array[Byte]](1))
+          Row(t, o, tsUs, r.getAs[Array[Byte]](1))
         }
       }
       val id = nextBatchId
@@ -194,7 +202,7 @@ class WalrusLog(
       val entryDf = spark.createDataFrame(entryRows, StructType(Seq(
           StructField("topic", StringType, nullable = false),
           StructField("offset", LongType, nullable = false),
-          StructField("ts", TimestampType, nullable = false),
+          StructField("ts_us", LongType, nullable = false),
           StructField("value", BinaryType, nullable = false))))
         .withColumn("checksum", GraftFunctions.fnv1a64(col("value")))
         .withColumn("len", length(col("value")))
@@ -205,7 +213,7 @@ class WalrusLog(
       val ranges = perTopicTotal.map { case (t, (c, b)) =>
         t -> TopicRange(baseOffsets(t), baseOffsets(t) + c, b)
       }.toMap
-      val rec = CommitRecord(id, tsVal.getTime, ranges)
+      val rec = CommitRecord(id, ingestTs.getTime, ranges, tag)
       writeAtomic(commitsDir.resolve(f"$id%012d.json"), Serialization.write(rec))
       nextBatchId = id + 1
       applyCommit(rec)
@@ -250,11 +258,15 @@ class WalrusLog(
     * on `topic` and `batch`; `offset` predicates prune via Parquet stats. */
   def toDF(): DataFrame = {
     val dirs = visibleBatchDirs
-    if (dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], readSchema)
-    else
-      spark.read.option("basePath", dataDir.toString)
-        .schema(readSchema).parquet(dirs: _*)
+    val raw =
+      if (dirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], readSchema)
+      else
+        spark.read.option("basePath", dataDir.toString)
+          .schema(readSchema).parquet(dirs: _*)
+    raw.select(col("topic"), col("batch"), col("offset"),
+      timestamp_micros(col("ts_us")).as("ts"), col("value"),
+      col("checksum"), col("len"))
   }
 
   /** One topic's committed entries. */
@@ -577,7 +589,7 @@ class WalrusLog(
     StructField("topic", StringType),
     StructField("batch", LongType),
     StructField("offset", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts_us", LongType),
     StructField("value", BinaryType),
     StructField("checksum", LongType),
     StructField("len", IntegerType)))

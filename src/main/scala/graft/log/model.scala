@@ -71,7 +71,8 @@ final case class TopicRange(start: Long, end: Long, bytes: Long)
   * `topics` ranges. Replaces the reference's "offset published only after
   * fsync" visibility rule (reference: src/wal/runtime/writer.rs:135-341) with
   * a file-commit protocol. */
-final case class CommitRecord(id: Long, tsMillis: Long, topics: Map[String, TopicRange])
+final case class CommitRecord(id: Long, tsMillis: Long,
+    topics: Map[String, TopicRange], tag: Option[String] = None)
 
 /** Persisted consumer cursors, keyed group -> topic -> next offset to read.
   * The reference's shared per-topic cursor is group "" here

@@ -1,0 +1,241 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Optional
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.example.data.Group
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.JsonMethods
+
+import graft.log.{CommitRecord, TopicRange}
+
+/** DataSource V2 `walruslog` source: batch scan + Structured Streaming
+  * micro-batch source over a WalrusLog namespace.
+  *
+  * The streaming offset is the position in the ordered commit log — the
+  * Spark-native analogue of the reference's consumer cursor hydration and
+  * sealed-chain walk (reference: src/wal/runtime/walrus_read.rs:24-345):
+  * each micro-batch is a contiguous range of committed atomic batches, so
+  * exactly-once replay falls out of checkpointed (start, end] commit ranges.
+  *
+  * Options: `path` (log root), `namespace` (default `default`), `topic`
+  * (optional filter — pruned at file listing, files of other topics are
+  * never opened), `maxBatchesPerTrigger` (admission control, the analogue
+  * of the reference's byte-budget read admission,
+  * walrus_read.rs:675-781).
+  */
+class WalrusLogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "walruslog"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WalrusLogSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new WalrusLogTable(new CaseInsensitiveStringMap(properties))
+}
+
+object WalrusLogSource {
+  /** Public entry schema (matches `WalrusLog.toDF` minus internal cols). */
+  val Schema: StructType = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("offset", LongType),
+    StructField("ts", TimestampType),
+    StructField("value", BinaryType),
+    StructField("checksum", LongType)))
+
+  private[sources] implicit val formats: Formats = DefaultFormats
+
+  /** Commit-log listing shared by batch + streaming paths. Reads straight
+    * from disk so a source in one process observes commits published by
+    * another (cross-process tail). */
+  private[sources] def listCommits(nsDir: Path): Seq[(CommitRecord, Boolean)] = {
+    val dir = nsDir.resolve("commits")
+    if (!Files.exists(dir)) return Seq.empty
+    val s = Files.list(dir)
+    val files = try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".json")).toSeq
+      finally s.close()
+    files.sortBy(_.getFileName.toString).map { p =>
+      val parsed = JsonMethods.parse(new String(Files.readAllBytes(p), "UTF-8"))
+      val vac = (parsed \ "vacuumed") match {
+        case org.json4s.JBool(b) => b
+        case _ => false
+      }
+      (parsed.extract[CommitRecord], vac)
+    }
+  }
+
+  private[sources] def partitionsFor(
+      nsDir: Path, commits: Seq[(CommitRecord, Boolean)],
+      topic: Option[String]): Array[InputPartition] =
+    commits.flatMap {
+      case (_, true) => Seq.empty // vacuumed: data reclaimed, skip
+      case (c, _) =>
+        val batchDir = nsDir.resolve("data").resolve(s"batch=${c.id}")
+        topicDirs(batchDir, topic).flatMap { td =>
+          val t = decodeTopic(td.getFileName.toString.stripPrefix("topic="))
+          parquetFiles(td).map(f => WalrusFilePartition(t, f.toString))
+        }
+    }.toArray
+
+  private def topicDirs(batchDir: Path, topic: Option[String]): Seq[Path] = {
+    if (!Files.exists(batchDir)) return Seq.empty
+    val s = Files.list(batchDir)
+    val dirs = try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("topic=")).toSeq
+      finally s.close()
+    topic match {
+      case Some(t) => dirs.filter(d =>
+        decodeTopic(d.getFileName.toString.stripPrefix("topic=")) == t)
+      case None => dirs
+    }
+  }
+
+  private def parquetFiles(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+    }.toSeq
+    finally s.close()
+  }
+
+  private def decodeTopic(escaped: String): String =
+    java.net.URLDecoder.decode(escaped, "UTF-8")
+}
+
+class WalrusLogTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val root = Option(options.get("path"))
+    .getOrElse(throw new IllegalArgumentException("walruslog requires option 'path'"))
+  private val namespace = Option(options.get("namespace")).getOrElse("default")
+  private[sources] val nsDir: Path =
+    Paths.get(root, graft.log.WalrusLog.sanitizeKey(namespace))
+
+  override def name(): String = s"walruslog:$root/$namespace"
+  override def schema(): StructType = WalrusLogSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new WalrusLogScan(nsDir, options)
+    }
+}
+
+class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap) extends Scan {
+  private val topic = Option(options.get("topic"))
+  override def readSchema(): StructType = WalrusLogSource.Schema
+  override def description(): String = s"WalrusLogScan($nsDir, topic=$topic)"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      WalrusLogSource.partitionsFor(nsDir,
+        WalrusLogSource.listCommits(nsDir), topic)
+    override def createReaderFactory(): PartitionReaderFactory =
+      new WalrusReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WalrusMicroBatchStream(nsDir, topic,
+      Option(options.get("maxBatchesPerTrigger")).map(_.toInt))
+}
+
+/** Streaming offset = number of commit-log entries consumed. */
+case class CommitIndexOffset(commitIndex: Long) extends Offset {
+  override def json(): String = s"""{"commitIndex":$commitIndex}"""
+}
+
+class WalrusMicroBatchStream(
+    nsDir: Path, topic: Option[String], maxBatchesPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def commits = WalrusLogSource.listCommits(nsDir)
+
+  override def initialOffset(): Offset = CommitIndexOffset(0L)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxBatchesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startIdx = start.asInstanceOf[CommitIndexOffset].commitIndex
+    val available = commits.size.toLong
+    val end = limit match {
+      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        math.min(available, startIdx + rl.maxFiles())
+      case _ => available
+    }
+    CommitIndexOffset(math.max(end, startIdx))
+  }
+
+  override def reportLatestOffset(): Offset = CommitIndexOffset(commits.size.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CommitIndexOffset].commitIndex.toInt
+    val e = end.asInstanceOf[CommitIndexOffset].commitIndex.toInt
+    WalrusLogSource.partitionsFor(nsDir, commits.slice(s, e), topic)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new WalrusReaderFactory
+
+  override def deserializeOffset(json: String): Offset = {
+    implicit val f: Formats = DefaultFormats
+    CommitIndexOffset((JsonMethods.parse(json) \ "commitIndex").extract[Long])
+  }
+
+  override def commit(end: Offset): Unit = () // checkpoint log owns progress
+  override def stop(): Unit = ()
+}
+
+case class WalrusFilePartition(topic: String, file: String) extends InputPartition
+
+class WalrusReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WalrusFilePartition]
+    new WalrusPartitionReader(p.topic, p.file)
+  }
+}
+
+/** Reads one data file of one topic; file columns are
+  * (offset, ts_us, value, checksum, len); topic comes from the dir name. */
+class WalrusPartitionReader(topic: String, file: String)
+    extends PartitionReader[InternalRow] {
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file))
+      .withConf(new Configuration())
+      .build()
+  private var current: Group = _
+  private val topicUtf8 = UTF8String.fromString(topic)
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val offset = current.getLong("offset", 0)
+    val tsUs = current.getLong("ts_us", 0)
+    val value = current.getBinary("value", 0).getBytes
+    val checksum = current.getLong("checksum", 0)
+    new GenericInternalRow(Array[Any](topicUtf8, offset, tsUs, value, checksum))
+  }
+
+  override def close(): Unit = reader.close()
+}

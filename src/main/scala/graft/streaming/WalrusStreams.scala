@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.log.WalrusLog
+
+/** Structured Streaming entry points for the topic log (SURVEY.md §7 M2).
+  *
+  * Reading: `format("walruslog")` DataSource V2 micro-batch source — the
+  * checkpointed (start, end] commit ranges give exactly-once delivery, the
+  * Spark-native counterpart of the reference's `StrictlyAtOnce` consumer
+  * (reference: src/wal/runtime/walrus.rs:20-24).
+  *
+  * Writing: `foreachBatch` into [[WalrusLog.appendDF]] with an epoch tag —
+  * a retried epoch re-commits under the same tag and is dropped, so the
+  * sink is effectively exactly-once (the reference's fsync-then-publish
+  * atomicity, src/wal/runtime/writer.rs:135-341, expressed as tag
+  * idempotence).
+  *
+  * The trigger interval is the durability-cadence analogue of the
+  * reference's `FsyncSchedule::Milliseconds` (default 200 ms,
+  * src/wal/runtime/walrus.rs:45).
+  */
+object WalrusStreams {
+
+  val DefaultTriggerMs = 200L // FsyncSchedule::Milliseconds(200) parity
+
+  /** Streaming DataFrame over a log namespace (optionally one topic). */
+  def readStream(
+      spark: SparkSession, root: String, namespace: String = "default",
+      topic: Option[String] = None,
+      maxBatchesPerTrigger: Option[Int] = None): DataFrame = {
+    var r = spark.readStream.format("walruslog")
+      .option("path", root).option("namespace", namespace)
+    topic.foreach(t => r = r.option("topic", t))
+    maxBatchesPerTrigger.foreach(n => r = r.option("maxBatchesPerTrigger", n))
+    r.load()
+  }
+
+  /** Batch DataFrame over the same source (BATCH_READ capability). */
+  def read(spark: SparkSession, root: String, namespace: String = "default",
+      topic: Option[String] = None): DataFrame = {
+    var r = spark.read.format("walruslog")
+      .option("path", root).option("namespace", namespace)
+    topic.foreach(t => r = r.option("topic", t))
+    r.load()
+  }
+
+  /** Streaming writer into a log: rows need `topic` + `value` columns.
+    * Epoch-tagged appendDF makes retried epochs no-ops (exactly-once). */
+  def sink(df: DataFrame, log: WalrusLog, checkpointDir: String,
+      triggerMs: Long = DefaultTriggerMs): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        log.appendDF(batch, tag = Some(s"stream-epoch-$epochId"))
+        ()
+      }
+
+  /** One-shot drain: process everything currently committed, then stop —
+    * the micro-batch analogue of the reference's catch-up `GET` loop. */
+  def drainOnce(writer: DataStreamWriter[org.apache.spark.sql.Row]): StreamingQuery = {
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+}

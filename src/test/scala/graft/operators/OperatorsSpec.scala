@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantics checks for the LLM-pipeline operators on planted fixtures
+  * (FIXTURES.md §C shapes, generated in-test with fixed seeds). */
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("OperatorsSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+  import scala.collection.JavaConverters._
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      rows.map { case (i, t) => org.apache.spark.sql.Row(i, t) }.asJava,
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+  }
+
+  test("exact dedup keeps lowest id per identical text") {
+    val df = docsDF(Seq(
+      (0L, "alpha beta gamma"), (1L, "delta epsilon"),
+      (2L, "alpha beta gamma"), (3L, "unique text here"),
+      (4L, "alpha beta gamma")))
+    val res = Dedup.exact(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(res(0L) == 3) // group of 3 kept at id 0
+    assert(res(1L) == 1 && res(3L) == 1)
+    assert(res.keySet == Set(0L, 1L, 3L))
+  }
+
+  test("minhash LSH finds planted near-duplicates, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "daily") // small edit
+    val rnd = new scala.util.Random(42)
+    val noise = (10L until 40L).map { i =>
+      i -> (0 until 12).map(_ => ('a' + rnd.nextInt(26)).toChar.toString * 3).mkString(" ")
+    }
+    val df = docsDF(Seq(0L -> base, 1L -> nearDup) ++ noise)
+    val pairs = Dedup.minHashLshPairs(df, "doc_id", "text", k = 5, bands = 4, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"planted pair missing from $pairs")
+    // unrelated random docs shouldn't pair with the planted docs
+    assert(!pairs.exists { case (a, b) => (a < 2) != (b < 2) })
+  }
+
+  test("simhash: near-dups within small hamming distance, jaccard confirms") {
+    val base = "spark structured streaming with watermarks handles late data well"
+    val near = base.replace("well", "fine")
+    val far = "completely different content about databases and storage engines"
+    val df = docsDF(Seq(0L -> base, 1L -> near, 2L -> far))
+    val fp = Dedup.simHash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(0L), fp(1L)) < hamming(fp(0L), fp(2L)))
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", k = 8, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(jac.toSeq == Seq((0L, 1L)))
+  }
+
+  test("brute-force top-k returns true nearest neighbors") {
+    import org.apache.spark.sql.types._
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0.9f, 0.1f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f), 3L -> Array(0f, 0.9f, 0.1f, 0f),
+      4L -> Array(0f, 0f, 1f, 0f))
+    val df = spark.createDataFrame(
+      vecs.map { case (i, v) => org.apache.spark.sql.Row(i, v.toSeq) }.asJava,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val res = Similarity.bruteForceTopK(
+        df.where(col("vec_id") === 0), df, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(res.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // 1 closest, then 2/3 tie? no: 2 and 3 ~equal
+  }
+
+  test("lsh buckets put identical vectors together") {
+    import org.apache.spark.sql.types._
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val w = Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
+    val df = spark.createDataFrame(
+      Seq((0L, v.toSeq), (1L, v.toSeq), (2L, w.toSeq)).map {
+        case (i, x) => org.apache.spark.sql.Row(i, x)
+      }.asJava,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val b = Similarity.lshBuckets(df, "vec_id", "embedding", planes = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L))
+  }
+
+  test("language id picks marker language; token stats count correctly") {
+    val df = docsDF(Seq(
+      (0L, "the cat and the dog of the house"),
+      (1L, "el gato de la casa que es de los vecinos"),
+      (2L, "der hund und die katze das ist nicht gut"),
+      (3L, "xyzzy plugh qwerty")))
+    val langs = TextAnalysis.languageId(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(0L) == "en" && langs(1L) == "es" && langs(2L) == "de")
+    assert(langs(3L) == "und")
+    val toks = TextAnalysis.tokenStats(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(toks(0L) == 8 && toks(3L) == 3)
+  }
+
+  test("multimodal: wrap → describe → stubbed batch decode keeps schema and determinism") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world"), (2L, "media payload two"))
+      .toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val wrapped = Multimodal.wrap(df, "doc_id", "payload", lit("text/plain"),
+      Seq("origin" -> lit("test")))
+    val desc = Multimodal.describe(wrapped).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(desc(1L) == 11 && desc(2L) == 17)
+    val feats = Multimodal.extractFeatures(spark, wrapped).collect()
+    assert(feats.length == 2)
+    val f1 = feats.find(_.id == 1L).get
+    assert(f1.byte_len == 11 && f1.feature.length == 8)
+    // deterministic: same input → same fake features
+    val again = Multimodal.extractFeatures(spark, wrapped).collect().find(_.id == 1L).get
+    assert(f1.feature.toSeq == again.feature.toSeq && f1.width == again.width)
+    val frames = Multimodal.sampleFrames(spark, wrapped, 3).collect()
+    assert(frames.length == 6)
+    assert(frames.filter(_.getLong(0) == 1L).map(_.getAs[Array[Byte]](2).length).sum == 11)
+  }
+}

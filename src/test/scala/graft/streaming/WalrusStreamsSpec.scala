@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.log.WalrusLog
+
+/** Structured Streaming source/sink over the topic log (SURVEY.md M2;
+  * mirrors reference delivery tests tests/integration.rs:718,
+  * tests/batch_read.rs:97 sealed→tail crossing → here: commits landing
+  * while a query runs). */
+class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("WalrusStreamsSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tempRoot(): String = Files.createTempDirectory("wstream-").toString
+  private def bytes(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  test("micro-batch source delivers committed entries exactly once, in commit order") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    log.batchAppend("t", (0 until 10).map(i => bytes(s"a$i")))
+    log.batchAppend("t", (0 until 5).map(i => bytes(s"b$i")))
+
+    val q = WalrusStreams.readStream(spark, root)
+      .writeStream.format("memory").queryName("m1").start()
+    try {
+      q.processAllAvailable()
+      val got1 = spark.sql("SELECT count(*) FROM m1").head().getLong(0)
+      assert(got1 == 15)
+      // new commit while the query runs → picked up as the next micro-batch
+      log.batchAppend("t", (0 until 3).map(i => bytes(s"c$i")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT topic, offset, CAST(value AS STRING) v FROM m1 ORDER BY offset")
+        .collect()
+      assert(rows.length == 18)
+      assert(rows.map(_.getLong(1)).toSeq == (0L until 18L))
+      assert(new String(rows.last.getString(2)) == "c2")
+    } finally q.stop()
+  }
+
+  test("topic option prunes other topics at file level") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    log.batchAppend("keep", (0 until 4).map(i => bytes(s"k$i")))
+    log.batchAppend("drop", (0 until 6).map(i => bytes(s"d$i")))
+    val q = WalrusStreams.readStream(spark, root, topic = Some("keep"))
+      .writeStream.format("memory").queryName("m2").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT DISTINCT topic FROM m2").collect().map(_.getString(0))
+      assert(rows.toSeq == Seq("keep"))
+      assert(spark.sql("SELECT count(*) FROM m2").head().getLong(0) == 4)
+    } finally q.stop()
+  }
+
+  test("maxBatchesPerTrigger admission control splits the backlog") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    (0 until 4).foreach(i => log.batchAppend("t", Seq(bytes(s"e$i"))))
+    val progress = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = WalrusStreams.readStream(spark, root, maxBatchesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("m3").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM m3").head().getLong(0) == 4)
+      // ≥4 micro-batches happened (one commit each)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+    } finally q.stop()
+  }
+
+  test("batch read via format(walruslog) matches toDF") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    log.batchAppend("x", (0 until 7).map(i => bytes(s"v$i")))
+    val viaSource = WalrusStreams.read(spark, root).count()
+    assert(viaSource == 7)
+    val entries = WalrusStreams.read(spark, root)
+      .orderBy("offset").collect()
+    assert(entries.map(r => new String(r.getAs[Array[Byte]]("value"))).toSeq ==
+      (0 until 7).map(i => s"v$i"))
+  }
+
+  test("streaming sink with epoch tags: retried epoch is a no-op") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    import spark.implicits._
+    val df = (0 until 5).map(i => ("t", s"p$i".getBytes("UTF-8"))).toDF("topic", "value")
+    log.appendDF(df, tag = Some("stream-epoch-7"))
+    assert(log.entryCount("t") == 5)
+    // same tag again → dropped
+    log.appendDF(df, tag = Some("stream-epoch-7"))
+    assert(log.entryCount("t") == 5)
+    log.appendDF(df, tag = Some("stream-epoch-8"))
+    assert(log.entryCount("t") == 10)
+  }
+
+  test("end-to-end: stream from one log into another via sink") {
+    val srcRoot = tempRoot(); val dstRoot = tempRoot()
+    val src = new WalrusLog(spark, srcRoot)
+    val dst = new WalrusLog(spark, dstRoot)
+    src.batchAppend("t", (0 until 8).map(i => bytes(s"m$i")))
+    val stream = WalrusStreams.readStream(spark, srcRoot)
+      .select(col("topic"), col("value"))
+    val writer = WalrusStreams.sink(stream, dst, tempRoot())
+    WalrusStreams.drainOnce(writer)
+    val reopened = new WalrusLog(spark, dstRoot)
+    assert(reopened.entryCount("t") == 8)
+    val got = reopened.batchRead("t", 1 << 20, checkpoint = false)
+      .map(e => new String(e.value)).toSet
+    assert(got == (0 until 8).map(i => s"m$i").toSet)
+  }
+
+  test("event-time windowed aggregation with watermark over the stream") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    log.batchAppend("t", (0 until 20).map(i => bytes(s"e$i")))
+    val agg = WalrusStreams.readStream(spark, root)
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 minute"), col("topic"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("mwin").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT sum(n) FROM mwin").head().getLong(0)
+      assert(n == 20)
+    } finally q.stop()
+  }
+}
