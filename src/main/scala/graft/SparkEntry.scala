@@ -246,7 +246,7 @@ object SparkEntry {
         .orderBy("doc_id")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
-          table(s, dir, "documents").where(col("doc_id") % 5 === 0),
+          table(s, dir, "documents").where(col("doc_id") % 10 === 0),
           "doc_id", "text", k = 8, minJaccard = 0.12)
         .orderBy("id_a", "id_b")),
     "dedup_embedding_neardup" -> ((s, dir) =>
@@ -451,7 +451,7 @@ object SparkEntry {
            |SELECT doc_id, $fp AS simhash FROM votes ORDER BY doc_id""".stripMargin
       },
       "dedup_ngram_jaccard" ->
-        s"""${shinglesSql(8, "doc_id % 5 = 0")},
+        s"""${shinglesSql(8, "doc_id % 10 = 0")},
            |sz AS (SELECT doc_id, count(*) AS sz FROM codes GROUP BY doc_id),
            |inter AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common

@@ -120,6 +120,69 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_similarity"
 }
 
+/** All base-128 k-shingle codes of an ASCII string in one pass:
+  * `code_i = Σ_d byte(i+d) * 128^(k-1-d)` for i in [0, len-k].
+  *
+  * Semantically identical to per-position `ascii(substr(text, i+d, 1))`
+  * composition (the DuckDB-oracle formulation) for ASCII input, but O(len)
+  * instead of O(len²·k): UTF8String.substring walks codepoints from the
+  * start, so position-wise extraction is quadratic in document length —
+  * this expression reads the byte array once with a rolling window.
+  */
+case class ShingleCodes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1 && k <= 9, "base-128 shingle codes overflow beyond k=9")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_codes requires STRING input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    ShingleCodes.eval(bytes, k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nativeSafeCodeGen(ctx, ev)
+
+  private def nativeSafeCodeGen(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val bytes = ctx.freshName("bytes")
+      s"""
+         |byte[] $bytes = $str.getBytes();
+         |${ev.value} = graft.functions.ShingleCodes.eval($bytes, $k);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): ShingleCodes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_codes"
+}
+
+object ShingleCodes {
+  /** Rolling base-128 window over the byte array (ASCII assumption —
+    * matches `ascii()` per char). Shared by interpreted + codegen paths. */
+  def eval(bytes: Array[Byte], k: Int): ArrayData = {
+    val n = bytes.length - k + 1
+    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    var topPow = 1L
+    var i = 0
+    while (i < k - 1) { topPow *= 128L; i += 1 }
+    val out = new Array[Long](n)
+    var code = 0L
+    i = 0
+    while (i < k) { code = code * 128L + (bytes(i) & 0xffL); i += 1 }
+    out(0) = code
+    i = 1
+    while (i < n) {
+      code = (code - (bytes(i - 1) & 0xffL) * topPow) * 128L + (bytes(i + k - 1) & 0xffL)
+      out(i) = code
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Column-level entry points + SQL registration for graft's native functions. */
 object GraftFunctions {
   def fnv1a64(c: Column): Column =
@@ -127,6 +190,8 @@ object GraftFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     GraftSqlInternal.column(
       CosineSimilarity(GraftSqlInternal.expression(a), GraftSqlInternal.expression(b)))
+  def shingle_codes(c: Column, k: Int): Column =
+    GraftSqlInternal.column(ShingleCodes(GraftSqlInternal.expression(c), k))
 
   /** Registers `fnv1a64` / `cosine_similarity` for use from SQL text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

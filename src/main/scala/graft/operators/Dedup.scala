@@ -40,7 +40,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame = {
     val coeffs = hashCoeffs(numHashes)
-    val sh = shingles(df, idCol, textCol, k)
+    // MIN is duplicate-insensitive → skip the distinct shuffle entirely;
+    // partial (map-side) min aggregation collapses each partition first.
+    val sh = shingles(df, idCol, textCol, k, distinct = false)
     val aggs = coeffs.zipWithIndex.map { case ((a, b), j) =>
       min(permHash(col("code"), a, b)).as(s"mh$j")
     }
@@ -54,7 +56,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val n = bands * rowsPerBand
-    val sig = minHashSignatures(df, idCol, textCol, k, n)
+    // One signature row per doc — tiny relative to the corpus. Cache it:
+    // the bucket self-join references it on both sides and Catalyst does
+    // not reuse uncached subtrees across a self-join, so without this the
+    // whole shingle+minhash pipeline would run twice.
+    val sig = minHashSignatures(df, idCol, textCol, k, n).cache()
     val bandCols = (0 until bands).map { b =>
       val key = concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
@@ -113,7 +119,9 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minJaccard: Double = 0.2): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k)
+    // Distinct shingle set is referenced three times (sizes + both join
+    // sides) — cache so the explode+distinct runs once.
+    val sh = shingles(df, idCol, textCol, k).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val l = sh.select(col(idCol).as("id_a"), col("code"))
     val r = sh.select(col(idCol).as("id_b"), col("code"))

@@ -91,7 +91,8 @@ object TextAnalysis {
     * fingerprints are near-dup candidates. */
   def fingerprint(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
     val (a, b) = hashCoeffs(1).head
-    shingles(df, idCol, textCol, k)
+    // MIN is duplicate-insensitive → no distinct shuffle needed.
+    shingles(df, idCol, textCol, k, distinct = false)
       .groupBy(col(idCol))
       .agg(min(permHash(col("code"), a, b)).as("fingerprint"))
   }

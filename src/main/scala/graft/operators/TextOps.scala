@@ -36,13 +36,18 @@ object TextOps {
 
   def pow128(e: Int): Long = { var v = 1L; (0 until e).foreach(_ => v *= 128L); v }
 
-  /** `(doc_id, code)` distinct k-shingle codes per document. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol), col(textCol).as("_t"))
-      .where(length(col("_t")) >= k)
-      .withColumn("_i", explode(sequence(lit(1), length(col("_t")) - lit(k - 1))))
-      .select(col(idCol), shingleCode(col("_t"), col("_i"), k).cast("long").as("code"))
-      .distinct()
+  /** `(doc_id, code)` k-shingle codes per document, via the O(len) rolling
+    * [[graft.functions.ShingleCodes]] expression (one array per doc, one
+    * explode). `distinct = false` skips the dedup shuffle — correct for
+    * duplicate-insensitive consumers (MIN-aggregation in MinHash /
+    * fingerprints). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int,
+      distinct: Boolean = true): DataFrame = {
+    val raw = df
+      .select(col(idCol),
+        explode(graft.functions.GraftFunctions.shingle_codes(col(textCol), k)).as("code"))
+    if (distinct) raw.distinct() else raw
+  }
 
   /** Modular permutation hash of a code column. */
   def permHash(code: Column, a: Long, b: Long): Column =
