@@ -294,6 +294,31 @@ object SparkEntry {
       TextAnalysis.fingerprint(table(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy("doc_id")),
 
+    // ---- as-of join (custom operator by composition) ----
+    "asof_last_click" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.operators.AsOf.joinLastPrior(
+          purchases, clicks, Seq("user_id"), "ts", Seq("click_id"))
+        .select(col("purchase_id"), col("user_id"), col("asof_click_id").as("last_click_id"))
+        .orderBy("purchase_id")
+    }),
+
+    // ---- distinct counting (exact + HLL sketch) ----
+    "rel_distinct_exact" -> ((s, dir) =>
+      table(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+    "rel_approx_distinct" -> ((s, dir) =>
+      // HLL++ sketch — engine-specific estimate, driver records rows-only
+      table(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
     // ---- multimodal columns ----
     "mm_describe" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -552,6 +577,16 @@ object SparkEntry {
            |SELECT doc_id, MIN(${permSql("code", sa, sb)}) AS fingerprint
            |FROM codes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+      "asof_last_click" ->
+        """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS last_click_id
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON p.user_id = c.user_id AND c.ts <= p.ts
+          |ORDER BY purchase_id""".stripMargin,
+      "rel_distinct_exact" ->
+        ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
+          "count(DISTINCT l_suppkey) AS n_supps FROM lineitem " +
+          "GROUP BY l_returnflag ORDER BY l_returnflag"),
       "mm_describe" ->
         """SELECT doc_id, 'text/plain' AS mime, CAST(length(text) AS BIGINT) AS byte_len
           |FROM documents ORDER BY doc_id""".stripMargin

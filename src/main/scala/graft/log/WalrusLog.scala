@@ -600,6 +600,28 @@ object WalrusLog {
     * is modelled as this group. */
   val SharedGroup = ""
 
+  /** Builder parity with the reference's `WalrusBuilder`
+    * (reference: src/wal/builder.rs:26-105): `dataDir`/`key`/`consistency`
+    * knobs. The fsync schedule has no batch-API analogue — durability is
+    * the commit protocol; the streaming trigger cadence
+    * ([[graft.streaming.WalrusStreams.DefaultTriggerMs]]) plays that role. */
+  def builder(spark: org.apache.spark.sql.SparkSession): Builder = new Builder(spark)
+
+  final class Builder private[WalrusLog] (spark: org.apache.spark.sql.SparkSession) {
+    private var dataDir: String =
+      sys.env.getOrElse("WALRUS_DATA_DIR",
+        System.getProperty("java.io.tmpdir") + "/walrusspark")
+    private var key: String = sys.env.getOrElse("WALRUS_INSTANCE_KEY", "default")
+    private var cons: ReadConsistency = ReadConsistency.StrictlyAtOnce
+    private var config: LogConfig = LogConfig()
+
+    def withDataDir(dir: String): Builder = { dataDir = dir; this }
+    def withKey(k: String): Builder = { key = k; this }
+    def withConsistency(c: ReadConsistency): Builder = { cons = c; this }
+    def withConfig(c: LogConfig): Builder = { config = c; this }
+    def build(): WalrusLog = new WalrusLog(spark, dataDir, key, cons, config)
+  }
+
   /** Key sanitization parity (reference: src/wal/paths.rs:12-36). */
   def sanitizeKey(key: String): String =
     key.map(c => if (c.isLetterOrDigit || c == '-' || c == '_') c else '_')
