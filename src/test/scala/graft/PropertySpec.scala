@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Fnv1a64, ShingleCodes}
+
+/** Property-style tests (seeded random cases) for the pure arithmetic the
+  * engine's determinism rests on (SURVEY.md §5: cursor/segment arithmetic,
+  * shingle/hash primitives). */
+class PropertySpec extends AnyFunSuite {
+
+  private val Cases = 300
+  private def rng = new scala.util.Random(42)
+
+  test("rolling shingle codes equal naive per-position base-128 codes") {
+    val r = rng
+    (0 until Cases).foreach { _ =>
+      val n = r.nextInt(200)
+      val s = (0 until n).map(_ => if (r.nextInt(6) == 0) ' ' else ('a' + r.nextInt(26)).toChar).mkString
+      val k = 1 + r.nextInt(9)
+      val bytes = s.getBytes("UTF-8")
+      val rolled = ShingleCodes.eval(bytes, k).toLongArray().toSeq
+      val naive =
+        if (bytes.length < k) Seq.empty[Long]
+        else (0 to bytes.length - k).map { i =>
+          (0 until k).map(d => (bytes(i + d) & 0xffL) *
+            graft.operators.TextOps.pow128(k - 1 - d)).sum
+        }
+      assert(rolled == naive, s"k=$k s='$s'")
+    }
+  }
+
+  test("fnv1a64 matches an independent fold and the published test vectors") {
+    // vectors from the public FNV reference (Fowler/Noll/Vo)
+    assert(Fnv1a64.hash("".getBytes) == 0xcbf29ce484222325L)
+    assert(Fnv1a64.hash("a".getBytes) == 0xaf63dc4c8601ec8cL)
+    assert(Fnv1a64.hash("hello".getBytes) == 0xa430d84680aabd0bL)
+    val r = rng
+    (0 until Cases).foreach { _ =>
+      val arr = Array.fill(r.nextInt(300))(r.nextInt().toByte)
+      val expected = arr.foldLeft(0xcbf29ce484222325L)((h, b) =>
+        (h ^ (b & 0xffL)) * 0x100000001b3L)
+      assert(Fnv1a64.hash(arr) == expected)
+    }
+  }
+
+  test("segment rollover replay: sealed counts sum to last_sealed_entry_offset") {
+    // mirrors the TLA+ invariant LastSealedIsSum
+    // (reference: distributed-walrus/spec/DistributedWalrus.tla:157)
+    val r = rng
+    (0 until Cases).foreach { _ =>
+      val commitSizes = List.fill(r.nextInt(40))(1L + r.nextInt(300))
+      val maxSeg = 1L + r.nextInt(200)
+      var nextOffset = 0L
+      var lastSealed = 0L
+      var currentSegment = 0L
+      val sealedCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      commitSizes.foreach { sz =>
+        nextOffset += sz
+        val open = nextOffset - lastSealed
+        if (open >= maxSeg) {
+          sealedCounts += open
+          lastSealed += open
+          currentSegment += 1
+        }
+      }
+      assert(sealedCounts.sum == lastSealed)
+      assert(currentSegment == sealedCounts.size)
+      assert(nextOffset - lastSealed >= 0 && nextOffset - lastSealed < maxSeg)
+      assert(sealedCounts.forall(_ >= maxSeg)) // seals only at/above threshold
+    }
+  }
+
+  test("budget admission: result is a prefix, never empty when input nonempty") {
+    val r = rng
+    (0 until Cases).foreach { _ =>
+      val lens = List.fill(r.nextInt(50))(r.nextInt(5000))
+      val budget = r.nextInt(20000).toLong
+      // model of WalrusLog.admit
+      var cum = 0L
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var stopped = false
+      lens.foreach { len =>
+        if (!stopped) {
+          if (admitted.isEmpty || cum + len <= budget) { admitted += len; cum += len }
+          else stopped = true
+        }
+      }
+      if (lens.nonEmpty) assert(admitted.nonEmpty)          // ≥ 1 entry
+      assert(admitted.toSeq == lens.take(admitted.size))    // prefix
+      if (admitted.size > 1) assert(cum <= budget)          // budget respected
+    }
+  }
+
+  test("cursor clamp: recovery never resurrects consumed entries or overshoots") {
+    val r = rng
+    (0 until Cases).foreach { _ =>
+      val persisted = r.nextLong() % 1000
+      val hi = math.abs(r.nextLong() % 500)
+      val clamped = math.min(math.max(persisted, 0L), hi)
+      assert(clamped >= 0 && clamped <= hi)
+      val count = math.max(hi - clamped, 0L)
+      assert(count >= 0 && count <= hi)
+    }
+  }
+}
