@@ -51,8 +51,16 @@ object SparkEntry {
 
   private def mainLog(spark: SparkSession, dir: String): WalrusLog =
     eventsLog(spark, dir, "main", LogConfig())
+
+  /** Same data as [[mainLog]], reopened with maxSegmentEntries=50: recovery
+    * replays the commit log under the new config, so segment accounting is
+    * recomputed without re-ingesting anything. */
   private def segLog(spark: SparkSession, dir: String): WalrusLog =
-    eventsLog(spark, dir, "seg50", LogConfig(maxSegmentEntries = 50))
+    logCache.getOrElseUpdate((dir, "seg50"), {
+      val main = mainLog(spark, dir)
+      new WalrusLog(spark, main.root, main.namespace,
+        ReadConsistency.AtLeastOnce(5000), LogConfig(maxSegmentEntries = 50))
+    })
 
   private def entriesToDF(spark: SparkSession, es: Seq[graft.log.WalrusEntry]): DataFrame = {
     val rows = es.map(e => Row(e.topic, e.offset, new String(e.value, "UTF-8")))

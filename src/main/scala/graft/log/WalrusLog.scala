@@ -43,7 +43,7 @@ import graft.functions.GraftFunctions
   */
 class WalrusLog(
     val spark: SparkSession,
-    root: String,
+    val root: String,
     val namespace: String = "default",
     val consistency: ReadConsistency = ReadConsistency.StrictlyAtOnce,
     val cfg: LogConfig = LogConfig(),

@@ -123,6 +123,37 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == (0 until 8).map(i => s"m$i").toSet)
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions across micro-batches") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    // three commits with controlled ingest timestamps: two inside one
+    // session (gap 1s), the third 10s later -> closes session 1
+    log.appendDF(entryDF("t", 3), ingestTs = new java.sql.Timestamp(1000000L))
+    log.appendDF(entryDF("t", 2), ingestTs = new java.sql.Timestamp(1000500L))
+    log.appendDF(entryDF("t", 4), ingestTs = new java.sql.Timestamp(1010600L))
+    val sessions = Sessionize.sessionize(
+      spark, WalrusStreams.readStream(spark, root), gapMs = 2000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("msess").start()
+    try {
+      q.processAllAvailable()
+      val closed = spark.sql("SELECT key, start, `end`, n FROM msess").collect()
+      assert(closed.length == 1) // first session closed by the 10s gap
+      assert(closed.head.getString(0) == "t")
+      assert(closed.head.getLong(3) == 5) // 3 + 2 entries
+      // a fourth commit far in the future closes session 2 (n=4)
+      log.appendDF(entryDF("t", 1), ingestTs = new java.sql.Timestamp(2000000L))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT n FROM msess ORDER BY n").collect().map(_.getLong(0))
+      assert(all.toSeq == Seq(4L, 5L))
+    } finally q.stop()
+  }
+
+  private def entryDF(topic: String, n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (topic, s"e$i".getBytes("UTF-8"))).toDF("topic", "value")
+  }
+
   test("event-time windowed aggregation with watermark over the stream") {
     val root = tempRoot()
     val log = new WalrusLog(spark, root)
