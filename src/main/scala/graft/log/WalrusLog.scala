@@ -207,6 +207,7 @@ class WalrusLog(
         .withColumn("checksum", GraftFunctions.fnv1a64(col("value")))
         .withColumn("len", length(col("value")))
       entryDf.write.mode(SaveMode.ErrorIfExists)
+        .option("compression", cfg.compression)
         .partitionBy("topic").parquet(batchDir.toString)
 
       // Publish: the atomic rename IS the visibility point (W2/M2 parity).

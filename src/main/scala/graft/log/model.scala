@@ -50,7 +50,11 @@ final case class LogConfig(
     maxBatchBytes: Long = 10L * 1024 * 1024 * 1024,
     maxSegmentEntries: Long = 1000000L,
     metaOverheadBytes: Int = 256,
-    verifyChecksums: Boolean = true)
+    verifyChecksums: Boolean = true,
+    /** Parquet codec for data files. `uncompressed` is the closest analogue
+      * of the reference's raw-byte blocks and is fastest for incompressible
+      * payloads; keep snappy/zstd for compressible text topics. */
+    compression: String = "snappy")
 
 /** A concurrent atomic batch append was rejected — parity with the
   * reference's `ErrorKind::WouldBlock` on its `is_batch_writing` CAS flag
