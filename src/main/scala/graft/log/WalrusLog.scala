@@ -65,6 +65,7 @@ class WalrusLog(
   private val topics = mutable.LinkedHashMap.empty[String, TopicState]
   private val commits = mutable.ArrayBuffer.empty[CommitRecord]
   private val vacuumed = mutable.Set.empty[Long]
+  private val replaced = mutable.Set.empty[Long] // batches rewritten by compaction
   private var nextBatchId: Long = 0L
   private val cursors = mutable.Map.empty[(String, String), Long]
   private val unpersistedReads = mutable.Map.empty[(String, String), Long]
@@ -224,13 +225,19 @@ class WalrusLog(
 
   private def applyCommit(rec: CommitRecord): Unit = {
     commits += rec
-    rec.topics.foreach { case (t, r) =>
-      val st = state(t)
-      st.nextOffset = r.end
-      st.bytesTotal += r.bytes + cfg.metaOverheadBytes.toLong * (r.end - r.start)
-      st.cleanGeneration += 1
-      st.clean = false
-      maybeRollover(t, st)
+    rec.replaces match {
+      case Some(ids) =>
+        // Compaction: same rows, same offsets — no topic-state change.
+        replaced ++= ids
+      case None =>
+        rec.topics.foreach { case (t, r) =>
+          val st = state(t)
+          st.nextOffset = r.end
+          st.bytesTotal += r.bytes + cfg.metaOverheadBytes.toLong * (r.end - r.start)
+          st.cleanGeneration += 1
+          st.clean = false
+          maybeRollover(t, st)
+        }
     }
   }
 
@@ -273,11 +280,13 @@ class WalrusLog(
   /** One topic's committed entries. */
   def topicDF(topic: String): DataFrame = toDF().where(col("topic") === topic)
 
-  private def visibleBatchDirs: Seq[String] =
+  private def visibleCommits: Seq[CommitRecord] =
     commits.iterator
-      .filter(c => c.id >= 0 && !vacuumed.contains(c.id))
-      .map(c => dataDir.resolve(s"batch=${c.id}").toString)
+      .filter(c => c.id >= 0 && !vacuumed.contains(c.id) && !replaced.contains(c.id))
       .toSeq
+
+  private def visibleBatchDirs: Seq[String] =
+    visibleCommits.map(c => dataDir.resolve(s"batch=${c.id}").toString)
 
   /** Consume/peek up to `maxBytes` of payload from the group's cursor
     * (always at least one entry; hard cap `maxBatchEntries` per call —
@@ -334,16 +343,17 @@ class WalrusLog(
       maxBytes: Long,
       startByte: Long): Seq[WalrusEntry] = {
     val meta = cfg.metaOverheadBytes.toLong
-    // (batchStartOffset, batchEntryCount, cumulative stream bytes before batch)
+    // (batchStartOffset, batchEntryCount, cumulative stream bytes before
+    // batch). Ranges sorted by start offset — offsets are dense and
+    // non-overlapping, so this is the true stream order even after
+    // compaction reshuffles commit-log positions.
     var cum = 0L
     var located: Option[(Long, Long, Long)] = None
-    commits.foreach { c =>
-      c.topics.get(topic).foreach { r =>
-        val streamBytes = r.bytes + meta * (r.end - r.start)
-        if (located.isEmpty && startByte < cum + streamBytes)
-          located = Some((r.start, r.end - r.start, cum))
-        cum += streamBytes
-      }
+    visibleCommits.flatMap(_.topics.get(topic)).sortBy(_.start).foreach { r =>
+      val streamBytes = r.bytes + meta * (r.end - r.start)
+      if (located.isEmpty && startByte < cum + streamBytes)
+        located = Some((r.start, r.end - r.start, cum))
+      cum += streamBytes
     }
     located match {
       case None => Seq.empty
@@ -510,9 +520,8 @@ class WalrusLog(
     def minCursor(topic: String): Long =
       if (groups.isEmpty) 0L
       else groups.map(g => cursors.getOrElse((g, topic), 0L)).min
-    val reclaim = commits.filter { c =>
-      c.id >= 0 && !vacuumed.contains(c.id) &&
-        c.topics.nonEmpty && c.topics.forall { case (t, r) => r.end <= minCursor(t) }
+    val reclaim = visibleCommits.filter { c =>
+      c.topics.nonEmpty && c.topics.forall { case (t, r) => r.end <= minCursor(t) }
     }
     reclaim.foreach { c =>
       deleteRecursively(dataDir.resolve(s"batch=${c.id}"))
@@ -522,6 +531,51 @@ class WalrusLog(
           .dropRight(1) + ",\"vacuumed\":true}")
     }
     reclaim.map(_.id).toSeq
+  }
+
+  /** Compact the current visible batches into one batch of few large files
+    * (small-file mitigation for micro-batch ingest — the 100 TB analogue of
+    * the reference's block/file consolidation, and of Delta OPTIMIZE).
+    * Offsets, counts, segments, and cursors are untouched: the compaction
+    * commit carries the merged ranges and `replaces` the source batches.
+    *
+    * Streaming note: a stream that already consumed the source commits will
+    * see the compaction commit as new input (same (topic, offset) rows) —
+    * compact data already consumed by all streams, or dedupe downstream on
+    * (topic, offset). Returns the new batch id, or None if < 2 batches.
+    */
+  def compact(targetFileBytes: Long = 1L << 30,
+      maxSourceBatches: Int = Int.MaxValue): Option[Long] = synchronized {
+    val sources = visibleCommits.filter(_.topics.nonEmpty).take(maxSourceBatches)
+    if (sources.size < 2) return None
+    val ids = sources.map(_.id)
+    val merged: Map[String, TopicRange] = sources.flatMap(_.topics.toSeq)
+      .groupBy(_._1).map { case (t, rs) =>
+        val ranges = rs.map(_._2)
+        t -> TopicRange(ranges.map(_.start).min, ranges.map(_.end).max,
+          ranges.map(_.bytes).sum)
+      }
+    val totalBytes = merged.valuesIterator.map(r =>
+      r.bytes + cfg.metaOverheadBytes.toLong * (r.end - r.start)).sum
+    val nParts = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val id = nextBatchId
+    val batchDir = dataDir.resolve(s"batch=$id")
+    toDF().where(col("batch").isin(ids: _*))
+      .select(col("topic"), col("offset"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("checksum"), col("len"))
+      .repartitionByRange(nParts, col("topic"), col("offset"))
+      .sortWithinPartitions("topic", "offset")
+      .write.mode(SaveMode.ErrorIfExists)
+      .option("compression", cfg.compression)
+      .partitionBy("topic").parquet(batchDir.toString)
+    val rec = CommitRecord(id, System.currentTimeMillis(), merged,
+      tag = None, replaces = Some(ids))
+    writeAtomic(commitsDir.resolve(f"$id%012d.json"), Serialization.write(rec))
+    nextBatchId = id + 1
+    applyCommit(rec)
+    // Sources are invisible from here on; reclaim their storage.
+    ids.foreach(i => deleteRecursively(dataDir.resolve(s"batch=$i")))
+    Some(id)
   }
 
   /** Startup recovery (reference: `startup_chore`,
@@ -539,8 +593,11 @@ class WalrusLog(
         case org.json4s.JBool(b) => b
         case _ => false
       }
-      if (isVac) { commits += rec; vacuumed += rec.id }
-      else applyCommit(rec)
+      // State is ALWAYS replayed — a vacuumed batch's entries still count
+      // toward offsets/segments (only its storage is gone); the flag just
+      // excludes its directory from reads.
+      if (isVac) vacuumed += rec.id
+      applyCommit(rec)
       rec.topics.foreach { case (t, _) => state(t) }
     }
     // clean markers + registered-but-empty topics

@@ -75,8 +75,12 @@ final case class TopicRange(start: Long, end: Long, bytes: Long)
   * `topics` ranges. Replaces the reference's "offset published only after
   * fsync" visibility rule (reference: src/wal/runtime/writer.rs:135-341) with
   * a file-commit protocol. */
+/** `replaces` marks a compaction commit: the batch carries the same rows
+  * (same offsets) as the listed source batches rewritten into fewer, larger
+  * files; it adds no new entries. */
 final case class CommitRecord(id: Long, tsMillis: Long,
-    topics: Map[String, TopicRange], tag: Option[String] = None)
+    topics: Map[String, TopicRange], tag: Option[String] = None,
+    replaces: Option[Seq[Long]] = None)
 
 /** Persisted consumer cursors, keyed group -> topic -> next offset to read.
   * The reference's shared per-topic cursor is group "" here

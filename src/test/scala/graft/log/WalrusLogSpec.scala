@@ -271,6 +271,62 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("compact merges small batches, preserves offsets/counts/reads, survives restart") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    (0 until 5).foreach(i =>
+      log.batchAppend("t", (0 until 10).map(j => bytes(s"b$i-e$j"))))
+    log.batchAppend("u", (0 until 7).map(j => bytes(s"u$j")))
+    val before = log.batchRead("t", 1 << 20, checkpoint = false).map(e => str(e.value))
+    val dirsBefore = new java.io.File(s"$root/default/data").listFiles().length
+    assert(dirsBefore == 6)
+    val newId = log.compact()
+    assert(newId.isDefined)
+    val dirsAfter = new java.io.File(s"$root/default/data").listFiles().length
+    assert(dirsAfter == 1) // sources reclaimed
+    // identical reads, counts, sizes
+    val after = log.batchRead("t", 1 << 20, checkpoint = false).map(e => str(e.value))
+    assert(after == before)
+    assert(log.entryCount("t") == 50 && log.entryCount("u") == 7)
+    assert(log.topicSize("t") == before.map(_.length.toLong + 256).sum)
+    // byte-offset addressing still exact after compaction
+    val t0 = log.batchReadFromByteOffset("t", 1 << 20, 2 * (256 + 6))
+    assert(str(t0.head.value) == "b0-e2")
+    // restart: replayed state identical; reads still work
+    log.close()
+    val re = new WalrusLog(spark, root)
+    assert(re.entryCount("t") == 50)
+    assert(re.batchRead("t", 1 << 20, checkpoint = false).map(e => str(e.value)) == before)
+    // idempotent-ish: nothing left to compact (single batch)
+    assert(re.compact().isEmpty)
+  }
+
+  test("vacuumed batches still count toward segment state after restart") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root, cfg = LogConfig(maxSegmentEntries = 10))
+    log.batchAppend("t", (0 until 12).map(i => bytes(s"a$i")))
+    log.batchAppend("t", (0 until 5).map(i => bytes(s"b$i")))
+    (0 until 12).foreach(_ => log.readNext("t"))
+    assert(log.vacuum() == Seq(0L))
+    val stBefore = log.stateJson("t")
+    log.close()
+    val re = new WalrusLog(spark, root, cfg = LogConfig(maxSegmentEntries = 10))
+    assert(re.stateJson("t") == stBefore)
+    assert(re.entryCount("t") == 5)
+    assert(str(re.readNext("t", checkpoint = false).get.value) == "b0")
+  }
+
+  test("salted join matches plain join results") {
+    import spark.implicits._
+    val left = (0 until 1000).map(i => (i % 3, s"l$i")).toDF("k", "lv")
+    val right = Seq((0, "r0"), (1, "r1"), (2, "r2"), (3, "r3")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+      .collect().map(_.toSeq).toSet
+    val salted = graft.operators.Skew.saltedJoin(left, right, Seq("k"), 8)
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
   test("topic size accounting includes per-entry meta overhead") {
     val log = new WalrusLog(spark, tempRoot())
     log.batchAppend("t", Seq(new Array[Byte](100), new Array[Byte](50)))
