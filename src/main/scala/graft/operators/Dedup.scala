@@ -118,10 +118,22 @@ object Dedup {
     * not the discovery stage, at scale. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, minJaccard: Double = 0.2): DataFrame = {
+      k: Int = 8, minJaccard: Double = 0.2,
+      maxDocFreq: Option[Int] = None): DataFrame = {
     // Distinct shingle set is referenced three times (sizes + both join
     // sides) — cache so the explode+distinct runs once.
-    val sh = shingles(df, idCol, textCol, k).cache()
+    val all = shingles(df, idCol, textCol, k)
+    // Stop-shingle filter: shingles present in > maxDocFreq documents carry
+    // no near-dup signal and dominate the equi-join fanout — drop them
+    // BEFORE sizing so the Jaccard space is the filtered one (the oracle
+    // applies the identical filter).
+    val sh = (maxDocFreq match {
+      case Some(maxDf) =>
+        val hot = all.groupBy("code").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select("code")
+        all.join(broadcast(hot), Seq("code"), "left_anti")
+      case None => all
+    }).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val l = sh.select(col(idCol).as("id_a"), col("code"))
     val r = sh.select(col(idCol).as("id_b"), col("code"))
