@@ -271,6 +271,62 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // large_write_read_repro / unit.rs:139 — multi-MB single entries
+  test("large entries roundtrip exactly") {
+    val log = new WalrusLog(spark, tempRoot())
+    val big = new Array[Byte](5 * 1024 * 1024)
+    new scala.util.Random(7).nextBytes(big)
+    log.append("t", big)
+    log.append("t", bytes("small-after"))
+    val got = log.batchRead("t", Long.MaxValue / 2, checkpoint = false)
+    assert(got.size == 2)
+    assert(java.util.Arrays.equals(got.head.value, big))
+    assert(str(got(1).value) == "small-after")
+    assert(log.topicSize("t") == big.length + 11 + 2 * 256)
+  }
+
+  // batch_read.rs:287 — concurrent writers to different topics
+  test("concurrent appenders to distinct topics interleave safely") {
+    val log = new WalrusLog(spark, tempRoot())
+    // single-append path: concurrent appends serialize (the batch path
+    // intentionally rejects concurrency with WouldBlock, writer.rs:135-165)
+    val threads = (0 until 4).map { t =>
+      new Thread(() => (0 until 5).foreach { i =>
+        log.append(s"topic-$t", bytes(s"t$t-e$i"))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    (0 until 4).foreach { t =>
+      val got = log.batchRead(s"topic-$t", 1 << 20, checkpoint = false)
+      assert(got.size == 5, s"topic-$t")
+      assert(got.map(_.offset) == (0L until 5L)) // dense despite concurrency
+      assert(got.map(e => str(e.value)).toSet == (0 until 5).map(i => s"t$t-e$i").toSet)
+    }
+  }
+
+  // integration.rs:718 — exactly-once delivery to concurrent consumers
+  test("strictly-at-once: concurrent consumers never see the same entry twice") {
+    val log = new WalrusLog(spark, tempRoot(),
+      consistency = ReadConsistency.StrictlyAtOnce)
+    log.batchAppend("t", (0 until 40).map(i => bytes(s"e$i")))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 4).map { _ =>
+      new Thread(() => {
+        var go = true
+        while (go) log.readNext("t", checkpoint = true) match {
+          case Some(e) => seen.add(str(e.value))
+          case None => go = false
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val all = seen.asScala.toSeq
+    assert(all.size == 40, s"delivered ${all.size} (dupes or losses)")
+    assert(all.toSet == (0 until 40).map(i => s"e$i").toSet)
+    assert(log.entryCount("t") == 0)
+  }
+
   test("compact merges small batches, preserves offsets/counts/reads, survives restart") {
     val root = tempRoot()
     val log = new WalrusLog(spark, root)
