@@ -198,9 +198,20 @@ class WalrusLog(
           Row(t, o, tsUs, r.getAs[Array[Byte]](1))
         }
       }
+      // File-size floor: offsets are already baked into the rows, so
+      // coalescing only merges writers — small batches produce few files
+      // instead of one sliver per shuffle partition; large batches keep
+      // all writers (compact() owns later consolidation).
+      val totalStreamBytes = perTopicTotal.valuesIterator
+        .map { case (c, b) => b + cfg.metaOverheadBytes.toLong * c }.sum
+      val nOut = math.max(1L,
+        math.min(parts.toLong,
+          (totalStreamBytes + cfg.minFileBytes - 1) / cfg.minFileBytes)).toInt
+      val outRows = if (nOut < parts) entryRows.coalesce(nOut) else entryRows
+
       val id = nextBatchId
       val batchDir = dataDir.resolve(s"batch=$id")
-      val entryDf = spark.createDataFrame(entryRows, StructType(Seq(
+      val entryDf = spark.createDataFrame(outRows, StructType(Seq(
           StructField("topic", StringType, nullable = false),
           StructField("offset", LongType, nullable = false),
           StructField("ts_us", LongType, nullable = false),

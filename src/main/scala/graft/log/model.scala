@@ -54,7 +54,12 @@ final case class LogConfig(
     /** Parquet codec for data files. `uncompressed` is the closest analogue
       * of the reference's raw-byte blocks and is fastest for incompressible
       * payloads; keep snappy/zstd for compressible text topics. */
-    compression: String = "snappy")
+    compression: String = "snappy",
+    /** Floor on ingest output-file size: small batches coalesce writers so
+      * files aren't confetti; large batches keep full write parallelism
+      * (their consolidation to ~1 GB files — reference src/wal/paths.rs:46-62
+      * — is `compact()`'s job, not the ingest hot path's). */
+    minFileBytes: Long = 8L << 20)
 
 /** A concurrent atomic batch append was rejected — parity with the
   * reference's `ErrorKind::WouldBlock` on its `is_batch_writing` CAS flag
