@@ -271,6 +271,19 @@ object SparkEntry {
         .withColumnRenamed("id_a", "vec_a").withColumnRenamed("id_b", "vec_b")
         .orderBy("vec_a", "vec_b")),
 
+    // ---- full dedup pipeline: LSH discovery -> exact-Jaccard verify ----
+    "dedup_pipeline" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val cands = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 5, bands = 4, rowsPerBand = 4)
+      val verified = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 8, minJaccard = 0.0)
+      cands.join(verified, Seq("id_a", "id_b"))
+        .where(col("jaccard") >= 0.05)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- similarity search ----
     "sim_topk_bruteforce" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
@@ -518,6 +531,40 @@ object SparkEntry {
            |    (sqrt(${normSqSql("a")}) * sqrt(${normSqSql("b")})), 6) >= 0.35
            |ORDER BY vec_a, vec_b""".stripMargin,
 
+      "dedup_pipeline" -> {
+        val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(${permSql("code", a, b)}) AS mh$j"
+        }.mkString(",\n  ")
+        val bandKeys = (0 until 4).map { bnd =>
+          (0 until 4).map(r => s"CAST(mh${bnd * 4 + r} AS VARCHAR)")
+            .mkString(s"SELECT doc_id, $bnd AS band, ", " || '_' || ", " AS bkey FROM sig")
+        }.mkString("\n  UNION ALL ")
+        val sh8 = shinglesSql(8, "TRUE").replace("WITH d AS", "d8 AS")
+          .replace("pos AS", "pos8 AS").replace("codes AS", "codes8 AS")
+          .replace("FROM d)", "FROM d8)").replace("FROM pos)", "FROM pos8)")
+        s"""${shinglesSql(5, "TRUE")},
+           |sig AS (SELECT doc_id, $mins FROM codes GROUP BY doc_id),
+           |banded AS (
+           |  $bandKeys),
+           |cand AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+           |  WHERE l.doc_id < r.doc_id),
+           |$sh8,
+           |sz AS (SELECT doc_id, count(*) AS sz FROM codes8 GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           |  FROM codes8 a JOIN codes8 b USING (code)
+           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT c.id_a, c.id_b,
+           |  round(CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+           |FROM cand c
+           |JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+           |JOIN sz sa ON sa.doc_id = c.id_a
+           |JOIN sz sb ON sb.doc_id = c.id_b
+           |WHERE round(CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) >= 0.05
+           |ORDER BY c.id_a, c.id_b""".stripMargin
+      },
       "sim_topk_bruteforce" ->
         s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
            |c AS (SELECT vec_id, embedding FROM embeddings),
