@@ -82,7 +82,8 @@ object Bench {
     big.count()
     val bigBytes = 1000000.0 * (64.0 / 2 * 12) // 384 B/row hex-decoded
     // payloads are incompressible → uncompressed (raw-block parity)
-    val bigCfg = graft.log.LogConfig(compression = "uncompressed")
+    val bigCfg = graft.log.LogConfig(compression = "uncompressed",
+      dictionaryEncoding = false)
     var lastBigLog: WalrusLog = null
     val bigIngestSec = (0 until 2).map { _ =>
       val bigRoot = Files.createTempDirectory("bench-big-").toString

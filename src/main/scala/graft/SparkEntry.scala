@@ -276,9 +276,7 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       val cands = Dedup.minHashLshPairs(docs, "doc_id", "text",
         k = 5, bands = 4, rowsPerBand = 4)
-      val verified = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        k = 8, minJaccard = 0.0)
-      cands.join(verified, Seq("id_a", "id_b"))
+      Dedup.jaccardForPairs(docs, cands, "doc_id", "text", k = 8)
         .where(col("jaccard") >= 0.05)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")

@@ -220,6 +220,7 @@ class WalrusLog(
         .withColumn("len", length(col("value")))
       entryDf.write.mode(SaveMode.ErrorIfExists)
         .option("compression", cfg.compression)
+        .option("parquet.enable.dictionary", cfg.dictionaryEncoding.toString)
         .partitionBy("topic").parquet(batchDir.toString)
 
       // Publish: the atomic rename IS the visibility point (W2/M2 parity).

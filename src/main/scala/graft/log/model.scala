@@ -59,7 +59,11 @@ final case class LogConfig(
       * files aren't confetti; large batches keep full write parallelism
       * (their consolidation to ~1 GB files — reference src/wal/paths.rs:46-62
       * — is `compact()`'s job, not the ingest hot path's). */
-    minFileBytes: Long = 8L << 20)
+    minFileBytes: Long = 8L << 20,
+    /** Parquet dictionary encoding. Worth disabling for opaque/unique
+      * binary payloads: dictionary attempts cost write CPU (~15% at 1M
+      * rows) and overflow to plain anyway. */
+    dictionaryEncoding: Boolean = true)
 
 /** A concurrent atomic batch append was rejected — parity with the
   * reference's `ErrorKind::WouldBlock` on its `is_batch_writing` CAS flag

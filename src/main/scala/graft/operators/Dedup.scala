@@ -151,6 +151,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard computed ONLY for the given candidate pairs —
+    * the verify stage of a discovery→verify dedup pipeline. The candidate
+    * set (LSH output) is small, so it broadcasts onto the shingle table and
+    * the shingle equi-join is restricted to candidate ids; cost scales with
+    * candidates, not corpus². Pairs sharing no shingle drop out (their
+    * Jaccard is 0). */
+  def jaccardForPairs(
+      df: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val aSide = broadcast(pairs)
+      .join(sh.withColumnRenamed(idCol, "id_a"), Seq("id_a"))
+    val bSide = sh.select(col(idCol).as("id_b"), col("code"))
+    val inter = aSide.join(bSide, Seq("id_b", "code"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast("double"), 6))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Embedding-cosine near-duplicate pairs among documents: pairs with
     * cosine ≥ `minCosine` (rounded to 6 dp for cross-engine determinism).
     * Discovery at scale should go through [[Similarity.lshBuckets]]; this is
