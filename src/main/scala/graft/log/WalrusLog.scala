@@ -292,6 +292,15 @@ class WalrusLog(
   /** One topic's committed entries. */
   def topicDF(topic: String): DataFrame = toDF().where(col("topic") === topic)
 
+  /** Expose the log to SQL: registers a temp view over [[toDF]] (snapshot
+    * of currently committed batches) plus graft's native SQL functions —
+    * after this, `spark.sql("SELECT ... FROM <name>")` works, giving topic
+    * data the whole SQL operator surface (SURVEY.md §2.5). */
+  def createOrReplaceView(name: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    toDF().createOrReplaceTempView(name)
+  }
+
   private def visibleCommits: Seq[CommitRecord] =
     commits.iterator
       .filter(c => c.id >= 0 && !vacuumed.contains(c.id) && !replaced.contains(c.id))

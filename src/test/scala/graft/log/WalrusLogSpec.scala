@@ -383,6 +383,15 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted == plain)
   }
 
+  test("SQL view surface: spark.sql over the log with native functions") {
+    val log = new WalrusLog(spark, tempRoot())
+    log.batchAppend("t", (0 until 6).map(i => bytes(s"v$i")))
+    log.createOrReplaceView("wlog_test")
+    val r = spark.sql(
+      "SELECT count(*) AS n, count(DISTINCT fnv1a64(value)) AS d FROM wlog_test").head()
+    assert(r.getLong(0) == 6 && r.getLong(1) == 6)
+  }
+
   test("topic size accounting includes per-entry meta overhead") {
     val log = new WalrusLog(spark, tempRoot())
     log.batchAppend("t", Seq(new Array[Byte](100), new Array[Byte](50)))
