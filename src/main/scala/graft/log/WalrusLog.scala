@@ -144,15 +144,20 @@ class WalrusLog(
       val shuffled = base
         .repartitionByRange(parts, col("topic"), col("_seq"))
         .sortWithinPartitions("topic", "_seq")
-      val rows = shuffled.rdd // lazy val: both passes share one shuffle
+      // Tungsten rows straight from the shuffle — no external-Row
+      // conversion on either pass; the RDD instance is shared so the
+      // second pass reuses the shuffle files.
+      val rows = org.apache.spark.sql.graft.GraftSqlInternal.toInternalRdd(shuffled)
 
-      // Phase 1: per-(partition, topic) counts and payload bytes (tiny result).
+      // Phase 1: per-(partition, topic) counts and payload bytes (tiny
+      // result). getUTF8String on the binary column wraps bytes without
+      // copying — numBytes is the payload length.
       val stats: Array[(Int, Seq[(String, Long, Long)])] =
         rows.mapPartitionsWithIndex { (pid, it) =>
           val acc = mutable.LinkedHashMap.empty[String, (Long, Long)]
           it.foreach { r =>
-            val t = r.getString(0)
-            val len = r.getAs[Array[Byte]](1).length.toLong
+            val t = r.getUTF8String(0).toString
+            val len = r.getUTF8String(1).numBytes().toLong
             val (c, b) = acc.getOrElse(t, (0L, 0L))
             acc(t) = (c + 1, b + len)
           }
@@ -187,17 +192,26 @@ class WalrusLog(
       // Ingest time is stored as epoch micros (LongType) so the streaming
       // source's plain parquet readers never meet INT96; toDF() converts.
       val tsUs = ingestTs.getTime * 1000L
-      val entryRows = rows.mapPartitionsWithIndex { (pid, it) =>
-        var curTopic: String = null
-        var off = 0L
-        it.map { r =>
-          val t = r.getString(0)
-          if (t != curTopic) { curTopic = t; off = bc.value((pid, t)) }
-          val o = off
-          off += 1
-          Row(t, o, tsUs, r.getAs[Array[Byte]](1))
+      val entryRows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+        rows.mapPartitionsWithIndex { (pid, it) =>
+          var curTopic: String = null
+          var curTopicUtf8: org.apache.spark.unsafe.types.UTF8String = null
+          var off = 0L
+          it.map { r =>
+            // UnsafeRow buffers are reused per iterator: copy the topic
+            // string when it changes; getBinary already copies bytes.
+            val tRaw = r.getUTF8String(0)
+            if (curTopicUtf8 == null || !tRaw.equals(curTopicUtf8)) {
+              curTopicUtf8 = tRaw.clone() // detach from the reused buffer
+              curTopic = curTopicUtf8.toString
+              off = bc.value((pid, curTopic))
+            }
+            val o = off
+            off += 1
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](curTopicUtf8, o, tsUs, r.getBinary(1)))
+          }
         }
-      }
       // File-size floor: offsets are already baked into the rows, so
       // coalescing only merges writers — small batches produce few files
       // instead of one sliver per shuffle partition; large batches keep
@@ -211,7 +225,8 @@ class WalrusLog(
 
       val id = nextBatchId
       val batchDir = dataDir.resolve(s"batch=$id")
-      val entryDf = spark.createDataFrame(outRows, StructType(Seq(
+      val entryDf = org.apache.spark.sql.graft.GraftSqlInternal
+        .internalCreateDataFrame(spark, outRows, StructType(Seq(
           StructField("topic", StringType, nullable = false),
           StructField("offset", LongType, nullable = false),
           StructField("ts_us", LongType, nullable = false),

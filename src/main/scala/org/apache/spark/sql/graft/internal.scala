@@ -1,14 +1,28 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StructType
 
-/** Minimal bridge to `private[sql]` Spark internals (Column <-> Expression).
-  * Lives under `org.apache.spark.sql` solely to satisfy package-private
-  * access — the same pattern used by open-source Spark connector libraries.
+/** Minimal bridge to `private[sql]` Spark internals (Column <-> Expression,
+  * InternalRow-based DataFrame creation). Lives under
+  * `org.apache.spark.sql` solely to satisfy package-private access — the
+  * same pattern used by open-source Spark connector libraries.
   */
 object GraftSqlInternal {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame from InternalRow RDD without the external-Row conversion. */
+  def internalCreateDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
+  /** InternalRow RDD of a DataFrame (Tungsten rows, no conversion). */
+  def toInternalRdd(df: DataFrame): RDD[InternalRow] =
+    df.queryExecution.toRdd
 }
