@@ -28,6 +28,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // local-FS parity with the reference's raw-byte file IO: skip
+      // Hadoop's .crc sidecar files + CRC32 of every byte (entry
+      // integrity is the per-row FNV column + parquet footer checks)
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

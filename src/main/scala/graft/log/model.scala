@@ -63,7 +63,14 @@ final case class LogConfig(
     /** Parquet dictionary encoding. Worth disabling for opaque/unique
       * binary payloads: dictionary attempts cost write CPU (~15% at 1M
       * rows) and overflow to plain anyway. */
-    dictionaryEncoding: Boolean = true)
+    dictionaryEncoding: Boolean = true,
+    /** Max open output files per ingest write task; > 0 lets the
+      * partitionBy write skip its re-sort of the stream by keeping that
+      * many writers open (tasks touching more topics fall back to
+      * sort-based writing). 0 = always sort-based — measured steadier on
+      * the range-shuffled ingest path, where rows are already clustered by
+      * topic and the sort is nearly free. */
+    concurrentWriters: Int = 0)
 
 /** A concurrent atomic batch append was rejected — parity with the
   * reference's `ErrorKind::WouldBlock` on its `is_batch_writing` CAS flag

@@ -1,0 +1,65 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.log.{LogConfig, ReadConsistency, WalrusLog}
+
+/** Dev micro-benchmark for the ingest hot path alone (the full harness is
+  * [[graft.Bench]]). Runs the BASELINE-shaped bulk workload — 1M rows of
+  * ~384 B incompressible payload across 10 topics — N times and prints
+  * per-run seconds plus derived rows/s and MB/s.
+  *
+  * Usage: sbt "runMain graft.tools.IngestBench [nRuns]"
+  */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val runs = args.headOption.map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // skip .crc sidecars + CRC32 of every byte on local writes
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val big = spark.range(1000000)
+      .select(concat(lit("topic-"), (col("id") % 10).cast("string")).as("topic"),
+        unhex(repeat(sha2(col("id").cast("string").cast("binary"), 256), 12)).as("value"),
+        col("id").as("_seq"))
+      .cache()
+    big.count()
+    val bytes = 1000000.0 * 384
+
+    for (mode <- Seq("shuffle"); cw <- Seq(0, 64)) {
+      val cfg = LogConfig(compression = "uncompressed", dictionaryEncoding = false,
+        concurrentWriters = cw)
+      var lastLog: WalrusLog = null
+      val secs = (0 until runs).map { i =>
+        val root = Files.createTempDirectory("ingestbench-").toString
+        lastLog = new WalrusLog(spark, root,
+          consistency = ReadConsistency.AtLeastOnce(5000), cfg = cfg)
+        val t0 = System.nanoTime()
+        if (mode == "fast") lastLog.appendDF(big, arrivalOrder = true)
+        else lastLog.appendDF(big, Some(col("_seq")))
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$mode cw=$cw run $i: $s%.3f s  (${1000000 / s}%.0f rows/s, ${bytes / 1e6 / s}%.1f MB/s)")
+        s
+      }
+      val drainSec = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        lastLog.toDF().select(sum(length(col("value")))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"$mode cw=$cw best ingest: ${secs.min}%.3f s = ${1000000 / secs.min}%.0f rows/s, " +
+        f"${bytes / 1e6 / secs.min}%.1f MB/s; drain: ${1000000 / drainSec}%.0f rows/s, " +
+        f"${bytes / 1e6 / drainSec}%.1f MB/s")
+    }
+    spark.stop()
+  }
+}

@@ -397,4 +397,26 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     log.batchAppend("t", Seq(new Array[Byte](100), new Array[Byte](50)))
     assert(log.topicSize("t") == 150 + 2 * 256)
   }
+
+  test("arrivalOrder ingest: interleaved topics get dense per-topic offsets") {
+    import org.apache.spark.sql.functions._
+    val log = new WalrusLog(spark, tempRoot())
+    // topics interleave within every partition: t0,t1,t2,t0,t1,...
+    val df = spark.range(0, 999, 1, 4)
+      .select(concat(lit("t"), (col("id") % 3).cast("string")).as("topic"),
+        encode(col("id").cast("string"), "UTF-8").as("value"))
+    log.appendDF(df, arrivalOrder = true)
+    (0 until 3).foreach { t =>
+      val got = log.batchRead(s"t$t", Long.MaxValue, checkpoint = false)
+      assert(got.size == 333, s"topic t$t")
+      assert(got.map(_.offset) == (0L until 333L), s"offsets of t$t")
+      // offsets follow (partition, position) order: values of topic t are
+      // t, t+3, t+6, ... within each original partition
+      val vals = got.map(e => str(e.value).toLong)
+      assert(vals.grouped(84).zipWithIndex.forall { case (chunk, _) =>
+        chunk.sliding(2).forall(p => p.size < 2 || p(1) - p(0) == 3 || p(1) < p(0))
+      })
+    }
+    assert(log.entryCounts == Map("t0" -> 333L, "t1" -> 333L, "t2" -> 333L))
+  }
 }
