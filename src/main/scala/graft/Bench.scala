@@ -32,15 +32,29 @@ object Bench {
       // Hadoop's .crc sidecar files + CRC32 of every byte (entry
       // integrity is the per-row FNV column + parquet footer checks)
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // always use the serialized sort shuffle writer: the bypass writer
+      // creates a file per (map task × reduce partition) — quadratic file
+      // ops that dominate small-stage latency locally, and it never
+      // applies at cluster scale (> 200 reduce partitions) anyway
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm up the JVM/codegen paths outside the timed region; log ingest
     // is measured separately (ingest_rows_per_sec), so pre-build the
-    // query-side logs too.
+    // query-side logs too. Running every query once at the smallest SF
+    // compiles its codegen stages and JITs the hot loops, so the timed
+    // region measures steady-state execution, not compiler time.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
     SparkEntry.warmup(spark, sfDir)
+    val warmDir = "/root/testdata/sf0.001"
+    if (warmDir != sfDir && Files.exists(java.nio.file.Paths.get(warmDir))) {
+      SparkEntry.warmup(spark, warmDir)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -75,16 +89,16 @@ object Bench {
     val drainSec = (System.nanoTime() - d0) / 1e9
     val drainRps = evRows / drainSec
 
-    // baseline-shaped write/read bench: ~750 B incompressible payloads
+    // baseline-shaped write/read bench: 768 B incompressible payloads
     // (walrus's write bench uses 500–1024 B random payloads across 10
     // topics; README.md:224-228 of the reference)
     val big = spark.range(1000000)
       .select(concat(lit("topic-"), (col("id") % 10).cast("string")).as("topic"),
-        unhex(repeat(sha2(col("id").cast("string").cast("binary"), 256), 12)).as("value"),
+        unhex(repeat(sha2(col("id").cast("string").cast("binary"), 256), 24)).as("value"),
         col("id").as("_seq"))
       .cache()
     big.count()
-    val bigBytes = 1000000.0 * (64.0 / 2 * 12) // 384 B/row hex-decoded
+    val bigBytes = 1000000.0 * (64.0 / 2 * 24) // 768 B/row hex-decoded
     // payloads are incompressible → uncompressed (raw-block parity)
     val bigCfg = graft.log.LogConfig(compression = "uncompressed",
       dictionaryEncoding = false)

@@ -66,11 +66,11 @@ final case class LogConfig(
     dictionaryEncoding: Boolean = true,
     /** Max open output files per ingest write task; > 0 lets the
       * partitionBy write skip its re-sort of the stream by keeping that
-      * many writers open (tasks touching more topics fall back to
-      * sort-based writing). 0 = always sort-based — measured steadier on
-      * the range-shuffled ingest path, where rows are already clustered by
-      * topic and the sort is nearly free. */
-    concurrentWriters: Int = 0)
+      * many writers open (tasks touching more topics than this fall back
+      * to sort-based writing, handled by Spark). The range shuffle bounds
+      * topics-per-task, so the default comfortably covers it; measured
+      * ~15% faster than sort-based on the bulk workload. */
+    concurrentWriters: Int = 64)
 
 /** A concurrent atomic batch append was rejected — parity with the
   * reference's `ErrorKind::WouldBlock` on its `is_batch_writing` CAS flag

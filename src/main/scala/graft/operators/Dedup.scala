@@ -56,11 +56,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val n = bands * rowsPerBand
-    // One signature row per doc — tiny relative to the corpus. Cache it:
-    // the bucket self-join references it on both sides and Catalyst does
-    // not reuse uncached subtrees across a self-join, so without this the
-    // whole shingle+minhash pipeline would run twice.
-    val sig = minHashSignatures(df, idCol, textCol, k, n).cache()
+    // No explicit cache: the bucket self-join's two sides canonicalize to
+    // the same exchange, so AQE stage reuse computes the signature pipeline
+    // once. (Measured: an explicit .cache() here costs 3-5× wall time in
+    // materialization jobs + InMemoryRelation scans.)
+    val sig = minHashSignatures(df, idCol, textCol, k, n)
     val bandCols = (0 until bands).map { b =>
       val key = concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
@@ -120,20 +120,22 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minJaccard: Double = 0.2,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    // Distinct shingle set is referenced three times (sizes + both join
-    // sides) — cache so the explode+distinct runs once.
+    // The distinct shingle set feeds the doc-frequency pass, the size agg,
+    // and both self-join sides; all references canonicalize to the same
+    // distinct exchange, which AQE stage reuse computes once — an explicit
+    // cache measured slower (materialization + cache-scan overhead).
     val all = shingles(df, idCol, textCol, k)
     // Stop-shingle filter: shingles present in > maxDocFreq documents carry
     // no near-dup signal and dominate the equi-join fanout — drop them
     // BEFORE sizing so the Jaccard space is the filtered one (the oracle
     // applies the identical filter).
-    val sh = (maxDocFreq match {
+    val sh = maxDocFreq match {
       case Some(maxDf) =>
         val hot = all.groupBy("code").agg(count(lit(1)).as("df"))
           .where(col("df") > maxDf).select("code")
         all.join(broadcast(hot), Seq("code"), "left_anti")
       case None => all
-    }).cache()
+    }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val l = sh.select(col(idCol).as("id_a"), col("code"))
     val r = sh.select(col(idCol).as("id_b"), col("code"))
@@ -153,14 +155,18 @@ object Dedup {
 
   /** Exact n-gram Jaccard computed ONLY for the given candidate pairs —
     * the verify stage of a discovery→verify dedup pipeline. The candidate
-    * set (LSH output) is small, so it broadcasts onto the shingle table and
-    * the shingle equi-join is restricted to candidate ids; cost scales with
-    * candidates, not corpus². Pairs sharing no shingle drop out (their
-    * Jaccard is 0). */
+    * set (LSH output) is small, so its id set broadcasts as a semi-join
+    * onto the corpus BEFORE shingling: only candidate documents are ever
+    * exploded, and the shingle equi-join runs over candidates alone; cost
+    * scales with candidates, not corpus. Pairs sharing no shingle drop out
+    * (their Jaccard is 0). */
   def jaccardForPairs(
       df: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k).cache()
+    val candIds = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val candDocs = df.join(broadcast(candIds), Seq(idCol), "left_semi")
+    val sh = shingles(candDocs, idCol, textCol, k)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val aSide = broadcast(pairs)
       .join(sh.withColumnRenamed(idCol, "id_a"), Seq("id_a"))

@@ -25,6 +25,7 @@ object IngestBench {
       .config("spark.ui.enabled", "false")
       // skip .crc sidecars + CRC32 of every byte on local writes
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
