@@ -297,6 +297,19 @@ object SparkEntry {
       Similarity.ivfAssign(table(s, dir, "embeddings"), "vec_id", "embedding", nCentroids = 8)
         .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
         .orderBy("vec_id")),
+    "sim_ivf_kmeans" -> ((s, dir) =>
+      // one Lloyd round over the coarse assignment: exact integer-quantized
+      // centroid means, cosine reassignment
+      Similarity.ivfKmeans(table(s, dir, "embeddings"), "vec_id", "embedding",
+          nCentroids = 8, iters = 1)
+        .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
+        .orderBy("vec_id")),
+    "sim_lsh_multiprobe" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.lshMultiProbe(e.where(col("vec_id") < 20), e,
+          "vec_id", "embedding", planes = 8)
+        .orderBy("query_id", "neighbor_id")
+    }),
 
     // ---- text analysis ----
     "text_token_stats" -> ((s, dir) =>
@@ -594,6 +607,51 @@ object SparkEntry {
            |r AS (SELECT vec_id, cid, row_number() OVER (
            |  PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s)
            |SELECT vec_id, cid AS centroid_id FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+      },
+      "sim_ivf_kmeans" -> {
+        val cells0 = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, $cIdx AS cid, round(${projDotSql("e", cIdx + 101)}, 6) AS sim FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        val sumCols = (0 until 64).map(d =>
+          s"SUM(CAST(floor(e.embedding[${d + 1}] * 1000000.0) AS BIGINT)) AS s$d")
+          .mkString(",\n    ")
+        val centCols = (0 until 64).map(d =>
+          s"round(CAST(s$d AS DOUBLE) / n / 1000000.0, 6) AS c$d").mkString(",\n    ")
+        val dot = (0 until 64).map(d =>
+          s"CAST(e.embedding[${d + 1}] AS DOUBLE) * c.c$d").mkString(" + ")
+        val nc = (0 until 64).map(d => s"c.c$d * c.c$d").mkString(" + ")
+        s"""WITH s0 AS (
+           |  $cells0),
+           |a0 AS (SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s0)
+           |  WHERE rn = 1),
+           |agg AS (SELECT cid, count(*) AS n,
+           |    $sumCols
+           |  FROM embeddings e JOIN a0 USING (vec_id) GROUP BY cid),
+           |cent AS (SELECT cid,
+           |    $centCols
+           |  FROM agg),
+           |sc AS (SELECT e.vec_id, c.cid,
+           |    round(($dot) / (sqrt(${normSqSql("e")}) * sqrt($nc)), 6) AS sim
+           |  FROM embeddings e CROSS JOIN cent c)
+           |SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM (
+           |  SELECT vec_id, cid, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM sc)
+           |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+      },
+      "sim_lsh_multiprobe" -> {
+        val bits = (0 until 8).map { j =>
+          s"CASE WHEN (${projDotSql("e", j)}) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+        }.mkString(" + ")
+        val ors = (Seq("c.bucket = q.bucket") ++
+          (0 until 8).map(j => s"c.bucket = xor(q.bucket, ${1L << j})")).mkString(" OR ")
+        s"""WITH b AS (SELECT e.vec_id, $bits AS bucket FROM embeddings e),
+           |q AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 20)
+           |SELECT q.query_id, c.vec_id AS neighbor_id
+           |FROM q JOIN b c ON ($ors)
+           |WHERE c.vec_id <> q.query_id
+           |ORDER BY query_id, neighbor_id""".stripMargin
       },
 
       "text_token_stats" ->

@@ -620,14 +620,32 @@ class WalrusLog(
     val reclaim = visibleCommits.filter { c =>
       c.topics.nonEmpty && c.topics.forall { case (t, r) => r.end <= minCursor(t) }
     }
-    reclaim.foreach { c =>
-      deleteRecursively(dataDir.resolve(s"batch=${c.id}"))
-      vacuumed += c.id
-      writeAtomic(commitsDir.resolve(f"${c.id}%012d.json"),
-        Serialization.write(c.copy(tsMillis = c.tsMillis))
-          .dropRight(1) + ",\"vacuumed\":true}")
-    }
+    reclaim.foreach(reclaimBatch)
     reclaim.map(_.id).toSeq
+  }
+
+  /** Time-based retention (Kafka-style): reclaim the storage of every
+    * batch committed before `cutoffMillis`, regardless of consumption.
+    * Offsets, entry/segment accounting, and cursors survive — only the
+    * data is gone (same storage-only semantics as [[vacuum]]); a cursor
+    * below the earliest retained offset simply resumes at the next
+    * retained batch. Complements [[vacuum]]'s consumption-based
+    * reclamation (reference: src/wal/runtime/allocator.rs:188-342) for
+    * topics with slow or absent consumers. */
+  def vacuumOlderThan(cutoffMillis: Long): Seq[Long] = synchronized {
+    val reclaim = visibleCommits.filter(c =>
+      c.topics.nonEmpty && c.tsMillis < cutoffMillis)
+    reclaim.foreach(reclaimBatch)
+    reclaim.map(_.id).toSeq
+  }
+
+  /** Delete a batch's data dir and mark its commit record vacuumed —
+    * state is still replayed on recovery, only reads skip it. */
+  private def reclaimBatch(c: CommitRecord): Unit = {
+    deleteRecursively(dataDir.resolve(s"batch=${c.id}"))
+    vacuumed += c.id
+    writeAtomic(commitsDir.resolve(f"${c.id}%012d.json"),
+      Serialization.write(c).dropRight(1) + ",\"vacuumed\":true}")
   }
 
   /** Compact the current visible batches into one batch of few large files

@@ -77,6 +77,66 @@ object Similarity {
       greatest(sims: _*).getField("cid").as("centroid_id"))
   }
 
+  /** Multi-probe LSH candidate generation: each query probes its own
+    * bucket plus every bucket at Hamming distance 1 (one hyperplane sign
+    * flipped) — the standard recall-recovery move for vectors near a
+    * hyperplane boundary. The query side explodes to `planes + 1` probe
+    * rows and equi-joins the corpus bucket table, so the join stays
+    * bucket-local at any scale (no corpus shuffle beyond the bucket key).
+    * Returns (query_id, neighbor_id) candidates for exact re-rank. */
+  def lshMultiProbe(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, planes: Int): DataFrame = {
+    val qb = lshBuckets(queries, idCol, vecCol, planes)
+      .select(col(idCol).as("query_id"), col("bucket"))
+    val probes = array(
+      (col("bucket") +: (0 until planes).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j)))): _*)
+    val qProbes = qb.select(col("query_id"), explode(probes).as("bucket"))
+    val cb = lshBuckets(corpus, idCol, vecCol, planes)
+      .select(col(idCol).as("neighbor_id"), col("bucket"))
+    qProbes.join(cb, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Lloyd (k-means) refinement of [[ivfAssign]]'s coarse quantizer:
+    * `iters` rounds of (recompute centroid means over current members,
+    * reassign every vector to its nearest centroid by cosine).
+    *
+    * Deterministic across engines: components are quantized to 1e-6 by
+    * integer floor BEFORE summing (exact BIGINT sums in any order), means
+    * and cosines are fixed-order double chains rounded to 6 dp. Each round
+    * is one groupBy shuffle over members plus a broadcast of `nCentroids`
+    * centroid rows — the textbook scalable k-means|| shape. Empty clusters
+    * drop out (their rows simply stop existing). */
+  def ivfKmeans(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 1): DataFrame = {
+    def elem(d: Int): Column = element_at(col(vecCol), d + 1).cast("double")
+    var assign = ivfAssign(emb, idCol, vecCol, nCentroids)
+      .select(col(idCol), col("centroid_id"))
+    (0 until iters).foreach { _ =>
+      val joined = emb.join(assign, idCol)
+      val sums = (0 until 64).map(d =>
+        sum(floor(elem(d) * lit(1e6)).cast("long")).as(s"s$d"))
+      val agg = joined.groupBy(col("centroid_id").as("cid"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+      val cents = agg.select(col("cid") +: (0 until 64).map(d =>
+        round(col(s"s$d").cast("double") / col("n") / lit(1e6), 6).as(s"c$d")): _*)
+      val dot = (0 until 64).map(d => elem(d) * col(s"c$d")).reduce(_ + _)
+      val nv = (0 until 64).map(d => elem(d) * elem(d)).reduce(_ + _)
+      val nc = (0 until 64).map(d => col(s"c$d") * col(s"c$d")).reduce(_ + _)
+      val sim = round(dot / (sqrt(nv) * sqrt(nc)), 6)
+      assign = emb.crossJoin(broadcast(cents))
+        .select(col(idCol), struct(sim.as("sim"), col("cid")).as("sc"))
+        .groupBy(col(idCol))
+        .agg(max(col("sc")).as("m"))
+        .select(col(idCol), col("m.cid").as("centroid_id"))
+    }
+    assign
+  }
+
   /** ANN top-k via LSH buckets: candidates = same-bucket pairs, exact
     * cosine re-rank inside the bucket, per-query top-k. Recall trades off
     * with `planes`; at scale add multi-probe (flip one bit) to recover

@@ -398,6 +398,33 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.topicSize("t") == 150 + 2 * 256)
   }
 
+  test("time-based retention reclaims old batches, keeps accounting + reads") {
+    import java.sql.Timestamp
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    def ingest(vals: Seq[String], ts: Long): Unit = {
+      val df = spark.createDataFrame(vals.zipWithIndex.map { case (v, i) => (("t"), v.getBytes("UTF-8"), i.toLong) })
+        .toDF("topic", "value", "_seq")
+      log.appendDF(df, Some(org.apache.spark.sql.functions.col("_seq")), new Timestamp(ts))
+    }
+    ingest(Seq("old0", "old1"), ts = 1000L)
+    ingest(Seq("new0", "new1"), ts = 5000L)
+    assert(log.vacuumOlderThan(3000L) == Seq(0L))
+    // accounting survives: offsets/counts unchanged, data of batch 0 gone
+    assert(log.totalAppended("t") == 4L)
+    assert(log.entryCount("t") == 4L) // count vs shared cursor, storage-independent
+    val remaining = log.batchRead("t", Long.MaxValue, checkpoint = false)
+    assert(remaining.map(e => str(e.value)) == Seq("new0", "new1"))
+    assert(remaining.map(_.offset) == Seq(2L, 3L))
+    // idempotent + survives restart
+    assert(log.vacuumOlderThan(3000L).isEmpty)
+    log.close()
+    val re = new WalrusLog(spark, root)
+    assert(re.totalAppended("t") == 4L)
+    assert(re.batchRead("t", Long.MaxValue, checkpoint = false)
+      .map(e => str(e.value)) == Seq("new0", "new1"))
+  }
+
   test("arrivalOrder ingest: interleaved topics get dense per-topic offsets") {
     import org.apache.spark.sql.functions._
     val log = new WalrusLog(spark, tempRoot())
