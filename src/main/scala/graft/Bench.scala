@@ -116,6 +116,14 @@ object Bench {
       lastBigLog.toDF().select(sum(length(col("value")))).collect()
       (System.nanoTime() - b1) / 1e9
     }.min
+    // same drain through the custom V2 source's vectorized reader (the
+    // path streaming consumers take)
+    val bigSourceDrainSec = (0 until 2).map { _ =>
+      val b1 = System.nanoTime()
+      WalrusStreams.read(spark, lastBigLog.root)
+        .select(sum(length(col("value")))).collect()
+      (System.nanoTime() - b1) / 1e9
+    }.min
     big.unpersist()
 
     // micro-batch latency: stream 5 single-entry commits at a 200 ms
@@ -151,6 +159,8 @@ object Bench {
       s""""bulk_ingest_mb_per_sec":${(bigBytes / 1e6 / bigIngestSec).toLong},""" +
       s""""bulk_drain_rows_per_sec":${(1000000.0 / bigDrainSec).toLong},""" +
       s""""bulk_drain_mb_per_sec":${(bigBytes / 1e6 / bigDrainSec).toLong},""" +
+      s""""bulk_source_drain_rows_per_sec":${(1000000.0 / bigSourceDrainSec).toLong},""" +
+      s""""bulk_source_drain_mb_per_sec":${(bigBytes / 1e6 / bigSourceDrainSec).toLong},""" +
       s""""microbatch_latency_ms":$mbLatency}""")
     spark.stop()
   }

@@ -1,28 +1,25 @@
 package graft.sources
 
 import java.nio.file.{Files, Path, Paths}
-import java.util.Optional
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.parquet.hadoop.ParquetReader
-import org.apache.parquet.hadoop.example.GroupReadSupport
-import org.apache.parquet.example.data.Group
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.JsonMethods
 
-import graft.log.{CommitRecord, TopicRange}
+import graft.log.CommitRecord
 
 /** DataSource V2 `walruslog` source: batch scan + Structured Streaming
   * micro-batch source over a WalrusLog namespace.
@@ -32,6 +29,15 @@ import graft.log.{CommitRecord, TopicRange}
   * sealed-chain walk (reference: src/wal/runtime/walrus_read.rs:24-345):
   * each micro-batch is a contiguous range of committed atomic batches, so
   * exactly-once replay falls out of checkpointed (start, end] commit ranges.
+  *
+  * Scans are **columnar**: each partition (one data file of one topic) is
+  * read with Spark's vectorized parquet reader — the file layout is pure
+  * int64/binary (ts stored as epoch-micros long precisely so the custom
+  * reader never meets INT96), and `topic` is appended as a constant
+  * partition column. Column pruning is pushed into the reader, so a
+  * streaming aggregate over one column reads only that column's pages.
+  * The raw schema mirrors the file layout (`ts_us`, topic last);
+  * [[graft.streaming.WalrusStreams]] projects the friendly shape.
   *
   * Options: `path` (log root), `namespace` (default `default`), `topic`
   * (optional filter — pruned at file listing, files of other topics are
@@ -49,13 +55,14 @@ class WalrusLogSource extends TableProvider with DataSourceRegister {
 }
 
 object WalrusLogSource {
-  /** Public entry schema (matches `WalrusLog.toDF` minus internal cols). */
+  /** Raw entry schema, in file-column order with the `topic` partition
+    * constant appended last (matching vectorized-batch layout). */
   val Schema: StructType = StructType(Seq(
-    StructField("topic", StringType),
     StructField("offset", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts_us", LongType),
     StructField("value", BinaryType),
-    StructField("checksum", LongType)))
+    StructField("checksum", LongType),
+    StructField("topic", StringType)))
 
   private[sources] implicit val formats: Formats = DefaultFormats
 
@@ -131,27 +138,32 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new WalrusLogScan(nsDir, options)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = WalrusLogSource.Schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new WalrusLogScan(nsDir, options, required)
     }
 }
 
-class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap) extends Scan {
+class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
+    required: StructType) extends Scan {
   private val topic = Option(options.get("topic"))
-  override def readSchema(): StructType = WalrusLogSource.Schema
-  override def description(): String = s"WalrusLogScan($nsDir, topic=$topic)"
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"WalrusLogScan($nsDir, topic=$topic, columns=${required.fieldNames.mkString(",")})"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       WalrusLogSource.partitionsFor(nsDir,
         WalrusLogSource.listCommits(nsDir), topic)
     override def createReaderFactory(): PartitionReaderFactory =
-      new WalrusReaderFactory
+      new WalrusReaderFactory(required)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new WalrusMicroBatchStream(nsDir, topic,
-      Option(options.get("maxBatchesPerTrigger")).map(_.toInt))
+      Option(options.get("maxBatchesPerTrigger")).map(_.toInt), required)
 }
 
 /** Streaming offset = number of commit-log entries consumed. */
@@ -160,7 +172,8 @@ case class CommitIndexOffset(commitIndex: Long) extends Offset {
 }
 
 class WalrusMicroBatchStream(
-    nsDir: Path, topic: Option[String], maxBatchesPerTrigger: Option[Int])
+    nsDir: Path, topic: Option[String], maxBatchesPerTrigger: Option[Int],
+    required: StructType)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def commits = WalrusLogSource.listCommits(nsDir)
@@ -193,7 +206,8 @@ class WalrusMicroBatchStream(
     WalrusLogSource.partitionsFor(nsDir, commits.slice(s, e), topic)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new WalrusReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WalrusReaderFactory(required)
 
   override def deserializeOffset(json: String): Offset = {
     implicit val f: Formats = DefaultFormats
@@ -206,36 +220,58 @@ class WalrusMicroBatchStream(
 
 case class WalrusFilePartition(topic: String, file: String) extends InputPartition
 
-class WalrusReaderFactory extends PartitionReaderFactory {
+/** Reads one data file of one topic. File columns are a subset of
+  * (offset, ts_us, value, checksum, len); `topic` comes from the dir name
+  * and is appended as a constant partition column by the vectorized
+  * reader. Pruned column sets stream straight from parquet pages into
+  * `ColumnarBatch`es; only a topic-only/empty projection (e.g. count(*))
+  * falls back to a row reader driven by footer row counts. */
+class WalrusReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  private val fileCols = schema.fields.filter(_.name != "topic")
+  private val hasTopic = schema.fieldNames.contains("topic")
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    fileCols.nonEmpty
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[WalrusFilePartition]
+    val reader = new VectorizedParquetRecordReader(false, 4096)
+    var ok = false
+    try {
+      reader.initialize(p.file, fileCols.map(_.name).toList.asJava)
+      val (partSchema, partRow) =
+        if (hasTopic)
+          (StructType(Seq(StructField("topic", StringType))),
+            new GenericInternalRow(Array[Any](UTF8String.fromString(p.topic))))
+        else (new StructType(), InternalRow.empty)
+      reader.initBatch(partSchema, partRow)
+      reader.enableReturningBatches()
+      ok = true
+    } finally if (!ok) reader.close()
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = reader.nextKeyValue()
+      override def get(): ColumnarBatch =
+        reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  /** Row fallback for projections with no file columns: emit `rowCount`
+    * constant rows (topic or empty), count from the parquet footer. */
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WalrusFilePartition]
-    new WalrusPartitionReader(p.topic, p.file)
+    val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.file), new org.apache.hadoop.conf.Configuration())
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
+    val rowCount = try footer.getRecordCount finally footer.close()
+    val row: InternalRow =
+      if (hasTopic) new GenericInternalRow(Array[Any](UTF8String.fromString(p.topic)))
+      else InternalRow.empty
+    new PartitionReader[InternalRow] {
+      private var remaining = rowCount
+      override def next(): Boolean = { remaining -= 1; remaining >= 0 }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
   }
-}
-
-/** Reads one data file of one topic; file columns are
-  * (offset, ts_us, value, checksum, len); topic comes from the dir name. */
-class WalrusPartitionReader(topic: String, file: String)
-    extends PartitionReader[InternalRow] {
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file))
-      .withConf(new Configuration())
-      .build()
-  private var current: Group = _
-  private val topicUtf8 = UTF8String.fromString(topic)
-
-  override def next(): Boolean = {
-    current = reader.read()
-    current != null
-  }
-
-  override def get(): InternalRow = {
-    val offset = current.getLong("offset", 0)
-    val tsUs = current.getLong("ts_us", 0)
-    val value = current.getBinary("value", 0).getBytes
-    val checksum = current.getLong("checksum", 0)
-    new GenericInternalRow(Array[Any](topicUtf8, offset, tsUs, value, checksum))
-  }
-
-  override def close(): Unit = reader.close()
 }

@@ -34,6 +34,16 @@ object WalrusStreams {
 
   val DefaultTriggerMs = 200L // FsyncSchedule::Milliseconds(200) parity
 
+  /** The source's raw schema is the file layout (`ts_us` epoch-micros,
+    * topic last, vectorized-batch order); this projection restores the
+    * public entry shape. Column pruning still reaches the parquet reader —
+    * Catalyst pushes the projection through. */
+  private def entryShape(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(col("topic"), col("offset"),
+      timestamp_micros(col("ts_us")).as("ts"), col("value"), col("checksum"))
+  }
+
   /** Streaming DataFrame over a log namespace (optionally one topic). */
   def readStream(
       spark: SparkSession, root: String, namespace: String = "default",
@@ -43,7 +53,7 @@ object WalrusStreams {
       .option("path", root).option("namespace", namespace)
     topic.foreach(t => r = r.option("topic", t))
     maxBatchesPerTrigger.foreach(n => r = r.option("maxBatchesPerTrigger", n))
-    r.load()
+    entryShape(r.load())
   }
 
   /** Batch DataFrame over the same source (BATCH_READ capability). */
@@ -52,7 +62,7 @@ object WalrusStreams {
     var r = spark.read.format("walruslog")
       .option("path", root).option("namespace", namespace)
     topic.foreach(t => r = r.option("topic", t))
-    r.load()
+    entryShape(r.load())
   }
 
   /** Streaming writer into a log: rows need `topic` + `value` columns.

@@ -57,6 +57,14 @@ object IngestBench {
         lastLog.toDF().select(sum(length(col("value")))).collect()
         (System.nanoTime() - t0) / 1e9
       }.min
+      val srcDrainSec = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.streaming.WalrusStreams.read(spark, lastLog.root)
+          .select(sum(length(col("value")))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"$mode cw=$cw v2-source drain: ${1000000 / srcDrainSec}%.0f rows/s, " +
+        f"${bytes / 1e6 / srcDrainSec}%.1f MB/s")
       println(f"$mode cw=$cw best ingest: ${secs.min}%.3f s = ${1000000 / secs.min}%.0f rows/s, " +
         f"${bytes / 1e6 / secs.min}%.1f MB/s; drain: ${1000000 / drainSec}%.0f rows/s, " +
         f"${bytes / 1e6 / drainSec}%.1f MB/s")
