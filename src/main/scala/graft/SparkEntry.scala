@@ -235,6 +235,52 @@ object SparkEntry {
           floor(col("p_retailprice")).cast("long").as("price_floor"))
         .orderBy("p_partkey")
     }),
+    "rel_window_lead_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = table(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wp = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          rank().over(wp).cast("long").as("rnk_in_priority"),
+          dense_rank().over(wp).cast("long").as("drnk_in_priority"))
+        .orderBy("o_orderkey")
+    }),
+    "rel_rollup" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      o.as("o").join(broadcast(c).as("c"), col("o.o_custkey") === col("c.c_custkey"))
+        .join(broadcast(n).as("n"), col("c.c_nationkey") === col("n.n_nationkey"))
+        .select(col("n.n_name").as("n_name"),
+          col("o.o_orderpriority").as("o_orderpriority"),
+          col("o.o_totalprice").as("o_totalprice"))
+        // Column-based rollup: the String-varargs overload re-resolves the
+        // grouping names against the joined lineage and trips Spark 4's
+        // ambiguous-self-join detector
+        .rollup(col("n_name"), col("o_orderpriority"))
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .selectExpr("coalesce(n_name, 'ALL') AS nation",
+          "coalesce(o_orderpriority, 'ALL') AS priority", "revenue", "n_orders")
+        .orderBy("nation", "priority")
+    }),
+    "rel_salted_join" -> ((s, dir) => {
+      // skew-mitigated fact⨝dim join: result set is identical to the plain
+      // join (the salt only splits hot keys across reducers), which is
+      // exactly what the oracle checks
+      val li = table(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      graft.operators.Skew.saltedJoin(li, sup, Seq("suppkey"), saltFactor = 8)
+        .groupBy("s_name")
+        .agg(dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("s_name")
+    }),
     "rel_events_hourly" -> ((s, dir) => {
       events(s, dir)
         .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
@@ -310,6 +356,14 @@ object SparkEntry {
           "vec_id", "embedding", planes = 8)
         .orderBy("query_id", "neighbor_id")
     }),
+    "sim_ivf_search" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.ivfSearch(e.where(col("vec_id") < 20), e,
+          "vec_id", "embedding", nCentroids = 8, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), col("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
 
     // ---- text analysis ----
     "text_token_stats" -> ((s, dir) =>
@@ -331,6 +385,9 @@ object SparkEntry {
         .orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(table(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalize(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
     // ---- as-of join (custom operator by composition) ----
@@ -468,6 +525,31 @@ object SparkEntry {
           |  round(p_retailprice, 1) AS price_r1,
           |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor
           |FROM part ORDER BY p_partkey""".stripMargin,
+      "rel_window_lead_lag" ->
+        """SELECT o_custkey, o_orderkey,
+          |  lag(o_totalprice, 1) OVER w AS prev_price,
+          |  lead(o_totalprice, 1) OVER w AS next_price,
+          |  CAST(rank() OVER wp AS BIGINT) AS rnk_in_priority,
+          |  CAST(dense_rank() OVER wp AS BIGINT) AS drnk_in_priority
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          |  wp AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+          |ORDER BY o_orderkey""".stripMargin,
+      "rel_rollup" ->
+        s"""SELECT COALESCE(n_name, 'ALL') AS nation,
+           |  COALESCE(o_orderpriority, 'ALL') AS priority,
+           |  ${dsumSql("o_totalprice")} AS revenue,
+           |  count(*) AS n_orders
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY ROLLUP(n_name, o_orderpriority)
+           |ORDER BY nation, priority""".stripMargin,
+      "rel_salted_join" ->
+        s"""SELECT s_name, ${dsumSql("l_extendedprice")} AS revenue,
+           |  count(*) AS n_items
+           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |GROUP BY s_name ORDER BY s_name""".stripMargin,
       "rel_events_hourly" ->
         s"""SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
            |  count(*) AS n, ${dsumSql("value")} AS sum_value
@@ -654,6 +736,38 @@ object SparkEntry {
            |ORDER BY query_id, neighbor_id""".stripMargin
       },
 
+      "sim_ivf_search" -> {
+        val cells = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, round(${projDotSql("e", cIdx + 101)}, 6) AS sim FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH s AS (
+           |  $cells),
+           |a AS (SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s)
+           |  WHERE rn = 1),
+           |q AS (SELECT e.vec_id, e.embedding, a.cid FROM embeddings e
+           |  JOIN a USING (vec_id) WHERE e.vec_id < 20),
+           |c AS (SELECT e.vec_id, e.embedding, a.cid FROM embeddings e
+           |  JOIN a USING (vec_id)),
+           |p AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    round((${dotSql("q", "c")}) /
+           |      (sqrt(${normSqSql("q")}) * sqrt(${normSqSql("c")})), 6) AS cosine
+           |  FROM q JOIN c ON q.cid = c.cid AND q.vec_id <> c.vec_id),
+           |r AS (
+           |  SELECT query_id, neighbor_id, cosine,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM p)
+           |SELECT query_id, neighbor_id, rnk, cosine FROM r
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      },
+      "text_normalize" ->
+        """SELECT doc_id,
+          |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+          |    ' +', ' ', 'g')) AS norm_text
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "text_token_stats" ->
         """SELECT doc_id,
           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

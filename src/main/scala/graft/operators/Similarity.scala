@@ -137,6 +137,30 @@ object Similarity {
     assign
   }
 
+  /** IVF probe search: assign corpus and queries to their coarse cells
+    * ([[ivfAssign]]), then search ONLY the query's cell with exact cosine
+    * and keep the top `k` — the classic inverted-file ANN query. The
+    * query side broadcasts; the corpus is scanned once and partitioned by
+    * cell, so search cost per query is its cell size, never the corpus. */
+  def ivfSearch(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, nCentroids: Int, k: Int): DataFrame = {
+    val ca = ivfAssign(corpus, idCol, vecCol, nCentroids)
+    val qa = ivfAssign(queries, idCol, vecCol, nCentroids)
+    val c = corpus.join(ca, idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("centroid_id"))
+    val q = queries.join(qa, idCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("centroid_id"))
+    val scored = c.join(broadcast(q), Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine_similarity(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** ANN top-k via LSH buckets: candidates = same-bucket pairs, exact
     * cosine re-rank inside the bucket, per-query top-k. Recall trades off
     * with `planes`; at scale add multi-probe (flip one bit) to recover

@@ -86,6 +86,15 @@ object TextAnalysis {
         col("_max").as("marker_hits"))
   }
 
+  /** Normalization: lowercase, replace non-alphanumerics with spaces,
+    * collapse whitespace runs, trim — the canonical cleanup pass before
+    * shingling/dedup. Pure codegen'd string ops, no UDFs. */
+  def normalize(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "),
+        " +", " ")).as("norm_text"))
+
   /** Document fingerprint: minimum modular hash over the document's
     * k-shingle codes — a winnowing-style content fingerprint; equal
     * fingerprints are near-dup candidates. */
