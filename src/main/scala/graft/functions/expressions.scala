@@ -120,6 +120,69 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_similarity"
 }
 
+/** Dot product of a float/double array with the deterministic
+  * pseudo-random projection vector `plane` (components from
+  * [[graft.operators.Similarity.projComponent]]), fused into one codegen'd
+  * loop. Semantically identical to the 64-term
+  * `Σ element_at(v, d+1) * projComponent(plane, d)` column chain (same
+  * left-to-right accumulation order, so the DuckDB oracle reproduces it
+  * bit-for-bit), but one expression node instead of ~192 — the unfused
+  * tree dominated codegen compile time for the LSH/IVF operators. */
+case class ProjectionDot(child: Expression, plane: Int, dims: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"projection_dot requires ARRAY<FLOAT|DOUBLE> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val comps = ProjectionDot.components(plane, dims)
+    val n = math.min(v.numElements(), dims)
+    var dot = 0.0
+    var d = 0
+    while (d < n) {
+      val x = if (elemIsFloat) v.getFloat(d).toDouble else v.getDouble(d)
+      dot += x * comps(d)
+      d += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val comps = ctx.addReferenceObj("projComps",
+        ProjectionDot.components(plane, dims), "double[]")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val get = if (elemIsFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |int $n = Math.min($v.numElements(), $dims);
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ($get) * $comps[$i];
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): ProjectionDot =
+    copy(child = newChild)
+  override def prettyName: String = "projection_dot"
+}
+
+object ProjectionDot {
+  /** Materialized projection vector for `plane` (same LCG constants as the
+    * SQL-generated oracle). */
+  def components(plane: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims)(d => graft.operators.Similarity.projComponent(plane, d))
+}
+
 /** All base-128 k-shingle codes of an ASCII string in one pass:
   * `code_i = Σ_d byte(i+d) * 128^(k-1-d)` for i in [0, len-k].
   *
@@ -192,6 +255,8 @@ object GraftFunctions {
       CosineSimilarity(GraftSqlInternal.expression(a), GraftSqlInternal.expression(b)))
   def shingle_codes(c: Column, k: Int): Column =
     GraftSqlInternal.column(ShingleCodes(GraftSqlInternal.expression(c), k))
+  def projection_dot(c: Column, plane: Int, dims: Int = 64): Column =
+    GraftSqlInternal.column(ProjectionDot(GraftSqlInternal.expression(c), plane, dims))
 
   /** Registers `fnv1a64` / `cosine_similarity` for use from SQL text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -51,11 +51,9 @@ object Similarity {
     * no shuffle until the bucket groupBy/join. */
   def lshBuckets(
       emb: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame = {
+    import graft.functions.GraftFunctions.projection_dot
     val bucketBits = (0 until planes).map { j =>
-      val dot = (0 until 64).map { d =>
-        element_at(col(vecCol), d + 1).cast("double") * lit(projComponent(j, d))
-      }.reduce(_ + _)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+      when(projection_dot(col(vecCol), j) > 0, lit(1L << j)).otherwise(lit(0L))
     }
     emb.select(col(idCol), bucketBits.reduce(_ + _).as("bucket"))
   }
@@ -67,11 +65,10 @@ object Similarity {
     * inverted-file layout, expressed as a bucket join. */
   def ivfAssign(
       emb: DataFrame, idCol: String, vecCol: String, nCentroids: Int): DataFrame = {
+    import graft.functions.GraftFunctions.projection_dot
     val sims = (0 until nCentroids).map { cIdx =>
-      val dot = (0 until 64).map { d =>
-        element_at(col(vecCol), d + 1).cast("double") * lit(projComponent(cIdx + 101, d))
-      }.reduce(_ + _)
-      struct(round(dot, 6).as("sim"), lit(cIdx).as("cid"))
+      struct(round(projection_dot(col(vecCol), cIdx + 101), 6).as("sim"),
+        lit(cIdx).as("cid"))
     }
     emb.select(col(idCol),
       greatest(sims: _*).getField("cid").as("centroid_id"))
@@ -122,12 +119,12 @@ object Similarity {
         sum(floor(elem(d) * lit(1e6)).cast("long")).as(s"s$d"))
       val agg = joined.groupBy(col("centroid_id").as("cid"))
         .agg(count(lit(1)).as("n"), sums: _*)
-      val cents = agg.select(col("cid") +: (0 until 64).map(d =>
-        round(col(s"s$d").cast("double") / col("n") / lit(1e6), 6).as(s"c$d")): _*)
-      val dot = (0 until 64).map(d => elem(d) * col(s"c$d")).reduce(_ + _)
-      val nv = (0 until 64).map(d => elem(d) * elem(d)).reduce(_ + _)
-      val nc = (0 until 64).map(d => col(s"c$d") * col(s"c$d")).reduce(_ + _)
-      val sim = round(dot / (sqrt(nv) * sqrt(nc)), 6)
+      val cents = agg.select(col("cid"), array((0 until 64).map(d =>
+        round(col(s"s$d").cast("double") / col("n") / lit(1e6), 6)): _*).as("cent"))
+      // cosine_similarity's fused loop accumulates dot and both norms in
+      // the same left-to-right order as the oracle's 64-term chains
+      val sim = round(
+        graft.functions.GraftFunctions.cosine_similarity(col(vecCol), col("cent")), 6)
       assign = emb.crossJoin(broadcast(cents))
         .select(col(idCol), struct(sim.as("sim"), col("cid")).as("sc"))
         .groupBy(col(idCol))
