@@ -2,6 +2,8 @@ package graft.log
 
 import java.nio.file.Files
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
@@ -396,6 +398,69 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val log = new WalrusLog(spark, tempRoot())
     log.batchAppend("t", Seq(new Array[Byte](100), new Array[Byte](50)))
     assert(log.topicSize("t") == 150 + 2 * 256)
+  }
+
+  test("chaos: random op sequences preserve the TLA-style safety invariants") {
+    // End-to-end analogue of the reference's TLC-checked invariants
+    // (distributed-walrus/spec/DistributedWalrus.tla:139-206): sealed
+    // counts sum to last_sealed (LastSealedIsSum), cursors stay in
+    // [0, nextOffset] (CursorBounds), consumption is dense in-order
+    // delivery (SeqOrder), and restart replay preserves all of it.
+    val r = new scala.util.Random(7)
+    var root = tempRoot()
+    var log = new WalrusLog(spark, root, cfg = LogConfig(maxSegmentEntries = 7))
+    val topics = Seq("alpha", "beta")
+    val appended = mutable.Map("alpha" -> 0L, "beta" -> 0L)
+    val consumed = mutable.Map("alpha" -> 0L, "beta" -> 0L)
+    def grab(js: String, k: String): Long =
+      raw""""$k":(-?\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong).getOrElse(0L)
+    def sealedSum(js: String): Long = {
+      val m = raw""""sealed_segments":\{([^}]*)\}""".r.findFirstMatchIn(js)
+        .map(_.group(1)).getOrElse("")
+      raw""":(\d+)""".r.findAllMatchIn(m).map(_.group(1).toLong).sum
+    }
+    (0 until 30).foreach { step =>
+      val t = topics(r.nextInt(topics.size))
+      r.nextInt(6) match {
+        case 0 | 1 => // single append
+          log.append(t, s"$t-${appended(t)}".getBytes)
+          appended(t) += 1
+        case 2 => // atomic batch
+          val n = 1 + r.nextInt(9)
+          log.batchAppend(t, (0 until n).map(i => s"$t-${appended(t) + i}".getBytes("UTF-8")))
+          appended(t) += n
+        case 3 => // consume a few, verify dense in-order delivery
+          val got = log.batchRead(t, maxBytes = 1 + r.nextInt(60))
+          got.zipWithIndex.foreach { case (e, i) =>
+            assert(e.offset == consumed(t) + i, s"step $step SeqOrder")
+            assert(str(e.value) == s"$t-${e.offset}", s"step $step payload")
+          }
+          consumed(t) += got.size
+        case 4 => // restart: full recovery replay
+          log.close()
+          log = new WalrusLog(spark, root, cfg = LogConfig(maxSegmentEntries = 7))
+        case 5 => // reclaim consumed storage
+          log.vacuum()
+      }
+      topics.foreach { tt =>
+        val js = log.stateJson(tt)
+        assert(grab(js, "next_offset") == appended(tt), s"step $step appended")
+        assert(sealedSum(js) == grab(js, "last_sealed_entry_offset"),
+          s"step $step LastSealedIsSum")
+        assert(grab(js, "last_sealed_entry_offset") <= appended(tt),
+          s"step $step NoSealPastOpen")
+        val cursor = log.committedOffset(WalrusLog.SharedGroup, tt)
+        assert(cursor == consumed(tt) && cursor >= 0 && cursor <= appended(tt),
+          s"step $step CursorBounds")
+        assert(log.entryCount(tt) == appended(tt) - consumed(tt), s"step $step count")
+      }
+    }
+    // drain fully: everything appended is delivered exactly once, in order
+    topics.foreach { t =>
+      val rest = log.batchRead(t, Long.MaxValue, entriesCap = 2000)
+      val all = (consumed(t) until appended(t)).map(o => s"$t-$o")
+      assert(rest.map(e => str(e.value)) == all, s"final drain $t")
+    }
   }
 
   test("time-based retention reclaims old batches, keeps accounting + reads") {
