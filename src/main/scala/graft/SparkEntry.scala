@@ -52,6 +52,31 @@ object SparkEntry {
   private def mainLog(spark: SparkSession, dir: String): WalrusLog =
     eventsLog(spark, dir, "main", LogConfig())
 
+  /** Events ingested as three sequential commits, then compacted into one
+    * batch — the dump query proves compaction preserves every (topic,
+    * offset, value) triple (same oracle as the straight dump). */
+  private def compactLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "compacted"), {
+      val root = Files.createTempDirectory("graft-log-compacted-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ev = events(spark, dir).select(
+        col("event_type").as("topic"),
+        encode(col("props"), "UTF-8").as("value"),
+        col("event_id").as("_seq")).cache()
+      val n = ev.count()
+      val cut1 = n / 3
+      val cut2 = 2 * n / 3
+      Seq(
+        ev.where(col("_seq") < cut1),
+        ev.where(col("_seq") >= cut1 && col("_seq") < cut2),
+        ev.where(col("_seq") >= cut2)
+      ).foreach(slice => log.appendDF(slice, Some(col("_seq")), FixedTs))
+      ev.unpersist()
+      require(log.compact(targetFileBytes = 256L << 20).nonEmpty, "compact ran")
+      log
+    })
+
   /** Same data as [[mainLog]], reopened with maxSegmentEntries=50: recovery
     * replays the commit log under the new config, so segment accounting is
     * recomputed without re-ingesting anything. */
@@ -170,6 +195,23 @@ object SparkEntry {
         .orderBy("topic")
     }),
 
+    "log_compact_dump" -> ((s, dir) => {
+      compactLog(s, dir).toDF()
+        .select(col("topic"), col("offset").as("entry_offset"),
+          decode(col("value"), "UTF-8").as("value_str"))
+        .orderBy("topic", "entry_offset")
+    }),
+    "log_json_extract" -> ((s, dir) => {
+      // payloads are opaque bytes to the log; the relational surface
+      // decodes + parses them in place (utf-8 JSON here)
+      mainLog(s, dir).toDF()
+        .withColumn("k", get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("topic")
+    }),
+
     // ---- relational surface over tables (SURVEY §2.5: free via toDF) ----
     "rel_q1_pricing_summary" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
@@ -235,6 +277,15 @@ object SparkEntry {
           floor(col("p_retailprice")).cast("long").as("price_floor"))
         .orderBy("p_partkey")
     }),
+    "rel_percentiles" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)"), 6).as("p25"),
+          round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)"), 6).as("p50"),
+          round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.75)"), 6).as("p75"),
+          round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.9)"), 6).as("price_p90"))
+        .orderBy("l_returnflag")),
     "rel_window_lead_lag" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val o = table(s, dir, "orders")
@@ -473,6 +524,24 @@ object SparkEntry {
           |  CAST(CASE WHEN count(*) >= 50 THEN count(*) ELSE 0 END AS BIGINT) AS last_sealed
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      "log_compact_dump" ->
+        """SELECT event_type AS topic,
+          |  row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS entry_offset,
+          |  props AS value_str
+          |FROM events ORDER BY topic, entry_offset""".stripMargin,
+      "log_json_extract" ->
+        """SELECT event_type AS topic, count(*) AS n,
+          |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+          |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      "rel_percentiles" ->
+        """SELECT l_returnflag,
+          |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS p25,
+          |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
+          |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS p75,
+          |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS price_p90
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       "rel_q1_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
            |  ${dsumSql("l_quantity")} AS sum_qty,

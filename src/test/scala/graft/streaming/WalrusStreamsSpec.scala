@@ -51,6 +51,28 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicates with watermark across commits") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    // duplicate payloads within and across commits
+    log.batchAppend("t", Seq("x", "y", "x").map(bytes))
+    log.batchAppend("t", Seq("y", "z", "x").map(bytes))
+    val deduped = WalrusStreams.readStream(spark, root)
+      .withWatermark("ts", "1 minute")
+      .select(decode(col("value"), "UTF-8").as("v"), col("ts"))
+      .dropDuplicates("v")
+    val q = deduped.writeStream.format("memory")
+      .queryName("sdedup").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a later commit adds one more duplicate + one new value
+      log.batchAppend("t", Seq("z", "w").map(bytes))
+      q.processAllAvailable()
+      val vs = spark.sql("SELECT v FROM sdedup ORDER BY v").collect().map(_.getString(0))
+      assert(vs.toSeq == Seq("w", "x", "y", "z"))
+    } finally q.stop()
+  }
+
   test("topic option prunes other topics at file level") {
     val root = tempRoot()
     val log = new WalrusLog(spark, root)
