@@ -103,7 +103,7 @@ object Bench {
     val bigCfg = graft.log.LogConfig(compression = "uncompressed",
       dictionaryEncoding = false)
     var lastBigLog: WalrusLog = null
-    val bigIngestSec = (0 until 2).map { _ =>
+    val bigIngestSec = (0 until 3).map { _ =>
       val bigRoot = Files.createTempDirectory("bench-big-").toString
       lastBigLog = new WalrusLog(spark, bigRoot,
         consistency = ReadConsistency.AtLeastOnce(5000), cfg = bigCfg)
@@ -124,6 +124,22 @@ object Bench {
         .select(sum(length(col("value")))).collect()
       (System.nanoTime() - b1) / 1e9
     }.min
+    // full streaming drain: AvailableNow through the micro-batch engine
+    // (checkpointed offsets + vectorized scan), foreachBatch aggregation
+    val streamDrainSec = {
+      val ckpt = Files.createTempDirectory("bench-sdrain-").toString
+      val b1 = System.nanoTime()
+      val sq = WalrusStreams.readStream(spark, lastBigLog.root)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(sum(length(col("value")))).collect(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      (System.nanoTime() - b1) / 1e9
+    }
     big.unpersist()
 
     // micro-batch latency: stream 5 single-entry commits at a 200 ms
@@ -161,6 +177,8 @@ object Bench {
       s""""bulk_drain_mb_per_sec":${(bigBytes / 1e6 / bigDrainSec).toLong},""" +
       s""""bulk_source_drain_rows_per_sec":${(1000000.0 / bigSourceDrainSec).toLong},""" +
       s""""bulk_source_drain_mb_per_sec":${(bigBytes / 1e6 / bigSourceDrainSec).toLong},""" +
+      s""""stream_drain_rows_per_sec":${(1000000.0 / streamDrainSec).toLong},""" +
+      s""""stream_drain_mb_per_sec":${(bigBytes / 1e6 / streamDrainSec).toLong},""" +
       s""""microbatch_latency_ms":$mbLatency}""")
     spark.stop()
   }

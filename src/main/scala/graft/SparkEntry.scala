@@ -467,6 +467,17 @@ object SparkEntry {
         .orderBy("l_returnflag")),
 
     // ---- multimodal columns ----
+    "mm_frame_sample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      val wrapped = graft.operators.Multimodal.wrap(
+        d, "doc_id", "payload", lit("text/plain"), Seq.empty)
+      graft.operators.Multimodal.sampleFrames(s, wrapped, n = 4)
+        .select(col("id").as("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          decode(col("frame_bytes"), "UTF-8").as("frame_str"),
+          length(col("frame_bytes")).cast("long").as("frame_len"))
+        .orderBy("doc_id", "frame_idx")
+    }),
     "mm_describe" -> ((s, dir) => {
       val d = table(s, dir, "documents")
         .withColumn("payload", encode(col("text"), "UTF-8"))
@@ -892,6 +903,16 @@ object SparkEntry {
         ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
           "count(DISTINCT l_suppkey) AS n_supps FROM lineitem " +
           "GROUP BY l_returnflag ORDER BY l_returnflag"),
+      "mm_frame_sample" ->
+        """WITH f AS (
+          |  SELECT doc_id, unnest(generate_series(0, 3)) AS fi,
+          |    length(text) AS len, text
+          |  FROM documents WHERE length(text) > 0)
+          |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+          |  substr(text, CAST((len * fi) // 4 AS INT) + 1,
+          |    CAST((len * (fi + 1)) // 4 AS INT) - CAST((len * fi) // 4 AS INT)) AS frame_str,
+          |  CAST((len * (fi + 1)) // 4 - (len * fi) // 4 AS BIGINT) AS frame_len
+          |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
       "mm_describe" ->
         """SELECT doc_id, 'text/plain' AS mime, CAST(length(text) AS BIGINT) AS byte_len
           |FROM documents ORDER BY doc_id""".stripMargin
