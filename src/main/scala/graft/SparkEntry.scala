@@ -454,6 +454,21 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    "asof_nearest_click" -> ((s, dir) => {
+      // μs domain on both sides: events.ts is raw nanos in Spark but
+      // DuckDB truncates TIMESTAMP(NANOS) to micros on read
+      val ev = events(s, dir).withColumn("ts_us", expr("ts DIV 1000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+      graft.operators.AsOf.joinNearest(
+          purchases, clicks, Seq("user_id"), "ts_us", Seq("click_id"))
+        .select(col("purchase_id"), col("user_id"),
+          col("nearest_click_id"), col("nearest_delta").as("delta_us"))
+        .orderBy("purchase_id")
+    }),
+
     // ---- distinct counting (exact + HLL sketch) ----
     "rel_distinct_exact" -> ((s, dir) =>
       table(s, dir, "lineitem").groupBy("l_returnflag")
@@ -898,6 +913,24 @@ object SparkEntry {
           |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           |  ON p.user_id = c.user_id AND c.ts <= p.ts
+          |ORDER BY purchase_id""".stripMargin,
+      "asof_nearest_click" ->
+        """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+          |  WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, ts, event_id AS click_id FROM events
+          |  WHERE event_type = 'click'),
+          |pr AS (SELECT p.purchase_id, c.click_id AS cp, epoch_us(c.ts) AS tp
+          |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts),
+          |nx AS (SELECT p.purchase_id, c.click_id AS cn, epoch_us(c.ts) AS tn
+          |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts)
+          |SELECT p.purchase_id, p.user_id,
+          |  CASE WHEN tp IS NULL OR (tn IS NOT NULL
+          |         AND (tn - epoch_us(p.ts)) < (epoch_us(p.ts) - tp))
+          |       THEN cn ELSE cp END AS nearest_click_id,
+          |  CASE WHEN tp IS NULL OR (tn IS NOT NULL
+          |         AND (tn - epoch_us(p.ts)) < (epoch_us(p.ts) - tp))
+          |       THEN tn - epoch_us(p.ts) ELSE epoch_us(p.ts) - tp END AS delta_us
+          |FROM p JOIN pr USING (purchase_id) JOIN nx USING (purchase_id)
           |ORDER BY purchase_id""".stripMargin,
       "rel_distinct_exact" ->
         ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +

@@ -43,4 +43,53 @@ object AsOf {
     withAsof.where(col("_side") === 1)
       .select(lCols.map(col) ++ rightPayload.map(c => col(s"asof_$c")): _*)
   }
+
+  /** For each left row, attach the right row with the same `keys` NEAREST
+    * in time (either direction); ties go to the prior row. `timeCol` must
+    * be numeric (e.g. epoch nanos) so deltas are exact integers. With
+    * `tolerance`, matches farther than it are nulled out.
+    *
+    * Same composition shape as [[joinLastPrior]]: one union, one shuffle
+    * on the keys, two window passes (preceding `last` for the prior
+    * candidate, following `first` for the next candidate) sharing the
+    * exchange — no range-join explosion at any key cardinality. */
+  def joinNearest(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], timeCol: String,
+      rightPayload: Seq[String],
+      tolerance: Option[Column] = None): DataFrame = {
+    val lCols = left.columns
+    val rCols = keys.map(col) ++ Seq(col(timeCol)) ++ rightPayload.map(col)
+    val tagged = left.select(lCols.map(col) :+ lit(1).as("_side"): _*)
+      .unionByName(right.select(rCols :+ lit(0).as("_side"): _*),
+        allowMissingColumns = true)
+    // Prior pass: right rows sort before left at equal time (<= visible).
+    // Next pass: right rows sort after left at equal time (>= visible).
+    val wPrior = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("_side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def priorOf(c: String): Column =
+      last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(wPrior)
+    def nextOf(c: String): Column =
+      first(when(col("_side") === 0, col(c)), ignoreNulls = true).over(wNext)
+    val withCands = rightPayload.foldLeft(
+      tagged.withColumn("_p_ts", priorOf(timeCol)).withColumn("_n_ts", nextOf(timeCol))
+    ) { (df, c) =>
+      df.withColumn(s"_p_$c", priorOf(c)).withColumn(s"_n_$c", nextOf(c))
+    }
+    val dP = col(timeCol) - col("_p_ts")
+    val dN = col("_n_ts") - col(timeCol)
+    val useNext = col("_p_ts").isNull || (col("_n_ts").isNotNull && dN < dP)
+    val delta = when(useNext, dN).otherwise(dP)
+    val within = tolerance.map(t => delta <= t).getOrElse(lit(true))
+    withCands.where(col("_side") === 1)
+      .select(lCols.map(col) ++
+        rightPayload.map(c =>
+          when(within, when(useNext, col(s"_n_$c")).otherwise(col(s"_p_$c")))
+            .as(s"nearest_$c")) :+
+        when(within, delta).as("nearest_delta"): _*)
+  }
 }
