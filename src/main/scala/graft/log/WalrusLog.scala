@@ -824,7 +824,7 @@ object WalrusLog {
       try s.iterator().asScala.toSeq finally s.close()
     }
 
-  private[log] def deleteRecursively(p: Path): Unit =
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.sorted(java.util.Comparator.reverseOrder[Path]())

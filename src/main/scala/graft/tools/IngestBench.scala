@@ -26,27 +26,42 @@ object IngestBench {
       // skip .crc sidecars + CRC32 of every byte on local writes
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.local.dir",
+        sys.env.getOrElse("BENCH_LOCAL_DIR", "/tmp"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val reps = sys.env.getOrElse("BENCH_PAYLOAD_REPS", "24").toInt // 32B units
     val big = spark.range(1000000)
       .select(concat(lit("topic-"), (col("id") % 10).cast("string")).as("topic"),
-        unhex(repeat(sha2(col("id").cast("string").cast("binary"), 256), 12)).as("value"),
+        unhex(repeat(sha2(col("id").cast("string").cast("binary"), 256), reps)).as("value"),
         col("id").as("_seq"))
       .cache()
     big.count()
-    val bytes = 1000000.0 * 384
+    val bytes = 1000000.0 * 32 * reps
 
-    for (mode <- Seq("shuffle"); cw <- Seq(0, 64)) {
+    // topic-per-producer arrival shape (the reference bench: 10 threads,
+    // one topic each): ids are contiguous per topic, so partitions are
+    // topic-clustered and the arrivalOrder path needs no shuffle
+    val clustered = spark.range(0, 1000000, 1, 32)
+      .select(concat(lit("topic-"), (col("id") / 100000).cast("int").cast("string")).as("topic"),
+        unhex(repeat(sha2(col("id").cast("string").cast("binary"), 256), reps)).as("value"),
+        col("id").as("_seq"))
+      .cache()
+    clustered.count()
+
+    for (mode <- Seq("clustered", "shuffle"); cw <- Seq(64)) {
       val cfg = LogConfig(compression = "uncompressed", dictionaryEncoding = false,
         concurrentWriters = cw)
       var lastLog: WalrusLog = null
       val secs = (0 until runs).map { i =>
-        val root = Files.createTempDirectory("ingestbench-").toString
+        val root = Files.createTempDirectory(
+          java.nio.file.Paths.get(sys.env.getOrElse("BENCH_ROOT_DIR", "/tmp")),
+          "ingestbench-").toString
         lastLog = new WalrusLog(spark, root,
           consistency = ReadConsistency.AtLeastOnce(5000), cfg = cfg)
         val t0 = System.nanoTime()
-        if (mode == "fast") lastLog.appendDF(big, arrivalOrder = true)
+        if (mode == "clustered") lastLog.appendDF(clustered, arrivalOrder = true)
         else lastLog.appendDF(big, Some(col("_seq")))
         val s = (System.nanoTime() - t0) / 1e9
         println(f"$mode cw=$cw run $i: $s%.3f s  (${1000000 / s}%.0f rows/s, ${bytes / 1e6 / s}%.1f MB/s)")
