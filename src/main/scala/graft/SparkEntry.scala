@@ -266,6 +266,15 @@ object SparkEntry {
         .unionAll(all.intersect(high).select(lit("has_high").as("tag"), col("o_custkey")))
         .orderBy("tag", "o_custkey")
     }),
+    "rel_exists_subquery" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val big = table(s, dir, "orders").where(col("o_totalprice") > 200000)
+      val has = c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(lit("has_big").as("tag"), col("c_custkey"))
+      val not = c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(lit("no_big").as("tag"), col("c_custkey"))
+      has.unionAll(not).orderBy("tag", "c_custkey")
+    }),
     "rel_scalar_functions" -> ((s, dir) => {
       table(s, dir, "part").select(
           col("p_partkey"),
@@ -367,6 +376,16 @@ object SparkEntry {
           "vec_id", "embedding", minCosine = 0.35)
         .withColumnRenamed("id_a", "vec_a").withColumnRenamed("id_b", "vec_b")
         .orderBy("vec_a", "vec_b")),
+
+    "dedup_clusters" -> ((s, dir) => {
+      // canonical-document assignment: connected components over the LSH
+      // candidate graph, label = min doc_id in the component
+      val pairs = Dedup.minHashLshPairs(table(s, dir, "documents"),
+        "doc_id", "text", k = 5, bands = 4, rowsPerBand = 4)
+      Dedup.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
 
     // ---- full dedup pipeline: LSH discovery -> exact-Jaccard verify ----
     "dedup_pipeline" -> ((s, dir) => {
@@ -611,6 +630,15 @@ object SparkEntry {
           |  INTERSECT
           |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000)
           |ORDER BY tag, o_custkey""".stripMargin,
+      "rel_exists_subquery" ->
+        """SELECT 'has_big' AS tag, c_custkey FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+          |UNION ALL
+          |SELECT 'no_big' AS tag, c_custkey FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+          |ORDER BY tag, c_custkey""".stripMargin,
       "rel_scalar_functions" ->
         """SELECT p_partkey,
           |  upper(p_brand) AS brand_u,
@@ -678,6 +706,34 @@ object SparkEntry {
            |FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
            |WHERE l.doc_id < r.doc_id
            |ORDER BY id_a, id_b""".stripMargin
+      },
+      "dedup_clusters" -> {
+        val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(${permSql("code", a, b)}) AS mh$j"
+        }.mkString(",\n  ")
+        val bandKeys = (0 until 4).map { bnd =>
+          (0 until 4).map(r => s"CAST(mh${bnd * 4 + r} AS VARCHAR)")
+            .mkString(s"SELECT doc_id, $bnd AS band, ", " || '_' || ", " AS bkey FROM sig")
+        }.mkString("\n  UNION ALL ")
+        s"""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 5),
+           |pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i FROM d),
+           |codes AS (SELECT DISTINCT doc_id, ${codeSql("text", 5)} AS code FROM pos),
+           |sig AS (SELECT doc_id, $mins FROM codes GROUP BY doc_id),
+           |banded AS (
+           |  $bandKeys),
+           |cand AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+           |  WHERE l.doc_id < r.doc_id),
+           |edges AS (
+           |  SELECT id_a AS a, id_b AS b FROM cand
+           |  UNION ALL SELECT id_b, id_a FROM cand),
+           |reach(node, lbl) AS (
+           |  SELECT DISTINCT a, a FROM edges
+           |  UNION
+           |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
+           |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+           |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
       },
       "dedup_simhash" -> {
         val votes = (0 until 16).map { j =>

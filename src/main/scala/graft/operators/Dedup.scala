@@ -183,6 +183,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over near-duplicate pairs: every id is labelled
+    * with the minimum id reachable through the pair graph — the canonical
+    * "keep one document per duplicate cluster" assignment. Iterative
+    * min-label propagation (the classic large-graph CC): each round is one
+    * shuffle (join + min-agg), rounds = graph diameter, lineage cut per
+    * round with an eager local checkpoint so plans stay flat. Near-dup
+    * graphs have tiny diameters in practice, so this converges in a few
+    * rounds at any corpus size. Only ids appearing in `pairs` are
+    * returned; singletons are their own cluster by definition. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache() // reused across iterations (distinct jobs), not a self-join
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lbl"))
+      val next = labels.union(prop).groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .where(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+    }
+    edges.unpersist(false)
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs among documents: pairs with
     * cosine ≥ `minCosine` (rounded to 6 dp for cross-engine determinism).
     * Discovery at scale should go through [[Similarity.lshBuckets]]; this is
