@@ -146,6 +146,7 @@ object SparkEntry {
   def warmup(spark: SparkSession, dir: String): Unit = {
     mainLog(spark, dir)
     segLog(spark, dir)
+    compactLog(spark, dir)
   }
 
   // ============================================================== queries

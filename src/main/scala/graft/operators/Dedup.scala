@@ -203,8 +203,18 @@ object Dedup {
     while (changed > 0) {
       val prop = edges.join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("lbl"))
-      val next = labels.union(prop).groupBy("node").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+      val hop = labels.union(prop).groupBy("node").agg(min("lbl").as("lbl"))
+      // pointer jumping: also adopt the label OF the label — squares the
+      // propagation distance per round, so rounds = O(log diameter). The
+      // fixpoint (min id per component) is unchanged.
+      val next = hop.as("x")
+        .join(hop.select(col("node").as("p_node"), col("lbl").as("p_lbl")),
+          col("x.lbl") === col("p_node"), "left")
+        .select(col("x.node").as("node"),
+          least(col("x.lbl"), coalesce(col("p_lbl"), col("x.lbl"))).as("lbl"))
+        // lazy: materializes during the changed-count action below, saving
+        // one job per round (eager would run its own)
+        .localCheckpoint(false)
       changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .where(col("n.lbl") =!= col("o.lbl")).count()
