@@ -342,6 +342,31 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy("s_name")
     }),
+    "rel_sessionize" -> ((s, dir) => {
+      // batch analogue of streaming.Sessionize: gap-based sessions (30 min)
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 30L * 60 * 1000000
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val b = events(s, dir)
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("t"))
+        .withColumn("prev", lag(col("t"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev").isNull || col("t") - col("prev") > gapUs, 1L).otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      b.groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("t")) - min(col("t"))).as("duration_us"))
+        .orderBy("user_id", "session_seq")
+    }),
+    "rel_pivot" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy((col("user_id") % 50).as("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_bucket")
+    }),
     "rel_events_hourly" -> ((s, dir) => {
       events(s, dir)
         .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
@@ -674,6 +699,28 @@ object SparkEntry {
            |  count(*) AS n_items
            |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
            |GROUP BY s_name ORDER BY s_name""".stripMargin,
+      "rel_sessionize" ->
+        """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+          |s AS (SELECT user_id, event_id, t,
+          |  CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+          |       THEN 1 ELSE 0 END AS is_new
+          |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+          |c AS (SELECT user_id, t,
+          |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+          |    ROWS UNBOUNDED PRECEDING) AS session_seq
+          |  FROM s)
+          |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+          |  count(*) AS n_events, CAST(max(t) - min(t) AS BIGINT) AS duration_us
+          |FROM c GROUP BY user_id, session_seq
+          |ORDER BY user_id, session_seq""".stripMargin,
+      "rel_pivot" ->
+        """SELECT user_id % 50 AS user_bucket,
+          |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+          |  CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+          |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+          |  CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+          |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+          |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
       "rel_events_hourly" ->
         s"""SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
            |  count(*) AS n, ${dsumSql("value")} AS sum_value
