@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spark.sql.extensions path: a session built with GraftExtensions
+  * can use every native function from plain SQL with no register() call.
+  * This suite cycles the shared local SparkContext (suites run
+  * sequentially in the forked test JVM), so it stops its session when
+  * done and later suites rebuild theirs. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extensions inject SQL functions at session build") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("GraftExtensionsSpec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT fnv1a64(CAST('hello' AS BINARY)) AS h,
+          |  round(cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS c,
+          |  size(shingle_codes('abcd', 2)) AS n,
+          |  projection_dot(array(CAST(1.0 AS FLOAT)), 0, 1) AS p
+          |""".stripMargin).head()
+      assert(r.getLong(0) == 0xa430d84680aabd0bL) // published FNV-1a vector
+      assert(r.getDouble(1) == 1.0)
+      assert(r.getInt(2) == 3)
+      assert(r.getDouble(3) == graft.operators.Similarity.projComponent(0, 0))
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
