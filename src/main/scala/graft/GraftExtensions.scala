@@ -20,7 +20,7 @@ import graft.functions.{CosineSimilarity, Fnv1a64, ProjectionDot, ShingleCodes}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String): ExpressionInfo =
-      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+      new ExpressionInfo(classOf[GraftExtensions].getName, name)
     ext.injectFunction((FunctionIdentifier("fnv1a64"),
       info("fnv1a64", "fnv1a64(bin) - FNV-1a 64-bit hash of a binary payload"),
       (exprs: Seq[Expression]) => Fnv1a64(exprs.head)))

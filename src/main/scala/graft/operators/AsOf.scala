@@ -25,7 +25,7 @@ object AsOf {
       rightPayload: Seq[String]): DataFrame = {
     val lCols = left.columns
     val tagged =
-      left.select(lCols.map(col) :+ lit(1).as("_side"): _*)
+      left.select(lCols.toSeq.map(col) :+ lit(1).as("_side"): _*)
         .unionByName(
           right.select(
             (keys.map(col) ++ Seq(col(timeCol)) ++ rightPayload.map(col)
@@ -41,7 +41,7 @@ object AsOf {
         last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
     }
     withAsof.where(col("_side") === 1)
-      .select(lCols.map(col) ++ rightPayload.map(c => col(s"asof_$c")): _*)
+      .select(lCols.toSeq.map(col) ++ rightPayload.map(c => col(s"asof_$c")): _*)
   }
 
   /** For each left row, attach the right row with the same `keys` NEAREST
@@ -60,7 +60,7 @@ object AsOf {
       tolerance: Option[Column] = None): DataFrame = {
     val lCols = left.columns
     val rCols = keys.map(col) ++ Seq(col(timeCol)) ++ rightPayload.map(col)
-    val tagged = left.select(lCols.map(col) :+ lit(1).as("_side"): _*)
+    val tagged = left.select(lCols.toSeq.map(col) :+ lit(1).as("_side"): _*)
       .unionByName(right.select(rCols :+ lit(0).as("_side"): _*),
         allowMissingColumns = true)
     // Prior pass: right rows sort before left at equal time (<= visible).
@@ -86,7 +86,7 @@ object AsOf {
     val delta = when(useNext, dN).otherwise(dP)
     val within = tolerance.map(t => delta <= t).getOrElse(lit(true))
     withCands.where(col("_side") === 1)
-      .select(lCols.map(col) ++
+      .select(lCols.toSeq.map(col) ++
         rightPayload.map(c =>
           when(within, when(useNext, col(s"_n_$c")).otherwise(col(s"_p_$c")))
             .as(s"nearest_$c")) :+
