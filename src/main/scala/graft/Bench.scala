@@ -179,6 +179,20 @@ object Bench {
     }
     val ingestRps = evRows / ingestSecs.min
 
+    // same commit via the arrival-order path (the reference's
+    // append_for_topic contract — it has no reorder-by-sequence concept):
+    // no shuffle, two jobs; events.parquet is a single ordered file so
+    // the resulting offsets are identical
+    val ingestArrivalSecs = (0 until 3).map { _ =>
+      val root = Files.createTempDirectory("bench-ingest-arr-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000))
+      val t0 = System.nanoTime()
+      log.appendDF(ev, arrivalOrder = true)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ingestArrivalRps = evRows / ingestArrivalSecs.min
+
     // drain: full vectorized scan of the ingested log
     val drainRoot = Files.createTempDirectory("bench-drain-").toString
     val drainLog = new WalrusLog(spark, drainRoot)
@@ -223,6 +237,7 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","ingest_rows_per_sec":${ingestRps.toLong},""" +
+      s""""ingest_arrival_rows_per_sec":${ingestArrivalRps.toLong},""" +
       s""""drain_rows_per_sec":${drainRps.toLong},""" +
       s""""bulk_ingest_rows_per_sec":${(1000000.0 / bigIngestSec).toLong},""" +
       s""""bulk_ingest_mb_per_sec":${(bigBytes / 1e6 / bigIngestSec).toLong},""" +
