@@ -168,9 +168,12 @@ object Bench {
       .cache()
     val evRows = ev.count().toDouble
 
+    val scratchRoots = scala.collection.mutable.ArrayBuffer.empty[String]
+
     // ingest: best of 3 appendDF batches into a fresh log
     val ingestSecs = (0 until 3).map { i =>
       val root = Files.createTempDirectory("bench-ingest-").toString
+      scratchRoots += root
       val log = new WalrusLog(spark, root,
         consistency = ReadConsistency.AtLeastOnce(5000))
       val t0 = System.nanoTime()
@@ -185,6 +188,7 @@ object Bench {
     // the resulting offsets are identical
     val ingestArrivalSecs = (0 until 3).map { _ =>
       val root = Files.createTempDirectory("bench-ingest-arr-").toString
+      scratchRoots += root
       val log = new WalrusLog(spark, root,
         consistency = ReadConsistency.AtLeastOnce(5000))
       val t0 = System.nanoTime()
@@ -201,6 +205,14 @@ object Bench {
     drainLog.toDF().select(sum(length(col("value")))).collect()
     val drainSec = (System.nanoTime() - d0) / 1e9
     val drainRps = evRows / drainSec
+
+    // clear the engine-metric footprint (caches, ~3 GB of scratch logs)
+    // before the query sweep — the same interference rationale that moved
+    // the bulk section ahead of the queries
+    ev.unpersist()
+    (scratchRoots.toSeq :+ drainRoot :+ lastBigLog.root :+ prodLog.root)
+      .foreach(r => graft.log.WalrusLog.deleteRecursively(java.nio.file.Paths.get(r)))
+    System.gc()
 
     // ---- query sweep (after the engine metrics; see note above) ----
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -20,24 +20,41 @@ import graft.functions.{CosineSimilarity, Fnv1a64, ProjectionDot, ShingleCodes}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String): ExpressionInfo =
-      new ExpressionInfo(classOf[GraftExtensions].getName, name)
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+        "", "", "", "", "", "", "")
+    // Constant integer argument (k / plane / dims): fail with a clear
+    // message on non-foldable or NULL input instead of an analysis-time
+    // ClassCastException.
+    def intArg(exprs: Seq[Expression], idx: Int, fn: String, what: String): Int = {
+      val e = exprs(idx)
+      if (!e.foldable)
+        throw new IllegalArgumentException(s"$fn: $what must be a constant")
+      e.eval() match {
+        case null =>
+          throw new IllegalArgumentException(s"$fn: $what must not be NULL")
+        case n: Number => n.intValue()
+        case other =>
+          throw new IllegalArgumentException(
+            s"$fn: $what must be an integer, got $other")
+      }
+    }
     ext.injectFunction((FunctionIdentifier("fnv1a64"),
-      info("fnv1a64", "fnv1a64(bin) - FNV-1a 64-bit hash of a binary payload"),
+      info("fnv1a64", "_FUNC_(bin) - FNV-1a 64-bit hash of a binary payload."),
       (exprs: Seq[Expression]) => Fnv1a64(exprs.head)))
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",
-        "cosine_similarity(a, b) - fused cosine between float/double arrays"),
+        "_FUNC_(a, b) - fused cosine similarity between float/double arrays."),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("shingle_codes"),
       info("shingle_codes",
-        "shingle_codes(text, k) - base-128 k-shingle codes, one rolling pass"),
+        "_FUNC_(text, k) - base-128 k-shingle codes in one rolling pass."),
       (exprs: Seq[Expression]) => ShingleCodes(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+        intArg(exprs, 1, "shingle_codes", "k"))))
     ext.injectFunction((FunctionIdentifier("projection_dot"),
       info("projection_dot",
-        "projection_dot(vec, plane, dims) - dot with the deterministic projection vector"),
+        "_FUNC_(vec, plane[, dims]) - dot with the deterministic projection vector."),
       (exprs: Seq[Expression]) => ProjectionDot(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        if (exprs.size > 2) exprs(2).eval().asInstanceOf[Number].intValue() else 64)))
+        intArg(exprs, 1, "projection_dot", "plane"),
+        if (exprs.size > 2) intArg(exprs, 2, "projection_dot", "dims") else 64)))
   }
 }

@@ -148,6 +148,7 @@ case class ProjectionDot(child: Expression, plane: Int, dims: Int)
     var dot = 0.0
     var d = 0
     while (d < n) {
+      if (v.isNullAt(d)) return null // parity with the NULL-propagating chain
       val x = if (elemIsFloat) v.getFloat(d).toDouble else v.getDouble(d)
       dot += x * comps(d)
       d += 1
@@ -166,9 +167,10 @@ case class ProjectionDot(child: Expression, plane: Int, dims: Int)
          |int $n = Math.min($v.numElements(), $dims);
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $dot += ($get) * $comps[$i];
          |}
-         |${ev.value} = $dot;
+         |if (!${ev.isNull}) ${ev.value} = $dot;
        """.stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): ProjectionDot =

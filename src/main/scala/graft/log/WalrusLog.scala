@@ -125,8 +125,8 @@ class WalrusLog(
     *    single task; a hot topic spreads over many range partitions.
     *  - `arrivalOrder = true`: per-topic order is the input's (partition,
     *    position) order — the reference's arrival-order contract — and NO
-    *    shuffle happens: both passes scan the input in place (transiently
-    *    persisted unless the caller already cached it). Each task writes a
+    *    shuffle happens: the input is pinned by a lazy local checkpoint
+    *    (both passes must see one row order) and scanned in place. Each task writes a
     *    file per topic it sees, so this trades shuffle IO for file count —
     *    measured locally the shuffle path wins (≈1.4 s vs ≈3.0 s at 1M
     *    rows × 10 interleaved topics) because per-file costs dominate;
@@ -149,19 +149,22 @@ class WalrusLog(
       // Tungsten rows end-to-end — no external-Row conversion on either
       // pass; the RDD instance is shared so the second pass reuses the
       // first's shuffle files / cached blocks.
-      var transientPersist: Option[DataFrame] = None
       val rows =
         if (arrivalOrder) {
-          val base = input.select(
+          // Both passes must observe the SAME partition-internal row order.
+          // Narrow plans over leaves (file scans, cached/local relations)
+          // recompute in that same order; anything with a shuffle in the
+          // lineage could recompute in fetch-arrival order and silently
+          // corrupt offsets — pin those with a local checkpoint (losing
+          // its blocks fails the job: fail-stop beats wrong offsets).
+          // Lazy: materializes during phase 1.
+          val base0 = input.select(
             col("topic").cast(StringType).as("topic"),
             col("value").cast(BinaryType).as("value"))
-          val src =
-            if (input.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-              val p = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              transientPersist = Some(p)
-              p
-            } else base
-          org.apache.spark.sql.graft.GraftSqlInternal.toInternalRdd(src)
+          val base =
+            if (org.apache.spark.sql.graft.GraftSqlInternal.isOrderStable(base0)) base0
+            else base0.localCheckpoint(false)
+          org.apache.spark.sql.graft.GraftSqlInternal.toInternalRdd(base)
         } else {
           val seq = seqCol.getOrElse(monotonically_increasing_id())
           val base = input.select(
@@ -173,7 +176,7 @@ class WalrusLog(
             .sortWithinPartitions("topic", "_seq")
           org.apache.spark.sql.graft.GraftSqlInternal.toInternalRdd(shuffled)
         }
-      try {
+      {
       val timing = sys.env.contains("GRAFT_INGEST_TIMING")
       var tMark = System.nanoTime()
       def mark(name: String): Unit = if (timing) {
@@ -269,8 +272,16 @@ class WalrusLog(
 
       val id = nextBatchId
       val batchDir = dataDir.resolve(s"batch=$id")
+      // Write through a cloned session so write-strategy confs never leak
+      // into queries planned concurrently on the caller's session.
+      val writeSession = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(spark)
+      if (cfg.concurrentWriters > 0) {
+        writeSession.conf.set("spark.sql.maxConcurrentOutputFileWriters",
+          cfg.concurrentWriters.toString)
+        writeSession.conf.set("spark.sql.optimizer.plannedWrite.enabled", "false")
+      }
       val entryDf = org.apache.spark.sql.graft.GraftSqlInternal
-        .internalCreateDataFrame(spark, outRows, StructType(Seq(
+        .internalCreateDataFrame(writeSession, outRows, StructType(Seq(
           StructField("topic", StringType, nullable = false),
           StructField("offset", LongType, nullable = false),
           StructField("ts_us", LongType, nullable = false),
@@ -279,23 +290,16 @@ class WalrusLog(
           StructField("len", IntegerType, nullable = false))))
       // Rows arrive already clustered by topic (the range shuffle), but an
       // RDD scan carries no ordering info, so a partitionBy write re-sorts
-      // the stream unless concurrent writers (> 0) let it keep multiple
-      // open files per task instead.
-      val writeConfs =
-        if (cfg.concurrentWriters > 0) Seq(
-          "spark.sql.maxConcurrentOutputFileWriters" -> cfg.concurrentWriters.toString,
-          "spark.sql.optimizer.plannedWrite.enabled" -> "false")
-        else Seq.empty
-      withWriteConfs(writeConfs: _*) {
-        entryDf.write.mode(SaveMode.ErrorIfExists)
-          .option("compression", cfg.compression)
-          .option("parquet.enable.dictionary", cfg.dictionaryEncoding.toString)
-          // page-level CRCs off: the per-entry FNV column is the integrity
-          // check of record (reference parity), parquet footer checksums
-          // still cover metadata
-          .option("parquet.page.write-checksum.enabled", "false")
-          .partitionBy("topic").parquet(batchDir.toString)
-      }
+      // the stream unless concurrent writers (> 0, set on the cloned
+      // session above) let it keep multiple open files per task instead.
+      entryDf.write.mode(SaveMode.ErrorIfExists)
+        .option("compression", cfg.compression)
+        .option("parquet.enable.dictionary", cfg.dictionaryEncoding.toString)
+        // page-level CRCs off: the per-entry FNV column is the integrity
+        // check of record (reference parity), parquet footer checksums
+        // still cover metadata
+        .option("parquet.page.write-checksum.enabled", "false")
+        .partitionBy("topic").parquet(batchDir.toString)
       mark("phase2 write")
 
       // Publish: the atomic rename IS the visibility point (W2/M2 parity).
@@ -308,7 +312,7 @@ class WalrusLog(
       applyCommit(rec)
       persistClean()
       rec
-      } finally transientPersist.foreach(_.unpersist(false))
+      }
     }
 
   private def applyCommit(rec: CommitRecord): Unit = {
@@ -400,15 +404,23 @@ class WalrusLog(
     def doRead(): Seq[WalrusEntry] = {
       val from = cursors.getOrElse((group, topic), 0L)
       val cap = math.min(entriesCap, cfg.maxBatchEntries)
+      // No upper offset bound: time-based retention can reclaim a range
+      // ABOVE the cursor, so the next `cap` entries are "first cap rows at
+      // offset >= from", not "[from, from+cap)" — a windowed predicate
+      // would stall (or re-deliver) across such gaps. limit() keeps the
+      // scan bounded; parquet stats still prune everything below `from`.
       val rows = toDF()
-        .where(col("topic") === topic && col("offset") >= from &&
-          col("offset") < from + cap)
+        .where(col("topic") === topic && col("offset") >= from)
         .select("topic", "offset", "ts", "value", "checksum")
         .orderBy("offset")
+        .limit(cap)
         .collect()
       val out = admit(rows, maxBytes)
       verify(out)
-      if (checkpoint && out.nonEmpty) advanceCursor(group, topic, out.size.toLong)
+      // Advance TO the position after the last delivered entry (not by
+      // count): identical for dense logs, gap-correct after retention.
+      if (checkpoint && out.nonEmpty)
+        advanceCursorTo(group, topic, out.last.offset + 1, out.size.toLong)
       out
     }
     consistency match {
@@ -525,13 +537,14 @@ class WalrusLog(
   def committedOffset(group: String, topic: String): Long =
     cursors.getOrElse((group, topic), 0L)
 
-  private def advanceCursor(group: String, topic: String, n: Long): Unit = synchronized {
+  private def advanceCursorTo(group: String, topic: String, newOffset: Long,
+      delivered: Long): Unit = synchronized {
     val k = (group, topic)
-    cursors(k) = cursors.getOrElse(k, 0L) + n
+    cursors(k) = math.max(cursors.getOrElse(k, 0L), newOffset)
     consistency match {
       case ReadConsistency.StrictlyAtOnce => persistCursors()
       case ReadConsistency.AtLeastOnce(every) =>
-        val u = unpersistedReads.getOrElse(k, 0L) + n
+        val u = unpersistedReads.getOrElse(k, 0L) + delivered
         if (u >= math.max(every, 1)) {
           persistCursors()
           unpersistedReads(k) = 0L
@@ -747,17 +760,6 @@ class WalrusLog(
   }
 
   // ---- helpers ----
-
-  /** Run `body` with session confs set, restoring prior values after. */
-  private def withWriteConfs[A](confs: (String, String)*)(body: => A): A = {
-    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prior.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
 
   private def state(topic: String): TopicState =
     topics.getOrElseUpdate(topic, new TopicState)

@@ -33,8 +33,11 @@ object AsOf {
           allowMissingColumns = true)
     // Right rows sort before left rows at equal time (side 0 < 1), so a
     // right row at exactly t is visible to a left row at t (<= semantics).
+    // The payload tiebreaker makes the pick among right rows with an
+    // identical (keys, time) deterministic across partitionings.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("_side").asc)
+      .orderBy(col(timeCol).asc, col("_side").asc,
+        col(rightPayload.head).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withAsof = rightPayload.foldLeft(tagged) { (df, c) =>
       df.withColumn(s"asof_$c",
@@ -65,11 +68,15 @@ object AsOf {
         allowMissingColumns = true)
     // Prior pass: right rows sort before left at equal time (<= visible).
     // Next pass: right rows sort after left at equal time (>= visible).
+    // Payload tiebreakers pin the pick among right rows sharing an exact
+    // (keys, time): prior takes the max tiebreak, next the min.
     val wPrior = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("_side").asc)
+      .orderBy(col(timeCol).asc, col("_side").asc,
+        col(rightPayload.head).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("_side").desc)
+      .orderBy(col(timeCol).asc, col("_side").desc,
+        col(rightPayload.head).asc_nulls_last)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     def priorOf(c: String): Column =
       last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(wPrior)

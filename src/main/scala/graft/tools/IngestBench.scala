@@ -9,8 +9,9 @@ import graft.log.{LogConfig, ReadConsistency, WalrusLog}
 
 /** Dev micro-benchmark for the ingest hot path alone (the full harness is
   * [[graft.Bench]]). Runs the BASELINE-shaped bulk workload — 1M rows of
-  * ~384 B incompressible payload across 10 topics — N times and prints
-  * per-run seconds plus derived rows/s and MB/s.
+  * incompressible payload (BENCH_PAYLOAD_REPS × 32 B, default 768 B)
+  * across 10 topics — N times and prints per-run seconds plus derived
+  * rows/s and MB/s.
   *
   * Usage: sbt "runMain graft.tools.IngestBench [nRuns]"
   */

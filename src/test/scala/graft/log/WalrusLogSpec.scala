@@ -488,6 +488,15 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re.totalAppended("t") == 4L)
     assert(re.batchRead("t", Long.MaxValue, checkpoint = false)
       .map(e => str(e.value)) == Seq("new0", "new1"))
+    // a consumer whose cursor is BELOW the reclaimed range resumes at the
+    // first retained offset — no stall, no duplicate delivery
+    val first = re.batchRead("t", Long.MaxValue, checkpoint = true,
+      group = "g", entriesCap = 1)
+    assert(first.map(_.offset) == Seq(2L))
+    assert(re.committedOffset("g", "t") == 3L) // jumped the gap
+    val second = re.batchRead("t", Long.MaxValue, checkpoint = true, group = "g")
+    assert(second.map(_.offset) == Seq(3L))
+    assert(re.batchRead("t", Long.MaxValue, checkpoint = true, group = "g").isEmpty)
   }
 
   test("arrivalOrder ingest: interleaved topics get dense per-topic offsets") {
