@@ -138,8 +138,11 @@ case class ProjectionDot(child: Expression, plane: Int, dims: Int)
   }
   override def dataType: DataType = DoubleType
 
-  private def elemIsFloat: Boolean =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def arrayType: ArrayType = child.dataType.asInstanceOf[ArrayType]
+  private def elemIsFloat: Boolean = arrayType.elementType == FloatType
+  // A null element nulls the result (parity with the element_at chain), so
+  // the expression is nullable whenever elements can be null.
+  override def nullable: Boolean = child.nullable || arrayType.containsNull
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -163,14 +166,23 @@ case class ProjectionDot(child: Expression, plane: Int, dims: Int)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val get = if (elemIsFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      // ev.isNull is the literal `false` when !nullable — only emit the
+      // null-element branch when elements can actually be null
+      val nullCheck =
+        if (arrayType.containsNull)
+          s"if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      val assign =
+        if (arrayType.containsNull) s"if (!${ev.isNull}) ${ev.value} = $dot;"
+        else s"${ev.value} = $dot;"
       s"""
          |int $n = Math.min($v.numElements(), $dims);
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullCheck
          |  $dot += ($get) * $comps[$i];
          |}
-         |if (!${ev.isNull}) ${ev.value} = $dot;
+         |$assign
        """.stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): ProjectionDot =

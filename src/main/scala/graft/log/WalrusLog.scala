@@ -71,6 +71,18 @@ class WalrusLog(
 
   recover()
 
+  /** Session the ingest write runs on. With concurrent writers enabled,
+    * a clone (built once per log) carries the write-strategy confs so
+    * they never leak into queries planned on the caller's session. */
+  private lazy val writeSession: SparkSession =
+    if (cfg.concurrentWriters > 0) {
+      val s = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(spark)
+      s.conf.set("spark.sql.maxConcurrentOutputFileWriters",
+        cfg.concurrentWriters.toString)
+      s.conf.set("spark.sql.optimizer.plannedWrite.enabled", "false")
+      s
+    } else spark
+
   // =========================================================================
   // Write path (reference: src/wal/runtime/walrus_write.rs:4-18, writer.rs)
   // =========================================================================
@@ -149,22 +161,28 @@ class WalrusLog(
       // Tungsten rows end-to-end — no external-Row conversion on either
       // pass; the RDD instance is shared so the second pass reuses the
       // first's shuffle files / cached blocks.
+      var pinned: Option[org.apache.spark.rdd.RDD[_]] = None
       val rows =
         if (arrivalOrder) {
           // Both passes must observe the SAME partition-internal row order.
-          // Narrow plans over leaves (file scans, cached/local relations)
-          // recompute in that same order; anything with a shuffle in the
-          // lineage could recompute in fetch-arrival order and silently
-          // corrupt offsets — pin those with a local checkpoint (losing
-          // its blocks fails the job: fail-stop beats wrong offsets).
-          // Lazy: materializes during phase 1.
-          val base0 = input.select(
+          // Narrow plans over order-stable leaves (file scans, disk-backed
+          // caches, local relations) recompute in that same order; anything
+          // with a shuffle in the lineage could recompute in fetch-arrival
+          // order and silently corrupt offsets — pin those with an RDD
+          // local checkpoint (losing its blocks fails the job: fail-stop
+          // beats wrong offsets). Materializes during phase 1; released
+          // after commit.
+          val base = input.select(
             col("topic").cast(StringType).as("topic"),
             col("value").cast(BinaryType).as("value"))
-          val base =
-            if (org.apache.spark.sql.graft.GraftSqlInternal.isOrderStable(base0)) base0
-            else base0.localCheckpoint(false)
-          org.apache.spark.sql.graft.GraftSqlInternal.toInternalRdd(base)
+          val raw = org.apache.spark.sql.graft.GraftSqlInternal.toInternalRdd(base)
+          if (org.apache.spark.sql.graft.GraftSqlInternal.isOrderStable(base)) raw
+          else {
+            val c = raw.map(_.copy()) // detach reused UnsafeRow buffers
+            c.localCheckpoint()
+            pinned = Some(c)
+            c
+          }
         } else {
           val seq = seqCol.getOrElse(monotonically_increasing_id())
           val base = input.select(
@@ -176,7 +194,7 @@ class WalrusLog(
             .sortWithinPartitions("topic", "_seq")
           org.apache.spark.sql.graft.GraftSqlInternal.toInternalRdd(shuffled)
         }
-      {
+      try {
       val timing = sys.env.contains("GRAFT_INGEST_TIMING")
       var tMark = System.nanoTime()
       def mark(name: String): Unit = if (timing) {
@@ -272,14 +290,6 @@ class WalrusLog(
 
       val id = nextBatchId
       val batchDir = dataDir.resolve(s"batch=$id")
-      // Write through a cloned session so write-strategy confs never leak
-      // into queries planned concurrently on the caller's session.
-      val writeSession = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(spark)
-      if (cfg.concurrentWriters > 0) {
-        writeSession.conf.set("spark.sql.maxConcurrentOutputFileWriters",
-          cfg.concurrentWriters.toString)
-        writeSession.conf.set("spark.sql.optimizer.plannedWrite.enabled", "false")
-      }
       val entryDf = org.apache.spark.sql.graft.GraftSqlInternal
         .internalCreateDataFrame(writeSession, outRows, StructType(Seq(
           StructField("topic", StringType, nullable = false),
@@ -312,7 +322,7 @@ class WalrusLog(
       applyCommit(rec)
       persistClean()
       rec
-      }
+      } finally pinned.foreach(_.unpersist(false))
     }
 
   private def applyCommit(rec: CommitRecord): Unit = {
@@ -381,6 +391,16 @@ class WalrusLog(
     toDF().createOrReplaceTempView(name)
   }
 
+  /** Smallest retained offset >= `from` for the topic, per commit
+    * metadata — `from` itself when its batch is still visible, the next
+    * retained batch's start when retention reclaimed the range at `from`,
+    * `from` unchanged when nothing newer exists (read returns empty). */
+  private def firstVisibleOffsetAtOrAfter(topic: String, from: Long): Long = {
+    val ranges = visibleCommits.flatMap(_.topics.get(topic)).filter(_.end > from)
+    if (ranges.isEmpty) from
+    else math.max(from, ranges.map(_.start).min)
+  }
+
   private def visibleCommits: Seq[CommitRecord] =
     commits.iterator
       .filter(c => c.id >= 0 && !vacuumed.contains(c.id) && !replaced.contains(c.id))
@@ -402,18 +422,18 @@ class WalrusLog(
       group: String = SharedGroup,
       entriesCap: Int = cfg.maxBatchEntries): Seq[WalrusEntry] = {
     def doRead(): Seq[WalrusEntry] = {
-      val from = cursors.getOrElse((group, topic), 0L)
+      val cursor = cursors.getOrElse((group, topic), 0L)
       val cap = math.min(entriesCap, cfg.maxBatchEntries)
-      // No upper offset bound: time-based retention can reclaim a range
-      // ABOVE the cursor, so the next `cap` entries are "first cap rows at
-      // offset >= from", not "[from, from+cap)" — a windowed predicate
-      // would stall (or re-deliver) across such gaps. limit() keeps the
-      // scan bounded; parquet stats still prune everything below `from`.
+      // Time-based retention can reclaim a range ABOVE the cursor; jump
+      // the window start to the first retained offset (from commit
+      // metadata) so the windowed predicate keeps two-sided parquet
+      // pruning without stalling in a gap.
+      val from = firstVisibleOffsetAtOrAfter(topic, cursor)
       val rows = toDF()
-        .where(col("topic") === topic && col("offset") >= from)
+        .where(col("topic") === topic && col("offset") >= from &&
+          col("offset") < from + cap)
         .select("topic", "offset", "ts", "value", "checksum")
         .orderBy("offset")
-        .limit(cap)
         .collect()
       val out = admit(rows, maxBytes)
       verify(out)

@@ -36,8 +36,8 @@ object AsOf {
     // The payload tiebreaker makes the pick among right rows with an
     // identical (keys, time) deterministic across partitionings.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("_side").asc,
-        col(rightPayload.head).asc_nulls_first)
+      .orderBy(Seq(col(timeCol).asc, col("_side").asc) ++
+        rightPayload.headOption.map(c => col(c).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withAsof = rightPayload.foldLeft(tagged) { (df, c) =>
       df.withColumn(s"asof_$c",
@@ -71,12 +71,12 @@ object AsOf {
     // Payload tiebreakers pin the pick among right rows sharing an exact
     // (keys, time): prior takes the max tiebreak, next the min.
     val wPrior = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("_side").asc,
-        col(rightPayload.head).asc_nulls_first)
+      .orderBy(Seq(col(timeCol).asc, col("_side").asc) ++
+        rightPayload.headOption.map(c => col(c).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("_side").desc,
-        col(rightPayload.head).asc_nulls_last)
+      .orderBy(Seq(col(timeCol).asc, col("_side").desc) ++
+        rightPayload.headOption.map(c => col(c).asc_nulls_last): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     def priorOf(c: String): Column =
       last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(wPrior)

@@ -32,13 +32,25 @@ object GraftSqlInternal {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 
   /** True when recomputing the plan reproduces the same rows in the same
-    * partition-internal order: narrow Project/Filter chains over leaves
-    * (file scans, local/cached relations). Shuffles, joins, aggregates,
-    * generators etc. have fetch-order-dependent output and return false. */
+    * partition-internal order: narrow Project/Filter chains over
+    * order-stable leaves. File and local relations are stable (splits are
+    * deterministic). A cached relation is stable when its storage level
+    * spills to disk (eviction never recomputes; executor loss still fails
+    * the job rather than reorder locally) or when the cached plan itself
+    * contains no shuffle. RDD-backed leaves and everything else (joins,
+    * aggregates, exchanges, generators) are treated as unstable. */
   def isOrderStable(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, OneRowRelation, Project, Range, SubqueryAlias}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     def stable(p: LogicalPlan): Boolean = p match {
-      case _: LeafNode => true
+      case m: InMemoryRelation =>
+        m.cacheBuilder.storageLevel.useDisk ||
+          !m.cacheBuilder.cachedPlan.exists(_.isInstanceOf[ShuffleExchangeLike])
+      case _: LogicalRelation | _: LocalRelation | _: OneRowRelation |
+           _: Range | _: HiveTableRelation => true
       case _: Project | _: Filter | _: SubqueryAlias => p.children.forall(stable)
       case _ => false
     }
