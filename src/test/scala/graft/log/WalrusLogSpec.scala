@@ -499,6 +499,26 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re.batchRead("t", Long.MaxValue, checkpoint = true, group = "g").isEmpty)
   }
 
+  test("arrivalOrder ingest pins shuffle-lineage inputs and stays dense") {
+    import org.apache.spark.sql.functions._
+    val log = new WalrusLog(spark, tempRoot())
+    // repartition puts a shuffle in the lineage → the order-stability
+    // check must engage the local-checkpoint pin; offsets stay dense
+    val df = spark.range(0, 600, 1, 4)
+      .select(concat(lit("t"), (col("id") % 2).cast("string")).as("topic"),
+        encode(col("id").cast("string"), "UTF-8").as("value"))
+      .repartition(3)
+    log.appendDF(df, arrivalOrder = true)
+    (0 until 2).foreach { t =>
+      val got = log.batchRead(s"t$t", Long.MaxValue, checkpoint = false)
+      assert(got.size == 300, s"topic t$t")
+      assert(got.map(_.offset) == (0L until 300L), s"offsets of t$t")
+      // every value lands exactly once
+      assert(got.map(e => str(e.value).toLong).toSet ==
+        (0 until 600).filter(_ % 2 == t).map(_.toLong).toSet)
+    }
+  }
+
   test("arrivalOrder ingest: interleaved topics get dense per-topic offsets") {
     import org.apache.spark.sql.functions._
     val log = new WalrusLog(spark, tempRoot())
