@@ -51,6 +51,44 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream interval join across topics of one log") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    // clicks and purchases with controlled ingest timestamps; join
+    // purchases to clicks of the same value-key within [-10s, 0]
+    def ingest(topic: String, items: Seq[(String, Long)]): Unit = {
+      val df = spark.createDataFrame(items.map { case (v, t) => (topic, v.getBytes("UTF-8"), t) })
+        .toDF("topic", "value", "_seq")
+      // _seq doubles as ingest ordering; ts comes from the ingestTs argument
+      log.appendDF(df, Some(org.apache.spark.sql.functions.col("_seq")),
+        new java.sql.Timestamp(1704067200000L + items.head._2))
+    }
+    ingest("click", Seq(("u1", 0L), ("u2", 0L)))
+    ingest("purchase", Seq(("u1", 5000L)))
+    ingest("click", Seq(("u3", 20000L)))
+    ingest("purchase", Seq(("u3", 21000L), ("u2", 60000L)))
+
+    val clicks = WalrusStreams.readStream(spark, root, topic = Some("click"))
+      .select(decode(col("value"), "UTF-8").as("user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 minutes")
+    val purchases = WalrusStreams.readStream(spark, root, topic = Some("purchase"))
+      .select(decode(col("value"), "UTF-8").as("user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 minutes")
+    val q = clicks.join(purchases, Seq("user"))
+      .where(col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 10 seconds"))
+      .select(col("user"))
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val users = spark.sql("SELECT user FROM ssjoin ORDER BY user")
+        .collect().map(_.getString(0)).toSeq
+      // u1: purchase 5s after click (within 10s) ✓; u3: 1s after ✓;
+      // u2: purchase 60s after click ✗
+      assert(users == Seq("u1", "u3"))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicates with watermark across commits") {
     val root = tempRoot()
     val log = new WalrusLog(spark, root)
