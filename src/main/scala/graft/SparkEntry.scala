@@ -391,6 +391,12 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHash(table(s, dir, "documents"), "doc_id", "text", k = 4, bits = 16)
         .orderBy("doc_id")),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(
+          table(s, dir, "documents").where(col("doc_id") < 300),
+          "doc_id", "text", k = 4, bits = 16, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
           table(s, dir, "documents").where(col("doc_id") % 10 === 0),
@@ -446,6 +452,12 @@ object SparkEntry {
           nCentroids = 8, iters = 1)
         .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
         .orderBy("vec_id")),
+    "sim_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(table(s, dir, "embeddings").where(col("vec_id") < 200),
+          "vec_id", "embedding", planes = 4, k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), col("cosine"))
+        .orderBy("query_id", "rnk")),
     "sim_lsh_multiprobe" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       Similarity.lshMultiProbe(e.where(col("vec_id") < 20), e,
@@ -485,6 +497,15 @@ object SparkEntry {
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "text_vocab_topk" -> ((s, dir) =>
+      // corpus vocabulary: distinct-token count + the 25 most frequent
+      // tokens (whitespace tokenization, same as token_stats)
+      table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(25)),
 
     // ---- as-of join (custom operator by composition) ----
     "asof_last_click" -> ((s, dir) => {
@@ -795,6 +816,23 @@ object SparkEntry {
            |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
            |SELECT doc_id, $fp AS simhash FROM votes ORDER BY doc_id""".stripMargin
       },
+      "dedup_simhash_pairs" -> {
+        val votes = (0 until 16).map { j =>
+          s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+        }.mkString(",\n  ")
+        val fp = (0 until 16).map { j =>
+          s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+        }.mkString(" + ")
+        s"""${shinglesSql(4, "doc_id < 300")},
+           |h AS (SELECT doc_id, ${permSql("code", sa, sb)} AS h FROM codes),
+           |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+           |fp AS (SELECT doc_id, $fp AS f FROM votes)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.f, b.f)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin
+      },
       "dedup_ngram_jaccard" ->
         s"""${shinglesSql(8, "doc_id % 10 = 0")},
            |keep AS (
@@ -921,6 +959,25 @@ object SparkEntry {
            |    PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM sc)
            |WHERE rn = 1 ORDER BY vec_id""".stripMargin
       },
+      "sim_lsh_topk" -> {
+        val bits = (0 until 4).map { j =>
+          s"CASE WHEN (${projDotSql("e", j)}) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+           |b AS (SELECT e.vec_id, $bits AS bucket FROM v e),
+           |p AS (SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+           |    round((${dotSql("l", "r")}) /
+           |      (sqrt(${normSqSql("l")}) * sqrt(${normSqSql("r")})), 6) AS cosine
+           |  FROM v l JOIN b bl ON l.vec_id = bl.vec_id
+           |  JOIN b br ON bl.bucket = br.bucket
+           |  JOIN v r ON r.vec_id = br.vec_id AND r.vec_id <> l.vec_id),
+           |r AS (SELECT query_id, neighbor_id, cosine,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM p)
+           |SELECT query_id, neighbor_id, rnk, cosine FROM r
+           |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+      },
       "sim_lsh_multiprobe" -> {
         val bits = (0 until 8).map { j =>
           s"CASE WHEN (${projDotSql("e", j)}) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
@@ -967,6 +1024,11 @@ object SparkEntry {
           |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
           |    ' +', ' ', 'g')) AS norm_text
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_vocab_topk" ->
+        """SELECT word, count(*) AS n FROM (
+          |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          |WHERE word <> '' GROUP BY word
+          |ORDER BY n DESC, word LIMIT 25""".stripMargin,
       "text_token_stats" ->
         """SELECT doc_id,
           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
