@@ -400,6 +400,40 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.topicSize("t") == 150 + 2 * 256)
   }
 
+  test("concurrent appenders and consumers on distinct topics stay isolated") {
+    // reference parity: tests/unit.rs:360 concurrent validation — writer
+    // threads interleave on the shared engine lock; per-topic streams
+    // must come out dense, ordered, and complete
+    val log = new WalrusLog(spark, tempRoot())
+    val nThreads = 4
+    val perThread = 15
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        try {
+          (0 until perThread).foreach { i =>
+            log.append(s"topic-$t", bytes(s"t$t-e$i"))
+            if (i % 5 == 4) {
+              // interleave consumption of our own topic
+              val got = log.batchRead(s"topic-$t", Long.MaxValue,
+                checkpoint = true, group = s"g$t")
+              got.foreach(e => assert(str(e.value).startsWith(s"t$t-")))
+            }
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(errors.isEmpty, s"thread errors: ${errors.toArray.mkString(", ")}")
+    (0 until nThreads).foreach { t =>
+      assert(log.totalAppended(s"topic-$t") == perThread.toLong)
+      val all = log.batchRead(s"topic-$t", Long.MaxValue, checkpoint = false)
+      assert(all.map(e => str(e.value)) == (0 until perThread).map(i => s"t$t-e$i"))
+      assert(all.map(_.offset) == (0L until perThread.toLong))
+    }
+  }
+
   test("chaos: random op sequences preserve the TLA-style safety invariants") {
     // End-to-end analogue of the reference's TLC-checked invariants
     // (distributed-walrus/spec/DistributedWalrus.tla:139-206): sealed
