@@ -244,24 +244,47 @@ object Bench {
     val mbLatency = if (durations.nonEmpty) durations.sum / durations.size else -1.0
     q.stop()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","ingest_rows_per_sec":${ingestRps.toLong},""" +
-      s""""ingest_arrival_rows_per_sec":${ingestArrivalRps.toLong},""" +
-      s""""drain_rows_per_sec":${drainRps.toLong},""" +
-      s""""bulk_ingest_rows_per_sec":${(1000000.0 / bigIngestSec).toLong},""" +
-      s""""bulk_ingest_mb_per_sec":${(bigBytes / 1e6 / bigIngestSec).toLong},""" +
-      s""""producer_ingest_rows_per_sec":${(1000000.0 / producerIngestSec).toLong},""" +
-      s""""producer_ingest_mb_per_sec":${(bigBytes / 1e6 / producerIngestSec).toLong},""" +
-      s""""bulk_drain_rows_per_sec":${(1000000.0 / bigDrainSec).toLong},""" +
-      s""""bulk_drain_mb_per_sec":${(bigBytes / 1e6 / bigDrainSec).toLong},""" +
-      s""""bulk_source_drain_rows_per_sec":${(1000000.0 / bigSourceDrainSec).toLong},""" +
-      s""""bulk_source_drain_mb_per_sec":${(bigBytes / 1e6 / bigSourceDrainSec).toLong},""" +
-      s""""stream_drain_rows_per_sec":${(1000000.0 / streamDrainSec).toLong},""" +
-      s""""stream_drain_mb_per_sec":${(bigBytes / 1e6 / streamDrainSec).toLong},""" +
-      s""""microbatch_latency_ms":$mbLatency}""")
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    val total = r3(results.map(_._2).sum)
+    // The driver captures only the LAST ~2000 chars of stdout and parses
+    // the JSON line out of that tail — a per-query map over 50+ queries
+    // overflows the window and the line's head gets truncated (r2's
+    // "parsed": null). So stdout carries per-FAMILY subtotals and every
+    // engine metric, and the full per-query breakdown goes to
+    // BENCH_DETAIL.json in the repo root.
+    val families = results.groupBy(_._1.takeWhile(_ != '_'))
+      .toSeq.sortBy(_._1)
+      .map { case (fam, rs) => fam -> r3(rs.map(_._2).sum) }
+    val engineMetrics: Seq[(String, Any)] = Seq(
+      "ingest_rows_per_sec" -> ingestRps.toLong,
+      "ingest_arrival_rows_per_sec" -> ingestArrivalRps.toLong,
+      "drain_rows_per_sec" -> drainRps.toLong,
+      "bulk_ingest_rows_per_sec" -> (1000000.0 / bigIngestSec).toLong,
+      "bulk_ingest_mb_per_sec" -> (bigBytes / 1e6 / bigIngestSec).toLong,
+      "producer_ingest_rows_per_sec" -> (1000000.0 / producerIngestSec).toLong,
+      "producer_ingest_mb_per_sec" -> (bigBytes / 1e6 / producerIngestSec).toLong,
+      "bulk_drain_rows_per_sec" -> (1000000.0 / bigDrainSec).toLong,
+      "bulk_drain_mb_per_sec" -> (bigBytes / 1e6 / bigDrainSec).toLong,
+      "bulk_source_drain_rows_per_sec" -> (1000000.0 / bigSourceDrainSec).toLong,
+      "bulk_source_drain_mb_per_sec" -> (bigBytes / 1e6 / bigSourceDrainSec).toLong,
+      "stream_drain_rows_per_sec" -> (1000000.0 / streamDrainSec).toLong,
+      "stream_drain_mb_per_sec" -> (bigBytes / 1e6 / streamDrainSec).toLong,
+      "microbatch_latency_ms" -> r3(mbLatency))
+    val engineJson = engineMetrics
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""queries":${results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")},""" +
+      s""""query_families":${families.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")},$engineJson}"""
+    try Files.write(java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
+      detail.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+      families.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    },"n_queries":${results.size},"sf":"$sfDir",""" +
+      s""""per_query_detail":"BENCH_DETAIL.json",$engineJson}""")
     spark.stop()
   }
 }
