@@ -83,6 +83,14 @@ class WalrusLog(
       s
     } else spark
 
+  /** Session the small-commit path plans on: AQE off (see
+    * [[appendSmallCommit]] — keeps the commit to a single Spark job). */
+  private lazy val smallCommitSession: SparkSession = {
+    val s = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(spark)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
   // =========================================================================
   // Write path (reference: src/wal/runtime/walrus_write.rs:4-18, writer.rs)
   // =========================================================================
@@ -122,7 +130,11 @@ class WalrusLog(
         StructField("topic", StringType),
         StructField("value", BinaryType),
         StructField("_seq", LongType))))
-    appendDF(df, Some(col("_seq")))
+    // Exact size hint (RDD-backed plans have no usable Catalyst stats) so
+    // per-entry appends take the single-job small-commit path.
+    val hint = entries.iterator
+      .map { case (t, v) => t.length.toLong + v.length + 16L }.sum
+    appendDF(df, Some(col("_seq")), sizeHintBytes = Some(hint))
   }
 
   /** Bulk ingest: append every row of `input` (columns `topic: STRING`,
@@ -150,12 +162,26 @@ class WalrusLog(
       seqCol: Option[org.apache.spark.sql.Column] = None,
       ingestTs: Timestamp = new Timestamp(System.currentTimeMillis()),
       tag: Option[String] = None,
-      arrivalOrder: Boolean = false): CommitRecord =
+      arrivalOrder: Boolean = false,
+      sizeHintBytes: Option[Long] = None): CommitRecord =
     synchronized {
       // Idempotence for streaming-sink epoch retries: a commit tagged with
       // an already-committed tag is a no-op (exactly-once foreachBatch).
       tag.foreach { t =>
         commits.find(_.tag.contains(t)).foreach { existing => return existing }
+      }
+      // Small commits collapse to ONE Spark job (see appendSmallCommit).
+      // Size comes from the caller's hint when exact (append/batchAppend)
+      // or Catalyst's plan statistics otherwise; unknown stats default to
+      // Long.MaxValue, which conservatively keeps the range path.
+      if (!arrivalOrder) {
+        val est: BigInt = sizeHintBytes.map(BigInt(_)).getOrElse(
+          try input.queryExecution.optimizedPlan.stats.sizeInBytes
+          catch { case _: Throwable => BigInt(Long.MaxValue) })
+        if (est <= cfg.smallCommitMaxBytes)
+          return appendSmallCommit(input,
+            seqCol.getOrElse(monotonically_increasing_id()), ingestTs, tag,
+            est.toLong)
       }
       val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
       // Tungsten rows end-to-end — no external-Row conversion on either
@@ -290,26 +316,7 @@ class WalrusLog(
 
       val id = nextBatchId
       val batchDir = dataDir.resolve(s"batch=$id")
-      val entryDf = org.apache.spark.sql.graft.GraftSqlInternal
-        .internalCreateDataFrame(writeSession, outRows, StructType(Seq(
-          StructField("topic", StringType, nullable = false),
-          StructField("offset", LongType, nullable = false),
-          StructField("ts_us", LongType, nullable = false),
-          StructField("value", BinaryType, nullable = false),
-          StructField("checksum", LongType, nullable = false),
-          StructField("len", IntegerType, nullable = false))))
-      // Rows arrive already clustered by topic (the range shuffle), but an
-      // RDD scan carries no ordering info, so a partitionBy write re-sorts
-      // the stream unless concurrent writers (> 0, set on the cloned
-      // session above) let it keep multiple open files per task instead.
-      entryDf.write.mode(SaveMode.ErrorIfExists)
-        .option("compression", cfg.compression)
-        .option("parquet.enable.dictionary", cfg.dictionaryEncoding.toString)
-        // page-level CRCs off: the per-entry FNV column is the integrity
-        // check of record (reference parity), parquet footer checksums
-        // still cover metadata
-        .option("parquet.page.write-checksum.enabled", "false")
-        .partitionBy("topic").parquet(batchDir.toString)
+      writeEntryRows(outRows, batchDir)
       mark("phase2 write")
 
       // Publish: the atomic rename IS the visibility point (W2/M2 parity).
@@ -324,6 +331,156 @@ class WalrusLog(
       rec
       } finally pinned.foreach(_.unpersist(false))
     }
+
+  private val entrySchema = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("ts_us", LongType, nullable = false),
+    StructField("value", BinaryType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("len", IntegerType, nullable = false)))
+
+  /** Shared data-file write. Rows arrive already clustered by topic (range
+    * or hash shuffle), but an RDD scan carries no ordering info, so a
+    * partitionBy write re-sorts the stream unless concurrent writers (> 0,
+    * set on the cloned write session) let it keep multiple open files per
+    * task instead. Page-level CRCs are off: the per-entry FNV column is
+    * the integrity check of record (reference parity), parquet footer
+    * checksums still cover metadata. */
+  private def writeEntryRows(
+      outRows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      batchDir: Path): Unit = {
+    val entryDf = org.apache.spark.sql.graft.GraftSqlInternal
+      .internalCreateDataFrame(writeSession, outRows, entrySchema)
+    entryDf.write.mode(SaveMode.ErrorIfExists)
+      .option("compression", cfg.compression)
+      .option("parquet.enable.dictionary", cfg.dictionaryEncoding.toString)
+      .option("parquet.page.write-checksum.enabled", "false")
+      .partitionBy("topic").parquet(batchDir.toString)
+  }
+
+  /** Single-job small-commit ingest (reference workload: frequent small
+    * `batch_append_for_topic` calls, src/wal/runtime/walrus_write.rs:12-18).
+    *
+    * The general path needs a count pass before offsets can be assigned
+    * (per-(partition, topic) prefix sums) — 3 jobs total, whose fixed
+    * ~0.25 s/job floors dominate a 100k-row commit. Here the input is
+    * hash-partitioned BY TOPIC ONLY, so every topic lands wholly in one
+    * partition and its dense offsets follow directly from the catalog's
+    * `nextOffset` — no cross-partition counts needed. Per-topic
+    * (count, bytes) stats are folded into an accumulator on the write job
+    * itself (successful-task updates are counted once by Spark's
+    * accumulator protocol), collapsing ingest to ONE job.
+    *
+    * Deliberately capped at `cfg.smallCommitMaxBytes`: the per-topic-
+    * per-task layout serializes a hot topic onto one writer, which is
+    * exactly what the range shuffle avoids for large commits. Offsets are
+    * identical to the range path's (per-topic order follows `_seq`). */
+  private def appendSmallCommit(
+      input: DataFrame,
+      seq: org.apache.spark.sql.Column,
+      ingestTs: Timestamp,
+      tag: Option[String],
+      estBytes: Long): CommitRecord = {
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    // Planned with AQE off: the plan is a fixed hash repartition with
+    // nothing for AQE to re-plan, and AQE would materialize the shuffle
+    // stage as its own job — with it off, the whole commit is ONE job.
+    val base = org.apache.spark.sql.graft.GraftSqlInternal
+      .onSession(input, smallCommitSession)
+      .select(
+        col("topic").cast(StringType).as("topic"),
+        col("value").cast(BinaryType).as("value"),
+        seq.cast(LongType).as("_seq"))
+    val hashed = base.repartition(parts, col("topic"))
+      .sortWithinPartitions("topic", "_seq")
+    val rows = org.apache.spark.sql.graft.GraftSqlInternal.toInternalRdd(hashed)
+
+    // Base offsets for every topic the catalog knows; unseen topics start
+    // at 0. The catalog can't change mid-call (appendDF is synchronized).
+    val bases = topics.iterator.map { case (t, st) => t -> st.nextOffset }.toMap
+    val bc = spark.sparkContext.broadcast(bases)
+    val acc = spark.sparkContext
+      .collectionAccumulator[(String, Long, Long)]("graft.smallCommitStats")
+    val tsUs = ingestTs.getTime * 1000L
+    val entryRows = rows.mapPartitions { it =>
+      // Sorted by (topic, _seq) within a hash-by-topic partition: each
+      // topic is one contiguous run, so a plain "current topic" cursor
+      // suffices (no resume map) and stats flush once at exhaustion.
+      val stats = mutable.LinkedHashMap.empty[String, (Long, Long)]
+      new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+        private var curTopic: String = null
+        private var curTopicUtf8: org.apache.spark.unsafe.types.UTF8String = null
+        private var off = 0L
+        private var cnt = 0L
+        private var bytes = 0L
+        private var flushed = false
+        private def closeRun(): Unit = if (curTopic != null) {
+          stats(curTopic) = (cnt, bytes); cnt = 0L; bytes = 0L
+        }
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !flushed) {
+            flushed = true
+            closeRun()
+            stats.foreach { case (t, (c, b)) => acc.add((t, c, b)) }
+          }
+          h
+        }
+        def next(): org.apache.spark.sql.catalyst.InternalRow = {
+          val r = it.next()
+          val tRaw = r.getUTF8String(0)
+          if (curTopicUtf8 == null || !tRaw.equals(curTopicUtf8)) {
+            closeRun()
+            curTopicUtf8 = tRaw.clone() // detach from the reused buffer
+            curTopic = curTopicUtf8.toString
+            off = bc.value.getOrElse(curTopic, 0L)
+          }
+          val o = off
+          off += 1
+          cnt += 1
+          val v = r.getBinary(1)
+          bytes += v.length
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](curTopicUtf8, o, tsUs, v,
+              graft.functions.Fnv1a64.hash(v), v.length))
+        }
+      }
+    }
+    // File-size floor, from the plan estimate (no pre-count exists on this
+    // path): tiny commits run one writer task (concurrent writers keep one
+    // file per topic), larger ones keep a writer per ~minFileBytes.
+    val nOut = math.max(1L, math.min(parts.toLong,
+      estBytes / cfg.minFileBytes + 1)).toInt
+    val outRows =
+      if (nOut < entryRows.getNumPartitions) entryRows.coalesce(nOut)
+      else entryRows
+    val id = nextBatchId
+    val batchDir = dataDir.resolve(s"batch=$id")
+    writeEntryRows(outRows, batchDir)
+
+    val perTopic = mutable.LinkedHashMap.empty[String, (Long, Long)]
+    acc.value.asScala.foreach { case (t, c, b) =>
+      val (pc, pb) = perTopic.getOrElse(t, (0L, 0L))
+      perTopic(t) = (pc + c, pb + b)
+    }
+    if (perTopic.isEmpty) {
+      // Nothing was written (empty input): drop the placeholder dir so the
+      // batch id can be reused — parity with the general path's early out.
+      WalrusLog.deleteRecursively(batchDir)
+      return CommitRecord(-1L, ingestTs.getTime, Map.empty)
+    }
+    val ranges = perTopic.map { case (t, (c, b)) =>
+      val start = bases.getOrElse(t, 0L)
+      t -> TopicRange(start, start + c, b)
+    }.toMap
+    val rec = CommitRecord(id, ingestTs.getTime, ranges, tag)
+    writeAtomic(commitsDir.resolve(f"$id%012d.json"), Serialization.write(rec))
+    nextBatchId = id + 1
+    applyCommit(rec)
+    persistClean()
+    rec
+  }
 
   private def applyCommit(rec: CommitRecord): Unit = {
     commits += rec

@@ -64,6 +64,15 @@ final case class LogConfig(
       * binary payloads: dictionary attempts cost write CPU (~15% at 1M
       * rows) and overflow to plain anyway. */
     dictionaryEncoding: Boolean = true,
+    /** Commits whose input is estimated at or below this take the
+      * single-job ingest path: hash-partition by topic (each topic lands
+      * wholly in one task, so dense offsets are assignable locally from
+      * the catalog base) with per-topic stats folded into accumulators on
+      * the write job — 1 Spark job instead of 3 (range sampling + count
+      * pass + write). Capped small so the per-topic-per-task layout can
+      * never bottleneck a large commit: big commits keep the range
+      * shuffle, which spreads a hot topic over many partitions. */
+    smallCommitMaxBytes: Long = 256L << 20,
     /** Max open output files per ingest write task; > 0 lets the
       * partitionBy write skip its re-sort of the stream by keeping that
       * many writers open (tasks touching more topics than this fall back

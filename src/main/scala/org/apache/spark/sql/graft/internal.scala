@@ -31,6 +31,15 @@ object GraftSqlInternal {
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 
+  /** Re-root a DataFrame's logical plan onto another session (e.g. a
+    * clone carrying different execution confs). */
+  def onSession(df: DataFrame, spark: SparkSession): DataFrame =
+    // the analyzed plan, so names (temp views, etc.) were already resolved
+    // against the ORIGINAL session — the target only plans execution
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed)
+
   /** True when recomputing the plan reproduces the same rows in the same
     * partition-internal order: narrow Project/Filter chains over
     * order-stable leaves. File and local relations are stable (splits are

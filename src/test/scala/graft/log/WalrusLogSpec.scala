@@ -574,4 +574,61 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(log.entryCounts == Map("t0" -> 333L, "t1" -> 333L, "t2" -> 333L))
   }
+
+  test("small-commit single-job path: offsets identical to the range path") {
+    import org.apache.spark.sql.functions._
+    // Interleaved topics + an explicit seq with gaps, shuffled input order.
+    val df = spark.range(0, 2000, 1, 4)
+      .select(concat(lit("t"), (col("id") % 7).cast("string")).as("topic"),
+        encode(col("id").cast("string"), "UTF-8").as("value"),
+        (lit(1999) - col("id")).as("_seq")) // reverse order via seq
+    val small = new WalrusLog(spark, tempRoot()) // plan stats << threshold
+    val ranged = new WalrusLog(spark, tempRoot(),
+      cfg = LogConfig(smallCommitMaxBytes = 0L)) // force the range path
+    val recS = small.appendDF(df, Some(col("_seq")))
+    val recR = ranged.appendDF(df, Some(col("_seq")))
+    assert(recS.topics == recR.topics) // same (start, end, bytes) ranges
+    (0 until 7).foreach { t =>
+      val s = small.batchRead(s"t$t", Long.MaxValue, checkpoint = false)
+      val r = ranged.batchRead(s"t$t", Long.MaxValue, checkpoint = false)
+      assert(s.map(_.offset) == r.map(_.offset), s"offsets of t$t")
+      assert(s.map(e => str(e.value)) == r.map(e => str(e.value)),
+        s"per-topic order of t$t")
+      // seq is reversed id, so payloads come back in descending id order
+      val vals = s.map(e => str(e.value).toLong)
+      assert(vals == vals.sortBy(-_), s"seq order of t$t")
+    }
+    // a second small commit continues offsets from the catalog base
+    small.append("t0", bytes("tail"))
+    val again = small.batchRead("t0", Long.MaxValue, checkpoint = false)
+    assert(again.map(_.offset) == (0L until again.size.toLong))
+    assert(str(again.last.value) == "tail")
+  }
+
+  test("small-commit path runs exactly one Spark job") {
+    import org.apache.spark.sql.functions._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val log = new WalrusLog(spark, tempRoot())
+    val df = spark.range(0, 1000, 1, 4)
+      .select(concat(lit("t"), (col("id") % 3).cast("string")).as("topic"),
+        encode(col("id").cast("string"), "UTF-8").as("value"))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      log.appendDF(df)
+      // listener events are async; wait for the count to settle
+      val deadline = System.nanoTime() + 5000000000L
+      var last = -1
+      while (System.nanoTime() < deadline && jobs.get() != last) {
+        last = jobs.get(); Thread.sleep(200)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 1, s"expected 1 ingest job, saw ${jobs.get()}")
+    assert(log.entryCounts.values.sum == 1000L)
+  }
 }
