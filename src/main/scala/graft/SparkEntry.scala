@@ -77,6 +77,23 @@ object SparkEntry {
       log
     })
 
+  /** Events re-encoded as CSV payloads into their own log — the typed-codec
+    * surface: the log stores opaque bytes, the relational layer decodes
+    * them in place (from_csv here, JSON in log_json_extract). */
+  private def csvLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "csv"), {
+      val root = Files.createTempDirectory("graft-log-csv-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ev = events(spark, dir).select(
+        col("event_type").as("topic"),
+        encode(concat_ws(",", col("event_id"), col("user_id"), col("event_type")),
+          "UTF-8").as("value"),
+        col("event_id").as("_seq"))
+      log.appendDF(ev, Some(col("_seq")), FixedTs)
+      log
+    })
+
   /** Same data as [[mainLog]], reopened with maxSegmentEntries=50: recovery
     * replays the commit log under the new config, so segment accounting is
     * recomputed without re-ingesting anything. */
@@ -147,6 +164,7 @@ object SparkEntry {
     mainLog(spark, dir)
     segLog(spark, dir)
     compactLog(spark, dir)
+    csvLog(spark, dir)
   }
 
   // ============================================================== queries
@@ -569,7 +587,139 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("mime"),
           col("byte_len").cast("long").as("byte_len"))
         .orderBy("doc_id")
-    })
+    }),
+    "mm_chunk_manifest" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      val wrapped = graft.operators.Multimodal.wrap(
+        d, "doc_id", "payload", lit("text/plain"), Seq.empty)
+      graft.operators.Multimodal.chunkManifest(wrapped, chunkBytes = 256)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("chunk_idx"),
+          col("chunk_start"), col("chunk_len"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- typed codec over log payloads + engine metrics dump ----
+    "log_csv_decode" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("etype", StringType)))
+      csvLog(s, dir).toDF()
+        .select(from_csv(decode(col("value"), "UTF-8"), schema,
+          Map.empty[String, String]).as("rec"))
+        .groupBy(col("rec.etype").as("etype"))
+        .agg(count(lit(1)).as("n"), sum(col("rec.user_id")).as("sum_user"),
+          min(col("rec.event_id")).as("min_event"),
+          max(col("rec.event_id")).as("max_event"))
+        .orderBy("etype")
+    }),
+    "log_metrics" -> ((s, dir) => {
+      // D5 METRICS dump (reference: controller/mod.rs:278-282) relationalized
+      val js = mainLog(s, dir).metricsJson()
+      def grab(k: String): Long =
+        raw""""$k":(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong).getOrElse(-1L)
+      val row = Row(grab("topics"), grab("commits"), grab("total_entries"),
+        grab("consumer_groups"), grab("vacuumed_batches"))
+      s.createDataFrame(s.sparkContext.parallelize(Seq(row), 1),
+        StructType(Seq(StructField("topics", LongType),
+          StructField("commits", LongType),
+          StructField("total_entries", LongType),
+          StructField("consumer_groups", LongType),
+          StructField("vacuumed", LongType))))
+    }),
+
+    // ---- relational breadth: cube, ntile, correlated scalar, median/mode,
+    //      interval join ----
+    "rel_cube" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      o.as("o").join(broadcast(c).as("c"), col("o.o_custkey") === col("c.c_custkey"))
+        .join(broadcast(n).as("n"), col("c.c_nationkey") === col("n.n_nationkey"))
+        .select(col("n.n_name").as("n_name"),
+          col("o.o_orderpriority").as("o_orderpriority"),
+          col("o.o_totalprice").as("o_totalprice"))
+        .cube(col("n_name"), col("o_orderpriority"))
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .selectExpr("coalesce(n_name, 'ALL') AS nation",
+          "coalesce(o_orderpriority, 'ALL') AS priority", "revenue", "n_orders")
+        .orderBy("nation", "priority")
+    }),
+    "rel_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("o_orderkey")
+    }),
+    "rel_correlated_scalar" -> ((s, dir) => {
+      // orders above their customer's average — the correlated-scalar-
+      // subquery shape, decorrelated into an agg + equi-join (exactly what
+      // an optimizer does; the oracle keeps the same decorrelated SQL)
+      val o = table(s, dir, "orders")
+      val avgs = o.groupBy(col("o_custkey").as("ck"))
+        .agg(round(dsum(col("o_totalprice")) / count(lit(1)), 6).as("cust_avg"))
+      o.join(avgs, col("o_custkey") === col("ck"))
+        .where(col("o_totalprice") > col("cust_avg"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("cust_avg"))
+        .orderBy("o_orderkey")
+    }),
+    "rel_median_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("double").as("qty"))
+      val med = li.groupBy("l_returnflag")
+        .agg(round(expr("percentile(qty, 0.5)"), 6).as("median_qty"))
+      val cnt = li.groupBy("l_returnflag", "qty").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("n").desc, col("qty").asc) // deterministic mode tie-break
+      val mode = cnt.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("l_returnflag"), col("qty").as("mode_qty"), col("n").as("mode_n"))
+      med.join(mode, "l_returnflag").orderBy("l_returnflag")
+    }),
+    "rel_interval_join" -> ((s, dir) => {
+      // clicks within the hour before each purchase (same user): banded
+      // equi-join on (user, time-bucket) — no nested-loop range join
+      val ev = events(s, dir).withColumn("ts_us", expr("ts DIV 1000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("click_ts"))
+      val hourUs = 3600L * 1000000
+      val pairs = graft.operators.RangeJoin.intervalJoin(
+        purchases, clicks, Seq("user_id"), "ts_us", "click_ts",
+        lower = -hourUs, upper = 0L)
+      val counts = pairs.groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks_1h"))
+      purchases.join(counts, Seq("purchase_id"), "left")
+        .na.fill(0L, Seq("n_clicks_1h"))
+        .select(col("purchase_id"), col("user_id"), col("n_clicks_1h"))
+        .orderBy("purchase_id")
+    }),
+
+    // ---- simhash ANN + containment dedup ----
+    "sim_hamming_topk" -> ((s, dir) => {
+      val fp = Dedup.simHash(table(s, dir, "documents"), "doc_id", "text",
+        k = 4, bits = 16)
+      Similarity.hammingTopK(fp.where(col("doc_id") < 20), fp,
+          "doc_id", "simhash", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), col("hamming"))
+        .orderBy("query_id", "rnk")
+    }),
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(
+          table(s, dir, "documents").where(col("doc_id") % 10 === 0),
+          "doc_id", "text", k = 8, minContainment = 0.3, maxDocFreq = Some(50))
+        .orderBy("id_a", "id_b"))
   )
 
   // ============================================================== oracles
@@ -1114,7 +1264,120 @@ object SparkEntry {
           |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
       "mm_describe" ->
         """SELECT doc_id, 'text/plain' AS mime, CAST(length(text) AS BIGINT) AS byte_len
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "mm_chunk_manifest" ->
+        """WITH d AS (
+          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS blen,
+          |    CAST((length(text) + 255) // 256 AS BIGINT) AS n_chunks
+          |  FROM documents WHERE length(text) > 0),
+          |x AS (SELECT doc_id, blen, n_chunks,
+          |    unnest(generate_series(0, n_chunks - 1)) AS ci FROM d)
+          |SELECT doc_id, n_chunks, CAST(ci AS BIGINT) AS chunk_idx,
+          |  CAST(ci * 256 AS BIGINT) AS chunk_start,
+          |  CAST(least(256, blen - ci * 256) AS BIGINT) AS chunk_len
+          |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+      "log_csv_decode" ->
+        """SELECT event_type AS etype, count(*) AS n,
+          |  CAST(SUM(user_id) AS BIGINT) AS sum_user,
+          |  CAST(MIN(event_id) AS BIGINT) AS min_event,
+          |  CAST(MAX(event_id) AS BIGINT) AS max_event
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      "log_metrics" ->
+        """SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS topics,
+          |  CAST(1 AS BIGINT) AS commits,
+          |  CAST(count(*) AS BIGINT) AS total_entries,
+          |  CAST(0 AS BIGINT) AS consumer_groups,
+          |  CAST(0 AS BIGINT) AS vacuumed
+          |FROM events""".stripMargin,
+      "rel_cube" ->
+        s"""SELECT COALESCE(n_name, 'ALL') AS nation,
+           |  COALESCE(o_orderpriority, 'ALL') AS priority,
+           |  ${dsumSql("o_totalprice")} AS revenue,
+           |  count(*) AS n_orders
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY CUBE(n_name, o_orderpriority)
+           |ORDER BY nation, priority""".stripMargin,
+      "rel_ntile" ->
+        """SELECT o_orderkey, o_orderpriority,
+          |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          |  round(percent_rank() OVER w, 6) AS pct_rank,
+          |  round(cume_dist() OVER w, 6) AS cdist
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderpriority
+          |  ORDER BY o_totalprice DESC, o_orderkey)
+          |ORDER BY o_orderkey""".stripMargin,
+      "rel_correlated_scalar" ->
+        s"""WITH a AS (
+           |  SELECT o_custkey AS ck,
+           |    round(${dsumSql("o_totalprice")} / count(*), 6) AS cust_avg
+           |  FROM orders GROUP BY 1)
+           |SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+           |FROM orders JOIN a ON o_custkey = ck
+           |WHERE o_totalprice > cust_avg
+           |ORDER BY o_orderkey""".stripMargin,
+      "rel_median_mode" ->
+        """WITH med AS (
+          |  SELECT l_returnflag,
+          |    round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS median_qty
+          |  FROM lineitem GROUP BY 1),
+          |c AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS qty,
+          |    count(*) AS n FROM lineitem GROUP BY 1, 2),
+          |m AS (SELECT l_returnflag, qty, n,
+          |    row_number() OVER (PARTITION BY l_returnflag
+          |      ORDER BY n DESC, qty ASC) AS rn FROM c)
+          |SELECT med.l_returnflag, median_qty, qty AS mode_qty, n AS mode_n
+          |FROM med JOIN m ON med.l_returnflag = m.l_returnflag AND rn = 1
+          |ORDER BY med.l_returnflag""".stripMargin,
+      "rel_interval_join" ->
+        """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS t
+          |  FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+          |  WHERE event_type = 'click')
+          |SELECT p.purchase_id, p.user_id, CAST(count(c.t) AS BIGINT) AS n_clicks_1h
+          |FROM p LEFT JOIN c ON c.user_id = p.user_id
+          |  AND c.t >= p.t - 3600000000 AND c.t < p.t
+          |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
+      "sim_hamming_topk" -> {
+        val votes = (0 until 16).map { j =>
+          s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+        }.mkString(",\n  ")
+        val fp = (0 until 16).map { j =>
+          s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+        }.mkString(" + ")
+        s"""${shinglesSql(4, "TRUE")},
+           |h AS (SELECT doc_id, ${permSql("code", sa, sb)} AS h FROM codes),
+           |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+           |fp AS (SELECT doc_id, $fp AS f FROM votes),
+           |scored AS (
+           |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+           |    CAST(bit_count(xor(q.f, c.f)) AS BIGINT) AS hamming,
+           |    CAST(row_number() OVER (PARTITION BY q.doc_id
+           |      ORDER BY bit_count(xor(q.f, c.f)) ASC, c.doc_id ASC) AS BIGINT) AS rnk
+           |  FROM fp q JOIN fp c ON c.doc_id <> q.doc_id
+           |  WHERE q.doc_id < 20)
+           |SELECT query_id, neighbor_id, rnk, hamming FROM scored
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      },
+      "dedup_containment" ->
+        s"""${shinglesSql(8, "doc_id % 10 = 0")},
+           |keep AS (
+           |  SELECT c.doc_id, c.code FROM codes c
+           |  JOIN (SELECT code FROM codes GROUP BY code HAVING count(*) <= 50) ok
+           |    USING (code)),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM keep GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           |  FROM keep a JOIN keep b USING (code)
+           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  round(CAST(n_common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+           |FROM inter
+           |JOIN sz sa ON sa.doc_id = id_a
+           |JOIN sz sb ON sb.doc_id = id_b
+           |WHERE round(CAST(n_common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin
     )
   }
 }

@@ -153,6 +153,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Shingle-containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|).
+    * Containment catches subset/quote duplication that Jaccard dilutes
+    * (a paragraph wholly copied into a much longer document scores ~1.0
+    * here but near 0 on Jaccard). Same plan shape as
+    * [[ngramJaccardPairs]] — distinct-shingle equi-join with a
+    * doc-frequency stop-shingle filter, AQE stage reuse across the
+    * self-join sides — so the same scale notes apply. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minContainment: Double = 0.5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val all = shingles(df, idCol, textCol, k)
+    val sh = maxDocFreq match {
+      case Some(maxDf) =>
+        val hot = all.groupBy("code").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select("code")
+        all.join(broadcast(hot), Seq("code"), "left_anti")
+      case None => all
+    }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val l = sh.select(col(idCol).as("id_a"), col("code"))
+    val r = sh.select(col(idCol).as("id_b"), col("code"))
+    val inter = l.join(r, Seq("code"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("both"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("containment",
+        round(col("both").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double"), 6))
+      .where(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Exact n-gram Jaccard computed ONLY for the given candidate pairs —
     * the verify stage of a discovery→verify dedup pipeline. The candidate
     * set (LSH output) is small, so its id set broadcasts as a semi-join

@@ -64,6 +64,27 @@ object Multimodal {
     df.as[MediaRow].mapPartitions(MediaCodecStub.decodeBatch _)
   }
 
+  /** Byte-range chunk plan over multimodal payloads — the R4-style
+    * offset-addressed read surface (reference walrus_read.rs:419-585 plans
+    * block-aligned ranges the same way) applied to large media blobs:
+    * fixed-size chunk manifest (id, chunk_idx, start, len) for staged
+    * download / range-request pipelines. Metadata-only arithmetic on
+    * `length(bytes)` — payloads are never materialized, so column pruning
+    * keeps the scan narrow at 100 TB. */
+  def chunkManifest(df: DataFrame, chunkBytes: Int): DataFrame = {
+    require(chunkBytes > 0, "chunkBytes must be positive")
+    df.select(col("id"), col("media.mime").as("mime"),
+        length(col("media.bytes")).cast("long").as("byte_len"))
+      .where(col("byte_len") > 0)
+      .withColumn("n_chunks",
+        ((col("byte_len") + (chunkBytes - 1)) / chunkBytes).cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("id"), col("mime"), col("n_chunks"), col("chunk_idx"),
+        (col("chunk_idx") * chunkBytes).as("chunk_start"),
+        least(lit(chunkBytes.toLong),
+          col("byte_len") - col("chunk_idx") * chunkBytes).as("chunk_len"))
+  }
+
   /** Frame-sampling plumbing for video-like payloads: emits `n` byte-range
     * "frames" per payload (stub slices; real impl calls the demuxer), as
     * (id, frame_idx, frame_bytes). */

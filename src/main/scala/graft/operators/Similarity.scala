@@ -158,6 +158,27 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Top-k nearest by SimHash hamming distance — integer-exact ANN over
+    * fingerprints (pairs with [[graft.operators.Dedup.simHash]]).
+    * The query side broadcasts (queries are few); the corpus streams
+    * through a single linear pass per query batch — a
+    * broadcast-nested-loop by construction, O(|Q|·|C|) with tiny |Q|,
+    * no shuffle of the corpus. For corpus-scale all-pairs use the
+    * pigeonhole bucketing in [[graft.operators.Dedup.simHashPairs]]. */
+  def hammingTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, hashCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(hashCol).as("q_h"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(hashCol).as("c_h"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", bit_count(col("q_h").bitwiseXOR(col("c_h"))).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("hamming"))
+  }
+
   /** ANN top-k via LSH buckets: candidates = same-bucket pairs, exact
     * cosine re-rank inside the bucket, per-query top-k. Recall trades off
     * with `planes`; at scale add multi-probe (flip one bit) to recover

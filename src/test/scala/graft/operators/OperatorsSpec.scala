@@ -135,4 +135,73 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.length == 6)
     assert(frames.filter(_.getLong(0) == 1L).map(_.getAs[Array[Byte]](2).length).sum == 11)
   }
+
+  test("interval join matches exactly the rows in the half-open window") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val left = Seq((1L, 10L, 1000L), (1L, 11L, 2000L), (2L, 12L, 1500L))
+      .toDF("k", "lid", "lt")
+    val right = Seq(
+      (1L, 100L, 900L),  // in [1000-200, 1000) for lid=10
+      (1L, 101L, 1000L), // boundary: NOT in [800, 1000) (half-open upper)
+      (1L, 102L, 1805L), // in [1800, 2000) for lid=11
+      (2L, 103L, 1299L), // just below [1300, 1500) for lid=12
+      (2L, 104L, 1300L)) // lower bound inclusive for lid=12
+      .toDF("k", "rid", "rt")
+    val got = RangeJoin.intervalJoin(left, right, Seq("k"), "lt", "rt",
+        lower = -200L, upper = 0L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 100L), (11L, 102L), (12L, 104L)))
+    // bucket-aligned window start must not drop or duplicate matches
+    val aligned = RangeJoin.intervalJoin(
+        Seq((1L, 20L, 400L)).toDF("k", "lid", "lt"),
+        Seq((1L, 200L, 200L), (1L, 201L, 399L), (1L, 202L, 400L))
+          .toDF("k", "rid", "rt"),
+        Seq("k"), "lt", "rt", lower = -200L, upper = 0L)
+      .select("rid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(aligned == Seq(200L, 201L))
+  }
+
+  test("containment flags subset duplication that jaccard dilutes") {
+    val para = "the quick brown fox jumps over the lazy dog again and again"
+    val long = para + " plus a very long unrelated tail that goes on and on " +
+      "with totally different content filling many more shingles than the core"
+    val df = docsDF(Seq((0L, para), (1L, long), (2L, "nothing in common here at all")))
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", k = 8,
+      minContainment = 0.9).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+    // the same pair scores far lower on jaccard (subset vs union)
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", k = 8,
+      minJaccard = 0.9).collect()
+    assert(jac.isEmpty)
+  }
+
+  test("hamming top-k ranks by bit distance with id tie-break") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val sigs = Seq(
+      (0L, 0x00FFL), (1L, 0x00FEL), (2L, 0x00FFL), (3L, 0xFF00L))
+      .toDF("doc_id", "simhash")
+    val got = Similarity.hammingTopK(
+        sigs.where(col("doc_id") === 0), sigs, "doc_id", "simhash", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    // 2 is identical (ham 0), 1 differs by 1 bit, 3 by 16
+    assert(got.toSeq == Seq((2L, 1, 0L), (1L, 2, 1L), (3L, 3, 16L)))
+  }
+
+  test("chunk manifest covers every byte exactly once") {
+    import spark.implicits._
+    val df = Seq((1L, "a" * 700), (2L, "b" * 256), (3L, "")).toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val wrapped = Multimodal.wrap(df, "doc_id", "payload", lit("text/plain"), Seq.empty)
+    val m = Multimodal.chunkManifest(wrapped, chunkBytes = 256)
+      .orderBy("id", "chunk_idx").collect()
+    val byId = m.groupBy(_.getLong(0))
+    assert(!byId.contains(3L)) // empty payload: no chunks
+    assert(byId(1L).map(_.getLong(5)).toSeq == Seq(256L, 256L, 188L))
+    assert(byId(1L).map(_.getLong(4)).toSeq == Seq(0L, 256L, 512L))
+    assert(byId(2L).map(_.getLong(5)).toSeq == Seq(256L))
+    assert(m.forall(r => r.getLong(2) == byId(r.getLong(0)).length.toLong))
+  }
 }
