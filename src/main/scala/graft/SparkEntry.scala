@@ -615,8 +615,11 @@ object SparkEntry {
         .orderBy("etype")
     }),
     "log_metrics" -> ((s, dir) => {
-      // D5 METRICS dump (reference: controller/mod.rs:278-282) relationalized
-      val js = mainLog(s, dir).metricsJson()
+      // D5 METRICS dump (reference: controller/mod.rs:278-282)
+      // relationalized. Reads the csv log: no other query registers
+      // consumer groups there, so consumer_groups is stable regardless of
+      // query execution order (log_consumer_lag mutates mainLog's groups).
+      val js = csvLog(s, dir).metricsJson()
       def grab(k: String): Long =
         raw""""$k":(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong).getOrElse(-1L)
       val row = Row(grab("topics"), grab("commits"), grab("total_entries"),
@@ -629,8 +632,58 @@ object SparkEntry {
           StructField("vacuumed", LongType))))
     }),
 
+    "log_consumer_lag" -> ((s, dir) => {
+      // Consumer-group admin dump (D3's shared cursors + R5 consistency
+      // surface): two groups consume through the checkpointed read path —
+      // "analytics" one 800-byte budget batch, "archiver" a full batch
+      // (≤ maxBatchEntries) — then committed/lag per (group, topic).
+      // seek-to-0 first makes the query idempotent across bench reruns.
+      val log = mainLog(s, dir)
+      val ts = log.topicNames.sorted
+      ts.foreach { t =>
+        log.seek("analytics", t, 0L)
+        log.batchRead(t, maxBytes = 800L, checkpoint = true, group = "analytics")
+        log.seek("archiver", t, 0L)
+        log.batchRead(t, maxBytes = Long.MaxValue / 4, checkpoint = true,
+          group = "archiver")
+      }
+      val rows = for (g <- Seq("analytics", "archiver"); t <- ts) yield {
+        val committed = log.committedOffset(g, t)
+        Row(g, t, committed, log.totalAppended(t) - committed)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("grp", StringType),
+          StructField("topic", StringType),
+          StructField("committed", LongType),
+          StructField("lag_entries", LongType))))
+        .orderBy("grp", "topic")
+    }),
+
     // ---- relational breadth: cube, ntile, correlated scalar, median/mode,
     //      interval join ----
+    "rel_q5_region_revenue" -> ((s, dir) => {
+      // TPC-H Q5 shape: revenue by nation inside one region, customer and
+      // supplier co-national; dims broadcast, facts shuffle on join keys
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val sup = table(s, dir, "supplier")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
     "rel_cube" -> ((s, dir) => {
       val o = table(s, dir, "orders")
       val c = table(s, dir, "customer")
@@ -1289,6 +1342,44 @@ object SparkEntry {
           |  CAST(0 AS BIGINT) AS consumer_groups,
           |  CAST(0 AS BIGINT) AS vacuumed
           |FROM events""".stripMargin,
+      "log_consumer_lag" ->
+        """WITH t AS (
+          |  SELECT event_type AS topic, props,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS off
+          |  FROM events),
+          |c AS (
+          |  SELECT topic, off,
+          |    SUM(length(props)) OVER (PARTITION BY topic ORDER BY off
+          |      ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM t WHERE off < 2000),
+          |tot AS (SELECT topic, count(*) AS n FROM t GROUP BY 1),
+          |a AS (
+          |  SELECT topic, CAST(count(*) AS BIGINT) AS committed
+          |  FROM c WHERE cum <= 800 OR off = 0 GROUP BY topic)
+          |SELECT 'analytics' AS grp, tot.topic,
+          |  CAST(COALESCE(a.committed, 0) AS BIGINT) AS committed,
+          |  CAST(tot.n - COALESCE(a.committed, 0) AS BIGINT) AS lag_entries
+          |FROM tot LEFT JOIN a USING (topic)
+          |UNION ALL
+          |SELECT 'archiver' AS grp, topic,
+          |  CAST(least(n, 2000) AS BIGINT) AS committed,
+          |  CAST(n - least(n, 2000) AS BIGINT) AS lag_entries
+          |FROM tot
+          |ORDER BY grp, topic""".stripMargin,
+      "rel_q5_region_revenue" ->
+        """SELECT n_name,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |GROUP BY n_name
+          |ORDER BY revenue DESC, n_name""".stripMargin,
       "rel_cube" ->
         s"""SELECT COALESCE(n_name, 'ALL') AS nation,
            |  COALESCE(o_orderpriority, 'ALL') AS priority,

@@ -714,6 +714,18 @@ class WalrusLog(
   def committedOffset(group: String, topic: String): Long =
     cursors.getOrElse((group, topic), 0L)
 
+  /** Kafka-style cursor reposition: set the group's committed offset for
+    * `topic` (clamped to [0, totalAppended]) and persist immediately. The
+    * reference's cursors only move forward via consumption
+    * (walrus_read.rs:347-366); seek is the admin surface a consumer-group
+    * model additionally needs (replay / skip-ahead). */
+  def seek(group: String, topic: String, offset: Long): Unit = synchronized {
+    cursors((group, topic)) =
+      math.max(0L, math.min(offset, totalAppended(topic)))
+    unpersistedReads.remove((group, topic))
+    persistCursors()
+  }
+
   private def advanceCursorTo(group: String, topic: String, newOffset: Long,
       delivered: Long): Unit = synchronized {
     val k = (group, topic)

@@ -575,6 +575,28 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.entryCounts == Map("t0" -> 333L, "t1" -> 333L, "t2" -> 333L))
   }
 
+  test("seek repositions a group's cursor with clamping; groups independent") {
+    val log = new WalrusLog(spark, tempRoot())
+    (0 until 5).foreach(i => log.append("t", bytes(s"e$i")))
+    log.batchRead("t", Long.MaxValue, checkpoint = true, group = "g")
+    assert(log.committedOffset("g", "t") == 5)
+    log.seek("g", "t", 2)
+    assert(log.committedOffset("g", "t") == 2)
+    val replay = log.batchRead("t", Long.MaxValue, checkpoint = true, group = "g")
+    assert(replay.map(e => str(e.value)) == Seq("e2", "e3", "e4"))
+    log.seek("g", "t", 99)
+    assert(log.committedOffset("g", "t") == 5) // clamped to appended
+    log.seek("g", "t", -3)
+    assert(log.committedOffset("g", "t") == 0) // clamped to 0
+    // other groups and the shared cursor are untouched
+    assert(log.committedOffset("other", "t") == 0)
+    assert(log.entryCount("t") == 5)
+    // seek state survives restart (persisted eagerly)
+    log.seek("g", "t", 3)
+    val reopened = new WalrusLog(spark, log.root)
+    assert(reopened.committedOffset("g", "t") == 3)
+  }
+
   test("small-commit single-job path: offsets identical to the range path") {
     import org.apache.spark.sql.functions._
     // Interleaved topics + an explicit seq with gaps, shuffled input order.
