@@ -632,6 +632,23 @@ object SparkEntry {
           StructField("vacuumed", LongType))))
     }),
 
+    "stream_topic_counts" -> ((s, dir) => {
+      // Streaming parity inside the oracle gate: the same per-topic counts
+      // as log_entry_counts, but computed THROUGH the micro-batch engine
+      // (walruslog V2 source, AvailableNow, checkpointed offsets, complete-
+      // mode agg into a memory sink) instead of a batch scan.
+      val log = mainLog(s, dir)
+      val qn = s"stream_topic_counts_${System.nanoTime()}"
+      val q = graft.streaming.WalrusStreams.readStream(s, log.root)
+        .groupBy("topic").agg(count(lit(1)).as("cnt"))
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-stream-q-").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("topic")
+    }),
     "log_consumer_lag" -> ((s, dir) => {
       // Consumer-group admin dump (D3's shared cursors + R5 consistency
       // surface): two groups consume through the checkpointed read path —
@@ -661,6 +678,19 @@ object SparkEntry {
 
     // ---- relational breadth: cube, ntile, correlated scalar, median/mode,
     //      interval join ----
+    "rel_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS through the SQL surface (distinct from
+      // cube/rollup: only the two single-key sets, no pairwise/global)
+      table(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(s"""
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               count(1) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        ORDER BY priority, status""")
+    }),
     "rel_q5_region_revenue" -> ((s, dir) => {
       // TPC-H Q5 shape: revenue by nation inside one region, customer and
       // supplier co-national; dims broadcast, facts shuffle on join keys
@@ -1366,6 +1396,16 @@ object SparkEntry {
           |  CAST(n - least(n, 2000) AS BIGINT) AS lag_entries
           |FROM tot
           |ORDER BY grp, topic""".stripMargin,
+      "stream_topic_counts" ->
+        "SELECT event_type AS topic, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "rel_grouping_sets" ->
+        s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           |  coalesce(o_orderstatus, 'ALL') AS status,
+           |  ${dsumSql("o_totalprice")} AS revenue,
+           |  count(*) AS n_orders
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+           |ORDER BY priority, status""".stripMargin,
       "rel_q5_region_revenue" ->
         """SELECT n_name,
           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
