@@ -490,6 +490,16 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("cosine"))
         .orderBy("query_id", "rnk")
     }),
+    "sim_ivf_multiprobe" -> ((s, dir) => {
+      // nprobe=2: queries search their two best cells (recall recovery at
+      // cell boundaries), corpus stays single-assigned
+      val e = table(s, dir, "embeddings")
+      Similarity.ivfSearchMultiProbe(e.where(col("vec_id") < 20), e,
+          "vec_id", "embedding", nCentroids = 8, nprobe = 2, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), col("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
 
     // ---- text analysis ----
     "text_token_stats" -> ((s, dir) =>
@@ -524,6 +534,20 @@ object SparkEntry {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(25)),
+    "text_char_ngrams" -> ((s, dir) => {
+      // corpus character-trigram frequency profile (n-gram LM groundwork):
+      // non-distinct rolling shingle codes, top-25 by total occurrences
+      val sh = TextOps.shingles(table(s, dir, "documents"), "doc_id", "text",
+        k = 3, distinct = false)
+      sh.groupBy("code").agg(count(lit(1)).as("n"))
+        .withColumn("ngram", concat(
+          expr("char(CAST(code DIV 16384 AS INT))"),
+          expr("char(CAST((code DIV 128) % 128 AS INT))"),
+          expr("char(CAST(code % 128 AS INT))")))
+        .select(col("ngram"), col("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(25)
+    }),
 
     // ---- as-of join (custom operator by composition) ----
     "asof_last_click" -> ((s, dir) => {
@@ -1398,6 +1422,44 @@ object SparkEntry {
           |ORDER BY grp, topic""".stripMargin,
       "stream_topic_counts" ->
         "SELECT event_type AS topic, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "sim_ivf_multiprobe" -> {
+        val cells = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, round(${projDotSql("e", cIdx + 101)}, 6) AS sim FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH s AS (
+           |  $cells),
+           |ranked AS (
+           |  SELECT vec_id, cid, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s),
+           |a AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+           |probes AS (SELECT vec_id, cid FROM ranked WHERE rn <= 2),
+           |q AS (SELECT e.vec_id, e.embedding, p.cid FROM embeddings e
+           |  JOIN probes p USING (vec_id) WHERE e.vec_id < 20),
+           |c AS (SELECT e.vec_id, e.embedding, a.cid FROM embeddings e
+           |  JOIN a USING (vec_id)),
+           |p AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    round((${dotSql("q", "c")}) /
+           |      (sqrt(${normSqSql("q")}) * sqrt(${normSqSql("c")})), 6) AS cosine
+           |  FROM q JOIN c ON q.cid = c.cid AND q.vec_id <> c.vec_id),
+           |r AS (
+           |  SELECT query_id, neighbor_id, cosine,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM p)
+           |SELECT query_id, neighbor_id, rnk, cosine FROM r
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      },
+      "text_char_ngrams" ->
+        s"""WITH d AS (SELECT text FROM documents WHERE length(text) >= 3),
+           |pos AS (SELECT text, unnest(generate_series(1, length(text) - 2)) AS i FROM d),
+           |codes AS (SELECT ${codeSql("text", 3)} AS code FROM pos),
+           |g AS (SELECT code, count(*) AS n FROM codes GROUP BY code)
+           |SELECT chr(CAST(code // 16384 AS INT)) ||
+           |  chr(CAST((code // 128) % 128 AS INT)) ||
+           |  chr(CAST(code % 128 AS INT)) AS ngram,
+           |  CAST(n AS BIGINT) AS n
+           |FROM g ORDER BY n DESC, ngram LIMIT 25""".stripMargin,
       "rel_grouping_sets" ->
         s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
            |  coalesce(o_orderstatus, 'ALL') AS status,

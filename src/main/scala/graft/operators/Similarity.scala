@@ -74,6 +74,52 @@ object Similarity {
       greatest(sims: _*).getField("cid").as("centroid_id"))
   }
 
+  /** Top-`nprobe` cells per vector (probe list for multi-probe IVF
+    * search). Same scoring as [[ivfAssign]] (which is the nprobe=1,
+    * `greatest`-fused case); ranking explodes the `nCentroids` scores and
+    * keeps the best `nprobe` — run it on the QUERY side only, the corpus
+    * stays single-assigned. */
+  def ivfProbeAssign(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, nprobe: Int): DataFrame = {
+    import graft.functions.GraftFunctions.projection_dot
+    val sims = (0 until nCentroids).map { cIdx =>
+      struct(round(projection_dot(col(vecCol), cIdx + 101), 6).as("sim"),
+        lit(cIdx).as("cid"))
+    }
+    val exploded = emb.select(col(idCol), explode(array(sims: _*)).as("s"))
+      .select(col(idCol), col("s.sim").as("sim"), col("s.cid").as("cid"))
+    val w = Window.partitionBy(idCol).orderBy(col("sim").desc, col("cid").desc)
+    exploded.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= nprobe)
+      .select(col(idCol), col("cid").as("centroid_id"))
+  }
+
+  /** IVF search with multi-probe: queries probe their `nprobe` best cells
+    * (recall recovery for vectors near a cell boundary), the corpus stays
+    * single-assigned so no pair can appear twice. Join shape is identical
+    * to [[ivfSearch]] — the probe list only multiplies the broadcast query
+    * side by `nprobe`. */
+  def ivfSearchMultiProbe(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      nCentroids: Int, nprobe: Int, k: Int): DataFrame = {
+    val ca = ivfAssign(corpus, idCol, vecCol, nCentroids)
+    val qa = ivfProbeAssign(queries, idCol, vecCol, nCentroids, nprobe)
+    val c = corpus.join(ca, idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("centroid_id"))
+    val q = queries.join(qa, idCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("centroid_id"))
+    val scored = c.join(broadcast(q), Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine_similarity(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Multi-probe LSH candidate generation: each query probes its own
     * bucket plus every bucket at Hamming distance 1 (one hyperplane sign
     * flipped) — the standard recall-recovery move for vectors near a
