@@ -278,13 +278,18 @@ object Bench {
         .mkString("{", ",", "}")},""" +
       s""""query_families":${families.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")},$engineJson}"""
-    try Files.write(java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-      detail.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // cwd is the repo root under `sbt runMain`; overridable for other
+    // harnesses. A failed write must not pretend the file is fresh.
+    val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detailRef =
+      try {
+        Files.write(java.nio.file.Paths.get(detailPath), detail.getBytes("UTF-8"))
+        detailPath
+      } catch { case _: Throwable => "unavailable" }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       families.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     },"n_queries":${results.size},"sf":"$sfDir",""" +
-      s""""per_query_detail":"BENCH_DETAIL.json",$engineJson}""")
+      s""""per_query_detail":"$detailRef",$engineJson}""")
     spark.stop()
   }
 }

@@ -114,6 +114,12 @@ object SparkEntry {
         StructField("value_str", StringType))))
   }
 
+  /** Integer field of an engine-emitted JSON dump (stateJson/metricsJson
+    * fields are flat unsigned ints by construction). Missing key → 0, so a
+    * topic without the field reads as its natural zero state. */
+  private def jsonLong(js: String, k: String): Long =
+    raw""""$k":(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong).getOrElse(0L)
+
   // ------------------------------------------------- shared SQL generators
   private val Meta = 256L
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
@@ -203,9 +209,8 @@ object SparkEntry {
       val log = segLog(s, dir)
       val rows = log.topicNames.sorted.map { t =>
         val js = log.stateJson(t)
-        def grab(k: String): Long =
-          raw""""$k":(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong).getOrElse(0L)
-        Row(t, grab("current_segment"), grab("last_sealed_entry_offset"))
+        Row(t, jsonLong(js, "current_segment"),
+          jsonLong(js, "last_sealed_entry_offset"))
       }
       s.createDataFrame(s.sparkContext.parallelize(rows, 1),
         StructType(Seq(StructField("topic", StringType),
@@ -644,10 +649,9 @@ object SparkEntry {
       // consumer groups there, so consumer_groups is stable regardless of
       // query execution order (log_consumer_lag mutates mainLog's groups).
       val js = csvLog(s, dir).metricsJson()
-      def grab(k: String): Long =
-        raw""""$k":(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong).getOrElse(-1L)
-      val row = Row(grab("topics"), grab("commits"), grab("total_entries"),
-        grab("consumer_groups"), grab("vacuumed_batches"))
+      val row = Row(jsonLong(js, "topics"), jsonLong(js, "commits"),
+        jsonLong(js, "total_entries"), jsonLong(js, "consumer_groups"),
+        jsonLong(js, "vacuumed_batches"))
       s.createDataFrame(s.sparkContext.parallelize(Seq(row), 1),
         StructType(Seq(StructField("topics", LongType),
           StructField("commits", LongType),
@@ -663,15 +667,23 @@ object SparkEntry {
       // mode agg into a memory sink) instead of a batch scan.
       val log = mainLog(s, dir)
       val qn = s"stream_topic_counts_${System.nanoTime()}"
+      val ckpt = Files.createTempDirectory("graft-stream-q-")
       val q = graft.streaming.WalrusStreams.readStream(s, log.root)
         .groupBy("topic").agg(count(lit(1)).as("cnt"))
         .writeStream.format("memory").queryName(qn).outputMode("complete")
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft-stream-q-").toString)
+        .option("checkpointLocation", ckpt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(qn).orderBy("topic")
+      // materialize the (tiny) result, then drop the per-invocation memory
+      // sink and checkpoint so repeated runs don't accumulate driver state
+      val rows = s.table(qn).orderBy("topic").collect().toSeq
+      s.catalog.dropTempView(qn)
+      WalrusLog.deleteRecursively(ckpt)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("cnt", LongType))))
+        .orderBy("topic")
     }),
     "log_consumer_lag" -> ((s, dir) => {
       // Consumer-group admin dump (D3's shared cursors + R5 consistency

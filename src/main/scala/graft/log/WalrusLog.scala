@@ -720,6 +720,9 @@ class WalrusLog(
     * (walrus_read.rs:347-366); seek is the admin surface a consumer-group
     * model additionally needs (replay / skip-ahead). */
   def seek(group: String, topic: String, offset: Long): Unit = synchronized {
+    // reject unknown topics: a silent no-op cursor for a typo'd name would
+    // inflate consumer_groups and hide the mistake from the caller
+    require(topics.contains(topic), s"unknown topic '$topic'")
     cursors((group, topic)) =
       math.max(0L, math.min(offset, totalAppended(topic)))
     unpersistedReads.remove((group, topic))

@@ -112,23 +112,21 @@ object Dedup {
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
   }
 
-  /** Exact n-gram Jaccard similarity for pairs sharing ≥ 1 k-shingle:
-    * shingle equi-join, then |A∩B| / (|A|+|B|−|A∩B|). Use over LSH
-    * candidates (or an id subset) — the shingle join is the verify stage,
-    * not the discovery stage, at scale. */
-  def ngramJaccardPairs(
+  /** Shared discovery pipeline for all-pairs shingle overlap scores:
+    * distinct shingles, optional stop-shingle filter (shingles in >
+    * maxDocFreq documents carry no near-dup signal and dominate the
+    * equi-join fanout; dropped BEFORE sizing so the score space is the
+    * filtered one — oracles apply the identical filter), set-size agg,
+    * and the id_a < id_b intersection counts. The distinct shingle set
+    * feeds the doc-frequency pass, the size agg, and both self-join
+    * sides; all references canonicalize to the same distinct exchange,
+    * which AQE stage reuse computes once — an explicit cache measured
+    * slower. Returns intersections joined with both set sizes:
+    * (id_a, id_b, both, sz_a, sz_b). */
+  private def pairOverlaps(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, minJaccard: Double = 0.2,
-      maxDocFreq: Option[Int] = None): DataFrame = {
-    // The distinct shingle set feeds the doc-frequency pass, the size agg,
-    // and both self-join sides; all references canonicalize to the same
-    // distinct exchange, which AQE stage reuse computes once — an explicit
-    // cache measured slower (materialization + cache-scan overhead).
+      k: Int, maxDocFreq: Option[Int]): DataFrame = {
     val all = shingles(df, idCol, textCol, k)
-    // Stop-shingle filter: shingles present in > maxDocFreq documents carry
-    // no near-dup signal and dominate the equi-join fanout — drop them
-    // BEFORE sizing so the Jaccard space is the filtered one (the oracle
-    // applies the identical filter).
     val sh = maxDocFreq match {
       case Some(maxDf) =>
         val hot = all.groupBy("code").agg(count(lit(1)).as("df"))
@@ -139,19 +137,28 @@ object Dedup {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val l = sh.select(col(idCol).as("id_a"), col("code"))
     val r = sh.select(col(idCol).as("id_b"), col("code"))
-    val inter = l.join(r, Seq("code"))
+    l.join(r, Seq("code"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("both"))
-    inter
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs sharing ≥ 1 k-shingle:
+    * shingle equi-join, then |A∩B| / (|A|+|B|−|A∩B|). Use over LSH
+    * candidates (or an id subset) — the shingle join is the verify stage,
+    * not the discovery stage, at scale. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minJaccard: Double = 0.2,
+      maxDocFreq: Option[Int] = None): DataFrame =
+    pairOverlaps(df, idCol, textCol, k, maxDocFreq)
       .withColumn("jaccard",
         round(col("both").cast("double") /
           (col("sz_a") + col("sz_b") - col("both")).cast("double"), 6))
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** Shingle-containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|).
     * Containment catches subset/quote duplication that Jaccard dilutes
@@ -163,31 +170,13 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minContainment: Double = 0.5,
-      maxDocFreq: Option[Int] = None): DataFrame = {
-    val all = shingles(df, idCol, textCol, k)
-    val sh = maxDocFreq match {
-      case Some(maxDf) =>
-        val hot = all.groupBy("code").agg(count(lit(1)).as("df"))
-          .where(col("df") > maxDf).select("code")
-        all.join(broadcast(hot), Seq("code"), "left_anti")
-      case None => all
-    }
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val l = sh.select(col(idCol).as("id_a"), col("code"))
-    val r = sh.select(col(idCol).as("id_b"), col("code"))
-    val inter = l.join(r, Seq("code"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("both"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      maxDocFreq: Option[Int] = None): DataFrame =
+    pairOverlaps(df, idCol, textCol, k, maxDocFreq)
       .withColumn("containment",
         round(col("both").cast("double") /
           least(col("sz_a"), col("sz_b")).cast("double"), 6))
       .where(col("containment") >= minContainment)
       .select(col("id_a"), col("id_b"), col("containment"))
-  }
 
   /** Exact n-gram Jaccard computed ONLY for the given candidate pairs —
     * the verify stage of a discovery→verify dedup pipeline. The candidate

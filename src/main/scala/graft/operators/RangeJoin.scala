@@ -31,18 +31,24 @@ object RangeJoin {
       lower: Long, upper: Long): DataFrame = {
     require(upper > lower, s"empty window [$lower, $upper)")
     val w = upper - lower
+    // prefixed internal names so caller columns can't collide (withColumn
+    // silently REPLACES an existing column of the same name)
+    val bkt = "__graft_ij_bkt"
+    val st = "__graft_ij_start"
+    require(!left.columns.contains(bkt) && !left.columns.contains(st) &&
+      !right.columns.contains(bkt), s"reserved column name $bkt/$st in input")
     // integer `div`, not double division: μs/ns epoch values exceed the
     // 2^53 range where doubles stay exact
     // [start, start + w) touches bucket(start) and, unless start is
     // bucket-aligned, bucket(start)+1 — emit both, dedup, filter exact.
-    val l = left.withColumn("_start", col(leftTime) + lit(lower))
-      .withColumn("_bkt", explode(array_distinct(array(
-        expr(s"_start div $w"), expr(s"(_start + ${w - 1}) div $w")))))
-      .drop("_start")
-    val r = right.withColumn("_bkt", expr(s"$rightTime div $w"))
-    l.join(r, keys :+ "_bkt")
+    val l = left.withColumn(st, col(leftTime) + lit(lower))
+      .withColumn(bkt, explode(array_distinct(array(
+        expr(s"$st div $w"), expr(s"($st + ${w - 1}) div $w")))))
+      .drop(st)
+    val r = right.withColumn(bkt, expr(s"$rightTime div $w"))
+    l.join(r, keys :+ bkt)
       .where(col(rightTime) >= col(leftTime) + lower &&
         col(rightTime) < col(leftTime) + upper)
-      .drop("_bkt")
+      .drop(bkt)
   }
 }

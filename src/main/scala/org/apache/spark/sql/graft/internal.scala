@@ -31,6 +31,12 @@ object GraftSqlInternal {
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 
+  /** Block until queued SparkListener events have been delivered — the
+    * reliable barrier for listener-based assertions (listenerBus is
+    * private[spark]). */
+  def waitListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Re-root a DataFrame's logical plan onto another session (e.g. a
     * clone carrying different execution confs). */
   def onSession(df: DataFrame, spark: SparkSession): DataFrame =

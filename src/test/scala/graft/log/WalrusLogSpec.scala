@@ -643,12 +643,8 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.addSparkListener(listener)
     try {
       log.appendDF(df)
-      // listener events are async; wait for the count to settle
-      val deadline = System.nanoTime() + 5000000000L
-      var last = -1
-      while (System.nanoTime() < deadline && jobs.get() != last) {
-        last = jobs.get(); Thread.sleep(200)
-      }
+      // listener events are async; drain the bus before asserting
+      org.apache.spark.sql.graft.GraftSqlInternal.waitListenerBus(spark)
     } finally spark.sparkContext.removeSparkListener(listener)
     assert(jobs.get() == 1, s"expected 1 ingest job, saw ${jobs.get()}")
     assert(log.entryCounts.values.sum == 1000L)
