@@ -727,6 +727,63 @@ object SparkEntry {
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
         ORDER BY priority, status""")
     }),
+    "rel_string_agg" -> ((s, dir) => {
+      // ordered string aggregation: sorted distinct nation list per market
+      // segment (collect_set order is engine-internal; array_sort makes the
+      // aggregation deterministic — same contract as the oracle's ORDER BY)
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_mktsegment")
+        .agg(concat_ws(",", array_sort(collect_set(col("n_name")))).as("nations"),
+          count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+    "rel_date_functions" -> ((s, dir) => {
+      val o = table(s, dir, "orders").withColumn("d", col("o_orderdate").cast("date"))
+      o.select(col("o_orderkey"),
+          year(col("d")).cast("long").as("yr"),
+          month(col("d")).cast("long").as("mo"),
+          dayofmonth(col("d")).cast("long").as("dom"),
+          date_trunc("month", col("d")).cast("date").as("month_start"),
+          datediff(col("d"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+          date_add(col("d"), 30).as("plus30"))
+        .orderBy("o_orderkey")
+    }),
+    "dedup_minhash_est_jaccard" -> ((s, dir) => {
+      // signature-estimated Jaccard for the LSH candidate pairs: fraction
+      // of agreeing MinHash components — the cheap estimate whose exact
+      // counterpart is dedup_pipeline's shingle-join verification
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 5, bands = 4, rowsPerBand = 4)
+      val sig = Dedup.minHashSignatures(docs, "doc_id", "text", k = 5, numHashes = 16)
+      val matches = (0 until 16).map { j =>
+        when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0)
+      }.reduce(_ + _)
+      pairs.join(sig.as("a"), col("id_a") === col("a.doc_id"))
+        .join(sig.as("b"), col("id_b") === col("b.doc_id"))
+        .select(col("id_a"), col("id_b"),
+          round(matches.cast("double") / 16.0, 6).as("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    "log_topic_clean" -> ((s, dir) => {
+      // W6 surface: generation-counted clean markers. Ingest marks every
+      // topic dirty (generation 1 after the single commit); marking two
+      // topics clean is idempotent, so the dump is rerun-stable.
+      val log = mainLog(s, dir)
+      Seq("click", "error").foreach(log.markTopicClean)
+      val rows = log.topicNames.sorted.map { t =>
+        val js = log.cleanStateJson(t)
+        Row(t, jsonLong(js, "generation"),
+          if (log.topicIsClean(t)) 1L else 0L)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("generation", LongType),
+          StructField("is_clean", LongType))))
+        .orderBy("topic")
+    }),
     "rel_q5_region_revenue" -> ((s, dir) => {
       // TPC-H Q5 shape: revenue by nation inside one region, customer and
       // supplier co-national; dims broadcast, facts shuffle on join keys
@@ -1480,6 +1537,51 @@ object SparkEntry {
            |FROM orders
            |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
            |ORDER BY priority, status""".stripMargin,
+      "rel_string_agg" ->
+        """SELECT c_mktsegment,
+          |  string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+          |  count(*) AS n_customers
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "rel_date_functions" ->
+        """SELECT o_orderkey,
+          |  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+          |  CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
+          |  CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) AS dom,
+          |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+          |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+          |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus30
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
+      "dedup_minhash_est_jaccard" -> {
+        val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(${permSql("code", a, b)}) AS mh$j"
+        }.mkString(",\n  ")
+        val bandKeys = (0 until 4).map { bnd =>
+          (0 until 4).map(r => s"CAST(mh${bnd * 4 + r} AS VARCHAR)")
+            .mkString(s"SELECT doc_id, $bnd AS band, ", " || '_' || ", " AS bkey FROM sig")
+        }.mkString("\n  UNION ALL ")
+        val agree = (0 until 16).map(j =>
+          s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+        s"""${shinglesSql(5, "TRUE")},
+           |sig AS (SELECT doc_id, $mins FROM codes GROUP BY doc_id),
+           |banded AS (
+           |  $bandKeys),
+           |pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+           |  WHERE l.doc_id < r.doc_id)
+           |SELECT id_a, id_b,
+           |  round(CAST($agree AS DOUBLE) / 16.0, 6) AS est_jaccard
+           |FROM pairs
+           |JOIN sig a ON a.doc_id = id_a
+           |JOIN sig b ON b.doc_id = id_b
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+      "log_topic_clean" ->
+        """SELECT event_type AS topic, CAST(1 AS BIGINT) AS generation,
+          |  CAST(CASE WHEN event_type IN ('click', 'error') THEN 1 ELSE 0 END
+          |    AS BIGINT) AS is_clean
+          |FROM events GROUP BY event_type ORDER BY topic""".stripMargin,
       "rel_q5_region_revenue" ->
         """SELECT n_name,
           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *

@@ -778,6 +778,14 @@ class WalrusLog(
   }
   def topicIsClean(topic: String): Boolean = topics.get(topic).forall(_.clean)
 
+  /** W6 dump: the generation-counted clean record for one topic
+    * (reference: topic_clean.rs:12-257 persists exactly these fields). */
+  def cleanStateJson(topic: String): String = {
+    val st = topics.getOrElse(topic, new TopicState)
+    s"""{"topic":"$topic","generation":${st.cleanGeneration},""" +
+      s""""is_clean":${st.clean}}"""
+  }
+
   /** Create-if-absent (reference: `REGISTER`/`ensure_topic`,
     * distributed-walrus/src/controller/mod.rs:124-156). */
   def ensureTopic(topic: String): Unit = synchronized { state(topic); persistClean() }
