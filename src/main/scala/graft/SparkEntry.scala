@@ -593,6 +593,29 @@ object SparkEntry {
       table(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")),
+    "rel_approx_quantiles" -> ((s, dir) =>
+      // KLL-style quantile sketch (Spark's approx_percentile/GK) —
+      // engine-specific estimates, rows-only check; the exact counterpart
+      // is rel_percentiles
+      table(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), array(0.25, 0.5, 0.9), 1000)")
+          .as("price_quantiles"))
+        .orderBy("l_returnflag")),
+    "mm_feature_extract" -> ((s, dir) => {
+      // stubbed batched decode (mapPartitions = the mapInPandas shape):
+      // engine-specific feature bytes, rows-only check; spec covers
+      // determinism of the stub itself
+      val d = table(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      val wrapped = graft.operators.Multimodal.wrap(
+        d, "doc_id", "payload", lit("text/plain"), Seq.empty)
+      graft.operators.Multimodal.extractFeatures(s, wrapped).toDF()
+        .select(col("id").as("doc_id"), col("mime"),
+          col("byte_len").cast("long").as("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .orderBy("doc_id")
+    }),
 
     // ---- multimodal columns ----
     "mm_frame_sample" -> ((s, dir) => {

@@ -190,6 +190,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((2L, 1, 0L), (1L, 2, 1L), (3L, 3, 16L)))
   }
 
+  test("multi-probe IVF candidates are a superset of single-probe's") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val emb = (0L until 60L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = emb.where(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Similarity.ivfSearch(q, emb, "vec_id", "embedding",
+      nCentroids = 4, k = 60))
+    val multi = pairs(Similarity.ivfSearchMultiProbe(q, emb, "vec_id", "embedding",
+      nCentroids = 4, nprobe = 2, k = 60))
+    assert(single.subsetOf(multi),
+      s"missing from multi-probe: ${single.diff(multi)}")
+    assert(multi.size > single.size) // probing a 2nd cell adds candidates
+  }
+
   test("chunk manifest covers every byte exactly once") {
     import spark.implicits._
     val df = Seq((1L, "a" * 700), (2L, "b" * 256), (3L, "")).toDF("doc_id", "text")
