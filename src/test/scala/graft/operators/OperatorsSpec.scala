@@ -160,6 +160,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq("k"), "lt", "rt", lower = -200L, upper = 0L)
       .select("rid").collect().map(_.getLong(0)).sorted.toSeq
     assert(aligned == Seq(200L, 201L))
+    // forward (look-ahead) window [lt, lt+150): inclusive lower at lt
+    val fwd = RangeJoin.intervalJoin(
+        Seq((1L, 30L, 1000L)).toDF("k", "lid", "lt"),
+        Seq((1L, 300L, 999L), (1L, 301L, 1000L), (1L, 302L, 1149L),
+          (1L, 303L, 1150L)).toDF("k", "rid", "rt"),
+        Seq("k"), "lt", "rt", lower = 0L, upper = 150L)
+      .select("rid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(fwd == Seq(301L, 302L))
   }
 
   test("containment flags subset duplication that jaccard dilutes") {
