@@ -596,10 +596,15 @@ object SparkEntry {
     "rel_approx_quantiles" -> ((s, dir) =>
       // KLL-style quantile sketch (Spark's approx_percentile/GK) —
       // engine-specific estimates, rows-only check; the exact counterpart
-      // is rel_percentiles
+      // is rel_percentiles. Scalar columns (not an array) so the driver's
+      // rows-only compare can sort the frame.
       table(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), array(0.25, 0.5, 0.9), 1000)")
-          .as("price_quantiles"))
+          .as("qs"))
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("price_p25"),
+          element_at(col("qs"), 2).as("price_p50"),
+          element_at(col("qs"), 3).as("price_p90"))
         .orderBy("l_returnflag")),
     "mm_feature_extract" -> ((s, dir) => {
       // stubbed batched decode (mapPartitions = the mapInPandas shape):

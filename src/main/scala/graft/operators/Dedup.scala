@@ -210,14 +210,61 @@ object Dedup {
 
   /** Connected components over near-duplicate pairs: every id is labelled
     * with the minimum id reachable through the pair graph — the canonical
-    * "keep one document per duplicate cluster" assignment. Iterative
+    * "keep one document per duplicate cluster" assignment. Two paths:
+    * graphs up to `maxLocalEdges` collect to a driver-side union-find
+    * (one job; the usual case — LSH emits candidate PAIRS, a set orders of
+    * magnitude smaller than the corpus); larger graphs run iterative
     * min-label propagation (the classic large-graph CC): each round is one
     * shuffle (join + min-agg), rounds = graph diameter, lineage cut per
     * round with an eager local checkpoint so plans stay flat. Near-dup
     * graphs have tiny diameters in practice, so this converges in a few
     * rounds at any corpus size. Only ids appearing in `pairs` are
     * returned; singletons are their own cluster by definition. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame,
+      maxLocalEdges: Int = 4000000): DataFrame = {
+    // Fast path: an LSH candidate graph is tiny relative to its corpus
+    // (pairs, not documents — bounded by bucket collisions). When it fits
+    // comfortably on the driver, a single collect + union-find replaces
+    // ~log(diameter) shuffle rounds of the iterative path. limit(N+1)
+    // bounds the collect: exactly one action, and > N rows falls through
+    // to the distributed loop, so the path choice never OOMs the driver.
+    val probe = pairs.select(col("id_a"), col("id_b"))
+      .limit(maxLocalEdges + 1).collect()
+    if (probe.length <= maxLocalEdges) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      probe.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        // attach the larger root under the smaller: the root IS min(id)
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      val spark = pairs.sparkSession
+      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
+      parent.keySet.forEach(n => out += org.apache.spark.sql.Row(n.longValue(), find(n)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lbl", org.apache.spark.sql.types.LongType))))
+    }
+    // Union of a localCheckpoint'd frame with lineage derived from it can
+    // trip Spark's Union constraint rewrite on stale attribute ids
+    // (rewriteConstraints: "key not found: node#N"). Constraints infer
+    // nothing useful for these two-column label frames — disable
+    // propagation for the loop and restore after.
+    val session = pairs.sparkSession
+    val constraintKey = "spark.sql.constraintPropagation.enabled"
+    val prevConstraint = session.conf.get(constraintKey, "true")
+    session.conf.set(constraintKey, "false")
+    try {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache() // reused across iterations (distinct jobs), not a self-join
@@ -247,6 +294,7 @@ object Dedup {
     }
     edges.unpersist(false)
     labels
+    } finally session.conf.set(constraintKey, prevConstraint)
   }
 
   /** Embedding-cosine near-duplicate pairs among documents: pairs with

@@ -230,4 +230,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(2L).map(_.getLong(5)).toSeq == Seq(256L))
     assert(m.forall(r => r.getLong(2) == byId(r.getLong(0)).length.toLong))
   }
+
+  test("connected components: driver union-find matches iterative propagation") {
+    import spark.implicits._
+    // planted components: chains, a star, a cycle, cross-links, isolated pair
+    val rnd = new scala.util.Random(7)
+    val planted = Seq.tabulate(30)(i => (i.toLong, (i + 31).toLong)) ++ // matching pairs
+      Seq.tabulate(9)(i => (100L + i, 101L + i)) ++                     // chain 100..109
+      Seq.tabulate(5)(i => (200L, 201L + i)) ++                         // star at 200
+      Seq((300L, 301L), (301L, 302L), (302L, 300L)) ++                  // cycle
+      Seq((105L, 203L), (5L, 300L)) ++                                  // cross-links
+      Seq.fill(40)((rnd.nextInt(60).toLong, (60 + rnd.nextInt(60)).toLong))
+    val pairs = planted.toDF("id_a", "id_b")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val local = labels(Dedup.connectedComponents(pairs))
+    val iterative = labels(Dedup.connectedComponents(pairs, maxLocalEdges = 0))
+    assert(local == iterative)
+    // spot-check the planted structure: chain+star merged via (105,203),
+    // cycle pulled into node 5's component via (5,300)
+    assert(local(109L) == local(200L))
+    assert(local(302L) == local(5L))
+    assert(local(302L) <= 5L)
+  }
 }
