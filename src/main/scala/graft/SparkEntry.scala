@@ -1066,6 +1066,34 @@ object SparkEntry {
           subspaces = 8, subCentroids = 4, subDim = 8)
         .orderBy("vec_id")),
 
+    "sim_pq_adc" -> ((s, dir) => {
+      // ADC search over the PQ codes: per-query LUT of exact sub-centroid
+      // dots, corpus scored by 8 integer table lookups per code
+      val e = table(s, dir, "embeddings")
+      Similarity.pqAdcSearch(e.where(col("vec_id") < 20), e,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), col("adc_score"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "rel_q18_large_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: semi-aggregate HAVING filter on the fact table,
+      // then enrich with order/customer dims — the "find the whales" scan
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val big = li.groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .where(col("total_qty") > 200)
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // ---- sliding-window multimodal manifest ----
     "mm_hop_windows" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -1979,6 +2007,53 @@ object SparkEntry {
            |SELECT vec_id, CAST(SUM(cid * ($weights)) AS BIGINT) AS pq_code
            |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
       },
+      "sim_pq_adc" -> {
+        val sub = (0 until 8).flatMap { sIdx =>
+          (0 until 4).map { cIdx =>
+            val dot = (0 until 8).map { d =>
+              val comp = Similarity.projComponent(301 + sIdx * 4 + cIdx, d)
+              s"CAST(e.embedding[${sIdx * 8 + d + 1}] AS DOUBLE) * ($comp)"
+            }.mkString(" + ")
+            s"SELECT vec_id, $sIdx AS s, $cIdx AS cid, round($dot, 6) AS sim FROM embeddings e"
+          }
+        }.mkString("\n  UNION ALL ")
+        s"""WITH scores AS (
+           |  $sub),
+           |best AS (
+           |  SELECT vec_id, s, cid FROM (
+           |    SELECT vec_id, s, cid, row_number() OVER (
+           |      PARTITION BY vec_id, s ORDER BY sim DESC, cid DESC) AS rn
+           |    FROM scores)
+           |  WHERE rn = 1),
+           |lut AS (
+           |  SELECT vec_id AS query_id, s, cid,
+           |    CAST(round(sim * 1000000) AS BIGINT) AS sim_micro
+           |  FROM scores WHERE vec_id < 20),
+           |sc AS (
+           |  SELECT l.query_id, b.vec_id AS neighbor_id,
+           |    CAST(SUM(l.sim_micro) AS BIGINT) AS score_micro
+           |  FROM best b JOIN lut l ON l.s = b.s AND l.cid = b.cid
+           |  WHERE b.vec_id <> l.query_id
+           |  GROUP BY 1, 2),
+           |r AS (
+           |  SELECT query_id, neighbor_id, score_micro,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score_micro DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM sc)
+           |SELECT query_id, neighbor_id, rnk,
+           |  round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS adc_score
+           |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      },
+      "rel_q18_large_orders" ->
+        s"""WITH big AS (
+           |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS total_qty
+           |  FROM lineitem GROUP BY l_orderkey
+           |  HAVING ${dsumSql("l_quantity")} > 200)
+           |SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+           |FROM orders
+           |JOIN big ON o_orderkey = l_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
       "mm_hop_windows" ->
         """WITH d AS (
           |  SELECT doc_id, CAST(length(text) AS BIGINT) AS blen,

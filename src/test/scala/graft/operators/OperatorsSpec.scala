@@ -275,6 +275,39 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(subDigits.values.flatten.forall(d => d >= 0 && d <= 3))
   }
 
+  test("pq adc search: scores are exact LUT sums over assigned codes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 30L).map(i => i -> Array.fill(64)(rnd.nextFloat() * 2 - 1)).toMap
+    val emb = vecs.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def subSim(v: Array[Float], s: Int, c: Int): Double =
+      r6((0 until 8).map(d => v(s * 8 + d).toDouble *
+        Similarity.projComponent(301 + s * 4 + c, d)).sum)
+    def digit(v: Array[Float], s: Int): Int =
+      (0 until 4).map(c => (subSim(v, s, c), c)).max._2 // ties → higher cid
+    def micro(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val res = Similarity.pqAdcSearch(
+        emb.where(col("vec_id") < 3), emb, "vec_id", "embedding", k = 29)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getDouble(3)))
+      .toMap
+    assert(res.size == 3 * 29) // every non-self neighbor ranked
+    res.foreach { case ((q, n), (_, score)) =>
+      val expected = (0 until 8).map(s => micro(subSim(vecs(q), s, digit(vecs(n), s)))).sum
+      assert(score == r6(expected.toDouble / 1e6),
+        s"query $q neighbor $n: got $score expected ${r6(expected.toDouble / 1e6)}")
+    }
+    // ranks are dense 1..29 and ordered by (score desc, neighbor asc)
+    (0L until 3L).foreach { q =>
+      val mine = res.collect { case ((`q`, n), (rk, sc)) => (rk, sc, n) }.toSeq.sorted
+      assert(mine.map(_._1) == (1 to 29))
+      val ord = mine.sortBy(_._1).map(t => (-t._2, t._3))
+      assert(ord == ord.sorted)
+    }
+  }
+
   test("connected components: driver union-find matches iterative propagation") {
     import spark.implicits._
     // planted components: chains, a star, a cycle, cross-links, isolated pair
