@@ -1106,6 +1106,52 @@ object SparkEntry {
         .orderBy("doc_id", "win_idx")
     }),
 
+    "stream_log_mirror" -> ((s, dir) => {
+      // Full source→sink roundtrip through the micro-batch engine: stream
+      // the main log into a fresh log via the epoch-tagged exactly-once
+      // foreachBatch sink, then dump the MIRROR's per-topic counts/bytes.
+      // Fresh temp dirs per invocation (collected before cleanup) keep the
+      // query rerun-stable.
+      val src = mainLog(s, dir)
+      val root = Files.createTempDirectory("graft-log-mirror-").toString
+      val dst = new WalrusLog(s, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ckpt = Files.createTempDirectory("graft-stream-m-")
+      val w = graft.streaming.WalrusStreams.sink(
+        graft.streaming.WalrusStreams.readStream(s, src.root)
+          .select(col("topic"), col("value")),
+        dst, ckpt.toString)
+      graft.streaming.WalrusStreams.drainOnce(w)
+      val rows = dst.toDF().groupBy("topic")
+        .agg(count(lit(1)).as("n"), sum(length(col("value"))).as("bytes"))
+        .orderBy("topic").collect().toSeq
+      dst.close()
+      WalrusLog.deleteRecursively(java.nio.file.Paths.get(root))
+      WalrusLog.deleteRecursively(ckpt)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("n", LongType), StructField("bytes", LongType))))
+        .orderBy("topic")
+    }),
+
+    "sim_cosine_builtin" -> ((s, dir) => {
+      // the "functions, not UDFs" alternative path: exact pairwise cosine
+      // through Spark's higher-order functions (zip_with + aggregate) —
+      // same left-to-right accumulation as the fused expression, so the
+      // same oracle verifies both implementations
+      val e = table(s, dir, "embeddings").where(col("vec_id") < 30)
+      val l = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+      val r = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+      def dot(a: String, b: String) = expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+      l.join(r, col("vec_a") < col("vec_b"))
+        .withColumn("cosine", round(
+          dot("va", "vb") / (sqrt(dot("va", "va")) * sqrt(dot("vb", "vb"))), 6))
+        .select(col("vec_a"), col("vec_b"), col("cosine"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // ---- event-time windowed streaming aggregation ----
     "stream_windowed_counts" -> ((s, dir) => {
       // Event-time tumbling windows + watermark THROUGH the micro-batch
@@ -2065,6 +2111,17 @@ object SparkEntry {
           |  CAST(wi * 32 AS BIGINT) AS win_start,
           |  CAST(64 AS BIGINT) AS win_len
           |FROM x ORDER BY doc_id, win_idx""".stripMargin,
+      "stream_log_mirror" ->
+        """SELECT event_type AS topic, count(*) AS n,
+          |  CAST(SUM(length(props)) AS BIGINT) AS bytes
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      "sim_cosine_builtin" ->
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 30)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  round((${dotSql("a", "b")}) /
+           |    (sqrt(${normSqSql("a")}) * sqrt(${normSqSql("b")})), 6) AS cosine
+           |FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |ORDER BY vec_a, vec_b""".stripMargin,
       "stream_windowed_counts" ->
         """SELECT event_type AS topic,
           |  CAST((CAST(json_extract_string(props, '$.k') AS BIGINT) // 600) * 600
