@@ -1152,6 +1152,33 @@ object SparkEntry {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // ---- training-data sharding ----
+    "shard_hash_split" -> ((s, dir) =>
+      // deterministic 90/5/5 split by modular id hash (content-stable,
+      // never rand()); dumped as per-(source, split) counts
+      graft.operators.Sharding.hashSplit(table(s, dir, "documents"), "doc_id")
+        .groupBy("source", "split").agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")),
+    "shard_quality_topk" -> ((s, dir) => {
+      // quality filtering: keep the 10 best-scoring documents per source
+      // (groupwise top-k over the quality operator's score)
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      q.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 10)
+        .select(col("source"), col("doc_id"), col("quality_score"), col("rnk"))
+        .orderBy("source", "rnk")
+    }),
+    "shard_pack_manifest" -> ((s, dir) =>
+      graft.operators.Sharding.packManifest(
+          table(s, dir, "documents"), "doc_id", "text", budget = 4096)
+        .orderBy("doc_id")),
+
     // ---- event-time windowed streaming aggregation ----
     "stream_windowed_counts" -> ((s, dir) => {
       // Event-time tumbling windows + watermark THROUGH the micro-batch
@@ -2111,6 +2138,42 @@ object SparkEntry {
           |  CAST(wi * 32 AS BIGINT) AS win_start,
           |  CAST(64 AS BIGINT) AS win_len
           |FROM x ORDER BY doc_id, win_idx""".stripMargin,
+      "shard_hash_split" ->
+        s"""SELECT source,
+           |  CASE WHEN (doc_id * ${graft.operators.Sharding.HashMul}) % 100 < 90 THEN 'train'
+           |       WHEN (doc_id * ${graft.operators.Sharding.HashMul}) % 100 < 95 THEN 'val'
+           |       ELSE 'test' END AS split,
+           |  count(*) AS n
+           |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+      "shard_quality_topk" ->
+        """WITH b AS (
+          |  SELECT doc_id, source,
+          |    CAST(length(text) AS DOUBLE) AS nc,
+          |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+          |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is|a|in|that)\b')) AS DOUBLE) AS stop,
+          |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS na
+          |  FROM documents),
+          |q AS (SELECT doc_id, source,
+          |    round(0.4 * least(nc / 400.0, 1.0) + 0.4 * least(stop / nw * 5.0, 1.0)
+          |      + 0.2 * (1.0 - least(na / nc * 4.0, 1.0)), 6) AS quality_score
+          |  FROM b),
+          |r AS (SELECT source, doc_id, quality_score,
+          |    CAST(row_number() OVER (PARTITION BY source
+          |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rnk
+          |  FROM q)
+          |SELECT source, doc_id, quality_score, rnk FROM r
+          |WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
+      "shard_pack_manifest" ->
+        """WITH t AS (
+          |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |c AS (SELECT doc_id, n_tokens,
+          |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM t)
+          |SELECT doc_id, n_tokens,
+          |  CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id,
+          |  CAST((cum - n_tokens) % 4096 AS BIGINT) AS pack_pos
+          |FROM c ORDER BY doc_id""".stripMargin,
       "stream_log_mirror" ->
         """SELECT event_type AS topic, count(*) AS n,
           |  CAST(SUM(length(props)) AS BIGINT) AS bytes
