@@ -273,7 +273,12 @@ object SparkEntry {
           dsum(col("l_extendedprice")).as("sum_base_price"),
           sum(col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-            .cast("double").as("sum_disc_price"),
+            // rescale to 4 before the double cast: the products have exactly
+            // 4 decimals, so scale-8 -> scale-4 drops only zeros (no rounding
+            // tie), and scale-4 integer units stay double-exact to ~9e11 —
+            // a scale-8 sum's units overflow double-exactness past ~9e7 and
+            // the engines then double-round differently
+            .cast("decimal(38,4)").cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -287,7 +292,7 @@ object SparkEntry {
         .groupBy("l_orderkey")
         .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-          .cast("double").as("revenue"),
+          .cast("decimal(38,4)").cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -859,7 +864,7 @@ object SparkEntry {
         .groupBy("n_name")
         .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-          .cast("double").as("revenue"),
+          .cast("decimal(38,4)").cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
@@ -1179,6 +1184,122 @@ object SparkEntry {
           table(s, dir, "documents"), "doc_id", "text", budget = 4096)
         .orderBy("doc_id")),
 
+    "log_idempotent_producer" -> ((s, dir) => {
+      // Kafka-idempotent-producer contract through the engine: the second
+      // append retries an overlapping per-producer sequence range, and the
+      // per-producer high watermark (persisted with the log, honored across
+      // a reopen) drops every duplicate — the visible log holds exactly one
+      // entry per event. The reopened third retry proves the watermark
+      // survives recovery (rec.id == -1: nothing fresh, no commit at all).
+      val root = Files.createTempDirectory("graft-log-idem-").toString
+      val log = new WalrusLog(s, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ev = events(s, dir).select(
+        col("event_type").as("topic"),
+        encode(col("props"), "UTF-8").as("value"),
+        concat(lit("p"), col("user_id") % 3).as("producer"),
+        col("event_id").as("_seq")).cache()
+      val n = ev.count(); val cut1 = n / 3; val cut2 = 2 * n / 3
+      val (_, d1) = log.appendDFIdempotent(
+        ev.where(col("_seq") < cut2), col("producer"), col("_seq"))
+      require(d1 == 0L, s"first append dropped $d1 rows")
+      val (_, d2) = log.appendDFIdempotent(
+        ev.where(col("_seq") >= cut1), col("producer"), col("_seq"))
+      log.close()
+      val reopened = new WalrusLog(s, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val (rec3, d3) = reopened.appendDFIdempotent(
+        ev.where(col("_seq") >= cut1), col("producer"), col("_seq"))
+      require(rec3.id == -1L && d3 == n - cut1,
+        s"reopened retry must drop all ${n - cut1} rows (dropped $d3)")
+      ev.unpersist()
+      val rows = reopened.toDF().groupBy("topic")
+        .agg(count(lit(1)).as("n_entries"))
+        .withColumn("dup_dropped", lit(d2))
+        .orderBy("topic").collect().toSeq
+      reopened.close()
+      WalrusLog.deleteRecursively(java.nio.file.Paths.get(root))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("n_entries", LongType),
+          StructField("dup_dropped", LongType))))
+        .orderBy("topic")
+    }),
+
+    "sim_ivf_pq" -> ((s, dir) => {
+      // the full two-stage ANN pipeline: IVF cell restriction (nprobe=2)
+      // over the PQ-coded corpus, ADC-scored — coarse quantizer + product
+      // quantizer composed exactly as a billion-vector index pages them
+      val e = table(s, dir, "embeddings")
+      Similarity.ivfPqSearch(e.where(col("vec_id") < 20), e,
+          "vec_id", "embedding", nCentroids = 8, nprobe = 2, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), col("adc_score"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "text_perplexity" -> ((s, dir) => {
+      // bigram cross-entropy in integer millinats: each bigram's surprisal
+      // ln(N / cnt) is rounded to a BIGINT of millinats BEFORE summing, so
+      // the per-document sum is an order-proof integer aggregate — the only
+      // float op is one ln + one round per distinct term, never a float
+      // accumulation (ULP-stable across engines; verified sf0.001-0.1)
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .where(size(col("tk")) >= 2)
+      val bigrams = toks.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+          .as("bg"))
+      val corpus = bigrams.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      val tot = bigrams.agg(count(lit(1)).as("n_tot"))
+      bigrams.join(corpus, "bg").crossJoin(broadcast(tot))
+        .withColumn("s_m",
+          round(log(col("n_tot").cast("double") / col("cnt")) * 1000, 0)
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("s_m")).as("surprisal_milli"),
+          round(sum(col("s_m")).cast("double") / count(lit(1)), 6)
+            .as("avg_surprisal_milli"))
+        .orderBy("doc_id")
+    }),
+
+    "rel_q4_order_priority" -> ((s, dir) => {
+      // TPC-H Q4 shape: correlated EXISTS over the fact table (orders with
+      // at least one late-shipping lineitem), priority histogram. Plans as
+      // a left-semi hash join on o_orderkey — no subquery re-execution.
+      val o = table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val late = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(late,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    "rel_q16_supplier_cnt" -> ((s, dir) => {
+      // TPC-H Q16 shape (no partsupp table in the test set: lineitem is
+      // the part-supplier bridge): distinct supplier count per (brand,
+      // type) for small parts, excluding a NOT-IN supplier set. Anti join
+      // broadcasts the tiny exclusion list; count(DISTINCT) expands via
+      // partial-agg on (brand, type, suppkey) before the final count.
+      val li = table(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      val p = table(s, dir, "part").where(col("p_size") <= 15)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))
+      val excl = table(s, dir, "supplier").where(col("s_acctbal") < 2000)
+        .select(col("s_suppkey"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+    }),
+
     // ---- event-time windowed streaming aggregation ----
     "stream_windowed_counts" -> ((s, dir) => {
       // Event-time tumbling windows + watermark THROUGH the micro-batch
@@ -1214,6 +1335,79 @@ object SparkEntry {
           StructField("win_start", LongType),
           StructField("n", LongType))))
         .orderBy("topic", "win_start")
+    }),
+
+    "stream_dedup" -> ((s, dir) => {
+      // Stateful streaming dedup THROUGH the micro-batch engine: the first
+      // occurrence of each (topic, payload-key) survives, every later
+      // duplicate is dropped against the dedup state store; append mode
+      // means the memory sink receives exactly the distinct set, whatever
+      // the admission-controlled batch boundaries were. Unbounded keys here
+      // (the oracle is exact DISTINCT); a 100 TB stream would bound state
+      // with dropDuplicatesWithinWatermark on the decoded event time.
+      val log = mainLog(s, dir)
+      val qn = s"stream_dedup_${System.nanoTime()}"
+      val ckpt = Files.createTempDirectory("graft-stream-dd-")
+      val q = graft.streaming.WalrusStreams.readStream(s, log.root)
+        .withColumn("k",
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
+        .where(col("k").isNotNull)
+        .select(col("topic"), col("k"))
+        .dropDuplicates("topic", "k")
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = s.table(qn).orderBy("topic", "k").collect().toSeq
+      s.catalog.dropTempView(qn)
+      WalrusLog.deleteRecursively(ckpt)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("k", LongType))))
+        .orderBy("topic", "k")
+    }),
+    "stream_stream_join" -> ((s, dir) => {
+      // Watermarked stream-stream self-join: purchase events join signup
+      // events on the decoded payload key, with an event-time range
+      // constraint (±5 min on et derived from k) so the join state store
+      // can evict rows once the 10-minute watermarks pass — the bounded-
+      // state shape a 100 TB stream requires. k ∈ [0, 99] at every SF, so
+      // nothing is ever late and the inner join is exactly the batch join;
+      // the k % 10 restriction bounds the pair fan-out. Join rows land in
+      // the append sink; the per-key counts aggregate over the sink table.
+      val log = mainLog(s, dir)
+      val qn = s"stream_stream_join_${System.nanoTime()}"
+      val ckpt = Files.createTempDirectory("graft-stream-j-")
+      val base = graft.streaming.WalrusStreams.readStream(s, log.root)
+        .withColumn("k",
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
+        .where(col("k").isNotNull && col("k") % 10 === 0)
+        // +1h: epoch 0 IS the engine's initial watermark, so an et of
+        // exactly 0 (k = 0) would be dropped as late in the first batch
+        .withColumn("et", timestamp_seconds(col("k") + 3600))
+      val l = base.where(col("topic") === "purchase")
+        .select(col("k"), col("et").as("et_l")).withWatermark("et_l", "10 minutes")
+      val r = base.where(col("topic") === "signup")
+        .select(col("k").as("k_r"), col("et").as("et_r"))
+        .withWatermark("et_r", "10 minutes")
+      val q = l.join(r, col("k") === col("k_r") &&
+          col("et_l") >= col("et_r") - expr("INTERVAL 5 MINUTES") &&
+          col("et_l") <= col("et_r") + expr("INTERVAL 5 MINUTES"))
+        .select(col("k"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = s.table(qn).groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k").collect().toSeq
+      s.catalog.dropTempView(qn)
+      WalrusLog.deleteRecursively(ckpt)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("k", LongType),
+          StructField("n", LongType))))
+        .orderBy("k")
     })
   )
 
@@ -1283,15 +1477,15 @@ object SparkEntry {
         s"""SELECT l_returnflag, l_linestatus,
            |  ${dsumSql("l_quantity")} AS sum_qty,
            |  ${dsumSql("l_extendedprice")} AS sum_base_price,
-           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-           |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+           |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
            |  count(*) AS count_order
            |FROM lineitem GROUP BY l_returnflag, l_linestatus
            |ORDER BY l_returnflag, l_linestatus""".stripMargin,
       "rel_q3_top_orders" ->
         """SELECT l_orderkey,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-          |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
           |  count(*) AS n_lines
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey
@@ -1490,7 +1684,7 @@ object SparkEntry {
            |  FROM keep a JOIN keep b USING (code)
            |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
            |SELECT id_a, id_b,
-           |  round(CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+           |  floor(CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) * 1000000 + 0.5) / 1000000 AS jaccard
            |FROM inter
            |JOIN sz sa ON sa.doc_id = id_a
            |JOIN sz sb ON sb.doc_id = id_b
@@ -1532,7 +1726,7 @@ object SparkEntry {
            |  FROM codes8 a JOIN codes8 b USING (code)
            |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
            |SELECT c.id_a, c.id_b,
-           |  round(CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+           |  floor(CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) * 1000000 + 0.5) / 1000000 AS jaccard
            |FROM cand c
            |JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
            |JOIN sz sa ON sa.doc_id = c.id_a
@@ -1903,8 +2097,8 @@ object SparkEntry {
           |FROM events GROUP BY event_type ORDER BY topic""".stripMargin,
       "rel_q5_region_revenue" ->
         """SELECT n_name,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-          |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
           |  count(*) AS n_items
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey
@@ -1998,7 +2192,7 @@ object SparkEntry {
            |  FROM keep a JOIN keep b USING (code)
            |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
            |SELECT id_a, id_b,
-           |  round(CAST(n_common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+           |  floor(CAST(n_common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS containment
            |FROM inter
            |JOIN sz sa ON sa.doc_id = id_a
            |JOIN sz sb ON sb.doc_id = id_b
@@ -2117,6 +2311,57 @@ object SparkEntry {
            |  round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS adc_score
            |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
       },
+      "sim_ivf_pq" -> {
+        val cells = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cell, round(${projDotSql("e", cIdx + 101)}, 6) AS csim FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        val sub = (0 until 8).flatMap { sIdx =>
+          (0 until 4).map { cIdx =>
+            val dot = (0 until 8).map { d =>
+              val comp = Similarity.projComponent(301 + sIdx * 4 + cIdx, d)
+              s"CAST(e.embedding[${sIdx * 8 + d + 1}] AS DOUBLE) * ($comp)"
+            }.mkString(" + ")
+            s"SELECT vec_id, $sIdx AS s, $cIdx AS cid, round($dot, 6) AS sim FROM embeddings e"
+          }
+        }.mkString("\n  UNION ALL ")
+        s"""WITH cellscores AS (
+           |  $cells),
+           |cranked AS (
+           |  SELECT vec_id, cell, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY csim DESC, cell DESC) AS rn
+           |  FROM cellscores),
+           |cassign AS (SELECT vec_id, cell FROM cranked WHERE rn = 1),
+           |cprobes AS (SELECT vec_id, cell FROM cranked WHERE rn <= 2 AND vec_id < 20),
+           |pqscores AS (
+           |  $sub),
+           |best AS (
+           |  SELECT vec_id, s, cid FROM (
+           |    SELECT vec_id, s, cid, row_number() OVER (
+           |      PARTITION BY vec_id, s ORDER BY sim DESC, cid DESC) AS rn
+           |    FROM pqscores)
+           |  WHERE rn = 1),
+           |lut AS (
+           |  SELECT vec_id AS query_id, s, cid,
+           |    CAST(round(sim * 1000000) AS BIGINT) AS sim_micro
+           |  FROM pqscores WHERE vec_id < 20),
+           |sc AS (
+           |  SELECT l.query_id, b.vec_id AS neighbor_id,
+           |    CAST(SUM(l.sim_micro) AS BIGINT) AS score_micro
+           |  FROM best b
+           |  JOIN cassign ca ON ca.vec_id = b.vec_id
+           |  JOIN cprobes cp ON cp.cell = ca.cell
+           |  JOIN lut l ON l.query_id = cp.vec_id AND l.s = b.s AND l.cid = b.cid
+           |  WHERE b.vec_id <> l.query_id
+           |  GROUP BY 1, 2),
+           |r AS (
+           |  SELECT query_id, neighbor_id, score_micro,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score_micro DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM sc)
+           |SELECT query_id, neighbor_id, rnk,
+           |  round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS adc_score
+           |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      },
       "rel_q18_large_orders" ->
         s"""WITH big AS (
            |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS total_qty
@@ -2192,7 +2437,64 @@ object SparkEntry {
           |  count(*) AS n
           |FROM events
           |WHERE json_extract_string(props, '$.k') IS NOT NULL
-          |GROUP BY 1, 2 ORDER BY topic, win_start""".stripMargin
+          |GROUP BY 1, 2 ORDER BY topic, win_start""".stripMargin,
+      "log_idempotent_producer" ->
+        """WITH n AS (SELECT count(*) AS c FROM events),
+          |d AS (SELECT count(*) AS dup FROM events, n
+          |  WHERE event_id >= c // 3 AND event_id < 2 * c // 3)
+          |SELECT event_type AS topic, count(*) AS n_entries,
+          |  (SELECT dup FROM d) AS dup_dropped
+          |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
+      "text_perplexity" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          |  FROM documents),
+          |pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+          |  FROM toks WHERE len(tk) >= 2),
+          |b AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg FROM pos),
+          |corpus AS (SELECT bg, count(*) AS cnt FROM b GROUP BY bg),
+          |tot AS (SELECT count(*) AS n_tot FROM b),
+          |t AS (SELECT doc_id,
+          |    CAST(round(ln(CAST(n_tot AS DOUBLE) / cnt) * 1000, 0) AS BIGINT) AS s_m
+          |  FROM b JOIN corpus USING (bg) CROSS JOIN tot)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  CAST(SUM(s_m) AS BIGINT) AS surprisal_milli,
+          |  round(CAST(SUM(s_m) AS DOUBLE) / count(*), 6) AS avg_surprisal_milli
+          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "rel_q4_order_priority" ->
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders o
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1996-07-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem l
+          |    WHERE l.l_orderkey = o.o_orderkey
+          |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+          |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+      "rel_q16_supplier_cnt" ->
+        """SELECT p_brand, p_type,
+          |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE p_size <= 15
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+          |GROUP BY 1, 2
+          |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
+      "stream_dedup" ->
+        """SELECT DISTINCT event_type AS topic,
+          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |FROM events
+          |WHERE json_extract_string(props, '$.k') IS NOT NULL
+          |ORDER BY topic, k""".stripMargin,
+      "stream_stream_join" ->
+        """WITH e AS (
+          |  SELECT event_type,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |  FROM events
+          |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+          |    AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0)
+          |SELECT l.k AS k, count(*) AS n
+          |FROM e l JOIN e r ON l.k = r.k
+          |WHERE l.event_type = 'purchase' AND r.event_type = 'signup'
+          |GROUP BY 1 ORDER BY k""".stripMargin
     )
   }
 }

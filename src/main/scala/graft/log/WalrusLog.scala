@@ -55,6 +55,7 @@ class WalrusLog(
   private val commitsDir: Path = nsDir.resolve("commits")
   private val cursorsPath: Path = nsDir.resolve("cursors.json")
   private val cleanPath: Path = nsDir.resolve("topic_clean.json")
+  private val producersPath: Path = nsDir.resolve("producers.json")
 
   Files.createDirectories(dataDir)
   Files.createDirectories(commitsDir)
@@ -67,6 +68,7 @@ class WalrusLog(
   private var nextBatchId: Long = 0L
   private val cursors = mutable.Map.empty[(String, String), Long]
   private val unpersistedReads = mutable.Map.empty[(String, String), Long]
+  private val producerSeq = mutable.Map.empty[String, Long]
   private val isBatchWriting = new AtomicBoolean(false)
 
   recover()
@@ -331,6 +333,67 @@ class WalrusLog(
       rec
       } finally pinned.foreach(_.unpersist(false))
     }
+
+  /** Kafka-style idempotent producer append. Rows carry (topic, value)
+    * plus a producer id and a per-producer monotonically increasing
+    * sequence number; rows whose seq is at or below the producer's
+    * committed high watermark are retried duplicates and are dropped
+    * before the commit, and the watermark then advances to the max
+    * surviving seq. A replayed `appendDFIdempotent` call (producer retry
+    * after a timeout, a restarted driver resubmitting a batch) therefore
+    * lands every entry exactly once — the cross-retry contract the
+    * reference's all-or-nothing atomic batch (writer.rs:135-341) does not
+    * give. Caller contract (as in Kafka): seqs are unique per producer
+    * within a call. Two Spark jobs: one tiny per-producer stats agg (the
+    * watermark table joins broadcast, so the filter is map-side) + the
+    * normal append.
+    * @return the commit record and the number of duplicates dropped */
+  def appendDFIdempotent(
+      input: DataFrame,
+      producerCol: org.apache.spark.sql.Column,
+      seqCol: org.apache.spark.sql.Column,
+      ingestTs: Timestamp = new Timestamp(System.currentTimeMillis())): (CommitRecord, Long) =
+    synchronized {
+      val base = input.select(
+        col("topic").cast(StringType).as("topic"),
+        col("value").cast(BinaryType).as("value"),
+        producerCol.cast(StringType).as("_prod"),
+        seqCol.cast(LongType).as("_pseq"))
+      val hwmRows = producerSeq.toSeq
+      val tagged = (if (hwmRows.isEmpty) base.withColumn("_hwm", lit(null).cast(LongType))
+        else {
+          import spark.implicits._
+          base.join(broadcast(hwmRows.toDF("_prod", "_hwm")), Seq("_prod"), "left")
+        })
+        .withColumn("_fresh", col("_pseq") > coalesce(col("_hwm"), lit(Long.MinValue)))
+      val st = tagged.groupBy("_prod").agg(
+        max(when(col("_fresh"), col("_pseq"))).as("mx"),
+        sum(when(col("_fresh"), 1L).otherwise(0L)).as("nf"),
+        count(lit(1)).as("n")).collect()
+      val dropped = st.map(r => r.getLong(3) - r.getLong(2)).sum
+      val rec =
+        if (st.forall(_.getLong(2) == 0L))
+          CommitRecord(-1L, ingestTs.getTime, Map.empty)
+        else appendDF(
+          tagged.where(col("_fresh")).select(col("topic"), col("value"), col("_pseq")),
+          Some(col("_pseq")), ingestTs)
+      st.foreach { r =>
+        if (!r.isNullAt(1)) {
+          val p = r.getString(0); val mx = r.getLong(1)
+          producerSeq(p) = math.max(producerSeq.getOrElse(p, Long.MinValue), mx)
+        }
+      }
+      persistProducers()
+      (rec, dropped)
+    }
+
+  /** Committed sequence high watermark for `producer` (Long.MinValue when
+    * the producer has never appended). */
+  def producerHighWatermark(producer: String): Long =
+    producerSeq.getOrElse(producer, Long.MinValue)
+
+  private def persistProducers(): Unit =
+    writeAtomic(producersPath, Serialization.write(ProducerFile(producerSeq.toMap)))
 
   private val entrySchema = StructType(Seq(
     StructField("topic", StringType, nullable = false),
@@ -935,6 +998,11 @@ class WalrusLog(
       cf.topics.foreach { case (t, cs) =>
         val st = state(t); st.cleanGeneration = cs.generation; st.clean = cs.clean
       }
+    }
+    if (Files.exists(producersPath)) {
+      val pf = org.json4s.jackson.JsonMethods
+        .parse(new String(Files.readAllBytes(producersPath), "UTF-8")).extract[ProducerFile]
+      producerSeq ++= pf.producers
     }
     if (Files.exists(cursorsPath)) {
       val cur = org.json4s.jackson.JsonMethods

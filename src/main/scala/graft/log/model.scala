@@ -112,6 +112,13 @@ final case class CommitRecord(id: Long, tsMillis: Long,
   * (reference: src/wal/runtime/index.rs:7-10). */
 final case class CursorFile(groups: Map[String, Map[String, Long]])
 
+/** Persisted per-producer sequence high watermarks — the state behind
+  * [[WalrusLog.appendDFIdempotent]]. The reference's atomic batch is
+  * all-or-nothing within one attempt (src/wal/runtime/writer.rs:135-341)
+  * but has no cross-retry dedup; Kafka's idempotent producer is the public
+  * analogue of this contract. */
+final case class ProducerFile(producers: Map[String, Long])
+
 /** Topic clean/dirty markers with generation counters
   * (reference: src/wal/runtime/topic_clean.rs:12-257). */
 final case class CleanState(generation: Long, clean: Boolean)

@@ -25,6 +25,13 @@ import TextOps._
   */
 object Dedup {
 
+  /** Tie-free 6-dp quantization: `floor(x·10⁶ + 0.5) / 10⁶`. Exact-ratio
+    * doubles can land exactly on a rounding tie (e.g. 41/640 · 10⁶ =
+    * 64062.5), where Spark's round() (HALF_UP) and DuckDB's (HALF_EVEN)
+    * disagree; floor(+0.5) breaks every tie upward in both engines, and
+    * all its operations are deterministic IEEE ops on identical inputs. */
+  private def q6(x: Column): Column = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+
   /** Exact dedup: keep the lowest-id document per identical text.
     * One groupBy on the text hash — the canonical 100 TB shape (hash first,
     * so the shuffle key is 8 bytes, not the document). */
@@ -155,8 +162,8 @@ object Dedup {
       maxDocFreq: Option[Int] = None): DataFrame =
     pairOverlaps(df, idCol, textCol, k, maxDocFreq)
       .withColumn("jaccard",
-        round(col("both").cast("double") /
-          (col("sz_a") + col("sz_b") - col("both")).cast("double"), 6))
+        q6(col("both").cast("double") /
+          (col("sz_a") + col("sz_b") - col("both")).cast("double")))
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
@@ -173,8 +180,8 @@ object Dedup {
       maxDocFreq: Option[Int] = None): DataFrame =
     pairOverlaps(df, idCol, textCol, k, maxDocFreq)
       .withColumn("containment",
-        round(col("both").cast("double") /
-          least(col("sz_a"), col("sz_b")).cast("double"), 6))
+        q6(col("both").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double")))
       .where(col("containment") >= minContainment)
       .select(col("id_a"), col("id_b"), col("containment"))
 
@@ -203,8 +210,8 @@ object Dedup {
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("jaccard",
-        round(col("n_common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("n_common")).cast("double"), 6))
+        q6(col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast("double")))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 

@@ -268,24 +268,70 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       subspaces: Int = 8, subCentroids: Int = 4, subDim: Int = 8): DataFrame = {
-    import graft.functions.GraftFunctions.projection_dot
     val codes = pqCodes(corpus, idCol, vecCol, subspaces, subCentroids, subDim)
-    val lutCols = (0 until subspaces).flatMap { sIdx =>
+    val lut = queries.select(col(idCol).as("query_id"),
+      adcLut(vecCol, subspaces, subCentroids, subDim).as("lut"))
+    val scored = codes.select(col(idCol).as("neighbor_id"), col("pq_code"))
+      .join(broadcast(lut), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score_micro", adcScoreMicro(subspaces, subCentroids))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("score_micro").cast("double") / 1e6, 6).as("adc_score"))
+  }
+
+  /** The query-side ADC lookup table: exact dot with every (subspace,
+    * sub-centroid) pair, integer-quantized to 1e-6 so downstream sums are
+    * exact BIGINTs. */
+  private def adcLut(vecCol: String,
+      subspaces: Int, subCentroids: Int, subDim: Int): Column = {
+    import graft.functions.GraftFunctions.projection_dot
+    array((0 until subspaces).flatMap { sIdx =>
       (0 until subCentroids).map { cIdx =>
         val sub = slice(col(vecCol), sIdx * subDim + 1, subDim)
         round(round(projection_dot(sub, 301 + sIdx * subCentroids + cIdx, subDim), 6)
           * 1e6).cast("long")
       }
-    }
-    val lut = queries.select(col(idCol).as("query_id"), array(lutCols: _*).as("lut"))
+    }: _*)
+  }
+
+  /** ADC score of a `pq_code` against a `lut` column: `subspaces` integer
+    * table lookups, summed. */
+  private def adcScoreMicro(subspaces: Int, subCentroids: Int): Column = {
     val weights = (0 until subspaces).scanLeft(1L)((w, _) => w * subCentroids)
-    val scoreTerms = (0 until subspaces).map { sIdx =>
+    (0 until subspaces).map { sIdx =>
       val digit = (expr(s"pq_code DIV ${weights(sIdx)}") % subCentroids).cast("int")
       element_at(col("lut"), digit + lit(sIdx * subCentroids + 1))
-    }
-    val scored = codes.select(col(idCol).as("neighbor_id"), col("pq_code"))
-      .join(broadcast(lut), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score_micro", scoreTerms.reduce(_ + _))
+    }.reduce(_ + _)
+  }
+
+  /** End-to-end IVF-PQ ANN — the billion-scale index layout in one query:
+    * the corpus "index" is (coarse cell, packed PQ code), ~10 B/vector;
+    * queries probe their `nprobe` best cells ([[ivfProbeAssign]]) with a
+    * broadcast ADC LUT, so search cost per query is `subspaces` integer
+    * lookups per code in its probed cells — never a float loop over the
+    * corpus, never a corpus shuffle (the only exchanges are the broadcast
+    * of the tiny query-probe table and the final per-query rank). Corpus
+    * vectors stay single-assigned, so no (query, neighbor) pair can be
+    * scored twice across probes. */
+  def ivfPqSearch(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      nCentroids: Int = 8, nprobe: Int = 2, k: Int = 5,
+      subspaces: Int = 8, subCentroids: Int = 4, subDim: Int = 8): DataFrame = {
+    val index = pqCodes(corpus, idCol, vecCol, subspaces, subCentroids, subDim)
+      .join(ivfAssign(corpus, idCol, vecCol, nCentroids), idCol)
+      .select(col(idCol).as("neighbor_id"), col("pq_code"), col("centroid_id"))
+    val qa = ivfProbeAssign(queries, idCol, vecCol, nCentroids, nprobe)
+      .withColumnRenamed(idCol, "query_id")
+    val lut = queries.select(col(idCol).as("query_id"),
+        adcLut(vecCol, subspaces, subCentroids, subDim).as("lut"))
+      .join(qa, "query_id")
+    val scored = index.join(broadcast(lut), Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score_micro", adcScoreMicro(subspaces, subCentroids))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_micro").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
