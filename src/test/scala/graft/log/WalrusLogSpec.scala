@@ -674,4 +674,52 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ConsumerAssignment.range(topics, 1).forall(_._2 == 0))
     assert(ConsumerAssignment.roundRobin(topics, 8).map(_._2).distinct.size == 5)
   }
+
+  test("idempotent producer: retries drop by per-producer watermark, survive reopen") {
+    import org.apache.spark.sql.functions.{col, encode}
+    import spark.implicits._
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    def df(rows: Seq[(String, String, String, Long)]) =
+      rows.toDF("topic", "v", "producer", "seq")
+        .select(col("topic"), encode(col("v"), "UTF-8").as("value"),
+          col("producer"), col("seq"))
+
+    // fresh seqs from two producers
+    val (r1, d1) = log.appendDFIdempotent(
+      df(Seq(("a", "x0", "p1", 0L), ("a", "x1", "p1", 1L), ("b", "y0", "p2", 10L))),
+      col("producer"), col("seq"))
+    assert(r1.id >= 0 && d1 == 0)
+    assert(log.producerHighWatermark("p1") == 1L)
+    assert(log.producerHighWatermark("p2") == 10L)
+
+    // overlap retry: p1 resends 0-1 plus fresh 2; p2 fully duplicate
+    val (r2, d2) = log.appendDFIdempotent(
+      df(Seq(("a", "x0", "p1", 0L), ("a", "x1", "p1", 1L), ("a", "x2", "p1", 2L),
+        ("b", "y0", "p2", 10L))),
+      col("producer"), col("seq"))
+    assert(r2.id >= 0 && d2 == 3)
+    assert(log.totalAppended("a") == 3L && log.totalAppended("b") == 1L)
+
+    // reopen: watermarks persisted; a full-duplicate retry commits NOTHING
+    log.close()
+    val re = new WalrusLog(spark, root)
+    assert(re.producerHighWatermark("p1") == 2L)
+    assert(re.producerHighWatermark("p2") == 10L)
+    val (r3, d3) = re.appendDFIdempotent(
+      df(Seq(("a", "x2", "p1", 2L), ("b", "y0", "p2", 10L))),
+      col("producer"), col("seq"))
+    assert(r3.id == -1L && d3 == 2)
+
+    // a new producer after reopen appends cleanly; offsets stay dense and
+    // every payload is visible exactly once
+    val (r4, d4) = re.appendDFIdempotent(
+      df(Seq(("a", "z", "p3", 7L))), col("producer"), col("seq"))
+    assert(r4.id >= 0 && d4 == 0 && re.producerHighWatermark("p3") == 7L)
+    val vis = re.toDF().select("topic", "offset").as[(String, Long)].collect().sorted
+    assert(vis.sameElements(Seq(("a", 0L), ("a", 1L), ("a", 2L), ("a", 3L), ("b", 0L))))
+    // unknown producer sentinel
+    assert(re.producerHighWatermark("nope") == Long.MinValue)
+    re.close()
+  }
 }

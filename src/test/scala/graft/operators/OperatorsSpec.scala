@@ -308,6 +308,82 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ivf-pq search: ADC scoring restricted to exactly the probed cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 40L).map(i => i -> Array.fill(64)(rnd.nextFloat() * 2 - 1)).toMap
+    val emb = vecs.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cellSim(v: Array[Float], c: Int): Double =
+      r6((0 until 64).map(d => v(d).toDouble * Similarity.projComponent(c + 101, d)).sum)
+    def cellOf(v: Array[Float]): Int =
+      (0 until 8).map(c => ((cellSim(v, c), c), c)).maxBy(_._1)._2
+    def probesOf(v: Array[Float]): Set[Int] =
+      (0 until 8).map(c => (cellSim(v, c), c)).sortBy(t => (-t._1, -t._2)).take(2)
+        .map(_._2).toSet
+    def subSim(v: Array[Float], s: Int, c: Int): Double =
+      r6((0 until 8).map(d => v(s * 8 + d).toDouble *
+        Similarity.projComponent(301 + s * 4 + c, d)).sum)
+    def digit(v: Array[Float], s: Int): Int =
+      (0 until 4).map(c => (subSim(v, s, c), c)).max._2
+    def micro(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+    val res = Similarity.ivfPqSearch(
+        emb.where(col("vec_id") < 3), emb, "vec_id", "embedding",
+        nCentroids = 8, nprobe = 2, k = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getDouble(3)))
+      .toMap
+    // candidate set = non-self corpus vectors whose single cell is probed
+    val expectedPairs = for {
+      q <- 0L until 3L; n <- 0L until 40L
+      if n != q && probesOf(vecs(q)).contains(cellOf(vecs(n)))
+    } yield (q, n)
+    assert(res.keySet == expectedPairs.toSet)
+    assert(res.nonEmpty && res.size < 3 * 39) // genuinely restricted
+    // scores are the exact ADC LUT sums
+    res.foreach { case ((q, n), (_, score)) =>
+      val exp = (0 until 8).map(s => micro(subSim(vecs(q), s, digit(vecs(n), s)))).sum
+      assert(score == r6(exp.toDouble / 1e6))
+    }
+    // per-query ranks dense and ordered by (score desc, neighbor asc)
+    (0L until 3L).foreach { q =>
+      val mine = res.collect { case ((`q`, n), (rk, sc)) => (rk, sc, n) }.toSeq.sorted
+      assert(mine.map(_._1) == (1 to mine.size))
+      val ord = mine.sortBy(_._1).map(t => (-t._2, t._3))
+      assert(ord == ord.sorted)
+    }
+  }
+
+  test("sharding: hash split is content-stable; pack manifest is a prefix sum") {
+    val docs = docsDF((0L until 400L).map(i =>
+      i -> s"tok${i % 7} a b c ${"x " * (i % 13).toInt}word"))
+    val split = Sharding.hashSplit(docs, "doc_id")
+    val byId = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // deterministic: recomputing (and reordering input) gives identical labels
+    val again = Sharding.hashSplit(docs.orderBy(org.apache.spark.sql.functions.rand(7)), "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId == again)
+    // split matches the modular formula; rough 90/5/5 proportions
+    byId.foreach { case (id, sp) =>
+      val h = ((id * Sharding.HashMul) % 100 + 100) % 100
+      val want = if (h < 90) "train" else if (h < 95) "val" else "test"
+      assert(sp == want)
+    }
+    assert(byId.values.count(_ == "train") > 320)
+    // pack manifest: contiguous prefix sum, positions within budget
+    val p = Sharding.packManifest(docs, "doc_id", "text", budget = 64)
+      .orderBy("doc_id").collect()
+    var cum = 0L
+    p.foreach { r =>
+      assert(r.getLong(2) == cum / 64 && r.getLong(3) == cum % 64)
+      cum += r.getLong(1)
+    }
+    assert(p.map(_.getLong(2)).distinct.length.toLong == cum / 64 + (if (cum % 64 > 0) 1 else 0))
+  }
+
   test("connected components: driver union-find matches iterative propagation") {
     import spark.implicits._
     // planted components: chains, a star, a cycle, cross-links, isolated pair
