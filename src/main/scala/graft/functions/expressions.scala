@@ -260,6 +260,87 @@ object ShingleCodes {
   }
 }
 
+/** All `numHashes` MinHash components of a string's k-shingle set in ONE
+  * pass: the rolling base-128 shingle code (as [[ShingleCodes]]) feeds
+  * `numHashes` running minima of `(a_j·(code mod P) + b_j) mod P` — no
+  * shingle array is materialized, no explode row-fanout, and (because MIN
+  * is per-row computable) no aggregation shuffle at all downstream.
+  * Component values are bit-identical to min-aggregating
+  * [[graft.operators.TextOps.permHash]] over the exploded shingles (the
+  * DuckDB-oracle formulation): same coefficients, same modulus, MIN is
+  * duplicate-insensitive. NULL when the string has no k-shingle
+  * (`length < k`) — the explode+groupBy formulation drops those rows.
+  */
+case class MinHashSignature(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 9, "base-128 shingle codes overflow beyond k=9")
+  require(numHashes >= 1 && numHashes <= 512, "numHashes out of range")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires STRING input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // short strings have no shingles
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    MinHashSignature.eval(bytes, k, MinHashSignature.coeffs(numHashes))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val co = ctx.addReferenceObj("mhCoeffs", MinHashSignature.coeffs(numHashes), "long[][]")
+      val res = ctx.freshName("mhRes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.MinHashSignature.eval($str.getBytes(), $k, $co);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
+object MinHashSignature {
+  private final val P = graft.operators.TextOps.P
+
+  /** `[a_j, b_j]` pairs as a primitive matrix (codegen reference object). */
+  def coeffs(numHashes: Int): Array[Array[Long]] =
+    graft.operators.TextOps.hashCoeffs(numHashes)
+      .map { case (a, b) => Array(a, b) }.toArray
+
+  /** Rolling shingle codes + running minima; null when no shingle fits.
+    * Shared by interpreted + codegen paths. */
+  def eval(bytes: Array[Byte], k: Int, coeffs: Array[Array[Long]]): ArrayData = {
+    val n = bytes.length - k + 1
+    if (n <= 0) return null
+    val m = coeffs.length
+    val mins = Array.fill(m)(Long.MaxValue)
+    var topPow = 1L
+    var i = 0
+    while (i < k - 1) { topPow *= 128L; i += 1 }
+    var code = 0L
+    i = 0
+    while (i < k) { code = code * 128L + (bytes(i) & 0xffL); i += 1 }
+    var pos = 0
+    while (pos < n) {
+      if (pos > 0)
+        code = (code - (bytes(pos - 1) & 0xffL) * topPow) * 128L + (bytes(pos + k - 1) & 0xffL)
+      val cm = code % P
+      var j = 0
+      while (j < m) {
+        val v = (coeffs(j)(0) * cm + coeffs(j)(1)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      pos += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
 /** Column-level entry points + SQL registration for graft's native functions. */
 object GraftFunctions {
   def fnv1a64(c: Column): Column =
@@ -269,6 +350,8 @@ object GraftFunctions {
       CosineSimilarity(GraftSqlInternal.expression(a), GraftSqlInternal.expression(b)))
   def shingle_codes(c: Column, k: Int): Column =
     GraftSqlInternal.column(ShingleCodes(GraftSqlInternal.expression(c), k))
+  def minhash_signature(c: Column, k: Int, numHashes: Int): Column =
+    GraftSqlInternal.column(MinHashSignature(GraftSqlInternal.expression(c), k, numHashes))
   def projection_dot(c: Column, plane: Int, dims: Int = 64): Column =
     GraftSqlInternal.column(ProjectionDot(GraftSqlInternal.expression(c), plane, dims))
 

@@ -41,19 +41,26 @@ object Dedup {
       .select(col("keep_id"), col("group_size"))
   }
 
-  /** MinHash signatures: `numHashes` modular permutations over distinct
-    * k-shingle codes. Output: (id, mh0..mh{n-1}). */
+  /** MinHash signatures: `numHashes` modular permutations over k-shingle
+    * codes. Output: (id, mh0..mh{n-1}).
+    *
+    * Computed per-ROW by the fused [[graft.functions.MinHashSignature]]
+    * expression (MIN is duplicate-insensitive and per-document, so no
+    * explode and no aggregation shuffle exist at all): one narrow Project
+    * over the scan, whatever the corpus size. The explode + 64-min groupBy
+    * formulation this replaces materialized |doc|·|shingles| rows and one
+    * hash exchange; measured 2-4× slower at sf0.1 and strictly worse at
+    * 100 TB (the exchange carries every signature). Values are
+    * bit-identical (same coefficients/modulus — the oracle SQL still
+    * min-aggregates exploded shingles). */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame = {
-    val coeffs = hashCoeffs(numHashes)
-    // MIN is duplicate-insensitive → skip the distinct shuffle entirely;
-    // partial (map-side) min aggregation collapses each partition first.
-    val sh = shingles(df, idCol, textCol, k, distinct = false)
-    val aggs = coeffs.zipWithIndex.map { case ((a, b), j) =>
-      min(permHash(col("code"), a, b)).as(s"mh$j")
-    }
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    import graft.functions.GraftFunctions.minhash_signature
+    df.select(col(idCol), minhash_signature(col(textCol), k, numHashes).as("_sig"))
+      .where(col("_sig").isNotNull) // length < k ⇒ no shingles ⇒ no row
+      .select(col(idCol) +: (0 until numHashes).map(j =>
+        element_at(col("_sig"), j + 1).as(s"mh$j")): _*)
   }
 
   /** MinHash-LSH candidate pairs: band the signature (`bands` ×

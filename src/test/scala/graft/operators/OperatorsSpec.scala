@@ -384,6 +384,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.map(_.getLong(2)).distinct.length.toLong == cum / 64 + (if (cum % 64 > 0) 1 else 0))
   }
 
+  test("fused minhash signature is bit-identical to explode+min aggregation") {
+    import graft.operators.TextOps._
+    val rnd = new scala.util.Random(99)
+    val docs = docsDF((0L until 60L).map { i =>
+      val len = rnd.nextInt(40) // includes len < k → no shingles
+      i -> (0 until len).map(_ => (' ' + rnd.nextInt(95)).toChar).mkString
+    })
+    val k = 5; val nHashes = 16
+    val fused = Dedup.minHashSignatures(docs, "doc_id", "text", k, nHashes)
+      .collect().map(r => r.getLong(0) -> (0 until nHashes).map(j => r.getLong(j + 1))).toMap
+    // reference formulation: explode shingles, min of each permutation hash
+    val sh = shingles(docs, "doc_id", "text", k, distinct = false)
+    val aggs = hashCoeffs(nHashes).zipWithIndex.map { case ((a, b), j) =>
+      min(permHash(col("code"), a, b)).as(s"mh$j")
+    }
+    val viaAgg = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (0 until nHashes).map(j => r.getLong(j + 1))).toMap
+    assert(fused == viaAgg) // same doc set (short docs dropped) AND same values
+    assert(fused.nonEmpty && fused.size < 60) // some docs genuinely had no shingle
+  }
+
   test("connected components: driver union-find matches iterative propagation") {
     import spark.implicits._
     // planted components: chains, a star, a cycle, cross-links, isolated pair
