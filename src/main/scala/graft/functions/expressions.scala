@@ -341,6 +341,86 @@ object MinHashSignature {
   }
 }
 
+/** Distinct-k-shingle overlap statistics of two strings in one pass:
+  * `struct(both, sz_a, sz_b)` where `both = |A∩B|`, `sz_* = |A|, |B|` over
+  * each string's DISTINCT shingle-code set. Semantically identical to the
+  * distinct-shingle equi-join + count aggregation (the DuckDB-oracle
+  * formulation) but computed per ROW: sort each side's rolling codes,
+  * deduplicate, merge-count — so a candidate-pair verify stage needs no
+  * explode, no equi-join, and no aggregation shuffle at all. */
+case class ShingleOverlap(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 1 && k <= 9, "base-128 shingle codes overflow beyond k=9")
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"shingle_overlap requires STRING inputs, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("both", LongType, nullable = false),
+    StructField("sz_a", LongType, nullable = false),
+    StructField("sz_b", LongType, nullable = false)))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleOverlap.eval(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes,
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = graft.functions.ShingleOverlap.eval($a.getBytes(), $b.getBytes(), $k);"
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleOverlap =
+    copy(left = l, right = r)
+  override def prettyName: String = "shingle_overlap"
+}
+
+object ShingleOverlap {
+  /** Sorted-distinct rolling shingle codes of `bytes` (ASCII assumption,
+    * as [[ShingleCodes]]). */
+  private def sortedCodes(bytes: Array[Byte], k: Int): Array[Long] = {
+    val n = bytes.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    var topPow = 1L
+    var i = 0
+    while (i < k - 1) { topPow *= 128L; i += 1 }
+    val out = new Array[Long](n)
+    var code = 0L
+    i = 0
+    while (i < k) { code = code * 128L + (bytes(i) & 0xffL); i += 1 }
+    out(0) = code
+    i = 1
+    while (i < n) {
+      code = (code - (bytes(i - 1) & 0xffL) * topPow) * 128L + (bytes(i + k - 1) & 0xffL)
+      out(i) = code
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedup of the sorted array
+    var w = 1
+    i = 1
+    while (i < n) {
+      if (out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    if (w == n) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  def eval(a: Array[Byte], b: Array[Byte], k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val xs = sortedCodes(a, k)
+    val ys = sortedCodes(b, k)
+    var i = 0; var j = 0; var both = 0L
+    while (i < xs.length && j < ys.length) {
+      if (xs(i) == ys(j)) { both += 1; i += 1; j += 1 }
+      else if (xs(i) < ys(j)) i += 1
+      else j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](both, xs.length.toLong, ys.length.toLong))
+  }
+}
+
 /** Column-level entry points + SQL registration for graft's native functions. */
 object GraftFunctions {
   def fnv1a64(c: Column): Column =
@@ -352,6 +432,9 @@ object GraftFunctions {
     GraftSqlInternal.column(ShingleCodes(GraftSqlInternal.expression(c), k))
   def minhash_signature(c: Column, k: Int, numHashes: Int): Column =
     GraftSqlInternal.column(MinHashSignature(GraftSqlInternal.expression(c), k, numHashes))
+  def shingle_overlap(a: Column, b: Column, k: Int): Column =
+    GraftSqlInternal.column(
+      ShingleOverlap(GraftSqlInternal.expression(a), GraftSqlInternal.expression(b), k))
   def projection_dot(c: Column, plane: Int, dims: Int = 64): Column =
     GraftSqlInternal.column(ProjectionDot(GraftSqlInternal.expression(c), plane, dims))
 

@@ -202,23 +202,27 @@ object Dedup {
   def jaccardForPairs(
       df: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    val candIds = pairs.select(col("id_a").as(idCol))
-      .union(pairs.select(col("id_b").as(idCol))).distinct()
-    val candDocs = df.join(broadcast(candIds), Seq(idCol), "left_semi")
-    val sh = shingles(candDocs, idCol, textCol, k)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val aSide = broadcast(pairs)
-      .join(sh.withColumnRenamed(idCol, "id_a"), Seq("id_a"))
-    val bSide = sh.select(col(idCol).as("id_b"), col("code"))
-    val inter = aSide.join(bSide, Seq("id_b", "code"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+    import graft.functions.GraftFunctions.shingle_overlap
+    // The candidate pairs are explicit, so the verify stage is per-PAIR
+    // arithmetic, not a join problem: attach both texts (two broadcast hash
+    // joins of the small pair list against the corpus scan — no corpus
+    // shuffle), then the fused ShingleOverlap expression computes
+    // |A∩B|/|A|/|B| over distinct shingle codes in one sorted-merge pass
+    // per row. Replaces a candidate-doc shingle explode + code equi-join +
+    // two aggregations (three exchanges, join fan-out on hot shingles);
+    // values are identical (same distinct-shingle sets, same quantization).
+    // At 100 TB the pair list may exceed broadcast — then the same two
+    // joins run as shuffle joins on id, still O(pairs), never corpus².
+    // Pairs sharing no shingle drop out (both = 0), as with the join.
+    val a = df.select(col(idCol).as("id_a"), col(textCol).as("_ta"))
+    val b = df.select(col(idCol).as("id_b"), col(textCol).as("_tb"))
+    broadcast(pairs.select(col("id_a"), col("id_b")))
+      .join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("_ov", shingle_overlap(col("_ta"), col("_tb"), k))
+      .where(col("_ov.both") >= 1)
       .withColumn("jaccard",
-        q6(col("n_common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("n_common")).cast("double")))
+        q6(col("_ov.both").cast("double") /
+          (col("_ov.sz_a") + col("_ov.sz_b") - col("_ov.both")).cast("double")))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 

@@ -405,6 +405,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fused.nonEmpty && fused.size < 60) // some docs genuinely had no shingle
   }
 
+  test("per-pair shingle overlap matches set arithmetic over distinct shingles") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val texts = (0L until 30L).map { i =>
+      val len = 3 + rnd.nextInt(60) // some below k=8 → no shingles
+      i -> (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString // dups likely
+    }
+    val docs = docsDF(texts)
+    val pairs = (for (a <- 0L until 30L; b <- a + 1 until 30L if (a + b) % 3 == 0)
+      yield (a, b)).toDF("id_a", "id_b")
+    val k = 8
+    def set(t: String): Set[String] = t.sliding(k).filter(_.length == k).toSet
+    val got = Dedup.jaccardForPairs(docs, pairs, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val tmap = texts.toMap
+    val expected = pairs.as[(Long, Long)].collect().flatMap { case (a, b) =>
+      val (sa, sb) = (set(tmap(a)), set(tmap(b)))
+      val both = (sa & sb).size
+      if (both == 0) None
+      else {
+        val j = both.toDouble / (sa.size + sb.size - both)
+        Some((a, b) -> math.floor(j * 1e6 + 0.5) / 1e6)
+      }
+    }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < pairs.count()) // some pairs dropped out
+  }
+
   test("connected components: driver union-find matches iterative propagation") {
     import spark.implicits._
     // planted components: chains, a star, a cycle, cross-links, isolated pair
