@@ -1184,6 +1184,70 @@ object SparkEntry {
           table(s, dir, "documents"), "doc_id", "text", budget = 4096)
         .orderBy("doc_id")),
 
+    "log_sql_table" -> ((s, dir) => {
+      // SQL-DDL surface over the V2 source: a named catalog table
+      // (CREATE TABLE ... USING walruslog) queried with plain SQL — topic
+      // pruning and column pruning reach the vectorized reader exactly as
+      // on the DataFrame path. DROP first keeps reruns idempotent.
+      val log = mainLog(s, dir)
+      val tbl = "walrus_events_sql"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING walruslog OPTIONS (path '${log.root}')")
+      val rows = s.sql(
+        s"""SELECT topic, count(*) AS n,
+           |  CAST(sum(length(value)) AS BIGINT) AS bytes
+           |FROM $tbl GROUP BY topic ORDER BY topic""".stripMargin)
+        .collect().toSeq
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("n", LongType), StructField("bytes", LongType))))
+        .orderBy("topic")
+    }),
+
+    "stream_custom_state" -> ((s, dir) => {
+      // Arbitrary per-key state through the micro-batch engine
+      // (KeyValueGroupedDataset.flatMapGroupsWithState — the API for state
+      // the built-in aggregations can't express; SURVEY §7.3): per topic a
+      // running (count, bytes) pair is carried in the state store across
+      // micro-batches and re-emitted each update. The LAST emission per
+      // topic (max running count) is the final state and equals the batch
+      // aggregate, whatever the admission-controlled batch boundaries.
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import s.implicits._
+      val log = mainLog(s, dir)
+      val qn = s"stream_custom_state_${System.nanoTime()}"
+      val ckpt = Files.createTempDirectory("graft-stream-cs-")
+      val src = graft.streaming.WalrusStreams.readStream(s, log.root)
+        .select(col("topic"), length(col("value")).cast("long").as("len"))
+        .as[(String, Long)]
+      val q = src.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+          (topic: String, rows: Iterator[(String, Long)],
+           state: GroupState[(Long, Long)]) => {
+            var (n, b) = state.getOption.getOrElse((0L, 0L))
+            rows.foreach { r => n += 1; b += r._2 }
+            state.update((n, b))
+            Iterator.single((topic, n, b))
+          })
+        .toDF("topic", "n", "bytes")
+        .writeStream.format("memory").queryName(qn).outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // counts are monotone per topic: max = the final state
+      val rows = s.table(qn).groupBy("topic")
+        .agg(max(col("n")).as("n"), max(col("bytes")).as("bytes"))
+        .orderBy("topic").collect().toSeq
+      s.catalog.dropTempView(qn)
+      WalrusLog.deleteRecursively(ckpt)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("n", LongType), StructField("bytes", LongType))))
+        .orderBy("topic")
+    }),
+
     "log_idempotent_producer" -> ((s, dir) => {
       // Kafka-idempotent-producer contract through the engine: the second
       // append retries an overlapping per-producer sequence range, and the
@@ -2438,6 +2502,14 @@ object SparkEntry {
           |FROM events
           |WHERE json_extract_string(props, '$.k') IS NOT NULL
           |GROUP BY 1, 2 ORDER BY topic, win_start""".stripMargin,
+      "log_sql_table" ->
+        """SELECT event_type AS topic, count(*) AS n,
+          |  CAST(SUM(length(props)) AS BIGINT) AS bytes
+          |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
+      "stream_custom_state" ->
+        """SELECT event_type AS topic, count(*) AS n,
+          |  CAST(SUM(length(props)) AS BIGINT) AS bytes
+          |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
       "log_idempotent_producer" ->
         """WITH n AS (SELECT count(*) AS c FROM events),
           |d AS (SELECT count(*) AS dup FROM events, n

@@ -126,7 +126,11 @@ object WalrusLogSource {
 
 class WalrusLogTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
+  // The catalog path arrives as a file: URI (CREATE TABLE ... USING
+  // walruslog normalizes OPTIONS('path')); the DataFrame path passes the
+  // raw filesystem path. Accept both.
   private val root = Option(options.get("path"))
+    .map(p => if (p.startsWith("file:")) Paths.get(java.net.URI.create(p)).toString else p)
     .getOrElse(throw new IllegalArgumentException("walruslog requires option 'path'"))
   private val namespace = Option(options.get("namespace")).getOrElse("default")
   private[sources] val nsDir: Path =
