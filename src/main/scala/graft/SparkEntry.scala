@@ -52,6 +52,30 @@ object SparkEntry {
   private def mainLog(spark: SparkSession, dir: String): WalrusLog =
     eventsLog(spark, dir, "main", LogConfig())
 
+  /** Events plus one far-future sentinel per topic in a SECOND commit: the
+    * sentinel advances the event-time watermark past every real session, so
+    * append-mode session windows flush during AvailableNow's closing
+    * no-data micro-batch (a session is only emitted once the watermark
+    * passes its end). The sentinel's own session stays unflushed — it never
+    * reaches the sink. */
+  private def sessionLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "session"), {
+      val root = Files.createTempDirectory("graft-log-session-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ev = events(spark, dir).select(
+        col("event_type").as("topic"),
+        encode(col("props"), "UTF-8").as("value"),
+        col("event_id").as("_seq"))
+      log.appendDF(ev, Some(col("_seq")), FixedTs)
+      val sentinels = ev.select("topic").distinct()
+        .select(col("topic"),
+          encode(lit("""{"k": 1000000}"""), "UTF-8").as("value"),
+          lit(0L).as("_seq"))
+      log.appendDF(sentinels, Some(col("_seq")), FixedTs)
+      log
+    })
+
   /** Events ingested as three sequential commits, then compacted into one
     * batch — the dump query proves compaction preserves every (topic,
     * offset, value) triple (same oracle as the straight dump). */
@@ -1401,6 +1425,61 @@ object SparkEntry {
         .orderBy("topic", "win_start")
     }),
 
+    "stream_session_windows" -> ((s, dir) => {
+      // Event-time SESSION windows (gap 5 s) in append mode: a session is
+      // emitted exactly once, when the event-time watermark passes its
+      // end. Append-mode emission needs a batch that RUNS with an advanced
+      // watermark, so the drive is two-phase: process the log (its tail
+      // sentinel commit advances the watermark past every real session),
+      // then append a second, later sentinel — that data batch executes
+      // under the advanced watermark and flushes all real sessions.
+      // Deterministic: no timing, no reliance on no-data micro-batches
+      // (which AvailableNow does not run for this source). Real rows are
+      // never late — batches never split a commit, and sentinels only move
+      // the watermark forward. Reruns only grow the filtered-out sentinel
+      // sessions, so the query stays idempotent.
+      import s.implicits._
+      val log = sessionLog(s, dir)
+      val qn = s"stream_session_windows_${System.nanoTime()}"
+      val ckpt = Files.createTempDirectory("graft-stream-sw-")
+      val q = graft.streaming.WalrusStreams.readStream(s, log.root)
+        .withColumn("k",
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
+        .where(col("k").isNotNull)
+        .withColumn("et", timestamp_seconds(col("k") + 3600))
+        .withWatermark("et", "0 seconds")
+        .groupBy(col("topic"),
+          session_window(col("et"), "5 seconds").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+      q.processAllAvailable()
+      val sent2 = log.topicNames.sorted.map(t => (t, """{"k": 2000000}"""))
+        .toDF("topic", "v")
+        .select(col("topic"), encode(col("v"), "UTF-8").as("value"),
+          lit(0L).as("_seq"))
+      log.appendDF(sent2, Some(col("_seq")), FixedTs)
+      q.processAllAvailable()
+      q.stop()
+      val rows = s.table(qn)
+        .select(col("topic"),
+          (unix_timestamp(col("sw.start")) - 3600).as("sess_start"),
+          (unix_timestamp(col("sw.end")) - 3600).as("sess_end"),
+          col("n"))
+        .where(col("sess_start") < 1000000L) // belt+braces: exclude sentinel
+        .orderBy("topic", "sess_start").collect().toSeq
+      s.catalog.dropTempView(qn)
+      WalrusLog.deleteRecursively(ckpt)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("sess_start", LongType),
+          StructField("sess_end", LongType),
+          StructField("n", LongType))))
+        .orderBy("topic", "sess_start")
+    }),
+
     "stream_dedup" -> ((s, dir) => {
       // Stateful streaming dedup THROUGH the micro-batch engine: the first
       // occurrence of each (topic, payload-key) survives, every later
@@ -2550,6 +2629,25 @@ object SparkEntry {
           |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
           |GROUP BY 1, 2
           |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
+      "stream_session_windows" ->
+        """WITH e AS (
+          |  SELECT event_type AS topic,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+          |d AS (SELECT DISTINCT topic, k FROM e),
+          |o AS (SELECT topic, k,
+          |    lag(k) OVER (PARTITION BY topic ORDER BY k) AS pk FROM d),
+          |f AS (SELECT topic, k,
+          |    CASE WHEN pk IS NULL OR k - pk >= 5 THEN 1 ELSE 0 END AS brk FROM o),
+          |g AS (SELECT topic, k,
+          |    SUM(brk) OVER (PARTITION BY topic ORDER BY k
+          |      ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+          |c AS (SELECT topic, k, count(*) AS cnt FROM e GROUP BY 1, 2)
+          |SELECT topic, CAST(MIN(k) AS BIGINT) AS sess_start,
+          |  CAST(MAX(k) + 5 AS BIGINT) AS sess_end,
+          |  CAST(SUM(cnt) AS BIGINT) AS n
+          |FROM g JOIN c USING (topic, k)
+          |GROUP BY topic, sid ORDER BY topic, sess_start""".stripMargin,
       "stream_dedup" ->
         """SELECT DISTINCT event_type AS topic,
           |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
