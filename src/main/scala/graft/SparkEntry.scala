@@ -1326,6 +1326,57 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "rel_q10_returned" -> ((s, dir) => {
+      // TPC-H Q10 shape: revenue lost to returned items per customer in a
+      // quarter, enriched with nation — facts aggregate partially map-side,
+      // both dims broadcast, top-20 by revenue with a total-order tiebreak
+      val li = table(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      val o = table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(38,4)").cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    "sim_pool_normalize" -> ((s, dir) => {
+      // per-label mean-pooled, L2-normalized embedding (chunk embeddings →
+      // document/class vector — the pooling step of a training pipeline).
+      // Components are floor-quantized to 1e-6 BEFORE summing (exact
+      // BIGINT sums in any aggregation order — the ivfKmeans recipe), the
+      // mean and the norm chain are fixed-order double ops rounded to 6 dp.
+      val e = table(s, dir, "embeddings")
+      def elem(d: Int) = element_at(col("embedding"), d + 1).cast("double")
+      val sums = (0 until 64).map(d =>
+        sum(floor(elem(d) * lit(1e6)).cast("long")).as(s"s$d"))
+      val agg = e.groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+      val mean = array((0 until 64).map(d =>
+        // tie-free 6-dp mean: s/n is the mean in 1e-6 units; floor(+0.5)
+        // is deterministic IEEE arithmetic in both engines, where round()
+        // algorithms diverge on exact .5 doubles
+        floor(col(s"s$d").cast("double") / col("n") + lit(0.5)) / lit(1e6)): _*)
+      val normSq = (0 until 64).map(d =>
+        element_at(col("mean"), d + 1) * element_at(col("mean"), d + 1))
+        .reduce(_ + _)
+      agg.withColumn("mean", mean)
+        .withColumn("nrm", sqrt(normSq))
+        .select(col("label"), col("n"), col("nrm"),
+          posexplode(col("mean")).as(Seq("dim", "m")))
+        .select(col("label"), col("n"), col("dim").cast("long").as("dim"),
+          (floor(col("m") / col("nrm") * lit(1e6) + lit(0.5)) / lit(1e6)).as("v"))
+        .orderBy("label", "dim")
+    }),
+
     "text_perplexity" -> ((s, dir) => {
       // bigram cross-entropy in integer millinats: each bigram's surprisal
       // ln(N / cnt) is rounded to a BIGINT of millinats BEFORE summing, so
@@ -2596,6 +2647,42 @@ object SparkEntry {
           |SELECT event_type AS topic, count(*) AS n_entries,
           |  (SELECT dup FROM d) AS dup_dropped
           |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
+      "rel_q10_returned" ->
+        """SELECT c_custkey, c_name, n_name,
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE l_returnflag = 'R'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1996-04-01'
+          |GROUP BY 1, 2, 3
+          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+      "sim_pool_normalize" -> {
+        val sums = (0 until 64).map(d =>
+          s"SUM(CAST(FLOOR(CAST(embedding[${d + 1}] AS DOUBLE) * 1000000) AS BIGINT)) AS s$d")
+          .mkString(",\n           |    ")
+        val means = (0 until 64).map(d =>
+          s"FLOOR(CAST(s$d AS DOUBLE) / n + 0.5) / 1000000.0 AS m$d")
+          .mkString(",\n           |    ")
+        val chain = (0 until 64).map(d => s"m$d * m$d").mkString(" + ")
+        val units = (0 until 64).map(d =>
+          s"SELECT label, n, CAST($d AS BIGINT) AS dim, FLOOR(m$d / nrm * 1000000 + 0.5) / 1000000 AS v FROM w")
+          .mkString("\n           |  UNION ALL ")
+        s"""WITH a AS (
+           |  SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+           |    $sums
+           |  FROM embeddings GROUP BY 1),
+           |m AS (SELECT label, n,
+           |    $means
+           |  FROM a),
+           |w AS (SELECT *, sqrt($chain) AS nrm FROM m)
+           |$units
+           |ORDER BY label, dim""".stripMargin
+      },
       "text_perplexity" ->
         """WITH toks AS (
           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
