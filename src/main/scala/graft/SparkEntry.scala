@@ -1207,6 +1207,16 @@ object SparkEntry {
       graft.operators.Sharding.packManifest(
           table(s, dir, "documents"), "doc_id", "text", budget = 4096)
         .orderBy("doc_id")),
+    "shard_stratified_sample" -> ((s, dir) => {
+      // source-mixture weighting: per-source keep rates (250 + 35·srcidx
+      // thousandths), decided by modular id hash — rerun/cluster-stable,
+      // dumped as kept-per-source counts
+      val docs = table(s, dir, "documents")
+      val rate = lit(250L) + lit(35L) * substring(col("source"), 4, 10).cast("long")
+      graft.operators.Sharding.stratifiedSample(docs, "doc_id", rate)
+        .groupBy("source").agg(count(lit(1)).as("kept"))
+        .orderBy("source")
+    }),
 
     "log_sql_table" -> ((s, dir) => {
       // SQL-DDL surface over the V2 source: a named catalog table
@@ -2584,6 +2594,12 @@ object SparkEntry {
            |       ELSE 'test' END AS split,
            |  count(*) AS n
            |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+      "shard_stratified_sample" ->
+        s"""SELECT source, count(*) AS kept
+           |FROM documents
+           |WHERE (doc_id * ${graft.operators.Sharding.HashMul}) % 1000
+           |  < 250 + 35 * CAST(substr(source, 4, 10) AS BIGINT)
+           |GROUP BY 1 ORDER BY source""".stripMargin,
       "shard_quality_topk" ->
         """WITH b AS (
           |  SELECT doc_id, source,

@@ -31,6 +31,17 @@ object Sharding {
         .otherwise("test"))
   }
 
+  /** Deterministic stratified (per-stratum-rate) sampling: keep a row iff
+    * `(id · HashMul) mod 1000 < rateMilli` — the mixture-weighting step of
+    * a training pipeline (up/down-sample sources), with the same
+    * content-stability contract as [[hashSplit]]: same id → same decision
+    * on any cluster, any run, any row order. `rateMilli` is a per-row
+    * Column (typically derived from the stratum column), in thousandths.
+    * One narrow filter — no shuffle, no rand(). */
+  def stratifiedSample(df: DataFrame, idCol: String,
+      rateMilli: org.apache.spark.sql.Column): DataFrame =
+    df.where(pmod(col(idCol).cast("long") * HashMul, lit(1000L)) < rateMilli)
+
   /** Token-budget pack manifest: documents in ascending `idCol` order are
     * assigned to consecutive packs of ~`budget` tokens — the
     * sequence-packing shard plan for pretraining data. A document's pack
