@@ -230,4 +230,19 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(n == 20)
     } finally q.stop()
   }
+
+  test("SparkEntry streaming queries are rerun-stable (driver reruns them)") {
+    // The bench and correctness drivers invoke each query repeatedly in one
+    // JVM; the streaming entries manage per-invocation sinks/checkpoints and
+    // (for session windows) append sentinel commits — output must not drift.
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("stream_session_windows", "stream_dedup", "stream_custom_state")) {
+      def run() = graft.SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      val first = run()
+      val second = run()
+      assert(first.nonEmpty, s"$name produced rows")
+      assert(first == second, s"$name drifted across reruns")
+    }
+  }
 }
