@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, Fnv1a64, ProjectionDot, ShingleCodes}
+import graft.functions.{CosineSimilarity, Fnv1a64, MinHashSignature, ProjectionDot, ShingleCodes, ShingleOverlap}
 
 /** Session-extensions entry point: registers graft's native codegen'd
   * expressions as SQL functions at session build time, so a cluster can
@@ -50,6 +50,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(text, k) - base-128 k-shingle codes in one rolling pass."),
       (exprs: Seq[Expression]) => ShingleCodes(exprs.head,
         intArg(exprs, 1, "shingle_codes", "k"))))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "_FUNC_(text, k, n) - n MinHash components of the k-shingle set in one pass."),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head,
+        intArg(exprs, 1, "minhash_signature", "k"),
+        intArg(exprs, 2, "minhash_signature", "numHashes"))))
+    ext.injectFunction((FunctionIdentifier("shingle_overlap"),
+      info("shingle_overlap",
+        "_FUNC_(a, b, k) - struct(both, sz_a, sz_b) distinct k-shingle overlap stats."),
+      (exprs: Seq[Expression]) => ShingleOverlap(exprs(0), exprs(1),
+        intArg(exprs, 2, "shingle_overlap", "k"))))
     ext.injectFunction((FunctionIdentifier("projection_dot"),
       info("projection_dot",
         "_FUNC_(vec, plane[, dims]) - dot with the deterministic projection vector."),

@@ -217,7 +217,7 @@ case class ShingleCodes(child: Expression, k: Int) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-    ShingleCodes.eval(bytes, k)
+    ShingleCodes.compute(bytes, k)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -228,7 +228,7 @@ case class ShingleCodes(child: Expression, k: Int) extends UnaryExpression {
       val bytes = ctx.freshName("bytes")
       s"""
          |byte[] $bytes = $str.getBytes();
-         |${ev.value} = graft.functions.ShingleCodes.eval($bytes, $k);
+         |${ev.value} = graft.functions.ShingleCodes.compute($bytes, $k);
        """.stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): ShingleCodes =
@@ -239,7 +239,7 @@ case class ShingleCodes(child: Expression, k: Int) extends UnaryExpression {
 object ShingleCodes {
   /** Rolling base-128 window over the byte array (ASCII assumption —
     * matches `ascii()` per char). Shared by interpreted + codegen paths. */
-  def eval(bytes: Array[Byte], k: Int): ArrayData = {
+  def compute(bytes: Array[Byte], k: Int): ArrayData = {
     val n = bytes.length - k + 1
     if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
     var topPow = 1L
@@ -285,7 +285,7 @@ case class MinHashSignature(child: Expression, k: Int, numHashes: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-    MinHashSignature.eval(bytes, k, MinHashSignature.coeffs(numHashes))
+    MinHashSignature.compute(bytes, k, MinHashSignature.coeffs(numHashes))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -294,7 +294,7 @@ case class MinHashSignature(child: Expression, k: Int, numHashes: Int)
       val res = ctx.freshName("mhRes")
       s"""
          |org.apache.spark.sql.catalyst.util.ArrayData $res =
-         |  graft.functions.MinHashSignature.eval($str.getBytes(), $k, $co);
+         |  graft.functions.MinHashSignature.compute($str.getBytes(), $k, $co);
          |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
        """.stripMargin
     })
@@ -313,7 +313,7 @@ object MinHashSignature {
 
   /** Rolling shingle codes + running minima; null when no shingle fits.
     * Shared by interpreted + codegen paths. */
-  def eval(bytes: Array[Byte], k: Int, coeffs: Array[Array[Long]]): ArrayData = {
+  def compute(bytes: Array[Byte], k: Int, coeffs: Array[Array[Long]]): ArrayData = {
     val n = bytes.length - k + 1
     if (n <= 0) return null
     val m = coeffs.length
@@ -363,13 +363,13 @@ case class ShingleOverlap(left: Expression, right: Expression, k: Int)
     StructField("sz_b", LongType, nullable = false)))
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    ShingleOverlap.eval(
+    ShingleOverlap.compute(
       a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes,
       b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes, k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"${ev.value} = graft.functions.ShingleOverlap.eval($a.getBytes(), $b.getBytes(), $k);"
+      s"${ev.value} = graft.functions.ShingleOverlap.compute($a.getBytes(), $b.getBytes(), $k);"
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleOverlap =
     copy(left = l, right = r)
@@ -407,7 +407,7 @@ object ShingleOverlap {
     if (w == n) out else java.util.Arrays.copyOf(out, w)
   }
 
-  def eval(a: Array[Byte], b: Array[Byte], k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+  def compute(a: Array[Byte], b: Array[Byte], k: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val xs = sortedCodes(a, k)
     val ys = sortedCodes(b, k)
     var i = 0; var j = 0; var both = 0L

@@ -38,4 +38,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.clearDefaultSession()
     }
   }
+
+  test("every native expression compiles under CODEGEN_ONLY (no interpreter fallback)") {
+    // Regression guard: a companion helper whose name clashes with
+    // Expression.eval loses its static forwarder, the generated Java fails
+    // to compile, and Spark silently falls back to interpreted eval —
+    // correct values, interpreted speed. CODEGEN_ONLY turns that silent
+    // fallback into a test failure.
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("CodegenOnlySpec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT fnv1a64(CAST('hello' AS BINARY)) AS h,
+          |  cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+          |  size(shingle_codes('abcdef', 2)) AS n,
+          |  projection_dot(array(CAST(1.0 AS FLOAT)), 0, 1) AS p,
+          |  minhash_signature('abcdefgh', 3, 4) AS mh,
+          |  shingle_overlap('abcdef', 'abcxyz', 3) AS ov
+          |""".stripMargin).head()
+      assert(r.getLong(0) == 0xa430d84680aabd0bL)
+      assert(r.getDouble(1) == 1.0)
+      assert(r.getInt(2) == 5)
+      assert(r.getSeq[Long](4).length == 4)
+      assert(r.getStruct(5).getLong(0) == 1L) // only "abc" shared
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
 }

@@ -19,7 +19,7 @@ class PropertySpec extends AnyFunSuite {
       val s = (0 until n).map(_ => if (r.nextInt(6) == 0) ' ' else ('a' + r.nextInt(26)).toChar).mkString
       val k = 1 + r.nextInt(9)
       val bytes = s.getBytes("UTF-8")
-      val rolled = ShingleCodes.eval(bytes, k).toLongArray().toSeq
+      val rolled = ShingleCodes.compute(bytes, k).toLongArray().toSeq
       val naive =
         if (bytes.length < k) Seq.empty[Long]
         else (0 to bytes.length - k).map { i =>
