@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, Fnv1a64, MinHashSignature, ProjectionDot, ShingleCodes, ShingleOverlap}
+import graft.functions.{CosineSimilarity, Fnv1a64, MinHashSignature, PqCode, ProjectionDot, ShingleCodes, ShingleOverlap}
 
 /** Session-extensions entry point: registers graft's native codegen'd
   * expressions as SQL functions at session build time, so a cluster can
@@ -61,6 +61,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(a, b, k) - struct(both, sz_a, sz_b) distinct k-shingle overlap stats."),
       (exprs: Seq[Expression]) => ShingleOverlap(exprs(0), exprs(1),
         intArg(exprs, 2, "shingle_overlap", "k"))))
+    ext.injectFunction((FunctionIdentifier("pq_code"),
+      info("pq_code",
+        "_FUNC_(vec, subspaces, subCentroids, subDim, basePlane) - packed PQ code in one fused pass."),
+      (exprs: Seq[Expression]) => PqCode(exprs.head,
+        intArg(exprs, 1, "pq_code", "subspaces"),
+        intArg(exprs, 2, "pq_code", "subCentroids"),
+        intArg(exprs, 3, "pq_code", "subDim"),
+        intArg(exprs, 4, "pq_code", "basePlane"))))
     ext.injectFunction((FunctionIdentifier("projection_dot"),
       info("projection_dot",
         "_FUNC_(vec, plane[, dims]) - dot with the deterministic projection vector."),

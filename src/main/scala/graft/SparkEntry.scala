@@ -2461,7 +2461,7 @@ object SparkEntry {
               val comp = Similarity.projComponent(301 + sIdx * 4 + cIdx, d)
               s"CAST(e.embedding[${sIdx * 8 + d + 1}] AS DOUBLE) * ($comp)"
             }.mkString(" + ")
-            s"SELECT vec_id, $sIdx AS s, $cIdx AS cid, round($dot, 6) AS sim FROM embeddings e"
+            s"SELECT vec_id, $sIdx AS s, $cIdx AS cid, floor(($dot) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
           }
         }.mkString("\n  UNION ALL ")
         val weights = (0 until 8).map(sIdx =>
@@ -2485,7 +2485,7 @@ object SparkEntry {
               val comp = Similarity.projComponent(301 + sIdx * 4 + cIdx, d)
               s"CAST(e.embedding[${sIdx * 8 + d + 1}] AS DOUBLE) * ($comp)"
             }.mkString(" + ")
-            s"SELECT vec_id, $sIdx AS s, $cIdx AS cid, round($dot, 6) AS sim FROM embeddings e"
+            s"SELECT vec_id, $sIdx AS s, $cIdx AS cid, floor(($dot) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
           }
         }.mkString("\n  UNION ALL ")
         s"""WITH scores AS (
@@ -2525,7 +2525,7 @@ object SparkEntry {
               val comp = Similarity.projComponent(301 + sIdx * 4 + cIdx, d)
               s"CAST(e.embedding[${sIdx * 8 + d + 1}] AS DOUBLE) * ($comp)"
             }.mkString(" + ")
-            s"SELECT vec_id, $sIdx AS s, $cIdx AS cid, round($dot, 6) AS sim FROM embeddings e"
+            s"SELECT vec_id, $sIdx AS s, $cIdx AS cid, floor(($dot) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
           }
         }.mkString("\n  UNION ALL ")
         s"""WITH cellscores AS (

@@ -421,6 +421,98 @@ object ShingleOverlap {
   }
 }
 
+/** Packed product-quantization code of a float/double vector in ONE fused
+  * pass: for each of `subspaces` contiguous `subDim` blocks, the best
+  * sub-centroid by 6-dp-quantized projection dot (ties to the HIGHER cid),
+  * packed as `Σ_s cid_s · subCentroids^s`. Bit-identical to the
+  * `greatest(struct(q6(projection_dot(slice(vec,…),…)), cid))` column
+  * chain (the DuckDB-oracle formulation: rank sim DESC, cid DESC), but one
+  * tight loop over the vector — no per-subspace array slices, no struct
+  * allocations, no 32-node expression tree. That matters beyond constant
+  * factors: optimizer passes (AQE re-optimization reruns CollapseProject)
+  * may inline a projection into every downstream reference, so a heavy
+  * code expression referenced `subspaces` times by an ADC scorer gets
+  * re-evaluated per reference — this expression keeps even that worst
+  * case cheap. */
+case class PqCode(child: Expression,
+    subspaces: Int, subCentroids: Int, subDim: Int, basePlane: Int)
+    extends UnaryExpression {
+  require(subspaces >= 1 && subCentroids >= 2 && subDim >= 1, "bad PQ shape")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_code requires ARRAY<FLOAT|DOUBLE> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    PqCode.compute(input.asInstanceOf[ArrayData], elemIsFloat,
+      subspaces, subCentroids, subDim,
+      PqCode.components(basePlane, subspaces * subCentroids, subDim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val co = ctx.addReferenceObj("pqComps",
+        PqCode.components(basePlane, subspaces * subCentroids, subDim), "double[][]")
+      s"""
+         |${ev.value} = graft.functions.PqCode.compute(
+         |  $v, $elemIsFloat, $subspaces, $subCentroids, $subDim, $co);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): PqCode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_code"
+}
+
+object PqCode {
+  /** Sub-centroid projection matrix: row `sIdx·subCentroids + cIdx` is the
+    * `subDim` components of plane `basePlane + sIdx·subCentroids + cIdx`. */
+  def components(basePlane: Int, rows: Int, subDim: Int): Array[Array[Double]] =
+    Array.tabulate(rows)(r =>
+      Array.tabulate(subDim)(d =>
+        graft.operators.Similarity.projComponent(basePlane + r, d)))
+
+  /** Fused argmax per subspace over 6-dp-quantized dots (micro-unit longs,
+    * so the tie/ordering semantics are exactly the q6-double compare);
+    * `>=` keeps the LATER cid on ties, matching `greatest`'s preference
+    * for the struct with the higher cid. Shared by both eval paths. */
+  def compute(v: ArrayData, isFloat: Boolean,
+      subspaces: Int, subCentroids: Int, subDim: Int,
+      comps: Array[Array[Double]]): Long = {
+    val n = v.numElements()
+    var code = 0L
+    var weight = 1L
+    var s = 0
+    while (s < subspaces) {
+      val base = s * subDim
+      var bestMicro = Long.MinValue
+      var bestCid = 0
+      var c = 0
+      while (c < subCentroids) {
+        val row = comps(s * subCentroids + c)
+        var dot = 0.0
+        var d = 0
+        val lim = math.min(subDim, n - base)
+        while (d < lim) {
+          val x = if (isFloat) v.getFloat(base + d).toDouble else v.getDouble(base + d)
+          dot += x * row(d)
+          d += 1
+        }
+        val micro = math.floor(dot * 1e6 + 0.5).toLong
+        if (micro >= bestMicro) { bestMicro = micro; bestCid = c }
+        c += 1
+      }
+      code += bestCid.toLong * weight
+      weight *= subCentroids
+      s += 1
+    }
+    code
+  }
+}
+
 /** Column-level entry points + SQL registration for graft's native functions. */
 object GraftFunctions {
   def fnv1a64(c: Column): Column =
@@ -437,6 +529,10 @@ object GraftFunctions {
       ShingleOverlap(GraftSqlInternal.expression(a), GraftSqlInternal.expression(b), k))
   def projection_dot(c: Column, plane: Int, dims: Int = 64): Column =
     GraftSqlInternal.column(ProjectionDot(GraftSqlInternal.expression(c), plane, dims))
+  def pq_code(c: Column, subspaces: Int, subCentroids: Int, subDim: Int,
+      basePlane: Int): Column =
+    GraftSqlInternal.column(PqCode(GraftSqlInternal.expression(c),
+      subspaces, subCentroids, subDim, basePlane))
 
   /** Registers `fnv1a64` / `cosine_similarity` for use from SQL text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -15,6 +15,13 @@ import graft.functions.GraftFunctions.cosine_similarity
   */
 object Similarity {
 
+  /** Tie-free 6-dp quantization (`floor(x·10⁶ + 0.5)/10⁶`): identical IEEE
+    * double arithmetic in Spark and DuckDB, and — unlike `round(x, 6)`,
+    * which routes through `BigDecimal.valueOf(double)` (a double→string
+    * parse per call) — pure double ops, ~100× cheaper in a hot projection.
+    * Used where the quantized value is computed per candidate row. */
+  private def q6(x: Column): Column = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+
   /** Deterministic pseudo-random projection component for plane `j`,
     * dimension `d`: an LCG value mapped to [-0.5, 0.5). Integer arithmetic +
     * a power-of-two divide → exactly representable, engine-independent. */
@@ -232,26 +239,16 @@ object Similarity {
     * `Σ_s cid_s · subCentroids^s` — `subspaces · log2(subCentroids)` bits
     * per vector (here 16 bits for a 256-byte embedding, a 128× compression)
     * — the memory layout IVF-PQ indexes page through at billion-vector
-    * scale. One narrow projection per row, no shuffle; codegen'd
-    * [[graft.functions.ProjectionDot]] per block. */
+    * scale. One fused codegen'd pass per row ([[graft.functions.PqCode]]),
+    * no shuffle; ties resolve to the higher cid, the same tie-break as
+    * ivfAssign (oracle ranks sim DESC, cid DESC). */
   def pqCodes(
       emb: DataFrame, idCol: String, vecCol: String,
       subspaces: Int = 8, subCentroids: Int = 4, subDim: Int = 8): DataFrame = {
-    import graft.functions.GraftFunctions.projection_dot
-    val codeTerms = (0 until subspaces).map { sIdx =>
-      val sub = slice(col(vecCol), sIdx * subDim + 1, subDim)
-      val sims = (0 until subCentroids).map { cIdx =>
-        struct(
-          round(projection_dot(sub, 301 + sIdx * subCentroids + cIdx, subDim), 6)
-            .as("sim"),
-          lit(cIdx).as("cid"))
-      }
-      // greatest over (sim, cid) structs: ties resolve to the higher cid,
-      // the same tie-break as ivfAssign (oracle ranks sim DESC, cid DESC)
-      val weight = (0 until sIdx).foldLeft(1L)((w, _) => w * subCentroids)
-      greatest(sims: _*).getField("cid").cast("long") * lit(weight)
-    }
-    emb.select(col(idCol), codeTerms.reduce(_ + _).as("pq_code"))
+    import graft.functions.GraftFunctions.pq_code
+    emb.select(col(idCol),
+      pq_code(col(vecCol), subspaces, subCentroids, subDim, basePlane = 301)
+        .as("pq_code"))
   }
 
   /** PQ asymmetric-distance (ADC) top-k: score every corpus code against
@@ -291,7 +288,7 @@ object Similarity {
     array((0 until subspaces).flatMap { sIdx =>
       (0 until subCentroids).map { cIdx =>
         val sub = slice(col(vecCol), sIdx * subDim + 1, subDim)
-        round(round(projection_dot(sub, 301 + sIdx * subCentroids + cIdx, subDim), 6)
+        round(q6(projection_dot(sub, 301 + sIdx * subCentroids + cIdx, subDim))
           * 1e6).cast("long")
       }
     }: _*)

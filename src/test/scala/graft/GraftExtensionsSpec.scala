@@ -64,7 +64,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  size(shingle_codes('abcdef', 2)) AS n,
           |  projection_dot(array(CAST(1.0 AS FLOAT)), 0, 1) AS p,
           |  minhash_signature('abcdefgh', 3, 4) AS mh,
-          |  shingle_overlap('abcdef', 'abcxyz', 3) AS ov
+          |  shingle_overlap('abcdef', 'abcxyz', 3) AS ov,
+          |  pq_code(array(CAST(0.25 AS FLOAT), CAST(-0.5 AS FLOAT)), 2, 2, 1, 301) AS pq
           |""".stripMargin).head()
       assert(r.getLong(0) == 0xa430d84680aabd0bL)
       assert(r.getDouble(1) == 1.0)

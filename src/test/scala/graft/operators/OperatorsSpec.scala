@@ -405,6 +405,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fused.nonEmpty && fused.size < 60) // some docs genuinely had no shingle
   }
 
+  test("fused pq_code is bit-identical to the greatest-of-structs formulation") {
+    import graft.functions.GraftFunctions.projection_dot
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(123)
+    val rows = (0L until 200L).map { i =>
+      org.apache.spark.sql.Row(i, Array.fill(64)(rnd.nextFloat() - 0.5f).toSeq)
+    }
+    val emb = spark.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val fused = Similarity.pqCodes(emb, "vec_id", "embedding", 8, 4, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference formulation: per-subspace greatest over (q6 sim, cid) structs
+    def q6(x: org.apache.spark.sql.Column) = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+    val codeTerms = (0 until 8).map { sIdx =>
+      val sub = slice(col("embedding"), sIdx * 8 + 1, 8)
+      val sims = (0 until 4).map { cIdx =>
+        struct(q6(projection_dot(sub, 301 + sIdx * 4 + cIdx, 8)).as("sim"),
+          lit(cIdx).as("cid"))
+      }
+      val weight = (0 until sIdx).foldLeft(1L)((w, _) => w * 4)
+      greatest(sims: _*).getField("cid").cast("long") * lit(weight)
+    }
+    val viaStructs = emb.select(col("vec_id"), codeTerms.reduce(_ + _).as("pq_code"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == viaStructs)
+    assert(fused.values.toSet.size > 1) // codes actually vary
+  }
+
   test("per-pair shingle overlap matches set arithmetic over distinct shingles") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
