@@ -1612,6 +1612,142 @@ object SparkEntry {
         StructType(Seq(StructField("k", LongType),
           StructField("n", LongType))))
         .orderBy("k")
+    }),
+
+    // ---- relational breadth: Q7/Q12/Q14/Q19/Q22 shapes, runtime filters ----
+    "rel_q7_nation_volume" -> ((s, dir) => {
+      // TPC-H Q7 shape: revenue flow between two nations by ship year. The
+      // nation dims are filtered to the two names BEFORE their joins (two
+      // tiny broadcasts prune supplier/customer early), so the fact scan is
+      // the only big input; the cross-pair condition runs on the pruned
+      // rows.
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val su = table(s, dir, "supplier")
+      val n = table(s, dir, "nation")
+      val pair = Seq("NATION_3", "NATION_8")
+      val n1 = n.where(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = n.where(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      li.join(broadcast(su.join(broadcast(n1), col("s_nationkey") === col("n1_key"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c.join(broadcast(n2), col("c_nationkey") === col("n2_key"))),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(38,4)").cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    "rel_q12_late_lines" -> ((s, dir) => {
+      // TPC-H Q12 shape (no l_shipmode column: lateness buckets instead):
+      // per order priority, how many lineitems shipped > 60 days after the
+      // order date vs on time — fact-fact join + conditional aggregation.
+      // At scale both sides co-partition on the order key; no broadcast.
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            1L).otherwise(0L)).as("late_lines"),
+          sum(when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            1L).otherwise(0L)).as("ontime_lines"))
+        .orderBy("o_orderpriority")
+    }),
+    "rel_q14_promo_share" -> ((s, dir) => {
+      // TPC-H Q14 shape: promo revenue share for one ship month. Part is a
+      // broadcast dim; both sums are decimal-exact before ONE double
+      // division (identical IEEE op in the oracle).
+      val li = table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      val p = table(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      val vol = col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0).cast("decimal(18,4)")))
+            .cast("decimal(38,4)").cast("double").as("promo_revenue"),
+          sum(vol).cast("decimal(38,4)").cast("double").as("total_revenue"))
+        .withColumn("promo_share_pct",
+          lit(100.0) * col("promo_revenue") / col("total_revenue"))
+    }),
+    "rel_q19_disjunctive" -> ((s, dir) => {
+      // TPC-H Q19 shape: three disjunctive (brand, size, quantity) branches
+      // — the OR-of-ANDs predicate the optimizer must keep sargable. The
+      // common conjunct (the brand IN-list) is pushed into the broadcast
+      // dim filter; the per-branch ranges apply post-join.
+      val p = table(s, dir, "part")
+        .where(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val li = table(s, dir, "lineitem")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 40)))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(38,4)").cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+    "rel_q22_idle_balance" -> ((s, dir) => {
+      // TPC-H Q22 shape: above-average-balance customers with no large
+      // order (every synthetic customer has SOME order, so "idle" means no
+      // order above 300k), by nation. The average comparison is kept
+      // decimal-exact by
+      // cross-multiplying (bal · n_pos > sum_pos) — no decimal division
+      // to round differently across engines. Anti join drops customers
+      // with any order; the scalar aggregate broadcasts.
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").where(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      val avgPos = c.where(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,4)")).as("sum_pos"),
+          count(lit(1)).as("n_pos"))
+      c.crossJoin(broadcast(avgPos))
+        .where(col("c_acctbal").cast("decimal(18,4)") *
+          col("n_pos").cast("decimal(18,0)") > col("sum_pos"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,4)"))
+            .cast("decimal(38,4)").cast("double").as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+    "rel_bloom_filter_join" -> ((s, dir) => {
+      // Runtime bloom-filter join pruning — the 100 TB shape where the
+      // filtered dim is too big to broadcast: a cloned session disables
+      // broadcast joins and drops the runtime-filter size floors, so the
+      // optimizer injects a bloom filter built from the filtered orders
+      // side into the lineitem scan (row-level pruning BEFORE the shuffle,
+      // the only way to cut a shuffle join's probe-side IO). The clone
+      // isolates the conf changes from every other query in the session.
+      val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val li = s2.read.parquet(s"$dir/lineitem.parquet")
+      val o = s2.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_totalprice") > 400000)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("decimal(38,4)").cast("double").as("gross"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -2767,7 +2903,78 @@ object SparkEntry {
           |SELECT l.k AS k, count(*) AS n
           |FROM e l JOIN e r ON l.k = r.k
           |WHERE l.event_type = 'purchase' AND r.event_type = 'signup'
-          |GROUP BY 1 ORDER BY k""".stripMargin
+          |GROUP BY 1 ORDER BY k""".stripMargin,
+
+      "rel_q7_nation_volume" ->
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |  year(l_shipdate) AS l_year,
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+          |  count(*) AS n_lines
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |WHERE n1.n_name IN ('NATION_3', 'NATION_8')
+          |  AND n2.n_name IN ('NATION_3', 'NATION_8')
+          |  AND n1.n_name <> n2.n_name
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      "rel_q12_late_lines" ->
+        """SELECT o_orderpriority,
+          |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+          |  CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS ontime_lines
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "rel_q14_promo_share" ->
+        """WITH a AS (
+          |  SELECT
+          |    CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+          |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+          |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) AS promo_revenue,
+          |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+          |    AND l_shipdate < TIMESTAMP '1997-04-01')
+          |SELECT promo_revenue, total_revenue,
+          |  100.0 * promo_revenue / total_revenue AS promo_share_pct
+          |FROM a""".stripMargin,
+      "rel_q19_disjunctive" ->
+        """SELECT
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+          |  count(*) AS n_lines
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+          |    AND l_quantity BETWEEN 1 AND 20)
+          |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+          |    AND l_quantity BETWEEN 10 AND 30)
+          |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+          |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+      "rel_q22_idle_balance" ->
+        """WITH a AS (
+          |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_pos,
+          |    count(*) AS n_pos
+          |  FROM customer WHERE c_acctbal > 0)
+          |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+          |  count(*) AS numcust,
+          |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS totacctbal
+          |FROM customer, a
+          |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * CAST(n_pos AS DECIMAL(18,0)) > sum_pos
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "rel_bloom_filter_join" ->
+        """SELECT o_orderpriority, count(*) AS n_lines,
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS gross
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_totalprice > 400000
+          |GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

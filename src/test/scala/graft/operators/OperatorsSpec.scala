@@ -484,4 +484,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(local(302L) == local(5L))
     assert(local(302L) <= 5L)
   }
+
+  test("runtime bloom filter injects into the shuffle-join probe side") {
+    // The rel_bloom_filter_join conf shape: broadcast disabled + size
+    // floors dropped → the optimizer builds a bloom filter from the
+    // selectively-filtered build side and applies it to the probe-side
+    // scan (might_contain), pruning rows BEFORE the shuffle. Values must
+    // be unchanged vs the plain join.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-").toString
+    import spark.implicits._
+    (0L until 2000L).map(i => (i, s"p${i % 5}", (i % 1000) * 7L))
+      .toDF("fact_key", "tag", "v").write.parquet(s"$dir/fact")
+    (0L until 200L).map(i => (i, i * 13L % 97L))
+      .toDF("dim_key", "score").write.parquet(s"$dir/dim")
+    val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(spark)
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val fact = s2.read.parquet(s"$dir/fact")
+    val dim = s2.read.parquet(s"$dir/dim").where(col("score") < 10)
+    val joined = fact.join(dim, col("fact_key") === col("dim_key"))
+      .groupBy("tag").agg(count(lit(1)).as("n"))
+    assert(joined.queryExecution.optimizedPlan.toString.contains("might_contain"),
+      "bloom filter was not injected")
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim").where(col("score") < 10),
+        col("fact_key") === col("dim_key"))
+      .groupBy("tag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected && got.nonEmpty)
+  }
 }
