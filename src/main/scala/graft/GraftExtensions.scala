@@ -17,6 +17,38 @@ import graft.functions.{CosineSimilarity, Fnv1a64, MinHashSignature, PqCode, Pro
   * expressions with `doGenCode`, injected through the public
   * `SparkSessionExtensions` API — no fork, no private internals.
   */
+object GraftExtensions {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.graft.GraftSqlInternal
+
+  /** `walrus_log(path[, topic])` — the log as a table-valued function: a
+    * FROM-clause surface for ad-hoc SQL over any log root (the DDL table
+    * path, log_sql_table, needs a catalog entry first). Resolves to the
+    * V2 source's plan, so topic/column pruning reach the vectorized
+    * reader exactly as on the DataFrame path. */
+  private[graft] def walrusLogPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.nonEmpty && exprs.size <= 2,
+      "walrus_log expects (path[, topic])")
+    def str(i: Int, what: String): String = {
+      val e = exprs(i)
+      require(e.foldable && e.eval() != null,
+        s"walrus_log: $what must be a constant string")
+      String.valueOf(e.eval())
+    }
+    val spark = SparkSession.active
+    val base = spark.read.format("walruslog").option("path", str(0, "path")).load()
+    val df = if (exprs.size == 2) base.where(col("topic") === str(1, "topic")) else base
+    GraftSqlInternal.analyzedPlan(df)
+  }
+
+  /** Runtime registration of the TVF on a live session (the extensions
+    * path below covers sessions built with spark.sql.extensions). */
+  def registerWalrusLogTvf(spark: SparkSession): Unit =
+    GraftSqlInternal.registerTableFunction(spark, "walrus_log", walrusLogPlan)
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String): ExpressionInfo =
@@ -61,6 +93,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(a, b, k) - struct(both, sz_a, sz_b) distinct k-shingle overlap stats."),
       (exprs: Seq[Expression]) => ShingleOverlap(exprs(0), exprs(1),
         intArg(exprs, 2, "shingle_overlap", "k"))))
+    ext.injectTableFunction((FunctionIdentifier("walrus_log"),
+      info("walrus_log",
+        "_FUNC_(path[, topic]) - a walrus log root as a table-valued FROM source."),
+      GraftExtensions.walrusLogPlan _))
     ext.injectFunction((FunctionIdentifier("pq_code"),
       info("pq_code",
         "_FUNC_(vec, subspaces, subCentroids, subDim, basePlane) - packed PQ code in one fused pass."),

@@ -1725,6 +1725,36 @@ object SparkEntry {
             .cast("decimal(38,4)").cast("double").as("totacctbal"))
         .orderBy("c_nationkey")
     }),
+    "log_tvf_read" -> ((s, dir) => {
+      // Table-valued-function surface: any log root is a FROM-clause
+      // source (`walrus_log(path[, topic])`) with no catalog entry needed
+      // — ad-hoc SQL over a topic with pruning through the V2 reader.
+      val log = mainLog(s, dir)
+      GraftExtensions.registerWalrusLogTvf(s)
+      s.sql(
+        s"""SELECT offset AS entry_offset, decode(value, 'UTF-8') AS value_str
+           |FROM walrus_log('${log.root}', 'purchase')
+           |ORDER BY entry_offset""".stripMargin)
+    }),
+    "log_rebalance_sticky" -> ((s, dir) => {
+      // Cooperative (sticky) rebalance: the group shrinks 4 -> 3 and ONLY
+      // consumer 3's topics move — survivors keep everything they own,
+      // the Kafka cooperative-assignor contract (vs the eager assignors
+      // in log_group_rebalance, which may reshuffle every topic).
+      val ts = mainLog(s, dir).topicNames
+      val old = graft.log.ConsumerAssignment.roundRobin(ts, 4).toMap
+      val next = graft.log.ConsumerAssignment.sticky(ts, old, 3).toMap
+      val rows = ts.sorted.map { t =>
+        Row(t, old(t).toLong, next(t).toLong,
+          if (old(t) != next(t)) 1L else 0L)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("old_consumer", LongType),
+          StructField("new_consumer", LongType),
+          StructField("moved", LongType))))
+        .orderBy("topic")
+    }),
     "rel_bloom_filter_join" -> ((s, dir) => {
       // Runtime bloom-filter join pruning — the 100 TB shape where the
       // filtered dim is too big to broadcast: a cloned session disables
@@ -2969,6 +2999,25 @@ object SparkEntry {
           |  AND NOT EXISTS (SELECT 1 FROM orders
           |    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "log_tvf_read" ->
+        """SELECT row_number() OVER (ORDER BY event_id) - 1 AS entry_offset,
+          |  props AS value_str
+          |FROM events WHERE event_type = 'purchase'
+          |ORDER BY entry_offset""".stripMargin,
+      "log_rebalance_sticky" ->
+        """WITH t AS (SELECT DISTINCT event_type AS topic FROM events),
+          |o AS (SELECT topic,
+          |    (row_number() OVER (ORDER BY topic) - 1) % 4 AS old_c FROM t),
+          |orph AS (SELECT topic,
+          |    (row_number() OVER (ORDER BY topic) - 1) % 3 AS new_c
+          |  FROM o WHERE old_c >= 3)
+          |SELECT o.topic AS topic,
+          |  CAST(o.old_c AS BIGINT) AS old_consumer,
+          |  CAST(COALESCE(orph.new_c, o.old_c) AS BIGINT) AS new_consumer,
+          |  CAST(CASE WHEN COALESCE(orph.new_c, o.old_c) <> o.old_c
+          |    THEN 1 ELSE 0 END AS BIGINT) AS moved
+          |FROM o LEFT JOIN orph ON o.topic = orph.topic
+          |ORDER BY topic""".stripMargin,
       "rel_bloom_filter_join" ->
         """SELECT o_orderpriority, count(*) AS n_lines,
           |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS gross

@@ -34,4 +34,23 @@ object ConsumerAssignment {
     val block = (sorted.size + nConsumers - 1) / nConsumers
     sorted.zipWithIndex.map { case (t, i) => (t, i / block) }
   }
+
+  /** Sticky (cooperative) rebalance after a membership change to
+    * `nConsumers`: every topic whose previous owner survives keeps it
+    * (zero movement — the cooperative-rebalance contract: only orphaned
+    * work moves, nobody stops consuming topics they already own), and
+    * orphaned topics (owner index ≥ nConsumers, or new topics) are dealt
+    * round-robin across the new membership in sorted-topic order.
+    * Deterministic pure metadata arithmetic, like the other assignors —
+    * cursors are keyed (group, topic), so a move is just the new owner
+    * resuming at the committed offset. */
+  def sticky(topics: Seq[String], previous: Map[String, Int],
+      nConsumers: Int): Seq[(String, Int)] = {
+    require(nConsumers > 0, "nConsumers must be positive")
+    val sorted = topics.sorted
+    val orphans = sorted.filter(t => !previous.get(t).exists(_ < nConsumers))
+    val orphanOwner = orphans.zipWithIndex
+      .map { case (t, i) => t -> (i % nConsumers) }.toMap
+    sorted.map(t => t -> orphanOwner.getOrElse(t, previous(t)))
+  }
 }

@@ -31,6 +31,20 @@ object GraftSqlInternal {
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 
+  /** Register a table-valued function on a LIVE session (the runtime
+    * complement of `SparkSessionExtensions.injectTableFunction`, which
+    * only applies at session build). The builder returns the logical plan
+    * the FROM-clause reference resolves to. */
+  def registerTableFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** The analyzed logical plan of a DataFrame (for TVF builders). */
+  def analyzedPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** Block until queued SparkListener events have been delivered — the
     * reliable barrier for listener-based assertions (listenerBus is
     * private[spark]). */

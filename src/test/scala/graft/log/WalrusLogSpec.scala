@@ -675,6 +675,44 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ConsumerAssignment.roundRobin(topics, 8).map(_._2).distinct.size == 5)
   }
 
+  test("walrus_log TVF: a log root is a FROM-clause source from plain SQL") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    (0 until 7).foreach(i => log.append("ta", bytes(s"a$i")))
+    (0 until 3).foreach(i => log.append("tb", bytes(s"b$i")))
+    graft.GraftExtensions.registerWalrusLogTvf(spark)
+    val one = spark.sql(
+      s"SELECT topic, count(*) AS n FROM walrus_log('$root') GROUP BY topic ORDER BY topic")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(one == Seq("ta" -> 7L, "tb" -> 3L))
+    val filtered = spark.sql(
+      s"""SELECT offset, decode(value, 'UTF-8') AS v
+         |FROM walrus_log('$root', 'tb') ORDER BY offset""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(filtered == Seq((0L, "b0"), (1L, "b1"), (2L, "b2")))
+  }
+
+  test("sticky rebalance: survivors keep their topics, only orphans move") {
+    val topics = (0 until 11).map(i => f"topic$i%02d")
+    val old = ConsumerAssignment.roundRobin(topics, 4).toMap
+    // shrink 4 -> 3: exactly consumer 3's topics are orphaned
+    val next = ConsumerAssignment.sticky(topics, old, 3).toMap
+    assert(next.keySet == topics.toSet)
+    assert(next.values.forall(c => c >= 0 && c < 3))
+    topics.foreach { t =>
+      if (old(t) < 3) assert(next(t) == old(t), s"survivor-owned $t moved")
+    }
+    val orphans = topics.filter(old(_) == 3).sorted
+    assert(orphans.zipWithIndex.forall { case (t, i) => next(t) == i % 3 })
+    // grow 3 -> 5: nothing moves at all (sticky keeps every assignment)
+    val grown = ConsumerAssignment.sticky(topics, next, 5).toMap
+    assert(grown == next)
+    // brand-new topics (absent from previous) are dealt like orphans
+    val withNew = ConsumerAssignment.sticky(topics :+ "aaaa-new", next, 3).toMap
+    assert(withNew("aaaa-new") == 0) // first orphan in sorted order
+    topics.foreach(t => assert(withNew(t) == next(t)))
+  }
+
   test("idempotent producer: retries drop by per-producer watermark, survive reopen") {
     import org.apache.spark.sql.functions.{col, encode}
     import spark.implicits._
