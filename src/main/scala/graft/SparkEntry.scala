@@ -192,6 +192,39 @@ object SparkEntry {
        |pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - ${k - 1})) AS i FROM d),
        |codes AS (SELECT DISTINCT doc_id, ${codeSql("text", k)} AS code FROM pos)""".stripMargin
 
+  /** WITH-clause (RECURSIVE) CTE chain computing connected components over
+    * the MinHash-LSH candidate graph of ALL documents (k=5, 4 bands × 4
+    * rows): ends with `reach(node, lbl)` where min(lbl) per node is the
+    * cluster label. Shared by the dedup_clusters and shard_leakage_split
+    * oracles — the Spark side is Dedup.minHashLshPairs +
+    * connectedComponents with the same constants. */
+  private def lshReachCtes: String = {
+    val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
+      s"MIN(${permSql("code", a, b)}) AS mh$j"
+    }.mkString(",\n  ")
+    val bandKeys = (0 until 4).map { bnd =>
+      (0 until 4).map(r => s"CAST(mh${bnd * 4 + r} AS VARCHAR)")
+        .mkString(s"SELECT doc_id, $bnd AS band, ", " || '_' || ", " AS bkey FROM sig")
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 5),
+       |pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i FROM d),
+       |codes AS (SELECT DISTINCT doc_id, ${codeSql("text", 5)} AS code FROM pos),
+       |sig AS (SELECT doc_id, $mins FROM codes GROUP BY doc_id),
+       |banded AS (
+       |  $bandKeys),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+       |  WHERE l.doc_id < r.doc_id),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM cand
+       |  UNION ALL SELECT id_b, id_a FROM cand),
+       |reach(node, lbl) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node)""".stripMargin
+  }
+
   /** SQL 64-dim dot product between `a.embedding` and `b.embedding`. */
   private def dotSql(a: String, b: String): String =
     (1 to 64).map(i =>
@@ -1725,6 +1758,104 @@ object SparkEntry {
             .cast("decimal(38,4)").cast("double").as("totacctbal"))
         .orderBy("c_nationkey")
     }),
+    "shard_leakage_split" -> ((s, dir) => {
+      // Leakage-safe train/val/test split: near-duplicate documents MUST
+      // land in the same split (a near-dup of a test document in train is
+      // evaluation leakage), so the split hash is taken over the document's
+      // near-dup CLUSTER representative (LSH candidate graph → connected
+      // components; singletons represent themselves), not the document id.
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 5, bands = 4, rowsPerBand = 4)
+      val cc = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("node", "doc_id")
+      val rep = docs.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep"))
+      graft.operators.Sharding.hashSplit(rep, "rep")
+        .select(col("doc_id"), col("rep"), col("split"))
+        .orderBy("doc_id")
+    }),
+    "text_tfidf_topk" -> ((s, dir) => {
+      // per-source TF-IDF top terms: tf = term count within the source,
+      // idf = ln(N_docs/df) in integer millinats (ONE ln per distinct
+      // term, rounded before any multiplication — the order-proof integer
+      // pattern of text_perplexity), score = tf · idf_milli exactly.
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val toks = docs.select(col("source"), col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+      val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+        .withColumn("idf_milli",
+          round(log(col("n_docs").cast("double") / col("df")) * 1000, 0).cast("long"))
+        .withColumn("score_milli", col("tf") * col("idf_milli"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score_milli").desc, col("tok").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 5)
+        .select("source", "tok", "tf", "df", "idf_milli", "score_milli", "rnk")
+        .orderBy("source", "rnk")
+    }),
+    "text_pmi_bigrams" -> ((s, dir) => {
+      // collocation mining: corpus-wide PMI of adjacent word pairs,
+      // ln((c_xy·N)/(c_x·c_y)) in integer millinats (exact integer products
+      // inside, one ln per surviving pair), top 20 globally.
+      import org.apache.spark.sql.expressions.Window
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .where(size(col("tk")) >= 2)
+      val bg = toks.select(explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> struct(element_at(tk, i) AS x, element_at(tk, i + 1) AS y))"))
+          .as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+      val cxy = bg.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      val cx = bg.groupBy("x").agg(count(lit(1)).as("c_x"))
+      val cy = bg.groupBy("y").agg(count(lit(1)).as("c_y"))
+      val n = bg.agg(count(lit(1)).as("n_bg"))
+      val scored = cxy.where(col("c_xy") >= 5)
+        .join(cx, "x").join(cy, "y").crossJoin(broadcast(n))
+        .withColumn("pmi_milli",
+          round(log((col("c_xy") * col("n_bg")).cast("double") /
+            (col("c_x") * col("c_y")).cast("double")) * 1000, 0).cast("long"))
+      val w = Window.orderBy(col("pmi_milli").desc, col("x").asc, col("y").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 20)
+        .select("x", "y", "c_xy", "pmi_milli", "rnk")
+        .orderBy("rnk")
+    }),
+    "mm_av_align" -> ((s, dir) => {
+      // A/V alignment: each sampled "video" frame (byte position
+      // len·i/4, the sampleFrames stub geometry) is matched to the latest
+      // "audio" hop window starting at or before it — the as-of join on
+      // byte offsets, metadata-only on both sides (payloads never read).
+      val d = table(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      val wrapped = graft.operators.Multimodal.wrap(
+        d, "doc_id", "payload", lit("text/plain"), Seq.empty)
+      val frames = wrapped
+        .select(col("id").as("doc_id"),
+          length(col("media.bytes")).cast("long").as("len"))
+        .where(col("len") > 0)
+        .withColumn("frame_idx", explode(sequence(lit(0L), lit(3L))))
+        .withColumn("t", expr("CAST((len * frame_idx) DIV 4 AS BIGINT)"))
+        .select("doc_id", "frame_idx", "t")
+      val wins = graft.operators.Multimodal.hopWindows(wrapped,
+          windowBytes = 64, hopBytes = 32)
+        .select(col("id").as("doc_id"), col("win_idx"),
+          col("win_start").cast("long").as("t"))
+      graft.operators.AsOf.joinLastPrior(frames, wins,
+          keys = Seq("doc_id"), timeCol = "t", rightPayload = Seq("win_idx"))
+        .select(col("doc_id"), col("frame_idx"), col("t"),
+          col("asof_win_idx").as("win_idx"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     "log_tvf_read" -> ((s, dir) => {
       // Table-valued-function surface: any log root is a FROM-clause
       // source (`walrus_log(path[, topic])`) with no catalog entry needed
@@ -1985,34 +2116,10 @@ object SparkEntry {
            |WHERE l.doc_id < r.doc_id
            |ORDER BY id_a, id_b""".stripMargin
       },
-      "dedup_clusters" -> {
-        val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
-          s"MIN(${permSql("code", a, b)}) AS mh$j"
-        }.mkString(",\n  ")
-        val bandKeys = (0 until 4).map { bnd =>
-          (0 until 4).map(r => s"CAST(mh${bnd * 4 + r} AS VARCHAR)")
-            .mkString(s"SELECT doc_id, $bnd AS band, ", " || '_' || ", " AS bkey FROM sig")
-        }.mkString("\n  UNION ALL ")
-        s"""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 5),
-           |pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i FROM d),
-           |codes AS (SELECT DISTINCT doc_id, ${codeSql("text", 5)} AS code FROM pos),
-           |sig AS (SELECT doc_id, $mins FROM codes GROUP BY doc_id),
-           |banded AS (
-           |  $bandKeys),
-           |cand AS (
-           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-           |  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
-           |  WHERE l.doc_id < r.doc_id),
-           |edges AS (
-           |  SELECT id_a AS a, id_b AS b FROM cand
-           |  UNION ALL SELECT id_b, id_a FROM cand),
-           |reach(node, lbl) AS (
-           |  SELECT DISTINCT a, a FROM edges
-           |  UNION
-           |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
+      "dedup_clusters" ->
+        s"""$lshReachCtes
            |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
-           |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
-      },
+           |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
       "dedup_simhash" -> {
         val votes = (0 until 16).map { j =>
           s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
@@ -2999,6 +3106,71 @@ object SparkEntry {
           |  AND NOT EXISTS (SELECT 1 FROM orders
           |    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "shard_leakage_split" ->
+        s"""$lshReachCtes,
+           |cc AS (SELECT node AS doc_id, min(lbl) AS lbl FROM reach GROUP BY node),
+           |r AS (
+           |  SELECT d.doc_id, COALESCE(cc.lbl, d.doc_id) AS rep
+           |  FROM documents d LEFT JOIN cc USING (doc_id))
+           |SELECT doc_id, CAST(rep AS BIGINT) AS rep,
+           |  CASE WHEN (rep * ${graft.operators.Sharding.HashMul}) % 100 < 90 THEN 'train'
+           |       WHEN (rep * ${graft.operators.Sharding.HashMul}) % 100 < 95 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM r ORDER BY doc_id""".stripMargin,
+      "text_tfidf_topk" ->
+        """WITH tok AS (
+          |  SELECT source, doc_id,
+          |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+          |  FROM documents),
+          |tf AS (SELECT source, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+          |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |sc AS (SELECT source, tok, tf, df,
+          |    CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000, 0) AS BIGINT) AS idf_milli
+          |  FROM tf JOIN dfq USING (tok), n),
+          |r AS (SELECT source, tok, tf, df, idf_milli,
+          |    tf * idf_milli AS score_milli,
+          |    CAST(row_number() OVER (PARTITION BY source
+          |      ORDER BY tf * idf_milli DESC, tok) AS BIGINT) AS rnk
+          |  FROM sc)
+          |SELECT source, tok, tf, df, idf_milli, score_milli, rnk
+          |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+      "text_pmi_bigrams" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          |  FROM documents),
+          |p AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 1)) AS i, tk
+          |  FROM t WHERE len(tk) >= 2),
+          |bg AS (SELECT tk[i] AS x, tk[i + 1] AS y FROM p),
+          |cxy AS (SELECT x, y, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+          |cx AS (SELECT x, count(*) AS c_x FROM bg GROUP BY 1),
+          |cy AS (SELECT y, count(*) AS c_y FROM bg GROUP BY 1),
+          |n AS (SELECT count(*) AS n_bg FROM bg),
+          |sc AS (SELECT x, y, c_xy,
+          |    CAST(round(ln(CAST(c_xy * n_bg AS DOUBLE) /
+          |      CAST(c_x * c_y AS DOUBLE)) * 1000, 0) AS BIGINT) AS pmi_milli
+          |  FROM cxy JOIN cx USING (x) JOIN cy USING (y), n
+          |  WHERE c_xy >= 5),
+          |r AS (SELECT x, y, c_xy, pmi_milli,
+          |    CAST(row_number() OVER (ORDER BY pmi_milli DESC, x, y) AS BIGINT) AS rnk
+          |  FROM sc)
+          |SELECT x, y, c_xy, pmi_milli, rnk FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+      "mm_av_align" ->
+        """WITH d AS (
+          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM documents),
+          |f AS (SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx, len
+          |  FROM d WHERE len > 0),
+          |fs AS (SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+          |    (len * frame_idx) // 4 AS t FROM f),
+          |w AS (SELECT doc_id, unnest(generate_series(0, (len - 64) // 32)) AS win_idx
+          |  FROM d WHERE len >= 64),
+          |ws AS (SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+          |    win_idx * 32 AS win_start FROM w)
+          |SELECT fs.doc_id, fs.frame_idx, CAST(fs.t AS BIGINT) AS t,
+          |  CAST(max(CASE WHEN ws.win_start <= fs.t THEN ws.win_idx END) AS BIGINT) AS win_idx
+          |FROM fs LEFT JOIN ws ON ws.doc_id = fs.doc_id AND ws.win_start <= fs.t
+          |GROUP BY fs.doc_id, fs.frame_idx, fs.t
+          |ORDER BY fs.doc_id, fs.frame_idx""".stripMargin,
       "log_tvf_read" ->
         """SELECT row_number() OVER (ORDER BY event_id) - 1 AS entry_offset,
           |  props AS value_str

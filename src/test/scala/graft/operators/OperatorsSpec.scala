@@ -485,6 +485,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(local(302L) <= 5L)
   }
 
+  test("leakage-safe split: near-duplicates always share a split") {
+    // the shard_leakage_split composition: LSH pairs -> components -> hash
+    // the REPRESENTATIVE. Whatever the hash values, every doc in a
+    // component must land in its representative's split.
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = docsDF(Seq(
+      0L -> base, 7L -> base.replace("today", "daily"),
+      93L -> base.replace("quick", "swift"),
+      50L -> "completely unrelated content about spark shuffles and joins"))
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", k = 5, bands = 4, rowsPerBand = 4)
+    val cc = Dedup.connectedComponents(pairs).withColumnRenamed("node", "doc_id")
+    val rep = docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep"))
+    val split = Sharding.hashSplit(rep, "rep")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split(0L)._1 == 0L && split(7L)._1 == 0L && split(93L)._1 == 0L,
+      s"near-dups not clustered: $split")
+    assert(Set(split(0L)._2, split(7L)._2, split(93L)._2).size == 1,
+      "near-dups split across folds (leakage)")
+    assert(split(50L)._1 == 50L) // singleton represents itself
+  }
+
   test("runtime bloom filter injects into the shuffle-join probe side") {
     // The rel_bloom_filter_join conf shape: broadcast disabled + size
     // floors dropped → the optimizer builds a bloom filter from the
