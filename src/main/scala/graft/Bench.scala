@@ -215,7 +215,14 @@ object Bench {
     System.gc()
 
     // ---- query sweep (after the engine metrics; see note above) ----
+    // GC at family boundaries (untimed): the sweep runs alphabetically, so
+    // the stateful streaming queries land last, when heap debt from 100+
+    // prior queries is at its worst — measured 2-3x inflation on
+    // stream_stream_join in-sweep vs in isolation without this.
+    var prevFamily = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val family = name.takeWhile(_ != '_')
+      if (family != prevFamily) { prevFamily = family; System.gc() }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
