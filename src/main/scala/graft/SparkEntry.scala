@@ -1758,6 +1758,34 @@ object SparkEntry {
             .cast("decimal(38,4)").cast("double").as("totacctbal"))
         .orderBy("c_nationkey")
     }),
+    "sim_range_search" -> ((s, dir) => {
+      // all neighbors within a cosine radius (unbounded result, vs top-k):
+      // LSH bucket prefilter + exact verify against the threshold
+      val e = table(s, dir, "embeddings")
+      Similarity.rangeSearch(e.where(col("vec_id") < 20), e,
+          "vec_id", "embedding", planes = 4, minCosine = 0.2)
+        .orderBy("query_id", "neighbor_id")
+    }),
+    "pipeline_curate" -> ((s, dir) => {
+      // the end-to-end curation manifest a training run starts from:
+      // quality gate -> exact dedup (keep the min id per identical text)
+      // -> deterministic split -> per-(source, split) doc/token counts.
+      // Every stage is an existing operator; the composition is the point
+      // (one declarative plan, no materialization between stages).
+      val docs = table(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      val kept = docs.join(q, "doc_id").where(col("quality_score") >= 0.45)
+      val survivors = kept.join(
+        Dedup.exact(kept, "doc_id", "text").select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      graft.operators.Sharding.hashSplit(survivors, "doc_id")
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .orderBy("source", "split")
+    }),
+
     "shard_leakage_split" -> ((s, dir) => {
       // Leakage-safe train/val/test split: near-duplicate documents MUST
       // land in the same split (a near-dup of a test document in train is
@@ -3106,6 +3134,48 @@ object SparkEntry {
           |  AND NOT EXISTS (SELECT 1 FROM orders
           |    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "sim_range_search" -> {
+        val bits = (0 until 4).map { j =>
+          s"CASE WHEN (${projDotSql("e", j)}) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH b AS (SELECT e.vec_id, $bits AS bucket FROM embeddings e),
+           |q AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 20),
+           |p AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+           |    floor((${dotSql("l", "r")}) /
+           |      (sqrt(${normSqSql("l")}) * sqrt(${normSqSql("r")})) * 1000000 + 0.5) / 1000000 AS cosine
+           |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+           |  JOIN embeddings l ON l.vec_id = q.query_id
+           |  JOIN embeddings r ON r.vec_id = c.vec_id)
+           |SELECT query_id, neighbor_id, cosine FROM p
+           |WHERE cosine >= 0.2 ORDER BY query_id, neighbor_id""".stripMargin
+      },
+      "pipeline_curate" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, source, text,
+           |    CAST(length(text) AS DOUBLE) AS nc,
+           |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+           |    CAST(len(regexp_extract_all(text, '\\b(the|and|of|to|is|a|in|that)\\b')) AS DOUBLE) AS stop,
+           |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS na
+           |  FROM documents),
+           |q AS (SELECT doc_id, source, text,
+           |    round(0.4 * least(nc / 400.0, 1.0) + 0.4 * least(stop / nw * 5.0, 1.0)
+           |      + 0.2 * (1.0 - least(na / nc * 4.0, 1.0)), 6) AS quality_score
+           |  FROM b),
+           |k AS (SELECT doc_id, source, text FROM q WHERE quality_score >= 0.45),
+           |surv AS (
+           |  SELECT doc_id, source, text FROM (
+           |    SELECT doc_id, source, text,
+           |      min(doc_id) OVER (PARTITION BY text) AS keep FROM k)
+           |  WHERE doc_id = keep),
+           |sp AS (SELECT source,
+           |    CASE WHEN (doc_id * ${graft.operators.Sharding.HashMul}) % 100 < 90 THEN 'train'
+           |         WHEN (doc_id * ${graft.operators.Sharding.HashMul}) % 100 < 95 THEN 'val'
+           |         ELSE 'test' END AS split,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+           |  FROM surv)
+           |SELECT source, split, count(*) AS n_docs,
+           |  CAST(SUM(toks) AS BIGINT) AS n_tokens
+           |FROM sp GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
       "shard_leakage_split" ->
         s"""$lshReachCtes,
            |cc AS (SELECT node AS doc_id, min(lbl) AS lbl FROM reach GROUP BY node),

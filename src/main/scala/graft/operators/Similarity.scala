@@ -341,6 +341,30 @@ object Similarity {
     * cosine re-rank inside the bucket, per-query top-k. Recall trades off
     * with `planes`; at scale add multi-probe (flip one bit) to recover
     * boundary losses. */
+  /** Cosine RANGE search — every corpus neighbor within a similarity
+    * radius, not a fixed k (the dedup/recall-sweep complement of top-k):
+    * single-probe LSH bucket prefilter, then exact fused-cosine verify
+    * against the threshold. The query side broadcasts with its buckets;
+    * the corpus streams through its own bucket projection — candidates
+    * are bucket-local, so cost scales with bucket collision counts, never
+    * |queries|·|corpus|. Result size is data-dependent by design. */
+  def rangeSearch(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      planes: Int, minCosine: Double): DataFrame = {
+    val qb = lshBuckets(queries, idCol, vecCol, planes)
+      .join(queries.select(col(idCol), col(vecCol)), idCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"))
+    val cb = lshBuckets(corpus, idCol, vecCol, planes)
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"))
+    broadcast(qb).join(cb, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", q6(cosine_similarity(col("q_vec"), col("c_vec"))))
+      .where(col("cosine") >= minCosine)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
   def lshTopK(
       emb: DataFrame, idCol: String, vecCol: String,
       planes: Int, k: Int): DataFrame = {
