@@ -1884,6 +1884,48 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    "log_compaction_latest" -> ((s, dir) => {
+      // Kafka compacted-topic semantics over the log: treat the decoded
+      // payload key as the record key and keep each (topic, key)'s LATEST
+      // entry by offset — the keep-last compaction view (the engine's
+      // compact() preserves every offset; this is the key-based retention
+      // policy layered relationally on top).
+      import org.apache.spark.sql.expressions.Window
+      val keyed = mainLog(s, dir).toDF()
+        .withColumn("k",
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
+        .where(col("k").isNotNull)
+      val w = Window.partitionBy("topic", "k").orderBy(col("offset").desc)
+      keyed.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("topic"), col("k"), col("offset").as("last_offset"))
+        .join(keyed.groupBy("topic", "k").agg(count(lit(1)).as("n_versions")),
+          Seq("topic", "k"))
+        .orderBy("topic", "k")
+    }),
+    "text_passage_dedup" -> ((s, dir) => {
+      // cross-document boilerplate detection: 12-token sliding passages
+      // appearing in more than one document (the repeated header/footer
+      // shape that survives doc-level dedup), top 100 by document reach.
+      import org.apache.spark.sql.expressions.Window
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .where(size(col("tk")) >= 12)
+      val passages = toks
+        .withColumn("i", explode(expr("sequence(1, size(tk) - 11)")))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("tk"), col("i"), lit(12))).as("passage"))
+      val agg = passages.groupBy("passage")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .where(col("n_docs") >= 2)
+      val w = Window.orderBy(col("n_docs").desc, col("passage"))
+      agg.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 100)
+        .orderBy("rnk")
+    }),
+
     "log_tvf_read" -> ((s, dir) => {
       // Table-valued-function surface: any log root is a FROM-clause
       // source (`walrus_log(path[, topic])`) with no catalog entry needed
@@ -3241,6 +3283,38 @@ object SparkEntry {
           |FROM fs LEFT JOIN ws ON ws.doc_id = fs.doc_id AND ws.win_start <= fs.t
           |GROUP BY fs.doc_id, fs.frame_idx, fs.t
           |ORDER BY fs.doc_id, fs.frame_idx""".stripMargin,
+      "log_compaction_latest" ->
+        """WITH e AS (
+          |  SELECT event_type AS topic,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS off
+          |  FROM events),
+          |keyed AS (SELECT topic, k, off FROM e WHERE k IS NOT NULL),
+          |latest AS (
+          |  SELECT topic, k, off AS last_offset FROM (
+          |    SELECT topic, k, off, row_number() OVER (
+          |      PARTITION BY topic, k ORDER BY off DESC) AS rn
+          |    FROM keyed)
+          |  WHERE rn = 1),
+          |v AS (SELECT topic, k, count(*) AS n_versions FROM keyed GROUP BY 1, 2)
+          |SELECT latest.topic AS topic, latest.k AS k, last_offset, n_versions
+          |FROM latest JOIN v ON latest.topic = v.topic AND latest.k = v.k
+          |ORDER BY topic, k""".stripMargin,
+      "text_passage_dedup" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          |  FROM documents),
+          |p AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 11)) AS i, tk
+          |  FROM t WHERE len(tk) >= 12),
+          |w AS (SELECT doc_id, array_to_string(tk[i:i+11], ' ') AS passage FROM p),
+          |a AS (SELECT passage, count(*) AS n_occurrences,
+          |    count(DISTINCT doc_id) AS n_docs
+          |  FROM w GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+          |r AS (SELECT passage, n_occurrences, n_docs,
+          |    CAST(row_number() OVER (ORDER BY n_docs DESC, passage) AS BIGINT) AS rnk
+          |  FROM a)
+          |SELECT passage, n_occurrences, n_docs, rnk FROM r
+          |WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
       "log_tvf_read" ->
         """SELECT row_number() OVER (ORDER BY event_id) - 1 AS entry_offset,
           |  props AS value_str
