@@ -43,10 +43,61 @@ object GraftExtensions {
     GraftSqlInternal.analyzedPlan(df)
   }
 
-  /** Runtime registration of the TVF on a live session (the extensions
+  /** `walrus_topics(path)` — the STATE surface (D4) as a table: one row
+    * per topic with entry count, byte size, and segment accounting, read
+    * from the log's driver-side catalog (metadata only, no data scan). */
+  private[graft] def walrusTopicsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1, "walrus_topics expects (path)")
+    require(exprs.head.foldable && exprs.head.eval() != null,
+      "walrus_topics: path must be a constant string")
+    val spark = SparkSession.active
+    val log = new graft.log.WalrusLog(spark, String.valueOf(exprs.head.eval()))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = log.topicNames.sorted.map { t =>
+      val js = log.stateJson(t)
+      def jl(k: String): Long =
+        s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong).getOrElse(0L)
+      Row(t, log.entryCounts.getOrElse(t, 0L), log.topicSize(t),
+        jl("current_segment"), jl("last_sealed_entry_offset"))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("topic", StringType),
+        StructField("entries", LongType), StructField("bytes", LongType),
+        StructField("current_segment", LongType),
+        StructField("last_sealed", LongType))))
+    GraftSqlInternal.analyzedPlan(df)
+  }
+
+  /** Runtime registration of the TVFs on a live session (the extensions
     * path below covers sessions built with spark.sql.extensions). */
-  def registerWalrusLogTvf(spark: SparkSession): Unit =
+  def registerWalrusLogTvf(spark: SparkSession): Unit = {
     GraftSqlInternal.registerTableFunction(spark, "walrus_log", walrusLogPlan)
+    GraftSqlInternal.registerTableFunction(spark, "walrus_topics", walrusTopicsPlan)
+  }
+
+  /** Runtime registration of the manual bloom-filter function pair
+    * (Spark's own runtime-filter expressions, surfaced to SQL): build a
+    * filter with `bloom_filter_agg(xxhash64(key))` in a scalar subquery,
+    * prune with `bloom_might_contain(bloom, xxhash64(key))`. No false
+    * negatives, so an exact join downstream removes the false positives —
+    * manual semi-join pruning for pipelines the optimizer's automatic
+    * injection can't see. */
+  def registerBloomFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("bloom_filter_agg",
+      exprs => exprs.size match {
+        case 1 => new BloomFilterAggregate(exprs.head)
+        case 2 => new BloomFilterAggregate(exprs(0), exprs(1))
+        case _ => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+      }, "built-in")
+    registry.createOrReplaceTempFunction("bloom_might_contain",
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

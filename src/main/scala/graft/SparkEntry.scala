@@ -1884,6 +1884,36 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    "log_tvf_topics" -> ((s, dir) => {
+      // STATE (D4) as a table: per-topic entries/bytes/segment accounting
+      // through the walrus_topics TVF — metadata only, no data scan.
+      val log = mainLog(s, dir)
+      GraftExtensions.registerWalrusLogTvf(s)
+      s.sql(
+        s"""SELECT topic, entries, bytes FROM walrus_topics('${log.root}')
+           |ORDER BY topic""".stripMargin)
+    }),
+    "rel_bloom_manual_prune" -> ((s, dir) => {
+      // the bloom pair as a FUNCTION surface: build the filter over the
+      // selective dim in a scalar subquery, prune the fact scan with
+      // bloom_might_contain, then the exact join removes false positives
+      // — manual semi-join pruning for shapes automatic injection can't
+      // see. Result is bit-identical to the plain join by construction
+      // (bloom filters have no false negatives).
+      GraftExtensions.registerBloomFunctions(s)
+      table(s, dir, "lineitem").createOrReplaceTempView("li_bm")
+      table(s, dir, "orders").createOrReplaceTempView("o_bm")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_lines,
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS gross
+          |FROM li_bm JOIN o_bm ON l_orderkey = o_orderkey
+          |WHERE o_totalprice > 400000
+          |  AND bloom_might_contain(
+          |    (SELECT bloom_filter_agg(xxhash64(o_orderkey))
+          |     FROM o_bm WHERE o_totalprice > 400000),
+          |    xxhash64(l_orderkey))
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
     "log_compaction_latest" -> ((s, dir) => {
       // Kafka compacted-topic semantics over the log: treat the decoded
       // payload key as the record key and keep each (topic, key)'s LATEST
@@ -3283,6 +3313,16 @@ object SparkEntry {
           |FROM fs LEFT JOIN ws ON ws.doc_id = fs.doc_id AND ws.win_start <= fs.t
           |GROUP BY fs.doc_id, fs.frame_idx, fs.t
           |ORDER BY fs.doc_id, fs.frame_idx""".stripMargin,
+      "log_tvf_topics" ->
+        (s"""SELECT event_type AS topic, count(*) AS entries,
+           |  CAST(SUM(length(props)) + $Meta * count(*) AS BIGINT) AS bytes
+           |FROM events GROUP BY 1 ORDER BY topic""".stripMargin),
+      "rel_bloom_manual_prune" ->
+        """SELECT o_orderpriority, count(*) AS n_lines,
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS gross
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_totalprice > 400000
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "log_compaction_latest" ->
         """WITH e AS (
           |  SELECT event_type AS topic,

@@ -692,6 +692,43 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filtered == Seq((0L, "b0"), (1L, "b1"), (2L, "b2")))
   }
 
+  test("walrus_topics TVF: STATE as a table (entries, bytes, segments)") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    (0 until 4).foreach(i => log.append("tx", bytes(s"x$i")))
+    log.append("ty", bytes("y0"))
+    graft.GraftExtensions.registerWalrusLogTvf(spark)
+    val got = spark.sql(
+      s"""SELECT topic, entries, bytes, current_segment
+         |FROM walrus_topics('$root') ORDER BY topic""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2, t._4)).toSeq == Seq(("tx", 4L, 0L), ("ty", 1L, 0L)))
+    assert(got.forall(_._3 > 0)) // bytes include the 256 B per-entry meta
+  }
+
+  test("bloom function pair: no false negatives, prefilter actually prunes") {
+    import spark.implicits._
+    graft.GraftExtensions.registerBloomFunctions(spark)
+    (0L until 2000L).toDF("fk").createOrReplaceTempView("bloom_fact")
+    (0L until 2000L by 100).toDF("dk").createOrReplaceTempView("bloom_dim")
+    // prefiltered fact ⊇ dim keys (no false negatives)...
+    val pre = spark.sql(
+      """SELECT fk FROM bloom_fact
+        |WHERE bloom_might_contain(
+        |  (SELECT bloom_filter_agg(xxhash64(dk)) FROM bloom_dim),
+        |  xxhash64(fk))""".stripMargin).collect().map(_.getLong(0)).toSet
+    assert((0L until 2000L by 100).forall(pre.contains))
+    // ...and it prunes (few FPs at this density)
+    assert(pre.size < 200, s"bloom passed ${pre.size} of 2000")
+    // exact join after the prefilter = exact join without it
+    val joined = spark.sql(
+      """SELECT count(*) FROM bloom_fact JOIN bloom_dim ON fk = dk
+        |WHERE bloom_might_contain(
+        |  (SELECT bloom_filter_agg(xxhash64(dk)) FROM bloom_dim),
+        |  xxhash64(fk))""".stripMargin).head().getLong(0)
+    assert(joined == 20L)
+  }
+
   test("sticky rebalance: survivors keep their topics, only orphans move") {
     val topics = (0 until 11).map(i => f"topic$i%02d")
     val old = ConsumerAssignment.roundRobin(topics, 4).toMap
