@@ -1734,6 +1734,40 @@ object SparkEntry {
           .cast("decimal(38,4)").cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
+    "rel_q6_forecast_revenue" -> ((s, dir) => {
+      // TPC-H Q6: pure predicate revenue scan — every filter must reach
+      // the parquet reader as a pushed filter; no join, one partial agg.
+      table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            col("l_discount").cast("decimal(18,4)"))
+          .cast("decimal(38,4)").cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+    "rel_q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15 shape: quarterly revenue per supplier (the "view"),
+      // then the supplier(s) achieving the maximum — the agg-of-agg
+      // scalar-subquery pattern. The revenue comparison stays DECIMAL
+      // (exact equality; a double round-trip could split ties).
+      val rev = table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(38,4)").as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      table(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(top))
+        .where(col("total_rev") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
     "rel_q22_idle_balance" -> ((s, dir) => {
       // TPC-H Q22 shape: above-average-balance customers with no large
       // order (every synthetic customer has SOME order, so "idle" means no
@@ -3193,6 +3227,29 @@ object SparkEntry {
           |    AND l_quantity BETWEEN 10 AND 30)
           |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
           |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+      "rel_q6_forecast_revenue" ->
+        """SELECT
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |    CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+          |  count(*) AS n_lines
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin,
+      "rel_q15_top_supplier" ->
+        """WITH revenue AS (
+          |  SELECT l_suppkey,
+          |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS total_rev
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |    AND l_shipdate < TIMESTAMP '1997-04-01'
+          |  GROUP BY 1)
+          |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+          |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+          |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin,
       "rel_q22_idle_balance" ->
         """WITH a AS (
           |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_pos,
