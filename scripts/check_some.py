@@ -39,6 +39,9 @@ for name in names:
     ce, cg = canon(exp), canon(got)
     if ce != cg:
         diff = [(a, b) for a, b in zip(ce, cg) if a != b][:3]
+        if not diff:  # counts differ but shared prefix matches after sort
+            longer, tag = (ce, "missing") if len(ce) > len(cg) else (cg, "extra")
+            diff = [(tag, r) for r in longer[min(len(ce), len(cg)):][:3]]
         print(f"FAIL {name}: rows {len(got)}/{len(exp)}, first diffs: {diff}")
         fail += 1
         continue

@@ -54,11 +54,12 @@ object GraftExtensions {
     val log = new graft.log.WalrusLog(spark, String.valueOf(exprs.head.eval()))
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    val counts = log.entryCounts // one metadata pass, not one per topic
     val rows = log.topicNames.sorted.map { t =>
       val js = log.stateJson(t)
       def jl(k: String): Long =
         s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong).getOrElse(0L)
-      Row(t, log.entryCounts.getOrElse(t, 0L), log.topicSize(t),
+      Row(t, counts.getOrElse(t, 0L), log.topicSize(t),
         jl("current_segment"), jl("last_sealed_entry_offset"))
     }
     val df = spark.createDataFrame(
@@ -93,10 +94,16 @@ object GraftExtensions {
       exprs => exprs.size match {
         case 1 => new BloomFilterAggregate(exprs.head)
         case 2 => new BloomFilterAggregate(exprs(0), exprs(1))
-        case _ => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        case 3 => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        case n => throw new IllegalArgumentException(
+          s"bloom_filter_agg expects 1-3 arguments (value[, estItems[, numBits]]), got $n")
       }, "built-in")
     registry.createOrReplaceTempFunction("bloom_might_contain",
-      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+      exprs => {
+        require(exprs.size == 2,
+          s"bloom_might_contain expects (bloom, value), got ${exprs.size} arguments")
+        BloomFilterMightContain(exprs(0), exprs(1))
+      }, "built-in")
   }
 }
 
@@ -148,6 +155,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("walrus_log",
         "_FUNC_(path[, topic]) - a walrus log root as a table-valued FROM source."),
       GraftExtensions.walrusLogPlan _))
+    ext.injectTableFunction((FunctionIdentifier("walrus_topics"),
+      info("walrus_topics",
+        "_FUNC_(path) - per-topic STATE (entries, bytes, segments) as a table."),
+      GraftExtensions.walrusTopicsPlan _))
     ext.injectFunction((FunctionIdentifier("pq_code"),
       info("pq_code",
         "_FUNC_(vec, subspaces, subCentroids, subDim, basePlane) - packed PQ code in one fused pass."),

@@ -448,10 +448,14 @@ case class PqCode(child: Expression,
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // constructor-param-only; cached so the interpreted path doesn't rebuild
+  // the projection matrix per row (codegen caches it via addReferenceObj)
+  @transient private lazy val comps =
+    PqCode.components(basePlane, subspaces * subCentroids, subDim)
+
   override def nullSafeEval(input: Any): Any =
     PqCode.compute(input.asInstanceOf[ArrayData], elemIsFloat,
-      subspaces, subCentroids, subDim,
-      PqCode.components(basePlane, subspaces * subCentroids, subDim))
+      subspaces, subCentroids, subDim, comps)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {

@@ -352,12 +352,18 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
       planes: Int, minCosine: Double): DataFrame = {
-    val qb = lshBuckets(queries, idCol, vecCol, planes)
-      .join(queries.select(col(idCol), col(vecCol)), idCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"))
-    val cb = lshBuckets(corpus, idCol, vecCol, planes)
-      .join(corpus.select(col(idCol), col(vecCol)), idCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"))
+    // bucket is a pure projection of the same row — attach it in the same
+    // select (one scan per side, no id self-join to reattach the vector)
+    def withBucket(df: DataFrame, id: String, vec: String): DataFrame = {
+      import graft.functions.GraftFunctions.projection_dot
+      val bucketBits = (0 until planes).map { j =>
+        when(projection_dot(col(vecCol), j) > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        bucketBits.reduce(_ + _).as("bucket"))
+    }
+    val qb = withBucket(queries, "query_id", "q_vec")
+    val cb = withBucket(corpus, "neighbor_id", "c_vec")
     broadcast(qb).join(cb, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", q6(cosine_similarity(col("q_vec"), col("c_vec"))))
