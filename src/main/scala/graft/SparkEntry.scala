@@ -1768,6 +1768,56 @@ object SparkEntry {
           col("total_rev").cast("double").as("total_revenue"))
         .orderBy("s_suppkey")
     }),
+    "rel_q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: NATION_3 suppliers' share of the volume sold into
+      // NATION_3's own region, per order year — the share-of-total
+      // two-level aggregate. Both revenue sums stay decimal-exact; the
+      // share is ONE double division per year row.
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val su = table(s, dir, "supplier")
+      val n = table(s, dir, "nation")
+      val targetRegion = n.where(col("n_name") === "NATION_3")
+        .select(col("n_regionkey").as("target_rk"))
+      val n2 = n.select(col("n_nationkey").as("n2_key"), col("n_regionkey"))
+      val n1 = n.select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .join(broadcast(targetRegion), col("n_regionkey") === col("target_rk"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast("decimal(18,4)")))
+            .cast("decimal(38,4)").cast("double").as("nation_revenue"),
+          sum(vol).cast("decimal(38,4)").cast("double").as("total_revenue"))
+        .withColumn("mkt_share", col("nation_revenue") / col("total_revenue"))
+        .orderBy("o_year")
+    }),
+    "rel_q17_small_qty" -> ((s, dir) => {
+      // TPC-H Q17 shape: lines of one brand whose quantity is below 20% of
+      // the part's average — the correlated-average threshold, kept exact
+      // by cross-multiplying (qty·5·n < Σqty) instead of dividing.
+      val li = table(s, dir, "lineitem")
+      val p = table(s, dir, "part").where(col("p_brand") === "Brand#5")
+        .select(col("p_partkey"))
+      val per = li.groupBy(col("l_partkey").as("agg_pk"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+          count(lit(1)).as("n_li"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(per, col("l_partkey") === col("agg_pk"))
+        .where(col("l_quantity").cast("decimal(18,4)") * lit(5) *
+          col("n_li").cast("decimal(18,0)") < col("sum_qty"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("decimal(38,4)").cast("double").as("total_price"),
+          count(lit(1)).as("n_lines"))
+        .withColumn("avg_yearly", col("total_price") / lit(7.0))
+    }),
     "rel_q22_idle_balance" -> ((s, dir) => {
       // TPC-H Q22 shape: above-average-balance customers with no large
       // order (every synthetic customer has SOME order, so "idle" means no
@@ -3250,6 +3300,43 @@ object SparkEntry {
           |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
           |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
           |ORDER BY s_suppkey""".stripMargin,
+      "rel_q8_market_share" ->
+        """SELECT year(o_orderdate) AS o_year,
+          |  CAST(CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+          |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+          |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) AS nation_revenue,
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue,
+          |  CAST(CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+          |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+          |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) /
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS mkt_share
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |WHERE n2.n_regionkey = (SELECT n_regionkey FROM nation WHERE n_name = 'NATION_3')
+          |GROUP BY 1 ORDER BY o_year""".stripMargin,
+      "rel_q17_small_qty" ->
+        """WITH per AS (
+          |  SELECT l_partkey AS agg_pk,
+          |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+          |    count(*) AS n_li
+          |  FROM lineitem GROUP BY 1)
+          |SELECT
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_price,
+          |  count(*) AS n_lines,
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) / 7.0 AS avg_yearly
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN per ON l_partkey = agg_pk
+          |WHERE p_brand = 'Brand#5'
+          |  AND CAST(l_quantity AS DECIMAL(18,4)) * 5 * CAST(n_li AS DECIMAL(18,0)) < sum_qty""".stripMargin,
       "rel_q22_idle_balance" ->
         """WITH a AS (
           |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_pos,
