@@ -44,6 +44,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fused pq_code equals the naive per-subspace argmax on random vectors") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val r = rng
+    val comps = graft.functions.PqCode.components(301, 8 * 4, 8)
+    (0 until Cases).foreach { _ =>
+      val dims = Seq(64, 63, 40, 8, 1)(r.nextInt(5)) // incl. truncated vectors
+      val v = Array.fill(dims)(r.nextFloat() - 0.5f)
+      val got = graft.functions.PqCode.compute(
+        new GenericArrayData(v.map(_.asInstanceOf[Any])), true, 8, 4, 8, comps)
+      // naive: per subspace, argmax of floor(dot·1e6+0.5) with >= (later cid
+      // wins ties) — the greatest(struct(q6(dot), cid)) semantics
+      var expected = 0L
+      var w = 1L
+      (0 until 8).foreach { s =>
+        var best = Long.MinValue; var bcid = 0
+        (0 until 4).foreach { c =>
+          val dot = (0 until math.min(8, dims - s * 8)).map { d =>
+            v(s * 8 + d).toDouble * comps(s * 4 + c)(d)
+          }.sum
+          val m = math.floor(dot * 1e6 + 0.5).toLong
+          if (m >= best) { best = m; bcid = c }
+        }
+        expected += bcid * w; w *= 4
+      }
+      assert(got == expected, s"dims=$dims")
+    }
+  }
+
+  test("sticky rebalance properties: coverage, validity, zero survivor movement") {
+    import graft.log.ConsumerAssignment
+    val r = rng
+    (0 until Cases).foreach { _ =>
+      val nTopics = 1 + r.nextInt(30)
+      val topics = (0 until nTopics).map(i => f"t${r.nextInt(1000)}%04d-$i")
+      val oldN = 1 + r.nextInt(8)
+      val newN = 1 + r.nextInt(8)
+      val old = ConsumerAssignment.roundRobin(topics, oldN).toMap
+      val next = ConsumerAssignment.sticky(topics, old, newN).toMap
+      assert(next.keySet == topics.toSet)                       // coverage
+      assert(next.values.forall(c => c >= 0 && c < newN))       // validity
+      topics.foreach { t =>                                     // stickiness
+        if (old(t) < newN) assert(next(t) == old(t), s"survivor $t moved")
+      }
+      // orphans are dealt round-robin in sorted order
+      val orphans = topics.filter(old(_) >= newN).sorted
+      orphans.zipWithIndex.foreach { case (t, i) => assert(next(t) == i % newN) }
+    }
+  }
+
   test("segment rollover replay: sealed counts sum to last_sealed_entry_offset") {
     // mirrors the TLA+ invariant LastSealedIsSum
     // (reference: distributed-walrus/spec/DistributedWalrus.tla:157)
