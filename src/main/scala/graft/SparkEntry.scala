@@ -1998,6 +1998,48 @@ object SparkEntry {
           |    xxhash64(l_orderkey))
           |GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
+    "stream_compaction" -> ((s, dir) => {
+      // KTable semantics through the micro-batch engine: per (topic, key)
+      // the highest offset wins, carried in the state store across
+      // admission-controlled batches (mapGroupsWithState); the final
+      // snapshot equals the batch keep-last view (log_compaction_latest
+      // minus version counts) whatever the batch boundaries were.
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+      import s.implicits._
+      val log = mainLog(s, dir)
+      val qn = s"stream_compaction_${System.nanoTime()}"
+      val ckpt = Files.createTempDirectory("graft-stream-kt-")
+      val src = graft.streaming.WalrusStreams.readStream(s, log.root)
+        .withColumn("k",
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
+        .where(col("k").isNotNull)
+        .select(col("topic"), col("k"), col("offset"))
+        .as[(String, Long, Long)]
+      val q = src.groupByKey(r => (r._1, r._2))
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+          (key: (String, Long), rows: Iterator[(String, Long, Long)],
+           state: GroupState[Long]) => {
+            val maxOff = (rows.map(_._3) ++ state.getOption.iterator).max
+            state.update(maxOff)
+            (key._1, key._2, maxOff)
+          })
+        .toDF("topic", "k", "last_offset")
+        .writeStream.format("memory").queryName(qn).outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // offsets are monotone per key: the final state is the max emission
+      val rows = s.table(qn).groupBy("topic", "k")
+        .agg(max(col("last_offset")).as("last_offset"))
+        .orderBy("topic", "k").collect().toSeq
+      s.catalog.dropTempView(qn)
+      WalrusLog.deleteRecursively(ckpt)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("k", LongType), StructField("last_offset", LongType))))
+        .orderBy("topic", "k")
+    }),
     "log_compaction_latest" -> ((s, dir) => {
       // Kafka compacted-topic semantics over the log: treat the decoded
       // payload key as the record key and keep each (topic, key)'s LATEST
@@ -3467,6 +3509,15 @@ object SparkEntry {
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |WHERE o_totalprice > 400000
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "stream_compaction" ->
+        """WITH e AS (
+          |  SELECT event_type AS topic,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS off
+          |  FROM events)
+          |SELECT topic, k, CAST(MAX(off) AS BIGINT) AS last_offset
+          |FROM e WHERE k IS NOT NULL
+          |GROUP BY 1, 2 ORDER BY topic, k""".stripMargin,
       "log_compaction_latest" ->
         """WITH e AS (
           |  SELECT event_type AS topic,
