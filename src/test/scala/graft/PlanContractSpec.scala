@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan contracts: the physical properties PLANS.md claims, asserted on
+  * tiny self-contained fixtures so a regression (a lost pushdown, a new
+  * shuffle, a dropped broadcast, an interpreter fallback) fails tests
+  * instead of quietly costing 10× at 100 TB. */
+class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("PlanContractSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Tiny sfDir with the table shapes SparkEntry queries expect. */
+  private lazy val sfDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("plan-contract-sf-").toString
+    val rnd = new scala.util.Random(11)
+    (0L until 40L).map { i =>
+      (i, (0 until 30).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString,
+        "en", s"src${i % 3}", 30L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    (0L until 300L).map { i =>
+      (i % 60, i % 20, i % 7, (i % 4).toInt, (1 + i % 50).toDouble,
+        100.0 + i, 0.01 * (i % 9), 0.02, "N", "O",
+        java.sql.Timestamp.valueOf(
+          f"1997-0${1 + i % 9}%d-0${1 + i % 9}%d 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    (0L until 60L).map(i => (i, i % 15, "O", 1000.0 + i,
+        java.sql.Timestamp.valueOf("1997-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    (0L until 15L).map(i => (i, s"Customer#$i", (i % 5).toInt, 100.0 + i, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    dir
+  }
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("minhash signatures: scan -> project, no computation shuffle") {
+    // the only exchange allowed is the final output orderBy's range
+    // partitioning — signatures themselves are per-row (no explode, no
+    // aggregation exchange)
+    val plan = planOf("dedup_minhash_signatures")
+    assert(!plan.contains("hashpartitioning"), s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("Generate"), "explode crept back in")
+    assert(plan.contains("minhash_signature"), "fused expression missing")
+  }
+
+  test("Q6: every predicate reaches the parquet scan as a pushed filter") {
+    val plan = planOf("rel_q6_forecast_revenue")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)").foreach { f =>
+      assert(plan.contains(f), s"filter not pushed: $f\n$plan")
+    }
+    assert(!plan.contains("Join"), "Q6 must be join-free")
+  }
+
+  test("Q3: dims broadcast, fact side never shuffles before the join") {
+    val plan = planOf("rel_q3_top_orders")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("pair-verify stage (jaccardForPairs): broadcast joins only, no shuffle") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Seq((0L, 1L), (2L, 3L)).toDF("id_a", "id_b")
+    val plan = graft.operators.Dedup.jaccardForPairs(docs, pairs, "doc_id", "text", k = 8)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("hashpartitioning"),
+      s"verify stage gained a shuffle:\n$plan")
+    assert(plan.contains("shingle_overlap"), "fused overlap expression missing")
+  }
+
+  test("pq codes: one fused expression per row, no slices or structs") {
+    import spark.implicits._
+    val emb = (0L until 20L)
+      .map(i => (i, Array.fill(64)((i % 7).toFloat / 7f).toSeq))
+      .toDF("vec_id", "embedding")
+    val plan = graft.operators.Similarity.pqCodes(emb, "vec_id", "embedding")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("pq_code"), "fused pq_code missing")
+    assert(!plan.contains("greatest"), s"unfused struct chain present:\n$plan")
+    assert(!plan.contains("Exchange"), "pq codes must not shuffle")
+  }
+}
