@@ -1842,6 +1842,25 @@ object SparkEntry {
             .cast("decimal(38,4)").cast("double").as("totacctbal"))
         .orderBy("c_nationkey")
     }),
+    "sim_recall_eval" -> ((s, dir) => {
+      // index-quality evaluation: recall@5 of the IVF index against the
+      // exact brute-force ground truth, per query — the measurement loop
+      // that tunes nCentroids/nprobe on a real corpus before scaling out.
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfSearch(q, e, "vec_id", "embedding",
+          nCentroids = 8, k = 5)
+        .select(col("query_id").as("a_q"), col("neighbor_id").as("a_n"))
+      exact.join(approx,
+          col("query_id") === col("a_q") && col("neighbor_id") === col("a_n"),
+          "left")
+        .groupBy("query_id")
+        .agg(sum(when(col("a_q").isNotNull, 1L).otherwise(0L)).as("n_common"))
+        .withColumn("recall_milli", col("n_common") * 200)
+        .orderBy("query_id")
+    }),
     "sim_range_search" -> ((s, dir) => {
       // all neighbors within a cosine radius (unbounded result, vs top-k):
       // LSH bucket prefilter + exact verify against the threshold
@@ -3392,6 +3411,49 @@ object SparkEntry {
           |  AND NOT EXISTS (SELECT 1 FROM orders
           |    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "sim_recall_eval" -> {
+        val cells = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, round(${projDotSql("e", cIdx + 101)}, 6) AS sim FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH bq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+           |bc AS (SELECT vec_id, embedding FROM embeddings),
+           |bp AS (
+           |  SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id,
+           |    round((${dotSql("bq", "bc")}) /
+           |      (sqrt(${normSqSql("bq")}) * sqrt(${normSqSql("bc")})), 6) AS cosine
+           |  FROM bq CROSS JOIN bc WHERE bq.vec_id <> bc.vec_id),
+           |exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+           |    FROM bp) WHERE rnk <= 5),
+           |s AS (
+           |  $cells),
+           |a AS (SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s)
+           |  WHERE rn = 1),
+           |iq AS (SELECT e.vec_id, e.embedding, a.cid FROM embeddings e
+           |  JOIN a USING (vec_id) WHERE e.vec_id < 20),
+           |ic AS (SELECT e.vec_id, e.embedding, a.cid FROM embeddings e
+           |  JOIN a USING (vec_id)),
+           |ip AS (
+           |  SELECT iq.vec_id AS query_id, ic.vec_id AS neighbor_id,
+           |    round((${dotSql("iq", "ic")}) /
+           |      (sqrt(${normSqSql("iq")}) * sqrt(${normSqSql("ic")})), 6) AS cosine
+           |  FROM iq JOIN ic ON iq.cid = ic.cid AND iq.vec_id <> ic.vec_id),
+           |approx AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+           |    FROM ip) WHERE rnk <= 5)
+           |SELECT e.query_id,
+           |  CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           |  CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 200 AS BIGINT) AS recall_milli
+           |FROM exact e LEFT JOIN approx ap
+           |  ON e.query_id = ap.query_id AND e.neighbor_id = ap.neighbor_id
+           |GROUP BY 1 ORDER BY e.query_id""".stripMargin
+      },
       "sim_range_search" -> {
         val bits = (0 until 4).map { j =>
           s"CASE WHEN (${projDotSql("e", j)}) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
