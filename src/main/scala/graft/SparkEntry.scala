@@ -2101,6 +2101,23 @@ object SparkEntry {
         .orderBy("rnk")
     }),
 
+    "shard_interleave" -> ((s, dir) => {
+      // deterministic source interleaving: documents take a global
+      // training position by dealing sources round-robin (position =
+      // within-source rank · nSources + source index) — the mixing step
+      // that keeps any window of the training stream source-balanced.
+      // Pure rank arithmetic: one window per source partition, no global
+      // sort until the output ORDER BY.
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+        .withColumn("src_idx", substring(col("source"), 4, 10).cast("long"))
+      val nSources = 20L // src0..src19 at every SF (TESTDATA.md)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docs.withColumn("src_rank", row_number().over(w).cast("long") - 1)
+        .select(col("doc_id"), col("source"),
+          (col("src_rank") * nSources + col("src_idx")).as("position"))
+        .orderBy("position", "doc_id")
+    }),
     "log_tvf_read" -> ((s, dir) => {
       // Table-valued-function surface: any log root is a FROM-clause
       // source (`walrus_log(path[, topic])`) with no catalog entry needed
@@ -3612,6 +3629,12 @@ object SparkEntry {
           |  FROM a)
           |SELECT passage, n_occurrences, n_docs, rnk FROM r
           |WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+      "shard_interleave" ->
+        """SELECT doc_id, source,
+          |  (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) * 20
+          |    + CAST(substr(source, 4, 10) AS BIGINT) AS position
+          |FROM documents
+          |ORDER BY position, doc_id""".stripMargin,
       "log_tvf_read" ->
         """SELECT row_number() OVER (ORDER BY event_id) - 1 AS entry_offset,
           |  props AS value_str
