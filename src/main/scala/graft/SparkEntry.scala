@@ -2118,6 +2118,26 @@ object SparkEntry {
           (col("src_rank") * nSources + col("src_idx")).as("position"))
         .orderBy("position", "doc_id")
     }),
+    "log_seek_replay" -> ((s, dir) => {
+      // D3 time-travel/backfill: a dedicated group seeks every topic to a
+      // fixed mid-offset (Kafka's seek()+poll() reposition contract over
+      // the shared-cursor store), then replays one byte-budgeted batch
+      // from there. Seek-first keeps reruns idempotent; the group is
+      // private to this query (the lag dump enumerates only its own
+      // group names, and only csvLog's metrics depend on group COUNT).
+      val log = mainLog(s, dir)
+      val group = "replayer"
+      val rows = log.topicNames.sorted.flatMap { t =>
+        log.seek(group, t, 3L)
+        log.batchRead(t, maxBytes = 600L, checkpoint = true, group = group)
+          .map(e => Row(t, e.offset, new String(e.value, "UTF-8")))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("entry_offset", LongType),
+          StructField("value_str", StringType))))
+        .orderBy("topic", "entry_offset")
+    }),
     "log_tvf_read" -> ((s, dir) => {
       // Table-valued-function surface: any log root is a FROM-clause
       // source (`walrus_log(path[, topic])`) with no catalog entry needed
@@ -3629,6 +3649,19 @@ object SparkEntry {
           |  FROM a)
           |SELECT passage, n_occurrences, n_docs, rnk FROM r
           |WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+      "log_seek_replay" ->
+        """WITH t AS (
+          |  SELECT event_type AS topic, props,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS off
+          |  FROM events),
+          |f AS (SELECT topic, off, props FROM t WHERE off >= 3),
+          |c AS (SELECT topic, off, props,
+          |    SUM(length(props)) OVER (PARTITION BY topic ORDER BY off
+          |      ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM f)
+          |SELECT topic, off AS entry_offset, props AS value_str
+          |FROM c WHERE cum <= 600 OR off = 3
+          |ORDER BY topic, entry_offset""".stripMargin,
       "shard_interleave" ->
         """SELECT doc_id, source,
           |  (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) * 20
