@@ -171,6 +171,28 @@ object SparkEntry {
   private def jsonLong(js: String, k: String): Long =
     raw""""$k":(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong).getOrElse(0L)
 
+  // --------------------------------------------- shared streaming drive
+  /** Drives a streaming DataFrame through one AvailableNow pass into a
+    * uniquely-named memory sink, applies `result` to the sink table, and
+    * ALWAYS removes the temp view and checkpoint — even when the stream
+    * throws, so a failed query can't leak session-lifetime driver state.
+    * (stream_session_windows keeps its own drive: append-mode session
+    * windows need the ProcessingTime + sentinel-commit flush.) */
+  private def runStreamToMemory(s: SparkSession, out: DataFrame, mode: String)
+      (result: DataFrame => Seq[Row]): Seq[Row] = {
+    val qn = s"graft_stream_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft-stream-")
+    try {
+      val q = out.writeStream.format("memory").queryName(qn).outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      try result(s.table(qn))
+      finally s.catalog.dropTempView(qn)
+    } finally WalrusLog.deleteRecursively(ckpt)
+  }
+
   // ------------------------------------------------- shared SQL generators
   private val Meta = 256L
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
@@ -784,20 +806,10 @@ object SparkEntry {
       // (walruslog V2 source, AvailableNow, checkpointed offsets, complete-
       // mode agg into a memory sink) instead of a batch scan.
       val log = mainLog(s, dir)
-      val qn = s"stream_topic_counts_${System.nanoTime()}"
-      val ckpt = Files.createTempDirectory("graft-stream-q-")
-      val q = graft.streaming.WalrusStreams.readStream(s, log.root)
-        .groupBy("topic").agg(count(lit(1)).as("cnt"))
-        .writeStream.format("memory").queryName(qn).outputMode("complete")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // materialize the (tiny) result, then drop the per-invocation memory
-      // sink and checkpoint so repeated runs don't accumulate driver state
-      val rows = s.table(qn).orderBy("topic").collect().toSeq
-      s.catalog.dropTempView(qn)
-      WalrusLog.deleteRecursively(ckpt)
+      val rows = runStreamToMemory(s,
+        graft.streaming.WalrusStreams.readStream(s, log.root)
+          .groupBy("topic").agg(count(lit(1)).as("cnt")),
+        "complete")(_.orderBy("topic").collect().toSeq)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1),
         StructType(Seq(StructField("topic", StringType),
           StructField("cnt", LongType))))
@@ -1283,12 +1295,10 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       import s.implicits._
       val log = mainLog(s, dir)
-      val qn = s"stream_custom_state_${System.nanoTime()}"
-      val ckpt = Files.createTempDirectory("graft-stream-cs-")
       val src = graft.streaming.WalrusStreams.readStream(s, log.root)
         .select(col("topic"), length(col("value")).cast("long").as("len"))
         .as[(String, Long)]
-      val q = src.groupByKey(_._1)
+      val out = src.groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
           (topic: String, rows: Iterator[(String, Long)],
            state: GroupState[(Long, Long)]) => {
@@ -1298,17 +1308,11 @@ object SparkEntry {
             Iterator.single((topic, n, b))
           })
         .toDF("topic", "n", "bytes")
-        .writeStream.format("memory").queryName(qn).outputMode("update")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
       // counts are monotone per topic: max = the final state
-      val rows = s.table(qn).groupBy("topic")
-        .agg(max(col("n")).as("n"), max(col("bytes")).as("bytes"))
-        .orderBy("topic").collect().toSeq
-      s.catalog.dropTempView(qn)
-      WalrusLog.deleteRecursively(ckpt)
+      val rows = runStreamToMemory(s, out, "update")(
+        _.groupBy("topic")
+          .agg(max(col("n")).as("n"), max(col("bytes")).as("bytes"))
+          .orderBy("topic").collect().toSeq)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1),
         StructType(Seq(StructField("topic", StringType),
           StructField("n", LongType), StructField("bytes", LongType))))
@@ -1491,9 +1495,7 @@ object SparkEntry {
       // Complete mode: AvailableNow replays emit every window (the
       // watermark still exercises the eviction API path).
       val log = mainLog(s, dir)
-      val qn = s"stream_windowed_counts_${System.nanoTime()}"
-      val ckpt = Files.createTempDirectory("graft-stream-w-")
-      val q = graft.streaming.WalrusStreams.readStream(s, log.root)
+      val out = graft.streaming.WalrusStreams.readStream(s, log.root)
         .withColumn("k",
           get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
         .where(col("k").isNotNull)
@@ -1501,17 +1503,10 @@ object SparkEntry {
         .withWatermark("et", "10 minutes")
         .groupBy(col("topic"), window(col("et"), "10 minutes").as("win"))
         .agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName(qn).outputMode("complete")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val rows = s.table(qn)
-        .select(col("topic"), unix_timestamp(col("win.start")).as("win_start"),
-          col("n"))
-        .orderBy("topic", "win_start").collect().toSeq
-      s.catalog.dropTempView(qn)
-      WalrusLog.deleteRecursively(ckpt)
+      val rows = runStreamToMemory(s, out, "complete")(
+        _.select(col("topic"), unix_timestamp(col("win.start")).as("win_start"),
+            col("n"))
+          .orderBy("topic", "win_start").collect().toSeq)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1),
         StructType(Seq(StructField("topic", StringType),
           StructField("win_start", LongType),
@@ -1583,22 +1578,14 @@ object SparkEntry {
       // (the oracle is exact DISTINCT); a 100 TB stream would bound state
       // with dropDuplicatesWithinWatermark on the decoded event time.
       val log = mainLog(s, dir)
-      val qn = s"stream_dedup_${System.nanoTime()}"
-      val ckpt = Files.createTempDirectory("graft-stream-dd-")
-      val q = graft.streaming.WalrusStreams.readStream(s, log.root)
+      val out = graft.streaming.WalrusStreams.readStream(s, log.root)
         .withColumn("k",
           get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
         .where(col("k").isNotNull)
         .select(col("topic"), col("k"))
         .dropDuplicates("topic", "k")
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val rows = s.table(qn).orderBy("topic", "k").collect().toSeq
-      s.catalog.dropTempView(qn)
-      WalrusLog.deleteRecursively(ckpt)
+      val rows = runStreamToMemory(s, out, "append")(
+        _.orderBy("topic", "k").collect().toSeq)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1),
         StructType(Seq(StructField("topic", StringType),
           StructField("k", LongType))))
@@ -1614,8 +1601,6 @@ object SparkEntry {
       // the k % 10 restriction bounds the pair fan-out. Join rows land in
       // the append sink; the per-key counts aggregate over the sink table.
       val log = mainLog(s, dir)
-      val qn = s"stream_stream_join_${System.nanoTime()}"
-      val ckpt = Files.createTempDirectory("graft-stream-j-")
       val base = graft.streaming.WalrusStreams.readStream(s, log.root)
         .withColumn("k",
           get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
@@ -1628,19 +1613,13 @@ object SparkEntry {
       val r = base.where(col("topic") === "signup")
         .select(col("k").as("k_r"), col("et").as("et_r"))
         .withWatermark("et_r", "10 minutes")
-      val q = l.join(r, col("k") === col("k_r") &&
+      val out = l.join(r, col("k") === col("k_r") &&
           col("et_l") >= col("et_r") - expr("INTERVAL 5 MINUTES") &&
           col("et_l") <= col("et_r") + expr("INTERVAL 5 MINUTES"))
         .select(col("k"))
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val rows = s.table(qn).groupBy("k").agg(count(lit(1)).as("n"))
-        .orderBy("k").collect().toSeq
-      s.catalog.dropTempView(qn)
-      WalrusLog.deleteRecursively(ckpt)
+      val rows = runStreamToMemory(s, out, "append")(
+        _.groupBy("k").agg(count(lit(1)).as("n"))
+          .orderBy("k").collect().toSeq)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1),
         StructType(Seq(StructField("k", LongType),
           StructField("n", LongType))))
@@ -2026,15 +2005,13 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
       import s.implicits._
       val log = mainLog(s, dir)
-      val qn = s"stream_compaction_${System.nanoTime()}"
-      val ckpt = Files.createTempDirectory("graft-stream-kt-")
       val src = graft.streaming.WalrusStreams.readStream(s, log.root)
         .withColumn("k",
           get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
         .where(col("k").isNotNull)
         .select(col("topic"), col("k"), col("offset"))
         .as[(String, Long, Long)]
-      val q = src.groupByKey(r => (r._1, r._2))
+      val out = src.groupByKey(r => (r._1, r._2))
         .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
           (key: (String, Long), rows: Iterator[(String, Long, Long)],
            state: GroupState[Long]) => {
@@ -2043,17 +2020,11 @@ object SparkEntry {
             (key._1, key._2, maxOff)
           })
         .toDF("topic", "k", "last_offset")
-        .writeStream.format("memory").queryName(qn).outputMode("update")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
       // offsets are monotone per key: the final state is the max emission
-      val rows = s.table(qn).groupBy("topic", "k")
-        .agg(max(col("last_offset")).as("last_offset"))
-        .orderBy("topic", "k").collect().toSeq
-      s.catalog.dropTempView(qn)
-      WalrusLog.deleteRecursively(ckpt)
+      val rows = runStreamToMemory(s, out, "update")(
+        _.groupBy("topic", "k")
+          .agg(max(col("last_offset")).as("last_offset"))
+          .orderBy("topic", "k").collect().toSeq)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1),
         StructType(Seq(StructField("topic", StringType),
           StructField("k", LongType), StructField("last_offset", LongType))))
@@ -2111,7 +2082,14 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val docs = table(s, dir, "documents")
         .withColumn("src_idx", substring(col("source"), 4, 10).cast("long"))
-      val nSources = 20L // src0..src19 at every SF (TESTDATA.md)
+      // the multiplier must be a constant ≥ the true source cardinality or
+      // positions alias; enforce it instead of assuming (the SQL twin
+      // hard-codes the same 20, so a drifting corpus would otherwise pass
+      // the oracle gate while producing a non-permutation)
+      val nSources = 20L
+      val actual = docs.agg(countDistinct(col("source"))).head().getLong(0)
+      require(actual == nSources,
+        s"documents.source cardinality changed: $actual (multiplier is $nSources)")
       val w = Window.partitionBy("source").orderBy("doc_id")
       docs.withColumn("src_rank", row_number().over(w).cast("long") - 1)
         .select(col("doc_id"), col("source"),

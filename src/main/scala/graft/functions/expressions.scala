@@ -459,8 +459,8 @@ case class PqCode(child: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val co = ctx.addReferenceObj("pqComps",
-        PqCode.components(basePlane, subspaces * subCentroids, subDim), "double[][]")
+      // both eval paths share the SAME cached matrix instance
+      val co = ctx.addReferenceObj("pqComps", comps, "double[][]")
       s"""
          |${ev.value} = graft.functions.PqCode.compute(
          |  $v, $elemIsFloat, $subspaces, $subCentroids, $subDim, $co);

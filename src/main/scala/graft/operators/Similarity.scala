@@ -52,18 +52,24 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** The sign-random-projection bucket id as a Column — THE single
+    * definition of the LSH hash (bit `j` set iff `dot(vec, r_j) > 0`);
+    * every bucket consumer (lshBuckets, rangeSearch) and the generated SQL
+    * twins derive from this formula. */
+  private def bucketExpr(vecCol: String, planes: Int): Column = {
+    import graft.functions.GraftFunctions.projection_dot
+    (0 until planes).map { j =>
+      when(projection_dot(col(vecCol), j) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** Sign-random-projection bucket id (`planes` ≤ 31 hyperplanes): bit `j`
     * set iff `dot(vec, r_j) > 0`. Vectors in the same bucket are ANN
     * candidates. Bucket computation is a single narrow projection —
     * no shuffle until the bucket groupBy/join. */
   def lshBuckets(
-      emb: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame = {
-    import graft.functions.GraftFunctions.projection_dot
-    val bucketBits = (0 until planes).map { j =>
-      when(projection_dot(col(vecCol), j) > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    emb.select(col(idCol), bucketBits.reduce(_ + _).as("bucket"))
-  }
+      emb: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame =
+    emb.select(col(idCol), bucketExpr(vecCol, planes).as("bucket"))
 
   /** IVF-style ANN: assign every vector to its nearest of `nCentroids`
     * deterministic pseudo-random centroids (coarse quantizer), then search
@@ -354,14 +360,9 @@ object Similarity {
       planes: Int, minCosine: Double): DataFrame = {
     // bucket is a pure projection of the same row — attach it in the same
     // select (one scan per side, no id self-join to reattach the vector)
-    def withBucket(df: DataFrame, id: String, vec: String): DataFrame = {
-      import graft.functions.GraftFunctions.projection_dot
-      val bucketBits = (0 until planes).map { j =>
-        when(projection_dot(col(vecCol), j) > 0, lit(1L << j)).otherwise(lit(0L))
-      }
+    def withBucket(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
-        bucketBits.reduce(_ + _).as("bucket"))
-    }
+        bucketExpr(vecCol, planes).as("bucket"))
     val qb = withBucket(queries, "query_id", "q_vec")
     val cb = withBucket(corpus, "neighbor_id", "c_vec")
     broadcast(qb).join(cb, Seq("bucket"))
