@@ -109,21 +109,43 @@ object Dedup {
     votes.select(col(idCol), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: hamming distance ≤ `maxHamming`. The self-join
-    * is on bit-count of xor; for scale, pre-bucket on fingerprint chunks
-    * (pigeonhole) — with `bits`=16 and distance ≤3, any match shares one of
-    * 4 nibble-groups; here the input is already bounded so a broadcast
-    * self-join suffices. */
+  /** SimHash near-dup pairs: hamming distance ≤ `maxHamming`, discovered by
+    * EXACT pigeonhole bucketing — the fingerprint is split into
+    * `maxHamming + 1` contiguous chunks, and any pair within the distance
+    * bound must agree exactly on at least one chunk (≤ maxHamming differing
+    * bits cannot touch all maxHamming+1 chunks). Candidates come from an
+    * equi-join on (chunk_idx, chunk_value) — a plain hash shuffle whose
+    * fan-out is per-bucket collisions, never all-pairs — and the exact
+    * hamming post-filter removes false positives. Lossless: identical
+    * output to the O(n²) self-join at any corpus size. Hot chunk values
+    * (e.g. an all-zero nibble across boilerplate docs) behave like LSH stop
+    * buckets; raise `bits` or salt the join if a bucket dominates. */
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, bits: Int = 16, maxHamming: Int = 3): DataFrame = {
     val fp = simHash(df, idCol, textCol, k, bits)
-    val l = fp.select(col(idCol).as("id_a"), col("simhash").as("h_a"))
-    val r = fp.select(col(idCol).as("id_b"), col("simhash").as("h_b"))
-    l.join(r, col("id_a") < col("id_b"))
+    val nChunks = maxHamming + 1
+    require(bits >= nChunks, s"need at least $nChunks fingerprint bits")
+    // chunk c covers bits [bounds(c), bounds(c+1)) — sizes differ by ≤ 1
+    val bounds = (0 to nChunks).map(c => c * bits / nChunks)
+    val chunkCols = (0 until nChunks).map { c =>
+      val lo = bounds(c); val mask = (1L << (bounds(c + 1) - lo)) - 1
+      struct(lit(c).as("ci"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("cv"))
+    }
+    val banded = fp
+      .select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("c"))
+      .select(col(idCol), col("simhash"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val l = banded.select(col(idCol).as("id_a"), col("simhash").as("h_a"),
+      col("ci"), col("cv"))
+    val r = banded.select(col(idCol).as("id_b"), col("simhash").as("h_b"),
+      col("ci"), col("cv"))
+    l.join(r, Seq("ci", "cv"))
+      .where(col("id_a") < col("id_b"))
       .where(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= maxHamming)
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct() // a pair may agree on several chunks
   }
 
   /** Shared discovery pipeline for all-pairs shingle overlap scores:

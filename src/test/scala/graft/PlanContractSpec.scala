@@ -93,6 +93,16 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("shingle_overlap"), "fused overlap expression missing")
   }
 
+  test("simhash pairs: pigeonhole equi-join, never an all-pairs BNL join") {
+    val plan = planOf("dedup_simhash_pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join is back:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+        || plan.contains("BroadcastHashJoin"),
+      s"expected an equi-join on (chunk_idx, chunk_value):\n$plan")
+  }
+
   test("pq codes: one fused expression per row, no slices or structs") {
     import spark.implicits._
     val emb = (0L until 20L)
