@@ -2427,15 +2427,30 @@ object SparkEntry {
            |JOIN sz sb ON sb.doc_id = id_b
            |WHERE round(CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) >= 0.12
            |ORDER BY id_a, id_b""".stripMargin,
-      "dedup_embedding_neardup" ->
-        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
-           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           |  round((${dotSql("a", "b")}) /
-           |    (sqrt(${normSqSql("a")}) * sqrt(${normSqSql("b")})), 6) AS cosine
-           |FROM e a JOIN e b ON a.vec_id < b.vec_id
-           |WHERE round((${dotSql("a", "b")}) /
-           |    (sqrt(${normSqSql("a")}) * sqrt(${normSqSql("b")})), 6) >= 0.35
-           |ORDER BY vec_a, vec_b""".stripMargin,
+      "dedup_embedding_neardup" -> {
+        // banded LSH discovery twin: 12 tables x 3 sign bits over the same
+        // deterministic hyperplane family, then exact cosine verify on the
+        // candidate pairs only — mirrors Dedup.embeddingNearDupPairs
+        val (tables, planesPerTable) = (12, 3)
+        val bandSelects = (0 until tables).map { t =>
+          val key = (0 until planesPerTable).map { j =>
+            s"CASE WHEN (${projDotSql("e", t * planesPerTable + j)}) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+          }.mkString(" + ")
+          s"SELECT vec_id, CAST($t AS BIGINT) AS tbl, $key AS bkey FROM e"
+        }.mkString("\n  UNION ALL ")
+        val cosine = s"floor((${dotSql("a", "b")}) /" +
+          s" (sqrt(${normSqSql("a")}) * sqrt(${normSqSql("b")})) * 1000000 + 0.5) / 1000000"
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+           |bk AS (
+           |  $bandSelects),
+           |cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+           |  FROM bk l JOIN bk r ON l.tbl = r.tbl AND l.bkey = r.bkey
+           |    AND l.vec_id < r.vec_id)
+           |SELECT vec_a, vec_b, $cosine AS cosine
+           |FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b
+           |WHERE $cosine >= 0.35
+           |ORDER BY vec_a, vec_b""".stripMargin
+      },
 
       "dedup_pipeline" -> {
         val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>

@@ -337,18 +337,42 @@ object Dedup {
     } finally session.conf.set(constraintKey, prevConstraint)
   }
 
-  /** Embedding-cosine near-duplicate pairs among documents: pairs with
-    * cosine ≥ `minCosine` (rounded to 6 dp for cross-engine determinism).
-    * Discovery at scale should go through [[Similarity.lshBuckets]]; this is
-    * the exact verify stage. */
+  /** Embedding-cosine near-duplicate pairs: banded random-hyperplane LSH
+    * discovery (`tables` independent tables of `planesPerTable` sign bits —
+    * the MinHash-LSH band shape over the deterministic
+    * [[Similarity.projComponent]] hyperplane family), then exact fused
+    * cosine ≥ `minCosine` verify over the candidates only.
+    *
+    * Candidate generation is an equi-join on (table, bucket_key), so the
+    * fan-out is per-bucket collisions — never all-pairs — and the verify
+    * cost is O(candidates): the two id joins that reattach vectors shuffle
+    * only candidate rows. Discovery is approximate by design (recall =
+    * 1−(1−p^b)^T for per-plane agreement p); raise `tables` to recover
+    * boundary pairs. The oracle twin applies the identical discovery
+    * formula, so results are engine-exact at any SF. */
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double): DataFrame = {
-    import graft.functions.GraftFunctions.cosine_similarity
-    val l = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val r = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    l.join(r, col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosine_similarity(col("v_a"), col("v_b")), 6))
+      minCosine: Double, tables: Int = 12, planesPerTable: Int = 3): DataFrame = {
+    import graft.functions.GraftFunctions.{cosine_similarity, projection_dot}
+    val bandCols = (0 until tables).map { t =>
+      val key = (0 until planesPerTable).map { j =>
+        when(projection_dot(col(vecCol), t * planesPerTable + j) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), key.as("bkey"))
+    }
+    val banded = emb.select(col(idCol), explode(array(bandCols: _*)).as("b"))
+      .select(col(idCol), col("b.tbl").as("tbl"), col("b.bkey").as("bkey"))
+    val cands = banded.as("l")
+      .join(banded.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bkey") === col("r.bkey") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("cosine", q6(cosine_similarity(col("v_a"), col("v_b"))))
       .where(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

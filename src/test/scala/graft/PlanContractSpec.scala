@@ -50,6 +50,10 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0L until 15L).map(i => (i, s"Customer#$i", (i % 5).toInt, 100.0 + i, "BUILDING"))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       .write.parquet(s"$dir/customer.parquet")
+    (0L until 40L).map { i =>
+      (i, Array.tabulate(64)(d => ((i * 7 + d) % 13).toFloat / 13f).toSeq)
+    }.toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
     dir
   }
 
@@ -101,6 +105,13 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
         || plan.contains("BroadcastHashJoin"),
       s"expected an equi-join on (chunk_idx, chunk_value):\n$plan")
+  }
+
+  test("embedding neardup: LSH-banded equi-join discovery, no all-pairs") {
+    val plan = planOf("dedup_embedding_neardup")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join is back:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
   }
 
   test("pq codes: one fused expression per row, no slices or structs") {
