@@ -46,19 +46,53 @@ object Sharding {
     * assigned to consecutive packs of ~`budget` tokens — the
     * sequence-packing shard plan for pretraining data. A document's pack
     * is where its FIRST token lands (`(cumulative_before) div budget`), so
-    * packs are contiguous id ranges and the assignment is a pure prefix-sum
-    * — one window over a single global ordering. At 100 TB, pre-partition
-    * by a coarse id range and run the window per range with per-range base
-    * offsets (the same two-phase prefix-sum `appendDF` uses for offsets).
-    * Output: (id, n_tokens, pack_id, pack_pos = offset of the document's
-    * first token inside its pack). */
+    * the assignment is a pure prefix sum over the global id order.
+    *
+    * Computed as a DISTRIBUTED two-phase prefix sum (the same shape
+    * `WalrusLog.appendDF` uses for offset assignment), never a global
+    * single-partition window: ids are cut into ≤ `targetRanges`
+    * order-contiguous coarse ranges (`(id − min) div width` — value-derived,
+    * so boundaries are deterministic across runs/retries); phase 1 collects
+    * the per-range token totals (≤ `targetRanges` rows) and scans them into
+    * per-range base offsets on the driver; phase 2 broadcast-joins the base
+    * table and runs the cumulative window PARTITIONED by range. Every range
+    * sums independently, so the plan scales out to any corpus size; the
+    * result is bit-identical to the single global window for any
+    * `targetRanges`. Output: (id, n_tokens, pack_id, pack_pos = offset of
+    * the document's first token inside its pack). */
   def packManifest(df: DataFrame, idCol: String, textCol: String,
-      budget: Long): DataFrame = {
+      budget: Long, targetRanges: Int = 256): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = Window.orderBy(idCol)
+    require(targetRanges > 0, "targetRanges must be positive")
+    val tokens = df.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val empty = tokens.where(lit(false))
+      .select(col(idCol), col("n_tokens"),
+        lit(0L).as("pack_id"), lit(0L).as("pack_pos"))
+    // phase 0: id bounds (one tiny agg) -> deterministic range width
+    val bounds = tokens
+      .agg(min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
+    if (bounds.isNullAt(0)) return empty
+    val minId = bounds.getLong(0)
+    val span = bounds.getLong(1) - minId + 1
+    val width = math.max(1L, (span + targetRanges - 1) / targetRanges)
+    val ranged = tokens.withColumn("rng",
+      expr(s"(CAST(`$idCol` AS BIGINT) - ${minId}L) DIV ${width}L"))
+    // phase 1: per-range totals, scanned into base offsets on the driver
+    val perRange = ranged.groupBy("rng").agg(sum("n_tokens").as("tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = perRange.map { case (rng, tot) =>
+      val b = (rng, acc); acc += tot; b
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val baseDf = bases.toDF("rng", "base")
+    // phase 2: range-local cumulative window + broadcast base
+    val w = Window.partitionBy("rng").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum_incl", sum(col("n_tokens")).over(w))
+    ranged.join(broadcast(baseDf), Seq("rng"))
+      .withColumn("cum_incl", sum(col("n_tokens")).over(w) + col("base"))
       .withColumn("start_tok", col("cum_incl") - col("n_tokens"))
       .select(col(idCol), col("n_tokens"),
         expr(s"start_tok DIV $budget").as("pack_id"),
