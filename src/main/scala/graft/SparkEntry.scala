@@ -2503,8 +2503,8 @@ object SparkEntry {
            |c AS (SELECT vec_id, embedding FROM embeddings),
            |p AS (
            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           |    round((${dotSql("q", "c")}) /
-           |      (sqrt(${normSqSql("q")}) * sqrt(${normSqSql("c")})), 6) AS cosine
+           |    floor((${dotSql("q", "c")}) /
+           |      (sqrt(${normSqSql("q")}) * sqrt(${normSqSql("c")})) * 1000000 + 0.5) / 1000000 AS cosine
            |  FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
            |r AS (
            |  SELECT query_id, neighbor_id, cosine,
@@ -2522,7 +2522,7 @@ object SparkEntry {
       },
       "sim_ivf_assign" -> {
         val cells = (0 until 8).map { cIdx =>
-          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, round(${projDotSql("e", cIdx + 101)}, 6) AS sim FROM embeddings e"
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
         }.mkString("\n  UNION ALL ")
         s"""WITH s AS (
            |  $cells),
@@ -2532,7 +2532,7 @@ object SparkEntry {
       },
       "sim_ivf_kmeans" -> {
         val cells0 = (0 until 8).map { cIdx =>
-          s"SELECT vec_id, $cIdx AS cid, round(${projDotSql("e", cIdx + 101)}, 6) AS sim FROM embeddings e"
+          s"SELECT vec_id, $cIdx AS cid, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
         }.mkString("\n  UNION ALL ")
         val sumCols = (0 until 64).map(d =>
           s"SUM(CAST(floor(e.embedding[${d + 1}] * 1000000.0) AS BIGINT)) AS s$d")
@@ -2555,7 +2555,7 @@ object SparkEntry {
            |    $centCols
            |  FROM agg),
            |sc AS (SELECT e.vec_id, c.cid,
-           |    round(($dot) / (sqrt(${normSqSql("e")}) * sqrt($nc)), 6) AS sim
+           |    floor(($dot) / (sqrt(${normSqSql("e")}) * sqrt($nc)) * 1000000 + 0.5) / 1000000 AS sim
            |  FROM embeddings e CROSS JOIN cent c)
            |SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM (
            |  SELECT vec_id, cid, row_number() OVER (
@@ -2569,8 +2569,8 @@ object SparkEntry {
         s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
            |b AS (SELECT e.vec_id, $bits AS bucket FROM v e),
            |p AS (SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
-           |    round((${dotSql("l", "r")}) /
-           |      (sqrt(${normSqSql("l")}) * sqrt(${normSqSql("r")})), 6) AS cosine
+           |    floor((${dotSql("l", "r")}) /
+           |      (sqrt(${normSqSql("l")}) * sqrt(${normSqSql("r")})) * 1000000 + 0.5) / 1000000 AS cosine
            |  FROM v l JOIN b bl ON l.vec_id = bl.vec_id
            |  JOIN b br ON bl.bucket = br.bucket
            |  JOIN v r ON r.vec_id = br.vec_id AND r.vec_id <> l.vec_id),
@@ -2597,7 +2597,7 @@ object SparkEntry {
 
       "sim_ivf_search" -> {
         val cells = (0 until 8).map { cIdx =>
-          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, round(${projDotSql("e", cIdx + 101)}, 6) AS sim FROM embeddings e"
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
         }.mkString("\n  UNION ALL ")
         s"""WITH s AS (
            |  $cells),
@@ -2611,8 +2611,8 @@ object SparkEntry {
            |  JOIN a USING (vec_id)),
            |p AS (
            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           |    round((${dotSql("q", "c")}) /
-           |      (sqrt(${normSqSql("q")}) * sqrt(${normSqSql("c")})), 6) AS cosine
+           |    floor((${dotSql("q", "c")}) /
+           |      (sqrt(${normSqSql("q")}) * sqrt(${normSqSql("c")})) * 1000000 + 0.5) / 1000000 AS cosine
            |  FROM q JOIN c ON q.cid = c.cid AND q.vec_id <> c.vec_id),
            |r AS (
            |  SELECT query_id, neighbor_id, cosine,
@@ -2770,7 +2770,7 @@ object SparkEntry {
         "SELECT event_type AS topic, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
       "sim_ivf_multiprobe" -> {
         val cells = (0 until 8).map { cIdx =>
-          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, round(${projDotSql("e", cIdx + 101)}, 6) AS sim FROM embeddings e"
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
         }.mkString("\n  UNION ALL ")
         s"""WITH s AS (
            |  $cells),
@@ -2785,8 +2785,8 @@ object SparkEntry {
            |  JOIN a USING (vec_id)),
            |p AS (
            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           |    round((${dotSql("q", "c")}) /
-           |      (sqrt(${normSqSql("q")}) * sqrt(${normSqSql("c")})), 6) AS cosine
+           |    floor((${dotSql("q", "c")}) /
+           |      (sqrt(${normSqSql("q")}) * sqrt(${normSqSql("c")})) * 1000000 + 0.5) / 1000000 AS cosine
            |  FROM q JOIN c ON q.cid = c.cid AND q.vec_id <> c.vec_id),
            |r AS (
            |  SELECT query_id, neighbor_id, cosine,
@@ -3072,12 +3072,12 @@ object SparkEntry {
            |      ORDER BY score_micro DESC, neighbor_id) AS BIGINT) AS rnk
            |  FROM sc)
            |SELECT query_id, neighbor_id, rnk,
-           |  round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS adc_score
+           |  floor(CAST(score_micro AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000 AS adc_score
            |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
       },
       "sim_ivf_pq" -> {
         val cells = (0 until 8).map { cIdx =>
-          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cell, round(${projDotSql("e", cIdx + 101)}, 6) AS csim FROM embeddings e"
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cell, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS csim FROM embeddings e"
         }.mkString("\n  UNION ALL ")
         val sub = (0 until 8).flatMap { sIdx =>
           (0 until 4).map { cIdx =>
@@ -3123,7 +3123,7 @@ object SparkEntry {
            |      ORDER BY score_micro DESC, neighbor_id) AS BIGINT) AS rnk
            |  FROM sc)
            |SELECT query_id, neighbor_id, rnk,
-           |  round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS adc_score
+           |  floor(CAST(score_micro AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000 AS adc_score
            |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
       },
       "rel_q18_large_orders" ->
@@ -3455,14 +3455,14 @@ object SparkEntry {
           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "sim_recall_eval" -> {
         val cells = (0 until 8).map { cIdx =>
-          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, round(${projDotSql("e", cIdx + 101)}, 6) AS sim FROM embeddings e"
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
         }.mkString("\n  UNION ALL ")
         s"""WITH bq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
            |bc AS (SELECT vec_id, embedding FROM embeddings),
            |bp AS (
            |  SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id,
-           |    round((${dotSql("bq", "bc")}) /
-           |      (sqrt(${normSqSql("bq")}) * sqrt(${normSqSql("bc")})), 6) AS cosine
+           |    floor((${dotSql("bq", "bc")}) /
+           |      (sqrt(${normSqSql("bq")}) * sqrt(${normSqSql("bc")})) * 1000000 + 0.5) / 1000000 AS cosine
            |  FROM bq CROSS JOIN bc WHERE bq.vec_id <> bc.vec_id),
            |exact AS (
            |  SELECT query_id, neighbor_id FROM (
@@ -3481,8 +3481,8 @@ object SparkEntry {
            |  JOIN a USING (vec_id)),
            |ip AS (
            |  SELECT iq.vec_id AS query_id, ic.vec_id AS neighbor_id,
-           |    round((${dotSql("iq", "ic")}) /
-           |      (sqrt(${normSqSql("iq")}) * sqrt(${normSqSql("ic")})), 6) AS cosine
+           |    floor((${dotSql("iq", "ic")}) /
+           |      (sqrt(${normSqSql("iq")}) * sqrt(${normSqSql("ic")})) * 1000000 + 0.5) / 1000000 AS cosine
            |  FROM iq JOIN ic ON iq.cid = ic.cid AND iq.vec_id <> ic.vec_id),
            |approx AS (
            |  SELECT query_id, neighbor_id FROM (

@@ -44,7 +44,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine_similarity(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cosine", q6(cosine_similarity(col("q_vec"), col("c_vec"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -80,7 +80,7 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String, nCentroids: Int): DataFrame = {
     import graft.functions.GraftFunctions.projection_dot
     val sims = (0 until nCentroids).map { cIdx =>
-      struct(round(projection_dot(col(vecCol), cIdx + 101), 6).as("sim"),
+      struct(q6(projection_dot(col(vecCol), cIdx + 101)).as("sim"),
         lit(cIdx).as("cid"))
     }
     emb.select(col(idCol),
@@ -97,7 +97,7 @@ object Similarity {
       nCentroids: Int, nprobe: Int): DataFrame = {
     import graft.functions.GraftFunctions.projection_dot
     val sims = (0 until nCentroids).map { cIdx =>
-      struct(round(projection_dot(col(vecCol), cIdx + 101), 6).as("sim"),
+      struct(q6(projection_dot(col(vecCol), cIdx + 101)).as("sim"),
         lit(cIdx).as("cid"))
     }
     val exploded = emb.select(col(idCol), explode(array(sims: _*)).as("s"))
@@ -125,7 +125,7 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("centroid_id"))
     val scored = c.join(broadcast(q), Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine_similarity(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cosine", q6(cosine_similarity(col("q_vec"), col("c_vec"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -182,8 +182,8 @@ object Similarity {
         round(col(s"s$d").cast("double") / col("n") / lit(1e6), 6)): _*).as("cent"))
       // cosine_similarity's fused loop accumulates dot and both norms in
       // the same left-to-right order as the oracle's 64-term chains
-      val sim = round(
-        graft.functions.GraftFunctions.cosine_similarity(col(vecCol), col("cent")), 6)
+      val sim = q6(
+        graft.functions.GraftFunctions.cosine_similarity(col(vecCol), col("cent")))
       assign = emb.crossJoin(broadcast(cents))
         .select(col(idCol), struct(sim.as("sim"), col("cid")).as("sc"))
         .groupBy(col(idCol))
@@ -209,7 +209,7 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("centroid_id"))
     val scored = c.join(broadcast(q), Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine_similarity(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cosine", q6(cosine_similarity(col("q_vec"), col("c_vec"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -282,7 +282,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("score_micro").cast("double") / 1e6, 6).as("adc_score"))
+        q6(col("score_micro").cast("double") / 1e6).as("adc_score"))
   }
 
   /** The query-side ADC lookup table: exact dot with every (subspace,
@@ -340,7 +340,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("score_micro").cast("double") / 1e6, 6).as("adc_score"))
+        q6(col("score_micro").cast("double") / 1e6).as("adc_score"))
   }
 
   /** ANN top-k via LSH buckets: candidates = same-bucket pairs, exact
@@ -382,7 +382,7 @@ object Similarity {
     val r = withB.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"))
     val scored = l.join(r, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine_similarity(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cosine", q6(cosine_similarity(col("q_vec"), col("c_vec"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
