@@ -701,23 +701,40 @@ object SparkEntry {
           countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy("l_returnflag")),
     "rel_approx_distinct" -> ((s, dir) =>
-      // HLL++ sketch — engine-specific estimate, driver records rows-only
+      // HLL++ sketch, oracle-checked as exact-count parity PLUS a sketch
+      // tolerance flag: n_parts is the exact distinct count (cross-engine
+      // comparable), sketch_ok asserts the HLL estimate is within 7% of it
+      // (observed max error 2.7% at 3 SFs; default rsd is 5%). The oracle
+      // emits TRUE, so an out-of-tolerance sketch fails the hash gate.
       table(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx"))
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("approx") - col("n_parts")) <= col("n_parts") * 0.07)
+            .as("sketch_ok"))
         .orderBy("l_returnflag")),
-    "rel_approx_quantiles" -> ((s, dir) =>
-      // KLL-style quantile sketch (Spark's approx_percentile/GK) —
-      // engine-specific estimates, rows-only check; the exact counterpart
-      // is rel_percentiles. Scalar columns (not an array) so the driver's
-      // rows-only compare can sort the frame.
+    "rel_approx_quantiles" -> ((s, dir) => {
+      // GK quantile sketch (accuracy 1000 => rank error <= 0.1%),
+      // oracle-checked as exact row-count parity PLUS per-quantile bounds
+      // flags: each sketch value must land between the EXACT percentiles
+      // at +/-5% rank (50x the sketch's guarantee, so the check is sound
+      // at any SF). The oracle emits TRUE per flag; the exact counterpart
+      // query is rel_percentiles.
+      val qs = expr(
+        "approx_percentile(CAST(l_extendedprice AS DOUBLE), array(0.25, 0.5, 0.9), 1000)")
+      val ex = expr(
+        "percentile(CAST(l_extendedprice AS DOUBLE), array(0.20, 0.30, 0.45, 0.55, 0.85, 0.95))")
       table(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), array(0.25, 0.5, 0.9), 1000)")
-          .as("qs"))
-        .select(col("l_returnflag"),
-          element_at(col("qs"), 1).as("price_p25"),
-          element_at(col("qs"), 2).as("price_p50"),
-          element_at(col("qs"), 3).as("price_p90"))
-        .orderBy("l_returnflag")),
+        .agg(qs.as("qs"), ex.as("ex"), count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_rows"),
+          element_at(col("qs"), 1)
+            .between(element_at(col("ex"), 1), element_at(col("ex"), 2)).as("p25_ok"),
+          element_at(col("qs"), 2)
+            .between(element_at(col("ex"), 3), element_at(col("ex"), 4)).as("p50_ok"),
+          element_at(col("qs"), 3)
+            .between(element_at(col("ex"), 5), element_at(col("ex"), 6)).as("p90_ok"))
+        .orderBy("l_returnflag")
+    }),
     "mm_feature_extract" -> ((s, dir) => {
       // stubbed batched decode (mapPartitions = the mapInPandas shape):
       // engine-specific feature bytes, rows-only check; spec covers
@@ -2705,6 +2722,18 @@ object SparkEntry {
         ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
           "count(DISTINCT l_suppkey) AS n_supps FROM lineitem " +
           "GROUP BY l_returnflag ORDER BY l_returnflag"),
+      "rel_approx_distinct" ->
+        // exact count must match; sketch_ok=TRUE asserts Spark's HLL
+        // estimate landed within the 7% tolerance
+        ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
+          "TRUE AS sketch_ok FROM lineitem " +
+          "GROUP BY l_returnflag ORDER BY l_returnflag"),
+      "rel_approx_quantiles" ->
+        // exact row count must match; the *_ok flags assert the GK sketch
+        // values fell inside the exact +/-5%-rank percentile bounds
+        ("SELECT l_returnflag, count(*) AS n_rows, TRUE AS p25_ok, " +
+          "TRUE AS p50_ok, TRUE AS p90_ok FROM lineitem " +
+          "GROUP BY l_returnflag ORDER BY l_returnflag"),
       "mm_frame_sample" ->
         """WITH f AS (
           |  SELECT doc_id, unnest(generate_series(0, 3)) AS fi,
@@ -2718,6 +2747,26 @@ object SparkEntry {
       "mm_describe" ->
         """SELECT doc_id, 'text/plain' AS mime, CAST(length(text) AS BIGINT) AS byte_len
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "mm_feature_extract" ->
+        // exact twin of MediaCodecStub.decodeBatch: FNV-1a-64 over the
+        // UTF-8 payload (ASCII corpus -> ascii() per char) folded with
+        // list_reduce on HUGEINT, then the stub's width/height derivation.
+        // The CASE reproduces Java's signed abs(h % 1024) on the unsigned
+        // 64-bit residue; h >>> 10 is unsigned, so plain integer division.
+        """WITH f AS (
+          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS blen,
+          |    list_reduce(
+          |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+          |        list_transform(generate_series(1, length(text)),
+          |          i -> CAST(ascii(substr(text, i, 1)) AS HUGEINT))),
+          |      (acc, b) -> mod(xor(acc, b) * 1099511628211,
+          |        CAST('18446744073709551616' AS HUGEINT))) AS h
+          |  FROM documents)
+          |SELECT doc_id, 'text/plain' AS mime, blen AS byte_len,
+          |  16 + CAST(CASE WHEN h < CAST('9223372036854775808' AS HUGEINT)
+          |    THEN h % 1024 ELSE (1024 - (h % 1024)) % 1024 END AS BIGINT) AS width,
+          |  16 + CAST((h // 1024) % 1024 AS BIGINT) AS height
+          |FROM f ORDER BY doc_id""".stripMargin,
       "mm_chunk_manifest" ->
         """WITH d AS (
           |  SELECT doc_id, CAST(length(text) AS BIGINT) AS blen,
