@@ -243,10 +243,19 @@ object Bench {
       .option("asyncProgressTrackingCheckpointIntervalMs", "1000")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))
       .start()
+    // Warm-up commits first: the first triggers pay one-time JIT/codegen
+    // for the whole stream pipeline (observed 5-10x the steady-state
+    // trigger time) and the metric claims STEADY-STATE latency — r4's
+    // 191.7 ms reading was exactly this cold-start noise landing in a
+    // 5-trigger mean on a loaded box. Only triggers after the warm-up
+    // watermark batch are averaged.
+    (0 until 5).foreach { i => mbLog.append("t", s"w$i".getBytes) }
+    q.processAllAvailable()
+    val warmedThrough = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
     (0 until 5).foreach { i => mbLog.append("t", s"m$i".getBytes) }
     q.processAllAvailable()
     val durations = q.recentProgress.toSeq
-      .filter(_.numInputRows > 0)
+      .filter(p => p.batchId > warmedThrough && p.numInputRows > 0)
       .map(_.durationMs.get("triggerExecution").toDouble)
     val mbLatency = if (durations.nonEmpty) durations.sum / durations.size else -1.0
     q.stop()
