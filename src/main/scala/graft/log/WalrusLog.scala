@@ -719,7 +719,20 @@ class WalrusLog(
           .limit(cfg.maxBatchEntries)
           .select("topic", "offset", "ts", "value", "checksum", "cumEnd", "entryBytes")
           .collect()
-        val trimmed = rows.iterator.zipWithIndex.map { case (r, i) =>
+        // Reference parity (walrus_read.rs:536-545): a stateless read that
+        // aligns at byte offset 0 into SEALED storage skips the leading run
+        // of sub-128 B entries — the reference treats small block-head
+        // entries as "likely internal metadata" when scanning a sealed
+        // block. Reads served from the unsealed tail return everything
+        // (walrus.rs:939-957 reads three 1-byte entries from offset 0 and
+        // gets all three); our tail analogue is the still-open segment, so
+        // the skip applies only when entry 0 has been sealed by rollover.
+        val aligned =
+          if (startByte == 0L && state(topic).lastSealedEntryOffset > 0)
+            rows.dropWhile(
+              _.getAs[Array[Byte]]("value").length < MetadataEntrySkipBytes)
+          else rows
+        val trimmed = aligned.iterator.zipWithIndex.map { case (r, i) =>
           val value = r.getAs[Array[Byte]]("value")
           val entryStart = r.getAs[Long]("cumEnd") - r.getAs[Long]("entryBytes")
           val payloadStart = entryStart + meta
@@ -1053,6 +1066,11 @@ object WalrusLog {
   /** The reference's single shared per-topic cursor (walrus_read.rs:24-345)
     * is modelled as this group. */
   val SharedGroup = ""
+
+  /** Payload-size floor below which leading entries of a sealed block are
+    * treated as internal metadata by stateless offset-0 reads
+    * (reference: walrus_read.rs:536-545, `data_size < 128`). */
+  val MetadataEntrySkipBytes = 128
 
   /** Builder parity with the reference's `WalrusBuilder`
     * (reference: src/wal/builder.rs:26-105): `dataDir`/`key`/`consistency`

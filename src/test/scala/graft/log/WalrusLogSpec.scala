@@ -134,6 +134,36 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.entryCount("t") == countBefore) // walrus.rs:939-957
   }
 
+  // walrus.rs:939-957 — stateless offset-0 read of UNSEALED (tail) data
+  // returns every entry, however small, and never advances the cursor
+  test("stateless offset-0 read from the open segment keeps small entries") {
+    val log = new WalrusLog(spark, tempRoot(),
+      consistency = ReadConsistency.StrictlyAtOnce)
+    log.batchAppend("t", Seq("a", "b", "c").map(bytes))
+    assert(log.entryCount("t") == 3)
+    val got = log.batchReadFromByteOffset("t", 16 * 1024, 0L)
+    assert(got.map(e => str(e.value)) == Seq("a", "b", "c"))
+    assert(log.entryCount("t") == 3)
+  }
+
+  // walrus_read.rs:536-545 — offset-0 alignment into a SEALED block skips
+  // the leading run of sub-128 B entries (internal-metadata heuristic)
+  test("stateless offset-0 read skips small leading entries once sealed") {
+    val log = new WalrusLog(spark, tempRoot(),
+      cfg = LogConfig(maxSegmentEntries = 4))
+    val big1 = "B" * 200
+    val big2 = "C" * 150
+    log.batchAppend("t", Seq("tiny", "meta", big1, big2).map(bytes))
+    // 4 entries >= threshold => segment 0 sealed, entry 0 is sealed storage
+    val got = log.batchReadFromByteOffset("t", 1 << 20, 0L)
+    assert(got.map(e => str(e.value)) == Seq(big1, big2))
+    // any nonzero offset still addresses the full stream (no skip):
+    // offset 1 is inside entry 0's meta header -> full first payload
+    val all = log.batchReadFromByteOffset("t", 1 << 20, 1L)
+    assert(all.head.offset == 0L && str(all.head.value) == "tiny")
+    assert(log.entryCount("t") == 4)
+  }
+
   // distributed rollover semantics (monitor.rs:15-24, metadata.rs:144-166)
   test("segment rollover: seals at threshold, exact counts, state json") {
     val log = new WalrusLog(spark, tempRoot(),
