@@ -552,30 +552,16 @@ class WalrusLog(
         // Compaction: same rows, same offsets — no topic-state change.
         replaced ++= ids
       case None =>
+        // Segment rollover (reference: distributed-walrus/src/monitor.rs:
+        // 15-145, metadata.rs:144-166) happens inside the shared
+        // TopicState.applyAppend transition, with the leader rotated
+        // round-robin over the virtual node list.
         rec.topics.foreach { case (t, r) =>
-          val st = state(t)
-          st.nextOffset = r.end
-          st.bytesTotal += r.bytes + cfg.metaOverheadBytes.toLong * (r.end - r.start)
-          st.cleanGeneration += 1
-          st.clean = false
-          maybeRollover(t, st)
+          state(t).applyAppend(r.end,
+            r.bytes + cfg.metaOverheadBytes.toLong * (r.end - r.start),
+            cfg.maxSegmentEntries,
+            seg => virtualNodes((seg % virtualNodes.size).toInt))
         }
-    }
-  }
-
-  /** Segment rollover (reference: distributed-walrus/src/monitor.rs:15-145,
-    * metadata.rs:144-166): when the open segment reaches `maxSegmentEntries`,
-    * seal it with its exact count (which may exceed the threshold, as in the
-    * reference where the monitor seals whatever accumulated) and rotate the
-    * segment "leader" round-robin over the virtual node list. */
-  private def maybeRollover(topic: String, st: TopicState): Unit = {
-    if (st.entriesInOpenSegment >= cfg.maxSegmentEntries) {
-      val count = st.entriesInOpenSegment
-      st.sealedSegments(st.currentSegment) = count
-      st.segmentLeaders(st.currentSegment) =
-        virtualNodes((st.currentSegment % virtualNodes.size).toInt)
-      st.lastSealedEntryOffset += count
-      st.currentSegment += 1
     }
   }
 

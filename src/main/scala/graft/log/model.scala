@@ -137,4 +137,29 @@ final class TopicState {
   var cleanGeneration: Long = 0L
   var clean: Boolean = true
   def entriesInOpenSegment: Long = nextOffset - lastSealedEntryOffset
+
+  /** The pure append+rollover transition (the TLA+ `WalAppend`/`Rollover`
+    * actions, reference DistributedWalrus.tla:72-110 and monitor.rs:15-24):
+    * advance the dense offset to `endOffset`, account the stream bytes,
+    * and — when the open segment reached `maxSegmentEntries` — seal it
+    * with its EXACT accumulated count (which may exceed the threshold,
+    * as in the reference where the monitor seals whatever accumulated)
+    * and rotate the segment leader. Driven by both the commit path
+    * (WalrusLog.applyCommit, including startup replay) and the
+    * segment-invariant property suite, so the spec'd transition IS the
+    * production transition. */
+  def applyAppend(endOffset: Long, streamBytes: Long,
+      maxSegmentEntries: Long, leaderFor: Long => String): Unit = {
+    nextOffset = endOffset
+    bytesTotal += streamBytes
+    cleanGeneration += 1
+    clean = false
+    if (entriesInOpenSegment >= maxSegmentEntries) {
+      val count = entriesInOpenSegment
+      sealedSegments(currentSegment) = count
+      segmentLeaders(currentSegment) = leaderFor(currentSegment)
+      lastSealedEntryOffset += count
+      currentSegment += 1
+    }
+  }
 }
