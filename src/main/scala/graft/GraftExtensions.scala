@@ -45,7 +45,13 @@ object GraftExtensions {
 
   /** `walrus_topics(path)` — the STATE surface (D4) as a table: one row
     * per topic with entry count, byte size, and segment accounting, read
-    * from the log's driver-side catalog (metadata only, no data scan). */
+    * from the log's driver-side catalog (metadata only, no data scan).
+    *
+    * SNAPSHOT-AT-PLAN semantics, by design: the catalog is materialized
+    * into a LocalRelation when the SQL is analyzed, exactly like the
+    * reference's STATE command returns a point-in-time JSON document
+    * (controller/mod.rs:189-195) — a reused/cached plan keeps showing the
+    * state from planning time; re-issue the query for fresh metadata. */
   private[graft] def walrusTopicsPlan(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.size == 1, "walrus_topics expects (path)")
     require(exprs.head.foldable && exprs.head.eval() != null,
@@ -56,11 +62,8 @@ object GraftExtensions {
     import org.apache.spark.sql.types._
     val counts = log.entryCounts // one metadata pass, not one per topic
     val rows = log.topicNames.sorted.map { t =>
-      val js = log.stateJson(t)
-      def jl(k: String): Long =
-        s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong).getOrElse(0L)
-      Row(t, counts.getOrElse(t, 0L), log.topicSize(t),
-        jl("current_segment"), jl("last_sealed_entry_offset"))
+      val (curSeg, lastSealed) = log.segmentState(t)
+      Row(t, counts.getOrElse(t, 0L), log.topicSize(t), curSeg, lastSealed)
     }
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),

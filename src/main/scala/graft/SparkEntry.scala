@@ -183,13 +183,19 @@ object SparkEntry {
     val qn = s"graft_stream_${System.nanoTime()}"
     val ckpt = Files.createTempDirectory("graft-stream-")
     try {
-      val q = out.writeStream.format("memory").queryName(qn).outputMode(mode)
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      try result(s.table(qn))
-      finally s.catalog.dropTempView(qn)
+      // start()/awaitTermination() sit INSIDE the try whose finally drops
+      // the temp view: the memory sink registers the view at start(), so a
+      // stream that throws mid-run would otherwise leak a session-lifetime
+      // view (dropTempView is a no-op returning false when the view never
+      // materialized).
+      try {
+        val q = out.writeStream.format("memory").queryName(qn).outputMode(mode)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        result(s.table(qn))
+      } finally s.catalog.dropTempView(qn)
     } finally WalrusLog.deleteRecursively(ckpt)
   }
 
@@ -2116,9 +2122,15 @@ object SparkEntry {
       // hard-codes the same 20, so a drifting corpus would otherwise pass
       // the oracle gate while producing a non-permutation)
       val nSources = 20L
-      val actual = docs.agg(countDistinct(col("source"))).head().getLong(0)
-      require(actual == nSources,
-        s"documents.source cardinality changed: $actual (multiplier is $nSources)")
+      // the parsed indices must be exactly {0..nSources-1}: an out-of-range
+      // index (e.g. "src25") or a parse failure would alias positions
+      // identically in this query AND the SQL twin, so cardinality alone
+      // could green-light a non-permutation
+      val actualIdx = docs.select("src_idx").distinct().collect()
+        .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
+      require(actualIdx == (0L until nSources),
+        s"documents.source indices changed: ${actualIdx.mkString(",")} " +
+          s"(expected 0..${nSources - 1})")
       val w = Window.partitionBy("source").orderBy("doc_id")
       docs.withColumn("src_rank", row_number().over(w).cast("long") - 1)
         .select(col("doc_id"), col("source"),

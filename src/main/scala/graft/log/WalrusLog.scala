@@ -832,6 +832,12 @@ class WalrusLog(
     * `get_topic_size`, src/wal/runtime/walrus.rs:144-178). */
   def topicSize(topic: String): Long = topics.get(topic).map(_.bytesTotal).getOrElse(0L)
 
+  /** Typed segment accounting (the fields stateJson serializes):
+    * (current open segment id, entries sealed below it). */
+  def segmentState(topic: String): (Long, Long) =
+    topics.get(topic).map(st => (st.currentSegment, st.lastSealedEntryOffset))
+      .getOrElse((0L, 0L))
+
   def markTopicDirty(topic: String): Unit = synchronized {
     val st = state(topic); st.cleanGeneration += 1; st.clean = false; persistClean()
   }
