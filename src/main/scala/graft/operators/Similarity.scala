@@ -375,9 +375,11 @@ object Similarity {
   def lshTopK(
       emb: DataFrame, idCol: String, vecCol: String,
       planes: Int, k: Int): DataFrame = {
-    val b = lshBuckets(emb, idCol, vecCol, planes)
-    val v = emb.select(col(idCol), col(vecCol))
-    val withB = v.join(b, idCol)
+    // bucket is a pure projection of the same row — computed inline on
+    // each self-join side (one scan per side, no id join to reattach the
+    // vector; same treatment as rangeSearch)
+    val withB = emb.select(col(idCol), col(vecCol),
+      bucketExpr(vecCol, planes).as("bucket"))
     val l = withB.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"))
     val r = withB.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"))
     val scored = l.join(r, Seq("bucket"))

@@ -164,6 +164,41 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.entryCount("t") == 4)
   }
 
+  // tests/env_var_race_condition.rs:1-143 — the reference's builder reads
+  // the process-global WALRUS_DATA_DIR on every call, so two threads racing
+  // set_var can land both instances in one directory. Our builder snapshots
+  // env ONCE at construction and dataDir/key are per-instance state, so
+  // concurrent construction MUST stay isolated; this pins that contract
+  // with the same barrier-raced shape as the reference's reproduction.
+  test("concurrent builder construction: instances stay in their own dirs") {
+    val dir1 = tempRoot()
+    val dir2 = tempRoot()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      def race(dir: String, payload: String): Future[Boolean] = Future {
+        val b = WalrusLog.builder(spark).withDataDir(dir).withKey("race_test")
+        barrier.await() // both builders configured before either builds
+        val log = b.build()
+        log.append("t", bytes(payload))
+        java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "race_test"))
+      }
+      val ok = Await.result(
+        Future.sequence(Seq(race(dir1, "one"), race(dir2, "two"))), 120.seconds)
+      assert(ok == Seq(true, true), "an instance landed outside its own dir")
+      // and each directory holds ONLY its own entry
+      val r1 = WalrusLog.builder(spark).withDataDir(dir1).withKey("race_test")
+        .build().batchRead("t", 1 << 20, checkpoint = false)
+      val r2 = WalrusLog.builder(spark).withDataDir(dir2).withKey("race_test")
+        .build().batchRead("t", 1 << 20, checkpoint = false)
+      assert(r1.map(e => str(e.value)) == Seq("one"))
+      assert(r2.map(e => str(e.value)) == Seq("two"))
+    } finally pool.shutdown()
+  }
+
   // distributed rollover semantics (monitor.rs:15-24, metadata.rs:144-166)
   test("segment rollover: seals at threshold, exact counts, state json") {
     val log = new WalrusLog(spark, tempRoot(),
