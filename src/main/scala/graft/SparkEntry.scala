@@ -637,6 +637,9 @@ object SparkEntry {
           col("n_words"), col("mean_word_len"), col("stopword_ratio"),
           col("punct_ratio"), col("quality_score"))
         .orderBy("doc_id")),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(table(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("lang_pred"),
@@ -2684,6 +2687,35 @@ object SparkEntry {
           |  round(0.4 * least(nc / 400.0, 1.0) + 0.4 * least(stop / nw * 5.0, 1.0)
           |    + 0.2 * (1.0 - least(na / nc * 4.0, 1.0)), 6) AS quality_score
           |FROM b ORDER BY doc_id""".stripMargin,
+      "text_repetition" ->
+        // Gopher-style repetition twin: identical grams, counts, and q6
+        // floor quantization as TextAnalysis.repetitionSignals
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          |  FROM documents),
+          |d AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) >= 4),
+          |bg AS (
+          |  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g
+          |  FROM (SELECT doc_id, tk, unnest(generate_series(1, n - 1)) AS i FROM d)),
+          |bstat AS (
+          |  SELECT doc_id, max(c) AS top2, sum(c) AS nbg
+          |  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+          |  GROUP BY 1),
+          |fg AS (
+          |  SELECT doc_id,
+          |    tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] AS g4
+          |  FROM (SELECT doc_id, tk, unnest(generate_series(1, n - 3)) AS i FROM d)),
+          |fstat AS (
+          |  SELECT doc_id, count(DISTINCT g4) AS nd4, count(*) AS n4
+          |  FROM fg GROUP BY 1),
+          |s AS (
+          |  SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+          |    floor(CAST(top2 AS DOUBLE) / CAST(nbg AS DOUBLE) * 1000000 + 0.5) / 1000000 AS top_bigram_frac,
+          |    floor((1.0 - CAST(nd4 AS DOUBLE) / CAST(n4 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS dup_fourgram_frac
+          |  FROM d JOIN bstat USING (doc_id) JOIN fstat USING (doc_id))
+          |SELECT doc_id, n_tokens, top_bigram_frac, dup_fourgram_frac,
+          |  (top_bigram_frac <= 0.20 AND dup_fourgram_frac <= 0.15) AS keep
+          |FROM s ORDER BY doc_id""".stripMargin,
       "text_langid" -> {
         val hitCols = TextAnalysis.LangMarkers.map { case (l, ws) =>
           s"CAST(len(regexp_extract_all(text, '${ws.mkString("\\b(", "|", ")\\b")}')) AS BIGINT) AS hits_$l"

@@ -34,6 +34,49 @@ object TextAnalysis {
         lit("[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]"), lit(0))).as("subword_tokens"),
       length(col(textCol)).as("n_chars"))
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, "Scaling
+    * Language Models" repetition filters, adapted to an unpunctuated
+    * corpus): per document, the fraction of word-bigram occurrences taken
+    * by the single most frequent bigram, and the duplicate fraction of
+    * 4-gram occurrences (1 − distinct/total) — the two signals that catch
+    * boilerplate loops and degenerate repetition that plain length/ratio
+    * quality scores miss. `keep` applies the filter thresholds.
+    *
+    * Plan shape: explode → one shuffle keyed (doc, gram) with map-side
+    * combine → one (doc) aggregate; both fractions ride the same two
+    * exchanges, so cost is O(tokens) at any corpus size. Quantized to
+    * 6 dp with the q6 floor form (cross-engine exact). */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      maxTopBigramFrac: Double = 0.20,
+      maxDupFourgramFrac: Double = 0.15): DataFrame = {
+    val q6 = (x: Column) => floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+    val toks = df
+      .select(col(idCol),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("tk"))
+      .where(size(col("tk")) >= 4)
+    val bg = toks.select(col(idCol), explode(expr(
+      "transform(sequence(1, size(tk) - 1), " +
+        "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("g"))
+    val bstat = bg.groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top2"), sum(col("c")).as("nbg"))
+    val fg = toks.select(col(idCol), explode(expr(
+      "transform(sequence(1, size(tk) - 3), " +
+        "i -> concat_ws(' ', slice(tk, i, 4)))")).as("g4"))
+    val fstat = fg.groupBy(col(idCol))
+      .agg(countDistinct(col("g4")).as("nd4"), count(lit(1)).as("n4"))
+    val topFrac = q6(col("top2").cast("double") / col("nbg").cast("double"))
+    val dupFrac = q6(lit(1.0) -
+      col("nd4").cast("double") / col("n4").cast("double"))
+    toks.select(col(idCol), size(col("tk")).cast("long").as("n_tokens"))
+      .join(bstat, Seq(idCol)).join(fstat, Seq(idCol))
+      .select(col(idCol), col("n_tokens"),
+        topFrac.as("top_bigram_frac"), dupFrac.as("dup_fourgram_frac"),
+        (topFrac <= maxTopBigramFrac && dupFrac <= maxDupFourgramFrac)
+          .as("keep"))
+  }
+
   /** Quality scoring: length, word-shape, stopword and punctuation ratios,
     * combined into a deterministic [0,1] score (rounded to 6 dp). */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -405,6 +405,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fused.nonEmpty && fused.size < 60) // some docs genuinely had no shingle
   }
 
+  test("repetition signals: gopher fractions on hand-computable fixtures") {
+    // doc 0: "a b a b a b" -> bigrams (a b)x3 (b a)x2, top 3/5;
+    //        4-grams: "a b a b","b a b a","a b a b" -> dup 1/3
+    // doc 1: all-distinct tokens -> top 1/5, dup 0
+    // doc 2: pathological "x x x x x" -> top 4/4=1, dup 1/2
+    // doc 3: 3 tokens -> filtered out (< 4)
+    val df = docsDF(Seq(
+      (0L, "a b a b a b"), (1L, "q w e r t y"),
+      (2L, "x x x x x"), (3L, "too short doc")))
+    val res = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(res.keySet == Set(0L, 1L, 2L))
+    assert(res(0L) == ((0.6, math.floor((1.0 - 2.0 / 3.0) * 1e6 + 0.5) / 1e6, false)))
+    assert(res(1L) == ((0.2, 0.0, true)))
+    assert(res(2L) == ((1.0, 0.5, false)))
+  }
+
   test("fused pq_code is bit-identical to the greatest-of-structs formulation") {
     import graft.functions.GraftFunctions.projection_dot
     import org.apache.spark.sql.types._
