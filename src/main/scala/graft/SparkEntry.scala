@@ -1894,6 +1894,16 @@ object SparkEntry {
         .orderBy("source", "split")
     }),
 
+    "shard_decontaminate" -> ((s, dir) => {
+      // eval-overlap gate: ~1% of docs play the benchmark set; training
+      // docs sharing any 8-shingle with it are flagged with their hit count
+      val docs = table(s, dir, "documents")
+      graft.operators.Dedup.decontaminate(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0),
+          "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
     "shard_leakage_split" -> ((s, dir) => {
       // Leakage-safe train/val/test split: near-duplicate documents MUST
       // land in the same split (a near-dup of a test document in train is
@@ -3631,6 +3641,13 @@ object SparkEntry {
            |SELECT source, split, count(*) AS n_docs,
            |  CAST(SUM(toks) AS BIGINT) AS n_tokens
            |FROM sp GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+      "shard_decontaminate" ->
+        s"""${shinglesSql(8, "TRUE")},
+           |ev AS (SELECT DISTINCT code FROM codes WHERE doc_id % 97 = 0),
+           |tr AS (SELECT doc_id, code FROM codes WHERE doc_id % 97 <> 0)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+           |FROM tr JOIN ev USING (code)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "shard_leakage_split" ->
         s"""$lshReachCtes,
            |cc AS (SELECT node AS doc_id, min(lbl) AS lbl FROM reach GROUP BY node),

@@ -337,6 +337,28 @@ object Dedup {
     } finally session.conf.set(constraintKey, prevConstraint)
   }
 
+  /** Eval-set decontamination: for every training document, the number of
+    * distinct k-shingles it shares with ANY document of the (small)
+    * evaluation/benchmark set — the leakage gate a training pipeline runs
+    * before a data release (the n-gram-overlap decontamination step of
+    * published LLM pipelines, char-k-shingle adapted to this corpus).
+    * Only contaminated documents are returned.
+    *
+    * The eval side collapses to a distinct-code set and BROADCASTS (an
+    * eval suite is tiny next to a 100 TB corpus); the train side streams
+    * RAW shingles through the broadcast semi-probe — deduplication happens
+    * in the per-doc countDistinct AFTER the probe, so the only train-side
+    * shuffle carries contaminated hits, never the corpus's shingle set. */
+  def decontaminate(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val trainSh = shingles(train, idCol, textCol, k, distinct = false)
+    val evalCodes = shingles(eval, idCol, textCol, k).select("code").distinct()
+    trainSh.join(broadcast(evalCodes), Seq("code"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("code")).as("n_shared_shingles"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded random-hyperplane LSH
     * discovery (`tables` independent tables of `planesPerTable` sign bits —
     * the MinHash-LSH band shape over the deterministic

@@ -122,6 +122,22 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decontaminate: eval codes broadcast, train side never pre-shuffles") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = graft.operators.Dedup.decontaminate(
+        docs.where(col("doc_id") % 7 =!= 0), docs.where(col("doc_id") % 7 === 0),
+        "doc_id", "text")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"eval probe is not a broadcast semi-join:\n$plan")
+    // the train side must reach the probe unshuffled: the only exchanges
+    // are the eval-side distinct and the post-probe per-doc aggregate
+    val beforeProbe = plan.split("LeftSemi").head
+    assert(!beforeProbe.contains("Exchange hashpartitioning(code"),
+      s"train shingles shuffled before the probe:\n$plan")
+  }
+
   test("pq codes: one fused expression per row, no slices or structs") {
     import spark.implicits._
     val emb = (0L until 20L)
