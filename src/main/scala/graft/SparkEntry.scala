@@ -1617,6 +1617,57 @@ object SparkEntry {
           StructField("k", LongType))))
         .orderBy("topic", "k")
     }),
+    "stream_neardup_pairs" -> ((s, dir) => {
+      // Streaming near-dup discovery: MinHash-LSH banding with the bucket
+      // registry carried in flatMapGroupsWithState — as documents stream
+      // in, each (band, key) bucket remembers the ids it has seen and
+      // every newcomer emits candidate pairs against them. Batch-boundary-
+      // proof: a same-bucket pair always meets through the state store, so
+      // the emitted set equals the batch LSH bucket join, whatever the
+      // admission-controlled micro-batches were (the oracle IS the batch
+      // twin). Per-bucket state carries ids only — the same fan-out bound
+      // as the batch join; a production stream would add TTL eviction.
+      // Constants match dedup_minhash_lsh_pairs (k=5, 16 hashes, 4x4).
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-stream-neardup-").toString
+      val docLog = new WalrusLog(s, root)
+      docLog.appendDF(table(s, dir, "documents")
+        .select(lit("docs").as("topic"),
+          encode(concat_ws("|", col("doc_id"), col("text")), "UTF-8").as("value"),
+          col("doc_id").as("_seq")), Some(col("_seq")), FixedTs)
+      val parsed = graft.streaming.WalrusStreams.readStream(s, root)
+        .withColumn("v", decode(col("value"), "UTF-8"))
+        .withColumn("doc_id", expr("CAST(substring_index(v, '|', 1) AS BIGINT)"))
+        .withColumn("text", expr("substr(v, locate('|', v) + 1)"))
+      val banded = Dedup.bandedKeys(parsed, "doc_id", "text",
+          k = 5, bands = 4, rowsPerBand = 4)
+        .select(col("band").cast("int").as("band"), col("bkey"), col("doc_id"))
+        .as[(Int, String, Long)]
+      val out = banded.groupByKey(r => (r._1, r._2))
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (_: (Int, String), rows: Iterator[(Int, String, Long)],
+           state: GroupState[List[Long]]) => {
+            val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            var seen = state.getOption.getOrElse(Nil)
+            rows.map(_._3).toArray.sorted.foreach { id =>
+              seen.foreach(o =>
+                pairs += ((math.min(o, id), math.max(o, id))))
+              seen = id :: seen
+            }
+            state.update(seen)
+            pairs.iterator
+          })
+        .toDF("id_a", "id_b")
+      // a pair can surface from several bands: distinct AFTER the sink,
+      // exactly like the batch join's distinct
+      val rows = runStreamToMemory(s, out, "append")(
+        _.distinct().orderBy("id_a", "id_b").collect().toSeq)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("id_a", LongType),
+          StructField("id_b", LongType))))
+        .orderBy("id_a", "id_b")
+    }),
     "stream_stream_join" -> ((s, dir) => {
       // Watermarked stream-stream self-join: purchase events join signup
       // events on the decoded payload key, with an event-time range
@@ -3420,6 +3471,25 @@ object SparkEntry {
           |FROM events
           |WHERE json_extract_string(props, '$.k') IS NOT NULL
           |ORDER BY topic, k""".stripMargin,
+      "stream_neardup_pairs" -> {
+        // the batch twin of the streaming bucket registry — identical to
+        // the dedup_minhash_lsh_pairs oracle (same k/bands/rows constants)
+        val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(${permSql("code", a, b)}) AS mh$j"
+        }.mkString(",\n  ")
+        val bandKeys = (0 until 4).map { bnd =>
+          (0 until 4).map(r => s"CAST(mh${bnd * 4 + r} AS VARCHAR)")
+            .mkString(s"SELECT doc_id, $bnd AS band, ", " || '_' || ", " AS bkey FROM sig")
+        }.mkString("\n  UNION ALL ")
+        s"""${shinglesSql(5, "TRUE")},
+           |sig AS (SELECT doc_id, $mins FROM codes GROUP BY doc_id),
+           |banded AS (
+           |  $bandKeys)
+           |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+           |WHERE l.doc_id < r.doc_id
+           |ORDER BY id_a, id_b""".stripMargin
+      },
       "stream_stream_join" ->
         """WITH e AS (
           |  SELECT event_type,

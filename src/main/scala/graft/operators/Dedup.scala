@@ -63,26 +63,34 @@ object Dedup {
         element_at(col("_sig"), j + 1).as(s"mh$j")): _*)
   }
 
+  /** (id, band, bkey) banding rows — THE single definition of the LSH
+    * band key, shared by the batch bucket join ([[minHashLshPairs]]) and
+    * the streaming bucket registry (stream_neardup_pairs), so the two
+    * surfaces cannot desynchronize. One narrow projection + explode. */
+  def bandedKeys(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minHashSignatures(df, idCol, textCol, k, bands * rowsPerBand)
+    val bandCols = (0 until bands).map { b =>
+      val key = concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
   /** MinHash-LSH candidate pairs: band the signature (`bands` ×
     * `rowsPerBand`), bucket-join on identical band keys, emit each unordered
     * pair once. Pair fan-out is per-bucket, never all-pairs. */
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val n = bands * rowsPerBand
     // No explicit cache: the bucket self-join's two sides canonicalize to
     // the same exchange, so AQE stage reuse computes the signature pipeline
     // once. (Measured: an explicit .cache() here costs 3-5× wall time in
     // materialization jobs + InMemoryRelation scans.)
-    val sig = minHashSignatures(df, idCol, textCol, k, n)
-    val bandCols = (0 until bands).map { b =>
-      val key = concat_ws("_",
-        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
-      struct(lit(b).as("band"), key.as("bkey"))
-    }
-    val banded = sig
-      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val banded = bandedKeys(df, idCol, textCol, k, bands, rowsPerBand)
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
