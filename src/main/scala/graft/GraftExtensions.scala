@@ -74,11 +74,39 @@ object GraftExtensions {
     GraftSqlInternal.analyzedPlan(df)
   }
 
+  /** `walrus_groups(path)` — consumer-group DESCRIBE as a table: one row
+    * per persisted (group, topic) cursor with committed offset, topic end
+    * offset, and lag. Same SNAPSHOT-AT-PLAN semantics as
+    * [[walrusTopicsPlan]] (point-in-time document; re-issue for fresh
+    * state). Metadata only — reads the cursor file, never data. */
+  private[graft] def walrusGroupsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1, "walrus_groups expects (path)")
+    require(exprs.head.foldable && exprs.head.eval() != null,
+      "walrus_groups: path must be a constant string")
+    val spark = SparkSession.active
+    val log = new graft.log.WalrusLog(spark, String.valueOf(exprs.head.eval()))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = log.consumerCursors.map { case (g, t, committed) =>
+      val end = log.totalAppended(t)
+      Row(g, t, committed, end, end - committed)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("grp", StringType),
+        StructField("topic", StringType),
+        StructField("committed", LongType),
+        StructField("end_offset", LongType),
+        StructField("lag_entries", LongType))))
+    GraftSqlInternal.analyzedPlan(df)
+  }
+
   /** Runtime registration of the TVFs on a live session (the extensions
     * path below covers sessions built with spark.sql.extensions). */
   def registerWalrusLogTvf(spark: SparkSession): Unit = {
     GraftSqlInternal.registerTableFunction(spark, "walrus_log", walrusLogPlan)
     GraftSqlInternal.registerTableFunction(spark, "walrus_topics", walrusTopicsPlan)
+    GraftSqlInternal.registerTableFunction(spark, "walrus_groups", walrusGroupsPlan)
   }
 
   /** Runtime registration of the manual bloom-filter function pair
@@ -162,6 +190,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("walrus_topics",
         "_FUNC_(path) - per-topic STATE (entries, bytes, segments) as a table."),
       GraftExtensions.walrusTopicsPlan _))
+    ext.injectTableFunction((FunctionIdentifier("walrus_groups"),
+      info("walrus_groups",
+        "_FUNC_(path) - consumer-group cursors (committed, end, lag) as a table."),
+      GraftExtensions.walrusGroupsPlan _))
     ext.injectFunction((FunctionIdentifier("pq_code"),
       info("pq_code",
         "_FUNC_(vec, subspaces, subCentroids, subDim, basePlane) - packed PQ code in one fused pass."),

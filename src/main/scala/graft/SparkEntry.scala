@@ -2070,6 +2070,31 @@ object SparkEntry {
         s"""SELECT topic, entries, bytes FROM walrus_topics('${log.root}')
            |ORDER BY topic""".stripMargin)
     }),
+    "log_tvf_groups" -> ((s, dir) => {
+      // Consumer-group DESCRIBE as a SQL surface: walrus_groups(path)
+      // dumps the persisted (group, topic) cursor store with end offsets
+      // and lag — Kafka's DESCRIBE GROUPS over the engine's cursor file,
+      // read back by a FRESH log instance (exercises persistence). A
+      // dedicated bounded log keeps the group set deterministic (mainLog's
+      // groups vary with query execution order): g_cap consumes an exact
+      // 100-entry capped batch per topic, g_all drains fully.
+      val root = Files.createTempDirectory("graft-tvf-groups-").toString
+      val log = new WalrusLog(s, root)
+      log.appendDF(events(s, dir).where(col("event_id") < 600)
+        .select(col("event_type").as("topic"),
+          encode(col("props"), "UTF-8").as("value"),
+          col("event_id").as("_seq")),
+        Some(col("_seq")), FixedTs)
+      log.topicNames.sorted.foreach { t =>
+        log.batchRead(t, maxBytes = Long.MaxValue / 4, checkpoint = true,
+          group = "g_cap", entriesCap = 100)
+        log.batchRead(t, maxBytes = Long.MaxValue / 4, checkpoint = true,
+          group = "g_all")
+      }
+      GraftExtensions.registerWalrusLogTvf(s)
+      s.sql(s"""SELECT grp, topic, committed, end_offset, lag_entries
+               |FROM walrus_groups('$root') ORDER BY grp, topic""".stripMargin)
+    }),
     "rel_bloom_manual_prune" -> ((s, dir) => {
       // the bloom pair as a FUNCTION surface: build the filter over the
       // selective dim in a scalar subquery, prune the fact scan with
@@ -2922,6 +2947,18 @@ object SparkEntry {
           |ORDER BY grp, topic""".stripMargin,
       "stream_topic_counts" ->
         "SELECT event_type AS topic, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "log_tvf_groups" ->
+        """WITH t AS (
+          |  SELECT event_type AS topic, count(*) AS n
+          |  FROM events WHERE event_id < 600 GROUP BY 1)
+          |SELECT 'g_all' AS grp, topic, CAST(n AS BIGINT) AS committed,
+          |  CAST(n AS BIGINT) AS end_offset, CAST(0 AS BIGINT) AS lag_entries
+          |FROM t
+          |UNION ALL
+          |SELECT 'g_cap' AS grp, topic, CAST(least(n, 100) AS BIGINT),
+          |  CAST(n AS BIGINT), CAST(n - least(n, 100) AS BIGINT)
+          |FROM t
+          |ORDER BY grp, topic""".stripMargin,
       "sim_ivf_multiprobe" -> {
         val cells = (0 until 8).map { cIdx =>
           s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"

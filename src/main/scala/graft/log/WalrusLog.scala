@@ -838,6 +838,12 @@ class WalrusLog(
     topics.get(topic).map(st => (st.currentSegment, st.lastSealedEntryOffset))
       .getOrElse((0L, 0L))
 
+  /** Snapshot of the persisted consumer-cursor store as sorted
+    * (group, topic, committed) rows — the DESCRIBE GROUPS surface. */
+  def consumerCursors: Seq[(String, String, Long)] = synchronized {
+    cursors.toSeq.map { case ((g, t), o) => (g, t, o) }.sortBy(x => (x._1, x._2))
+  }
+
   def markTopicDirty(topic: String): Unit = synchronized {
     val st = state(topic); st.cleanGeneration += 1; st.clean = false; persistClean()
   }
