@@ -760,6 +760,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "mm_feature_knn" -> ((s, dir) => {
+      // multimodal -> similarity composition: the stub decoder's 8
+      // FNV-derived feature bytes (kept as exact integers — the stub's
+      // float -0.5/255 normalization is display-only; integer features
+      // make the cosine cross-engine exact) feed brute-force cosine top-3
+      // — the "embed then nearest-neighbors" hop of a multimodal curation
+      // pipeline, fused fnv1a64 + cosine expressions end to end.
+      import graft.functions.GraftFunctions.fnv1a64
+      val feats = table(s, dir, "documents")
+        .select(col("doc_id"),
+          fnv1a64(encode(col("text"), "UTF-8")).as("h"))
+        .select(col("doc_id"), array((0 until 8).map(i =>
+          shiftrightunsigned(col("h"), i * 8).bitwiseAND(lit(255L))
+            .cast("double")): _*).as("vec"))
+      Similarity.bruteForceTopK(
+          feats.where(col("doc_id") < 20), feats.where(col("doc_id") < 300),
+          "doc_id", "vec", k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), col("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // ---- multimodal columns ----
     "mm_frame_sample" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -2877,6 +2899,38 @@ object SparkEntry {
       "mm_describe" ->
         """SELECT doc_id, 'text/plain' AS mime, CAST(length(text) AS BIGINT) AS byte_len
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "mm_feature_knn" -> {
+        val fnvCte =
+          """f AS (
+            |  SELECT doc_id,
+            |    list_reduce(
+            |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+            |        list_transform(generate_series(1, length(text)),
+            |          i -> CAST(ascii(substr(text, i, 1)) AS HUGEINT))),
+            |      (acc, b) -> mod(xor(acc, b) * 1099511628211,
+            |        CAST('18446744073709551616' AS HUGEINT))) AS h
+            |  FROM documents)""".stripMargin
+        val dims = (0 until 8).map(i =>
+          s"CAST((h // ${1L << (i * 8)}) % 256 AS DOUBLE) AS d$i").mkString(", ")
+        def dot(a: String, b: String) =
+          (0 until 8).map(i => s"$a.d$i * $b.d$i").mkString(" + ")
+        s"""WITH $fnvCte,
+           |v AS (SELECT doc_id, $dims FROM f),
+           |q AS (SELECT * FROM v WHERE doc_id < 20),
+           |c AS (SELECT * FROM v WHERE doc_id < 300),
+           |p AS (
+           |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+           |    floor((${dot("q", "c")}) /
+           |      (sqrt(${dot("q", "q")}) * sqrt(${dot("c", "c")})) * 1000000 + 0.5) / 1000000 AS cosine
+           |  FROM q JOIN c ON q.doc_id <> c.doc_id),
+           |r AS (
+           |  SELECT query_id, neighbor_id, cosine,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM p)
+           |SELECT query_id, neighbor_id, rnk, cosine FROM r
+           |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+      },
       "mm_feature_extract" ->
         // exact twin of MediaCodecStub.decodeBatch: FNV-1a-64 over the
         // UTF-8 payload (ASCII corpus -> ascii() per char) folded with
