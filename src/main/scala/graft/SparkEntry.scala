@@ -52,6 +52,20 @@ object SparkEntry {
   private def mainLog(spark: SparkSession, dir: String): WalrusLog =
     eventsLog(spark, dir, "main", LogConfig())
 
+  /** Documents mirrored once into a scratch log: topic "docs",
+    * value = "<doc_id>|<text>", arrival order = doc_id. Shared by the
+    * streaming text/dedup queries. */
+  private def docsLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "docs"), {
+      val root = Files.createTempDirectory("graft-log-docs-").toString
+      val log = new WalrusLog(spark, root)
+      log.appendDF(table(spark, dir, "documents")
+        .select(lit("docs").as("topic"),
+          encode(concat_ws("|", col("doc_id"), col("text")), "UTF-8").as("value"),
+          col("doc_id").as("_seq")), Some(col("_seq")), FixedTs)
+      log
+    })
+
   /** Events plus one far-future sentinel per topic in a SECOND commit: the
     * sentinel advances the event-time watermark past every real session, so
     * append-mode session windows flush during AvailableNow's closing
@@ -1639,6 +1653,35 @@ object SparkEntry {
           StructField("k", LongType))))
         .orderBy("topic", "k")
     }),
+    "stream_quality_windows" -> ((s, dir) => {
+      // Streaming quality gate: documents stream through the V2 source,
+      // the deterministic quality score is computed in-flight, and a
+      // tumbling event-time window (1 doc/minute synthetic event time)
+      // counts kept vs dropped per hour — the monitoring surface of a
+      // streaming curation pipeline. Complete mode re-emits every window,
+      // so the final table equals the batch aggregate whatever the
+      // admission-controlled batch boundaries were.
+      val log = docsLog(s, dir)
+      val parsed = graft.streaming.WalrusStreams.readStream(s, log.root)
+        .withColumn("v", decode(col("value"), "UTF-8"))
+        .withColumn("doc_id", expr("CAST(substring_index(v, '|', 1) AS BIGINT)"))
+        .withColumn("text", expr("substr(v, locate('|', v) + 1)"))
+      val scored = TextAnalysis.qualityScore(parsed, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+        .withColumn("et", timestamp_seconds(col("doc_id") * 60 + 3600))
+      val out = scored.withWatermark("et", "10 minutes")
+        .groupBy(window(col("et"), "1 hour").as("w"))
+        .agg(sum(when(col("quality_score") >= 0.45, 1L).otherwise(0L)).as("kept"),
+          sum(when(col("quality_score") < 0.45, 1L).otherwise(0L)).as("dropped"))
+        .select(col("w.start").cast("long").as("win_start"),
+          col("kept"), col("dropped"))
+      val rows = runStreamToMemory(s, out, "complete")(
+        _.orderBy("win_start").collect().toSeq)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("win_start", LongType),
+          StructField("kept", LongType), StructField("dropped", LongType))))
+        .orderBy("win_start")
+    }),
     "stream_neardup_pairs" -> ((s, dir) => {
       // Streaming near-dup discovery: MinHash-LSH banding with the bucket
       // registry carried in flatMapGroupsWithState — as documents stream
@@ -1652,13 +1695,8 @@ object SparkEntry {
       // Constants match dedup_minhash_lsh_pairs (k=5, 16 hashes, 4x4).
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       import s.implicits._
-      val root = Files.createTempDirectory("graft-stream-neardup-").toString
-      val docLog = new WalrusLog(s, root)
-      docLog.appendDF(table(s, dir, "documents")
-        .select(lit("docs").as("topic"),
-          encode(concat_ws("|", col("doc_id"), col("text")), "UTF-8").as("value"),
-          col("doc_id").as("_seq")), Some(col("_seq")), FixedTs)
-      val parsed = graft.streaming.WalrusStreams.readStream(s, root)
+      val docLog = docsLog(s, dir)
+      val parsed = graft.streaming.WalrusStreams.readStream(s, docLog.root)
         .withColumn("v", decode(col("value"), "UTF-8"))
         .withColumn("doc_id", expr("CAST(substring_index(v, '|', 1) AS BIGINT)"))
         .withColumn("text", expr("substr(v, locate('|', v) + 1)"))
@@ -3562,6 +3600,23 @@ object SparkEntry {
           |FROM events
           |WHERE json_extract_string(props, '$.k') IS NOT NULL
           |ORDER BY topic, k""".stripMargin,
+      "stream_quality_windows" ->
+        """WITH b AS (
+          |  SELECT doc_id,
+          |    CAST(length(text) AS DOUBLE) AS nc,
+          |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+          |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is|a|in|that)\b')) AS DOUBLE) AS stop,
+          |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS na
+          |  FROM documents),
+          |q AS (
+          |  SELECT doc_id,
+          |    round(0.4 * least(nc / 400.0, 1.0) + 0.4 * least(stop / nw * 5.0, 1.0)
+          |      + 0.2 * (1.0 - least(na / nc * 4.0, 1.0)), 6) AS score
+          |  FROM b)
+          |SELECT CAST((doc_id * 60 + 3600) // 3600 * 3600 AS BIGINT) AS win_start,
+          |  CAST(SUM(CASE WHEN score >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+          |  CAST(SUM(CASE WHEN score < 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+          |FROM q GROUP BY 1 ORDER BY win_start""".stripMargin,
       "stream_neardup_pairs" -> {
         // the batch twin of the streaming bucket registry — identical to
         // the dedup_minhash_lsh_pairs oracle (same k/bands/rows constants)
