@@ -248,12 +248,24 @@ object Bench {
     // trigger time) and the metric claims STEADY-STATE latency — r4's
     // 191.7 ms reading was exactly this cold-start noise landing in a
     // 5-trigger mean on a loaded box. Only triggers after the warm-up
-    // watermark batch are averaged.
+    // watermark batch are averaged. Progress is published AFTER
+    // processAllAvailable can return (and async tracking widens the gap),
+    // so both phases poll recentProgress until their rows are visible
+    // before reading it — otherwise the JIT-heavy warm-up batch can slip
+    // past the watermark and contaminate the mean it exists to protect.
+    def rowsVisible(n: Long): Unit = {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (q.recentProgress.map(_.numInputRows).sum < n &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+    }
     (0 until 5).foreach { i => mbLog.append("t", s"w$i".getBytes) }
     q.processAllAvailable()
-    val warmedThrough = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    rowsVisible(6) // seed + 5 warm-up rows
+    val warmedThrough = q.recentProgress
+      .filter(_.numInputRows > 0).map(_.batchId).foldLeft(-1L)(math.max)
     (0 until 5).foreach { i => mbLog.append("t", s"m$i".getBytes) }
     q.processAllAvailable()
+    rowsVisible(11)
     val durations = q.recentProgress.toSeq
       .filter(p => p.batchId > warmedThrough && p.numInputRows > 0)
       .map(_.durationMs.get("triggerExecution").toDouble)

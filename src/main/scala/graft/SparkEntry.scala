@@ -66,6 +66,15 @@ object SparkEntry {
       log
     })
 
+  /** The streaming read of [[docsLog]] with its wire format decoded back
+    * to (doc_id, text, ...) — the format is defined and parsed in ONE
+    * place so the two streaming consumers cannot drift. */
+  private def parsedDocsStream(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.WalrusStreams.readStream(spark, docsLog(spark, dir).root)
+      .withColumn("v", decode(col("value"), "UTF-8"))
+      .withColumn("doc_id", expr("CAST(substring_index(v, '|', 1) AS BIGINT)"))
+      .withColumn("text", expr("substr(v, locate('|', v) + 1)"))
+
   /** Events plus one far-future sentinel per topic in a SECOND commit: the
     * sentinel advances the event-time watermark past every real session, so
     * append-mode session windows flush during AvailableNow's closing
@@ -1661,12 +1670,7 @@ object SparkEntry {
       // streaming curation pipeline. Complete mode re-emits every window,
       // so the final table equals the batch aggregate whatever the
       // admission-controlled batch boundaries were.
-      val log = docsLog(s, dir)
-      val parsed = graft.streaming.WalrusStreams.readStream(s, log.root)
-        .withColumn("v", decode(col("value"), "UTF-8"))
-        .withColumn("doc_id", expr("CAST(substring_index(v, '|', 1) AS BIGINT)"))
-        .withColumn("text", expr("substr(v, locate('|', v) + 1)"))
-      val scored = TextAnalysis.qualityScore(parsed, "doc_id", "text")
+      val scored = TextAnalysis.qualityScore(parsedDocsStream(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("quality_score"))
         .withColumn("et", timestamp_seconds(col("doc_id") * 60 + 3600))
       val out = scored.withWatermark("et", "10 minutes")
@@ -1695,12 +1699,7 @@ object SparkEntry {
       // Constants match dedup_minhash_lsh_pairs (k=5, 16 hashes, 4x4).
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       import s.implicits._
-      val docLog = docsLog(s, dir)
-      val parsed = graft.streaming.WalrusStreams.readStream(s, docLog.root)
-        .withColumn("v", decode(col("value"), "UTF-8"))
-        .withColumn("doc_id", expr("CAST(substring_index(v, '|', 1) AS BIGINT)"))
-        .withColumn("text", expr("substr(v, locate('|', v) + 1)"))
-      val banded = Dedup.bandedKeys(parsed, "doc_id", "text",
+      val banded = Dedup.bandedKeys(parsedDocsStream(s, dir), "doc_id", "text",
           k = 5, bands = 4, rowsPerBand = 4)
         .select(col("band").cast("int").as("band"), col("bkey"), col("doc_id"))
         .as[(Int, String, Long)]

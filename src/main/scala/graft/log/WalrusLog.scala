@@ -712,11 +712,15 @@ class WalrusLog(
         // block. Reads served from the unsealed tail return everything
         // (walrus.rs:939-957 reads three 1-byte entries from offset 0 and
         // gets all three); our tail analogue is the still-open segment, so
-        // the skip applies only when entry 0 has been sealed by rollover.
+        // the skip applies only when entry 0 has been sealed by rollover
+        // AND, like the reference's scan (bounded by blk.used), never past
+        // the sealed boundary into the open segment.
+        val sealedBelow = state(topic).lastSealedEntryOffset
         val aligned =
-          if (startByte == 0L && state(topic).lastSealedEntryOffset > 0)
-            rows.dropWhile(
-              _.getAs[Array[Byte]]("value").length < MetadataEntrySkipBytes)
+          if (startByte == 0L && sealedBelow > 0)
+            rows.dropWhile(r =>
+              r.getAs[Long]("offset") < sealedBelow &&
+                r.getAs[Array[Byte]]("value").length < MetadataEntrySkipBytes)
           else rows
         val trimmed = aligned.iterator.zipWithIndex.map { case (r, i) =>
           val value = r.getAs[Array[Byte]]("value")

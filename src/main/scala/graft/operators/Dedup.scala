@@ -25,13 +25,6 @@ import TextOps._
   */
 object Dedup {
 
-  /** Tie-free 6-dp quantization: `floor(x·10⁶ + 0.5) / 10⁶`. Exact-ratio
-    * doubles can land exactly on a rounding tie (e.g. 41/640 · 10⁶ =
-    * 64062.5), where Spark's round() (HALF_UP) and DuckDB's (HALF_EVEN)
-    * disagree; floor(+0.5) breaks every tie upward in both engines, and
-    * all its operations are deterministic IEEE ops on identical inputs. */
-  private def q6(x: Column): Column = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
-
   /** Exact dedup: keep the lowest-id document per identical text.
     * One groupBy on the text hash — the canonical 100 TB shape (hash first,
     * so the shuffle key is 8 bytes, not the document). */

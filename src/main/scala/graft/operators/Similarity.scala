@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions.cosine_similarity
+import TextOps.q6
 
 /** Approximate/exact nearest-neighbor search over an embedding column.
   *
@@ -14,13 +15,6 @@ import graft.functions.GraftFunctions.cosine_similarity
   * so the join is bucket-local, then exact cosine re-ranks.
   */
 object Similarity {
-
-  /** Tie-free 6-dp quantization (`floor(x·10⁶ + 0.5)/10⁶`): identical IEEE
-    * double arithmetic in Spark and DuckDB, and — unlike `round(x, 6)`,
-    * which routes through `BigDecimal.valueOf(double)` (a double→string
-    * parse per call) — pure double ops, ~100× cheaper in a hot projection.
-    * Used where the quantized value is computed per candidate row. */
-  private def q6(x: Column): Column = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
 
   /** Deterministic pseudo-random projection component for plane `j`,
     * dimension `d`: an LCG value mapped to [-0.5, 0.5). Integer arithmetic +

@@ -49,7 +49,6 @@ object TextAnalysis {
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
       maxTopBigramFrac: Double = 0.20,
       maxDupFourgramFrac: Double = 0.15): DataFrame = {
-    val q6 = (x: Column) => floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
     val toks = df
       .select(col(idCol),
         expr(s"filter(split($textCol, ' '), x -> x <> '')").as("tk"))

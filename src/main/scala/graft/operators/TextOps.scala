@@ -16,6 +16,15 @@ object TextOps {
   /** Mersenne prime 2^31-1: keeps `a * code + b` inside 63 bits. */
   final val P = 2147483647L
 
+  /** Tie-free 6-dp quantization: `floor(x·10⁶ + 0.5) / 10⁶` — THE
+    * cross-engine rounding contract, defined once for every operator
+    * family. Spark's `round(x, 6)` routes through BigDecimal HALF_UP
+    * (~2 µs/call, a double→string parse) and DuckDB's round() is
+    * HALF_EVEN, so the two disagree on exact-ratio ties; this form is
+    * three deterministic IEEE double ops with identical results in both
+    * engines. The SQL twin is `floor(x * 1000000 + 0.5) / 1000000`. */
+  def q6(x: Column): Column = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+
   /** Deterministic per-permutation coefficients (odd multipliers derived
     * from the golden-ratio constant, reduced mod P). */
   def hashCoeffs(n: Int): Seq[(Long, Long)] =

@@ -164,6 +164,19 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.entryCount("t") == 4)
   }
 
+  // the skip is bounded by the sealed boundary (the reference scan stops
+  // at blk.used): small entries in the OPEN segment after an all-small
+  // sealed segment must survive an offset-0 read
+  test("offset-0 skip never crosses the sealed boundary into the tail") {
+    val log = new WalrusLog(spark, tempRoot(),
+      cfg = LogConfig(maxSegmentEntries = 2))
+    log.batchAppend("t", Seq("a", "b").map(bytes)) // segment 0 seals (2 small)
+    log.batchAppend("t", Seq("c").map(bytes))      // open segment tail
+    val got = log.batchReadFromByteOffset("t", 1 << 20, 0L)
+    assert(got.map(e => str(e.value)) == Seq("c"),
+      "sealed small entries skip, but the unsealed tail must be returned")
+  }
+
   // tests/env_var_race_condition.rs:1-143 — the reference's builder reads
   // the process-global WALRUS_DATA_DIR on every call, so two threads racing
   // set_var can land both instances in one directory. Our builder snapshots
