@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, Fnv1a64, MinHashSignature, PqCode, ProjectionDot, ShingleCodes, ShingleOverlap}
+import graft.functions.{CosineSimilarity, Fnv1a64, MinHashSignature, PqCode, ProjectionDot, ShingleCodes, ShingleOverlap, Sq8Recon}
 
 /** Session-extensions entry point: registers graft's native codegen'd
   * expressions as SQL functions at session build time, so a cluster can
@@ -202,6 +202,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg(exprs, 2, "pq_code", "subCentroids"),
         intArg(exprs, 3, "pq_code", "subDim"),
         intArg(exprs, 4, "pq_code", "basePlane"))))
+    ext.injectFunction((FunctionIdentifier("sq8_recon"),
+      info("sq8_recon",
+        "_FUNC_(vec, mn, mx) - struct(dot, norm_v, norm_r, err_sum) of the int8 scalar-quantization round trip."),
+      (exprs: Seq[Expression]) => Sq8Recon(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((FunctionIdentifier("projection_dot"),
       info("projection_dot",
         "_FUNC_(vec, plane[, dims]) - dot with the deterministic projection vector."),

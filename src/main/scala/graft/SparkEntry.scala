@@ -697,6 +697,35 @@ object SparkEntry {
         .orderBy(col("n").desc, col("ngram"))
         .limit(25)
     }),
+    "text_zipf" -> ((s, dir) =>
+      // corpus-level Zipf fit + vocabulary stats (one-row quality gate)
+      TextAnalysis.zipfStats(table(s, dir, "documents"), "text", topN = 100)),
+    "text_pii_scrub" -> ((s, dir) => {
+      // compliance pass: the synthetic corpus carries no PII, so both
+      // engines first compose the SAME deterministic contact line from
+      // real columns (emails / URL / phone present or absent by doc_id
+      // residue), then the operator counts and redacts — the regex
+      // machinery is exercised end-to-end with non-uniform counts
+      val email1 = concat(lit("user"), col("doc_id").cast("string"),
+        lit("@"), col("source"), lit(".example.com"))
+      val email2 = concat(lit("alt."), col("lang"),
+        lit("@"), col("source"), lit(".example.net"))
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.org/"), col("lang"))
+      val phone = concat(lit("+1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val raw = concat_ws(" ",
+        when(col("doc_id") % 3 =!= 0, concat(lit("contact "), email1))
+          .otherwise(lit("no contact")),
+        when(col("doc_id") % 5 === 0, email2),
+        when(col("doc_id") % 4 =!= 0, concat(lit("see "), url)),
+        when(col("doc_id") % 2 === 0, concat(lit("tel "), phone)),
+        substring(col("text"), 1, 32))
+      TextAnalysis.piiScrub(
+          table(s, dir, "documents").select(col("doc_id"), raw.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
 
     // ---- as-of join (custom operator by composition) ----
     "asof_last_click" -> ((s, dir) => {
@@ -721,6 +750,23 @@ object SparkEntry {
         .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
       graft.operators.AsOf.joinNearest(
           purchases, clicks, Seq("user_id"), "ts_us", Seq("click_id"))
+        .select(col("purchase_id"), col("user_id"),
+          col("nearest_click_id"), col("nearest_delta").as("delta_us"))
+        .orderBy("purchase_id")
+    }),
+
+    "asof_tolerance" -> ((s, dir) => {
+      // merge_asof-with-tolerance parity: nearest click within 24 h of the
+      // purchase, else the purchase keeps its row with a NULL match
+      // (left-join semantics) — same μs domain as asof_nearest_click
+      val ev = events(s, dir).withColumn("ts_us", expr("ts DIV 1000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+      graft.operators.AsOf.joinNearest(
+          purchases, clicks, Seq("user_id"), "ts_us", Seq("click_id"),
+          tolerance = Some(lit(86400000000L)))
         .select(col("purchase_id"), col("user_id"),
           col("nearest_click_id"), col("nearest_delta").as("delta_us"))
         .orderBy("purchase_id")
@@ -1221,6 +1267,12 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("adc_score"))
         .orderBy("query_id", "rnk")
     }),
+    "sim_sq8_recon" -> ((s, dir) =>
+      // int8 scalar-quantization fidelity audit: reconstruction cosine +
+      // mean abs error per vector against corpus per-dim bounds (the
+      // 1-byte/dim storage rung between raw floats and PQ codes)
+      Similarity.sq8Recon(table(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")),
 
     "rel_q18_large_orders" -> ((s, dir) => {
       // TPC-H Q18 shape: semi-aggregate HAVING filter on the fact table,
@@ -1332,6 +1384,24 @@ object SparkEntry {
       graft.operators.Sharding.stratifiedSample(docs, "doc_id", rate)
         .groupBy("source").agg(count(lit(1)).as("kept"))
         .orderBy("source")
+    }),
+    "shard_diversity_sample" -> ((s, dir) => {
+      // diversity-aware curation: the 5 best-quality documents per IVF
+      // cell of the paired embeddings (vec_id aligns with doc_id) —
+      // coverage sampling that spreads the quality budget across topical
+      // cells instead of letting one dominant mode fill it
+      val docs = table(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      val cells = Similarity.ivfAssign(table(s, dir, "embeddings"),
+        "vec_id", "embedding", nCentroids = 8)
+      val joined = q.join(cells, q("doc_id") === cells("vec_id"))
+        .select(col("doc_id"), col("centroid_id").cast("long").as("cell"),
+          col("quality_score"))
+      graft.operators.Sharding.diversitySample(
+          joined, "cell", "quality_score", "doc_id", k = 5)
+        .select(col("cell"), col("rnk"), col("doc_id"), col("quality_score"))
+        .orderBy("cell", "rnk")
     }),
 
     "log_sql_table" -> ((s, dir) => {
@@ -2882,6 +2952,59 @@ object SparkEntry {
         s"""${shinglesSql(8, "TRUE")}
            |SELECT doc_id, MIN(${permSql("code", sa, sb)}) AS fingerprint
            |FROM codes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "text_zipf" ->
+        // millinat-integer regression twin: identical per-term ln rounding
+        // and closed-form slope as TextAnalysis.zipfStats
+        """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+          |f AS (SELECT w, count(*) AS f FROM w WHERE w <> '' GROUP BY w),
+          |v AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+          |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+          |    CAST(sum(f) AS BIGINT) AS total_tokens FROM f),
+          |t AS (SELECT f, r FROM (
+          |    SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM f)
+          |  WHERE r <= 100),
+          |xy AS (SELECT
+          |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS x,
+          |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS y
+          |  FROM t),
+          |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(x * y) AS BIGINT) AS sxy,
+          |    CAST(sum(x * x) AS BIGINT) AS sxx FROM xy)
+          |SELECT vocab_size, hapax_count, total_tokens,
+          |  floor(CAST(vocab_size AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+          |    * 1000000 + 0.5) / 1000000 AS type_token_ratio,
+          |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+          |    / CAST(n * sxx - sx * sx AS DOUBLE)
+          |    * 1000000 + 0.5) / 1000000 AS zipf_slope
+          |FROM v, s""".stripMargin,
+      "text_pii_scrub" ->
+        // same deterministic contact line, then counts on the raw text and
+        // URL -> EMAIL -> PHONE redaction — regexes generated from the
+        // TextAnalysis constants (single definition)
+        s"""WITH r AS (
+           |  SELECT doc_id, concat_ws(' ',
+           |    CASE WHEN doc_id % 3 <> 0
+           |      THEN 'contact user' || CAST(doc_id AS VARCHAR) || '@'
+           |        || source || '.example.com'
+           |      ELSE 'no contact' END,
+           |    CASE WHEN doc_id % 5 = 0
+           |      THEN 'alt.' || lang || '@' || source || '.example.net' END,
+           |    CASE WHEN doc_id % 4 <> 0
+           |      THEN 'see https://' || source || '.example.org/' || lang END,
+           |    CASE WHEN doc_id % 2 = 0
+           |      THEN 'tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END,
+           |    substr(text, 1, 32)) AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(t, '${TextAnalysis.UrlRe}')) AS BIGINT) AS n_urls,
+           |  CAST(len(regexp_extract_all(t, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+           |  regexp_replace(regexp_replace(regexp_replace(t,
+           |    '${TextAnalysis.UrlRe}', '<URL>', 'g'),
+           |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+           |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+           |FROM r ORDER BY doc_id""".stripMargin,
 
       "asof_last_click" ->
         """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS last_click_id
@@ -2907,6 +3030,27 @@ object SparkEntry {
           |       THEN tn - epoch_us(p.ts) ELSE epoch_us(p.ts) - tp END AS delta_us
           |FROM p JOIN pr USING (purchase_id) JOIN nx USING (purchase_id)
           |ORDER BY purchase_id""".stripMargin,
+      "asof_tolerance" ->
+        """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+          |  WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, ts, event_id AS click_id FROM events
+          |  WHERE event_type = 'click'),
+          |pr AS (SELECT p.purchase_id, c.click_id AS cp, epoch_us(c.ts) AS tp
+          |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts),
+          |nx AS (SELECT p.purchase_id, c.click_id AS cn, epoch_us(c.ts) AS tn
+          |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts),
+          |m AS (SELECT p.purchase_id, p.user_id,
+          |  CASE WHEN tp IS NULL OR (tn IS NOT NULL
+          |         AND (tn - epoch_us(p.ts)) < (epoch_us(p.ts) - tp))
+          |       THEN cn ELSE cp END AS nid,
+          |  CASE WHEN tp IS NULL OR (tn IS NOT NULL
+          |         AND (tn - epoch_us(p.ts)) < (epoch_us(p.ts) - tp))
+          |       THEN tn - epoch_us(p.ts) ELSE epoch_us(p.ts) - tp END AS d
+          |  FROM p JOIN pr USING (purchase_id) JOIN nx USING (purchase_id))
+          |SELECT purchase_id, user_id,
+          |  CASE WHEN d <= 86400000000 THEN nid END AS nearest_click_id,
+          |  CASE WHEN d <= 86400000000 THEN d END AS delta_us
+          |FROM m ORDER BY purchase_id""".stripMargin,
       "rel_distinct_exact" ->
         ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
           "count(DISTINCT l_suppkey) AS n_supps FROM lineitem " +
@@ -3320,6 +3464,43 @@ object SparkEntry {
            |SELECT vec_id, CAST(SUM(cid * ($weights)) AS BIGINT) AS pq_code
            |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
       },
+      "sim_sq8_recon" -> {
+        // int8 round-trip twin: identical quantize/reconstruct formula and
+        // index-ascending (left-associated) accumulation as Sq8Recon
+        val mnx = (1 to 64).map(i =>
+          s"min(embedding[$i]) AS mn$i, max(embedding[$i]) AS mx$i")
+          .mkString(",\n    ")
+        val rdefs = (1 to 64).map { i =>
+          s"CASE WHEN CAST(mx$i AS DOUBLE) = CAST(mn$i AS DOUBLE) THEN CAST(mn$i AS DOUBLE) " +
+            s"ELSE CAST(mn$i AS DOUBLE) + floor((CAST(embedding[$i] AS DOUBLE) - CAST(mn$i AS DOUBLE)) " +
+            s"/ (CAST(mx$i AS DOUBLE) - CAST(mn$i AS DOUBLE)) * 255.0 + 0.5) " +
+            s"* (CAST(mx$i AS DOUBLE) - CAST(mn$i AS DOUBLE)) / 255.0 END AS r$i"
+        }.mkString(",\n    ")
+        val dot = (1 to 64).map(i => s"CAST(embedding[$i] AS DOUBLE) * r$i").mkString(" + ")
+        val nv = (1 to 64).map(i =>
+          s"CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE)").mkString(" + ")
+        val nr = (1 to 64).map(i => s"r$i * r$i").mkString(" + ")
+        val err = (1 to 64).map(i => s"abs(CAST(embedding[$i] AS DOUBLE) - r$i)").mkString(" + ")
+        s"""WITH bnd AS (
+           |  SELECT $mnx
+           |  FROM embeddings),
+           |p AS (
+           |  SELECT vec_id, embedding,
+           |    $rdefs
+           |  FROM embeddings CROSS JOIN bnd),
+           |acc AS (
+           |  SELECT vec_id,
+           |    $dot AS dot,
+           |    $nv AS nv,
+           |    $nr AS nr,
+           |    $err AS err
+           |  FROM p)
+           |SELECT vec_id,
+           |  floor((CASE WHEN nv * nr = 0.0 THEN 0.0
+           |    ELSE dot / (sqrt(nv) * sqrt(nr)) END) * 1000000 + 0.5) / 1000000 AS recon_cosine,
+           |  floor(err / 64.0 * 1000000 + 0.5) / 1000000 AS mean_abs_err
+           |FROM acc ORDER BY vec_id""".stripMargin
+      },
       "sim_pq_adc" -> {
         val sub = (0 until 8).flatMap { sIdx =>
           (0 until 4).map { cIdx =>
@@ -3471,6 +3652,38 @@ object SparkEntry {
           |  CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id,
           |  CAST((cum - n_tokens) % 4096 AS BIGINT) AS pack_pos
           |FROM c ORDER BY doc_id""".stripMargin,
+      "shard_diversity_sample" -> {
+        // IVF-cell assignment twin (sim_ivf_search's nprobe=1 formulation)
+        // joined to the quality twin, ranked per cell
+        val cells = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH s AS (
+           |  $cells),
+           |a AS (SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s)
+           |  WHERE rn = 1),
+           |b AS (
+           |  SELECT doc_id,
+           |    CAST(length(text) AS DOUBLE) AS nc,
+           |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+           |    CAST(len(regexp_extract_all(text, '\\b(the|and|of|to|is|a|in|that)\\b')) AS DOUBLE) AS stop,
+           |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS na
+           |  FROM documents),
+           |q AS (SELECT doc_id,
+           |    round(0.4 * least(nc / 400.0, 1.0) + 0.4 * least(stop / nw * 5.0, 1.0)
+           |      + 0.2 * (1.0 - least(na / nc * 4.0, 1.0)), 6) AS quality_score
+           |  FROM b),
+           |j AS (SELECT q.doc_id, a.cid AS cell, q.quality_score
+           |  FROM q JOIN a ON a.vec_id = q.doc_id),
+           |r AS (SELECT cell, doc_id, quality_score,
+           |    CAST(row_number() OVER (PARTITION BY cell
+           |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rnk
+           |  FROM j)
+           |SELECT cell, rnk, doc_id, quality_score FROM r
+           |WHERE rnk <= 5 ORDER BY cell, rnk""".stripMargin
+      },
       "stream_log_mirror" ->
         """SELECT event_type AS topic, count(*) AS n,
           |  CAST(SUM(length(props)) AS BIGINT) AS bytes

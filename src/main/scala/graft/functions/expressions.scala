@@ -517,6 +517,90 @@ object PqCode {
   }
 }
 
+/** Scalar (int8) quantization round-trip statistics in ONE fused pass:
+  * given a vector and the corpus per-dimension bounds `mn`/`mx`, each
+  * component is quantized to the 8-bit grid
+  * `q = floor((x−mn)/(mx−mn)·255 + 0.5)` and reconstructed as
+  * `r = mn + q·(mx−mn)/255` (dims with `mx = mn` reconstruct exactly);
+  * the expression returns `struct(dot, norm_v, norm_r, err_sum)` — the
+  * Σx·r / Σx² / Σr² / Σ|x−r| accumulators a caller needs for the
+  * reconstruction cosine and mean absolute error. Accumulation is strictly
+  * index-ascending, so an unrolled left-associated SQL sum over the same
+  * per-dimension formula reproduces every double bit-for-bit.
+  *
+  * This is the SQ8 storage layout (FAISS `ScalarQuantizer` QT_8bit shape):
+  * 1 byte/dim vs 4 — the compression step between raw float corpora and
+  * the PQ codes ([[PqCode]]) on the 100 TB path. One expression node per
+  * row against a broadcast 1-row bounds table: no shuffle, no per-dim
+  * column chain.
+  */
+case class Sq8Recon(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(first, second, third).map(_.dataType).forall(okType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sq8_recon requires ARRAY<FLOAT|DOUBLE> (vec, mn, mx), got " +
+        Seq(first, second, third).map(_.dataType.catalogString).mkString(", "))
+  override def dataType: DataType = StructType(Seq(
+    StructField("dot", DoubleType, nullable = false),
+    StructField("norm_v", DoubleType, nullable = false),
+    StructField("norm_r", DoubleType, nullable = false),
+    StructField("err_sum", DoubleType, nullable = false)))
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any, mn: Any, mx: Any): Any =
+    Sq8Recon.compute(
+      v.asInstanceOf[ArrayData], elemIsFloat(first),
+      mn.asInstanceOf[ArrayData], elemIsFloat(second),
+      mx.asInstanceOf[ArrayData], elemIsFloat(third))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, mn, mx) => {
+      s"""
+         |${ev.value} = graft.functions.Sq8Recon.compute(
+         |  $v, ${elemIsFloat(first)}, $mn, ${elemIsFloat(second)},
+         |  $mx, ${elemIsFloat(third)});
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8Recon =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "sq8_recon"
+}
+
+object Sq8Recon {
+  /** Quantize-reconstruct-accumulate loop shared by both eval paths.
+    * Formula order matches the generated SQL twin exactly:
+    * `((x − m) / (M − m)) · 255 + 0.5` then `m + (q · (M − m)) / 255`. */
+  def compute(v: ArrayData, vf: Boolean,
+      mn: ArrayData, mnf: Boolean,
+      mx: ArrayData, mxf: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = math.min(v.numElements(),
+      math.min(mn.numElements(), mx.numElements()))
+    var dot = 0.0; var nv = 0.0; var nr = 0.0; var err = 0.0
+    var d = 0
+    while (d < n) {
+      val x = if (vf) v.getFloat(d).toDouble else v.getDouble(d)
+      val m = if (mnf) mn.getFloat(d).toDouble else mn.getDouble(d)
+      val M = if (mxf) mx.getFloat(d).toDouble else mx.getDouble(d)
+      val r =
+        if (M == m) m
+        else m + Math.floor((x - m) / (M - m) * 255.0 + 0.5) * (M - m) / 255.0
+      dot += x * r; nv += x * x; nr += r * r; err += Math.abs(x - r)
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](dot, nv, nr, err))
+  }
+}
+
 /** Column-level entry points + SQL registration for graft's native functions. */
 object GraftFunctions {
   def fnv1a64(c: Column): Column =
@@ -537,6 +621,9 @@ object GraftFunctions {
       basePlane: Int): Column =
     GraftSqlInternal.column(PqCode(GraftSqlInternal.expression(c),
       subspaces, subCentroids, subDim, basePlane))
+  def sq8_recon(vec: Column, mn: Column, mx: Column): Column =
+    GraftSqlInternal.column(Sq8Recon(GraftSqlInternal.expression(vec),
+      GraftSqlInternal.expression(mn), GraftSqlInternal.expression(mx)))
 
   /** Registers `fnv1a64` / `cosine_similarity` for use from SQL text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -42,6 +42,26 @@ object Sharding {
       rateMilli: org.apache.spark.sql.Column): DataFrame =
     df.where(pmod(col(idCol).cast("long") * HashMul, lit(1000L)) < rateMilli)
 
+  /** Diversity-aware curation sampling: keep the `k` best rows (by
+    * `scoreCol`, ties to the lower id) within every `cellCol` group — the
+    * coverage-sampling step of a curation pipeline: with cells from a
+    * coarse quantizer over embeddings (e.g. [[Similarity.ivfAssign]]),
+    * "top quality per cell" keeps the corpus topically diverse instead of
+    * letting one dominant mode fill the whole quality budget (the k-center
+    * idea, bucketed).
+    *
+    * One shuffle on the cell key, window PARTITIONED by cell — per-cell
+    * work is independent and bounded, so the plan scales out with cell
+    * count at any corpus size. */
+  def diversitySample(df: DataFrame, cellCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(cellCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Token-budget pack manifest: documents in ascending `idCol` order are
     * assigned to consecutive packs of ~`budget` tokens — the
     * sequence-packing shard plan for pretraining data. A document's pack

@@ -366,6 +366,32 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
   }
 
+  /** SQ8 scalar-quantization audit: quantize every vector to the 8-bit
+    * per-dimension grid spanned by the corpus min/max bounds, reconstruct,
+    * and report the reconstruction cosine and mean absolute error — the
+    * fidelity check a pipeline runs before committing a corpus to the
+    * 1-byte/dim storage layout (the compression rung between raw floats
+    * and [[pqCodes]]' 8 B/vec).
+    *
+    * Plan shape: one tiny bounds aggregate (128 partial-agg columns → 1
+    * row), broadcast to a per-row fused [[graft.functions.Sq8Recon]] pass —
+    * the corpus is scanned once, never shuffled, at any scale. */
+  def sq8Recon(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int = 64): DataFrame = {
+    import graft.functions.GraftFunctions.sq8_recon
+    val bounds = emb.agg(
+      array((1 to dims).map(i => min(element_at(col(vecCol), i))): _*).as("mn"),
+      array((1 to dims).map(i => max(element_at(col(vecCol), i))): _*).as("mx"))
+    emb.crossJoin(broadcast(bounds))
+      .withColumn("_s", sq8_recon(col(vecCol), col("mn"), col("mx")))
+      .select(col(idCol),
+        q6(when(col("_s.norm_v") * col("_s.norm_r") === 0.0, lit(0.0))
+          .otherwise(col("_s.dot") /
+            (sqrt(col("_s.norm_v")) * sqrt(col("_s.norm_r")))))
+          .as("recon_cosine"),
+        q6(col("_s.err_sum") / lit(dims.toDouble)).as("mean_abs_err"))
+  }
+
   def lshTopK(
       emb: DataFrame, idCol: String, vecCol: String,
       planes: Int, k: Int): DataFrame = {

@@ -137,6 +137,83 @@ object TextAnalysis {
         regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "),
         " +", " ")).as("norm_text"))
 
+  /** PII-shaped detector regexes — THE single definition; the DuckDB
+    * oracle SQL is generated from these strings (RE2/Java-compatible
+    * subset: no lookaround, no backrefs). */
+  val EmailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe: String = "https?://[a-z0-9./_-]+"
+  val PhoneRe: String = "\\+[0-9][0-9-]{5,}[0-9]"
+
+  /** PII scrubbing: count and redact email / URL / phone-shaped spans —
+    * the compliance pass a training pipeline runs before any corpus is
+    * retained. Counts are measured on the raw text; redaction replaces
+    * URLs first (so an address inside a link is not double-counted), then
+    * emails, then phone numbers. One narrow codegen'd projection (three
+    * `regexp_count` + three `regexp_replace`), no shuffle at any scale. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(UrlRe)).cast("long").as("n_urls"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, UrlRe, "<URL>"),
+          EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("scrubbed"))
+  }
+
+  /** Corpus vocabulary statistics + a Zipf's-law fit: vocabulary size,
+    * hapax-legomenon count, total token count, type-token ratio, and the
+    * least-squares slope of ln(frequency) against ln(rank) over the top
+    * `topN` vocabulary entries (Zipf's law predicts ≈ −1; a corpus whose
+    * slope is far off is boilerplate-heavy or template-generated — a
+    * corpus-level quality gate).
+    *
+    * Cross-engine determinism: ln values are rounded to integer millinats
+    * per term (the perplexity/PMI pattern), the slope comes from the
+    * closed form `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` over those exact
+    * integer sums, and only the final division is quantized (q6).
+    *
+    * Plan shape: one token-frequency shuffle with map-side combine; the
+    * top-`topN` head rides a distributed TakeOrdered; ranks are assigned
+    * by `sort_array` + `posexplode` over the collected `topN`-element
+    * array (bounded at `topN` rows regardless of corpus size) — no global
+    * window anywhere. */
+  def zipfStats(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    val freq = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val totals = freq.agg(
+      count(lit(1)).cast("long").as("vocab_size"),
+      sum(when(col("f") === 1, 1L).otherwise(0L)).cast("long").as("hapax_count"),
+      sum(col("f")).cast("long").as("total_tokens"))
+    // top-N by (f desc, w): TakeOrdered, then rank via sorted-array
+    // position — the (−f, w) struct sorts exactly in rank order
+    val ranked = freq
+      .orderBy(col("f").desc, col("w")).limit(topN)
+      .agg(sort_array(collect_list(struct(
+        (col("f") * -1).as("nf"), col("w").as("w"), col("f").as("f")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("double").as("r"),
+        col("s.f").cast("double").as("f"))
+    val sums = ranked
+      .select(
+        floor(log(col("r")) * 1000.0 + 0.5).cast("long").as("x"),
+        floor(log(col("f")) * 1000.0 + 0.5).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    totals.crossJoin(sums).select(
+      col("vocab_size"), col("hapax_count"), col("total_tokens"),
+      q6(col("vocab_size").cast("double") / col("total_tokens").cast("double"))
+        .as("type_token_ratio"),
+      q6((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .as("zipf_slope"))
+  }
+
   /** Document fingerprint: minimum modular hash over the document's
     * k-shingle codes — a winnowing-style content fingerprint; equal
     * fingerprints are near-dup candidates. */
