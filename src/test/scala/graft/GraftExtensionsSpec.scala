@@ -65,13 +65,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  projection_dot(array(CAST(1.0 AS FLOAT)), 0, 1) AS p,
           |  minhash_signature('abcdefgh', 3, 4) AS mh,
           |  shingle_overlap('abcdef', 'abcxyz', 3) AS ov,
-          |  pq_code(array(CAST(0.25 AS FLOAT), CAST(-0.5 AS FLOAT)), 2, 2, 1, 301) AS pq
+          |  pq_code(array(CAST(0.25 AS FLOAT), CAST(-0.5 AS FLOAT)), 2, 2, 1, 301) AS pq,
+          |  sq8_recon(array(1.0D, 3.0D), array(0.0D, 0.0D), array(255.0D, 255.0D)) AS sq
           |""".stripMargin).head()
       assert(r.getLong(0) == 0xa430d84680aabd0bL)
       assert(r.getDouble(1) == 1.0)
       assert(r.getInt(2) == 5)
       assert(r.getSeq[Long](4).length == 4)
       assert(r.getStruct(5).getLong(0) == 1L) // only "abc" shared
+      // grid points land exactly on the inputs -> zero reconstruction error
+      assert(r.getStruct(7).getDouble(3) == 0.0)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

@@ -138,6 +138,39 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"train shingles shuffled before the probe:\n$plan")
   }
 
+  test("sq8 audit: fused per-row pass against broadcast bounds, no shuffle") {
+    val plan = planOf("sim_sq8_recon")
+    assert(plan.contains("sq8_recon"), "fused sq8_recon missing")
+    assert(plan.contains("BroadcastExchange"),
+      s"1-row bounds must broadcast:\n$plan")
+    // the corpus itself is scanned once and never hash-shuffled (the only
+    // other exchange is the output orderBy's range partitioning)
+    assert(!plan.contains("hashpartitioning"),
+      s"corpus shuffled on the sq8 path:\n$plan")
+  }
+
+  test("zipf: TakeOrdered head + bounded rank, no window operator at all") {
+    val plan = planOf("text_zipf")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N head is not a distributed TakeOrdered:\n$plan")
+    assert(!plan.contains("Window"),
+      s"rank must come from the bounded sort_array, not a window:\n$plan")
+  }
+
+  test("diversity sample: window partitioned by cell, never global") {
+    val plan = planOf("shard_diversity_sample")
+    assert(plan.contains("Window"), s"expected a ranking window:\n$plan")
+    assert(plan.contains("hashpartitioning(cell"),
+      s"window must partition by the IVF cell:\n$plan")
+  }
+
+  test("pii scrub: one narrow codegen'd projection, no shuffle") {
+    val plan = planOf("text_pii_scrub")
+    assert(!plan.contains("hashpartitioning"),
+      s"scrub projection gained a shuffle:\n$plan")
+    assert(!plan.contains("Generate"), "explode crept into the scrub path")
+  }
+
   test("pq codes: one fused expression per row, no slices or structs") {
     import spark.implicits._
     val emb = (0L until 20L)

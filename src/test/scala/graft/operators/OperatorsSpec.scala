@@ -557,4 +557,85 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == expected && got.nonEmpty)
   }
+
+  test("pii scrub: counts on raw text, URL→EMAIL→PHONE redaction order") {
+    val df = docsDF(Seq(
+      (0L, "reach me at a.b+c@mail.example.com or via https://x.example.org/path now"),
+      (1L, "call +1-555-0042 twice or mail x@y.io and z@w.net"),
+      (2L, "nothing sensitive here at all")))
+    val got = TextAnalysis.piiScrub(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got(0L) == ((1L, 1L, 0L,
+      "reach me at <EMAIL> or via <URL> now")))
+    assert(got(1L) == ((2L, 0L, 1L,
+      "call <PHONE> twice or mail <EMAIL> and <EMAIL>")))
+    assert(got(2L) == ((0L, 0L, 0L, "nothing sensitive here at all")))
+  }
+
+  test("zipf stats: hand-computable vocabulary and slope on a tiny corpus") {
+    // frequencies: aa×4, bb×2, cc×1, dd×1 → vocab 4, hapax 2, tokens 8
+    val df = docsDF(Seq(
+      (0L, "aa aa bb cc"), (1L, "aa bb dd"), (2L, "aa")))
+    val r = TextAnalysis.zipfStats(df, "text", topN = 100).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 8L)
+    assert(r.getDouble(3) == 0.5) // type-token ratio 4/8
+    // slope from the exact millinat integers: x=ln(rank)·1000 rounded,
+    // y=ln(freq)·1000 rounded over ranks 1..4
+    val x = Seq(1, 2, 3, 4).map(v => math.floor(math.log(v) * 1000 + 0.5).toLong)
+    val y = Seq(4, 2, 1, 1).map(v => math.floor(math.log(v) * 1000 + 0.5).toLong)
+    val n = 4L
+    val (sx, sy) = (x.sum, y.sum)
+    val (sxy, sxx) = (x.zip(y).map { case (a, b) => a * b }.sum, x.map(a => a * a).sum)
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(r.getDouble(4) == math.floor(slope * 1e6 + 0.5) / 1e6)
+  }
+
+  test("sq8 recon: on-grid vectors round-trip exactly; error bounded by half-step") {
+    import scala.collection.JavaConverters._
+    import org.apache.spark.sql.types._
+    val dims = 8
+    // vec 0/1 sit exactly on the [0,255] int grid; vec 2 is off-grid
+    val rows = Seq(
+      (0L, Array.tabulate(dims)(d => (d * 3).toFloat)),
+      (1L, Array.tabulate(dims)(_ => 0f)),
+      (2L, Array.tabulate(dims)(d => d * 3 + 0.4f)))
+    val df = spark.createDataFrame(
+      rows.map { case (i, v) => org.apache.spark.sql.Row(i, v.toSeq) }.asJava,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    // stretch bounds to [0,255] by planting min/max rows
+    val bounds = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(98L, Seq.fill(dims)(0f)),
+      org.apache.spark.sql.Row(99L, Seq.fill(dims)(255f))).asJava, df.schema)
+    val got = Similarity.sq8Recon(df.union(bounds), "vec_id", "embedding", dims)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(0L)._2 == 0.0, "on-grid vector must reconstruct exactly")
+    assert(got(0L)._1 == 1.0)
+    // off-grid: every dim within half a quantization step (0.5), cosine ≈ 1
+    assert(got(2L)._2 <= 0.5 && got(2L)._1 >= 0.999)
+    // all-zero vector: zero norms guard → cosine 0, exact reconstruction
+    assert(got(1L) == ((0.0, 0.0)))
+  }
+
+  test("as-of tolerance: farther-than-tolerance matches become NULL, rows stay") {
+    import scala.collection.JavaConverters._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("user_id", LongType), StructField("t", LongType)))
+    def df(rows: Seq[(Long, Long, Long)]) = spark.createDataFrame(
+      rows.map { case (a, b, c) => org.apache.spark.sql.Row(a, b, c) }.asJava, schema)
+    val left = df(Seq((100L, 1L, 50L), (101L, 1L, 500L), (102L, 2L, 10L)))
+    val right = df(Seq((7L, 1L, 45L), (8L, 1L, 300L)))
+      .withColumnRenamed("id", "rid")
+    val got = AsOf.joinNearest(left, right, Seq("user_id"), "t", Seq("rid"),
+        tolerance = Some(lit(100L)))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    assert(got == Set(
+      (100L, Some(7L), Some(5L)),   // nearest at delta 5 ≤ 100
+      (101L, None, None),           // nearest delta 200 > tolerance → NULL
+      (102L, None, None)))          // no right row for user 2 at all
+  }
 }
