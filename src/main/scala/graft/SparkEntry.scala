@@ -1385,6 +1385,17 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("kept"))
         .orderBy("source")
     }),
+    "shard_curriculum" -> ((s, dir) => {
+      // curriculum schedule: dense global position under (quality asc,
+      // doc_id asc) — easy-to-hard ordering via the two-phase bucketed
+      // global rank (no single-partition window at any scale)
+      val docs = table(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      graft.operators.Sharding.curriculumRank(q, "quality_score", "doc_id")
+        .select(col("doc_id"), col("quality_score"), col("curriculum_pos"))
+        .orderBy("curriculum_pos")
+    }),
     "shard_diversity_sample" -> ((s, dir) => {
       // diversity-aware curation: the 5 best-quality documents per IVF
       // cell of the paired embeddings (vec_id aligns with doc_id) —
@@ -3652,6 +3663,24 @@ object SparkEntry {
           |  CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id,
           |  CAST((cum - n_tokens) % 4096 AS BIGINT) AS pack_pos
           |FROM c ORDER BY doc_id""".stripMargin,
+      "shard_curriculum" ->
+        // the single global window IS the oracle definition the two-phase
+        // bucketed rank must reproduce bit-for-bit
+        """WITH b AS (
+          |  SELECT doc_id,
+          |    CAST(length(text) AS DOUBLE) AS nc,
+          |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+          |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is|a|in|that)\b')) AS DOUBLE) AS stop,
+          |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS na
+          |  FROM documents),
+          |q AS (SELECT doc_id,
+          |    round(0.4 * least(nc / 400.0, 1.0) + 0.4 * least(stop / nw * 5.0, 1.0)
+          |      + 0.2 * (1.0 - least(na / nc * 4.0, 1.0)), 6) AS quality_score
+          |  FROM b)
+          |SELECT doc_id, quality_score,
+          |  CAST(row_number() OVER (ORDER BY quality_score, doc_id) - 1 AS BIGINT)
+          |    AS curriculum_pos
+          |FROM q ORDER BY curriculum_pos""".stripMargin,
       "shard_diversity_sample" -> {
         // IVF-cell assignment twin (sim_ivf_search's nprobe=1 formulation)
         // joined to the quality twin, ranked per cell

@@ -62,6 +62,46 @@ object Sharding {
       .where(col("rnk") <= k)
   }
 
+  /** Curriculum ordering: a dense GLOBAL position for every row under the
+    * total order `(scoreCol asc, idCol asc)` — the easy-to-hard training
+    * schedule (curriculum learning), and more generally a distributed
+    * global sort-rank.
+    *
+    * Never a global single-partition window: `scoreCol` (expected in
+    * [0,1], e.g. a quality score) is cut into `nBuckets` value-derived
+    * coarse buckets (`floor(score·nBuckets)`, clamped — deterministic
+    * across runs/retries); phase 1 collects per-bucket counts (≤
+    * `nBuckets` rows) and scans them into per-bucket base positions on
+    * the driver; phase 2 broadcast-joins the base table and ranks
+    * PARTITIONED by bucket. Bucket id is monotone in score, so
+    * bucket-major + in-bucket order IS the global order — the result is
+    * bit-identical to `row_number() OVER (ORDER BY score, id) − 1` at any
+    * corpus size, with per-bucket work independent and bounded. */
+  def curriculumRank(df: DataFrame, scoreCol: String, idCol: String,
+      nBuckets: Int = 64): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val b = least(greatest(floor(col(scoreCol) * nBuckets).cast("long"),
+      lit(0L)), lit((nBuckets - 1).toLong))
+    val bucketed = df.withColumn("_bkt", b)
+    // phase 1: per-bucket counts, scanned into base positions on the driver
+    val perBucket = bucketed.groupBy("_bkt").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = perBucket.map { case (k, n) =>
+      val base = (k, acc); acc += n; base
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val baseDf = bases.toDF("_bkt", "_base")
+    // phase 2: bucket-local rank + broadcast base
+    val w = Window.partitionBy("_bkt")
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    bucketed.join(broadcast(baseDf), Seq("_bkt"))
+      .withColumn("curriculum_pos",
+        row_number().over(w).cast("long") - 1L + col("_base"))
+      .drop("_bkt", "_base")
+  }
+
   /** Token-budget pack manifest: documents in ascending `idCol` order are
     * assigned to consecutive packs of ~`budget` tokens — the
     * sequence-packing shard plan for pretraining data. A document's pack

@@ -164,6 +164,12 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"window must partition by the IVF cell:\n$plan")
   }
 
+  test("curriculum rank: window partitioned by value bucket, never global") {
+    val plan = planOf("shard_curriculum")
+    assert(plan.contains("hashpartitioning(_bkt"),
+      s"rank window must partition by the score bucket:\n$plan")
+  }
+
   test("pii scrub: one narrow codegen'd projection, no shuffle") {
     val plan = planOf("text_pii_scrub")
     assert(!plan.contains("hashpartitioning"),

@@ -618,6 +618,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) == ((0.0, 0.0)))
   }
 
+  test("curriculum rank: bucketed two-phase equals the global sort-rank") {
+    import scala.collection.JavaConverters._
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(7)
+    // scores cluster near bucket edges (k/64 ± ε) to stress boundaries,
+    // plus exact ties sharing a bucket, plus out-of-range values (clamped)
+    val rows = (0L until 300L).map { i =>
+      val s = i % 10 match {
+        case 0 => (i % 64).toDouble / 64.0              // exactly on an edge
+        case 1 => 1.0                                    // top clamp
+        case 2 => 0.25                                   // heavy tie group
+        case _ => rnd.nextDouble()
+      }
+      (i, s)
+    }
+    val df = spark.createDataFrame(
+      rows.map { case (i, s) => org.apache.spark.sql.Row(i, s) }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("s", DoubleType))))
+    val got = Sharding.curriculumRank(df, "s", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val expected = rows.sortBy { case (i, s) => (s, i) }
+      .zipWithIndex.map { case ((i, _), pos) => i -> pos.toLong }.toMap
+    assert(got == expected)
+  }
+
   test("as-of tolerance: farther-than-tolerance matches become NULL, rows stay") {
     import scala.collection.JavaConverters._
     import org.apache.spark.sql.types._
