@@ -152,4 +152,55 @@ class PropertySpec extends AnyFunSuite {
       assert(count >= 0 && count <= hi)
     }
   }
+
+  test("sq8 round trip: per-dim error ≤ half a grid step, idempotent on grid points") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Array[Double]) = new GenericArrayData(xs.map(_.asInstanceOf[Any]))
+    val r = rng
+    (0 until Cases).foreach { _ =>
+      val dims = 1 + r.nextInt(64)
+      val mn = Array.fill(dims)(r.nextDouble() * 4 - 2)
+      val mx = mn.map(m => m + (if (r.nextInt(8) == 0) 0.0 else r.nextDouble() * 3))
+      val v = mn.indices.map(d => mn(d) + r.nextDouble() * (mx(d) - mn(d))).toArray
+      val row = graft.functions.Sq8Recon.compute(
+        arr(v), false, arr(mn), false, arr(mx), false)
+      val err = row.getDouble(3)
+      // |x − r| ≤ (mx−mn)/510 per dim (half the 255-level grid step);
+      // degenerate dims (mx = mn) reconstruct exactly
+      val bound = mn.indices.map(d => (mx(d) - mn(d)) / 510.0).sum + 1e-9
+      assert(err <= bound, s"err=$err bound=$bound dims=$dims")
+      // quantizing an already-reconstructed vector is a fixed point
+      val rec = mn.indices.map { d =>
+        if (mx(d) == mn(d)) mn(d)
+        else mn(d) + math.floor((v(d) - mn(d)) / (mx(d) - mn(d)) * 255.0 + 0.5) *
+          (mx(d) - mn(d)) / 255.0
+      }.toArray
+      val row2 = graft.functions.Sq8Recon.compute(
+        arr(rec), false, arr(mn), false, arr(mx), false)
+      assert(row2.getDouble(3) <= 1e-9, "grid points must round-trip exactly")
+    }
+  }
+
+  test("bucketed global rank: bucket-major + in-bucket order is the total order") {
+    // the curriculumRank invariant, on the pure arithmetic: floor(s·B)
+    // clamped is monotone in s, so (bucket, s, id) sorts exactly as (s, id)
+    val r = rng
+    (0 until Cases).foreach { _ =>
+      val b = 1 + r.nextInt(128)
+      val rows = (0 until (1 + r.nextInt(200))).map { i =>
+        val s = r.nextInt(5) match {
+          case 0 => r.nextInt(b + 1).toDouble / b // exactly on edges
+          case 1 => 1.0
+          case 2 => -0.25 // below range -> clamps to bucket 0
+          case 3 => 1.25  // above range -> clamps to bucket B-1
+          case _ => r.nextDouble()
+        }
+        (i.toLong, s)
+      }
+      def bkt(s: Double) = math.min(math.max(math.floor(s * b).toLong, 0L), (b - 1).toLong)
+      val global = rows.sortBy { case (id, s) => (s, id) }.map(_._1)
+      val bucketMajor = rows.sortBy { case (id, s) => (bkt(s), s, id) }.map(_._1)
+      assert(bucketMajor == global, s"b=$b")
+    }
+  }
 }
