@@ -1767,6 +1767,36 @@ object SparkEntry {
           StructField("kept", LongType), StructField("dropped", LongType))))
         .orderBy("win_start")
     }),
+    "stream_trending_tokens" -> ((s, dir) => {
+      // Windowed text stats over the streaming source: tokens explode
+      // in-flight, a tumbling event-time window (same 1 doc/minute clock
+      // as stream_quality_windows) counts per-token occurrences
+      // incrementally; the per-window top-3 "trending" rank is a bounded
+      // batch post-pass over the final complete-mode table. At scale the
+      // stateful part is the windowed count (map-side combined, bounded
+      // state per window×token); the rank never enters the stream.
+      val toks = parsedDocsStream(s, dir)
+        .withColumn("et", timestamp_seconds(col("doc_id") * 60 + 3600))
+        .select(col("et"), explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      val counted = toks.withWatermark("et", "10 minutes")
+        .groupBy(window(col("et"), "1 hour").as("w"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("long").as("win_start"), col("tok"), col("n"))
+      val rows = runStreamToMemory(s, counted, "complete") { t =>
+        import org.apache.spark.sql.expressions.Window
+        val rw = Window.partitionBy("win_start")
+          .orderBy(col("n").desc, col("tok").asc)
+        t.withColumn("rnk", row_number().over(rw).cast("long"))
+          .where(col("rnk") <= 3)
+          .orderBy("win_start", "rnk").collect().toSeq
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("win_start", LongType),
+          StructField("tok", StringType), StructField("n", LongType),
+          StructField("rnk", LongType))))
+        .orderBy("win_start", "rnk")
+    }),
     "stream_neardup_pairs" -> ((s, dir) => {
       // Streaming near-dup discovery: MinHash-LSH banding with the bucket
       // registry carried in flatMapGroupsWithState — as documents stream
@@ -3858,6 +3888,20 @@ object SparkEntry {
           |  CAST(SUM(CASE WHEN score >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
           |  CAST(SUM(CASE WHEN score < 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
           |FROM q GROUP BY 1 ORDER BY win_start""".stripMargin,
+      "stream_trending_tokens" ->
+        // batch twin: same synthetic event-time clock and hour windows as
+        // the streaming windowed count, same (n DESC, tok) rank
+        """WITH t AS (
+          |  SELECT CAST((doc_id * 60 + 3600) // 3600 * 3600 AS BIGINT) AS win_start,
+          |    unnest(string_split(text, ' ')) AS tok
+          |  FROM documents),
+          |c AS (SELECT win_start, tok, count(*) AS n FROM t
+          |  WHERE tok <> '' GROUP BY 1, 2),
+          |r AS (SELECT win_start, tok, n,
+          |    CAST(row_number() OVER (PARTITION BY win_start
+          |      ORDER BY n DESC, tok) AS BIGINT) AS rnk FROM c)
+          |SELECT win_start, tok, n, rnk FROM r
+          |WHERE rnk <= 3 ORDER BY win_start, rnk""".stripMargin,
       "stream_neardup_pairs" -> {
         // the batch twin of the streaming bucket registry — identical to
         // the dedup_minhash_lsh_pairs oracle (same k/bands/rows constants)
