@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, Fnv1a64, MinHashSignature, PqCode, ProjectionDot, ShingleCodes, ShingleOverlap, Sq8Recon}
+import graft.functions.{CosineSimilarity, Fnv1a64, MinHashSignature, PqCode, ProjectionDot, ShingleCodes, ShingleOverlap, Sq8Recon, WinnowFingerprints}
 
 /** Session-extensions entry point: registers graft's native codegen'd
   * expressions as SQL functions at session build time, so a cluster can
@@ -182,6 +182,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(a, b, k) - struct(both, sz_a, sz_b) distinct k-shingle overlap stats."),
       (exprs: Seq[Expression]) => ShingleOverlap(exprs(0), exprs(1),
         intArg(exprs, 2, "shingle_overlap", "k"))))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "_FUNC_(text, k, w, a, b) - distinct winnowed (MOSS) k-shingle fingerprint set."),
+      (exprs: Seq[Expression]) => WinnowFingerprints(exprs.head,
+        intArg(exprs, 1, "winnow_fingerprints", "k"),
+        intArg(exprs, 2, "winnow_fingerprints", "w"),
+        intArg(exprs, 3, "winnow_fingerprints", "a").toLong,
+        intArg(exprs, 4, "winnow_fingerprints", "b").toLong)))
     ext.injectTableFunction((FunctionIdentifier("walrus_log"),
       info("walrus_log",
         "_FUNC_(path[, topic]) - a walrus log root as a table-valued FROM source."),

@@ -572,6 +572,14 @@ object SparkEntry {
           "vec_id", "embedding", minCosine = 0.35)
         .withColumnRenamed("id_a", "vec_a").withColumnRenamed("id_b", "vec_b")
         .orderBy("vec_a", "vec_b")),
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      // substring-level dup candidates: winnowed (MOSS) fingerprint sets,
+      // pairs sharing >= 3 window minima — catches long shared substring
+      // runs that whole-document MinHash misses; fingerprint equi-join
+      // with a df<=50 stop-fingerprint cap, never all-pairs
+      Dedup.winnowPairs(table(s, dir, "documents"), "doc_id", "text",
+          k = 8, w = 12, minShared = 3L, maxDocFreq = Some(50))
+        .orderBy("id_a", "id_b")),
 
     "dedup_clusters" -> ((s, dir) => {
       // canonical-document assignment: connected components over the LSH
@@ -700,6 +708,14 @@ object SparkEntry {
     "text_zipf" -> ((s, dir) =>
       // corpus-level Zipf fit + vocabulary stats (one-row quality gate)
       TextAnalysis.zipfStats(table(s, dir, "documents"), "text", topN = 100)),
+    "text_dsir_weights" -> ((s, dir) =>
+      // DSIR importance resampling weights: hashed-unigram bucket
+      // log-ratios of the lang='en' target slice vs the raw corpus,
+      // summed per document in exact millinat-integer arithmetic — one
+      // token-stream pass, 64-row weight table broadcast back
+      TextAnalysis.dsirWeights(table(s, dir, "documents"), "doc_id", "text",
+          targetPred = col("lang") === "en", nBuckets = 64)
+        .orderBy("doc_id")),
     "text_pii_scrub" -> ((s, dir) => {
       // compliance pass: the synthetic corpus carries no PII, so both
       // engines first compose the SAME deterministic contact line from
@@ -1385,6 +1401,15 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("kept"))
         .orderBy("source")
     }),
+    "shard_epoch_shuffle" -> ((s, dir) =>
+      // per-epoch deterministic global shuffle order (3 epochs): a
+      // different modular-hash permutation per epoch, ranked via the
+      // two-phase bucketed global rank — the pretraining loader's
+      // re-shuffle without materializing a permutation
+      graft.operators.Sharding.epochShuffle(
+          table(s, dir, "documents").select(col("doc_id")), "doc_id",
+          epochs = 3, nBuckets = 64)
+        .orderBy("epoch", "pos")),
     "shard_curriculum" -> ((s, dir) => {
       // curriculum schedule: dense global position under (quality asc,
       // doc_id asc) — easy-to-hard ordering via the two-phase bucketed
@@ -2476,6 +2501,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val mh8 = TextOps.hashCoeffs(8)
     val (sa, sb) = TextOps.hashCoeffs(1).head
+    // FNV-1a-64 of a VARCHAR expression as an unsigned HUGEINT residue
+    // (same fold as the mm_feature_extract twin; ASCII corpus)
+    def fnvSql(v: String): String =
+      s"""list_reduce(
+         |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+         |        list_transform(generate_series(1, length($v)),
+         |          fi -> CAST(ascii(substr($v, fi, 1)) AS HUGEINT))),
+         |      (acc, fb) -> mod(xor(acc, fb) * 1099511628211,
+         |        CAST('18446744073709551616' AS HUGEINT)))""".stripMargin
     Map(
       "log_append_dump" ->
         """SELECT event_type AS topic,
@@ -3019,6 +3053,68 @@ object SparkEntry {
           |    / CAST(n * sxx - sx * sx AS DOUBLE)
           |    * 1000000 + 0.5) / 1000000 AS zipf_slope
           |FROM v, s""".stripMargin,
+      "text_dsir_weights" ->
+        // exact arithmetic twin of TextAnalysis.dsirWeights: per-token
+        // FNV-1a-64 (unsigned residue % 64 == Java's h & 63), the SAME
+        // Laplace-smoothed product/quotient association order, millinat
+        // ln rounding, integer per-doc sums
+        s"""WITH tk AS (
+           |  SELECT doc_id, lang = 'en' AS tgt,
+           |    unnest(string_split(text, ' ')) AS tok FROM documents),
+           |tb AS (
+           |  SELECT doc_id, tgt,
+           |    CAST(${fnvSql("tok")} % 64 AS BIGINT) AS b
+           |  FROM tk WHERE tok <> ''),
+           |pdb AS (SELECT doc_id, tgt, b, count(*) AS n FROM tb GROUP BY 1, 2, 3),
+           |hist AS (SELECT b, sum(n) AS cnt_r,
+           |    sum(CASE WHEN tgt THEN n ELSE 0 END) AS cnt_t
+           |  FROM pdb GROUP BY b),
+           |tot AS (SELECT sum(cnt_r) AS rr, sum(cnt_t) AS tt FROM hist),
+           |wts AS (SELECT b,
+           |    CAST(floor(ln(
+           |      (CAST(cnt_t + 1 AS DOUBLE) * CAST(rr + 64 AS DOUBLE)) /
+           |      (CAST(tt + 64 AS DOUBLE) * CAST(cnt_r + 1 AS DOUBLE))
+           |    ) * 1000.0 + 0.5) AS BIGINT) AS w
+           |  FROM hist, tot)
+           |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+           |  CAST(sum(n * w) AS BIGINT) AS importance_millinats
+           |FROM pdb JOIN wts USING (b)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "dedup_winnow_pairs" ->
+        // winnowing twin: per-position shingle hashes, window-frame MIN
+        // over w=12 consecutive positions (only FULL windows — the Spark
+        // side's length >= k+w-1 predicate is mirrored), distinct
+        // (doc, fp), fingerprint equi-join, shared-count filter
+        s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 19),
+           |pos AS (SELECT doc_id, text,
+           |    unnest(generate_series(1, length(text) - 7)) AS i FROM d),
+           |h AS (SELECT doc_id, i, length(text) - 7 AS n,
+           |    ${permSql(codeSql("text", 8), sa, sb)} AS h FROM pos),
+           |wm AS (SELECT doc_id, i, n,
+           |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+           |      ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS fp
+           |  FROM h),
+           |fps0 AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n - 11),
+           |keep AS (SELECT fp FROM fps0 GROUP BY fp HAVING count(*) <= 50),
+           |fps AS (SELECT doc_id, fps0.fp FROM fps0 JOIN keep ON fps0.fp = keep.fp),
+           |p AS (SELECT fa.doc_id AS id_a, fb.doc_id AS id_b,
+           |    count(*) AS shared_fps
+           |  FROM fps fa JOIN fps fb
+           |    ON fa.fp = fb.fp AND fa.doc_id < fb.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, CAST(shared_fps AS BIGINT) AS shared_fps
+           |FROM p WHERE shared_fps >= 3 ORDER BY id_a, id_b""".stripMargin,
+      "shard_epoch_shuffle" -> {
+        val perEpoch = TextOps.hashCoeffs(3).zipWithIndex.map { case ((a, b), e) =>
+          s"SELECT $e AS epoch, doc_id, ($a * (doc_id % ${TextOps.P}) + $b) % ${TextOps.P} AS h FROM documents"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH h AS (
+           |  $perEpoch)
+           |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+           |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1
+           |    AS BIGINT) AS pos
+           |FROM h ORDER BY epoch, pos""".stripMargin
+      },
       "text_pii_scrub" ->
         // same deterministic contact line, then counts on the raw text and
         // URL -> EMAIL -> PHONE redaction — regexes generated from the

@@ -421,6 +421,107 @@ object ShingleOverlap {
   }
 }
 
+/** Winnowing fingerprint set (Schleimer–Wilkerson–Aiken's MOSS algorithm)
+  * of an ASCII string in ONE fused pass: the rolling base-128 k-shingle
+  * code stream (as [[ShingleCodes]]) is permutation-hashed with
+  * `(a·(code mod P) + b) mod P`, every window of `w` consecutive hashes
+  * contributes its minimum, and the distinct minima form the document's
+  * fingerprint set. Winnowing guarantee: any substring of length
+  * ≥ k + w − 1 shared by two documents yields at least one shared
+  * fingerprint — the per-document, shuffle-free stand-in for
+  * exact-substring (suffix-array) dedup at corpus scale. Sliding minima
+  * via a monotone index deque (O(len) total, not O(len·w)); a builtin
+  * `transform(sequence(..), j -> array_min(slice(..)))` formulation would
+  * be O(len·w) AND re-evaluate the hash array per window once
+  * CollapseProject/AQE inlines it — fusing is the only shape that stays
+  * in whole-stage codegen. Fewer than `w` shingles → one window spanning
+  * them all; no shingle at all (`length < k`) → NULL (matching the
+  * explode+window-frame SQL-oracle formulation, which has no row to emit).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int, a: Long, b: Long)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 9, "base-128 shingle codes overflow beyond k=9")
+  require(w >= 1 && w <= 4096, "winnow window out of range")
+  require(a > 0 && a < graft.operators.TextOps.P && b >= 0 && b < graft.operators.TextOps.P,
+    "hash coefficients must lie in [0, P)")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires STRING input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // short strings have no shingles
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    WinnowFingerprints.compute(bytes, k, w, a, b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val res = ctx.freshName("wfRes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.WinnowFingerprints.compute($str.getBytes(), $k, $w, ${a}L, ${b}L);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprints"
+}
+
+object WinnowFingerprints {
+  private final val P = graft.operators.TextOps.P
+
+  /** Rolling shingle hashes + monotone-deque sliding minima + first-seen
+    * dedup; null when no shingle fits. Shared by interpreted + codegen
+    * paths (named `compute`, NOT `eval` — an `eval` companion loses its
+    * static forwarder and silently degrades codegen to interpreted). */
+  def compute(bytes: Array[Byte], k: Int, w: Int, a: Long, b: Long): ArrayData = {
+    val n = bytes.length - k + 1
+    if (n <= 0) return null
+    val hs = new Array[Long](n)
+    var topPow = 1L
+    var i = 0
+    while (i < k - 1) { topPow *= 128L; i += 1 }
+    var code = 0L
+    i = 0
+    while (i < k) { code = code * 128L + (bytes(i) & 0xffL); i += 1 }
+    hs(0) = (a * (code % P) + b) % P
+    i = 1
+    while (i < n) {
+      code = (code - (bytes(i - 1) & 0xffL) * topPow) * 128L + (bytes(i + k - 1) & 0xffL)
+      hs(i) = (a * (code % P) + b) % P
+      i += 1
+    }
+    if (n <= w) { // degenerate: one window spanning every shingle
+      var mn = hs(0)
+      i = 1
+      while (i < n) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(mn))
+    }
+    // window j covers hash indexes [j, j+w-1]; deque holds candidate minima
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    i = 0
+    while (i < n) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val mn = hs(dq(head))
+        if (seen.add(mn)) out += mn
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 /** Packed product-quantization code of a float/double vector in ONE fused
   * pass: for each of `subspaces` contiguous `subDim` blocks, the best
   * sub-centroid by 6-dp-quantized projection dot (ties to the HIGHER cid),
@@ -615,6 +716,9 @@ object GraftFunctions {
   def shingle_overlap(a: Column, b: Column, k: Int): Column =
     GraftSqlInternal.column(
       ShingleOverlap(GraftSqlInternal.expression(a), GraftSqlInternal.expression(b), k))
+  def winnow_fingerprints(c: Column, k: Int, w: Int, a: Long, b: Long): Column =
+    GraftSqlInternal.column(
+      WinnowFingerprints(GraftSqlInternal.expression(c), k, w, a, b))
   def projection_dot(c: Column, plane: Int, dims: Int = 64): Column =
     GraftSqlInternal.column(ProjectionDot(GraftSqlInternal.expression(c), plane, dims))
   def pq_code(c: Column, subspaces: Int, subCentroids: Int, subDim: Int,

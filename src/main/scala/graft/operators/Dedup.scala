@@ -399,4 +399,41 @@ object Dedup {
       .where(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Substring-level duplicate candidates via winnowing (MOSS): document
+    * pairs sharing ≥ `minShared` winnowed fingerprints, with the shared
+    * count as the match strength. The winnowing guarantee makes this the
+    * scalable approximation of suffix-array exact-substring dedup: any
+    * common run of ≥ k + w − 1 characters produces at least one shared
+    * fingerprint, so long boilerplate/template overlap is caught even when
+    * whole-document MinHash similarity is low.
+    *
+    * Plan shape: per-doc fused fingerprinting (no shuffle) → equi-join on
+    * the fingerprint VALUE — bucket-local exactly like the MinHash-LSH
+    * band join, never all-pairs. A fingerprint shared by m docs fans out
+    * m² pair rows, so boilerplate fingerprints (corpus templates, license
+    * headers) MUST be dropped: `maxDocFreq` is the stop-fingerprint
+    * threshold (same playbook as stop-shingles in [[ngramJaccardPairs]] —
+    * broadcast anti-join of the hot set), which also bounds every join
+    * bucket to ≤ maxDocFreq rows per side at any corpus scale. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 12, minShared: Long = 2L,
+      maxDocFreq: Option[Int] = Some(50)): DataFrame = {
+    val all = TextAnalysis.winnowFingerprints(
+      df.where(length(col(textCol)) >= k + w - 1), idCol, textCol, k, w)
+    val fps = maxDocFreq match {
+      case Some(maxDf) =>
+        val hot = all.groupBy("fp").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select("fp")
+        all.join(broadcast(hot), Seq("fp"), "left_anti")
+      case None => all
+    }
+    val l = fps.select(col(idCol).as("id_a"), col("fp"))
+    val r = fps.select(col(idCol).as("id_b"), col("fp"))
+    l.join(r, Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
 }

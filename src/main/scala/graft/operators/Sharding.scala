@@ -158,4 +158,53 @@ object Sharding {
         expr(s"start_tok DIV $budget").as("pack_id"),
         (col("start_tok") % budget).as("pack_pos"))
   }
+
+  /** Deterministic per-epoch global shuffle order: for each epoch `e`, the
+    * corpus is visited in ascending `h_e = (a_e·(id mod P) + b_e) mod P`
+    * order (ties by id) — a different, reproducible permutation per epoch,
+    * which is how a pretraining loader re-shuffles 100 TB without ever
+    * materializing a random permutation (same id → same position, across
+    * runs, retries, and cluster sizes).
+    *
+    * The global position is computed with the same two-phase bucketed rank
+    * as [[curriculumRank]]/[[packManifest]]: the hash's TOP bits cut the
+    * epoch into `nBuckets` order-contiguous buckets (bucket id is monotone
+    * in `h_e`, so per-bucket rank + driver-scanned bucket bases = exact
+    * global rank), per-(epoch,bucket) counts are collected (≤
+    * epochs·nBuckets tiny rows) and scanned into bases on the driver, and
+    * the rank window is PARTITIONED by (epoch, bucket) — never a global
+    * single-partition sort. Output: (epoch, id, pos). */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int = 3,
+      nBuckets: Int = 64): DataFrame = {
+    require(epochs >= 1 && epochs <= 64, "epochs out of range")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val P = TextOps.P
+    val bucketWidth = P / nBuckets + 1
+    val hashed = TextOps.hashCoeffs(epochs).zipWithIndex.map { case ((a, b), e) =>
+      df.select(lit(e).as("epoch"), col(idCol),
+        TextOps.permHash(col(idCol).cast("long"), a, b).as("h"))
+    }.reduce(_ unionAll _)
+      .withColumn("_bkt", (col("h") / lit(bucketWidth)).cast("long"))
+    // phase 1: per-(epoch,bucket) counts -> driver scan into rank bases
+    val perBucket = hashed.groupBy("epoch", "_bkt")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+      .sortBy(_._1)
+    val bases = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var curEpoch = -1
+    var acc = 0L
+    perBucket.foreach { case ((e, bkt), n) =>
+      if (e != curEpoch) { curEpoch = e; acc = 0L }
+      bases += ((e, bkt, acc)); acc += n
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val baseDf = bases.toSeq.toDF("epoch", "_bkt", "_base")
+    // phase 2: bucket-local rank + broadcast base
+    val w = Window.partitionBy("epoch", "_bkt")
+      .orderBy(col("h").asc, col(idCol).asc)
+    hashed.join(broadcast(baseDf), Seq("epoch", "_bkt"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L + col("_base"))
+      .select(col("epoch").cast("long").as("epoch"), col(idCol), col("pos"))
+  }
 }

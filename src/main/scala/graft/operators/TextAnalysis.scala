@@ -224,4 +224,69 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(min(permHash(col("code"), a, b)).as("fingerprint"))
   }
+
+  /** Winnowed fingerprint SET per document (`(id, fp)` distinct rows):
+    * the per-window minima of the permutation-hashed k-shingle stream,
+    * window = `w` consecutive shingles — the MOSS selection rule, so any
+    * shared substring of length ≥ k + w − 1 is guaranteed to surface as a
+    * shared fingerprint. The whole set is computed inside the fused
+    * [[graft.functions.WinnowFingerprints]] expression (one narrow
+    * projection + explode; no shuffle, no per-window re-evaluation), which
+    * is what makes substring-level dedup viable at corpus scale: cost is
+    * O(total characters), not O(docs²) suffix comparison. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 12): DataFrame = {
+    val (a, b) = hashCoeffs(1).head
+    df.select(col(idCol),
+      explode(graft.functions.GraftFunctions.winnow_fingerprints(
+        col(textCol), k, w, a, b)).as("fp"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hashed-unigram bucket
+    * log-ratios between a target slice (`targetPred` rows, e.g. a trusted
+    * high-quality subset) and the raw corpus, summed per document.
+    *
+    * Arithmetic contract: Laplace-smoothed ratio per bucket
+    * `x_b = (cnt_t+1)(R+B) / ((T+B)(cnt_r+1))` with the weight kept as
+    * MILLINATS (`floor(ln(x)·1000 + 0.5)` — the repo-wide per-term integer
+    * ln rounding), so the per-document sum `Σ tokens n·w_b` is exact
+    * integer arithmetic, cross-engine reproducible.
+    *
+    * Scale shape: ONE pass over the token stream into a
+    * `(doc, targetPred, bucket)` count aggregate; the bucket histogram and
+    * the weight table derive from that aggregate (≤ `nBuckets` rows,
+    * broadcast back), so the corpus is scanned once, the shuffles are
+    * keyed on (doc_id, bucket) then doc_id, and nothing global ever sits
+    * in one task. Output: (id, n_tokens, importance_millinats). */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      "nBuckets must be a power of two (bucket = low bits of the token hash)")
+    val toks = df
+      .select(col(idCol), targetPred.as("_tgt"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      // unsigned mod 2^j == low bits: cross-engine exact however the
+      // engine signs the 64-bit hash
+      .withColumn("_b", graft.functions.GraftFunctions
+        .fnv1a64(encode(col("tok"), "UTF-8"))
+        .bitwiseAND(lit((nBuckets - 1).toLong)))
+    val perDocBucket = toks
+      .groupBy(col(idCol), col("_tgt"), col("_b"))
+      .agg(count(lit(1)).as("_n"))
+    val hist = perDocBucket.groupBy("_b").agg(
+      sum(col("_n")).as("cnt_r"),
+      sum(when(col("_tgt"), col("_n")).otherwise(0L)).as("cnt_t"))
+    val tot = hist.agg(sum("cnt_r").as("rr"), sum("cnt_t").as("tt"))
+    val wts = hist.crossJoin(tot).select(col("_b"),
+      floor(log(
+        ((col("cnt_t") + lit(1)).cast("double") * (col("rr") + lit(nBuckets)).cast("double")) /
+          ((col("tt") + lit(nBuckets)).cast("double") * (col("cnt_r") + lit(1)).cast("double"))
+      ) * lit(1000.0) + lit(0.5)).cast("long").as("_w"))
+    perDocBucket.join(broadcast(wts), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_n")).cast("long").as("n_tokens"),
+        sum(col("_n") * col("_w")).cast("long").as("importance_millinats"))
+  }
 }

@@ -66,7 +66,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  minhash_signature('abcdefgh', 3, 4) AS mh,
           |  shingle_overlap('abcdef', 'abcxyz', 3) AS ov,
           |  pq_code(array(CAST(0.25 AS FLOAT), CAST(-0.5 AS FLOAT)), 2, 2, 1, 301) AS pq,
-          |  sq8_recon(array(1.0D, 3.0D), array(0.0D, 0.0D), array(255.0D, 255.0D)) AS sq
+          |  sq8_recon(array(1.0D, 3.0D), array(0.0D, 0.0D), array(255.0D, 255.0D)) AS sq,
+          |  size(winnow_fingerprints('abcdefghijkl', 3, 4, 5, 7)) AS wf
           |""".stripMargin).head()
       assert(r.getLong(0) == 0xa430d84680aabd0bL)
       assert(r.getDouble(1) == 1.0)
@@ -75,6 +76,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getStruct(5).getLong(0) == 1L) // only "abc" shared
       // grid points land exactly on the inputs -> zero reconstruction error
       assert(r.getStruct(7).getDouble(3) == 0.0)
+      // 12 chars, k=3 -> 10 shingles, w=4 -> 7 windows, >=1 distinct min
+      assert(r.getInt(8) >= 1 && r.getInt(8) <= 7)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

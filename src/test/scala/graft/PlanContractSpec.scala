@@ -177,6 +177,32 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Generate"), "explode crept into the scrub path")
   }
 
+  test("winnow pairs: fused fingerprints + equi-join, never all-pairs") {
+    val plan = planOf("dedup_winnow_pairs")
+    assert(plan.contains("winnow_fingerprints"),
+      s"fused winnowing expression dropped out of the plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the fingerprint match:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
+  }
+
+  test("dsir weights: one token-stream aggregate, weights broadcast back") {
+    val plan = planOf("text_dsir_weights")
+    // the per-doc-bucket aggregate feeds BOTH the histogram and the final
+    // per-doc sum; the weight table must come back as a broadcast, and the
+    // only non-broadcast joins allowed are with that ≤nBuckets-row side
+    assert(plan.contains("BroadcastExchange"),
+      s"weight table must broadcast back onto the doc-bucket aggregate:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join crept into the weight application:\n$plan")
+  }
+
+  test("epoch shuffle: rank window partitioned by (epoch, bucket), never global") {
+    val plan = planOf("shard_epoch_shuffle")
+    assert(plan.contains("hashpartitioning(epoch"),
+      s"rank window must partition by (epoch, hash bucket):\n$plan")
+  }
+
   test("pq codes: one fused expression per row, no slices or structs") {
     import spark.implicits._
     val emb = (0L until 20L)

@@ -663,4 +663,122 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (101L, None, None),           // nearest delta 200 > tolerance → NULL
       (102L, None, None)))          // no right row for user 2 at all
   }
+
+  /** Naive reference winnow: O(n·w) window minima over the same
+    * hash stream the fused expression computes. */
+  private def naiveWinnow(text: String, k: Int, w: Int): Set[Long] = {
+    val (a, b) = TextOps.hashCoeffs(1).head
+    val bytes = text.getBytes("UTF-8")
+    val n = bytes.length - k + 1
+    if (n <= 0) return Set.empty
+    val hs = (0 until n).map { i =>
+      val code = (0 until k).foldLeft(0L)((c, d) => c * 128L + (bytes(i + d) & 0xffL))
+      (a * (code % TextOps.P) + b) % TextOps.P
+    }
+    if (n <= w) Set(hs.min)
+    else (0 to n - w).map(j => hs.slice(j, j + w).min).toSet
+  }
+
+  test("winnow fingerprints match the naive window-min reference; short docs get one window") {
+    val rnd = new scala.util.Random(19)
+    def randText(len: Int) =
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val rows = Seq(
+      (0L, randText(60)),   // normal: many windows
+      (1L, randText(19)),   // exactly one full window (n = w)
+      (2L, randText(15)),   // n < w -> single spanning window
+      (3L, randText(8)),    // exactly one shingle
+      (4L, "abc"))          // shorter than k -> no fingerprint at all
+    val got = TextAnalysis
+      .winnowFingerprints(docsDF(rows), "doc_id", "text", k = 8, w = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, fps) => id -> fps.map(_._2).toSet }
+    rows.foreach { case (id, text) =>
+      val expect = naiveWinnow(text, 8, 12)
+      assert(got.getOrElse(id, Set.empty[Long]) == expect,
+        s"doc $id fingerprints diverge from the reference")
+    }
+    assert(!got.contains(4L)) // no shingle -> NULL -> no exploded row
+  }
+
+  test("winnowing guarantee: a shared >= k+w-1 run always yields a shared fingerprint") {
+    val rnd = new scala.util.Random(23)
+    def randText(len: Int) =
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val sharedRun = randText(30) // >= k + w - 1 = 19
+    val df = docsDF(Seq(
+      (0L, randText(40) + sharedRun + randText(40)),
+      (1L, randText(25) + sharedRun + randText(55)),
+      (2L, randText(100)))) // unrelated
+    val pairs = Dedup.winnowPairs(df, "doc_id", "text", k = 8, w = 12,
+        minShared = 1L, maxDocFreq = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)),
+      "planted shared substring must surface as a shared fingerprint")
+    assert(!pairs.exists { case (x, y) => x == 2L || y == 2L },
+      "unrelated doc matched")
+  }
+
+  test("dsir weights match an independent driver-side recomputation") {
+    import scala.collection.JavaConverters._
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      (0L, "en", "good clean prose with the usual words"),
+      (1L, "en", "more good clean prose words"),
+      (2L, "de", "komisch andere sprache hier"),
+      (3L, "de", "good words komisch mixed"),
+      (4L, "fr", ""))
+    val df = spark.createDataFrame(
+      rows.map { case (i, l, t) => org.apache.spark.sql.Row(i, l, t) }.asJava,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("text", StringType))))
+    val nB = 64
+    val got = TextAnalysis.dsirWeights(df, "doc_id", "text",
+        targetPred = col("lang") === "en", nBuckets = nB)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // independent recomputation (same contract: FNV low bits, Laplace
+    // millinat ln weights, integer sums)
+    val toks = rows.flatMap { case (id, lang, t) =>
+      t.split(" ").filter(_.nonEmpty).map(tok =>
+        (id, lang == "en", graft.functions.Fnv1a64.hash(tok.getBytes("UTF-8")) & (nB - 1)))
+    }
+    val cntR = toks.groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+    val cntT = toks.filter(_._2).groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+    val rr = cntR.values.sum
+    val tt = cntT.values.sum
+    val wts = cntR.keys.map { bkt =>
+      val x = ((cntT.getOrElse(bkt, 0L) + 1).toDouble * (rr + nB).toDouble) /
+        ((tt + nB).toDouble * (cntR(bkt) + 1).toDouble)
+      bkt -> math.floor(math.log(x) * 1000.0 + 0.5).toLong
+    }.toMap
+    val expect = toks.groupBy(_._1).map { case (id, xs) =>
+      id -> (xs.size.toLong, xs.map(x => wts(x._3)).sum)
+    }
+    assert(got == expect)
+    // target-exclusive vocabulary scores above non-target-exclusive
+    assert(got(1L)._2 / got(1L)._1 > got(2L)._2 / got(2L)._1)
+  }
+
+  test("epoch shuffle: each epoch is the exact global (hash, id) rank; epochs differ") {
+    import scala.collection.JavaConverters._
+    import org.apache.spark.sql.types._
+    val ids = (0L until 200L).map(i => i * 37 % 1009) // sparse, shuffled ids
+    val df = spark.createDataFrame(
+      ids.map(i => org.apache.spark.sql.Row(i)).asJava,
+      StructType(Seq(StructField("doc_id", LongType))))
+    val got = Sharding.epochShuffle(df, "doc_id", epochs = 3, nBuckets = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val coeffs = TextOps.hashCoeffs(3)
+    (0 until 3).foreach { e =>
+      val (a, b) = coeffs(e)
+      val expect = ids.sortBy(id => ((a * (id % TextOps.P) + b) % TextOps.P, id))
+        .zipWithIndex.map { case (id, pos) => (e.toLong, id) -> pos.toLong }.toMap
+      expect.foreach { case (k, v) =>
+        assert(got(k) == v, s"epoch $e rank mismatch at $k")
+      }
+    }
+    val order0 = ids.sortBy(id => got((0L, id)))
+    val order1 = ids.sortBy(id => got((1L, id)))
+    assert(order0 != order1, "distinct epochs must produce distinct orders")
+  }
 }
