@@ -691,6 +691,13 @@ object SparkEntry {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(25)),
+    "text_cms_topk" -> ((s, dir) =>
+      // count-min-sketch frequency estimates for the exact top-25 tokens:
+      // deterministic salted-FNV rows make the sketch cross-engine exact,
+      // and the oracle pins the CMS >= exact guarantee per row
+      TextAnalysis.cmsTopK(table(s, dir, "documents"), "text",
+          depth = 4, width = 1024, topK = 25)
+        .orderBy(col("exact_n").desc, col("word"))),
     "text_char_ngrams" -> ((s, dir) => {
       // corpus character-trigram frequency profile (n-gram LM groundwork):
       // non-distinct rolling shingle codes, top-25 by total occurrences
@@ -3080,6 +3087,29 @@ object SparkEntry {
            |  CAST(sum(n * w) AS BIGINT) AS importance_millinats
            |FROM pdb JOIN wts USING (b)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "text_cms_topk" ->
+        // CMS twin: same salted-FNV buckets (unsigned residue % 1024 ==
+        // Java's h & 1023), same depth-4 sketch, min-over-rows estimate
+        s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+           |t AS (SELECT word FROM w WHERE word <> ''),
+           |salted AS (SELECT word, r FROM t,
+           |  (SELECT unnest(generate_series(0, 3)) AS r)),
+           |b AS (SELECT r AS rw,
+           |    CAST(${fnvSql("word || '#' || CAST(r AS VARCHAR)")} % 1024 AS BIGINT) AS bkt
+           |  FROM salted),
+           |sketch AS (SELECT rw, bkt, count(*) AS c FROM b GROUP BY 1, 2),
+           |exact AS (SELECT word, count(*) AS exact_n FROM t GROUP BY word
+           |  ORDER BY exact_n DESC, word LIMIT 25),
+           |probes AS (SELECT word, r AS rw,
+           |    CAST(${fnvSql("word || '#' || CAST(r AS VARCHAR)")} % 1024 AS BIGINT) AS bkt
+           |  FROM exact, (SELECT unnest(generate_series(0, 3)) AS r)),
+           |est AS (SELECT word, min(c) AS cms_estimate
+           |  FROM probes JOIN sketch USING (rw, bkt) GROUP BY word)
+           |SELECT exact.word, CAST(exact_n AS BIGINT) AS exact_n,
+           |  CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           |  cms_estimate >= exact_n AS overestimated
+           |FROM exact JOIN est ON exact.word = est.word
+           |ORDER BY exact_n DESC, exact.word""".stripMargin,
       "dedup_winnow_pairs" ->
         // winnowing twin: per-position shingle hashes, window-frame MIN
         // over w=12 consecutive positions (only FULL windows — the Spark

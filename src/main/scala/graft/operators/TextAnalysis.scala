@@ -289,4 +289,42 @@ object TextAnalysis {
       .agg(sum(col("_n")).cast("long").as("n_tokens"),
         sum(col("_n") * col("_w")).cast("long").as("importance_millinats"))
   }
+
+  /** Count-min-sketch token-frequency estimation (Cormode–Muthukrishnan)
+    * with deterministic salted-FNV hash rows: `bucket_j(tok) =
+    * fnv1a64(tok ⧺ "#j") & (width−1)`, so the whole sketch — and therefore
+    * every estimate — is exactly reproducible by any engine (no randomized
+    * seeds). The sketch build is ONE map-side-combinable aggregate over
+    * `depth` bucket ids per token (posexplode of a per-row array, a single
+    * pass over the token stream): the mergeable-counters shape that
+    * estimates frequencies over 100 TB in `depth·width` integers where an
+    * exact vocabulary groupBy would shuffle every distinct token. The
+    * exact top-k rides along (TakeOrdered, bounded) to exhibit the CMS
+    * guarantee `estimate ≥ exact` per emitted row.
+    * Output: (word, exact_n, cms_estimate, overestimated). */
+  def cmsTopK(df: DataFrame, textCol: String, depth: Int = 4,
+      width: Int = 1024, topK: Int = 25): DataFrame = {
+    require(depth >= 1 && depth <= 8, "depth out of range")
+    require(width > 0 && (width & (width - 1)) == 0,
+      "width must be a power of two (bucket = low bits of the salted hash)")
+    def bucket(w: Column, salt: Column): Column =
+      graft.functions.GraftFunctions.fnv1a64(
+        encode(concat(w, lit("#"), salt), "UTF-8"))
+        .bitwiseAND(lit((width - 1).toLong))
+    val toks = df.select(explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+    val rows = toks.select(posexplode(array((0 until depth).map(j =>
+      bucket(col("word"), lit(j.toString))): _*)).as(Seq("rw", "bkt")))
+    val sketch = rows.groupBy("rw", "bkt").agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy("word").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("word")).limit(topK)
+    val probes = exact.select(col("word"), posexplode(array(
+      (0 until depth).map(j => bucket(col("word"), lit(j.toString))): _*))
+      .as(Seq("rw", "bkt")))
+    probes.join(sketch, Seq("rw", "bkt"))
+      .groupBy("word").agg(min(col("c")).as("cms_estimate"))
+      .join(exact, Seq("word"))
+      .select(col("word"), col("exact_n"), col("cms_estimate"),
+        (col("cms_estimate") >= col("exact_n")).as("overestimated"))
+  }
 }

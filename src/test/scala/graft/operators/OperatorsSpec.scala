@@ -759,6 +759,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L)._2 / got(1L)._1 > got(2L)._2 / got(2L)._1)
   }
 
+  test("cms estimates: >= exact always, == exact when width avoids collisions") {
+    val df = docsDF(Seq(
+      (0L, "aa bb aa cc aa bb"),
+      (1L, "dd ee ff aa bb gg hh ii jj kk ll mm nn oo pp qq")))
+    // wide sketch: 16 distinct tokens in 1024 buckets -> collisions are
+    // possible but the exact counts must never exceed the estimate
+    val wide = TextAnalysis.cmsTopK(df, "text", depth = 4, width = 1024, topK = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val naive = "aa bb aa cc aa bb dd ee ff aa bb gg hh ii jj kk ll mm nn oo pp qq"
+      .split(" ").groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    assert(wide.length == naive.size)
+    wide.foreach { case (w, exact, est, over) =>
+      assert(exact == naive(w), s"exact count wrong for $w")
+      assert(est >= exact && over, s"CMS guarantee violated for $w")
+    }
+    // narrow sketch: width 2 forces heavy collisions -> at least one
+    // estimate must strictly exceed its exact count, none may undershoot
+    val narrow = TextAnalysis.cmsTopK(df, "text", depth = 2, width = 2, topK = 20)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(narrow.forall { case (exact, est) => est >= exact })
+    assert(narrow.exists { case (exact, est) => est > exact },
+      "16 tokens in 2 buckets cannot all estimate exactly")
+  }
+
   test("epoch shuffle: each epoch is the exact global (hash, id) rank; epochs differ") {
     import scala.collection.JavaConverters._
     import org.apache.spark.sql.types._
