@@ -1408,6 +1408,22 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("kept"))
         .orderBy("source")
     }),
+    "shard_importance_sample" -> ((s, dir) => {
+      // the DSIR loop closed: importance weights -> deterministic
+      // weighted systematic (PPS) resample. Weight = millinats linearized
+      // into positive range (pinned +4096 offset, floor 1); period 16384
+      // sets the sampling rate; selection is exact integer tick
+      // arithmetic over cumulative-weight intervals (no randomness: any
+      // re-run selects the identical sample)
+      val docs = table(s, dir, "documents")
+      val wts = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+          targetPred = col("lang") === "en", nBuckets = 64)
+        .select(col("doc_id"),
+          greatest(lit(1L), col("importance_millinats") + lit(4096L)).as("weight"))
+      graft.operators.Sharding.systematicSample(wts, "doc_id", "weight",
+          period = 16384L)
+        .orderBy("doc_id")
+    }),
     "shard_epoch_shuffle" -> ((s, dir) =>
       // per-epoch deterministic global shuffle order (3 epochs): a
       // different modular-hash permutation per epoch, ranked via the
@@ -2517,6 +2533,28 @@ object SparkEntry {
          |          fi -> CAST(ascii(substr($v, fi, 1)) AS HUGEINT))),
          |      (acc, fb) -> mod(xor(acc, fb) * 1099511628211,
          |        CAST('18446744073709551616' AS HUGEINT)))""".stripMargin
+    // DSIR weight CTEs (ends with pdb = per-doc-bucket counts and wts =
+    // the 64-row millinat weight table) — shared by the weights dump and
+    // the resampling twin
+    val dsirCtes =
+      s"""tk AS (
+         |  SELECT doc_id, lang = 'en' AS tgt,
+         |    unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tb AS (
+         |  SELECT doc_id, tgt,
+         |    CAST(${fnvSql("tok")} % 64 AS BIGINT) AS b
+         |  FROM tk WHERE tok <> ''),
+         |pdb AS (SELECT doc_id, tgt, b, count(*) AS n FROM tb GROUP BY 1, 2, 3),
+         |hist AS (SELECT b, sum(n) AS cnt_r,
+         |    sum(CASE WHEN tgt THEN n ELSE 0 END) AS cnt_t
+         |  FROM pdb GROUP BY b),
+         |tot AS (SELECT sum(cnt_r) AS rr, sum(cnt_t) AS tt FROM hist),
+         |wts AS (SELECT b,
+         |    CAST(floor(ln(
+         |      (CAST(cnt_t + 1 AS DOUBLE) * CAST(rr + 64 AS DOUBLE)) /
+         |      (CAST(tt + 64 AS DOUBLE) * CAST(cnt_r + 1 AS DOUBLE))
+         |    ) * 1000.0 + 0.5) AS BIGINT) AS w
+         |  FROM hist, tot)""".stripMargin
     Map(
       "log_append_dump" ->
         """SELECT event_type AS topic,
@@ -3065,28 +3103,31 @@ object SparkEntry {
         // FNV-1a-64 (unsigned residue % 64 == Java's h & 63), the SAME
         // Laplace-smoothed product/quotient association order, millinat
         // ln rounding, integer per-doc sums
-        s"""WITH tk AS (
-           |  SELECT doc_id, lang = 'en' AS tgt,
-           |    unnest(string_split(text, ' ')) AS tok FROM documents),
-           |tb AS (
-           |  SELECT doc_id, tgt,
-           |    CAST(${fnvSql("tok")} % 64 AS BIGINT) AS b
-           |  FROM tk WHERE tok <> ''),
-           |pdb AS (SELECT doc_id, tgt, b, count(*) AS n FROM tb GROUP BY 1, 2, 3),
-           |hist AS (SELECT b, sum(n) AS cnt_r,
-           |    sum(CASE WHEN tgt THEN n ELSE 0 END) AS cnt_t
-           |  FROM pdb GROUP BY b),
-           |tot AS (SELECT sum(cnt_r) AS rr, sum(cnt_t) AS tt FROM hist),
-           |wts AS (SELECT b,
-           |    CAST(floor(ln(
-           |      (CAST(cnt_t + 1 AS DOUBLE) * CAST(rr + 64 AS DOUBLE)) /
-           |      (CAST(tt + 64 AS DOUBLE) * CAST(cnt_r + 1 AS DOUBLE))
-           |    ) * 1000.0 + 0.5) AS BIGINT) AS w
-           |  FROM hist, tot)
+        s"""WITH $dsirCtes
            |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
            |  CAST(sum(n * w) AS BIGINT) AS importance_millinats
            |FROM pdb JOIN wts USING (b)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "shard_importance_sample" ->
+        // the DSIR loop closed in SQL too: same weight CTEs, the pinned
+        // +4096/floor-1 linearization, then exact integer tick arithmetic
+        // over the cumulative-weight intervals
+        s"""WITH $dsirCtes,
+           |dsir AS (SELECT doc_id, CAST(sum(n * w) AS BIGINT) AS imp
+           |  FROM pdb JOIN wts USING (b) GROUP BY doc_id),
+           |scored AS (SELECT doc_id, greatest(1, imp + 4096) AS weight FROM dsir),
+           |c AS (SELECT doc_id, weight,
+           |    sum(weight) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl
+           |  FROM scored),
+           |t AS (SELECT doc_id, weight, cum_incl, cum_incl - weight AS cum_before FROM c)
+           |SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+           |  CAST((cum_before + 16383) // 16384 AS BIGINT) AS first_tick,
+           |  CAST((cum_incl - 1) // 16384 - (cum_before + 16383) // 16384 + 1
+           |    AS BIGINT) AS n_ticks
+           |FROM t
+           |WHERE (cum_before + 16383) // 16384 <= (cum_incl - 1) // 16384
+           |ORDER BY doc_id""".stripMargin,
       "text_cms_topk" ->
         // CMS twin: same salted-FNV buckets (unsigned residue % 1024 ==
         // Java's h & 1023), same depth-4 sketch, min-over-rows estimate

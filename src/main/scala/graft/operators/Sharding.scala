@@ -159,6 +159,68 @@ object Sharding {
         (col("start_tok") % budget).as("pack_pos"))
   }
 
+  /** Deterministic weighted systematic (PPS) sampling: documents in
+    * ascending `idCol` order occupy the cumulative-weight interval
+    * `[cum_before, cum_before + weight)`, and a document is selected iff
+    * its interval contains a multiple of `period` — so inclusion is exact,
+    * reproducible, and proportional to weight (P = weight/period for
+    * weight < period; weight ≥ period ⇒ always selected, possibly for
+    * multiple ticks, reported in `n_ticks`). This is the resampling half
+    * of importance resampling (pair with
+    * [[TextAnalysis.dsirWeights]]) done WITHOUT randomness: a re-run, a
+    * retried task, or a different cluster size selects the identical
+    * sample.
+    *
+    * The cumulative sum is the same two-phase per-range prefix sum as
+    * [[packManifest]] (value-derived contiguous id ranges → per-range
+    * totals scanned on the driver → range-partitioned cumulative window +
+    * broadcast bases), so nothing global ever sits in one task. Output:
+    * (id, weight, first_tick, n_ticks) for selected docs only. */
+  def systematicSample(df: DataFrame, idCol: String, weightCol: String,
+      period: Long, targetRanges: Int = 256): DataFrame = {
+    require(period > 0, "period must be positive")
+    require(targetRanges > 0, "targetRanges must be positive")
+    // non-positive weight = empty cumulative interval = never selected;
+    // dropping those rows up front also keeps every division operand
+    // non-negative (Spark DIV truncates toward zero, floor-division
+    // engines like DuckDB round down — they only agree on non-negatives,
+    // and (cum_incl - 1) would go to -1 for a zero-weight head row)
+    val weighted = df.select(col(idCol), col(weightCol).cast("long").as("weight"))
+      .where(col("weight") > 0)
+    val empty = weighted.where(lit(false))
+      .select(col(idCol), col("weight"),
+        lit(0L).as("first_tick"), lit(0L).as("n_ticks"))
+    val bounds = weighted
+      .agg(min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
+    if (bounds.isNullAt(0)) return empty
+    val minId = bounds.getLong(0)
+    val span = bounds.getLong(1) - minId + 1
+    val width = math.max(1L, (span + targetRanges - 1) / targetRanges)
+    val ranged = weighted.withColumn("rng",
+      expr(s"(CAST(`$idCol` AS BIGINT) - ${minId}L) DIV ${width}L"))
+    val perRange = ranged.groupBy("rng").agg(sum("weight").as("tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = perRange.map { case (rng, tot) =>
+      val b = (rng, acc); acc += tot; b
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val baseDf = bases.toDF("rng", "base")
+    val w = Window.partitionBy("rng").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(baseDf), Seq("rng"))
+      .withColumn("cum_incl", sum(col("weight")).over(w) + col("base"))
+      .withColumn("cum_before", col("cum_incl") - col("weight"))
+      // ticks m·period inside [cum_before, cum_incl):
+      //   ceil(cum_before/period) .. floor((cum_incl-1)/period)
+      .withColumn("first_tick", expr(s"(cum_before + ${period - 1}L) DIV ${period}L"))
+      .withColumn("last_tick", expr(s"(cum_incl - 1L) DIV ${period}L"))
+      .where(col("first_tick") <= col("last_tick"))
+      .select(col(idCol), col("weight"), col("first_tick"),
+        (col("last_tick") - col("first_tick") + 1L).as("n_ticks"))
+  }
+
   /** Deterministic per-epoch global shuffle order: for each epoch `e`, the
     * corpus is visited in ascending `h_e = (a_e·(id mod P) + b_e) mod P`
     * order (ties by id) — a different, reproducible permutation per epoch,

@@ -203,4 +203,53 @@ class PropertySpec extends AnyFunSuite {
       assert(bucketMajor == global, s"b=$b")
     }
   }
+
+  test("winnow fingerprints: deque sliding minima equal naive window minima") {
+    import graft.functions.WinnowFingerprints
+    import graft.operators.TextOps
+    val r = rng
+    (0 until Cases).foreach { _ =>
+      val n = r.nextInt(150)
+      // skewed alphabet (3 letters) so hash ties and repeated shingles
+      // actually occur — the deque's >= pop policy must not change minima
+      val s = (0 until n).map(_ => ('a' + r.nextInt(3)).toChar).mkString
+      val k = 1 + r.nextInt(9)
+      val w = 1 + r.nextInt(20)
+      val (a, b) = TextOps.hashCoeffs(1 + r.nextInt(8)).last
+      val got = Option(WinnowFingerprints.compute(s.getBytes("UTF-8"), k, w, a, b))
+        .map(_.toLongArray().toSet)
+      val bytes = s.getBytes("UTF-8")
+      val m = bytes.length - k + 1
+      val expect =
+        if (m <= 0) None
+        else {
+          val hs = (0 until m).map { i =>
+            val code = (0 until k).map(d => (bytes(i + d) & 0xffL) *
+              TextOps.pow128(k - 1 - d)).sum
+            (a * (code % TextOps.P) + b) % TextOps.P
+          }
+          if (m <= w) Some(Set(hs.min))
+          else Some((0 to m - w).map(j => hs.slice(j, j + w).min).toSet)
+        }
+      assert(got == expect, s"k=$k w=$w s='$s'")
+    }
+  }
+
+  test("winnowing guarantee: shared >= k+w-1 run always shares a fingerprint") {
+    import graft.functions.WinnowFingerprints
+    import graft.operators.TextOps
+    val r = rng
+    val (a, b) = TextOps.hashCoeffs(1).head
+    (0 until Cases).foreach { _ =>
+      val k = 2 + r.nextInt(7)
+      val w = 2 + r.nextInt(14)
+      def rand(len: Int) = (0 until len).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+      val shared = rand(k + w - 1 + r.nextInt(30))
+      val x = rand(r.nextInt(40)) + shared + rand(r.nextInt(40))
+      val y = rand(r.nextInt(40)) + shared + rand(r.nextInt(40))
+      val fx = WinnowFingerprints.compute(x.getBytes("UTF-8"), k, w, a, b).toLongArray().toSet
+      val fy = WinnowFingerprints.compute(y.getBytes("UTF-8"), k, w, a, b).toLongArray().toSet
+      assert((fx intersect fy).nonEmpty, s"k=$k w=$w shared='$shared'")
+    }
+  }
 }

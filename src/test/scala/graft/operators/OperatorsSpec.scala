@@ -783,6 +783,49 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "16 tokens in 2 buckets cannot all estimate exactly")
   }
 
+  test("systematic sample: every tick assigned exactly once, selection matches naive") {
+    import scala.collection.JavaConverters._
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(31)
+    // sparse ids, spiky weights incl. 0 (never selectable) and > period
+    // (always selected, possibly multi-tick)
+    val rows = (0L until 300L).map { i =>
+      val w = rnd.nextInt(6) match {
+        case 0 => 0L
+        case 1 => 2500L // > period
+        case _ => 1L + rnd.nextInt(400)
+      }
+      (i * 13 % 4096, w)
+    }.distinct
+    val df = spark.createDataFrame(
+      rows.map { case (i, w) => org.apache.spark.sql.Row(i, w) }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("w", LongType))))
+    val period = 1000L
+    val got = Sharding.systematicSample(df, "id", "w", period)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // naive single-pass reference over ascending id (zero-weight rows
+    // have empty intervals — and must be skipped BEFORE the division:
+    // (cum-1)/period at cum=0 is -1/period, where truncating and
+    // flooring engines disagree; the operator filters them for the
+    // same reason)
+    var cum = 0L
+    val expect = rows.sortBy(_._1).flatMap { case (id, w) =>
+      val before = cum; cum += w
+      val first = (before + period - 1) / period
+      val last = (cum - 1) / period
+      if (w > 0 && first <= last) Some(id -> ((w, first, last - first + 1)))
+      else None
+    }.toMap
+    assert(got == expect)
+    // partition property: ticks 0..floor((total-1)/period) each land on
+    // exactly one document
+    val totalTicks = (cum - 1) / period + 1
+    assert(got.values.map(_._3).sum == totalTicks)
+    assert(rows.filter(_._2 >= period).forall { case (id, _) => got.contains(id) })
+    assert(rows.filter(_._2 == 0L).forall { case (id, _) => !got.contains(id) })
+  }
+
   test("epoch shuffle: each epoch is the exact global (hash, id) rank; epochs differ") {
     import scala.collection.JavaConverters._
     import org.apache.spark.sql.types._
