@@ -1965,6 +1965,42 @@ object SparkEntry {
           StructField("kept", LongType), StructField("dropped", LongType))))
         .orderBy("win_start")
     }),
+    "stream_cms_sketch" -> ((s, dir) => {
+      // CMS maintained incrementally over the stream: the (row, bucket)
+      // counters are a plain streaming groupBy-sum, so the state store IS
+      // the sketch and every micro-batch merges into it by partial
+      // aggregation — the mergeability sketches exist for. The final
+      // counters equal the batch sketch whatever the admission-controlled
+      // micro-batches were; a bounded batch post-pass probes the exact
+      // top-10 tokens against the STREAMED counters (min over rows), and
+      // the oracle is the batch CMS twin — so a state-store merge bug
+      // shows up as a hash mismatch.
+      val depth = 4
+      val width = 1024
+      val toks = parsedDocsStream(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+      val bucketRows = toks.select(posexplode(array((0 until depth).map(j =>
+        TextAnalysis.cmsBucket(col("word"), j, width)): _*)).as(Seq("rw", "bkt")))
+      val sketch = bucketRows.groupBy("rw", "bkt").agg(count(lit(1)).as("c"))
+      val snap = runStreamToMemory(s, sketch, "complete")(_.collect().toSeq)
+      val sketchDf = s.createDataFrame(s.sparkContext.parallelize(snap, 1),
+        StructType(Seq(StructField("rw", IntegerType),
+          StructField("bkt", LongType), StructField("c", LongType))))
+      val exact = table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("word")).limit(10)
+      val probes = exact.select(col("word"), posexplode(array(
+        (0 until depth).map(j => TextAnalysis.cmsBucket(col("word"), j, width)): _*))
+        .as(Seq("rw", "bkt")))
+      probes.join(broadcast(sketchDf), Seq("rw", "bkt"))
+        .groupBy("word").agg(min("c").as("cms_estimate"))
+        .join(exact, Seq("word"))
+        .select(col("word"), col("exact_n"), col("cms_estimate"))
+        .orderBy(col("exact_n").desc, col("word"))
+    }),
     "stream_trending_tokens" -> ((s, dir) => {
       // Windowed text stats over the streaming source: tokens explode
       // in-flight, a tumbling event-time window (same 1 doc/minute clock
@@ -3278,6 +3314,29 @@ object SparkEntry {
            |FROM t
            |WHERE (cum_before + 16383) // 16384 <= (cum_incl - 1) // 16384
            |ORDER BY doc_id""".stripMargin,
+      "stream_cms_sketch" ->
+        // batch CMS twin of the STREAMED sketch (identical salted buckets;
+        // the stream mirrors the full documents table), probed at the
+        // exact top-10
+        s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+           |t AS (SELECT word FROM w WHERE word <> ''),
+           |salted AS (SELECT word, r FROM t,
+           |  (SELECT unnest(generate_series(0, 3)) AS r)),
+           |b AS (SELECT r AS rw,
+           |    CAST(${fnvSql("word || '#' || CAST(r AS VARCHAR)")} % 1024 AS BIGINT) AS bkt
+           |  FROM salted),
+           |sketch AS (SELECT rw, bkt, count(*) AS c FROM b GROUP BY 1, 2),
+           |exact AS (SELECT word, count(*) AS exact_n FROM t GROUP BY word
+           |  ORDER BY exact_n DESC, word LIMIT 10),
+           |probes AS (SELECT word, r AS rw,
+           |    CAST(${fnvSql("word || '#' || CAST(r AS VARCHAR)")} % 1024 AS BIGINT) AS bkt
+           |  FROM exact, (SELECT unnest(generate_series(0, 3)) AS r)),
+           |est AS (SELECT word, min(c) AS cms_estimate
+           |  FROM probes JOIN sketch USING (rw, bkt) GROUP BY word)
+           |SELECT exact.word, CAST(exact_n AS BIGINT) AS exact_n,
+           |  CAST(cms_estimate AS BIGINT) AS cms_estimate
+           |FROM exact JOIN est ON exact.word = est.word
+           |ORDER BY exact_n DESC, exact.word""".stripMargin,
       "text_cms_topk" ->
         // CMS twin: same salted-FNV buckets (unsigned residue % 1024 ==
         // Java's h & 1023), same depth-4 sketch, min-over-rows estimate

@@ -302,24 +302,30 @@ object TextAnalysis {
     * exact top-k rides along (TakeOrdered, bounded) to exhibit the CMS
     * guarantee `estimate ≥ exact` per emitted row.
     * Output: (word, exact_n, cms_estimate, overestimated). */
+  /** CMS bucket id of token `w` in hash row `j`: low bits of the
+    * salted FNV — the ONE definition both the batch and streaming sketch
+    * builders (and the generated SQL twins) derive from. */
+  def cmsBucket(w: Column, j: Int, width: Int): Column = {
+    require(width > 0 && (width & (width - 1)) == 0,
+      "width must be a power of two (bucket = low bits of the salted hash)")
+    graft.functions.GraftFunctions.fnv1a64(
+      encode(concat(w, lit("#"), lit(j.toString)), "UTF-8"))
+      .bitwiseAND(lit((width - 1).toLong))
+  }
+
   def cmsTopK(df: DataFrame, textCol: String, depth: Int = 4,
       width: Int = 1024, topK: Int = 25): DataFrame = {
     require(depth >= 1 && depth <= 8, "depth out of range")
-    require(width > 0 && (width & (width - 1)) == 0,
-      "width must be a power of two (bucket = low bits of the salted hash)")
-    def bucket(w: Column, salt: Column): Column =
-      graft.functions.GraftFunctions.fnv1a64(
-        encode(concat(w, lit("#"), salt), "UTF-8"))
-        .bitwiseAND(lit((width - 1).toLong))
+    def bucket(w: Column, j: Int): Column = cmsBucket(w, j, width)
     val toks = df.select(explode(split(col(textCol), " ")).as("word"))
       .where(col("word") =!= "")
     val rows = toks.select(posexplode(array((0 until depth).map(j =>
-      bucket(col("word"), lit(j.toString))): _*)).as(Seq("rw", "bkt")))
+      bucket(col("word"), j)): _*)).as(Seq("rw", "bkt")))
     val sketch = rows.groupBy("rw", "bkt").agg(count(lit(1)).as("c"))
     val exact = toks.groupBy("word").agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("word")).limit(topK)
     val probes = exact.select(col("word"), posexplode(array(
-      (0 until depth).map(j => bucket(col("word"), lit(j.toString))): _*))
+      (0 until depth).map(j => bucket(col("word"), j)): _*))
       .as(Seq("rw", "bkt")))
     probes.join(sketch, Seq("rw", "bkt"))
       .groupBy("word").agg(min(col("c")).as("cms_estimate"))
