@@ -839,6 +839,32 @@ object SparkEntry {
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy("l_returnflag")),
+    "rel_kmv_distinct" -> ((s, dir) => {
+      // KMV (k-minimum-values) distinct-count sketch with the repo's
+      // deterministic permutation hash — unlike HLL, the ENTIRE sketch is
+      // cross-engine reproducible, so the oracle pins the estimate
+      // bit-for-bit, not just a tolerance flag (which rides along too).
+      // Mergeable at scale: min-k of a union = min-k of min-ks, the
+      // distinct+TakeOrdered head never sees more than k rows per
+      // partition. Estimator: (k-1)·P/h_k; when fewer than k distinct
+      // hashes exist the sketch IS the exact set, so report its size.
+      val k = 256
+      val (ha, hb) = TextOps.hashCoeffs(1).head
+      val li = table(s, dir, "lineitem")
+      val mins = li
+        .select(TextOps.permHash(col("l_partkey"), ha, hb).as("h"))
+        .distinct().orderBy("h").limit(k)
+      val sk = mins.agg(max("h").as("hk"), count(lit(1)).as("kk"))
+      li.agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+        .crossJoin(broadcast(sk))
+        .select(col("exact_distinct"), col("kk").as("k"),
+          when(col("kk") < k, col("kk"))
+            .otherwise(expr(s"(kk - 1) * ${TextOps.P}L DIV hk"))
+            .cast("long").as("kmv_estimate"))
+        .select(col("exact_distinct"), col("k"), col("kmv_estimate"),
+          (abs(col("kmv_estimate") - col("exact_distinct")) * 10 <=
+            col("exact_distinct")).as("within_10pct"))
+    }),
     "rel_approx_distinct" -> ((s, dir) =>
       // HLL++ sketch, oracle-checked as exact-count parity PLUS a sketch
       // tolerance flag: n_parts is the exact distinct count (cross-engine
@@ -3472,6 +3498,21 @@ object SparkEntry {
         ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
           "count(DISTINCT l_suppkey) AS n_supps FROM lineitem " +
           "GROUP BY l_returnflag ORDER BY l_returnflag"),
+      "rel_kmv_distinct" ->
+        // exact twin: identical permutation hash, min-k head, estimator
+        // CASE, and integer tolerance arithmetic
+        s"""WITH h AS (SELECT DISTINCT ${permSql("l_partkey", sa, sb)} AS h
+           |  FROM lineitem),
+           |mins AS (SELECT h FROM h ORDER BY h LIMIT 256),
+           |sk AS (SELECT max(h) AS hk, count(*) AS kk FROM mins),
+           |ex AS (SELECT count(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+           |SELECT exact_distinct, CAST(kk AS BIGINT) AS k,
+           |  CAST(CASE WHEN kk < 256 THEN kk
+           |    ELSE (kk - 1) * ${TextOps.P} // hk END AS BIGINT) AS kmv_estimate,
+           |  abs(CAST(CASE WHEN kk < 256 THEN kk
+           |    ELSE (kk - 1) * ${TextOps.P} // hk END AS BIGINT) - exact_distinct) * 10
+           |    <= exact_distinct AS within_10pct
+           |FROM ex, sk""".stripMargin,
       "rel_approx_distinct" ->
         // exact count must match; sketch_ok=TRUE asserts Spark's HLL
         // estimate landed within the 7% tolerance
