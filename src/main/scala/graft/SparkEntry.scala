@@ -39,19 +39,26 @@ object SparkEntry {
     * construction, and every downstream query remains oracle-checkable.
     * All arithmetic is non-negative integer (division-safe cross-engine).
     * The one supplier-count action is a metadata-scale read. */
-  private def partsuppDF(s: SparkSession, dir: String): DataFrame = {
+  private def partsuppDF(s: SparkSession, dir: String,
+      partDf: DataFrame = null, keep: Seq[String] = Nil): DataFrame = {
     val sc = table(s, dir, "supplier").count()
     require(sc >= 4, "partsupp derivation needs at least 4 suppliers")
     val sk = (col("p_partkey") + col("i") * lit(sc / 4)) % lit(sc)
-    table(s, dir, "part")
-      .select(col("p_partkey"),
-        explode(array((0 until 4).map(i => lit(i.toLong)): _*)).as("i"))
-      .select(col("p_partkey").as("ps_partkey"),
+    // ps is DERIVED from part, so consumers that need part attributes
+    // pass a (possibly pre-filtered) part and `keep` columns — the
+    // attributes ride the derivation instead of re-joining part to its
+    // own derivative (which planned as a pointless part⨝ps merge join)
+    val base = Option(partDf).getOrElse(table(s, dir, "part"))
+    base
+      .select((Seq(col("p_partkey")) ++ keep.map(col) :+
+        explode(array((0 until 4).map(i => lit(i.toLong)): _*)).as("i")): _*)
+      .select((Seq(
+        col("p_partkey").as("ps_partkey"),
         sk.cast("long").as("ps_suppkey"),
         ((col("p_partkey") * 7919 + sk * 4547) % 90000 + 10000)
           .cast("long").as("ps_supplycost_cents"),
         ((col("p_partkey") * 13 + sk * 17) % 9999 + 1)
-          .cast("long").as("ps_availqty"))
+          .cast("long").as("ps_availqty")) ++ keep.map(col)): _*)
   }
 
   /** DuckDB CTE twin of [[partsuppDF]] (same formulas; `sc` via scalar
@@ -1146,7 +1153,6 @@ object SparkEntry {
       // small-size part, every EUROPE supplier quoting the region-minimum
       // cost. Min-per-part via groupBy + join-back (the decorrelated Q2),
       // dims broadcast, TakeOrdered head
-      val ps = partsuppDF(s, dir)
       val sup = table(s, dir, "supplier")
       val n = table(s, dir, "nation")
       val r = table(s, dir, "region")
@@ -1154,9 +1160,11 @@ object SparkEntry {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .where(col("r_name") === "EUROPE")
-      val cand = table(s, dir, "part")
-        .where(col("p_type") === "LARGE" && col("p_size") <= 10)
-        .join(ps, col("p_partkey") === col("ps_partkey"))
+      val cand = partsuppDF(s, dir,
+          partDf = table(s, dir, "part")
+            .where(col("p_type") === "LARGE" && col("p_size") <= 10),
+          keep = Seq("p_brand"))
+        .withColumn("p_partkey", col("ps_partkey"))
         .join(euroSup, col("ps_suppkey") === col("s_suppkey"))
       val minCost = cand.groupBy(col("ps_partkey").as("mk"))
         .agg(min("ps_supplycost_cents").as("min_cost"))
@@ -1174,10 +1182,8 @@ object SparkEntry {
       // derived partsupp's supplier strides don't align with l_suppkey):
       // profit = revenue - min_supplycost*qty per supplier-nation x
       // order-year over 'bolt' parts; exact decimal until the final cast
-      val ps = partsuppDF(s, dir)
-      val mc = table(s, dir, "part")
-        .where(col("p_name").contains("bolt"))
-        .join(ps, col("p_partkey") === col("ps_partkey"))
+      val mc = partsuppDF(s, dir,
+          partDf = table(s, dir, "part").where(col("p_name").contains("bolt")))
         .groupBy(col("ps_partkey"))
         .agg(min("ps_supplycost_cents").as("mc_cents"))
       val li = table(s, dir, "lineitem")

@@ -54,6 +54,19 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       (i, Array.tabulate(64)(d => ((i * 7 + d) % 13).toFloat / 13f).toSeq)
     }.toDF("vec_id", "embedding")
       .write.parquet(s"$dir/embeddings.parquet")
+    (0L until 30L).map(i => (i, s"large widget $i", s"Brand#${i % 5}",
+        if (i % 2 == 0) "LARGE" else "SMALL", (i % 20).toInt, 900.0 + i))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    (0L until 8L).map(i => (i, s"Supplier#$i", (i % 5).toInt, 10.0 * i))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    (0 until 5).map(i => (i, s"NATION_$i", i % 3))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    (0 until 3).map(i => (i, Seq("EUROPE", "AMERICA", "ASIA")(i)))
+      .toDF("r_regionkey", "r_name")
+      .write.parquet(s"$dir/region.parquet")
     dir
   }
 
@@ -201,6 +214,22 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = planOf("shard_epoch_shuffle")
     assert(plan.contains("hashpartitioning(epoch"),
       s"rank window must partition by (epoch, hash bucket):\n$plan")
+  }
+
+  test("derived-partsupp queries: dims broadcast, fact side never merge-joins") {
+    // ps is derived FROM part, so part attributes must ride the
+    // derivation (no part ⨝ ps self-artifact join), and every dim join
+    // on the lineitem side must broadcast
+    Seq("rel_q9_nation_profit", "rel_q20_scarce_stock").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: dimension join fell back to a shuffle join:\n$plan")
+    }
+    val q2 = planOf("rel_q2_min_cost_supplier")
+    assert(!q2.contains("SortMergeJoin"),
+      s"q2: part re-joined to its own derivative:\n$q2")
+    assert(q2.contains("TakeOrderedAndProject"),
+      s"q2 head must be a distributed top-k:\n$q2")
   }
 
   test("pq codes: one fused expression per row, no slices or structs") {
