@@ -100,6 +100,26 @@ object SparkEntry {
   /** Documents mirrored once into a scratch log: topic "docs",
     * value = "<doc_id>|<text>", arrival order = doc_id. Shared by the
     * streaming text/dedup queries. */
+  /** Events in THREE commits with ascending append timestamps (T0, +1h,
+    * +2h; commit i takes `event_id % 3 == i`, offsets ordered by event_id
+    * within each) — the fixture behind the time-index read
+    * (`offsetForTimestamp`): entry timestamps vary by commit, exactly as
+    * the reference stamps entries at append time. */
+  private def timesLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "times"), {
+      val root = Files.createTempDirectory("graft-log-times-").toString
+      val log = new WalrusLog(spark, root)
+      (0 until 3).foreach { i =>
+        val ev = events(spark, dir).where(col("event_id") % 3 === i).select(
+          col("event_type").as("topic"),
+          encode(col("props"), "UTF-8").as("value"),
+          col("event_id").as("_seq"))
+        log.appendDF(ev, Some(col("_seq")),
+          new Timestamp(FixedTs.getTime + i * 3600L * 1000L))
+      }
+      log
+    })
+
   private def docsLog(spark: SparkSession, dir: String): WalrusLog =
     logCache.getOrElseUpdate((dir, "docs"), {
       val root = Files.createTempDirectory("graft-log-docs-").toString
@@ -2506,6 +2526,28 @@ object SparkEntry {
         s"""SELECT topic, entries, bytes FROM walrus_topics('${log.root}')
            |ORDER BY topic""".stripMargin)
     }),
+    "log_offset_for_times" -> ((s, dir) => {
+      // Kafka offsetsForTimes parity: per (topic, probe hour) the
+      // earliest offset whose entry timestamp is >= the probe, resolved
+      // through WalrusLog.offsetForTimestamp — the ts_us predicate
+      // reaches the parquet scan, so row-group min/max stats prune every
+      // commit written wholly before the probe (the parquet footer IS
+      // the time index). Probes land on the three commit timestamps;
+      // the +3h probe is past everything and returns None (row absent,
+      // matching the oracle's inner join).
+      val log = timesLog(s, dir)
+      val rows = for {
+        t <- log.topicNames.sorted
+        p <- 0 until 4
+        off <- log.offsetForTimestamp(t,
+          new Timestamp(FixedTs.getTime + p * 3600L * 1000L)).toSeq
+      } yield Row(t, p.toLong, off)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("probe_idx", LongType),
+          StructField("first_offset", LongType))))
+        .orderBy("topic", "probe_idx")
+    }),
     "log_tvf_groups" -> ((s, dir) => {
       // Consumer-group DESCRIBE as a SQL surface: walrus_groups(path)
       // dumps the persisted (group, topic) cursor store with end offsets
@@ -3646,6 +3688,20 @@ object SparkEntry {
           |ORDER BY grp, topic""".stripMargin,
       "stream_topic_counts" ->
         "SELECT event_type AS topic, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "log_offset_for_times" ->
+        // time-index twin: commit i holds event_id % 3 == i stamped at
+        // T0 + i hours; offsets continue across commits per topic in
+        // (commit, event_id) order; probe p qualifies commits ci >= p
+        """WITH e AS (SELECT event_type AS topic, event_id, event_id % 3 AS ci FROM events),
+          |o AS (SELECT topic, ci,
+          |    row_number() OVER (PARTITION BY topic ORDER BY ci, event_id) - 1 AS off
+          |  FROM e),
+          |probes AS (SELECT unnest(generate_series(0, 3)) AS p),
+          |f AS (SELECT topic, p, min(off) AS first_offset
+          |  FROM o JOIN probes ON ci >= p GROUP BY 1, 2)
+          |SELECT topic, CAST(p AS BIGINT) AS probe_idx,
+          |  CAST(first_offset AS BIGINT) AS first_offset
+          |FROM f ORDER BY topic, probe_idx""".stripMargin,
       "log_tvf_groups" ->
         """WITH t AS (
           |  SELECT event_type AS topic, count(*) AS n

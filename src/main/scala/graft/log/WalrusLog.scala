@@ -588,6 +588,24 @@ class WalrusLog(
   /** One topic's committed entries. */
   def topicDF(topic: String): DataFrame = toDF().where(col("topic") === topic)
 
+  /** Kafka `offsetsForTimes` analogue: the earliest retained offset whose
+    * entry timestamp is ≥ `ts`, or None when no such entry exists. The
+    * filter runs on the RAW `ts_us` column (not the projected timestamp),
+    * so it reaches the parquet scan as a pushed predicate and row-group
+    * min/max stats prune every batch written wholly before `ts` — the
+    * same sparse-index-then-scan shape as Kafka's time index, with the
+    * parquet footers playing the index. */
+  def offsetForTimestamp(topic: String, ts: Timestamp): Option[Long] = {
+    val us = ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+    val dirs = visibleBatchDirs
+    if (dirs.isEmpty) return None
+    val r = spark.read.option("basePath", dataDir.toString)
+      .schema(readSchema).parquet(dirs: _*)
+      .where(col("topic") === topic && col("ts_us") >= us)
+      .agg(min(col("offset"))).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
   /** Expose the log to SQL: registers a temp view over [[toDF]] (snapshot
     * of currently committed batches) plus graft's native SQL functions —
     * after this, `spark.sql("SELECT ... FROM <name>")` works, giving topic

@@ -770,6 +770,28 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filtered == Seq((0L, "b0"), (1L, "b1"), (2L, "b2")))
   }
 
+  test("offsetForTimestamp: earliest offset at-or-after the probe, None past the end") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    val t0 = 1704067200000L
+    def commit(ids: Seq[Int], ts: Long): Unit =
+      log.appendDF(ids.map(i => ("t", bytes(s"v$i"), i.toLong))
+          .toDF("topic", "value", "_seq"), Some(col("_seq")),
+        new java.sql.Timestamp(ts))
+    commit(Seq(0, 1, 2), t0)        // offsets 0..2 stamped t0
+    commit(Seq(3, 4), t0 + 60000)   // offsets 3..4 stamped t0+60s
+    assert(log.offsetForTimestamp("t", new java.sql.Timestamp(t0 - 1)).contains(0L))
+    assert(log.offsetForTimestamp("t", new java.sql.Timestamp(t0)).contains(0L))
+    // between commits: only the later commit qualifies
+    assert(log.offsetForTimestamp("t", new java.sql.Timestamp(t0 + 1)).contains(3L))
+    assert(log.offsetForTimestamp("t", new java.sql.Timestamp(t0 + 60000)).contains(3L))
+    // past everything / unknown topic -> None
+    assert(log.offsetForTimestamp("t", new java.sql.Timestamp(t0 + 60001)).isEmpty)
+    assert(log.offsetForTimestamp("ghost", new java.sql.Timestamp(t0)).isEmpty)
+  }
+
   test("walrus_topics TVF: STATE as a table (entries, bytes, segments)") {
     val root = tempRoot()
     val log = new WalrusLog(spark, root)
