@@ -2206,6 +2206,47 @@ object SparkEntry {
             1L).otherwise(0L)).as("ontime_lines"))
         .orderBy("o_orderpriority")
     }),
+    "rel_q21_waiting_supplier" -> ((s, dir) => {
+      // TPC-H Q21 shape — suppliers who kept orders waiting (reference
+      // src/sql parity family; lateness proxy as in rel_q12: shipped >60
+      // days after the order date stands in for receipt>commit, which the
+      // synthetic testdata lacks). The textbook correlated EXISTS /
+      // NOT EXISTS pair would self-join lineitem twice more; here both
+      // collapse into ONE aggregation over the same l_orderkey shuffle:
+      // an order qualifies iff it has >1 distinct suppliers and exactly 1
+      // distinct LATE supplier — every late line in it then belongs to the
+      // single waiting supplier. The oracle runs the textbook correlated
+      // form, proving the rewrite. At scale: lineitem⨝orders co-partition
+      // on the order key, the qualifier agg and the late-line join reuse
+      // that partitioning, supplier/nation are broadcast dims.
+      val lf = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(table(s, dir, "orders").where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .as("late"))
+      val ord = lf.groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"))
+        .where(col("nsupp") > 1 && col("nlate") === 1)
+        .select(col("l_orderkey").as("q_orderkey"))
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      // The textbook n_name = ':1' filter would push into this broadcast
+      // dim exactly as in rel_q5; the synthetic nations are uniform, so
+      // the join is kept for shape parity with no filter.
+      val nat = table(s, dir, "nation").select(col("n_nationkey"))
+      lf.where(col("late"))
+        .join(ord, col("l_orderkey") === col("q_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
     "rel_q14_promo_share" -> ((s, dir) => {
       // TPC-H Q14 shape: promo revenue share for one ship month. Part is a
       // broadcast dim; both sums are decimal-exact before ONE double
@@ -4505,6 +4546,28 @@ object SparkEntry {
           |    THEN 1 ELSE 0 END) AS BIGINT) AS ontime_lines
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // Textbook correlated EXISTS / NOT EXISTS form — deliberately NOT the
+      // aggregation rewrite the Spark side runs, so the gate proves the
+      // rewrite's equivalence.
+      "rel_q21_waiting_supplier" ->
+        """WITH lf AS (
+          |  SELECT l_orderkey, l_suppkey,
+          |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |      THEN 1 ELSE 0 END AS late
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  WHERE o_orderstatus = 'F')
+          |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+          |FROM lf l1
+          |JOIN supplier ON s_suppkey = l1.l_suppkey
+          |JOIN nation ON n_nationkey = s_nationkey
+          |WHERE l1.late = 1
+          |  AND EXISTS (SELECT 1 FROM lf l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey
+          |      AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lf l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey
+          |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
       "rel_q14_promo_share" ->
         """WITH a AS (
           |  SELECT

@@ -232,6 +232,20 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q2 head must be a distributed top-k:\n$q2")
   }
 
+  test("Q21 rewrite: no correlated self-join artifacts, distributed top-k head") {
+    // the EXISTS / NOT EXISTS pair is rewritten to one aggregation over
+    // the orderkey shuffle — the plan must carry NO nested-loop or
+    // cartesian artifact of a correlated-subquery fallback, broadcast the
+    // supplier/nation dims, and end in a distributed top-k
+    val plan = planOf("rel_q21_waiting_supplier")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"correlated fallback crept in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"head must be a distributed top-k:\n$plan")
+  }
+
   test("pq codes: one fused expression per row, no slices or structs") {
     import spark.implicits._
     val emb = (0L until 20L)
