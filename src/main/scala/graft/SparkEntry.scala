@@ -637,6 +637,14 @@ object SparkEntry {
           "vec_id", "embedding", minCosine = 0.35)
         .withColumnRenamed("id_a", "vec_a").withColumnRenamed("id_b", "vec_b")
         .orderBy("vec_a", "vec_b")),
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup (cluster-then-dedup): the IVF cell assignment bounds the
+      // pairwise cosine term to Σ|cell|² — never corpus all-pairs — and
+      // keep-lowest-id inside each cell is deterministic
+      Dedup.semanticDedup(table(s, dir, "embeddings"), "vec_id", "embedding",
+          nCells = 8, minCosine = 0.30)
+        .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
+        .orderBy("vec_id")),
     "dedup_winnow_pairs" -> ((s, dir) =>
       // substring-level dup candidates: winnowed (MOSS) fingerprint sets,
       // pairs sharing >= 3 window minima — catches long shared substring
@@ -3475,6 +3483,30 @@ object SparkEntry {
            |  cms_estimate >= exact_n AS overestimated
            |FROM exact JOIN est ON exact.word = est.word
            |ORDER BY exact_n DESC, exact.word""".stripMargin,
+      "dedup_semantic" -> {
+        // SemDeDup twin: the sim_ivf_assign CTE gives the cell, then a
+        // cell-local pair join marks every vector with a smaller-id
+        // >= 0.30-cosine neighbor as a duplicate; survivors remain
+        val cells = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        val cosine = s"floor((${dotSql("a", "b")}) /" +
+          s" (sqrt(${normSqSql("a")}) * sqrt(${normSqSql("b")})) * 1000000 + 0.5) / 1000000"
+        s"""WITH s AS (
+           |  $cells),
+           |asg AS (SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s)
+           |  WHERE rn = 1),
+           |dup AS (SELECT DISTINCT b.vec_id AS dup_id
+           |  FROM embeddings a JOIN asg aa ON a.vec_id = aa.vec_id
+           |  JOIN asg bb ON aa.cid = bb.cid
+           |  JOIN embeddings b ON b.vec_id = bb.vec_id
+           |  WHERE a.vec_id < b.vec_id AND $cosine >= 0.30)
+           |SELECT asg.vec_id, cid AS centroid_id
+           |FROM asg LEFT JOIN dup ON asg.vec_id = dup.dup_id
+           |WHERE dup.dup_id IS NULL ORDER BY asg.vec_id""".stripMargin
+      },
       "dedup_winnow_pairs" ->
         // winnowing twin: per-position shingle hashes, window-frame MIN
         // over w=12 consecutive positions (only FULL windows — the Spark

@@ -436,4 +436,38 @@ object Dedup {
       .agg(count(lit(1)).as("shared_fps"))
       .where(col("shared_fps") >= minShared)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * assign every vector to its IVF cell ([[Similarity.ivfAssign]]'s
+    * deterministic coarse quantizer), then WITHIN each cell drop every
+    * vector that has a >= `minCosine` neighbor with a smaller id
+    * (keep-lowest-id stands in for the paper's keep-farthest-from-centroid
+    * — deterministic and oracle-expressible). Returns the survivors as
+    * (id, centroid_id).
+    *
+    * At 100 TB: cost is Σ|cell|² — cluster-local, never corpus all-pairs —
+    * and the pair join is a plain equi-join on `centroid_id`, so `nCells`
+    * is the knob that bounds the quadratic term (the paper uses ~100k
+    * cells for billions of vectors). Oversized cells are the skew risk:
+    * raise `nCells` or sub-split hot cells by a secondary LSH bit before
+    * the pair join. */
+  def semanticDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, minCosine: Double): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_similarity
+    val assigned = emb
+      .join(Similarity.ivfAssign(emb, idCol, vecCol, nCells), Seq(idCol))
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+    val a = assigned.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      col("centroid_id"))
+    val b = assigned.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      col("centroid_id"))
+    val dups = a.join(b, Seq("centroid_id"))
+      .where(col("id_a") < col("id_b") &&
+        q6(cosine_similarity(col("v_a"), col("v_b"))) >= minCosine)
+      .select(col("id_b").as("dup_id")).distinct()
+    assigned
+      .join(dups, col(idCol) === col("dup_id"), "left_anti")
+      .select(col(idCol), col("centroid_id"))
+  }
 }

@@ -232,6 +232,14 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q2 head must be a distributed top-k:\n$q2")
   }
 
+  test("semantic dedup: pair join is an equi-join on the cell id, never all-pairs") {
+    val plan = planOf("dedup_semantic")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join crept in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
+    assert(plan.contains("centroid_id"), s"cell key missing from plan:\n$plan")
+  }
+
   test("Q21 rewrite: no correlated self-join artifacts, distributed top-k head") {
     // the EXISTS / NOT EXISTS pair is rewritten to one aggregation over
     // the orderkey shuffle — the plan must carry NO nested-loop or
