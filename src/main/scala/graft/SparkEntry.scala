@@ -2826,6 +2826,72 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,4)"))
             .cast("decimal(38,4)").cast("double").as("gross"))
         .orderBy("o_orderpriority")
+    }),
+
+    // ---- round-5 continuation 3: serving/rerank, CDC dedup, entropy,
+    // ---- mixture weights, stream-static enrichment ----
+    "sim_adc_rerank" -> ((s, dir) => {
+      // Two-stage serving pattern: ADC integer-LUT shortlist (20 per
+      // query over 8 B/vec codes) → exact fused-cosine re-rank to top-5.
+      // The corpus is scanned once per stage and never shuffled; the
+      // shortlist and query vectors broadcast.
+      val e = table(s, dir, "embeddings")
+      Similarity.adcRerank(e.where(col("vec_id") < 20), e, "vec_id", "embedding",
+          shortlist = 20, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), col("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      // Content-defined chunking dedup: rolling-hash boundaries
+      // (hash % 64 == 0, k=8 shingles) split each document into
+      // shift-tolerant chunks; a chunk occurring in >= 2 distinct
+      // documents is a cross-document duplicate. Per doc: chunk count,
+      // duplicated-chunk count, duplicate fraction.
+      val ch = Dedup.cdcChunks(table(s, dir, "documents"), "doc_id", "text",
+        k = 8, divisor = 64)
+      val docsPerChunk = ch.groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      ch.join(docsPerChunk, Seq("chunk"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
+        .withColumn("dup_frac", TextOps.q6(
+          col("dup_chunks").cast("double") / col("n_chunks").cast("double")))
+        .orderBy("doc_id")
+    }),
+    "text_entropy" -> ((s, dir) =>
+      // unigram Shannon entropy in millinats + type-token ratio — the
+      // lexical-diversity quality gate (low entropy = degenerate text)
+      TextAnalysis.tokenEntropy(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "shard_mixture_weights" -> ((s, dir) =>
+      // per-language mixture report: actual token share vs the uniform
+      // target, and the exact-integer sampling weight that equalizes it
+      graft.operators.Sharding.mixtureWeights(table(s, dir, "documents"), "lang", "text")
+        .orderBy("domain")),
+    "stream_static_enrich" -> ((s, dir) => {
+      // Stream-static broadcast enrichment: the event stream decodes its
+      // payload key in-flight and joins the tiny static nation dim
+      // (broadcast hash join inside the micro-batch — the dimension never
+      // shuffles and the stream side stays pipelined), then counts per
+      // (topic, nation) in complete mode. The batch twin over the same
+      // events is the oracle.
+      val log = mainLog(s, dir)
+      val dim = table(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val enriched = graft.streaming.WalrusStreams.readStream(s, log.root)
+        .withColumn("k",
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
+        .where(col("k").isNotNull)
+        .join(broadcast(dim), col("k") % 25 === col("n_nationkey"))
+        .groupBy(col("topic"), col("n_name"))
+        .agg(count(lit(1)).as("n"))
+      val rows = runStreamToMemory(s, enriched, "complete")(
+        _.orderBy("topic", "n_name").collect().toSeq)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("n_name", StringType), StructField("n", LongType))))
+        .orderBy("topic", "n_name")
     })
   )
 
@@ -4951,7 +5017,126 @@ object SparkEntry {
           |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS gross
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |WHERE o_totalprice > 400000
-          |GROUP BY 1 ORDER BY 1""".stripMargin
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "sim_adc_rerank" -> {
+        // stage-1 twin = the sim_pq_adc pipeline kept to rnk <= 20, then
+        // the exact-cosine re-rank over the shortlist only
+        val sub = (0 until 8).flatMap { sIdx =>
+          (0 until 4).map { cIdx =>
+            val dot = (0 until 8).map { d =>
+              val comp = Similarity.projComponent(301 + sIdx * 4 + cIdx, d)
+              s"CAST(e.embedding[${sIdx * 8 + d + 1}] AS DOUBLE) * ($comp)"
+            }.mkString(" + ")
+            s"SELECT vec_id, $sIdx AS s, $cIdx AS cid, floor(($dot) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
+          }
+        }.mkString("\n  UNION ALL ")
+        s"""WITH scores AS (
+           |  $sub),
+           |best AS (
+           |  SELECT vec_id, s, cid FROM (
+           |    SELECT vec_id, s, cid, row_number() OVER (
+           |      PARTITION BY vec_id, s ORDER BY sim DESC, cid DESC) AS rn
+           |    FROM scores)
+           |  WHERE rn = 1),
+           |lut AS (
+           |  SELECT vec_id AS query_id, s, cid,
+           |    CAST(round(sim * 1000000) AS BIGINT) AS sim_micro
+           |  FROM scores WHERE vec_id < 20),
+           |sc AS (
+           |  SELECT l.query_id, b.vec_id AS neighbor_id,
+           |    CAST(SUM(l.sim_micro) AS BIGINT) AS score_micro
+           |  FROM best b JOIN lut l ON l.s = b.s AND l.cid = b.cid
+           |  WHERE b.vec_id <> l.query_id
+           |  GROUP BY 1, 2),
+           |shortlist AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY score_micro DESC, neighbor_id) AS srnk
+           |    FROM sc)
+           |  WHERE srnk <= 20),
+           |p AS (
+           |  SELECT sl.query_id, sl.neighbor_id,
+           |    floor((${dotSql("q", "c")}) /
+           |      (sqrt(${normSqSql("q")}) * sqrt(${normSqSql("c")})) * 1000000 + 0.5) / 1000000 AS cosine
+           |  FROM shortlist sl
+           |  JOIN embeddings q ON q.vec_id = sl.query_id
+           |  JOIN embeddings c ON c.vec_id = sl.neighbor_id),
+           |r AS (
+           |  SELECT query_id, neighbor_id, cosine,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM p)
+           |SELECT query_id, neighbor_id, rnk, cosine FROM r
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      },
+      "dedup_cdc_chunks" ->
+        // CDC twin: same rolling-shingle hash and % 64 boundary rule, cut
+        // after char i+7, segments from consecutive distinct boundaries
+        s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+           |  WHERE length(text) >= 8),
+           |pos AS (SELECT doc_id, text, n,
+           |    unnest(generate_series(1, n - 7)) AS i FROM d),
+           |cut AS (SELECT doc_id, i + 7 AS j FROM pos
+           |  WHERE (${permSql(codeSql("text", 8), sa, sb)}) % 64 = 0),
+           |bnd AS (SELECT DISTINCT doc_id, b FROM (
+           |    SELECT doc_id, 0 AS b FROM d
+           |    UNION ALL SELECT doc_id, j FROM cut
+           |    UNION ALL SELECT doc_id, n FROM d)),
+           |seg AS (SELECT doc_id, b AS s0,
+           |    lead(b) OVER (PARTITION BY doc_id ORDER BY b) AS e0 FROM bnd),
+           |ch AS (SELECT seg.doc_id, substr(d.text, s0 + 1, e0 - s0) AS chunk
+           |  FROM seg JOIN d ON seg.doc_id = d.doc_id WHERE e0 IS NOT NULL),
+           |nd AS (SELECT chunk, count(DISTINCT doc_id) AS ndocs
+           |  FROM ch GROUP BY chunk)
+           |SELECT ch.doc_id, count(*) AS n_chunks,
+           |  CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+           |  floor(CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*) * 1000000 + 0.5) / 1000000 AS dup_frac
+           |FROM ch JOIN nd USING (chunk)
+           |GROUP BY ch.doc_id ORDER BY doc_id""".stripMargin,
+      "text_entropy" ->
+        // millinat entropy twin: one ln + one round per DISTINCT token
+        // count, exact BIGINT sums, non-negative integer division
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+          |  FROM documents),
+          |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+          |a AS (SELECT doc_id,
+          |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+          |    CAST(count(*) AS BIGINT) AS n_types,
+          |    CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000, 0) AS BIGINT)) AS BIGINT) AS clnc
+          |  FROM c GROUP BY 1)
+          |SELECT doc_id, n_tokens, n_types,
+          |  floor(CAST(n_types AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000 AS ttr,
+          |  CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000, 0) AS BIGINT)
+          |    - clnc // n_tokens AS BIGINT) AS entropy_millinats
+          |FROM a ORDER BY doc_id""".stripMargin,
+      "shard_mixture_weights" ->
+        """WITH pd AS (
+          |  SELECT lang AS domain,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |dom AS (SELECT domain, count(*) AS n_docs, SUM(n_tok) AS domain_tokens
+          |  FROM pd GROUP BY 1),
+          |tot AS (SELECT SUM(domain_tokens) AS total_tokens,
+          |    count(*) AS n_domains FROM dom)
+          |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+          |  CAST(domain_tokens AS BIGINT) AS domain_tokens,
+          |  floor(CAST(domain_tokens AS DOUBLE) / total_tokens * 1000000 + 0.5) / 1000000 AS token_share,
+          |  CAST((total_tokens * 1000000) // (n_domains * domain_tokens) AS BIGINT) AS weight_micro
+          |FROM dom CROSS JOIN tot ORDER BY domain""".stripMargin,
+      "stream_static_enrich" ->
+        """WITH e AS (
+          |  SELECT event_type AS topic,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |  FROM events
+          |  WHERE json_extract_string(props, '$.k') IS NOT NULL)
+          |SELECT topic, n_name, count(*) AS n
+          |FROM e JOIN nation ON e.k % 25 = n_nationkey
+          |GROUP BY 1, 2 ORDER BY topic, n_name""".stripMargin
     )
   }
 }

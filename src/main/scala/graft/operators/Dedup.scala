@@ -437,6 +437,49 @@ object Dedup {
       .where(col("shared_fps") >= minShared)
   }
 
+  /** Content-defined chunking (CDC): split each document at positions
+    * where the rolling k-shingle hash hits `hash % divisor == 0` — the
+    * rsync/LBFS boundary rule that underpins chunk-level dedup in storage
+    * systems and data pipelines. Because boundaries depend only on LOCAL
+    * content, an insertion early in a document shifts at most one chunk:
+    * all later chunks re-align and still dedup, which fixed-size blocking
+    * cannot do. Expected chunk length ≈ `divisor` characters.
+    *
+    * A cut after character `i + k − 1` fires when the shingle starting at
+    * `i` hashes to the mask; the shingle codes come from the fused rolling
+    * [[graft.functions.ShingleCodes]] pass (O(chars), one narrow
+    * projection), and the boundary/substring assembly is pure per-row array
+    * arithmetic — the whole operator is shuffle-free. Returns one row per
+    * positional chunk: (id, chunk_idx, chunk).
+    *
+    * At 100 TB: downstream consumers should key on `xxhash64(chunk)` (or
+    * [[graft.functions.GraftFunctions.fnv1a64]] for wire parity) rather
+    * than the chunk string so the dedup shuffle carries 8-byte keys; the
+    * string is kept here because the correctness gate compares content
+    * exactly. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, divisor: Int = 64): DataFrame = {
+    import graft.functions.GraftFunctions.shingle_codes
+    val (a, b) = hashCoeffs(1).head
+    val withBounds = df.where(length(col(textCol)) >= k)
+      .select(col(idCol), col(textCol).as("_t"),
+        shingle_codes(col(textCol), k).as("_cd"))
+      .withColumn("_b", array_distinct(concat(
+        array(lit(0)),
+        expr(s"transform(filter(sequence(1, size(_cd)), " +
+          s"i -> (($a * (element_at(_cd, i) % ${TextOps.P}) + $b) % ${TextOps.P}) % $divisor = 0), " +
+          s"i -> i + ${k - 1})"),
+        array(length(col("_t"))))))
+    withBounds
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(_b) - 1), x -> struct(" +
+          "CAST(x AS BIGINT) AS chunk_idx, " +
+          "substr(_t, element_at(_b, x) + 1, " +
+          "element_at(_b, x + 1) - element_at(_b, x)) AS chunk))")).as("c"))
+      .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk").as("chunk"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * assign every vector to its IVF cell ([[Similarity.ivfAssign]]'s
     * deterministic coarse quantizer), then WITHIN each cell drop every

@@ -42,6 +42,37 @@ object Sharding {
       rateMilli: org.apache.spark.sql.Column): DataFrame =
     df.where(pmod(col(idCol).cast("long") * HashMul, lit(1000L)) < rateMilli)
 
+  /** Domain-mixture rebalancing weights: per domain (language, source,
+    * crawl…), the token share it actually holds and the sampling weight
+    * that would equalize the mixture to a uniform target — the report a
+    * training pipeline computes before setting per-domain sampling rates
+    * (the mixture-weighting companion of [[stratifiedSample]], which then
+    * applies `weight_micro`-derived rates).
+    *
+    * `weight_micro` = ⌊(total_tokens · 10⁶) / (n_domains · domain_tokens)⌋
+    * in exact non-negative BIGINT arithmetic (cross-engine-safe DIV):
+    * > 10⁶ means up-sample, < 10⁶ down-sample. Plan shape: one narrow
+    * token-count projection, one groupBy(domain) with map-side combine,
+    * then a 1-row global aggregate broadcast back onto the |domains|-row
+    * result — the corpus is scanned once and never shuffled (the only
+    * exchange carries one row per domain). */
+  def mixtureWeights(df: DataFrame, domainCol: String, textCol: String): DataFrame = {
+    val perDom = df
+      .select(col(domainCol).as("domain"),
+        expr(s"CAST(size(filter(split($textCol, ' '), x -> x <> '')) AS BIGINT)")
+          .as("n_tok"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("domain_tokens"))
+    val tot = perDom.agg(sum("domain_tokens").as("total_tokens"),
+      count(lit(1)).as("n_domains"))
+    perDom.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_docs"), col("domain_tokens"),
+        TextOps.q6(col("domain_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("token_share"),
+        expr("(total_tokens * 1000000) DIV (n_domains * domain_tokens)")
+          .as("weight_micro"))
+  }
+
   /** Diversity-aware curation sampling: keep the `k` best rows (by
     * `scoreCol`, ties to the lower id) within every `cellCol` group — the
     * coverage-sampling step of a curation pipeline: with cells from a

@@ -337,6 +337,40 @@ object Similarity {
         q6(col("score_micro").cast("double") / 1e6).as("adc_score"))
   }
 
+  /** Two-stage retrieval: ADC shortlist → exact re-rank — the canonical
+    * billion-scale serving pattern (coarse candidates from the compressed
+    * index, exact scores only for the shortlist). Stage 1 is
+    * [[pqAdcSearch]]'s integer-LUT scan over 8 B/vec codes keeping
+    * `shortlist` candidates per query; stage 2 reattaches raw vectors for
+    * the |Q|·shortlist candidate rows only and re-ranks by exact fused
+    * cosine to the final `k`.
+    *
+    * Plan shape: the (query_id, neighbor_id) shortlist and the query
+    * vectors are tiny — both broadcast — so the exact-scoring join streams
+    * the corpus scan through a broadcast hash join: full-precision vectors
+    * are touched once per candidate, the corpus is never shuffled, and the
+    * final rank windows over ≤ |Q|·shortlist rows. Recall is the ADC
+    * stage's; raise `shortlist` to trade scan width for recall. */
+  def adcRerank(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      shortlist: Int, k: Int,
+      subspaces: Int = 8, subCentroids: Int = 4, subDim: Int = 8): DataFrame = {
+    val cands = pqAdcSearch(queries, corpus, idCol, vecCol, shortlist,
+        subspaces, subCentroids, subDim)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c
+      .join(broadcast(cands.join(broadcast(q), Seq("query_id"))), Seq("neighbor_id"))
+      .withColumn("cosine", q6(cosine_similarity(col("q_vec"), col("c_vec"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** ANN top-k via LSH buckets: candidates = same-bucket pairs, exact
     * cosine re-rank inside the bucket, per-query top-k. Recall trades off
     * with `planes`; at scale add multi-probe (flip one bit) to recover

@@ -76,6 +76,38 @@ object TextAnalysis {
           .as("keep"))
   }
 
+  /** Per-document token-distribution statistics: Shannon entropy of the
+    * unigram distribution in integer millinats plus the type-token ratio —
+    * the pair of lexical-diversity signals that catches low-entropy
+    * degenerate text (keyboard mash, repeated boilerplate) that length and
+    * punctuation ratios miss.
+    *
+    * Entropy is computed order-proof across engines via the millinat
+    * contract (NOTES lesson: ln only with per-term integer rounding before
+    * summation): H·1000 ≈ round(ln N·1000) − (Σᵢ cᵢ·round(ln cᵢ·1000)) DIV N
+    * — one ln + one round per DISTINCT token, every aggregate an exact
+    * BIGINT sum, and the final division a non-negative integer DIV (the
+    * cross-engine-safe regime). Plan shape: one shuffle keyed (doc, token)
+    * with map-side combine, then one (doc) aggregate — O(tokens) at any
+    * corpus size, no corpus-global state. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(expr(s"filter(split($textCol, ' '), x -> x <> '')")).as("tok"))
+    toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") *
+          round(log(col("c").cast("double")) * 1000, 0).cast("long"))
+          .as("_clnc"))
+      .select(col(idCol),
+        col("n_tokens"), col("n_types"),
+        q6(col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (round(log(col("n_tokens").cast("double")) * 1000, 0).cast("long") -
+          expr("_clnc DIV n_tokens")).as("entropy_millinats"))
+  }
+
   /** Quality scoring: length, word-shape, stopword and punctuation ratios,
     * combined into a deterministic [0,1] score (rounded to 6 dp). */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -265,4 +265,39 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("greatest"), s"unfused struct chain present:\n$plan")
     assert(!plan.contains("Exchange"), "pq codes must not shuffle")
   }
+
+  test("adc rerank: shortlist + query vectors broadcast, corpus never merge-joins") {
+    // stage 1 (ADC) deliberately broadcasts the tiny LUT over the code
+    // scan; stage 2 must reattach full vectors through broadcast hash
+    // joins only — a SortMergeJoin here would shuffle the corpus twice
+    val plan = planOf("sim_adc_rerank")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rerank lost its broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join crept in:\n$plan")
+    assert(plan.contains("pq_code"), "fused pq_code missing from stage 1")
+  }
+
+  test("cdc chunks: fused rolling shingle pass, equi-joins only") {
+    val plan = planOf("dedup_cdc_chunks")
+    assert(plan.contains("shingle_codes"),
+      s"fused rolling-hash pass missing:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join crept in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
+  }
+
+  test("token entropy: pure aggregate pipeline, no joins") {
+    val plan = planOf("text_entropy")
+    assert(!plan.contains("Join"), s"entropy must be join-free:\n$plan")
+  }
+
+  test("mixture weights: corpus aggregates once, totals broadcast back") {
+    val plan = planOf("shard_mixture_weights")
+    assert(!plan.contains("SortMergeJoin"),
+      s"per-domain rows must never shuffle-join the 1-row totals:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin") || plan.contains("CartesianProduct"),
+      s"expected the broadcast totals join:\n$plan")
+  }
 }

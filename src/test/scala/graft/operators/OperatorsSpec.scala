@@ -848,4 +848,78 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val order1 = ids.sortBy(id => got((1L, id)))
     assert(order0 != order1, "distinct epochs must produce distinct orders")
   }
+
+  /** Driver-side reference of [[Dedup.cdcChunks]]'s boundary rule. */
+  private def naiveCdc(text: String, k: Int, divisor: Int): Seq[String] = {
+    val (a, b) = TextOps.hashCoeffs(1).head
+    def code(i0: Int): Long =
+      (0 until k).map(d => text.charAt(i0 + d).toLong * TextOps.pow128(k - 1 - d)).sum
+    val cuts = (0 to text.length - k).collect {
+      case i0 if ((a * (code(i0) % TextOps.P) + b) % TextOps.P) % divisor == 0 =>
+        i0 + k
+    }
+    val bnds = (0 +: cuts :+ text.length).distinct
+    bnds.sliding(2).collect { case Seq(s0, e0) => text.substring(s0, e0) }.toSeq
+  }
+
+  test("cdc chunks: exact coverage, dense indexes, naive-reference equality") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 12L).map(i =>
+      (i, (0 until 150 + rnd.nextInt(250))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString))
+    val got = Dedup.cdcChunks(docsDF(docs), "doc_id", "text", k = 8, divisor = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(c => (c._2, c._3)) }
+    docs.foreach { case (id, text) =>
+      val chunks = got(id)
+      assert(chunks.map(_._1).toSeq == (1L to chunks.length).toSeq,
+        s"doc $id indexes not dense")
+      assert(chunks.map(_._2).mkString == text, s"doc $id chunks don't cover text")
+      assert(chunks.map(_._2).toSeq == naiveCdc(text, 8, 16).toSeq,
+        s"doc $id boundary mismatch")
+    }
+  }
+
+  test("cdc chunks: boundaries re-align after an insertion (shift tolerance)") {
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shifted = "zzzzz" + base // insertion at the front shifts every char
+    val a = naiveCdc(base, 8, 16)
+    val b = naiveCdc(shifted, 8, 16)
+    // content-defined boundaries depend only on local windows, so all
+    // chunks after the first cut are byte-identical despite the shift —
+    // the property fixed-size blocking cannot have
+    val shared = a.toSet.intersect(b.toSet)
+    assert(a.size >= 3, s"fixture too short, only ${a.size} chunks")
+    assert(shared.size >= a.size - 2,
+      s"expected re-alignment, shared only ${shared.size} of ${a.size}")
+  }
+
+  test("token entropy and mixture weights: hand-computed fixtures") {
+    import scala.collection.JavaConverters._
+    import org.apache.spark.sql.types._
+    val ent = TextAnalysis.tokenEntropy(
+      docsDF(Seq((0L, "a a b"), (1L, "x x x x"))), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    // doc 0: N=3 types=2; clnc = 2*round(ln2*1000) = 1386;
+    // H_milli = round(ln3*1000) - 1386 DIV 3 = 1099 - 462 = 637
+    assert(ent(0L) == ((3L, 2L, 0.666667, 637L)), s"got ${ent(0L)}")
+    // doc 1: uniform single type -> entropy 1386 - (4*1386) DIV 4 = 0
+    assert(ent(1L) == ((4L, 1L, 0.25, 0L)), s"got ${ent(1L)}")
+
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(0L, "en", "one two three"),
+      org.apache.spark.sql.Row(1L, "en", "four five six"),
+      org.apache.spark.sql.Row(2L, "fr", "un deux")).asJava,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("text", StringType))))
+    val mw = Sharding.mixtureWeights(df, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    // en: 2 docs 6 tokens, fr: 1 doc 2 tokens, total 8, n_domains 2
+    assert(mw("en") == ((2L, 6L, 0.75, 8000000L / 12L)), s"got ${mw("en")}")
+    assert(mw("fr") == ((1L, 2L, 0.25, 8000000L / 4L)), s"got ${mw("fr")}")
+  }
 }
