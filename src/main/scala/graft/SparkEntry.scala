@@ -2892,6 +2892,27 @@ object SparkEntry {
         StructType(Seq(StructField("topic", StringType),
           StructField("n_name", StringType), StructField("n", LongType))))
         .orderBy("topic", "n_name")
+    }),
+    "text_novelty" -> ((s, dir) => {
+      // First-occurrence n-gram novelty: a shingle "belongs" to the
+      // lowest-id document containing it (arrival order = doc_id); per
+      // document, the fraction of its distinct 8-shingles first seen
+      // there — low novelty flags documents that mostly restate earlier
+      // corpus content (the incremental-crawl freshness gate). Two
+      // shuffles over the distinct-shingle set (min-agg + join back);
+      // both sides canonicalize to the same distinct exchange, so AQE
+      // stage reuse scans the corpus once — the same shape as
+      // Dedup.pairOverlaps, linear in shingles at any corpus size.
+      val sh = TextOps.shingles(table(s, dir, "documents"), "doc_id", "text", 8)
+      val first = sh.groupBy("code").agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, Seq("code"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("novel_shingles"))
+        .withColumn("novelty", TextOps.q6(
+          col("novel_shingles").cast("double") / col("n_shingles").cast("double")))
+        .orderBy("doc_id")
     })
   )
 
@@ -5136,7 +5157,16 @@ object SparkEntry {
           |  WHERE json_extract_string(props, '$.k') IS NOT NULL)
           |SELECT topic, n_name, count(*) AS n
           |FROM e JOIN nation ON e.k % 25 = n_nationkey
-          |GROUP BY 1, 2 ORDER BY topic, n_name""".stripMargin
+          |GROUP BY 1, 2 ORDER BY topic, n_name""".stripMargin,
+      "text_novelty" ->
+        s"""${shinglesSql(8, "TRUE")},
+           |first AS (SELECT code, MIN(doc_id) AS first_doc FROM codes GROUP BY code)
+           |SELECT c.doc_id, count(*) AS n_shingles,
+           |  CAST(SUM(CASE WHEN first_doc = c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_shingles,
+           |  floor(CAST(SUM(CASE WHEN first_doc = c.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*) * 1000000 + 0.5) / 1000000 AS novelty
+           |FROM codes c JOIN first USING (code)
+           |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
     )
   }
 }
