@@ -2898,14 +2898,20 @@ object SparkEntry {
       // lowest-id document containing it (arrival order = doc_id); per
       // document, the fraction of its distinct 8-shingles first seen
       // there — low novelty flags documents that mostly restate earlier
-      // corpus content (the incremental-crawl freshness gate). Two
-      // shuffles over the distinct-shingle set (min-agg + join back);
-      // both sides canonicalize to the same distinct exchange, so AQE
-      // stage reuse scans the corpus once — the same shape as
-      // Dedup.pairOverlaps, linear in shingles at any corpus size.
-      val sh = TextOps.shingles(table(s, dir, "documents"), "doc_id", "text", 8)
-      val first = sh.groupBy("code").agg(min(col("doc_id")).as("first_doc"))
-      sh.join(first, Seq("code"))
+      // corpus content (the incremental-crawl freshness gate). ONE corpus
+      // scan: shingle-explode, repartition by code, then a partition-LOCAL
+      // distinct (hashpartitioning(code) already satisfies the (doc,code)
+      // clustering, so Catalyst adds no second exchange) and a code-
+      // partitioned window min — no self-join, no broadcast of the
+      // distinct-shingle table (one row per distinct shingle: unboundable
+      // at corpus scale). Linear in shingles, max two exchanges.
+      import org.apache.spark.sql.expressions.Window
+      val sh = TextOps.shingles(table(s, dir, "documents"), "doc_id", "text", 8,
+          distinct = false)
+        .repartition(col("code"))
+        .dropDuplicates("doc_id", "code")
+      sh.withColumn("first_doc",
+          min(col("doc_id")).over(Window.partitionBy(col("code"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))

@@ -300,4 +300,19 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
         plan.contains("BroadcastHashJoin") || plan.contains("CartesianProduct"),
       s"expected the broadcast totals join:\n$plan")
   }
+
+  test("novelty: single corpus scan, join-free, window partitioned by code") {
+    // first-occurrence attribution must NOT self-join the shingle set (two
+    // scans + a broadcast of the unboundable distinct-shingle table); the
+    // contract is one scan, a partition-local distinct riding the
+    // repartition(code) exchange, and a code-partitioned window.
+    val plan = planOf("text_novelty")
+    assert(!plan.contains("Join"), s"novelty must be join-free:\n$plan")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 1,
+      s"corpus must be scanned exactly once:\n$plan")
+    assert(plan.contains("REPARTITION_BY_COL"),
+      s"expected the explicit repartition(code) exchange:\n$plan")
+    assert(plan.contains("windowspecdefinition(code"),
+      s"window must be partitioned by code, never global:\n$plan")
+  }
 }
