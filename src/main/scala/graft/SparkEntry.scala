@@ -2919,6 +2919,35 @@ object SparkEntry {
         .withColumn("novelty", TextOps.q6(
           col("novel_shingles").cast("double") / col("n_shingles").cast("double")))
         .orderBy("doc_id")
+    }),
+    "text_quality_classifier" -> ((s, dir) =>
+      // pretrained hashed-linear quality filter inference (fasttext shape):
+      // token → feature bucket → fixed milli-weight, summed per doc; pure
+      // formula weights, so the plan is explode → narrow projection →
+      // map-side-combinable per-doc sum — no join, no broadcast
+      TextAnalysis.linearClassifier(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "shard_decontaminate_semantic" -> ((s, dir) => {
+      // embedding-space complement of shard_decontaminate: ~1% of vectors
+      // play the eval set (broadcast), train vectors within cosine 0.30 of
+      // any eval vector are flagged — catches paraphrase leakage that
+      // shares no n-gram with the benchmark
+      val e = table(s, dir, "embeddings")
+      graft.operators.Sharding.decontaminateSemantic(
+          e.where(col("vec_id") % 97 =!= 0),
+          e.where(col("vec_id") % 97 === 0),
+          "vec_id", "embedding", tau = 0.30)
+        .orderBy("vec_id")
+    }),
+    "sim_hard_negatives" -> ((s, dir) => {
+      // contrastive hard-negative mining: per anchor, the 3 highest-cosine
+      // NON-positives (q6 cosine < 0.35) from the anchor's IVF cell
+      val e = table(s, dir, "embeddings")
+      Similarity.hardNegatives(e.where(col("vec_id") < 20), e,
+          "vec_id", "embedding", nCentroids = 8, tauPos = 0.35, k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), col("cosine"))
+        .orderBy("query_id", "rnk")
     })
   )
 
@@ -5172,7 +5201,54 @@ object SparkEntry {
            |  floor(CAST(SUM(CASE WHEN first_doc = c.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
            |    / count(*) * 1000000 + 0.5) / 1000000 AS novelty
            |FROM codes c JOIN first USING (code)
-           |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
+           |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+      "text_quality_classifier" ->
+        s"""WITH tk AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |tb AS (
+           |  SELECT doc_id, CAST(${fnvSql("tok")} % 256 AS BIGINT) AS b
+           |  FROM tk WHERE tok <> ''),
+           |w AS (SELECT doc_id, (1103515245 * b + 12345) % 2001 - 1000 AS w FROM tb)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(w) AS BIGINT) AS score_milli, sum(w) > 0 AS keep
+           |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "shard_decontaminate_semantic" ->
+        s"""WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings
+           |  WHERE vec_id % 97 = 0),
+           |tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+           |p AS (SELECT tr.vec_id,
+           |    floor((${dotSql("tr", "ev")}) /
+           |      (sqrt(${normSqSql("tr")}) * sqrt(${normSqSql("ev")})) * 1000000 + 0.5) / 1000000 AS cos
+           |  FROM tr JOIN ev ON tr.vec_id <> ev.eval_id)
+           |SELECT vec_id, count(*) AS n_eval_hits, max(cos) AS max_cosine
+           |FROM p WHERE cos >= 0.30 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+      "sim_hard_negatives" -> {
+        val cells = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH s AS (
+           |  $cells),
+           |a AS (SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s)
+           |  WHERE rn = 1),
+           |q AS (SELECT e.vec_id, e.embedding, a.cid FROM embeddings e
+           |  JOIN a USING (vec_id) WHERE e.vec_id < 20),
+           |c AS (SELECT e.vec_id, e.embedding, a.cid FROM embeddings e
+           |  JOIN a USING (vec_id)),
+           |p AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    floor((${dotSql("q", "c")}) /
+           |      (sqrt(${normSqSql("q")}) * sqrt(${normSqSql("c")})) * 1000000 + 0.5) / 1000000 AS cosine
+           |  FROM q JOIN c ON q.cid = c.cid AND q.vec_id <> c.vec_id),
+           |r AS (
+           |  SELECT query_id, neighbor_id, cosine,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM p WHERE cosine < 0.35)
+           |SELECT query_id, neighbor_id, rnk, cosine FROM r
+           |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+      }
     )
   }
 }

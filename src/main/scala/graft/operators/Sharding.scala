@@ -73,6 +73,30 @@ object Sharding {
           .as("weight_micro"))
   }
 
+  /** Embedding-space eval-set decontamination: flag every train vector
+    * whose cosine to ANY eval vector reaches `tau` — the semantic
+    * complement of the n-gram-overlap gate ([[Dedup.decontaminate]]):
+    * paraphrased or re-templated benchmark items share no shingle but sit
+    * next to the eval item in embedding space. Eval sets are small by
+    * nature, so the eval side BROADCASTS and the train corpus streams
+    * through one linear scoring pass — a deliberate broadcast-nested-loop
+    * (|eval| × |train| with tiny |eval|), never a corpus shuffle; cosines
+    * are 6-dp-quantized before the threshold so the flag set is
+    * engine-exact. Returns only flagged rows:
+    * (id, n_eval_hits, max_cosine). */
+  def decontaminateSemantic(train: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_similarity
+    val t = train.select(col(idCol), col(vecCol).as("_t_vec"))
+    val e = eval.select(col(idCol).as("_eval_id"), col(vecCol).as("_e_vec"))
+    t.crossJoin(broadcast(e))
+      .where(col(idCol) =!= col("_eval_id"))
+      .withColumn("_cos", TextOps.q6(cosine_similarity(col("_t_vec"), col("_e_vec"))))
+      .where(col("_cos") >= tau)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("_cos")).as("max_cosine"))
+  }
+
   /** Diversity-aware curation sampling: keep the `k` best rows (by
     * `scoreCol`, ties to the lower id) within every `cellCol` group — the
     * coverage-sampling step of a curation pipeline: with cells from a

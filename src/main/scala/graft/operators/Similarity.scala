@@ -211,6 +211,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (query) vector, the `k` highest-cosine corpus vectors that are NOT
+    * positives (cosine < `tauPos`; self excluded) — the "hardest" negatives
+    * an embedding model should learn to push away. Search is cell-local
+    * (same IVF layout as [[ivfSearch]]: anchors broadcast onto the
+    * corpus's centroid cells), so the corpus never shuffles and cost is
+    * candidates-per-cell, not all-pairs — mining stays linear at corpus
+    * scale. Cosines are 6-dp-quantized BEFORE the threshold and the rank
+    * so the positive/negative cut and tie order are engine-exact. */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      nCentroids: Int, tauPos: Double, k: Int): DataFrame = {
+    val ca = ivfAssign(corpus, idCol, vecCol, nCentroids)
+    val qa = ivfAssign(queries, idCol, vecCol, nCentroids)
+    val c = corpus.join(ca, idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("centroid_id"))
+    val q = queries.join(qa, idCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("centroid_id"))
+    val scored = c.join(broadcast(q), Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", q6(cosine_similarity(col("q_vec"), col("c_vec"))))
+      .where(col("cosine") < tauPos)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Top-k nearest by SimHash hamming distance — integer-exact ANN over
     * fingerprints (pairs with [[graft.operators.Dedup.simHash]]).
     * The query side broadcasts (queries are few); the corpus streams

@@ -291,6 +291,41 @@ object TextAnalysis {
     * broadcast back), so the corpus is scanned once, the shuffles are
     * keyed on (doc_id, bucket) then doc_id, and nothing global ever sits
     * in one task. Output: (id, n_tokens, importance_millinats). */
+  /** Hashed-linear quality classifier scoring (the fasttext-shaped
+    * inference pass): every token hashes to one of `nBuckets` feature
+    * buckets, each bucket carries a FIXED milli-unit weight, and a
+    * document's score is the weight sum over its token stream (bag of
+    * hashed unigrams × weight vector — exactly how a pretrained linear
+    * quality filter runs over a crawl). Unlike [[dsirWeights]] the weights
+    * are NOT learned from this corpus: they are a given model, here a
+    * deterministic LCG of the bucket id (`((1103515245·b + 12345) mod
+    * 2001) − 1000` ∈ [−1000, 1000] — a stand-in with the real pipeline
+    * shape; swap the formula for a broadcast weight table to serve real
+    * model weights).
+    *
+    * Scale shape: bucket AND weight are per-row formulas, so scoring is
+    * explode → narrow codegen'd projection → one map-side-combinable
+    * per-doc sum — no weight-table join, no broadcast, nothing global.
+    * All-integer milli-unit arithmetic → engine-exact scores and labels.
+    * Output: (id, n_tokens, score_milli, keep). */
+  def linearClassifier(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      "nBuckets must be a power of two (bucket = low bits of the token hash)")
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn("_b", graft.functions.GraftFunctions
+        .fnv1a64(encode(col("tok"), "UTF-8"))
+        .bitwiseAND(lit((nBuckets - 1).toLong)))
+      .withColumn("_w",
+        (lit(1103515245L) * col("_b") + lit(12345L)) % lit(2001L) - lit(1000L))
+    toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_w")).as("score_milli"))
+      .withColumn("keep", col("score_milli") > 0L)
+  }
+
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column, nBuckets: Int = 64): DataFrame = {
     require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,

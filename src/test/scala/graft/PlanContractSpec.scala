@@ -315,4 +315,34 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("windowspecdefinition(code"),
       s"window must be partitioned by code, never global:\n$plan")
   }
+
+  test("quality classifier: formula weights, join-free, no broadcast") {
+    // the weight is a per-row formula of the feature bucket — scoring must
+    // stay explode -> narrow projection -> per-doc sum with no weight-table
+    // join (the broadcast variant is only for served real-model weights)
+    val plan = planOf("text_quality_classifier")
+    assert(!plan.contains("Join"), s"classifier scoring must be join-free:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"no weight table may broadcast — weights are a formula:\n$plan")
+    assert(plan.contains("fnv1a64"), s"fused token hash missing:\n$plan")
+  }
+
+  test("semantic decontamination: eval side broadcasts, corpus never shuffles") {
+    val plan = planOf("shard_decontaminate_semantic")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the deliberate broadcast eval x train scoring pass:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"train corpus must not shuffle against the tiny eval set:\n$plan")
+  }
+
+  test("hard negatives: cell-local equi-join, window per anchor") {
+    val plan = planOf("sim_hard_negatives")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"anchors must broadcast onto corpus cells via the cid equi-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+      s"all-pairs join crept into cell-local mining:\n$plan")
+    assert(plan.contains("windowspecdefinition(query_id"),
+      s"rank window must be partitioned by the anchor:\n$plan")
+  }
 }
