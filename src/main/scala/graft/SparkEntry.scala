@@ -2948,6 +2948,47 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rnk"), col("cosine"))
         .orderBy("query_id", "rnk")
+    }),
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      // Hybrid retrieval with reciprocal-rank fusion: the lexical list
+      // (shared distinct 8-shingles, query shingles BROADCAST onto the
+      // corpus shingle set — bucket-local equi-join, never all-pairs) and
+      // the vector list (exact cosine, broadcast queries) each rank top-10
+      // per query; RRF fuses them as Σ 1000000 DIV (60 + rank) — integer
+      // division on positive operands, engine-exact. Both lists are
+      // k-bounded per query before the fusion join, so fusion cost is
+      // O(queries·k) whatever the corpus size.
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      // RAW corpus shingles probe the broadcast (the shard_decontaminate
+      // lesson: a corpus-wide distinct shuffle before the semi-join costs
+      // more than deduping the few candidate rows after it)
+      val sh = TextOps.shingles(docs, "doc_id", "text", 8, distinct = false)
+      val qsh = TextOps.shingles(docs.where(col("doc_id") < 5), "doc_id", "text", 8)
+        .withColumnRenamed("doc_id", "query_id")
+      val lex = sh.join(broadcast(qsh), Seq("code"))
+        .where(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id").agg(countDistinct("code").as("shared"))
+      val wl = Window.partitionBy("query_id")
+        .orderBy(col("shared").desc, col("doc_id").asc)
+      val lexTop = lex.withColumn("lrnk", row_number().over(wl).cast("long"))
+        .where(col("lrnk") <= 10).select("query_id", "doc_id", "lrnk")
+      val vecTop = Similarity.bruteForceTopK(
+          emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("vrnk"))
+      val wf = Window.partitionBy("query_id")
+        .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      lexTop.join(vecTop, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(expr("1000000 DIV (60 + lrnk)"), lit(0L)) +
+            coalesce(expr("1000000 DIV (60 + vrnk)"), lit(0L)))
+        .withColumn("rnk", row_number().over(wf).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"),
+          col("rrf_micro"), col("rnk"))
+        .orderBy("query_id", "rnk")
     })
   )
 
@@ -5248,7 +5289,35 @@ object SparkEntry {
            |  FROM p WHERE cosine < 0.35)
            |SELECT query_id, neighbor_id, rnk, cosine FROM r
            |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
-      }
+      },
+      "sim_hybrid_rrf" ->
+        s"""${shinglesSql(8, "TRUE")},
+           |qc AS (SELECT doc_id AS query_id, code FROM codes WHERE doc_id < 5),
+           |lex AS (SELECT qc.query_id, c.doc_id, count(*) AS shared
+           |  FROM codes c JOIN qc ON c.code = qc.code AND c.doc_id <> qc.query_id
+           |  GROUP BY 1, 2),
+           |lt AS (SELECT query_id, doc_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY shared DESC, doc_id) AS BIGINT) AS lrnk
+           |  FROM lex QUALIFY lrnk <= 10),
+           |vp AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           |    floor((${dotSql("q", "c")}) /
+           |      (sqrt(${normSqSql("q")}) * sqrt(${normSqSql("c")})) * 1000000 + 0.5) / 1000000 AS cosine
+           |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+           |vt AS (SELECT query_id, doc_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, doc_id) AS BIGINT) AS vrnk
+           |  FROM vp QUALIFY vrnk <= 10),
+           |f AS (SELECT coalesce(lt.query_id, vt.query_id) AS query_id,
+           |    coalesce(lt.doc_id, vt.doc_id) AS neighbor_id,
+           |    coalesce(1000000 // (60 + lrnk), 0) +
+           |      coalesce(1000000 // (60 + vrnk), 0) AS rrf_micro
+           |  FROM lt FULL OUTER JOIN vt
+           |    ON lt.query_id = vt.query_id AND lt.doc_id = vt.doc_id)
+           |SELECT query_id, neighbor_id, rrf_micro,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY rrf_micro DESC, neighbor_id) AS BIGINT) AS rnk
+           |FROM f QUALIFY rnk <= 5 ORDER BY query_id, rnk""".stripMargin
     )
   }
 }

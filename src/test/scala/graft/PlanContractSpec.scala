@@ -345,4 +345,21 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("windowspecdefinition(query_id"),
       s"rank window must be partitioned by the anchor:\n$plan")
   }
+
+  test("hybrid rrf: broadcast lexical probe, fusion joins only k-bounded lists") {
+    val plan = planOf("sim_hybrid_rrf")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query shingles must broadcast onto the corpus shingle set:\n$plan")
+    // the vector list is the deliberate broadcast-query BNL of
+    // sim_topk_bruteforce; what must NEVER appear is a non-broadcast
+    // all-pairs join or a corpus-scale shuffle join
+    assert(!plan.contains("CartesianProduct"),
+      s"non-broadcast all-pairs join crept into hybrid retrieval:\n$plan")
+    // the ONLY merge join allowed is the FullOuter fusion of the two
+    // top-k lists (k-bounded per query; full-outer cannot broadcast)
+    assert(!plan.contains("SortMergeJoin Inner"),
+      s"corpus-scale inner join must not sort-merge:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must push into the window sort:\n$plan")
+  }
 }
