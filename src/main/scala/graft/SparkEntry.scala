@@ -2061,6 +2061,62 @@ object SparkEntry {
         .select(col("word"), col("exact_n"), col("cms_estimate"))
         .orderBy(col("exact_n").desc, col("word"))
     }),
+    "stream_novelty" -> ((s, dir) => {
+      // First-occurrence novelty maintained over the stream — the
+      // incremental-crawl gate in its native shape: the state store keyed
+      // by shingle code holds ONE long (the first doc that carried the
+      // code). Documents stream in doc_id order (the log's offset order),
+      // so the smallest arriving doc in a code's first batch IS the
+      // corpus-wide first sighting; later batches never emit novel for
+      // that code again. A doc's shingles all ride one log entry, so each
+      // distinct (doc, code) surfaces in exactly one batch and the append
+      // sink sees it once. The per-doc aggregate is a bounded batch
+      // post-pass; the oracle is text_novelty's batch twin — a state bug
+      // or batch-boundary leak shows up as a hash mismatch.
+      // Only NOVEL sightings leave the stateful operator (≤1 row per code,
+      // ever — 13k rows vs the 1.35M distinct pairs at sf0.1): the
+      // streaming question is purely first-occurrence attribution.
+      // n_shingles is a STATELESS function of the document text alone, so
+      // the denominator comes from the same fused shingle expression in a
+      // bounded batch post-pass, and the left join restores zero-novelty
+      // docs.
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import s.implicits._
+      val pairs = parsedDocsStream(s, dir)
+        .where(length(col("text")) >= 8)
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.shingle_codes(col("text"), 8))
+            .as("code"))
+        .as[(Long, Long)]
+      val novel = pairs.groupByKey(_._2)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (_: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) => {
+            if (state.exists) Iterator.empty
+            else {
+              var first = Long.MaxValue
+              rows.foreach(r => if (r._1 < first) first = r._1)
+              state.update(first)
+              Iterator.single(first)
+            }
+          })
+        .toDF("doc_id")
+      val novelRows = runStreamToMemory(s, novel, "append")(
+        _.groupBy("doc_id").agg(count(lit(1)).as("novel_shingles"))
+          .orderBy("doc_id").collect().toSeq)
+      val novelDf = s.createDataFrame(s.sparkContext.parallelize(novelRows, 1),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("novel_shingles", LongType))))
+      table(s, dir, "documents")
+        .where(length(col("text")) >= 8)
+        .select(col("doc_id"), size(array_distinct(
+            graft.functions.GraftFunctions.shingle_codes(col("text"), 8)))
+          .cast("long").as("n_shingles"))
+        .join(novelDf, Seq("doc_id"), "left")
+        .withColumn("novel_shingles", coalesce(col("novel_shingles"), lit(0L)))
+        .withColumn("novelty", TextOps.q6(
+          col("novel_shingles").cast("double") / col("n_shingles").cast("double")))
+        .orderBy("doc_id")
+    }),
     "stream_trending_tokens" -> ((s, dir) => {
       // Windowed text stats over the streaming source: tokens explode
       // in-flight, a tumbling event-time window (same 1 doc/minute clock
@@ -5235,6 +5291,16 @@ object SparkEntry {
           |FROM e JOIN nation ON e.k % 25 = n_nationkey
           |GROUP BY 1, 2 ORDER BY topic, n_name""".stripMargin,
       "text_novelty" ->
+        s"""${shinglesSql(8, "TRUE")},
+           |first AS (SELECT code, MIN(doc_id) AS first_doc FROM codes GROUP BY code)
+           |SELECT c.doc_id, count(*) AS n_shingles,
+           |  CAST(SUM(CASE WHEN first_doc = c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_shingles,
+           |  floor(CAST(SUM(CASE WHEN first_doc = c.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*) * 1000000 + 0.5) / 1000000 AS novelty
+           |FROM codes c JOIN first USING (code)
+           |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+      // streamed ≡ batch: the state-store novelty must equal the batch twin
+      "stream_novelty" ->
         s"""${shinglesSql(8, "TRUE")},
            |first AS (SELECT code, MIN(doc_id) AS first_doc FROM codes GROUP BY code)
            |SELECT c.doc_id, count(*) AS n_shingles,
