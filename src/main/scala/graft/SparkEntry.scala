@@ -289,6 +289,11 @@ object SparkEntry {
 
   // ------------------------------------------------- shared SQL generators
   private val Meta = 256L
+  // dedup_bloom_probe sizing: small enough that false positives actually
+  // occur at test SFs (fill ≈ 0.4 at sf0.01); production would use
+  // ~14 bits/key. Shared by the Spark query and its generated oracle.
+  private val BloomBits = 1 << 11
+  private val BloomK = 3
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
   private def dsumSql(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
 
@@ -602,6 +607,40 @@ object SparkEntry {
         .groupBy("event_type", "hour_bucket")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("event_type", "hour_bucket")
+    }),
+    "rel_funnel_stages" -> ((s, dir) => {
+      // ordered conversion funnel view → click → purchase: per user, the
+      // first view, the first click AT/AFTER that view, the first purchase
+      // at/after that click; stage counts + step conversion rates. Three
+      // chained (groupBy user ⨝ user) stages — every shuffle is on the
+      // same 8-byte user key (exchange reuse), the stage tables only
+      // shrink, and the 1-row stage counts cross-join at the end.
+      val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val t2 = ev.join(t1, "user_id")
+        .where(col("event_type") === "click" && col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val t3 = ev.join(t2, "user_id")
+        .where(col("event_type") === "purchase" && col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val c1 = t1.agg(count(lit(1)).cast("long").as("n1"))
+      val c2 = t2.agg(count(lit(1)).cast("long").as("n2"))
+      val c3 = t3.agg(count(lit(1)).cast("long").as("n3"))
+      c1.crossJoin(c2).crossJoin(c3).select(explode(array(
+        struct(lit(1L).as("stage_idx"), lit("view").as("stage"),
+          col("n1").as("n_users"), lit(1.0).as("conv_rate")),
+        struct(lit(2L).as("stage_idx"), lit("click").as("stage"),
+          col("n2").as("n_users"),
+          TextOps.q6(col("n2").cast("double") / col("n1").cast("double"))
+            .as("conv_rate")),
+        struct(lit(3L).as("stage_idx"), lit("purchase").as("stage"),
+          col("n3").as("n_users"),
+          TextOps.q6(col("n3").cast("double") / col("n2").cast("double"))
+            .as("conv_rate")))).as("r"))
+        .select(col("r.stage_idx"), col("r.stage"), col("r.n_users"),
+          col("r.conv_rate"))
+        .orderBy("stage_idx")
     }),
 
     // ---- dedup family ----
@@ -3045,7 +3084,26 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id").as("neighbor_id"),
           col("rrf_micro"), col("rnk"))
         .orderBy("query_id", "rnk")
-    })
+    }),
+
+    // ---- round-5 continuation 4: funnel, bloom membership gate, BPE ----
+    "dedup_bloom_probe" -> ((s, dir) => {
+      // incremental-crawl membership gate: the prior corpus (doc_id%5!=0)
+      // registers into a broadcast Bloom filter; the new batch (doc_id%5=0)
+      // probes it, and only bloom hits enter the exact verify semi-join.
+      // The oracle computes exact_dup INDEPENDENTLY of the filter, so a
+      // Bloom false negative (impossible by construction) would fail the
+      // gate — soundness is tested, not assumed.
+      val docs = table(s, dir, "documents")
+      Dedup.bloomProbe(docs.where(col("doc_id") % 5 =!= 0),
+          docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
+          mBits = BloomBits, k = BloomK)
+        .orderBy("doc_id")
+    }),
+    "text_bpe_pairs" -> ((s, dir) =>
+      // first BPE-training iteration: adjacent symbol-pair frequencies
+      // over the word-frequency table (cost ∝ vocabulary, not corpus)
+      TextAnalysis.bpePairStats(table(s, dir, "documents"), "text", topK = 25))
   )
 
   // ============================================================== oracles
@@ -5383,7 +5441,61 @@ object SparkEntry {
            |SELECT query_id, neighbor_id, rrf_micro,
            |  CAST(row_number() OVER (PARTITION BY query_id
            |    ORDER BY rrf_micro DESC, neighbor_id) AS BIGINT) AS rnk
-           |FROM f QUALIFY rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+           |FROM f QUALIFY rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+      "rel_funnel_stages" ->
+        """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          |  WHERE event_type = 'view' GROUP BY user_id),
+          |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          |  JOIN t1 ON e.user_id = t1.user_id
+          |  WHERE e.event_type = 'click' AND e.ts >= t1.t1 GROUP BY e.user_id),
+          |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          |  JOIN t2 ON e.user_id = t2.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2 GROUP BY e.user_id),
+          |c AS (SELECT (SELECT count(*) FROM t1) AS n1,
+          |  (SELECT count(*) FROM t2) AS n2,
+          |  (SELECT count(*) FROM t3) AS n3)
+          |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+          |  n1 AS n_users, CAST(1.0 AS DOUBLE) AS conv_rate FROM c
+          |UNION ALL
+          |SELECT CAST(2 AS BIGINT), 'click', n2,
+          |  floor(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) * 1000000 + 0.5) / 1000000 FROM c
+          |UNION ALL
+          |SELECT CAST(3 AS BIGINT), 'purchase', n3,
+          |  floor(CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) * 1000000 + 0.5) / 1000000 FROM c
+          |ORDER BY stage_idx""".stripMargin,
+      "dedup_bloom_probe" -> {
+        def posSql(j: Int): String =
+          s"CAST(mod(${fnvSql(s"text || '#$j'")}, $BloomBits) AS BIGINT)"
+        val posList = (0 until BloomK).map(posSql).mkString(",\n    ")
+        s"""WITH pr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+           |ba AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+           |bits AS (SELECT DISTINCT unnest([$posList]) AS pos FROM pr),
+           |probes AS (SELECT doc_id, unnest([$posList]) AS pos FROM ba),
+           |hits AS (SELECT doc_id, count(*) AS nhit FROM probes
+           |  JOIN bits USING (pos) GROUP BY doc_id),
+           |fl AS (SELECT ba.doc_id,
+           |    coalesce(nhit, 0) = $BloomK AS bloom_hit,
+           |    ba.text IN (SELECT text FROM pr) AS exact_dup
+           |  FROM ba LEFT JOIN hits USING (doc_id))
+           |SELECT doc_id, bloom_hit, exact_dup,
+           |  (bloom_hit OR NOT exact_dup) AS sound
+           |FROM fl ORDER BY doc_id""".stripMargin
+      },
+      "text_bpe_pairs" ->
+        """WITH wt AS (
+          |  SELECT w, count(*) AS wf FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  WHERE w <> '' GROUP BY w),
+          |p AS (
+          |  SELECT w, wf, unnest(list_transform(generate_series(1, length(w)),
+          |    i -> substr(w, i, 1) || ' ' ||
+          |      CASE WHEN i < length(w) THEN substr(w, i + 1, 1)
+          |      ELSE '</w>' END)) AS pair
+          |  FROM wt)
+          |SELECT pair, CAST(sum(wf) AS BIGINT) AS pair_freq,
+          |  CAST(count(DISTINCT w) AS BIGINT) AS n_word_types
+          |FROM p GROUP BY pair
+          |ORDER BY pair_freq DESC, pair LIMIT 25""".stripMargin
     )
   }
 }

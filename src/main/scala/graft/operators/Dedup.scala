@@ -513,4 +513,62 @@ object Dedup {
       .join(dups, col(idCol) === col("dup_id"), "left_anti")
       .select(col(idCol), col("centroid_id"))
   }
+
+  /** Bloom-filter incremental dedup — the crawl-snapshot membership gate:
+    * the PRIOR corpus registers every document into a deterministic m-bit
+    * Bloom filter (k salted-FNV probe positions,
+    * `pos_j(t) = fnv1a64(t ⧺ "#j") & (m−1)`), and each NEW document tests
+    * all k positions — `bloom_hit` iff every one is set. Only the hit
+    * slice (true dups + the bounded false-positive rate) enters the exact
+    * verify semi-join, so the new batch never joins against the full prior
+    * corpus: the filter is the scale gate, the exact join the small
+    * confirmation — the standard incremental-crawl shape where the prior
+    * snapshot is orders of magnitude larger than the new batch.
+    *
+    * No false negatives by construction; the oracle computes `exact_dup`
+    * INDEPENDENTLY (ground-truth membership, not via the filter), so a
+    * Bloom miss on a true duplicate fails the gate — the soundness claim
+    * is tested, not assumed. False positives are expected and visible
+    * (`bloom_hit ∧ ¬exact_dup`) once the fill ratio is non-trivial.
+    *
+    * Scale shape: the set-bit table is ≤ m distinct positions (8-byte
+    * rows) — broadcast to the probe join; the exact verify is a hash
+    * semi-join on the 8-byte text hash restricted to bloom hits. Size m
+    * at ~14 bits/key (k≈10) for ~1e-4 FP at production key counts; the
+    * default here is test-scale so false positives actually occur at
+    * sf0.01. */
+  def bloomProbe(prior: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, mBits: Int = 1 << 14, k: Int = 3): DataFrame = {
+    require(mBits > 0 && (mBits & (mBits - 1)) == 0,
+      "mBits must be a power of two (position = low bits of the salted hash)")
+    import graft.functions.GraftFunctions.fnv1a64
+    def pos(t: Column, j: Int): Column =
+      fnv1a64(encode(concat(t, lit("#" + j)), "UTF-8"))
+        .bitwiseAND(lit((mBits - 1).toLong))
+    def textHash(t: Column): Column = fnv1a64(encode(t, "UTF-8"))
+    val setBits = prior
+      .select(explode(array((0 until k).map(j => pos(col(textCol), j)): _*))
+        .as("pos"))
+      .distinct()
+    // k probe rows per doc; each matches the distinct set-bit table at most
+    // once, so nhit == k ⟺ every probe position is set (salted positions
+    // that collide still contribute one matched row each).
+    val probes = batch.select(col(idCol),
+      explode(array((0 until k).map(j => pos(col(textCol), j)): _*)).as("pos"))
+    val hits = probes.join(broadcast(setBits), Seq("pos"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_nhit"))
+    val priorHashes = prior
+      .select(textHash(col(textCol)).as("_h")).distinct()
+    val flagged = batch
+      .select(col(idCol), textHash(col(textCol)).as("_h"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("bloom_hit", coalesce(col("_nhit"), lit(0L)) === k)
+    val confirmed = flagged.where(col("bloom_hit"))
+      .join(priorHashes, Seq("_h"), "left_semi")
+      .select(col(idCol).as("_eid"))
+    flagged.join(confirmed, col(idCol) === col("_eid"), "left")
+      .select(col(idCol), col("bloom_hit"),
+        col("_eid").isNotNull.as("exact_dup"),
+        (col("bloom_hit") || col("_eid").isNull).as("sound"))
+  }
 }

@@ -380,6 +380,38 @@ object TextAnalysis {
       .bitwiseAND(lit((width - 1).toLong))
   }
 
+  /** BPE merge-candidate statistics — the first iteration of byte-pair-
+    * encoding tokenizer training (Sennrich et al. 2016): every word splits
+    * into characters plus an end-of-word marker, and the merge score of an
+    * adjacent symbol pair is its corpus frequency (occurrences weighted by
+    * word count). Emits the top-`topK` pairs by (frequency desc, pair asc)
+    * — exactly the candidates a BPE trainer would merge first — plus the
+    * number of distinct word types each pair appears in.
+    *
+    * Scale shape: the corpus collapses to a word-frequency table FIRST
+    * (one map-side-combinable shuffle on the word), and pairs explode over
+    * the VOCABULARY, not the token stream — the trainer trick that makes
+    * BPE counting corpus-size-independent per iteration (cost ∝ Σ|type|,
+    * not Σ|token|). The head is a distributed TakeOrdered, no global
+    * window. All-integer counts → engine-exact. */
+  def bpePairStats(df: DataFrame, textCol: String, topK: Int = 25): DataFrame = {
+    val wf = df.select(explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    val pairs = wf
+      .select(col("w"), col("wf"),
+        explode(expr(
+          "transform(sequence(1, length(w)), i -> concat(" +
+            "substr(w, i, 1), ' ', " +
+            "CASE WHEN i < length(w) THEN substr(w, i + 1, 1) " +
+            "ELSE '</w>' END))")).as("pair"))
+    pairs.groupBy("pair")
+      .agg(sum(col("wf")).as("pair_freq"),
+        countDistinct(col("w")).cast("long").as("n_word_types"))
+      .orderBy(col("pair_freq").desc, col("pair"))
+      .limit(topK)
+  }
+
   def cmsTopK(df: DataFrame, textCol: String, depth: Int = 4,
       width: Int = 1024, topK: Int = 25): DataFrame = {
     require(depth >= 1 && depth <= 8, "depth out of range")

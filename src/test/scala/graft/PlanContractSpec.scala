@@ -362,4 +362,35 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("WindowGroupLimit"),
       s"top-k must push into the window sort:\n$plan")
   }
+
+  test("bloom probe: set-bit table broadcasts, no all-pairs join") {
+    // the filter table is <= mBits 8-byte rows -> must broadcast onto the
+    // batch probes; the exact verify is an equi semi-join on the 8-byte
+    // text hash. The batch must NEVER join the full prior corpus without
+    // the bloom gate, and nothing may go all-pairs.
+    val plan = planOf("dedup_bloom_probe")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"set-bit table must broadcast onto the probes:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+      s"all-pairs join crept into the membership gate:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"exact verify must stay a semi-join:\n$plan")
+  }
+
+  test("bpe pairs: vocabulary-sized explode, join-free, distributed top-k") {
+    // pairs explode over the word-frequency TABLE (cost per vocabulary
+    // type), never the raw token stream, and the head is TakeOrdered,
+    // not a global single-task window
+    val plan = planOf("text_bpe_pairs")
+    assert(!plan.contains("Join"), s"bpe counting must be join-free:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a distributed TakeOrdered:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"no global rank window allowed:\n$plan")
+    // two Generates: token split explode + per-word pair explode; the
+    // second must consume the aggregated word-frequency table (an
+    // exchange sits between them)
+    assert("""Generate""".r.findAllIn(plan).size >= 2, s"explodes missing:\n$plan")
+  }
 }
