@@ -24,9 +24,28 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
 
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) — Spark only reads it as a long
+    // Every events query (and its DuckDB oracle twin, via epoch_ns/epoch_us)
+    // assumes ts in the raw-NANOS LongType domain. The testdata has shipped
+    // ts both as parquet TIMESTAMP(NANOS) — which Spark only reads with the
+    // BUILD-time flag spark.sql.legacy.parquet.nanosAsLong=true (a runtime
+    // conf.set is ignored by parquet schema inference in Spark 4.1) — and
+    // as TIMESTAMP(MICROS), which that flag does not touch. Normalize both
+    // to nanos-long here so downstream queries are schema-independent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df // raw nanos
+      case org.apache.spark.sql.types.TimestampNTZType |
+          org.apache.spark.sql.types.TimestampType =>
+        // micros-precision file: ns = us * 1000, exact in both engines.
+        // NTZ -> TIMESTAMP cast interprets in the session timezone, which
+        // every entrypoint pins to UTC — value-preserving.
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events() requires spark.sql.session.timeZone=UTC")
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
   }
 
   /** Derived PARTSUPP dimension: the testdata omits TPC-H's partsupp

@@ -14,6 +14,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS): this flag must be set at
+      // session BUILD time — a runtime conf.set is ignored by parquet
+      // schema inference in Spark 4.1 (verified empirically), so relying
+      // on SparkEntry.events()'s lazy set silently breaks every ts-
+      // arithmetic query when the session builder omits it
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
