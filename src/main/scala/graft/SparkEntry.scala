@@ -313,6 +313,31 @@ object SparkEntry {
   // ~14 bits/key. Shared by the Spark query and its generated oracle.
   private val BloomBits = 1 << 11
   private val BloomK = 3
+
+  /** NDCG@10 gain table in micro-units: g(i) = floor(1e6/log2(i+1) + 0.5),
+    * precomputed in Scala and emitted as INTEGER LITERALS into both the
+    * Spark query and the DuckDB twin — neither engine evaluates a floating
+    * log, so the ranking metric is engine-exact by construction. */
+  private val NdcgGainMicro: Seq[Long] = (1 to 10).map { i =>
+    math.floor(1e6 * math.log(2) / math.log(i + 1) + 0.5).toLong
+  }
+
+  /** DuckDB CTE with the per-doc quality-signal columns (nc/nw/stop/na) and
+    * the clamped heuristic score — ONE definition shared by the
+    * text_quality twin and every oracle that ranks on quality_score
+    * (dedup_canonical), so the two can never drift. Mirrors
+    * TextAnalysis.qualityScore. */
+  private val QualityBaseCte: String =
+    """b AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS nc,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+      |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is|a|in|that)\b')) AS DOUBLE) AS stop,
+      |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS na
+      |  FROM documents)""".stripMargin
+  private val QualityScoreSql: String =
+    """round(0.4 * least(nc / 400.0, 1.0) + 0.4 * least(stop / nw * 5.0, 1.0)
+      |    + 0.2 * (1.0 - least(na / nc * 4.0, 1.0)), 6)""".stripMargin
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
   private def dsumSql(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
 
@@ -3122,7 +3147,72 @@ object SparkEntry {
     "text_bpe_pairs" -> ((s, dir) =>
       // first BPE-training iteration: adjacent symbol-pair frequencies
       // over the word-frequency table (cost ∝ vocabulary, not corpus)
-      TextAnalysis.bpePairStats(table(s, dir, "documents"), "text", topK = 25))
+      TextAnalysis.bpePairStats(table(s, dir, "documents"), "text", topK = 25)),
+    "shard_length_buckets" -> ((s, dir) =>
+      // fixed-shape batch planning: power-of-two sequence-length buckets
+      // with real/padded token totals and the q6 padding-waste fraction —
+      // one narrow projection + a bounded-key groupBy, no explode
+      graft.operators.Sharding.lengthBuckets(table(s, dir, "documents"),
+          "text", minBucket = 16, maxBucket = 1024)
+        .orderBy("bucket_len")),
+    "dedup_canonical" -> ((s, dir) => {
+      // cluster-representative selection: connected components over the
+      // LSH candidate graph pick each near-dup cluster's HIGHEST-QUALITY
+      // member as canonical (ties to the lowest doc_id); singletons are
+      // their own canonical. The replacement map (doc_id -> canonical_id)
+      // is what a dedup pass actually applies to the corpus. All shuffles
+      // key on doc_id or cluster_id — the window is cluster-partitioned,
+      // never global.
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 5, bands = 4, rowsPerBand = 4)
+      val cl = Dedup.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      docs.select(col("doc_id"))
+        .join(cl, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .join(q, Seq("doc_id"))
+        .withColumn("canonical_id", first(col("doc_id")).over(w))
+        .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+    "sim_ndcg_eval" -> ((s, dir) => {
+      // rank-weighted index quality: NDCG@10 of the IVF index against the
+      // exact brute-force ground truth. The gain table is precomputed
+      // integer micro-units (NdcgGainMicro) so no floating log runs in
+      // either engine; ndcg_micro = dcg * 1e6 DIV idcg on non-negative
+      // BIGINTs is cross-engine exact.
+      val e = table(s, dir, "embeddings")
+      val qs = e.where(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfSearch(qs, e, "vec_id", "embedding",
+          nCentroids = 8, k = 10)
+        .select(col("query_id").as("a_q"), col("neighbor_id").as("a_n"),
+          col("rank"))
+      val gain = NdcgGainMicro.zipWithIndex.foldLeft(lit(0L)) {
+        case (acc, (g, idx)) =>
+          when(col("rank") === (idx + 1), lit(g)).otherwise(acc)
+      }
+      val idcg = NdcgGainMicro.sum
+      approx.join(exact,
+          col("a_q") === col("query_id") && col("a_n") === col("neighbor_id"),
+          "left")
+        .select(col("a_q"),
+          when(col("query_id").isNotNull, gain).otherwise(lit(0L)).as("g"))
+        .groupBy("a_q")
+        .agg(sum(when(col("g") > 0, 1L).otherwise(0L)).as("n_hits"),
+          sum(col("g")).as("dcg_micro"))
+        .select(col("a_q").as("query_id"), col("n_hits"), col("dcg_micro"),
+          expr(s"(dcg_micro * 1000000) DIV $idcg").as("ndcg_micro"))
+        .orderBy("query_id")
+    })
   )
 
   // ============================================================== oracles
@@ -3611,22 +3701,15 @@ object SparkEntry {
           |  CAST(length(text) AS BIGINT) AS n_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
       "text_quality" ->
-        """WITH b AS (
-          |  SELECT doc_id,
-          |    CAST(length(text) AS DOUBLE) AS nc,
-          |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
-          |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is|a|in|that)\b')) AS DOUBLE) AS stop,
-          |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS na
-          |  FROM documents)
-          |SELECT doc_id,
-          |  CAST(nc AS BIGINT) AS n_chars,
-          |  CAST(nw AS BIGINT) AS n_words,
-          |  round((nc - (nw - 1.0)) / nw, 6) AS mean_word_len,
-          |  round(stop / nw, 6) AS stopword_ratio,
-          |  round(na / nc, 6) AS punct_ratio,
-          |  round(0.4 * least(nc / 400.0, 1.0) + 0.4 * least(stop / nw * 5.0, 1.0)
-          |    + 0.2 * (1.0 - least(na / nc * 4.0, 1.0)), 6) AS quality_score
-          |FROM b ORDER BY doc_id""".stripMargin,
+        s"""WITH $QualityBaseCte
+           |SELECT doc_id,
+           |  CAST(nc AS BIGINT) AS n_chars,
+           |  CAST(nw AS BIGINT) AS n_words,
+           |  round((nc - (nw - 1.0)) / nw, 6) AS mean_word_len,
+           |  round(stop / nw, 6) AS stopword_ratio,
+           |  round(na / nc, 6) AS punct_ratio,
+           |  $QualityScoreSql AS quality_score
+           |FROM b ORDER BY doc_id""".stripMargin,
       "text_repetition" ->
         // Gopher-style repetition twin: identical grams, counts, and q6
         // floor quantization as TextAnalysis.repetitionSignals
@@ -5514,7 +5597,89 @@ object SparkEntry {
           |SELECT pair, CAST(sum(wf) AS BIGINT) AS pair_freq,
           |  CAST(count(DISTINCT w) AS BIGINT) AS n_word_types
           |FROM p GROUP BY pair
-          |ORDER BY pair_freq DESC, pair LIMIT 25""".stripMargin
+          |ORDER BY pair_freq DESC, pair LIMIT 25""".stripMargin,
+      "shard_length_buckets" -> {
+        val buckets = Iterator.iterate(16)(_ * 2).takeWhile(_ <= 1024).toSeq
+        val bucketCase = buckets.init
+          .map(b => s"WHEN n_tokens <= $b THEN $b")
+          .mkString("CASE ", " ", s" ELSE ${buckets.last} END")
+        s"""WITH t AS (
+           |  SELECT len(string_split(text, ' ')) AS n_tokens FROM documents),
+           |b AS (SELECT n_tokens, $bucketCase AS bucket_len FROM t)
+           |SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+           |  count(*) AS n_docs,
+           |  CAST(sum(least(n_tokens, bucket_len)) AS BIGINT) AS real_tokens,
+           |  CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+           |  floor(CAST(count(*) * bucket_len - sum(least(n_tokens, bucket_len)) AS DOUBLE)
+           |    / CAST(count(*) * bucket_len AS DOUBLE) * 1000000 + 0.5) / 1000000 AS waste_frac
+           |FROM b GROUP BY bucket_len ORDER BY bucket_len""".stripMargin
+      },
+      "dedup_canonical" ->
+        s"""$lshReachCtes,
+           |cl AS (SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+           |  FROM reach GROUP BY node),
+           |$QualityBaseCte,
+           |q AS (SELECT doc_id, $QualityScoreSql AS qs FROM b),
+           |m AS (SELECT d2.doc_id, coalesce(cl.cluster_id, d2.doc_id) AS cluster_id
+           |  FROM documents d2 LEFT JOIN cl ON d2.doc_id = cl.doc_id),
+           |r AS (SELECT m.doc_id, m.cluster_id,
+           |    first_value(m.doc_id) OVER (PARTITION BY m.cluster_id
+           |      ORDER BY q.qs DESC, m.doc_id) AS canonical_id
+           |  FROM m JOIN q USING (doc_id))
+           |SELECT doc_id, cluster_id, canonical_id,
+           |  doc_id = canonical_id AS is_canonical
+           |FROM r ORDER BY doc_id""".stripMargin,
+      "sim_ndcg_eval" -> {
+        val cells = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        val gainCase = NdcgGainMicro.zipWithIndex
+          .map { case (g, i) => s"WHEN ar.rnk = ${i + 1} THEN $g" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        val idcg = NdcgGainMicro.sum
+        s"""WITH bq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+           |bc AS (SELECT vec_id, embedding FROM embeddings),
+           |bp AS (
+           |  SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id,
+           |    floor((${dotSql("bq", "bc")}) /
+           |      (sqrt(${normSqSql("bq")}) * sqrt(${normSqSql("bc")})) * 1000000 + 0.5) / 1000000 AS cosine
+           |  FROM bq CROSS JOIN bc WHERE bq.vec_id <> bc.vec_id),
+           |ex AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+           |    FROM bp) WHERE rnk <= 10),
+           |s AS (
+           |  $cells),
+           |a AS (SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s)
+           |  WHERE rn = 1),
+           |iq AS (SELECT e.vec_id, e.embedding, a.cid FROM embeddings e
+           |  JOIN a USING (vec_id) WHERE e.vec_id < 20),
+           |ic AS (SELECT e.vec_id, e.embedding, a.cid FROM embeddings e
+           |  JOIN a USING (vec_id)),
+           |ip AS (
+           |  SELECT iq.vec_id AS query_id, ic.vec_id AS neighbor_id,
+           |    floor((${dotSql("iq", "ic")}) /
+           |      (sqrt(${normSqSql("iq")}) * sqrt(${normSqSql("ic")})) * 1000000 + 0.5) / 1000000 AS cosine
+           |  FROM iq JOIN ic ON iq.cid = ic.cid AND iq.vec_id <> ic.vec_id),
+           |ar AS (
+           |  SELECT query_id, neighbor_id, rnk FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+           |    FROM ip) WHERE rnk <= 10),
+           |g AS (
+           |  SELECT ar.query_id,
+           |    CASE WHEN ex.neighbor_id IS NOT NULL THEN $gainCase ELSE 0 END AS g
+           |  FROM ar LEFT JOIN ex
+           |    ON ar.query_id = ex.query_id AND ar.neighbor_id = ex.neighbor_id)
+           |SELECT query_id,
+           |  CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  CAST(SUM(g) AS BIGINT) AS dcg_micro,
+           |  (CAST(SUM(g) AS BIGINT) * 1000000) // $idcg AS ndcg_micro
+           |FROM g GROUP BY query_id ORDER BY query_id""".stripMargin
+      }
     )
   }
 }

@@ -324,4 +324,40 @@ object Sharding {
       .withColumn("pos", row_number().over(w).cast("long") - 1L + col("_base"))
       .select(col("epoch").cast("long").as("epoch"), col(idCol), col("pos"))
   }
+
+  /** Sequence-length bucketing + padding-waste accounting — the batch-shape
+    * report a training pipeline runs before fixing its bucket boundaries.
+    * Each document is assigned to the smallest power-of-two length bucket
+    * ≥ its whitespace token count (floor `minBucket`, documents above
+    * `maxBucket` are clamped into it — the truncation bucket); per bucket:
+    * document count, real token total, padded token total (`bucket_len ·
+    * n_docs` — what a fixed-shape batch actually allocates), and the waste
+    * fraction q6((padded − real) / padded).
+    *
+    * Scale shape: one narrow projection computes the token count + bucket
+    * (no explode — `size(split(...))` is per-row), then a map-side-
+    * combinable groupBy over ≤ log₂(maxBucket) keys. No joins, no windows;
+    * the output is bounded by the bucket count whatever the corpus size. */
+  def lengthBuckets(df: DataFrame, textCol: String,
+      minBucket: Int = 16, maxBucket: Int = 1024): DataFrame = {
+    require(minBucket > 0 && (minBucket & (minBucket - 1)) == 0 &&
+      maxBucket >= minBucket && (maxBucket & (maxBucket - 1)) == 0,
+      "buckets must be powers of two with minBucket <= maxBucket")
+    val nTok = size(split(col(textCol), " ")).cast("long")
+    // smallest power of two >= n, clamped to [minBucket, maxBucket]:
+    // 2^ceil(log2(n)) via bit-length of (n-1) — integer-only, engine-exact
+    val buckets = Iterator.iterate(minBucket)(_ * 2)
+      .takeWhile(_ <= maxBucket).toSeq
+    val bucketLen = buckets.init.foldRight(lit(buckets.last.toLong)) {
+      case (b, rest) => when(nTok <= b, lit(b.toLong)).otherwise(rest)
+    }
+    df.select(nTok.as("n_tokens"), bucketLen.as("bucket_len"))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("n_tokens"), col("bucket_len"))).as("real_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket_len"))
+      .withColumn("waste_frac", TextOps.q6(
+        (col("padded_tokens") - col("real_tokens")).cast("double") /
+          col("padded_tokens").cast("double")))
+  }
 }

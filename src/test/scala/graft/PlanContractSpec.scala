@@ -393,4 +393,20 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exchange sits between them)
     assert("""Generate""".r.findAllIn(plan).size >= 2, s"explodes missing:\n$plan")
   }
+
+  test("length buckets: narrow projection, join-free, no explode") {
+    // token count is size(split(..)) per row — the corpus must never
+    // explode to tokens, and the output is bounded by the bucket count
+    val plan = planOf("shard_length_buckets")
+    assert(!plan.contains("Join"), s"bucketing must be join-free:\n$plan")
+    assert(!plan.contains("Generate"), s"no token explode allowed:\n$plan")
+  }
+
+  test("canonical selection: cluster-partitioned window, never global") {
+    val plan = planOf("dedup_canonical")
+    assert(plan.contains("windowspecdefinition(cluster_id"),
+      s"representative pick must partition by cluster:\n$plan")
+    assert(!plan.contains("windowspecdefinition(ORDER"),
+      s"global window crept in:\n$plan")
+  }
 }
