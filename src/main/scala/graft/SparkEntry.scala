@@ -262,6 +262,43 @@ object SparkEntry {
       (log, cuts)
     })
 
+  /** Documents re-written PARTITIONED BY lang (once per sfDir): the
+    * partition-pruning fixture. A lang predicate on this layout prunes
+    * whole directories at planning time — the first and cheapest pruning
+    * layer a 100 TB corpus store relies on (before row-group stats or
+    * row-level filters ever run). */
+  private val partDirCache = TrieMap.empty[String, String]
+  private def partitionedDocs(spark: SparkSession, dir: String): String =
+    partDirCache.getOrElseUpdate(dir, {
+      val out = Files.createTempDirectory("graft-part-docs-").toString + "/docs"
+      table(spark, dir, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      out
+    })
+
+  /** Documents + embeddings persisted as 8-way bucketed tables on their
+    * join keys (once per sfDir): the co-located-join fixture. Two tables
+    * bucketed the same way join WITHOUT shuffling either side — at 100 TB
+    * the difference between a metadata lookup and re-hashing the corpus
+    * over the network every query. Registered as external tables (explicit
+    * tmp path — nothing lands in a warehouse dir). */
+  private val bucketCache = TrieMap.empty[String, (String, String)]
+  private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
+    bucketCache.getOrElseUpdate(dir, {
+      val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+      val (dt, et) = (s"b_docs_$tag", s"b_emb_$tag")
+      val root = Files.createTempDirectory("graft-bucketed-").toString
+      table(spark, dir, "documents")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", s"$root/$dt").saveAsTable(dt)
+      table(spark, dir, "embeddings")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "vec_id").sortBy("vec_id")
+        .option("path", s"$root/$et").saveAsTable(et)
+      (dt, et)
+    })
+
   private def entriesToDF(spark: SparkSession, es: Seq[graft.log.WalrusEntry]): DataFrame = {
     val rows = es.map(e => Row(e.topic, e.offset, new String(e.value, "UTF-8")))
     spark.createDataFrame(
@@ -3212,6 +3249,39 @@ object SparkEntry {
         .select(col("a_q").as("query_id"), col("n_hits"), col("dcg_micro"),
           expr(s"(dcg_micro * 1000000) DIV $idcg").as("ndcg_micro"))
         .orderBy("query_id")
+    }),
+    "rel_partition_pruning" -> ((s, dir) => {
+      // directory-level pruning: documents stored partitioned by lang, so
+      // the lang='en' predicate eliminates every other partition at
+      // planning time (PartitionFilters in the scan — zero IO for pruned
+      // dirs, plan-contract-asserted). Row filters can't beat not opening
+      // the file at all.
+      val p = partitionedDocs(s, dir)
+      s.read.parquet(p).where(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+        .orderBy("source")
+    }),
+    "rel_bucketed_join" -> ((s, dir) => {
+      // co-located join: both sides pre-bucketed 8 ways on the join key,
+      // so the join runs with NO exchange on either side (the scan's
+      // bucketing IS the required distribution). Broadcast is disabled in
+      // a cloned session to prove the shuffle-free shape survives even
+      // when neither side is broadcastable — the 100 TB x 100 TB case.
+      // The float component is floor-quantized to integer micros BEFORE
+      // the sum, so the aggregate is order-independent and engine-exact.
+      val (dt, et) = bucketedTables(s, dir)
+      val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      s2.table(dt).join(s2.table(et), col("doc_id") === col("vec_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(expr(
+            "CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+            .as("sum_d0_micro"))
+        .orderBy("lang")
     })
   )
 
@@ -5679,7 +5749,17 @@ object SparkEntry {
            |  CAST(SUM(g) AS BIGINT) AS dcg_micro,
            |  (CAST(SUM(g) AS BIGINT) * 1000000) // $idcg AS ndcg_micro
            |FROM g GROUP BY query_id ORDER BY query_id""".stripMargin
-      }
+      },
+      "rel_partition_pruning" ->
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+          |FROM documents WHERE lang = 'en'
+          |GROUP BY source ORDER BY source""".stripMargin,
+      "rel_bucketed_join" ->
+        """SELECT lang, count(*) AS n,
+          |  CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_d0_micro
+          |FROM documents JOIN embeddings ON doc_id = vec_id
+          |GROUP BY lang ORDER BY lang""".stripMargin
     )
   }
 }

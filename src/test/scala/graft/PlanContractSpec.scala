@@ -409,4 +409,27 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("windowspecdefinition(ORDER"),
       s"global window crept in:\n$plan")
   }
+
+  test("partition pruning: lang predicate reaches PartitionFilters") {
+    // the predicate must prune DIRECTORIES at planning time, not filter
+    // rows after IO — PartitionFilters on the scan, not PushedFilters
+    val plan = planOf("rel_partition_pruning")
+    assert("""PartitionFilters: \[[^\]]*lang[^\]]*= en""".r
+        .findFirstIn(plan).isDefined,
+      s"lang predicate must be a partition filter:\n$plan")
+  }
+
+  test("bucketed join: no exchange on either side, bucketed scans") {
+    // both scans carry the join distribution (Bucketed: true); with
+    // broadcast disabled the join must still run shuffle-free — no
+    // hashpartitioning exchange on either join key
+    val plan = planOf("rel_bucketed_join")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a co-located non-broadcast join:\n$plan")
+    assert("""Bucketed: true""".r.findAllIn(plan).size >= 2,
+      s"both scans must be bucketed:\n$plan")
+    assert(!plan.contains("hashpartitioning(doc_id") &&
+        !plan.contains("hashpartitioning(vec_id"),
+      s"bucketed join must not re-shuffle a side:\n$plan")
+  }
 }
