@@ -3282,6 +3282,21 @@ object SparkEntry {
             "CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
             .as("sum_d0_micro"))
         .orderBy("lang")
+    }),
+    "mm_phash_neardup" -> ((s, dir) => {
+      // media near-dup by perceptual hash: the 16-bit pHash is the FNV
+      // stub stand-in (the codec is stubbed per environment constraint —
+      // a real pipeline derives it from decoded pixels), but the PLUMBING
+      // is the production shape: exact pigeonhole hamming-ball discovery
+      // (shared Dedup.hammingPairs core), never an all-pairs join.
+      import graft.functions.GraftFunctions.fnv1a64
+      val ph = table(s, dir, "documents")
+        .select(col("doc_id"),
+          fnv1a64(encode(col("text"), "UTF-8"))
+            .bitwiseAND(lit(0xFFFFL)).as("phash"))
+      Dedup.hammingPairs(ph, "doc_id", "phash", bits = 16, maxHamming = 2)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -5759,7 +5774,17 @@ object SparkEntry {
         """SELECT lang, count(*) AS n,
           |  CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_d0_micro
           |FROM documents JOIN embeddings ON doc_id = vec_id
-          |GROUP BY lang ORDER BY lang""".stripMargin
+          |GROUP BY lang ORDER BY lang""".stripMargin,
+      "mm_phash_neardup" ->
+        s"""WITH f AS (
+           |  SELECT doc_id, CAST(mod(${fnvSql("text")}, 65536) AS BIGINT) AS phash
+           |  FROM documents),
+           |p AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+           |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, hamming FROM p
+           |WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin
     )
   }
 }

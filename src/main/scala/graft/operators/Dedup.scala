@@ -123,8 +123,18 @@ object Dedup {
     * buckets; raise `bits` or salt the join if a bucket dominates. */
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 4, bits: Int = 16, maxHamming: Int = 3): DataFrame = {
-    val fp = simHash(df, idCol, textCol, k, bits)
+      k: Int = 4, bits: Int = 16, maxHamming: Int = 3): DataFrame =
+    hammingPairs(simHash(df, idCol, textCol, k, bits), idCol, "simhash",
+      bits, maxHamming)
+
+  /** Pigeonhole hamming-ball pair discovery over an ARBITRARY precomputed
+    * fingerprint column — the shared core of [[simHashPairs]] (text) and
+    * perceptual-hash media dedup (mm_phash_neardup). Same exact-bucketing
+    * argument: ≤ maxHamming differing bits cannot touch all maxHamming+1
+    * chunks, so candidates come from an equi-join on (chunk_idx,
+    * chunk_value) and the hamming post-filter is lossless. */
+  def hammingPairs(fp: DataFrame, idCol: String, fpCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1
     require(bits >= nChunks, s"need at least $nChunks fingerprint bits")
     // chunk c covers bits [bounds(c), bounds(c+1)) — sizes differ by ≤ 1
@@ -132,14 +142,14 @@ object Dedup {
     val chunkCols = (0 until nChunks).map { c =>
       val lo = bounds(c); val mask = (1L << (bounds(c + 1) - lo)) - 1
       struct(lit(c).as("ci"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("cv"))
+        shiftright(col(fpCol), lo).bitwiseAND(lit(mask)).as("cv"))
     }
     val banded = fp
-      .select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("c"))
-      .select(col(idCol), col("simhash"), col("c.ci").as("ci"), col("c.cv").as("cv"))
-    val l = banded.select(col(idCol).as("id_a"), col("simhash").as("h_a"),
+      .select(col(idCol), col(fpCol), explode(array(chunkCols: _*)).as("c"))
+      .select(col(idCol), col(fpCol), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val l = banded.select(col(idCol).as("id_a"), col(fpCol).as("h_a"),
       col("ci"), col("cv"))
-    val r = banded.select(col(idCol).as("id_b"), col("simhash").as("h_b"),
+    val r = banded.select(col(idCol).as("id_b"), col(fpCol).as("h_b"),
       col("ci"), col("cv"))
     l.join(r, Seq("ci", "cv"))
       .where(col("id_a") < col("id_b"))

@@ -410,6 +410,14 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"global window crept in:\n$plan")
   }
 
+  test("phash near-dup: pigeonhole equi-join, no all-pairs") {
+    val plan = planOf("mm_phash_neardup")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+      s"all-pairs join crept into hamming discovery:\n$plan")
+    assert(plan.contains("fnv1a64"), s"fused payload hash missing:\n$plan")
+  }
+
   test("partition pruning: lang predicate reaches PartitionFilters") {
     // the predicate must prune DIRECTORIES at planning time, not filter
     // rows after IO — PartitionFilters on the scan, not PushedFilters
