@@ -3297,6 +3297,45 @@ object SparkEntry {
       Dedup.hammingPairs(ph, "doc_id", "phash", bits = 16, maxHamming = 2)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
+    }),
+    "stream_bloom_gate" -> ((s, dir) => {
+      // streamed ≡ batch: the Bloom membership gate applied IN-FLIGHT.
+      // The prior corpus's set-bit table (≤ mBits 8-byte rows) broadcasts
+      // into every micro-batch — a stream-static equi-join, so arriving
+      // documents are gated without ever joining the full prior corpus;
+      // per-doc probe hits aggregate in complete mode. The exact verify is
+      // the same bounded batch post-pass as dedup_bloom_probe, and the
+      // oracle IS dedup_bloom_probe's twin — a batch-boundary or state bug
+      // shows up as a hash mismatch.
+      import graft.functions.GraftFunctions.fnv1a64
+      val docs = table(s, dir, "documents")
+      val prior = docs.where(col("doc_id") % 5 =!= 0)
+      val setBits = Dedup.bloomSetBits(prior, "text", BloomBits, BloomK)
+      val probes = parsedDocsStream(s, dir)
+        .where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          explode(Dedup.bloomPositions(col("text"), BloomBits, BloomK)).as("pos"))
+      val hits = probes.join(broadcast(setBits), Seq("pos"))
+        .groupBy("doc_id").agg(count(lit(1)).as("nhit"))
+      val rows = runStreamToMemory(s, hits, "complete")(
+        _.orderBy("doc_id").collect().toSeq)
+      val hitsDf = s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("nhit", LongType))))
+      val th = fnv1a64(encode(col("text"), "UTF-8"))
+      val priorHashes = prior.select(th.as("_h")).distinct()
+      val flagged = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), th.as("_h"))
+        .join(hitsDf, Seq("doc_id"), "left")
+        .withColumn("bloom_hit", coalesce(col("nhit"), lit(0L)) === BloomK)
+      val confirmed = flagged.where(col("bloom_hit"))
+        .join(priorHashes, Seq("_h"), "left_semi")
+        .select(col("doc_id").as("_eid"))
+      flagged.join(confirmed, col("doc_id") === col("_eid"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          col("_eid").isNotNull.as("exact_dup"),
+          (col("bloom_hit") || col("_eid").isNull).as("sound"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3313,6 +3352,27 @@ object SparkEntry {
          |          fi -> CAST(ascii(substr($v, fi, 1)) AS HUGEINT))),
          |      (acc, fb) -> mod(xor(acc, fb) * 1099511628211,
          |        CAST('18446744073709551616' AS HUGEINT)))""".stripMargin
+    // Bloom-gate twin (exact_dup computed INDEPENDENTLY of the filter so
+    // soundness is tested, not assumed) — shared by dedup_bloom_probe and
+    // its streaming equivalent stream_bloom_gate
+    val bloomOracleSql = {
+      def posSql(j: Int): String =
+        s"CAST(mod(${fnvSql(s"text || '#$j'")}, $BloomBits) AS BIGINT)"
+      val posList = (0 until BloomK).map(posSql).mkString(",\n    ")
+      s"""WITH pr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |ba AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |bits AS (SELECT DISTINCT unnest([$posList]) AS pos FROM pr),
+         |probes AS (SELECT doc_id, unnest([$posList]) AS pos FROM ba),
+         |hits AS (SELECT doc_id, count(*) AS nhit FROM probes
+         |  JOIN bits USING (pos) GROUP BY doc_id),
+         |fl AS (SELECT ba.doc_id,
+         |    coalesce(nhit, 0) = $BloomK AS bloom_hit,
+         |    ba.text IN (SELECT text FROM pr) AS exact_dup
+         |  FROM ba LEFT JOIN hits USING (doc_id))
+         |SELECT doc_id, bloom_hit, exact_dup,
+         |  (bloom_hit OR NOT exact_dup) AS sound
+         |FROM fl ORDER BY doc_id""".stripMargin
+    }
     // DSIR weight CTEs (ends with pdb = per-doc-bucket counts and wts =
     // the 64-row millinat weight table) — shared by the weights dump and
     // the resampling twin
@@ -5650,24 +5710,9 @@ object SparkEntry {
           |SELECT CAST(3 AS BIGINT), 'purchase', n3,
           |  floor(CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) * 1000000 + 0.5) / 1000000 FROM c
           |ORDER BY stage_idx""".stripMargin,
-      "dedup_bloom_probe" -> {
-        def posSql(j: Int): String =
-          s"CAST(mod(${fnvSql(s"text || '#$j'")}, $BloomBits) AS BIGINT)"
-        val posList = (0 until BloomK).map(posSql).mkString(",\n    ")
-        s"""WITH pr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
-           |ba AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-           |bits AS (SELECT DISTINCT unnest([$posList]) AS pos FROM pr),
-           |probes AS (SELECT doc_id, unnest([$posList]) AS pos FROM ba),
-           |hits AS (SELECT doc_id, count(*) AS nhit FROM probes
-           |  JOIN bits USING (pos) GROUP BY doc_id),
-           |fl AS (SELECT ba.doc_id,
-           |    coalesce(nhit, 0) = $BloomK AS bloom_hit,
-           |    ba.text IN (SELECT text FROM pr) AS exact_dup
-           |  FROM ba LEFT JOIN hits USING (doc_id))
-           |SELECT doc_id, bloom_hit, exact_dup,
-           |  (bloom_hit OR NOT exact_dup) AS sound
-           |FROM fl ORDER BY doc_id""".stripMargin
-      },
+      "dedup_bloom_probe" -> bloomOracleSql,
+      // streamed ≡ batch: the in-flight gate must equal the batch twin
+      "stream_bloom_gate" -> bloomOracleSql,
       "text_bpe_pairs" ->
         """WITH wt AS (
           |  SELECT w, count(*) AS wf FROM (

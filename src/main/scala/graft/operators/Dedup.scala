@@ -547,24 +547,36 @@ object Dedup {
     * at ~14 bits/key (k≈10) for ~1e-4 FP at production key counts; the
     * default here is test-scale so false positives actually occur at
     * sf0.01. */
-  def bloomProbe(prior: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String, mBits: Int = 1 << 14, k: Int = 3): DataFrame = {
+  /** The k salted-FNV probe positions of a text in an m-bit Bloom filter,
+    * as an array column — ONE definition shared by the batch gate
+    * ([[bloomProbe]]) and the streaming gate (stream_bloom_gate), so the
+    * register and probe sides can never drift. */
+  def bloomPositions(t: Column, mBits: Int, k: Int): Column = {
     require(mBits > 0 && (mBits & (mBits - 1)) == 0,
       "mBits must be a power of two (position = low bits of the salted hash)")
     import graft.functions.GraftFunctions.fnv1a64
-    def pos(t: Column, j: Int): Column =
+    array((0 until k).map(j =>
       fnv1a64(encode(concat(t, lit("#" + j)), "UTF-8"))
-        .bitwiseAND(lit((mBits - 1).toLong))
-    def textHash(t: Column): Column = fnv1a64(encode(t, "UTF-8"))
-    val setBits = prior
-      .select(explode(array((0 until k).map(j => pos(col(textCol), j)): _*))
-        .as("pos"))
+        .bitwiseAND(lit((mBits - 1).toLong))): _*)
+  }
+
+  /** The registered filter as a relation: the DISTINCT set-bit positions of
+    * the prior corpus — ≤ mBits 8-byte rows, always broadcastable. */
+  def bloomSetBits(prior: DataFrame, textCol: String,
+      mBits: Int, k: Int): DataFrame =
+    prior.select(explode(bloomPositions(col(textCol), mBits, k)).as("pos"))
       .distinct()
+
+  def bloomProbe(prior: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, mBits: Int = 1 << 14, k: Int = 3): DataFrame = {
+    import graft.functions.GraftFunctions.fnv1a64
+    def textHash(t: Column): Column = fnv1a64(encode(t, "UTF-8"))
+    val setBits = bloomSetBits(prior, textCol, mBits, k)
     // k probe rows per doc; each matches the distinct set-bit table at most
     // once, so nhit == k ⟺ every probe position is set (salted positions
     // that collide still contribute one matched row each).
     val probes = batch.select(col(idCol),
-      explode(array((0 until k).map(j => pos(col(textCol), j)): _*)).as("pos"))
+      explode(bloomPositions(col(textCol), mBits, k)).as("pos"))
     val hits = probes.join(broadcast(setBits), Seq("pos"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("_nhit"))
     val priorHashes = prior
