@@ -299,6 +299,25 @@ object SparkEntry {
       (dt, et)
     })
 
+  /** Two-generation corpus layout (once per sfDir): batch=0 holds the
+    * docs in the ORIGINAL schema, batch=1 adds a quality_milli column —
+    * the schema-evolution fixture. A 100 TB corpus is never rewritten
+    * when a column is added; readers must merge generations in place. */
+  private val evoDirCache = TrieMap.empty[String, String]
+  private def evolvedDocs(spark: SparkSession, dir: String): String =
+    evoDirCache.getOrElseUpdate(dir, {
+      val out = Files.createTempDirectory("graft-evo-docs-").toString + "/docs"
+      val docs = table(spark, dir, "documents")
+      docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.parquet(s"$out/batch=0")
+      docs.where(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("text"), col("lang"),
+          (length(col("text")) % 1000).cast("long").as("quality_milli"))
+        .write.parquet(s"$out/batch=1")
+      out
+    })
+
   private def entriesToDF(spark: SparkSession, es: Seq[graft.log.WalrusEntry]): DataFrame = {
     val rows = es.map(e => Row(e.topic, e.offset, new String(e.value, "UTF-8")))
     spark.createDataFrame(
@@ -3336,6 +3355,27 @@ object SparkEntry {
           col("_eid").isNotNull.as("exact_dup"),
           (col("bloom_hit") || col("_eid").isNull).as("sound"))
         .orderBy("doc_id")
+    }),
+    "sim_knn_lexical" -> ((s, dir) =>
+      // lexical KNN: top-3 docs by shared distinct 8-shingles (stop-
+      // shingle cap bounds every join bucket; doc-partitioned rank window)
+      Dedup.lexicalKnn(table(s, dir, "documents"), "doc_id", "text",
+          k = 8, topK = 3, maxDocFreq = 50)
+        .orderBy("doc_id", "rnk")),
+    "rel_schema_evolution" -> ((s, dir) => {
+      // in-place schema evolution: generation batch=1 added quality_milli;
+      // mergeSchema unifies the generations at read time (old rows read
+      // NULL — a 100 TB corpus is never rewritten for a new column), and
+      // the batch partition column tracks provenance. Per (batch, lang):
+      // row count, docs carrying the new column, its sum.
+      val p = evolvedDocs(s, dir)
+      s.read.option("mergeSchema", "true").parquet(p)
+        .groupBy(col("batch").cast("long").as("batch"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("quality_milli").isNotNull, 1L).otherwise(0L))
+            .as("n_with_quality"),
+          coalesce(sum(col("quality_milli")), lit(0L)).as("sum_quality"))
+        .orderBy("batch", "lang")
     })
   )
 
@@ -5820,6 +5860,33 @@ object SparkEntry {
           |  CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_d0_micro
           |FROM documents JOIN embeddings ON doc_id = vec_id
           |GROUP BY lang ORDER BY lang""".stripMargin,
+      "sim_knn_lexical" ->
+        s"""${shinglesSql(8, "TRUE")},
+           |keep AS (
+           |  SELECT c.doc_id, c.code FROM codes c
+           |  JOIN (SELECT code FROM codes GROUP BY code HAVING count(*) <= 50) ok
+           |    USING (code)),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           |  FROM keep a JOIN keep b USING (code)
+           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+           |sym AS (
+           |  SELECT id_a AS doc_id, id_b AS neighbor_id, n_common FROM inter
+           |  UNION ALL
+           |  SELECT id_b, id_a, n_common FROM inter),
+           |r AS (
+           |  SELECT doc_id, neighbor_id, CAST(n_common AS BIGINT) AS shared_shingles,
+           |    CAST(row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY n_common DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM sym)
+           |SELECT doc_id, neighbor_id, shared_shingles, rnk
+           |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+      "rel_schema_evolution" ->
+        """SELECT CAST(doc_id % 2 AS BIGINT) AS batch, lang,
+          |  count(*) AS n_docs,
+          |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_quality,
+          |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN length(text) % 1000 ELSE 0 END) AS BIGINT) AS sum_quality
+          |FROM documents GROUP BY 1, 2 ORDER BY batch, lang""".stripMargin,
       "mm_phash_neardup" ->
         s"""WITH f AS (
            |  SELECT doc_id, CAST(mod(${fnvSql("text")}, 65536) AS BIGINT) AS phash

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextOps._
@@ -190,6 +191,26 @@ object Dedup {
       .agg(count(lit(1)).as("both"))
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+  }
+
+  /** Lexical k-nearest-neighbors: per document, the `topK` documents
+    * sharing the most distinct k-shingles — the shingle-overlap analogue
+    * of embedding KNN, used for cluster seeding and near-dup triage. The
+    * stop-shingle cap (`maxDocFreq`) bounds every join bucket, so the
+    * discovery cost is candidate-proportional at any corpus size; ranking
+    * is a doc-partitioned window over the symmetrized pair list (each
+    * unordered pair ranks in both directions), never global. All-integer
+    * scores — engine-exact. */
+  def lexicalKnn(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, topK: Int = 3, maxDocFreq: Int = 50): DataFrame = {
+    val ov = pairOverlaps(df, idCol, textCol, k, Some(maxDocFreq))
+    val sym = ov.select(col("id_a").as("src"), col("id_b").as("dst"), col("both"))
+      .unionAll(ov.select(col("id_b").as("src"), col("id_a").as("dst"), col("both")))
+    val w = Window.partitionBy("src").orderBy(col("both").desc, col("dst").asc)
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= topK)
+      .select(col("src").as(idCol), col("dst").as("neighbor_id"),
+        col("both").as("shared_shingles"), col("rnk"))
   }
 
   /** Exact n-gram Jaccard similarity for pairs sharing ≥ 1 k-shingle:

@@ -418,6 +418,23 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("fnv1a64"), s"fused payload hash missing:\n$plan")
   }
 
+  test("lexical knn: bucket-bounded discovery, doc-partitioned rank") {
+    val plan = planOf("sim_knn_lexical")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+      s"all-pairs join crept into lexical knn:\n$plan")
+    assert(plan.contains("windowspecdefinition(src"),
+      s"rank window must partition by the source doc:\n$plan")
+  }
+
+  test("schema evolution: merged read stays join-free") {
+    val plan = planOf("rel_schema_evolution")
+    assert(!plan.contains("Join"),
+      s"generation merge must happen in the scan, not a join:\n$plan")
+    assert(plan.contains("quality_milli"),
+      s"evolved column missing from merged schema:\n$plan")
+  }
+
   test("partition pruning: lang predicate reaches PartitionFilters") {
     // the predicate must prune DIRECTORIES at planning time, not filter
     // rows after IO — PartitionFilters on the scan, not PushedFilters
