@@ -3356,6 +3356,55 @@ object SparkEntry {
           (col("bloom_hit") || col("_eid").isNull).as("sound"))
         .orderBy("doc_id")
     }),
+    "rel_table_profile" -> ((s, dir) => {
+      // data-profiling pass: per column, null count, exact distinct count,
+      // lexicographic min/max (string domain — ASCII corpus, collation-
+      // safe). ONE corpus scan: all 16 measures aggregate in a single agg
+      // (Spark expands the multi-distinct internally), then the 1-row
+      // result explodes to tidy per-column rows — at 100 TB the profile
+      // costs one pass whatever the column count.
+      val cols = Seq("doc_id", "lang", "source", "text")
+      val docs = table(s, dir, "documents")
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).cast("long").as(s"${c}_nd"),
+        min(col(c).cast("string")).as(s"${c}_min"),
+        max(col(c).cast("string")).as(s"${c}_max")))
+      docs.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+            lit(c).as("col_name"),
+            col(s"${c}_nulls").as("n_nulls"),
+            col(s"${c}_nd").as("n_distinct"),
+            col(s"${c}_min").as("min_str"),
+            col(s"${c}_max").as("max_str"))): _*)).as("r"))
+        .select(col("r.col_name"), col("r.n_nulls"), col("r.n_distinct"),
+          col("r.min_str"), col("r.max_str"))
+        .orderBy("col_name")
+    }),
+    "stream_length_buckets" -> ((s, dir) => {
+      // streamed ≡ batch: the batch-shape report maintained in-flight — a
+      // stateless per-row bucket projection + complete-mode aggregate
+      // whose state is bounded by the bucket count forever. Oracle =
+      // shard_length_buckets' twin.
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val agg = parsedDocsStream(s, dir)
+        .select(nTok.as("n_tokens"),
+          graft.operators.Sharding.lengthBucketCol(nTok, 16, 1024)
+            .as("bucket_len"))
+        .groupBy("bucket_len")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("n_tokens"), col("bucket_len"))).as("real_tokens"))
+      val rows = runStreamToMemory(s, agg, "complete")(
+        _.orderBy("bucket_len").collect().toSeq)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("bucket_len", LongType),
+          StructField("n_docs", LongType), StructField("real_tokens", LongType))))
+        .withColumn("padded_tokens", col("n_docs") * col("bucket_len"))
+        .withColumn("waste_frac", graft.operators.TextOps.q6(
+          (col("padded_tokens") - col("real_tokens")).cast("double") /
+            col("padded_tokens").cast("double")))
+        .orderBy("bucket_len")
+    }),
     "sim_knn_lexical" -> ((s, dir) =>
       // lexical KNN: top-3 docs by shared distinct 8-shingles (stop-
       // shingle cap bounds every join bucket; doc-partitioned rank window)
@@ -3412,6 +3461,24 @@ object SparkEntry {
          |SELECT doc_id, bloom_hit, exact_dup,
          |  (bloom_hit OR NOT exact_dup) AS sound
          |FROM fl ORDER BY doc_id""".stripMargin
+    }
+    // Length-bucket twin — shared by shard_length_buckets and its
+    // streaming equivalent stream_length_buckets
+    val lengthBucketsOracleSql = {
+      val buckets = Iterator.iterate(16)(_ * 2).takeWhile(_ <= 1024).toSeq
+      val bucketCase = buckets.init
+        .map(b => s"WHEN n_tokens <= $b THEN $b")
+        .mkString("CASE ", " ", s" ELSE ${buckets.last} END")
+      s"""WITH t AS (
+         |  SELECT len(string_split(text, ' ')) AS n_tokens FROM documents),
+         |b AS (SELECT n_tokens, $bucketCase AS bucket_len FROM t)
+         |SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+         |  count(*) AS n_docs,
+         |  CAST(sum(least(n_tokens, bucket_len)) AS BIGINT) AS real_tokens,
+         |  CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+         |  floor(CAST(count(*) * bucket_len - sum(least(n_tokens, bucket_len)) AS DOUBLE)
+         |    / CAST(count(*) * bucket_len AS DOUBLE) * 1000000 + 0.5) / 1000000 AS waste_frac
+         |FROM b GROUP BY bucket_len ORDER BY bucket_len""".stripMargin
     }
     // DSIR weight CTEs (ends with pdb = per-doc-bucket counts and wts =
     // the 64-row millinat weight table) — shared by the weights dump and
@@ -5768,21 +5835,19 @@ object SparkEntry {
           |  CAST(count(DISTINCT w) AS BIGINT) AS n_word_types
           |FROM p GROUP BY pair
           |ORDER BY pair_freq DESC, pair LIMIT 25""".stripMargin,
-      "shard_length_buckets" -> {
-        val buckets = Iterator.iterate(16)(_ * 2).takeWhile(_ <= 1024).toSeq
-        val bucketCase = buckets.init
-          .map(b => s"WHEN n_tokens <= $b THEN $b")
-          .mkString("CASE ", " ", s" ELSE ${buckets.last} END")
-        s"""WITH t AS (
-           |  SELECT len(string_split(text, ' ')) AS n_tokens FROM documents),
-           |b AS (SELECT n_tokens, $bucketCase AS bucket_len FROM t)
-           |SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
-           |  count(*) AS n_docs,
-           |  CAST(sum(least(n_tokens, bucket_len)) AS BIGINT) AS real_tokens,
-           |  CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
-           |  floor(CAST(count(*) * bucket_len - sum(least(n_tokens, bucket_len)) AS DOUBLE)
-           |    / CAST(count(*) * bucket_len AS DOUBLE) * 1000000 + 0.5) / 1000000 AS waste_frac
-           |FROM b GROUP BY bucket_len ORDER BY bucket_len""".stripMargin
+      "shard_length_buckets" -> lengthBucketsOracleSql,
+      // streamed ≡ batch: the in-flight report must equal the batch twin
+      "stream_length_buckets" -> lengthBucketsOracleSql,
+      "rel_table_profile" -> {
+        val cols = Seq("doc_id", "lang", "source", "text")
+        cols.map { c =>
+          s"""SELECT '$c' AS col_name,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  min(CAST($c AS VARCHAR)) AS min_str,
+             |  max(CAST($c AS VARCHAR)) AS max_str
+             |FROM documents""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
       },
       "dedup_canonical" ->
         s"""$lshReachCtes,

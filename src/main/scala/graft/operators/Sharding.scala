@@ -338,20 +338,27 @@ object Sharding {
     * (no explode — `size(split(...))` is per-row), then a map-side-
     * combinable groupBy over ≤ log₂(maxBucket) keys. No joins, no windows;
     * the output is bounded by the bucket count whatever the corpus size. */
-  def lengthBuckets(df: DataFrame, textCol: String,
-      minBucket: Int = 16, maxBucket: Int = 1024): DataFrame = {
+  /** Smallest power-of-two bucket ≥ `nTok`, clamped to [minBucket,
+    * maxBucket] — ONE definition shared by the batch report
+    * ([[lengthBuckets]]) and the streaming twin (stream_length_buckets).
+    * Integer-only chained comparisons, engine-exact. */
+  def lengthBucketCol(nTok: org.apache.spark.sql.Column,
+      minBucket: Int, maxBucket: Int): org.apache.spark.sql.Column = {
     require(minBucket > 0 && (minBucket & (minBucket - 1)) == 0 &&
       maxBucket >= minBucket && (maxBucket & (maxBucket - 1)) == 0,
       "buckets must be powers of two with minBucket <= maxBucket")
-    val nTok = size(split(col(textCol), " ")).cast("long")
-    // smallest power of two >= n, clamped to [minBucket, maxBucket]:
-    // 2^ceil(log2(n)) via bit-length of (n-1) — integer-only, engine-exact
     val buckets = Iterator.iterate(minBucket)(_ * 2)
       .takeWhile(_ <= maxBucket).toSeq
-    val bucketLen = buckets.init.foldRight(lit(buckets.last.toLong)) {
+    buckets.init.foldRight(lit(buckets.last.toLong)) {
       case (b, rest) => when(nTok <= b, lit(b.toLong)).otherwise(rest)
     }
-    df.select(nTok.as("n_tokens"), bucketLen.as("bucket_len"))
+  }
+
+  def lengthBuckets(df: DataFrame, textCol: String,
+      minBucket: Int = 16, maxBucket: Int = 1024): DataFrame = {
+    val nTok = size(split(col(textCol), " ")).cast("long")
+    df.select(nTok.as("n_tokens"),
+        lengthBucketCol(nTok, minBucket, maxBucket).as("bucket_len"))
       .groupBy("bucket_len")
       .agg(count(lit(1)).as("n_docs"),
         sum(least(col("n_tokens"), col("bucket_len"))).as("real_tokens"))
