@@ -922,4 +922,70 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mw("en") == ((2L, 6L, 0.75, 8000000L / 12L)), s"got ${mw("en")}")
     assert(mw("fr") == ((1L, 2L, 0.25, 8000000L / 4L)), s"got ${mw("fr")}")
   }
+
+  test("bloom probe: no false negatives; empty prior flags nothing") {
+    // batch doc 10 duplicates prior doc 1 -> MUST be bloom_hit+exact_dup
+    // (soundness); doc 11 is novel (tiny filter may or may not FP, but
+    // sound stays true either way)
+    val prior = docsDF(Seq((1L, "alpha beta gamma"), (3L, "delta epsilon")))
+    val batch = docsDF(Seq((10L, "alpha beta gamma"), (11L, "zeta eta")))
+    val res = Dedup.bloomProbe(prior, batch, "doc_id", "text",
+        mBits = 64, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(res(10L) == ((true, true, true)), s"got ${res(10L)}")
+    assert(res(11L)._3, "sound must hold for novel docs")
+    // empty prior: nothing can hit (no set bits at all)
+    val res2 = Dedup.bloomProbe(prior.limit(0), batch, "doc_id", "text",
+        mBits = 64, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(res2.values.forall(_ == false), s"empty prior must not hit: $res2")
+  }
+
+  test("length buckets: boundary, clamp, and waste accounting") {
+    import scala.collection.JavaConverters._
+    import org.apache.spark.sql.types._
+    // 16 tokens -> bucket 16 (boundary inclusive); 17 -> 32; 5000 -> clamp
+    // 1024 with real_tokens capped at the bucket (truncation bucket)
+    val df = docsDF(Seq(
+      (0L, Seq.fill(16)("w").mkString(" ")),
+      (1L, Seq.fill(17)("w").mkString(" ")),
+      (2L, Seq.fill(2000)("w").mkString(" "))))
+    val res = Sharding.lengthBuckets(df, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(res(16L) == ((1L, 16L, 16L, 0.0)), s"got ${res(16L)}")
+    assert(res(32L) == ((1L, 17L, 32L, 0.46875)), s"got ${res(32L)}")
+    assert(res(1024L) == ((1L, 1024L, 1024L, 0.0)), s"got ${res(1024L)}")
+  }
+
+  test("hamming pairs over a precomputed fingerprint: lossless vs naive") {
+    import scala.collection.JavaConverters._
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(7)
+    val fps = (0L until 60L).map(i => (i, (rnd.nextInt(1 << 16)).toLong))
+    val df = spark.createDataFrame(
+      fps.map { case (i, h) => org.apache.spark.sql.Row(i, h) }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("fp", LongType))))
+    val got = Dedup.hammingPairs(df, "id", "fp", bits = 16, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (a, ha) <- fps; (b, hb) <- fps if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(got == want, s"pigeonhole must equal naive: ${got.size} vs ${want.size}")
+  }
+
+  test("lexical knn is symmetric in discovery and respects topK") {
+    val df = docsDF(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today ok"),
+      (1L, "the quick brown fox jumps over the lazy dog daily ok"),
+      (2L, "completely different content with nothing shared at all here")))
+    val res = Dedup.lexicalKnn(df, "doc_id", "text", k = 8, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // 0 and 1 must each list the other as rank 1; doc 2 shares nothing
+    assert(res.contains((0L, 1L, 1L)) && res.contains((1L, 0L, 1L)), res.toSeq)
+    assert(!res.exists(_._1 == 2L), "doc 2 shares no shingle, no neighbors")
+    assert(res.groupBy(_._1).values.forall(_.length <= 3))
+  }
 }
