@@ -3425,6 +3425,37 @@ object SparkEntry {
             .as("n_with_quality"),
           coalesce(sum(col("quality_milli")), lit(0L)).as("sum_quality"))
         .orderBy("batch", "lang")
+    }),
+
+    // ---- round-5 continuation 5: graph analytics, layout, tokenizer ----
+    "graph_pagerank" -> ((s, dir) => {
+      // source-quality prior over the user↔item interaction graph (the
+      // original web-corpus quality weight): exact-integer PageRank, 5
+      // damped iterations, each one edges⋈ranks join + one dst-agg. The
+      // bipartite item nodes live at +1e9 so the two id spaces never
+      // collide. All arithmetic is non-negative integer — the DuckDB twin
+      // replays every iteration bit-for-bit.
+      val inter = table(s, dir, "events")
+        .select(col("user_id"),
+          (get_json_object(col("props"), "$.k").cast("long") + 1000000000L)
+            .as("item"))
+        .distinct()
+      val edges = inter.select(col("user_id").as("src"), col("item").as("dst"))
+        .unionAll(inter.select(col("item").as("src"), col("user_id").as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .orderBy("node")
+    }),
+    "graph_degree_profile" -> ((s, dir) => {
+      // connectivity triage before any graph join: out/in degree + distinct
+      // neighbors per node over the directed user→item interaction edges —
+      // the skew audit that decides salting (NOTES: hub nodes dominate
+      // shuffle buckets). Three 8-byte-key aggregations, no wide rows.
+      val edges = table(s, dir, "events")
+        .select(col("user_id").as("src"),
+          (get_json_object(col("props"), "$.k").cast("long") + 1000000000L)
+            .as("dst"))
+      graft.operators.Graph.degreeProfile(edges, "src", "dst")
+        .orderBy("node")
     })
   )
 
@@ -5961,7 +5992,27 @@ object SparkEntry {
            |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
            |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
            |SELECT id_a, id_b, hamming FROM p
-           |WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin
+           |WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin,
+      "graph_pagerank" -> graft.operators.Graph.pageRankSql(
+        """p AS (SELECT DISTINCT user_id,
+          |  CAST(json_extract_string(props, '$.k') AS BIGINT) + 1000000000 AS item
+          |  FROM events),
+          |e AS (SELECT user_id AS src, item AS dst FROM p
+          |      UNION ALL SELECT item AS src, user_id AS dst FROM p)""".stripMargin,
+        iterations = 5),
+      "graph_degree_profile" ->
+        """WITH e AS (
+          |  SELECT user_id AS src,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) + 1000000000 AS dst
+          |  FROM events),
+          |o AS (SELECT src AS node, count(*) AS out_deg,
+          |        count(DISTINCT dst) AS out_nbrs FROM e GROUP BY 1),
+          |i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1)
+          |SELECT COALESCE(o.node, i.node) AS node,
+          |  CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+          |  CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg,
+          |  CAST(COALESCE(out_nbrs, 0) AS BIGINT) AS out_nbrs
+          |FROM o FULL JOIN i ON o.node = i.node ORDER BY node""".stripMargin
     )
   }
 }
