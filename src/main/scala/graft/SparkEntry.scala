@@ -457,6 +457,18 @@ object SparkEntry {
       s"CAST($a.embedding[$i] AS DOUBLE) * CAST($a.embedding[$i] AS DOUBLE)")
       .mkString(" + ")
 
+  /** Engine-neutral Morton (Z-order) interleave of two already-bucketed
+    * NON-NEGATIVE integer expressions over `bits` bits each: bit i of `a`
+    * lands at position 2i, bit i of `b` at 2i+1, extracted as
+    * `(x % 2^(i+1) − x % 2^i)` (bit·2^i) and shifted by multiplication —
+    * only +,-,%,* on non-negative operands, so the SAME string evaluates
+    * identically in Spark and DuckDB (no DIV/// divergence). */
+  private def zOrderSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      val lo = 1L << i; val hi = 1L << (i + 1)
+      s"(($a % $hi - $a % $lo) * $lo + ($b % $hi - $b % $lo) * $hi)"
+    }.mkString(" + ")
+
   /** SQL dot of embedding with the deterministic projection `j`. */
   private def projDotSql(t: String, j: Int): String =
     (0 until 64).map { d =>
@@ -3456,6 +3468,121 @@ object SparkEntry {
             .as("dst"))
       graft.operators.Graph.degreeProfile(edges, "src", "dst")
         .orderBy("node")
+    }),
+    "sim_centroid_outliers" -> ((s, dir) =>
+      // embedding-space cleaning gate: vectors whose BEST coarse-cell
+      // score (same q6 projection-dot + tie-break as sim_ivf_assign)
+      // stays below the threshold — "far from every centroid" garbage
+      // triage. One narrow projection, no shuffle at any corpus size.
+      Similarity.centroidOutliers(table(s, dir, "embeddings"),
+          "vec_id", "embedding", nCentroids = 8, maxSim = 0.1)
+        .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"),
+          col("best_sim"))
+        .orderBy("vec_id")),
+    "rel_zorder_layout" -> ((s, dir) =>
+      // multi-dimensional layout manifest: Morton-interleave the two
+      // bucketed join dims and range-split the z-value into 16 "files" —
+      // per file BOTH dims stay range-bounded (min/max stats prune either
+      // predicate), which a single-column sort cannot do. The interleave
+      // is one shared +,-,%,* string evaluated by BOTH engines. At 100 TB
+      // the same z column feeds repartitionByRange(z) at write time so
+      // parquet footer min/max realize the pruning.
+      table(s, dir, "lineitem")
+        .withColumn("z", expr(zOrderSql("(l_partkey % 16)", "(l_suppkey % 16)", 4)))
+        .withColumn("file_id", expr("z DIV 16"))
+        .groupBy(col("file_id").cast("long").as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(expr("l_partkey % 16")).as("min_pk"),
+          max(expr("l_partkey % 16")).as("max_pk"),
+          min(expr("l_suppkey % 16")).as("min_sk"),
+          max(expr("l_suppkey % 16")).as("max_sk"),
+          countDistinct(col("z")).as("n_z"))
+        .orderBy("file_id")),
+    "rel_scd2_history" -> ((s, dir) => {
+      // slowly-changing-dimension (type 2) materialization of the purchase
+      // changelog: per user, one effectivity interval per k-value change
+      // (change capture via lag, interval close via lead — both windows
+      // share the user partition, so this is ONE shuffle on user_id).
+      // All-long arithmetic: ts stays in the raw-nanos domain.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      ev.withColumn("prev_k", lag(col("k"), 1).over(w))
+        .where(col("prev_k").isNull || col("k") =!= col("prev_k"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("effective_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("version"), col("k"),
+          col("ts").as("effective_from"),
+          // open intervals carry a MaxValue sentinel, not NULL: nullable
+          // int64 turns into lossy float64 in pandas-side comparisons
+          coalesce(col("effective_to"), lit(Long.MaxValue)).as("effective_to"),
+          col("effective_to").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    }),
+    "text_inverted_index" -> ((s, dir) => {
+      // IR index build: per token, document frequency, total term
+      // frequency, and the first-10 posting list as a canonical string.
+      // The posting cap is applied BEFORE the collect (rank window, then
+      // filter), so no aggregation buffer ever holds more than 10 ids —
+      // hot tokens cost a bounded window partition, never an unbounded
+      // collect_list. Stats and postings share the per-(token, doc)
+      // aggregate via AQE stage reuse.
+      val t = table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+      val perDoc = t.groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("word").orderBy("doc_id")
+      val post = perDoc.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10)
+        .groupBy("word")
+        .agg(sort_array(collect_list(col("doc_id"))).as("p"))
+        .select(col("word"),
+          expr("array_join(transform(p, x -> CAST(x AS STRING)), ',')")
+            .as("postings"))
+      perDoc.groupBy("word")
+        .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"))
+        .join(post, Seq("word"))
+        .orderBy("word")
+    }),
+    "text_bpe_train" -> ((s, dir) => {
+      // BPE tokenizer training, 3 merge rounds: pair statistics over the
+      // word-frequency table (cost ∝ vocabulary, never corpus), argmax
+      // pair per round (count DESC, pair ASC — total order), then the
+      // delimited double-replace merge (two passes make overlapping
+      // repeat chains match greedy left-to-right BPE for symbols ≤ 8 —
+      // both engines apply the identical two passes, so results are
+      // engine-exact by construction). The driver loop collects ONE row
+      // per round; everything distributed stays vocabulary-sized.
+      var words = table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+          .as("seq"), col("freq"))
+      val merges = (1 to 3).map { r =>
+        val best = words
+          .select(col("freq"), split(trim(col("seq")), " ").as("a"))
+          // single-symbol words yield no pairs; Spark's sequence(1, 0)
+          // DESCENDS rather than returning empty, so guard explicitly
+          .where(size(col("a")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(a) - 1), " +
+              "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .collect()(0)
+        val (pair, cnt) = (best.getString(0), best.getLong(1))
+        val pat = s" $pair "; val rep = " " + pair.replace(" ", "") + " "
+        words = words.withColumn("seq",
+          expr(s"replace(replace(seq, '$pat', '$rep'), '$pat', '$rep')"))
+        (r.toLong, pair, cnt)
+      }
+      s.createDataFrame(merges).toDF("merge_round", "merged_pair", "pair_count")
+        .orderBy("merge_round")
     })
   )
 
@@ -6012,7 +6139,95 @@ object SparkEntry {
           |  CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
           |  CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg,
           |  CAST(COALESCE(out_nbrs, 0) AS BIGINT) AS out_nbrs
-          |FROM o FULL JOIN i ON o.node = i.node ORDER BY node""".stripMargin
+          |FROM o FULL JOIN i ON o.node = i.node ORDER BY node""".stripMargin,
+      "sim_centroid_outliers" -> {
+        val cells = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH s AS (
+           |  $cells),
+           |r AS (SELECT vec_id, cid, sim, row_number() OVER (
+           |  PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s)
+           |SELECT vec_id, cid AS centroid_id, sim AS best_sim
+           |FROM r WHERE rn = 1 AND sim < 0.1 ORDER BY vec_id""".stripMargin
+      },
+      "rel_zorder_layout" -> {
+        val z = zOrderSql("(l_partkey % 16)", "(l_suppkey % 16)", 4)
+        s"""WITH t AS (
+           |  SELECT $z AS z,
+           |    l_partkey % 16 AS pk, l_suppkey % 16 AS sk FROM lineitem)
+           |SELECT CAST(z // 16 AS BIGINT) AS file_id, count(*) AS n_rows,
+           |  CAST(min(pk) AS BIGINT) AS min_pk, CAST(max(pk) AS BIGINT) AS max_pk,
+           |  CAST(min(sk) AS BIGINT) AS min_sk, CAST(max(sk) AS BIGINT) AS max_sk,
+           |  CAST(count(DISTINCT z) AS BIGINT) AS n_z
+           |FROM t GROUP BY 1 ORDER BY file_id""".stripMargin
+      },
+      "rel_scd2_history" ->
+        """WITH p AS (
+          |  SELECT user_id, event_id, epoch_ns(ts) AS t,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |  FROM events WHERE event_type = 'purchase'),
+          |c AS (
+          |  SELECT user_id, event_id, t, k,
+          |    lag(k) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_k
+          |  FROM p),
+          |f AS (SELECT * FROM c WHERE prev_k IS NULL OR k <> prev_k),
+          |v AS (
+          |  SELECT user_id,
+          |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS BIGINT) AS version,
+          |    k, t AS effective_from,
+          |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS effective_to
+          |  FROM f)
+          |SELECT user_id, version, k, effective_from,
+          |  COALESCE(effective_to, 9223372036854775807) AS effective_to,
+          |  effective_to IS NULL AS is_current
+          |FROM v ORDER BY user_id, version""".stripMargin,
+      "text_inverted_index" ->
+        """WITH t AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          |pd AS (SELECT word, doc_id, count(*) AS tf
+          |  FROM t WHERE word <> '' GROUP BY 1, 2),
+          |rk AS (SELECT word, doc_id,
+          |  row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn FROM pd),
+          |po AS (SELECT word,
+          |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+          |  FROM rk WHERE rn <= 10 GROUP BY word),
+          |st AS (SELECT word, count(*) AS df,
+          |  CAST(SUM(tf) AS BIGINT) AS tf_total FROM pd GROUP BY word)
+          |SELECT st.word, df, tf_total, postings
+          |FROM st JOIN po ON st.word = po.word ORDER BY st.word""".stripMargin,
+      "text_bpe_train" -> {
+        // unrolled twin of the 3-round driver loop: identical pair stats,
+        // argmax tie-break, and the SAME two delimited replace passes
+        val rounds = (1 to 3).map { i =>
+          val merge =
+            s"""b$i AS (SELECT CAST($i AS BIGINT) AS merge_round, pair, cnt
+               |  FROM p$i ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+          val pairs =
+            s"""p$i AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+               |  SELECT freq, a[i] || ' ' || a[i + 1] AS pair FROM (
+               |    SELECT freq, string_split(trim(seq), ' ') AS a,
+               |      unnest(generate_series(1, len(string_split(trim(seq), ' ')) - 1)) AS i
+               |    FROM w${i - 1}))
+               |  GROUP BY pair)""".stripMargin
+          val next = if (i == 3) "" else
+            s""",
+               |w$i AS (SELECT replace(replace(seq,
+               |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+               |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq, freq
+               |  FROM w${i - 1}, b$i b)""".stripMargin
+          s"$pairs,\n$merge$next"
+        }.mkString(",\n")
+        s"""WITH w0 AS (
+           |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq, freq FROM (
+           |    SELECT w, count(*) AS freq FROM (
+           |      SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |    WHERE w <> '' GROUP BY w)),
+           |$rounds
+           |SELECT merge_round, pair AS merged_pair, cnt AS pair_count FROM (
+           |  SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
+           |ORDER BY merge_round""".stripMargin
+      }
     )
   }
 }

@@ -81,6 +81,27 @@ object Similarity {
       greatest(sims: _*).getField("cid").as("centroid_id"))
   }
 
+  /** Coarse-quantizer outlier triage: every vector's BEST cell score
+    * (the same q6 projection-dot and tie-break as [[ivfAssign]] — larger
+    * cid wins ties), keeping only vectors whose best score falls below
+    * `maxSim`. "Far from every coarse centroid" is the standard embedding-
+    * space cleaning gate (mislabeled/garbage vectors before training).
+    * One narrow projection over the scan — no shuffle, no join; the same
+    * plan at any corpus size. */
+  def centroidOutliers(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, maxSim: Double): DataFrame = {
+    import graft.functions.GraftFunctions.projection_dot
+    val sims = (0 until nCentroids).map { cIdx =>
+      struct(q6(projection_dot(col(vecCol), cIdx + 101)).as("sim"),
+        lit(cIdx).as("cid"))
+    }
+    val best = greatest(sims: _*)
+    emb.select(col(idCol), best.getField("cid").as("centroid_id"),
+        best.getField("sim").as("best_sim"))
+      .where(col("best_sim") < maxSim)
+  }
+
   /** Top-`nprobe` cells per vector (probe list for multi-probe IVF
     * search). Same scoring as [[ivfAssign]] (which is the nprobe=1,
     * `greatest`-fused case); ranking explodes the `nCentroids` scores and

@@ -67,6 +67,12 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0 until 3).map(i => (i, Seq("EUROPE", "AMERICA", "ASIA")(i)))
       .toDF("r_regionkey", "r_name")
       .write.parquet(s"$dir/region.parquet")
+    (0L until 120L).map { i =>
+      (i, 1700000000000000000L + i * 1000000000L, i % 10,
+        Seq("view", "click", "purchase")((i % 3).toInt),
+        (i % 7).toDouble, s"""{"k": ${i % 20}}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
     dir
   }
 
@@ -456,5 +462,42 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("hashpartitioning(doc_id") &&
         !plan.contains("hashpartitioning(vec_id"),
       s"bucketed join must not re-shuffle a side:\n$plan")
+  }
+
+  test("pagerank: every iteration joins by equi-key, never nested-loop") {
+    val plan = planOf("graph_pagerank")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNL join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("centroid outliers: one narrow projection, no shuffle before the sort") {
+    val plan = planOf("sim_centroid_outliers")
+    assert(!plan.contains("hashpartitioning"), s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"must be join-free:\n$plan")
+    assert(plan.contains("projection_dot"), "fused projection expression missing")
+  }
+
+  test("zorder layout: join-free aggregate over one scan") {
+    val plan = planOf("rel_zorder_layout")
+    assert(!plan.contains("Join"), s"must be join-free:\n$plan")
+    assert(plan.contains("partial"), s"map-side partial agg expected:\n$plan")
+  }
+
+  test("scd2 history: lag/lead/rank share ONE user partition exchange") {
+    val plan = planOf("rel_scd2_history")
+    val exchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly one user_id exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"must be join-free:\n$plan")
+  }
+
+  test("inverted index: posting window partitioned by token, never global") {
+    val plan = planOf("text_inverted_index")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"non-equi join:\n$plan")
+    // the rank window must carry the word partition key (a global window
+    // would print an empty windowspecdefinition partition list)
+    assert("windowspecdefinition\\(word".r.findFirstIn(plan).isDefined,
+      s"posting window must partition by word:\n$plan")
   }
 }

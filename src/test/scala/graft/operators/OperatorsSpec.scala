@@ -988,4 +988,57 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!res.exists(_._1 == 2L), "doc 2 shares no shingle, no neighbors")
     assert(res.groupBy(_._1).values.forall(_.length <= 3))
   }
+
+  test("pagerank: hub dominates a star, leaves tie, mass is conserved up to floor loss") {
+    import spark.implicits._
+    // undirected star: center 0 <-> leaves 1..6
+    val es = (1L to 6L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val r = Graph.pageRank(es, "src", "dst", iterations = 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r.size == 7)
+    val leaves = (1L to 6L).map(r)
+    assert(leaves.distinct.size == 1, s"symmetric leaves must tie: $leaves")
+    assert(r(0L) > leaves.head * 3, s"hub must dominate: $r")
+    // damped update conserves total mass up to integer-floor loss, which
+    // only ever shrinks the total: n*unit is a hard upper bound
+    val total = r.values.sum
+    assert(total <= 7L * 1000000L && total > 6L * 1000000L, s"total=$total")
+  }
+
+  test("pagerank: isolated sink settles at base; determinism across runs") {
+    import spark.implicits._
+    // 1 -> 2 -> 3 chain: node 1 has no inbound edges -> rank = base
+    val es = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val run = () => Graph.pageRank(es, "src", "dst", iterations = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    val r = run()
+    assert(r(1L) == 150000L, s"no-inbound node must sit at base: $r")
+    assert(r(3L) > r(2L) && r(2L) > r(1L), s"downstream accumulates: $r")
+    assert(run() == r, "iterative integer update must be deterministic")
+  }
+
+  test("degree profile: counts, distinct neighbors, full outer over one-sided nodes") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (1L, 2L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+    val r = Graph.degreeProfile(es, "src", "dst").collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((3L, 1L, 2L))) // out 3 (dup edge counts), in 1, 2 distinct nbrs
+    assert(r(2L) == ((0L, 2L, 0L))) // dst-only node appears with zero out
+    assert(r(4L) == ((1L, 0L, 1L)))
+  }
+
+  test("centroid outliers: threshold slices exactly the low-best-sim vectors") {
+    import spark.implicits._
+    val emb = (0L until 30L).map { i =>
+      (i, Array.tabulate(64)(d => (((i * 17 + d * 5) % 23).toFloat / 23f) - 0.4f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val all = Similarity.centroidOutliers(emb, "vec_id", "embedding",
+      nCentroids = 8, maxSim = Double.MaxValue).collect()
+    assert(all.length == 30, "with no threshold every vector appears once")
+    val sims = all.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cut = sims.values.toSeq.sorted.apply(10) // admit exactly 10 below
+    val out = Similarity.centroidOutliers(emb, "vec_id", "embedding",
+      nCentroids = 8, maxSim = cut).collect().map(_.getLong(0)).toSet
+    assert(out == sims.filter(_._2 < cut).keySet)
+  }
 }
