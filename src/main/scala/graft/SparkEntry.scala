@@ -447,13 +447,13 @@ object SparkEntry {
   }
 
   /** SQL 64-dim dot product between `a.embedding` and `b.embedding`. */
-  private def dotSql(a: String, b: String): String =
-    (1 to 64).map(i =>
+  private def dotSql(a: String, b: String, dims: Int = 64): String =
+    (1 to dims).map(i =>
       s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
       .mkString(" + ")
 
-  private def normSqSql(a: String): String =
-    (1 to 64).map(i =>
+  private def normSqSql(a: String, dims: Int = 64): String =
+    (1 to dims).map(i =>
       s"CAST($a.embedding[$i] AS DOUBLE) * CAST($a.embedding[$i] AS DOUBLE)")
       .mkString(" + ")
 
@@ -3583,6 +3583,122 @@ object SparkEntry {
       }
       s.createDataFrame(merges).toDF("merge_round", "merged_pair", "pair_count")
         .orderBy("merge_round")
+    }),
+    "graph_cooccurrence" -> ((s, dir) =>
+      // "users who touched A also touched B": item pairs by shared-user
+      // count over the distinct (user, item) relation. Power users are
+      // dropped by the degree cap BEFORE the self-join (broadcast
+      // anti-join), bounding every join bucket — the stop-shingle
+      // playbook applied to graph projection.
+      graft.operators.Graph.cooccurrence(
+          table(s, dir, "events").select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item")),
+          "user_id", "item", minShared = 3L, maxUserDegree = 1000)
+        .orderBy("item_a", "item_b")),
+    "graph_triangles" -> ((s, dir) => {
+      // community structure of the co-occurrence graph: per-node triangle
+      // counts via the canonical a<b<c 2-path + semi-join closure — each
+      // triangle counted exactly once, equi-joins only.
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      graft.operators.Graph.triangleCounts(co, "item_a", "item_b")
+        .orderBy("node")
+    }),
+    "rel_incremental_view" -> ((s, dir) => {
+      // incremental materialized-view maintenance: yesterday's aggregate
+      // state merges with today's delta WITHOUT rescanning the base —
+      // the oracle recomputes the view from the FULL relation, so the
+      // hash match PROVES merge == full recompute. Sums stay decimal
+      // through the merge (decimal addition is exact; adding two
+      // double-rounded halves is not), cast to double only at the end.
+      val ev = events(s, dir)
+        .select(col("event_type"),
+          expr("ts DIV 3600000000000").as("hour_bucket"),
+          col("value"), col("event_id"))
+      def aggOf(df: DataFrame) = df.groupBy("event_type", "hour_bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("sv"))
+      val zero = lit(0).cast("decimal(18,4)")
+      aggOf(ev.where(col("event_id") % 10 =!= 0))
+        .select(col("event_type"), col("hour_bucket"),
+          col("n").as("n_b"), col("sv").as("sv_b"))
+        .join(aggOf(ev.where(col("event_id") % 10 === 0))
+            .select(col("event_type"), col("hour_bucket"),
+              col("n").as("n_d"), col("sv").as("sv_d")),
+          Seq("event_type", "hour_bucket"), "full")
+        .select(col("event_type"), col("hour_bucket"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+          (coalesce(col("sv_b"), zero) + coalesce(col("sv_d"), zero))
+            .cast("double").as("sum_value"))
+        .orderBy("event_type", "hour_bucket")
+    }),
+    "sim_matryoshka_eval" -> ((s, dir) => {
+      // matryoshka truncation eval: overlap@5 of the 16-dim-prefix index
+      // against the full-64-dim exact top-5 — the measurement that
+      // decides how far nested embeddings can be truncated before recall
+      // pays. Same eval-join shape as sim_recall_eval.
+      val e = table(s, dir, "embeddings")
+      val e16 = e.select(col("vec_id"),
+        expr("slice(embedding, 1, 16)").as("embedding"))
+      val exact = Similarity.bruteForceTopK(
+          e.where(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val trunc = Similarity.bruteForceTopK(
+          e16.where(col("vec_id") < 20), e16, "vec_id", "embedding", k = 5)
+        .select(col("query_id").as("a_q"), col("neighbor_id").as("a_n"))
+      exact.join(trunc,
+          col("query_id") === col("a_q") && col("neighbor_id") === col("a_n"),
+          "left")
+        .groupBy("query_id")
+        .agg(sum(when(col("a_q").isNotNull, 1L).otherwise(0L)).as("n_common"))
+        .withColumn("recall_milli", col("n_common") * 200)
+        .orderBy("query_id")
+    }),
+    "rel_retention_cohorts" -> ((s, dir) => {
+      // cohort retention matrix: users grouped by first-seen day, distinct
+      // active users per (cohort, age). JOIN-FREE at any scale: one
+      // explicit user_id repartition satisfies the (user, day) distinct,
+      // the per-user min window, AND colocates each user's rows — the
+      // naive formulation (first-seen agg ⋈ activity) needs either a
+      // broadcast (impossible when first-seen is one row per user at
+      // 100 TB) or two differently-keyed exchanges plus a join.
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+        .repartition(col("user_id"))
+        .distinct()
+      val w = Window.partitionBy("user_id")
+      ev.withColumn("cohort_day", min(col("day")).over(w))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "age_days")
+    }),
+    "mm_scene_detect" -> ((s, dir) => {
+      // scene-boundary detection plumbing: per media id, consecutive
+      // frame-feature deltas over a frame-ordered lag window; boundaries
+      // where the delta exceeds the threshold. The FEATURE is the FNV
+      // stub (env constraint — a real pipeline embeds decoded pixels);
+      // the frame slicing, id-partitioned lag, and boundary emission are
+      // the production shape. Power-of-two residue (& 1023) keeps the
+      // signed-long arithmetic identical to the oracle's unsigned mod.
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.GraftFunctions.fnv1a64
+      val d = table(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      val wrapped = graft.operators.Multimodal.wrap(
+        d, "doc_id", "payload", lit("text/plain"), Seq.empty)
+      val frames = graft.operators.Multimodal.sampleFrames(s, wrapped, n = 8)
+        .select(col("id").as("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          fnv1a64(col("frame_bytes")).bitwiseAND(lit(1023L)).as("feat"))
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      frames.withColumn("prev", lag(col("feat"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .withColumn("delta", abs(col("feat") - col("prev")))
+        .where(col("delta") > 512)
+        .select(col("doc_id"), col("frame_idx"), col("delta"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -6227,7 +6343,97 @@ object SparkEntry {
            |SELECT merge_round, pair AS merged_pair, cnt AS pair_count FROM (
            |  SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
            |ORDER BY merge_round""".stripMargin
-      }
+      },
+      "graph_cooccurrence" ->
+        """WITH r AS (SELECT DISTINCT user_id AS u,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS it FROM events),
+          |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM r GROUP BY u)
+          |  WHERE dg > 1000),
+          |kept AS (SELECT * FROM r WHERE u NOT IN (SELECT u FROM pow)),
+          |p AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS co_users
+          |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2)
+          |SELECT item_a, item_b, co_users FROM p WHERE co_users >= 3
+          |ORDER BY item_a, item_b""".stripMargin,
+      "graph_triangles" ->
+        """WITH r AS (SELECT DISTINCT user_id AS u,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS it FROM events),
+          |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM r GROUP BY u)
+          |  WHERE dg > 1000),
+          |kept AS (SELECT * FROM r WHERE u NOT IN (SELECT u FROM pow)),
+          |e AS (SELECT item_a AS a, item_b AS b FROM (
+          |  SELECT a.it AS item_a, b.it AS item_b, count(*) AS co_users
+          |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2)
+          |  WHERE co_users >= 8),
+          |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+          |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+          |n AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+          |  UNION ALL SELECT z FROM t)
+          |SELECT node, count(*) AS triangles FROM n GROUP BY node
+          |ORDER BY node""".stripMargin,
+      "rel_incremental_view" ->
+        """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+          |  count(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_bucket""".stripMargin,
+      "sim_matryoshka_eval" ->
+        s"""WITH bq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+           |bc AS (SELECT vec_id, embedding FROM embeddings),
+           |bp AS (
+           |  SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id,
+           |    floor((${dotSql("bq", "bc")}) /
+           |      (sqrt(${normSqSql("bq")}) * sqrt(${normSqSql("bc")})) * 1000000 + 0.5) / 1000000 AS cosine
+           |  FROM bq CROSS JOIN bc WHERE bq.vec_id <> bc.vec_id),
+           |exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+           |    FROM bp) WHERE rnk <= 5),
+           |tp AS (
+           |  SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id,
+           |    floor((${dotSql("bq", "bc", 16)}) /
+           |      (sqrt(${normSqSql("bq", 16)}) * sqrt(${normSqSql("bc", 16)})) * 1000000 + 0.5) / 1000000 AS cosine
+           |  FROM bq CROSS JOIN bc WHERE bq.vec_id <> bc.vec_id),
+           |trunc AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+           |    FROM tp) WHERE rnk <= 5)
+           |SELECT e.query_id,
+           |  CAST(SUM(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           |  CAST(SUM(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END) * 200 AS BIGINT) AS recall_milli
+           |FROM exact e LEFT JOIN trunc t
+           |  ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+           |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+      "rel_retention_cohorts" ->
+        """WITH ev AS (SELECT DISTINCT user_id,
+          |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+          |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+          |SELECT cohort_day, day - cohort_day AS age_days,
+          |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+          |FROM ev JOIN f ON ev.user_id = f.user_id
+          |GROUP BY 1, 2 ORDER BY cohort_day, age_days""".stripMargin,
+      "mm_scene_detect" ->
+        s"""WITH fr AS (
+           |  SELECT doc_id, unnest(generate_series(0, 7)) AS fi,
+           |    length(text) AS len, text
+           |  FROM documents WHERE length(text) > 0),
+           |fs AS (
+           |  SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+           |    substr(text, CAST((len * fi) // 8 AS INT) + 1,
+           |      CAST((len * (fi + 1)) // 8 AS INT) - CAST((len * fi) // 8 AS INT)) AS frame_str
+           |  FROM fr),
+           |ft AS (
+           |  SELECT doc_id, frame_idx,
+           |    CAST(mod(${fnvSql("frame_str")}, 1024) AS BIGINT) AS feat
+           |  FROM fs),
+           |lg AS (
+           |  SELECT doc_id, frame_idx, feat,
+           |    lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+           |  FROM ft)
+           |SELECT doc_id, frame_idx, abs(feat - prev) AS delta
+           |FROM lg WHERE prev IS NOT NULL AND abs(feat - prev) > 512
+           |ORDER BY doc_id, frame_idx""".stripMargin
     )
   }
 }

@@ -91,6 +91,55 @@ object Graph {
        |SELECT node, rank FROM r$iterations ORDER BY node""".stripMargin
   }
 
+  /** Item co-occurrence projection of a bipartite (user, item) relation:
+    * unordered item pairs sharing at least `minShared` distinct users —
+    * the classic "users who touched A also touched B" similarity graph
+    * (and the input to [[triangleCounts]] community structure).
+    *
+    * Plan shape: distinct (user, item), then a self-equi-join on user and
+    * a pair aggregation with map-side combine. Fan-out per user is
+    * items² — the standard co-occurrence hazard — so `maxUserDegree`
+    * drops power users (same playbook as stop-shingles in
+    * [[Dedup.ngramJaccardPairs]]: a user touching everything carries no
+    * similarity signal and dominates the join); every surviving join
+    * bucket is ≤ maxUserDegree rows per side at any corpus scale. */
+  def cooccurrence(rel: DataFrame, userCol: String, itemCol: String,
+      minShared: Long = 2L, maxUserDegree: Int = 1000): DataFrame = {
+    val r = rel.select(col(userCol).as("u"), col(itemCol).as("it")).distinct()
+    val power = r.groupBy("u").agg(count(lit(1)).as("d"))
+      .where(col("d") > maxUserDegree).select("u")
+    val kept = r.join(broadcast(power), Seq("u"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"), col("a.u") === col("b.u") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+      .agg(count(lit(1)).as("co_users"))
+      .where(col("co_users") >= minShared)
+  }
+
+  /** Per-node triangle counts over an undirected edge list (pairs in
+    * either orientation; duplicates collapse). Edges are canonicalized
+    * a < b, and triangles enumerate as the 2-path join (a−b)(b−c) closed
+    * by (a−c) — each triangle found exactly once since a < b < c. Both
+    * joins are equi-joins; the 2-path fan-out is Σ deg², so at 100 TB
+    * orient by (degree, id) instead of raw id (the standard
+    * degeneracy-ordering bound) — same plan, different orientation key;
+    * raw-id orientation is kept here because the oracle twin replays it
+    * verbatim. Nodes in no triangle are absent (count 0 by definition). */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") < col("b")).distinct()
+    val abc = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      // closure test as a semi-join keeps (a,b,c) rows without widening
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"), "left_semi")
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    abc.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
   /** Per-node degree profile of a directed edge relation: out-degree,
     * in-degree, and distinct neighbor count — the one-pass connectivity
     * triage (hub detection, skew audit before a graph join). Three

@@ -491,6 +491,28 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Join"), s"must be join-free:\n$plan")
   }
 
+  test("retention cohorts: join-free, one user exchange feeds distinct + window") {
+    val plan = planOf("rel_retention_cohorts")
+    assert(!plan.contains("Join"), s"must be join-free:\n$plan")
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userExchanges == 1,
+      s"expected ONE user_id exchange, got $userExchanges:\n$plan")
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(plan).isDefined,
+      s"cohort window must partition by user_id:\n$plan")
+  }
+
+  test("triangles: 2-path and closure are equi-joins, never nested-loop") {
+    val plan = planOf("graph_triangles")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNL join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("scene detect: frame lag window partitioned by media id, never global") {
+    val plan = planOf("mm_scene_detect")
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(plan).isDefined,
+      s"lag window must partition by doc_id:\n$plan")
+  }
+
   test("inverted index: posting window partitioned by token, never global") {
     val plan = planOf("text_inverted_index")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

@@ -1027,6 +1027,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(4L) == ((1L, 0L, 1L)))
   }
 
+  test("triangle counts: K4 has 4 triangles touching every node 3 times") {
+    import spark.implicits._
+    // complete graph on 4 nodes (edges given in mixed orientation + a dup)
+    val es = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 2L),
+      (3L, 4L)).toDF("a", "b")
+    val r = Graph.triangleCounts(es, "a", "b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    // K4 has C(4,3)=4 triangles; each node sits in exactly 3
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), r)
+    // removing one edge kills the two triangles through it
+    val r2 = Graph.triangleCounts(es.where(!(col("a") === 3 && col("b") === 4)),
+        "a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r2 == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), r2)
+  }
+
+  test("cooccurrence: shared-user counts; power users dropped by the degree cap") {
+    import spark.implicits._
+    val rel = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L),
+      (1L, 10L), // duplicate interaction collapses
+      (9L, 10L), (9L, 20L), (9L, 30L), (9L, 40L)) // power user
+      .toDF("u", "it")
+    val all = Graph.cooccurrence(rel, "u", "it", minShared = 2L,
+        maxUserDegree = 1000).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(all == Map((10L, 20L) -> 4L), all) // users 1,2,3,9
+    val capped = Graph.cooccurrence(rel, "u", "it", minShared = 2L,
+        maxUserDegree = 3).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(capped == Map((10L, 20L) -> 3L), capped) // 9 dropped (degree 4)
+  }
+
   test("centroid outliers: threshold slices exactly the low-best-sim vectors") {
     import spark.implicits._
     val emb = (0L until 30L).map { i =>
