@@ -116,6 +116,23 @@ object SparkEntry {
   private def mainLog(spark: SparkSession, dir: String): WalrusLog =
     eventsLog(spark, dir, "main", LogConfig())
 
+  /** Events mirrored once as "<user_id>|<day>" payloads on one topic —
+    * the fixture behind the streaming retention query (user/day must ride
+    * IN the payload; mainLog carries only props). */
+  private def retentionLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "ret"), {
+      val root = Files.createTempDirectory("graft-log-ret-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ev = events(spark, dir).select(
+        lit("ret").as("topic"),
+        encode(concat_ws("|", col("user_id"),
+          expr("ts DIV 86400000000000")), "UTF-8").as("value"),
+        col("event_id").as("_seq"))
+      log.appendDF(ev, Some(col("_seq")), FixedTs)
+      log
+    })
+
   /** Documents mirrored once into a scratch log: topic "docs",
     * value = "<doc_id>|<text>", arrival order = doc_id. Shared by the
     * streaming text/dedup queries. */
@@ -3699,7 +3716,63 @@ object SparkEntry {
         .where(col("delta") > 512)
         .select(col("doc_id"), col("frame_idx"), col("delta"))
         .orderBy("doc_id", "frame_idx")
-    })
+    }),
+    "stream_retention_cohorts" -> ((s, dir) => {
+      // streaming twin of rel_retention_cohorts: per-user first-seen day
+      // and distinct-day set carried in flatMapGroupsWithState across
+      // micro-batches; the LAST emission per user (n_days is monotone) is
+      // its final state, and the batch-side matrix over final states must
+      // equal the batch cohort query — the oracle IS
+      // rel_retention_cohorts' twin, so any state or batch-boundary bug
+      // hash-fails. State is the user's distinct day list: bounded by the
+      // corpus day span, the canonical keyed-state size guarantee.
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import s.implicits._
+      val log = retentionLog(s, dir)
+      val src = graft.streaming.WalrusStreams.readStream(s, log.root)
+        .select(split(decode(col("value"), "UTF-8"), "\\|").as("p"))
+        .select(col("p").getItem(0).cast("long").as("user_id"),
+          col("p").getItem(1).cast("long").as("day"))
+        .as[(Long, Long)]
+      val out = src.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+          (user: Long, rows: Iterator[(Long, Long)],
+           state: GroupState[Seq[Long]]) => {
+            val days = (state.getOption.getOrElse(Seq.empty[Long]) ++
+              rows.map(_._2)).distinct.sorted
+            state.update(days)
+            Iterator.single((user, days.size.toLong, days.head,
+              days.mkString(",")))
+          })
+        .toDF("user_id", "n_days", "cohort_day", "days_str")
+      val rows = runStreamToMemory(s, out, "update") { df =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("n_days").desc)
+        df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("user_id"), col("cohort_day"),
+            explode(split(col("days_str"), ",")).as("day_s"))
+          .withColumn("day", col("day_s").cast("long"))
+          .groupBy(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("age_days"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_day", "age_days").collect().toSeq
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("cohort_day", LongType),
+          StructField("age_days", LongType), StructField("n_users", LongType))))
+        .orderBy("cohort_day", "age_days")
+    }),
+    "text_langid_confusion" -> ((s, dir) =>
+      // language-ID quality eval: confusion matrix of the n-gram-marker
+      // prediction against the labeled lang column — the accuracy gate
+      // run before trusting langid-based filtering. One broadcast-free
+      // join on doc_id + one matrix aggregation.
+      TextAnalysis.languageId(table(s, dir, "documents"), "doc_id", "text")
+        .join(table(s, dir, "documents").select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred"))
   )
 
   // ============================================================== oracles
@@ -6433,7 +6506,34 @@ object SparkEntry {
            |  FROM ft)
            |SELECT doc_id, frame_idx, abs(feat - prev) AS delta
            |FROM lg WHERE prev IS NOT NULL AND abs(feat - prev) > 512
-           |ORDER BY doc_id, frame_idx""".stripMargin
+           |ORDER BY doc_id, frame_idx""".stripMargin,
+      // the streaming path must converge to the BATCH cohort matrix —
+      // one oracle string shared with rel_retention_cohorts by design
+      "stream_retention_cohorts" ->
+        """WITH ev AS (SELECT DISTINCT user_id,
+          |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+          |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+          |SELECT cohort_day, day - cohort_day AS age_days,
+          |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+          |FROM ev JOIN f ON ev.user_id = f.user_id
+          |GROUP BY 1, 2 ORDER BY cohort_day, age_days""".stripMargin,
+      "text_langid_confusion" -> {
+        val hitCols = TextAnalysis.LangMarkers.map { case (l, ws) =>
+          s"CAST(len(regexp_extract_all(text, '${ws.mkString("\\b(", "|", ")\\b")}')) AS BIGINT) AS hits_$l"
+        }.mkString(",\n    ")
+        val m = TextAnalysis.LangMarkers.map { case (l, _) => s"hits_$l" }
+          .mkString("greatest(", ", ", ")")
+        val pick = TextAnalysis.LangMarkers.map { case (l, _) =>
+          s"WHEN hits_$l = m AND m > 0 THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE 'und' END")
+        s"""WITH b AS (
+           |  SELECT doc_id, lang,
+           |    $hitCols
+           |  FROM documents),
+           |c AS (SELECT $m AS m, * FROM b)
+           |SELECT lang, $pick AS lang_pred, count(*) AS n
+           |FROM c GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+      }
     )
   }
 }
