@@ -3802,6 +3802,45 @@ object SparkEntry {
             s"DIV (4 * c1 * $t)"))
         .select(col("w1"), col("w2"), col("cnt"), col("p_micro"))
         .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(25)
+    }),
+    "graph_components" -> ((s, dir) => {
+      // connected components of the (sparsified) co-occurrence graph —
+      // the SAME union-find/pointer-jumping core the dedup family uses
+      // (Dedup.connectedComponents), applied to interaction clustering;
+      // the oracle replays reachability as a recursive CTE. minShared=8
+      // sparsifies the near-complete co-visit graph into real fragments.
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      Dedup.connectedComponents(
+          co.select(col("item_a").as("id_a"), col("item_b").as("id_b")))
+        .select(col("node").as("item"), col("lbl").as("component_id"))
+        .orderBy("item")
+    }),
+    "rel_observed_audit" -> ((s, dir) => {
+      // in-flight data-quality audit: Dataset.observe attaches aggregate
+      // metrics to the SAME pass that produces the output — at 100 TB a
+      // separate audit query doubles the scan IO; this one costs zero
+      // extra reads. The observed values are the result; the oracle
+      // recomputes them relationally, so the observation path itself is
+      // correctness-gated. Decimal-exact sum, cast at the edge.
+      val obs = new org.apache.spark.sql.Observation(
+        s"audit_${System.nanoTime()}")
+      val df = table(s, dir, "lineitem")
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+          count(when(col("l_discount") > lit(0.05), 1)).as("n_hi_disc"))
+      df.count() // one action drives both the pass and the metrics
+      val m = obs.get
+      s.createDataFrame(s.sparkContext.parallelize(Seq(Row(
+          m("n_rows").asInstanceOf[Long],
+          m("sum_qty").asInstanceOf[java.math.BigDecimal].doubleValue(),
+          m("n_hi_disc").asInstanceOf[Long])), 1),
+        StructType(Seq(StructField("n_rows", LongType),
+          StructField("sum_qty", DoubleType),
+          StructField("n_hi_disc", LongType))))
     })
   )
 
@@ -6580,7 +6619,29 @@ object SparkEntry {
           |  CAST((1000000 * (greatest(4 * c.cnt - 3, 0) * t.t + 3 * l.nr * r.nl))
           |    // (4 * l.c1 * t.t) AS BIGINT) AS p_micro
           |FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
-          |ORDER BY c.cnt DESC, c.w1, c.w2 LIMIT 25""".stripMargin
+          |ORDER BY c.cnt DESC, c.w1, c.w2 LIMIT 25""".stripMargin,
+      "graph_components" ->
+        """WITH RECURSIVE rel AS (SELECT DISTINCT user_id AS u,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS it FROM events),
+          |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM rel GROUP BY u)
+          |  WHERE dg > 1000),
+          |kept AS (SELECT * FROM rel WHERE u NOT IN (SELECT u FROM pow)),
+          |e0 AS (SELECT item_a AS a, item_b AS b FROM (
+          |  SELECT x.it AS item_a, y.it AS item_b, count(*) AS co_users
+          |  FROM kept x JOIN kept y ON x.u = y.u AND x.it < y.it GROUP BY 1, 2)
+          |  WHERE co_users >= 8),
+          |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+          |reach(node, lbl) AS (
+          |  SELECT DISTINCT a, a FROM edges
+          |  UNION
+          |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
+          |SELECT node AS item, CAST(min(lbl) AS BIGINT) AS component_id
+          |FROM reach GROUP BY node ORDER BY item""".stripMargin,
+      "rel_observed_audit" ->
+        """SELECT count(*) AS n_rows,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_disc
+          |FROM lineitem""".stripMargin
     )
   }
 }
