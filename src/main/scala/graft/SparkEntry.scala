@@ -116,6 +116,25 @@ object SparkEntry {
   private def mainLog(spark: SparkSession, dir: String): WalrusLog =
     eventsLog(spark, dir, "main", LogConfig())
 
+  /** Events mirrored once with every 5th payload truncated mid-JSON —
+    * the planted-corruption fixture behind the dead-letter-queue query
+    * (the oracle reproduces the PLANT rule, not the parse, so the routing
+    * split is proven, not assumed). */
+  private def dlqLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "dlq"), {
+      val root = Files.createTempDirectory("graft-log-dlq-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ev = events(spark, dir).select(
+        col("event_type").as("topic"),
+        encode(when(col("event_id") % 5 === 0,
+            expr("substring(props, 1, 4)"))
+          .otherwise(col("props")), "UTF-8").as("value"),
+        col("event_id").as("_seq"))
+      log.appendDF(ev, Some(col("_seq")), FixedTs)
+      log
+    })
+
   /** Events mirrored once as "<user_id>|<day>" payloads on one topic —
     * the fixture behind the streaming retention query (user/day must ride
     * IN the payload; mainLog carries only props). */
@@ -3841,6 +3860,66 @@ object SparkEntry {
         StructType(Seq(StructField("n_rows", LongType),
           StructField("sum_qty", DoubleType),
           StructField("n_hi_disc", LongType))))
+    }),
+    "text_bpe_apply" -> ((s, dir) => {
+      // tokenizer ENCODE step: apply the 3 trained merges to the corpus.
+      // Merges re-derive per word TYPE (vocabulary-sized, same argmax loop
+      // as text_bpe_train), then the per-type symbol count broadcasts
+      // back onto the token stream — per-document BPE token counts
+      // without ever string-processing the corpus twice. Cost: vocab-
+      // sized merge arithmetic + one broadcast join over the token
+      // explode; the corpus is scanned once.
+      var words = table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("w"),
+          concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"),
+          col("freq"))
+      (1 to 3).foreach { _ =>
+        val best = words
+          .select(col("freq"), split(trim(col("seq")), " ").as("a"))
+          .where(size(col("a")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(a) - 1), " +
+              "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .collect()(0).getString(0)
+        val pat = s" $best "; val rep = " " + best.replace(" ", "") + " "
+        words = words.withColumn("seq",
+          expr(s"replace(replace(seq, '$pat', '$rep'), '$pat', '$rep')"))
+      }
+      val vocab = words.select(col("w"),
+        size(split(trim(col("seq")), " ")).cast("long").as("n_syms"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .join(broadcast(vocab), Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_chars"),
+          sum(col("n_syms")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+    "log_dlq" -> ((s, dir) => {
+      // dead-letter routing: payloads that fail typed decoding divert to
+      // a DLQ accounting stream instead of poisoning the pipeline — the
+      // standard consumer error-channel pattern. Corruption is planted
+      // deterministically (every 5th event ships a truncated payload), so
+      // the oracle reproduces the routing split exactly. One pass over
+      // the log: parse, route on parse-null, per-topic counts.
+      val log = dlqLog(s, dir)
+      val parsed = log.toDF()
+        .withColumn("k",
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
+      parsed.groupBy(col("topic"))
+        .agg(sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_dlq"),
+          coalesce(min(when(col("k").isNull, col("offset"))), lit(-1L))
+            .as("first_dlq_offset"))
+        .orderBy("topic")
     })
   )
 
@@ -6641,7 +6720,54 @@ object SparkEntry {
         """SELECT count(*) AS n_rows,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
           |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_disc
-          |FROM lineitem""".stripMargin
+          |FROM lineitem""".stripMargin,
+      "text_bpe_apply" -> {
+        // same unrolled merge chain as text_bpe_train, carrying the word
+        // through so the per-type symbol count joins back onto tokens
+        val rounds = (1 to 3).map { i =>
+          val pairs =
+            s"""p$i AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+               |  SELECT freq, a[i] || ' ' || a[i + 1] AS pair FROM (
+               |    SELECT freq, string_split(trim(seq), ' ') AS a,
+               |      unnest(generate_series(1, len(string_split(trim(seq), ' ')) - 1)) AS i
+               |    FROM w${i - 1}))
+               |  GROUP BY pair)""".stripMargin
+          val merge =
+            s"""b$i AS (SELECT pair FROM p$i ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+          val next =
+            s"""w$i AS (SELECT w, replace(replace(seq,
+               |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+               |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq, freq
+               |  FROM w${i - 1}, b$i b)""".stripMargin
+          s"$pairs,\n$merge,\n$next"
+        }.mkString(",\n")
+        s"""WITH w0 AS (
+           |  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq, freq FROM (
+           |    SELECT w, count(*) AS freq FROM (
+           |      SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |    WHERE w <> '' GROUP BY w)),
+           |$rounds,
+           |v AS (SELECT w,
+           |  CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_syms FROM w3),
+           |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           |SELECT doc_id, count(*) AS n_words,
+           |  CAST(SUM(length(t.w)) AS BIGINT) AS n_chars,
+           |  CAST(SUM(v.n_syms) AS BIGINT) AS n_bpe_tokens
+           |FROM tok t JOIN v USING (w) WHERE t.w <> ''
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      "log_dlq" ->
+        """WITH t AS (
+          |  SELECT event_type AS topic,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS off,
+          |    CASE WHEN event_id % 5 = 0 THEN NULL
+          |         ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+          |  FROM events)
+          |SELECT topic,
+          |  CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+          |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dlq,
+          |  COALESCE(MIN(CASE WHEN k IS NULL THEN off END), -1) AS first_dlq_offset
+          |FROM t GROUP BY topic ORDER BY topic""".stripMargin
     )
   }
 }
