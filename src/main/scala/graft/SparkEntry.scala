@@ -3920,6 +3920,42 @@ object SparkEntry {
           coalesce(min(when(col("k").isNull, col("offset"))), lit(-1L))
             .as("first_dlq_offset"))
         .orderBy("topic")
+    }),
+    "rel_unpivot" -> ((s, dir) =>
+      // melt: the wide per-bucket event-type counts (rel_pivot's output
+      // shape) back to long form via the native unpivot operator — the
+      // pivot/unpivot round-trip both directions of the reshaping ETL
+      // step. Unpivot is a zero-shuffle projection (stack generator).
+      events(s, dir)
+        .groupBy((col("user_id") % 50).as("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .unpivot(Array(col("user_bucket")),
+          Array(col("click"), col("error"), col("purchase"),
+            col("signup"), col("view")),
+          "event_type", "n")
+        .orderBy("user_bucket", "event_type")),
+    "rel_markov_transitions" -> ((s, dir) => {
+      // first-order event-sequence model: per-user consecutive event-type
+      // transitions (lag window, ONE user exchange) aggregated into a
+      // transition matrix with integer-micro probabilities (c·1e6 DIV
+      // row-total — non-negative, engine-exact). The per-row total rides
+      // a window over the matrix itself (a few dozen rows), never the
+      // event stream.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      trans.withColumn("p_micro",
+          expr("(1000000 * n) DIV sum(n) OVER (PARTITION BY from_type)"))
+        .select(col("from_type"), col("to_type"), col("n"), col("p_micro"))
+        .orderBy("from_type", "to_type")
     })
   )
 
@@ -6767,7 +6803,29 @@ object SparkEntry {
           |  CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
           |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dlq,
           |  COALESCE(MIN(CASE WHEN k IS NULL THEN off END), -1) AS first_dlq_offset
-          |FROM t GROUP BY topic ORDER BY topic""".stripMargin
+          |FROM t GROUP BY topic ORDER BY topic""".stripMargin,
+      "rel_unpivot" ->
+        """WITH p AS (
+          |  SELECT user_id % 50 AS user_bucket, event_type, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |b AS (SELECT DISTINCT user_id % 50 AS user_bucket FROM events),
+          |ty AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type)
+          |SELECT b.user_bucket, ty.event_type, COALESCE(p.n, 0) AS n
+          |FROM b CROSS JOIN ty
+          |LEFT JOIN p ON p.user_bucket = b.user_bucket AND p.event_type = ty.event_type
+          |ORDER BY b.user_bucket, ty.event_type""".stripMargin,
+      "rel_markov_transitions" ->
+        """WITH e AS (
+          |  SELECT user_id, event_type, epoch_ns(ts) AS t, event_id FROM events),
+          |s AS (
+          |  SELECT event_type AS from_type,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS to_type
+          |  FROM e),
+          |c AS (SELECT from_type, to_type, count(*) AS n FROM s
+          |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_type, to_type, n,
+          |  CAST((1000000 * n) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_micro
+          |FROM c ORDER BY from_type, to_type""".stripMargin
     )
   }
 }
