@@ -3792,36 +3792,13 @@ object SparkEntry {
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_pred")),
-    "text_kneser_ney" -> ((s, dir) => {
-      // Kneser-Ney smoothed bigram probabilities, EXACT-INTEGER: with the
-      // dyadic discount d = 3/4, P_kn(w2|w1) = max(c−d,0)/c1 +
-      // d·N1+(w1·)/c1 · N1+(·w2)/T reduces to the integer rational
-      //   (max(4c−3,0)·T + 3·Nr·Nl) / (4·c1·T)
-      // so both engines replay the smoothing bit-for-bit (micro-prob =
-      // 1e6·num DIV den). Reported for the 25 most frequent bigrams.
-      // Plan: ONE bigram-count aggregation; left totals + continuation
-      // counts fold into one more agg per side; T is a one-scalar driver
-      // action (both engines count the same distinct-bigram relation).
-      val toks = table(s, dir, "documents")
-        .select(expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
-        .where(size(col("tk")) >= 2)
-      val bigrams = toks.select(explode(expr(
-          "transform(sequence(1, size(tk) - 1), " +
-            "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
-          .as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val cnts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-      val left = cnts.groupBy("w1")
-        .agg(sum("cnt").as("c1"), count(lit(1)).as("nr"))
-      val right = cnts.groupBy("w2").agg(count(lit(1)).as("nl"))
-      val t = cnts.count()
-      cnts.join(left, Seq("w1")).join(right, Seq("w2"))
-        .withColumn("p_micro", expr(
-          s"(1000000 * (greatest(4 * cnt - 3, 0) * $t + 3 * nr * nl)) " +
-            s"DIV (4 * c1 * $t)"))
-        .select(col("w1"), col("w2"), col("cnt"), col("p_micro"))
-        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(25)
-    }),
+    "text_kneser_ney" -> ((s, dir) =>
+      // exact-integer KN smoothing (TextAnalysis.kneserNeyBigrams — the
+      // dyadic d=3/4 rational both engines replay bit-for-bit; the
+      // per-context sum-to-one identity is property-tested in
+      // OperatorsSpec). Top-25 most frequent bigrams, TakeOrdered head.
+      TextAnalysis.kneserNeyBigrams(table(s, dir, "documents"), "text")
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(25)),
     "graph_components" -> ((s, dir) => {
       // connected components of the (sparsified) co-occurrence graph —
       // the SAME union-find/pointer-jumping core the dedup family uses

@@ -412,6 +412,41 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Kneser-Ney smoothed bigram probabilities over the whitespace token
+    * stream, EXACT-INTEGER: with the dyadic discount d = 3/4,
+    *   P_kn(w2|w1) = max(c−d,0)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/T
+    * reduces to the rational (max(4c−3,0)·T + 3·Nr·Nl) / (4·c1·T), so a
+    * SQL twin replays the smoothing bit-for-bit (p_micro = 1e6·num DIV
+    * den). Identity (tested): Σ_w2 over OBSERVED continuations plus the
+    * backoff mass of unobserved ones telescopes to exactly 1 per context
+    * — i.e. Σ_observed p = 1 − d·Nr/c1·(1 − Σ_observed Nl/T), so the
+    * floored micro sums land within #w2 of the closed form.
+    *
+    * Plan: ONE bigram-count aggregation (the expensive pass at scale);
+    * left totals + continuation counts are vocab-keyed re-aggregations on
+    * the same exchange shape (AQE stage reuse); T is one scalar action.
+    * Returns every observed bigram: (w1, w2, cnt, p_micro). */
+  def kneserNeyBigrams(df: DataFrame, textCol: String): DataFrame = {
+    val toks = df
+      .select(expr(s"filter(split($textCol, ' '), x -> x <> '')").as("tk"))
+      .where(size(col("tk")) >= 2)
+    val bigrams = toks.select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cnts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val left = cnts.groupBy("w1")
+      .agg(sum("cnt").as("c1"), count(lit(1)).as("nr"))
+    val right = cnts.groupBy("w2").agg(count(lit(1)).as("nl"))
+    val t = cnts.count()
+    cnts.join(left, Seq("w1")).join(right, Seq("w2"))
+      .withColumn("p_micro", expr(
+        s"(1000000 * (greatest(4 * cnt - 3, 0) * $t + 3 * nr * nl)) " +
+          s"DIV (4 * c1 * $t)"))
+      .select(col("w1"), col("w2"), col("cnt"), col("p_micro"))
+  }
+
   def cmsTopK(df: DataFrame, textCol: String, depth: Int = 4,
       width: Int = 1024, topK: Int = 25): DataFrame = {
     require(depth >= 1 && depth <= 8, "depth out of range")

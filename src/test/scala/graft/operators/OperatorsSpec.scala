@@ -1059,6 +1059,82 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == Map((10L, 20L) -> 3L), capped) // 9 dropped (degree 4)
   }
 
+  test("triangle counts match naive enumeration on random graphs") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    (0 until 5).foreach { _ =>
+      val n = 9
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n if r.nextInt(10) < 4
+      } yield (a.toLong, b.toLong))
+      if (edges.nonEmpty) {
+        val adj = edges.toSet
+        def conn(x: Long, y: Long) = adj.contains((x min y, x max y))
+        val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for (a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+             if conn(a, b) && conn(b, c) && conn(a, c)) {
+          naive(a) += 1; naive(b) += 1; naive(c) += 1
+        }
+        val got = Graph.triangleCounts(edges.toDF("a", "b"), "a", "b")
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+        assert(got == naive.toMap, s"edges=$edges")
+      }
+    }
+  }
+
+  test("pagerank: random-graph mass bound and base floor") {
+    import spark.implicits._
+    val r = new scala.util.Random(13)
+    val edges = (0 until 40).map(_ => (r.nextInt(12).toLong, r.nextInt(12).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val ranks = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+      iterations = 6).collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val n = ranks.size
+    // damped update conserves mass up to floor loss (never gains)
+    assert(ranks.values.sum <= n.toLong * 1000000L, ranks)
+    // every node receives at least the teleport base
+    assert(ranks.values.forall(_ >= 150000L), ranks)
+  }
+
+  test("kneser-ney bigrams match a naive exact-rational reference") {
+    val r = new scala.util.Random(29)
+    val vocab = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    val docs = docsDF((0L until 20L).map { i =>
+      (i, (0 until 3 + r.nextInt(10)).map(_ => vocab(r.nextInt(vocab.size)))
+        .mkString(" "))
+    })
+    // naive reference: BigInt rationals, identical floor
+    val toks = docs.collect().map(_.getString(1).split(" ").filter(_.nonEmpty))
+    val bg = toks.flatMap(t => t.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))))
+    val c = bg.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = c.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val nr = c.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val nl = c.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val t = c.size.toLong
+    val expect = c.map { case ((w1, w2), cnt) =>
+      val num = BigInt(1000000) *
+        (BigInt((4 * cnt - 3) max 0) * t + BigInt(3) * nr(w1) * nl(w2))
+      val den = BigInt(4) * c1(w1) * t
+      (w1, w2, cnt, (num / den).toLong)
+    }.toSet
+    val got = TextAnalysis.kneserNeyBigrams(docs, "text").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3)))
+      .toSet
+    assert(got == expect)
+    // per-context sum-to-one identity: observed micro mass + exact backoff
+    // mass of unobserved continuations = 1e6, within per-term floor loss
+    val byW1 = expect.groupBy(_._1)
+    byW1.foreach { case (w1, rows) =>
+      val observed = rows.toSeq.map(_._4).sum
+      val unobservedMass = (BigInt(1000000) * BigInt(3) * nr(w1) *
+        (t - rows.toSeq.map(x => nl(x._2)).sum)) / (BigInt(4) * c1(w1) * t)
+      val total = observed + unobservedMass.toLong
+      assert(total <= 1000000L && total >= 1000000L - rows.size - 1,
+        s"w1=$w1 total=$total")
+    }
+  }
+
   test("centroid outliers: threshold slices exactly the low-best-sim vectors") {
     import spark.implicits._
     val emb = (0L until 30L).map { i =>
