@@ -3933,6 +3933,21 @@ object SparkEntry {
           expr("(1000000 * n) DIV sum(n) OVER (PARTITION BY from_type)"))
         .select(col("from_type"), col("to_type"), col("n"), col("p_micro"))
         .orderBy("from_type", "to_type")
+    }),
+    "sim_pca_power" -> ((s, dir) => {
+      // top principal component by deterministic power iteration
+      // (embedding whitening/debias groundwork): per-row contributions
+      // quantized to integer micros BEFORE the corpus sum, so the
+      // reduction is order-independent and the DuckDB twin replays all 3
+      // iterations bit-for-bit. One corpus pass per iteration emitting 64
+      // longs (map-side combine) — the driver holds only the 64-vector.
+      val micro = Similarity.powerIterationPC(
+        table(s, dir, "embeddings"), "embedding", dims = 64, iters = 3)
+      s.createDataFrame(s.sparkContext.parallelize(
+          micro.zipWithIndex.map { case (m, d) => Row((d + 1).toLong, m) }.toSeq, 1),
+        StructType(Seq(StructField("dim", LongType),
+          StructField("v_micro", LongType))))
+        .orderBy("dim")
     })
   )
 
@@ -6802,7 +6817,55 @@ object SparkEntry {
           |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
           |SELECT from_type, to_type, n,
           |  CAST((1000000 * n) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_micro
-          |FROM c ORDER BY from_type, to_type""".stripMargin
+          |FROM c ORDER BY from_type, to_type""".stripMargin,
+      "sim_pca_power" -> {
+        // unrolled twin of Similarity.powerIterationPC: identical v0
+        // constants, per-row micro quantization, and the SAME
+        // left-associative dim-order norm chain (IEEE-identical)
+        def q6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+        val raw = (0 until 64).map(d => Similarity.projComponent(777, d))
+        val n0 = math.sqrt(raw.map(x => x * x).sum)
+        val v0 = raw.map(x => q6d(x / n0))
+        def dot(vd: Int => String): String =
+          (0 until 64).map(d =>
+            s"CAST(e.embedding[${d + 1}] AS DOUBLE) * ${vd(d)}").mkString(" + ")
+        def sumsCte(name: String, vd: Int => String, from: String): String = {
+          val cols = (0 until 64).map(d =>
+            s"SUM(CAST(floor(CAST(e.embedding[${d + 1}] AS DOUBLE) * (${dot(vd)}) * 1000000 + 0.5) AS BIGINT)) AS s$d")
+            .mkString(",\n    ")
+          s"$name AS (SELECT\n    $cols\n  FROM $from)"
+        }
+        def normChain: String =
+          (0 until 64).map(d => s"CAST(s$d AS DOUBLE) * CAST(s$d AS DOUBLE)")
+            .mkString(" + ")
+        def vCte(name: String, from: String): String = {
+          val cols = (0 until 64).map(d =>
+            s"floor(CAST(s$d AS DOUBLE) / sqrt($normChain) * 1000000 + 0.5) / 1000000 AS c$d")
+            .mkString(",\n    ")
+          s"$name AS (SELECT\n    $cols\n  FROM $from)"
+        }
+        val it1 = sumsCte("t1", d => v0(d).toString, "embeddings e")
+        val vc1 = vCte("v1", "t1")
+        val it2 = sumsCte("t2", d => s"v.c$d", "embeddings e CROSS JOIN v1 v")
+        val vc2 = vCte("v2", "t2")
+        val it3 = sumsCte("t3", d => s"v.c$d", "embeddings e CROSS JOIN v2 v")
+        val finalCols = (0 until 64).map(d =>
+          s"CAST(floor(CAST(s$d AS DOUBLE) / sqrt($normChain) * 1000000 + 0.5) AS BIGINT) AS m$d")
+          .mkString(",\n    ")
+        val unioned = (0 until 64).map(d =>
+          s"SELECT CAST(${d + 1} AS BIGINT) AS dim, m$d AS v_micro FROM f")
+          .mkString("\n  UNION ALL ")
+        s"""WITH $it1,
+           |$vc1,
+           |$it2,
+           |$vc2,
+           |$it3,
+           |f AS (SELECT
+           |    $finalCols
+           |  FROM t3)
+           |$unioned
+           |ORDER BY dim""".stripMargin
+      }
     )
   }
 }

@@ -102,6 +102,44 @@ object Similarity {
       .where(col("best_sim") < maxSim)
   }
 
+  /** Top principal component of the embedding corpus by power iteration,
+    * DETERMINISTIC across engines: each iteration computes
+    * `s_d = Σ_x floor(x_d · (x·v) · 1e6 + 0.5)` as exact integer micro
+    * sums (order-independent — floating addition across partitions is
+    * not), then renormalizes `v = q6(s / ‖s‖)` on the driver. Division,
+    * sqrt, and the left-associative dim-order norm chain are IEEE
+    * correctly-rounded and written identically in the SQL twin, so a
+    * DuckDB oracle replays every iteration bit-for-bit. The deterministic
+    * init is the [[projComponent]] family (plane 777), q6-normalized.
+    *
+    * Scale shape: one corpus pass per iteration producing 64 longs with
+    * map-side combine — the classic distributed power method; the driver
+    * holds only the 64-vector. Returns the final `v_micro` per dimension
+    * (floor(s_d/‖s‖·1e6+0.5), computed from the sums directly so no
+    * double round-trip reintroduces error). */
+  def powerIterationPC(
+      emb: DataFrame, vecCol: String, dims: Int, iters: Int): Array[Long] = {
+    def q6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    var v: Array[Double] = {
+      val raw = (0 until dims).map(d => projComponent(777, d)).toArray
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => q6d(x / n))
+    }
+    var micro: Array[Long] = v.map(x => math.round(x * 1e6))
+    for (_ <- 1 to iters) {
+      val dot = (0 until dims).map(d =>
+        col(vecCol).getItem(d).cast("double") * lit(v(d))).reduce(_ + _)
+      val row = emb.select((0 until dims).map(d =>
+        sum(floor(col(vecCol).getItem(d).cast("double") * dot * 1e6 + 0.5)
+          .cast("long")).as(s"s$d")): _*).collect()(0)
+      val s = (0 until dims).map(d => row.getLong(d).toDouble).toArray
+      val n = math.sqrt(s.map(x => x * x).sum)
+      v = s.map(x => q6d(x / n))
+      micro = s.map(x => math.floor(x / n * 1e6 + 0.5).toLong)
+    }
+    micro
+  }
+
   /** Top-`nprobe` cells per vector (probe list for multi-probe IVF
     * search). Same scoring as [[ivfAssign]] (which is the nprobe=1,
     * `greatest`-fused case); ranking explodes the `nCentroids` scores and

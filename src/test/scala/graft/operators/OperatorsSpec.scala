@@ -1135,6 +1135,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("power-iteration PC: unit norm, deterministic, finds the planted axis") {
+    import spark.implicits._
+    val r = new scala.util.Random(31)
+    // planted anisotropy: dimension 5 carries 10x the variance
+    val emb = (0L until 60L).map { i =>
+      (i, Array.tabulate(16)(d =>
+        (r.nextDouble() - 0.5).toFloat * (if (d == 5) 10f else 1f)).toSeq)
+    }.toDF("vec_id", "embedding")
+    val m = Similarity.powerIterationPC(emb, "embedding", dims = 16, iters = 3)
+    assert(m.length == 16)
+    val norm = m.map(x => (x / 1e6) * (x / 1e6)).sum
+    assert(math.abs(norm - 1.0) < 1e-3, s"not unit: $norm")
+    assert(m.zipWithIndex.maxBy(x => math.abs(x._1))._2 == 5,
+      s"planted axis not dominant: ${m.toSeq}")
+    assert(Similarity.powerIterationPC(emb, "embedding", 16, 3).toSeq == m.toSeq,
+      "must be deterministic")
+  }
+
   test("centroid outliers: threshold slices exactly the low-best-sim vectors") {
     import spark.implicits._
     val emb = (0L until 30L).map { i =>
