@@ -3948,6 +3948,30 @@ object SparkEntry {
         StructType(Seq(StructField("dim", LongType),
           StructField("v_micro", LongType))))
         .orderBy("dim")
+    }),
+    "sim_dim_stats" -> ((s, dir) => {
+      // per-dimension embedding health audit (dead/degenerate dimension
+      // detection before indexing): exact integer micro sums + sums of
+      // squares for all 64 dims in ONE fused corpus pass — 129 map-side-
+      // combined longs, no explode (the posexplode formulation multiplies
+      // the corpus 64x and shuffles it by dim; this ships one row).
+      val cols = count(lit(1)).as("n") +: (0 until 64).flatMap(d => Seq(
+        sum(floor(col("embedding").getItem(d).cast("double") * 1e6 + 0.5)
+          .cast("long")).as(s"s$d"),
+        sum(floor(col("embedding").getItem(d).cast("double") *
+            col("embedding").getItem(d).cast("double") * 1e6 + 0.5)
+          .cast("long")).as(s"q$d")))
+      val row = table(s, dir, "embeddings").select(cols: _*).collect()(0)
+      val n = row.getLong(0)
+      val out = (0 until 64).map { d =>
+        Row((d + 1).toLong, n, row.getLong(1 + 2 * d), row.getLong(2 + 2 * d))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(out, 1),
+        StructType(Seq(StructField("dim", LongType),
+          StructField("n", LongType),
+          StructField("sum_micro", LongType),
+          StructField("sumsq_micro", LongType))))
+        .orderBy("dim")
     })
   )
 
@@ -6863,6 +6887,20 @@ object SparkEntry {
            |f AS (SELECT
            |    $finalCols
            |  FROM t3)
+           |$unioned
+           |ORDER BY dim""".stripMargin
+      },
+      "sim_dim_stats" -> {
+        val aggCols = ("count(*) AS n" +: (0 until 64).flatMap(d => Seq(
+          s"SUM(CAST(floor(CAST(e.embedding[${d + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s$d",
+          s"SUM(CAST(floor(CAST(e.embedding[${d + 1}] AS DOUBLE) * CAST(e.embedding[${d + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q$d")))
+          .mkString(",\n    ")
+        val unioned = (0 until 64).map(d =>
+          s"SELECT CAST(${d + 1} AS BIGINT) AS dim, CAST(n AS BIGINT) AS n, CAST(s$d AS BIGINT) AS sum_micro, CAST(q$d AS BIGINT) AS sumsq_micro FROM a")
+          .mkString("\n  UNION ALL ")
+        s"""WITH a AS (SELECT
+           |    $aggCols
+           |  FROM embeddings e)
            |$unioned
            |ORDER BY dim""".stripMargin
       }
