@@ -3972,6 +3972,49 @@ object SparkEntry {
           StructField("sum_micro", LongType),
           StructField("sumsq_micro", LongType))))
         .orderBy("dim")
+    }),
+    "rel_spike_detection" -> ((s, dir) => {
+      // hourly volume anomaly gate: hours where a type's count exceeds
+      // 1.5x its own all-time hourly average (ratio in exact integer
+      // micros — n·H·1e6 DIV total — so the threshold is engine-exact).
+      // One (type, hour) aggregation; the per-type totals window runs
+      // over the tiny hourly matrix, never the event stream.
+      import org.apache.spark.sql.expressions.Window
+      val hourly = events(s, dir)
+        .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type")
+      hourly
+        .withColumn("h", count(lit(1)).over(w))
+        .withColumn("tot", sum(col("n")).over(w))
+        .withColumn("ratio_micro", expr("(n * h * 1000000) DIV tot"))
+        .where(col("ratio_micro") >= 1500000L)
+        .select(col("event_type"), col("hour_bucket"), col("n"),
+          col("ratio_micro"))
+        .orderBy("event_type", "hour_bucket")
+    }),
+    "graph_jaccard_items" -> ((s, dir) => {
+      // collaborative-filtering item similarity: neighbor-set Jaccard
+      // over the bipartite relation — co_users DIV (deg_a + deg_b − co)
+      // in exact integer micros. Discovery is the degree-capped
+      // co-occurrence join (never all-pairs); degrees attach by two
+      // vocab-sized broadcast joins.
+      val rel = table(s, dir, "events").select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val distinctRel = rel.distinct()
+      val deg = distinctRel.groupBy(col("item")).agg(count(lit(1)).as("deg"))
+      val co = graft.operators.Graph.cooccurrence(rel, "user_id", "item",
+        minShared = 3L, maxUserDegree = 1000)
+      co.join(broadcast(deg.select(col("item").as("item_a"),
+          col("deg").as("deg_a"))), Seq("item_a"))
+        .join(broadcast(deg.select(col("item").as("item_b"),
+          col("deg").as("deg_b"))), Seq("item_b"))
+        .withColumn("jaccard_micro", expr(
+          "(co_users * 1000000) DIV (deg_a + deg_b - co_users)"))
+        .select(col("item_a"), col("item_b"), col("co_users"),
+          col("jaccard_micro"))
+        .orderBy("item_a", "item_b")
     })
   )
 
@@ -6903,7 +6946,35 @@ object SparkEntry {
            |  FROM embeddings e)
            |$unioned
            |ORDER BY dim""".stripMargin
-      }
+      },
+      "rel_spike_detection" ->
+        """WITH h AS (
+          |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+          |    count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |x AS (
+          |  SELECT event_type, hour_bucket, n,
+          |    count(*) OVER (PARTITION BY event_type) AS hh,
+          |    SUM(n) OVER (PARTITION BY event_type) AS tot
+          |  FROM h)
+          |SELECT event_type, hour_bucket, n,
+          |  CAST((n * hh * 1000000) // tot AS BIGINT) AS ratio_micro
+          |FROM x WHERE (n * hh * 1000000) // tot >= 1500000
+          |ORDER BY event_type, hour_bucket""".stripMargin,
+      "graph_jaccard_items" ->
+        """WITH r AS (SELECT DISTINCT user_id AS u,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS it FROM events),
+          |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM r GROUP BY u)
+          |  WHERE dg > 1000),
+          |kept AS (SELECT * FROM r WHERE u NOT IN (SELECT u FROM pow)),
+          |deg AS (SELECT it, count(*) AS deg FROM r GROUP BY it),
+          |p AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS co_users
+          |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2)
+          |SELECT item_a, item_b, co_users,
+          |  CAST((co_users * 1000000) // (da.deg + db.deg - co_users) AS BIGINT) AS jaccard_micro
+          |FROM p JOIN deg da ON p.item_a = da.it JOIN deg db ON p.item_b = db.it
+          |WHERE co_users >= 3
+          |ORDER BY item_a, item_b""".stripMargin
     )
   }
 }
