@@ -4015,6 +4015,144 @@ object SparkEntry {
         .select(col("item_a"), col("item_b"), col("co_users"),
           col("jaccard_micro"))
         .orderBy("item_a", "item_b")
+    }),
+    "sim_binary_quant" -> ((s, dir) => {
+      // 1-bit binary quantization + hamming ANN: per-dim mean-threshold
+      // sign bits pack 64 dims into two 32-bit words (8 B/vec, 32x), then
+      // hamming top-5 against broadcast queries — the in-RAM rerank-
+      // candidate layout between raw floats and PQ. Thresholds are exact
+      // integer micros (65 longs on the driver), so the oracle reproduces
+      // every bit; the corpus is scanned, never shuffled.
+      val codes = Similarity.binaryQuantCodes(
+        table(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.hammingTopKWords(
+          codes.where(col("vec_id") < 20), codes,
+          "vec_id", Seq("bq0", "bq1"), k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), col("hamming"))
+        .orderBy("query_id", "rnk")
+    }),
+    "graph_label_prop" -> ((s, dir) => {
+      // bounded-round HashMin community labelling over the co-occurrence
+      // graph: 3 synchronous min-label rounds (labels after round r =
+      // min id within r hops). Integer labels end-to-end — the DuckDB
+      // twin unrolls the same 3 rounds bit-for-bit. Per round: one
+      // equi-join + one map-side-combined min agg.
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      graft.operators.Graph.labelPropagation(co, "item_a", "item_b", iterations = 3)
+        .orderBy("node")
+    }),
+    "rel_cdc_apply" -> ((s, dir) => {
+      // changelog application (CDC merge): events replayed as a change
+      // stream keyed by user — signup=INSERT, error=DELETE, rest=UPSERT —
+      // with event_id as the total change order. Final state = the
+      // max-seq change per key (max_by over a struct: ONE shuffle with
+      // partial agg — no per-key sort window), keys whose last op is
+      // DELETE vanish. Values settle to exact cents.
+      val ch = events(s, dir).select(col("user_id").as("k"),
+        col("event_id").as("seq"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      ch.groupBy("k")
+        .agg(count(lit(1)).as("n_changes"), max(col("seq")).as("last_seq"),
+          max_by(col("op"), col("seq")).as("last_op"),
+          max_by(col("cents"), col("seq")).as("last_cents"))
+        .where(col("last_op") =!= "D")
+        .select(col("k").as("user_id"), col("n_changes"), col("last_seq"),
+          col("last_op"), col("last_cents"))
+        .orderBy("user_id")
+    }),
+    "rel_skyline" -> ((s, dir) => {
+      // 2D Pareto frontier (skyline) of orders: points (day, price) not
+      // dominated by any earlier-or-equal day with >= price (one strict).
+      // After the per-day max aggregation the set is bounded by the date
+      // DOMAIN (~2.5k days at any corpus scale), but the prefix max still
+      // runs as the two-phase per-range pattern (range bases collected on
+      // the driver, range-local window) — no unpartitioned window, ever.
+      import org.apache.spark.sql.expressions.Window
+      val g = table(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"),
+          col("o_totalprice").as("price"))
+        .agg(count(lit(1)).as("n_orders"))
+      val wd = Window.partitionBy("day").orderBy(col("price").desc)
+      val best = g.withColumn("rn", row_number().over(wd))
+        .where(col("rn") === 1).drop("rn")
+        .withColumn("dk", datediff(col("day"), lit("1990-01-01")).cast("long"))
+        .withColumn("rng", expr("dk DIV 64"))
+      val perRange = best.groupBy("rng").agg(max("price").as("mx"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      var acc = Double.NegativeInfinity
+      val bases = perRange.map { case (rng, mx) =>
+        val b = (rng, acc); acc = math.max(acc, mx); b }.toSeq
+      import s.implicits._
+      val baseDf = bases.toDF("rng", "base")
+      val wr = Window.partitionBy("rng").orderBy("dk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      best.join(broadcast(baseDf), Seq("rng"))
+        .withColumn("pmax", greatest(col("base"),
+          coalesce(max(col("price")).over(wr), lit(Double.NegativeInfinity))))
+        .where(col("price") > col("pmax"))
+        .select(col("day"), col("price"), col("n_orders"))
+        .orderBy("day")
+    }),
+    "rel_histogram" -> ((s, dir) => {
+      // equi-width histogram of lineitem prices: 22 x 5000-wide buckets in
+      // exact integer cents (floor division — no float edge ambiguity at
+      // bucket boundaries across engines). One map-side-combined agg.
+      table(s, dir, "lineitem")
+        .select(expr(
+          "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) DIV 500000")
+          .as("bucket"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .select(col("bucket"), (col("bucket") * 5000L).as("lo"),
+          ((col("bucket") + 1L) * 5000L).as("hi"), col("n"), col("sum_cents"))
+        .orderBy("bucket")
+    }),
+    "mm_format_sniff" -> ((s, dir) => {
+      // magic-byte container sniffing: payloads synthesized with real
+      // JPEG/PNG/RIFF-WAVE magic prefixes (doc_id mod 4; env has no media
+      // files), detection reads ONLY the payload bytes — the declared
+      // mime is a constant lie ('application/octet-stream') precisely so
+      // the hash match proves bytes, not metadata, drove the verdict.
+      val m = col("doc_id") % 4
+      val magicHex = when(m === 0, lit("FFD8FF"))
+        .when(m === 1, lit("89504E47"))
+        .when(m === 2, lit("524946460000000057415645"))
+      val d = table(s, dir, "documents").withColumn("payload",
+        when(magicHex.isNull, encode(col("text"), "UTF-8"))
+          .otherwise(concat(unhex(magicHex), encode(col("text"), "UTF-8"))))
+      val wrapped = graft.operators.Multimodal.wrap(
+        d, "doc_id", "payload", lit("application/octet-stream"), Seq.empty)
+      graft.operators.Multimodal.formatSniff(wrapped)
+        .select(col("id").as("doc_id"), col("detected_mime"),
+          col("header_len"), col("byte_len"))
+        .orderBy("doc_id")
+    }),
+    "text_chunk_windows" -> ((s, dir) => {
+      // RAG/context-window chunking: overlapping 64-token windows with a
+      // 48-token stride per document (last window may be short; every
+      // token lands in >= 1 window). Narrow per-row sequence+explode —
+      // no shuffle, no join; the manifest is what a retrieval indexer or
+      // packing stage consumes downstream.
+      val win = 64L; val stride = 48L
+      table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_chunks", expr(
+          s"(greatest(n_tokens - $win, 0L) + ${stride - 1}L) DIV ${stride}L + 1L"))
+        .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+        .select(col("doc_id"), col("n_tokens"), col("n_chunks"), col("chunk_idx"),
+          (col("chunk_idx") * stride).as("tok_start"),
+          least(lit(win), col("n_tokens") - col("chunk_idx") * stride).as("tok_len"),
+          element_at(col("toks"), (col("chunk_idx") * stride + 1).cast("int"))
+            .as("first_tok"))
+        .orderBy("doc_id", "chunk_idx")
     })
   )
 
@@ -6974,7 +7112,118 @@ object SparkEntry {
           |  CAST((co_users * 1000000) // (da.deg + db.deg - co_users) AS BIGINT) AS jaccard_micro
           |FROM p JOIN deg da ON p.item_a = da.it JOIN deg db ON p.item_b = db.it
           |WHERE co_users >= 3
-          |ORDER BY item_a, item_b""".stripMargin
+          |ORDER BY item_a, item_b""".stripMargin,
+      "sim_binary_quant" -> {
+        val sums = (0 until 64).map(d =>
+          s"SUM(CAST(floor(CAST(embedding[${d + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s$d")
+          .mkString(",\n    ")
+        def word(lo: Int): String = (lo until lo + 32).map(d =>
+          s"(CASE WHEN CAST(floor(CAST(e.embedding[${d + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) * a.n > a.s$d THEN CAST(${1L << (d - lo)} AS BIGINT) ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH a AS (SELECT count(*) AS n,
+           |    $sums
+           |  FROM embeddings),
+           |codes AS (SELECT e.vec_id, ${word(0)} AS w0,
+           |    ${word(32)} AS w1
+           |  FROM embeddings e CROSS JOIN a),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming,
+           |    CAST(row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) ASC,
+           |        c.vec_id ASC) AS BIGINT) AS rnk
+           |  FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 20)
+           |SELECT query_id, neighbor_id, rnk, hamming FROM scored
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      },
+      "graph_label_prop" -> {
+        val rounds = (1 to 3).map { i =>
+          s"""l$i AS (SELECT l.node, least(l.label, min(nb.label)) AS label
+             |  FROM l${i - 1} l JOIN e ON e.src = l.node
+             |  JOIN l${i - 1} nb ON nb.node = e.dst
+             |  GROUP BY l.node, l.label)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH r AS (SELECT DISTINCT user_id AS u,
+           |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS it FROM events),
+           |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM r GROUP BY u)
+           |  WHERE dg > 1000),
+           |kept AS (SELECT * FROM r WHERE u NOT IN (SELECT u FROM pow)),
+           |c AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS co_users
+           |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2),
+           |e0 AS (SELECT item_a AS src, item_b AS dst FROM c WHERE co_users >= 8),
+           |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+           |$rounds
+           |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+      },
+      "rel_cdc_apply" ->
+        """WITH ch AS (SELECT user_id AS k, event_id AS seq,
+          |    CASE WHEN event_type = 'signup' THEN 'I'
+          |         WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM events),
+          |f AS (SELECT k AS user_id, count(*) AS n_changes, max(seq) AS last_seq,
+          |    arg_max(op, seq) AS last_op, arg_max(cents, seq) AS last_cents
+          |  FROM ch GROUP BY k)
+          |SELECT user_id, n_changes, last_seq, last_op, last_cents FROM f
+          |WHERE last_op <> 'D' ORDER BY user_id""".stripMargin,
+      "rel_skyline" ->
+        """WITH g AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          |    o_totalprice AS price, count(*) AS n_orders
+          |  FROM orders GROUP BY 1, 2),
+          |b AS (SELECT day, price, n_orders,
+          |    row_number() OVER (PARTITION BY day ORDER BY price DESC) AS rn FROM g),
+          |t AS (SELECT day, price, n_orders FROM b WHERE rn = 1),
+          |f AS (SELECT day, price, n_orders, max(price) OVER (
+          |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          |  FROM t)
+          |SELECT day, price, n_orders FROM f
+          |WHERE pmax IS NULL OR price > pmax ORDER BY day""".stripMargin,
+      "rel_histogram" ->
+        """WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM lineitem),
+          |g AS (SELECT cents // 500000 AS bucket, count(*) AS n,
+          |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+          |  FROM c GROUP BY 1)
+          |SELECT CAST(bucket AS BIGINT) AS bucket,
+          |  CAST(bucket * 5000 AS BIGINT) AS lo,
+          |  CAST((bucket + 1) * 5000 AS BIGINT) AS hi, n, sum_cents
+          |FROM g ORDER BY bucket""".stripMargin,
+      "mm_format_sniff" ->
+        """WITH p AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 4 = 0 THEN unhex('FFD8FF') || encode(text)
+          |         WHEN doc_id % 4 = 1 THEN unhex('89504E47') || encode(text)
+          |         WHEN doc_id % 4 = 2 THEN unhex('524946460000000057415645') || encode(text)
+          |         ELSE encode(text) END AS b
+          |  FROM documents),
+          |d AS (SELECT doc_id, hex(b) AS h, octet_length(b) AS bl FROM p),
+          |v AS (SELECT doc_id, bl,
+          |    CASE WHEN left(h, 6) = 'FFD8FF' THEN 'image/jpeg'
+          |         WHEN left(h, 8) = '89504E47' THEN 'image/png'
+          |         WHEN left(h, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+          |           THEN 'audio/wav'
+          |         ELSE 'application/octet-stream' END AS detected_mime
+          |  FROM d)
+          |SELECT doc_id, detected_mime,
+          |  CAST(CASE detected_mime WHEN 'image/jpeg' THEN 3
+          |       WHEN 'image/png' THEN 4 WHEN 'audio/wav' THEN 12
+          |       ELSE 0 END AS BIGINT) AS header_len,
+          |  CAST(bl AS BIGINT) AS byte_len
+          |FROM v ORDER BY doc_id""".stripMargin,
+      "text_chunk_windows" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+          |c AS (SELECT doc_id, toks, n_tokens,
+          |    (greatest(n_tokens - 64, 0) + 47) // 48 + 1 AS n_chunks FROM n),
+          |x AS (SELECT doc_id, toks, n_tokens, n_chunks,
+          |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c)
+          |SELECT doc_id, n_tokens, CAST(n_chunks AS BIGINT) AS n_chunks,
+          |  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+          |  CAST(chunk_idx * 48 AS BIGINT) AS tok_start,
+          |  CAST(least(64, n_tokens - chunk_idx * 48) AS BIGINT) AS tok_len,
+          |  toks[CAST(chunk_idx * 48 + 1 AS INTEGER)] AS first_tok
+          |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
     )
   }
 }

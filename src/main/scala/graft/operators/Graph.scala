@@ -140,6 +140,41 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Synchronous min-label propagation over an undirected edge list —
+    * the cheap community/cluster labelling pass (HashMin): every node
+    * starts labelled with its own id and each round takes the minimum of
+    * its own label and its neighbours' labels. After `iterations` rounds
+    * a node carries the smallest id within `iterations` hops, so labels
+    * approximate communities (and converge to connected components as
+    * rounds grow — [[Dedup.connectedComponents]] is the run-to-fixpoint
+    * sibling used for dedup clustering; this bounded-round form is the
+    * one a 100 TB pipeline schedules, cost = `iterations` × one join +
+    * one agg).
+    *
+    * Plan shape per round: edges ⋈ labels (equi-join on the neighbour
+    * end, shuffle keyed by node id) then a min-aggregation with map-side
+    * combine. Labels are ids (integers) throughout — no floats, so the
+    * DuckDB twin replays every round bit-for-bit. At scale, pre-partition
+    * the symmetrized edge list by `src` once so all rounds reuse one
+    * exchange. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1)
+    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      val nbrMin = e
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("label")).as("nbr"))
+      labels = labels.join(nbrMin, Seq("node"))
+        .select(col("node"), least(col("label"), col("nbr")).as("label"))
+    }
+    labels
+  }
+
   /** Per-node degree profile of a directed edge relation: out-degree,
     * in-degree, and distinct neighbor count — the one-pass connectivity
     * triage (hub detection, skew audit before a graph join). Three

@@ -104,6 +104,33 @@ object Multimodal {
         lit(windowBytes.toLong).as("win_len"))
   }
 
+  /** Magic-byte container sniffing over multimodal payloads — the
+    * trust-the-bytes-not-the-extension triage every crawl ingest runs
+    * before routing media to a decoder: JPEG (FF D8 FF), PNG
+    * (89 50 4E 47), RIFF/WAVE ('RIFF' + size + 'WAVE'), else opaque.
+    * Pure byte-slice comparisons on the payload prefix — codegen'd
+    * built-ins, no decode, no UDF — and the only payload bytes read are
+    * the first 12 (Parquet still fetches the column, but nothing is
+    * parsed), so the pass is scan-bound at 100 TB. */
+  def formatSniff(df: DataFrame): DataFrame = {
+    def magic(hexStr: String): org.apache.spark.sql.Column = unhex(lit(hexStr))
+    val b = col("media.bytes")
+    val detected = when(substring(b, 1, 3) === magic("FFD8FF"), "image/jpeg")
+      .when(substring(b, 1, 4) === magic("89504E47"), "image/png")
+      .when(substring(b, 1, 4) === magic("52494646") &&
+        substring(b, 9, 4) === magic("57415645"), "audio/wav")
+      .otherwise("application/octet-stream")
+    val headerLen = when(detected === "image/jpeg", 3)
+      .when(detected === "image/png", 4)
+      .when(detected === "audio/wav", 12)
+      .otherwise(0)
+    df.select(col("id"),
+      col("media.mime").as("declared_mime"),
+      detected.as("detected_mime"),
+      headerLen.cast("long").as("header_len"),
+      length(b).cast("long").as("byte_len"))
+  }
+
   /** Frame-sampling plumbing for video-like payloads: emits `n` byte-range
     * "frames" per payload (stub slices; real impl calls the demuxer), as
     * (id, frame_idx, frame_bytes). */

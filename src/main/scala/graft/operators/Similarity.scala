@@ -515,6 +515,57 @@ object Similarity {
         q6(col("_s.err_sum") / lit(dims.toDouble)).as("mean_abs_err"))
   }
 
+  /** 1-bit binary quantization: bit `d` is set when the vector exceeds
+    * the corpus mean of dimension `d` (sign-of-centered-dim, the BQ
+    * layout modern vector stores keep in RAM). 64 dims pack into two
+    * 32-bit words — 8 bytes/vector, a 32× compression whose hamming
+    * distance is a monotone proxy for cosine on normalized corpora.
+    *
+    * Thresholds are EXACT integer micros: one map-side-combined pass
+    * collects (n, Σ micro(v_d)) — 65 longs on the driver — and the bit
+    * test is `micro(v_d) · n > Σ` in BIGINT, so the DuckDB twin
+    * reproduces every bit. The quantize itself is a narrow per-row
+    * projection (no shuffle, no join) at any scale. */
+  def binaryQuantCodes(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int = 64): DataFrame = {
+    require(dims % 32 == 0 && dims > 0)
+    val aggCols = count(lit(1)).as("n") +: (0 until dims).map(d =>
+      sum(floor(element_at(col(vecCol), d + 1).cast("double") * 1e6 + 0.5)
+        .cast("long")).as(s"s$d"))
+    val row = emb.select(aggCols: _*).collect()(0)
+    val n = row.getLong(0)
+    def word(lo: Int): Column =
+      (lo until lo + 32).map { d =>
+        when(floor(element_at(col(vecCol), d + 1).cast("double") * 1e6 + 0.5)
+          .cast("long") * n > row.getLong(1 + d), 1L << (d - lo))
+          .otherwise(0L)
+      }.reduce(_ + _)
+    emb.select(col(idCol) +:
+      (0 until dims / 32).map(wi => word(wi * 32).as(s"bq$wi")): _*)
+  }
+
+  /** Hamming top-k over multi-word packed codes (the query surface of
+    * [[binaryQuantCodes]]): queries broadcast (few), the corpus streams
+    * through one linear scan — no corpus shuffle; the per-query ranking
+    * window partitions on query_id. `wordCols` are the packed 32-bit
+    * words on both inputs. */
+  def hammingTopKWords(queries: DataFrame, corpus: DataFrame,
+      idCol: String, wordCols: Seq[String], k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id") +:
+      wordCols.map(w => col(w).as(s"q_$w")): _*)
+    val c = corpus.select(col(idCol).as("neighbor_id") +:
+      wordCols.map(w => col(w).as(s"c_$w")): _*)
+    val ham = wordCols.map(w =>
+      bit_count(col(s"q_$w").bitwiseXOR(col(s"c_$w")))).reduce(_ + _)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", ham.cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("hamming"))
+  }
+
   def lshTopK(
       emb: DataFrame, idCol: String, vecCol: String,
       planes: Int, k: Int): DataFrame = {

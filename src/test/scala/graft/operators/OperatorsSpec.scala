@@ -1167,4 +1167,66 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       nCentroids = 8, maxSim = cut).collect().map(_.getLong(0)).toSet
     assert(out == sims.filter(_._2 < cut).keySet)
   }
+
+  test("label propagation: r rounds = min id within r hops; components stay separate") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus disjoint pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a", "b")
+    val l3 = Graph.labelPropagation(edges, "a", "b", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 5 is 4 hops from 1: after 3 rounds its label is min within 3 hops = 2
+    assert(l3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L,
+      10L -> 10L, 11L -> 10L), s"got $l3")
+    val l4 = Graph.labelPropagation(edges, "a", "b", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l4(5L) == 1L, "one more round reaches the component min")
+  }
+
+  test("binary quant: bits match a scala reference; hamming ranks self-similar first") {
+    import spark.implicits._
+    val vecs = (0L until 12L).map { i =>
+      (i, Array.tabulate(64)(d => (((i * 31 + d * 7) % 19).toFloat / 19f) - 0.3f).toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val codes = Similarity.binaryQuantCodes(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // scala reference: same micro quantization and mean test
+    def micro(x: Float): Long = math.floor(x.toDouble * 1e6 + 0.5).toLong
+    val n = vecs.size.toLong
+    val sums = (0 until 64).map(d => vecs.map(v => micro(v._2(d))).sum)
+    vecs.foreach { case (id, v) =>
+      def word(lo: Int): Long = (lo until lo + 32).map { d =>
+        if (micro(v(d)) * n > sums(d)) 1L << (d - lo) else 0L
+      }.sum
+      assert(codes(id) == ((word(0), word(32))), s"code mismatch for $id")
+    }
+    // a vector duplicated under a new id must rank at hamming 0
+    val withDup = (vecs :+ (99L, vecs(3)._2)).toDF("vec_id", "embedding")
+    val c2 = Similarity.binaryQuantCodes(withDup, "vec_id", "embedding")
+    val top = Similarity.hammingTopKWords(
+      c2.where(col("vec_id") === 99L), c2, "vec_id", Seq("bq0", "bq1"), k = 1)
+      .collect()(0)
+    assert(top.getLong(1) == 3L && top.getLong(3) == 0L)
+  }
+
+  test("format sniff: detection follows magic bytes, not the declared mime") {
+    import spark.implicits._
+    val payloads = Seq(
+      (0L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 1, 2)),
+      (1L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 9)),
+      (2L, "RIFF1234WAVEdata".getBytes("UTF-8")),
+      (3L, "just plain text".getBytes("UTF-8")),
+      (4L, "RIFF1234XXXX".getBytes("UTF-8"))) // RIFF but not WAVE
+      .toDF("doc_id", "payload")
+    val wrapped = Multimodal.wrap(payloads, "doc_id", "payload",
+      lit("application/octet-stream"), Seq.empty)
+    val got = Multimodal.formatSniff(wrapped).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(got(0L) == (("image/jpeg", 3L)))
+    assert(got(1L) == (("image/png", 4L)))
+    assert(got(2L) == (("audio/wav", 12L)))
+    assert(got(3L) == (("application/octet-stream", 0L)))
+    assert(got(4L) == (("application/octet-stream", 0L)))
+  }
 }
