@@ -219,6 +219,32 @@ object SparkEntry {
       log
     })
 
+  /** purchase/signup events plus a far-future sentinel commit per topic —
+    * the outer-join twin of [[sessionLog]]: the sentinel advances BOTH
+    * sides' event-time watermarks so the stream-stream LEFT OUTER join can
+    * evict state and emit its null-padded unmatched rows (an outer result
+    * only materializes once the watermark proves no match can still
+    * arrive). Sentinels carry k = 1,000,000 and are excluded from the join
+    * keys by filters AFTER the watermark operator. */
+  private def outerLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "outer"), {
+      val root = Files.createTempDirectory("graft-log-outer-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ev = events(spark, dir)
+        .where(col("event_type").isin("purchase", "signup"))
+        .select(col("event_type").as("topic"),
+          encode(col("props"), "UTF-8").as("value"),
+          col("event_id").as("_seq"))
+      log.appendDF(ev, Some(col("_seq")), FixedTs)
+      val sentinels = ev.select("topic").distinct()
+        .select(col("topic"),
+          encode(lit("""{"k": 1000000}"""), "UTF-8").as("value"),
+          lit(0L).as("_seq"))
+      log.appendDF(sentinels, Some(col("_seq")), FixedTs)
+      log
+    })
+
   /** Events ingested as three sequential commits, then compacted into one
     * batch — the dump query proves compaction preserves every (topic,
     * offset, value) triple (same oracle as the straight dump). */
@@ -2164,6 +2190,75 @@ object SparkEntry {
           StructField("sess_end", LongType),
           StructField("n", LongType))))
         .orderBy("topic", "sess_start")
+    }),
+
+    "stream_outer_join" -> ((s, dir) => {
+      // Watermarked stream-stream LEFT OUTER join: purchases whose key has
+      // no signup within the ±5-min event-time range emit null-padded —
+      // but ONLY once the watermark proves no match can still arrive, so
+      // the drive is two-phase like stream_session_windows: process the
+      // log (tail sentinel advances both watermarks), then append a later
+      // sentinel so a data batch executes under the advanced watermark
+      // and flushes the evicted-unmatched state. Right side restricted to
+      // k % 20 == 0, so half the left keys exercise the null path. The
+      // batch twin is the plain LEFT JOIN (same-k rows share an event
+      // time, so the range condition never excludes; nothing is late).
+      //
+      // Sentinel-vs-pushdown trap: Catalyst pushes deterministic filters
+      // THROUGH EventTimeWatermark, so a `k < 1000000` guard anywhere in
+      // the stream would drop the sentinels before they advance the
+      // watermark and the outer state would never flush. Instead the
+      // sentinel keys are chosen to PASS both key filters (1M and 2M are
+      // multiples of 10 and 20): they join each other as ordinary rows and
+      // are excluded post-hoc from the sink aggregation.
+      import s.implicits._
+      val log = outerLog(s, dir)
+      val qn = s"stream_outer_join_${System.nanoTime()}"
+      val ckpt = Files.createTempDirectory("graft-stream-oj-")
+      val base = graft.streaming.WalrusStreams.readStream(s, log.root)
+        .withColumn("k",
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
+        .where(col("k").isNotNull)
+        .withColumn("et", timestamp_seconds(col("k") + 3600))
+      val l = base.where(col("topic") === "purchase")
+        .select(col("k"), col("et").as("et_l"))
+        .withWatermark("et_l", "10 minutes")
+        .where(col("k") % 10 === 0)
+      val r = base.where(col("topic") === "signup")
+        .select(col("k").as("k_r"), col("et").as("et_r"))
+        .withWatermark("et_r", "10 minutes")
+        .where(col("k_r") % 20 === 0)
+      val out = l.join(r, col("k") === col("k_r") &&
+          col("et_l") >= col("et_r") - expr("INTERVAL 5 MINUTES") &&
+          col("et_l") <= col("et_r") + expr("INTERVAL 5 MINUTES"),
+          "left_outer")
+        .select(col("k"), col("k_r"))
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+      q.processAllAvailable()
+      val sent2 = log.topicNames.sorted.map(t => (t, """{"k": 2000000}"""))
+        .toDF("topic", "v")
+        .select(col("topic"), encode(col("v"), "UTF-8").as("value"),
+          lit(0L).as("_seq"))
+      log.appendDF(sent2, Some(col("_seq")), FixedTs)
+      q.processAllAvailable()
+      q.stop()
+      val rows = s.table(qn)
+        .where(col("k") < 1000000L) // drop the sentinel self-matches
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("k_r").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+        .orderBy("k").collect().toSeq
+      s.catalog.dropTempView(qn)
+      WalrusLog.deleteRecursively(ckpt)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("k", LongType),
+          StructField("n_rows", LongType),
+          StructField("n_matched", LongType))))
+        .orderBy("k")
     }),
 
     "stream_dedup" -> ((s, dir) => {
@@ -7113,6 +7208,18 @@ object SparkEntry {
           |FROM p JOIN deg da ON p.item_a = da.it JOIN deg db ON p.item_b = db.it
           |WHERE co_users >= 3
           |ORDER BY item_a, item_b""".stripMargin,
+      "stream_outer_join" ->
+        """WITH ev AS (SELECT event_type,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+          |l AS (SELECT k FROM ev
+          |  WHERE event_type = 'purchase' AND k IS NOT NULL AND k % 10 = 0),
+          |r AS (SELECT k AS k_r FROM ev
+          |  WHERE event_type = 'signup' AND k IS NOT NULL AND k % 20 = 0),
+          |j AS (SELECT l.k, r.k_r FROM l LEFT JOIN r ON l.k = r.k_r)
+          |SELECT k, count(*) AS n_rows,
+          |  CAST(SUM(CASE WHEN k_r IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_matched
+          |FROM j GROUP BY k ORDER BY k""".stripMargin,
       "sim_binary_quant" -> {
         val sums = (0 until 64).map(d =>
           s"SUM(CAST(floor(CAST(embedding[${d + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s$d")
