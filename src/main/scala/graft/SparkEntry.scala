@@ -2137,6 +2137,34 @@ object SparkEntry {
         .orderBy("topic", "win_start")
     }),
 
+    "stream_hopping_windows" -> ((s, dir) => {
+      // Event-time HOPPING (sliding) windows: 60 s windows advancing by
+      // 30 s, so every event lands in exactly two windows — the
+      // overlapping-assignment shape (trend smoothing, rate-over-window)
+      // that tumbling windows can't express. Same decode/watermark drive
+      // as stream_windowed_counts; the twin replays the two-window
+      // assignment with integer floor division.
+      val log = mainLog(s, dir)
+      val out = graft.streaming.WalrusStreams.readStream(s, log.root)
+        .withColumn("k",
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
+        .where(col("k").isNotNull)
+        .withColumn("et", timestamp_seconds(col("k")))
+        .withWatermark("et", "10 minutes")
+        .groupBy(col("topic"),
+          window(col("et"), "60 seconds", "30 seconds").as("win"))
+        .agg(count(lit(1)).as("n"))
+      val rows = runStreamToMemory(s, out, "complete")(
+        _.select(col("topic"), unix_timestamp(col("win.start")).as("win_start"),
+            col("n"))
+          .orderBy("topic", "win_start").collect().toSeq)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("win_start", LongType),
+          StructField("n", LongType))))
+        .orderBy("topic", "win_start")
+    }),
+
     "stream_session_windows" -> ((s, dir) => {
       // Event-time SESSION windows (gap 5 s) in append mode: a session is
       // emitted exactly once, when the event-time watermark passes its
@@ -4110,6 +4138,34 @@ object SparkEntry {
         .select(col("item_a"), col("item_b"), col("co_users"),
           col("jaccard_micro"))
         .orderBy("item_a", "item_b")
+    }),
+    "sim_mmr_rerank" -> ((s, dir) => {
+      // MMR diversified rerank: greedy λ-tradeoff between query relevance
+      // and redundancy to already-selected docs, the standard dedup pass
+      // between ANN top-k and the consumer. Integer-micro scores; 3
+      // unrolled rounds; only the candidate discovery touches the corpus.
+      val e = table(s, dir, "embeddings")
+      Similarity.mmrRerank(e.where(col("vec_id") < 10), e,
+          "vec_id", "embedding", kCand = 6, kSel = 3)
+        .orderBy("query_id", "sel_rank")
+    }),
+    "rel_gaps_islands" -> ((s, dir) => {
+      // gaps-and-islands: maximal runs of CONSECUTIVE active days per
+      // user (the classic streak analytic). day − row_number() is
+      // constant within a run — one user-partitioned window over the
+      // distinct (user, day) relation, then a run aggregation; both
+      // shuffles key on user_id and AQE reuses the exchange.
+      import org.apache.spark.sql.expressions.Window
+      val d = events(s, dir)
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      d.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(min("day").as("start_day"), max("day").as("end_day"),
+          count(lit(1)).as("n_days"))
+        .select(col("user_id"), col("start_day"), col("end_day"), col("n_days"))
+        .orderBy("user_id", "start_day")
     }),
     "sim_binary_quant" -> ((s, dir) => {
       // 1-bit binary quantization + hamming ANN: per-dim mean-threshold
@@ -7208,6 +7264,72 @@ object SparkEntry {
           |FROM p JOIN deg da ON p.item_a = da.it JOIN deg db ON p.item_b = db.it
           |WHERE co_users >= 3
           |ORDER BY item_a, item_b""".stripMargin,
+      "sim_mmr_rerank" -> {
+        def cosMicro(a: String, b: String): String =
+          s"CAST(floor((${dotSql(a, b)}) / (sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)})) * 1000000 + 0.5) AS BIGINT)"
+        def round(i: Int, sel: String): String =
+          s"""r$i AS (SELECT c.query_id, c.neighbor_id,
+             |    7 * c.rel_micro - 3 * max(p.dd_micro) AS score_micro
+             |  FROM cand c
+             |  JOIN pp p ON p.query_id = c.query_id AND p.id_a = c.neighbor_id
+             |  JOIN $sel ON $sel.query_id = p.query_id AND $sel.neighbor_id = p.id_b
+             |  WHERE NOT EXISTS (SELECT 1 FROM $sel x
+             |    WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+             |  GROUP BY c.query_id, c.neighbor_id, c.rel_micro),
+             |s$i AS (SELECT query_id, neighbor_id, CAST($i AS BIGINT) AS sel_rank,
+             |    score_micro FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score_micro DESC, neighbor_id) AS rn FROM r$i)
+             |  WHERE rn = 1)""".stripMargin
+        s"""WITH bq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+           |bc AS (SELECT vec_id, embedding FROM embeddings),
+           |bp AS (SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id,
+           |    ${cosMicro("bq", "bc")} AS rel_micro
+           |  FROM bq CROSS JOIN bc WHERE bq.vec_id <> bc.vec_id),
+           |cand AS (SELECT query_id, neighbor_id, rel_micro FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rel_micro DESC, neighbor_id) AS rnk FROM bp) WHERE rnk <= 6),
+           |pv AS (SELECT c.query_id, c.neighbor_id, e.embedding
+           |  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id),
+           |pp AS (SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+           |    ${cosMicro("a", "b")} AS dd_micro
+           |  FROM pv a JOIN pv b ON a.query_id = b.query_id
+           |    AND a.neighbor_id <> b.neighbor_id),
+           |s1 AS (SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS sel_rank,
+           |    rel_micro * 10 AS score_micro FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rel_micro DESC, neighbor_id) AS rn FROM cand) WHERE rn = 1),
+           |${round(2, "s1")},
+           |sel2 AS (SELECT query_id, neighbor_id FROM s1
+           |  UNION ALL SELECT query_id, neighbor_id FROM s2),
+           |${round(3, "sel2")}
+           |SELECT query_id, neighbor_id, sel_rank,
+           |  CAST(score_micro AS BIGINT) AS score_micro
+           |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           |  UNION ALL SELECT * FROM s3)
+           |ORDER BY query_id, sel_rank""".stripMargin
+      },
+      "stream_hopping_windows" ->
+        """WITH ev AS (SELECT event_type AS topic,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |  FROM events
+          |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+          |w AS (
+          |  SELECT topic, (k // 30) * 30 AS win_start FROM ev
+          |  UNION ALL
+          |  SELECT topic, (k // 30) * 30 - 30 AS win_start FROM ev)
+          |SELECT topic, CAST(win_start AS BIGINT) AS win_start, count(*) AS n
+          |FROM w GROUP BY 1, 2 ORDER BY topic, win_start""".stripMargin,
+      "rel_gaps_islands" ->
+        """WITH d AS (SELECT DISTINCT user_id,
+          |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+          |g AS (SELECT user_id, day,
+          |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+          |  FROM d)
+          |SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+          |  count(*) AS n_days
+          |FROM g GROUP BY user_id, grp
+          |ORDER BY user_id, start_day""".stripMargin,
       "stream_outer_join" ->
         """WITH ev AS (SELECT event_type,
           |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),

@@ -515,6 +515,66 @@ object Similarity {
         q6(col("_s.err_sum") / lit(dims.toDouble)).as("mean_abs_err"))
   }
 
+  /** Maximal Marginal Relevance (MMR) diversified rerank: greedily select
+    * `kSel` of the top-`kCand` candidates per query, round 1 by pure
+    * relevance, later rounds by
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — the standard
+    * redundancy-penalized rerank a retrieval pipeline runs between ANN
+    * and the consumer. λ = lambdaNum/lambdaDen and every score is exact
+    * integer micros ×lambdaDen, so the greedy argmax (tie: lower id) is
+    * engine-exact and the DuckDB twin unrolls the same rounds.
+    *
+    * Scale shape: corpus-scale work is ONLY the initial top-kCand
+    * discovery (broadcast queries, linear corpus scan); everything after
+    * operates on kCand rows per query — candidate-local pair sims and
+    * per-query windows, `kSel−1` unrolled join+argmax rounds. */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      kCand: Int = 6, kSel: Int = 3,
+      lambdaNum: Int = 7, lambdaDen: Int = 10): DataFrame = {
+    require(kSel >= 1 && kCand >= kSel && lambdaNum >= 0 && lambdaNum <= lambdaDen)
+    val cands = bruteForceTopK(queries, corpus, idCol, vecCol, kCand)
+      .withColumn("rel_micro", floor(col("cosine") * 1e6 + 0.5).cast("long"))
+      .select(col("query_id"), col("neighbor_id"), col("rel_micro"))
+    val vecs = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val withVec = cands.join(vecs, col("neighbor_id") === col("cid")).drop("cid")
+    // candidate-pair similarities: kCand^2 rows per query, query-local
+    val pairs = withVec.as("a").join(withVec.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("id_a"), col("b.neighbor_id").as("id_b"),
+        floor(q6(cosine_similarity(col("a.cvec"), col("b.cvec"))) * 1e6 + 0.5)
+          .cast("long").as("dd_micro"))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("rel_micro").desc, col("neighbor_id").asc)
+    var selected = cands.withColumn("rn", row_number().over(w1))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("sel_rank"),
+        (col("rel_micro") * lambdaDen).as("score_micro"))
+    for (r <- 2 to kSel) {
+      val selIds = selected.select(col("query_id"), col("neighbor_id").as("sid"))
+      val remaining = cands.join(
+        selIds.withColumnRenamed("sid", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val maxDd = pairs.join(selIds, Seq("query_id"))
+        .where(col("id_b") === col("sid"))
+        .groupBy(col("query_id"), col("id_a").as("neighbor_id"))
+        .agg(max(col("dd_micro")).as("max_dd"))
+      val wr = Window.partitionBy("query_id")
+        .orderBy(col("score_micro").desc, col("neighbor_id").asc)
+      val pick = remaining.join(maxDd, Seq("query_id", "neighbor_id"))
+        .withColumn("score_micro",
+          col("rel_micro") * lambdaNum - col("max_dd") * (lambdaDen - lambdaNum))
+        .withColumn("rn", row_number().over(wr))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(r.toLong).as("sel_rank"), col("score_micro"))
+      selected = selected.unionAll(pick)
+    }
+    selected
+  }
+
   /** 1-bit binary quantization: bit `d` is set when the vector exceeds
     * the corpus mean of dimension `d` (sign-of-centered-dim, the BQ
     * layout modern vector stores keep in RAM). 64 dims pack into two

@@ -1210,6 +1210,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.getLong(1) == 3L && top.getLong(3) == 0L)
   }
 
+  test("mmr rerank: near-duplicate of the top hit is demoted below a diverse doc") {
+    import spark.implicits._
+    // query 100 at the origin direction; docs 0/1 nearly identical and most
+    // relevant; doc 2 less relevant but orthogonal-ish. Pure top-2 would
+    // pick {0, 1}; MMR must pick {0, 2} at lambda = 0.7.
+    def v(main: Double, alt: Double, jitter: Double): Seq[Float] =
+      (Array(main, alt, jitter) ++ Array.fill(61)(0.0)).map(_.toFloat).toSeq
+    // sim(q,0) = sim(q,1) = 0.8, sim(1,0) ~ 1.0, sim(q,2) = 0.75,
+    // sim(2,0) = 0.6: round-2 scores 7*800k - 3*1000k = 2.6M for the
+    // near-dup vs 7*750k - 3*600k = 3.45M for the diverse doc.
+    val emb = Seq(
+      (100L, v(1.0, 0.0, 0.0)),        // query
+      (0L, v(0.8, 0.6, 0.0)),          // top hit
+      (1L, v(0.8, 0.6, 0.001)),        // near-dup of 0
+      (2L, v(0.75, 0.0, -0.661)),      // diverse, nearly as relevant
+      (3L, v(-1.0, 0.2, 0.0))          // irrelevant
+    ).toDF("vec_id", "embedding")
+    val sel = Similarity.mmrRerank(
+      emb.where(col("vec_id") === 100L), emb.where(col("vec_id") < 100L),
+      "vec_id", "embedding", kCand = 4, kSel = 2)
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(sel(1L) == 0L, "round 1 is pure relevance")
+    assert(sel(2L) == 2L, s"round 2 must diversify away from the near-dup: $sel")
+    // sanity: pure top-2 WOULD have chosen the near-dup
+    val top2 = Similarity.bruteForceTopK(
+      emb.where(col("vec_id") === 100L), emb.where(col("vec_id") < 100L),
+      "vec_id", "embedding", k = 2).collect().map(_.getLong(1)).toSet
+    assert(top2 == Set(0L, 1L))
+  }
+
   test("format sniff: detection follows magic bytes, not the declared mime") {
     import spark.implicits._
     val payloads = Seq(
