@@ -522,4 +522,52 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("windowspecdefinition\\(word".r.findFirstIn(plan).isDefined,
       s"posting window must partition by word:\n$plan")
   }
+
+  test("skyline: both windows partitioned (per-day rank, per-range prefix max)") {
+    val plan = planOf("rel_skyline")
+    assert("windowspecdefinition\\(day".r.findFirstIn(plan).isDefined,
+      s"per-day rank window must partition by day:\n$plan")
+    assert("windowspecdefinition\\(rng".r.findFirstIn(plan).isDefined,
+      s"prefix max must run range-partitioned, not global:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"non-equi join:\n$plan")
+  }
+
+  test("label propagation: every round is an equi-join, never nested-loop") {
+    val plan = planOf("graph_label_prop")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNL join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("gaps-and-islands: streak window partitioned by user, never global") {
+    val plan = planOf("rel_gaps_islands")
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(plan).isDefined,
+      s"streak window must partition by user_id:\n$plan")
+    assert(!plan.contains("Join"), "gaps-and-islands must be join-free")
+  }
+
+  test("cdc apply: one aggregation exchange, join-free") {
+    val plan = planOf("rel_cdc_apply")
+    assert(!plan.contains("Join"), s"cdc apply must be join-free:\n$plan")
+    // formatted mode prints the exchange's partitioning in its detail
+    // block: exactly one hash exchange (the k aggregation); the only other
+    // partitioning is the output sort's range exchange
+    val exchanges = "hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 agg exchange, got $exchanges:\n$plan")
+  }
+
+  test("format sniff and chunk windows: narrow per-row passes, join-free") {
+    val sniff = planOf("mm_format_sniff")
+    assert(!sniff.contains("Join") && !sniff.contains("hashpartitioning"),
+      s"format sniff gained a join/shuffle:\n$sniff")
+    val chunks = planOf("text_chunk_windows")
+    assert(!chunks.contains("Join") && !chunks.contains("hashpartitioning"),
+      s"chunk windows gained a join/shuffle:\n$chunks")
+  }
+
+  test("binary quant: per-row packed projection, no explode") {
+    val plan = planOf("sim_binary_quant")
+    assert(plan.contains("bit_count"), "hamming must use bit_count")
+    assert(!plan.contains("Generate"), s"explode crept into the quantize:\n$plan")
+  }
 }
