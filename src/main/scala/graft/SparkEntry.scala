@@ -4139,6 +4139,73 @@ object SparkEntry {
           col("jaccard_micro"))
         .orderBy("item_a", "item_b")
     }),
+    "graph_kcore" -> ((s, dir) => {
+      // bounded-round k-core pruning (k=3, 3 rounds) over the
+      // co-occurrence graph: the standard densest-region extraction before
+      // expensive graph passes. Degrees recompute per round on the
+      // surviving subgraph; the twin unrolls the same integer rounds.
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 3L, maxUserDegree = 1000)
+      graft.operators.Graph.kCorePrune(co, "item_a", "item_b", k = 3L, rounds = 3)
+        .orderBy("node")
+    }),
+    "sim_ivf_stats" -> ((s, dir) => {
+      // IVF index-health audit: per-cell population, corpus share, and
+      // load factor (n·cells/total — 1e6 = perfectly balanced) in exact
+      // integer micros. The assignment is the same fused argmax projection
+      // as sim_ivf_assign; the stats are one 16-row aggregation — the
+      // imbalance report FAISS prints before committing an index layout.
+      val cells = Similarity.ivfAssign(
+        table(s, dir, "embeddings"), "vec_id", "embedding", nCentroids = 16)
+      val tot = cells.agg(count(lit(1)).as("total"))
+      cells.groupBy(col("centroid_id").cast("long").as("centroid_id"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_micro", expr("n * 1000000 DIV total"))
+        .withColumn("load_micro", expr("n * 16 * 1000000 DIV total"))
+        .select(col("centroid_id"), col("n"), col("share_micro"),
+          col("load_micro"))
+        .orderBy("centroid_id")
+    }),
+    "text_js_divergence" -> ((s, dir) => {
+      // corpus drift monitor: per-term Jensen-Shannon contributions
+      // between the even- and odd-source halves of the corpus — the
+      // distribution-shift gate a curation pipeline runs between crawl
+      // snapshots. ln() only ever sees exact integer ratios and every
+      // term's contribution is rounded to micronats BEFORE any
+      // consumer sums (the PMI/perplexity pattern), so the twin is
+      // engine-exact. Two token aggs + a vocab-sized full-outer join.
+      val tk = table(s, dir, "documents")
+        .select((substring(col("source"), 4, 10).cast("long") % 2 === 0)
+          .as("even"),
+          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("term"))
+      val p = tk.where(col("even")).groupBy("term")
+        .agg(count(lit(1)).as("c_p"))
+      val q = tk.where(!col("even")).groupBy("term")
+        .agg(count(lit(1)).as("c_q"))
+      val tot = p.agg(sum("c_p").as("n_p"))
+        .crossJoin(q.agg(sum("c_q").as("n_q")))
+      p.join(q, Seq("term"), "full")
+        .select(col("term"), coalesce(col("c_p"), lit(0L)).as("c_p"),
+          coalesce(col("c_q"), lit(0L)).as("c_q"))
+        .crossJoin(broadcast(tot))
+        .withColumn("js_micro", round((
+          when(col("c_p") > 0,
+            (col("c_p").cast("double") / col("n_p")) *
+              log(lit(2.0) * (col("c_p") * col("n_q")).cast("double") /
+                (col("c_p") * col("n_q") + col("c_q") * col("n_p"))
+                  .cast("double"))).otherwise(lit(0.0)) +
+          when(col("c_q") > 0,
+            (col("c_q").cast("double") / col("n_q")) *
+              log(lit(2.0) * (col("c_q") * col("n_p")).cast("double") /
+                (col("c_p") * col("n_q") + col("c_q") * col("n_p"))
+                  .cast("double"))).otherwise(lit(0.0))
+          ) * 500000, 0).cast("long"))
+        .select(col("term"), col("c_p"), col("c_q"), col("js_micro"))
+        .orderBy("term")
+    }),
     "sim_mmr_rerank" -> ((s, dir) => {
       // MMR diversified rerank: greedy λ-tradeoff between query relevance
       // and redundancy to already-selected docs, the standard dedup pass
@@ -7264,6 +7331,65 @@ object SparkEntry {
           |FROM p JOIN deg da ON p.item_a = da.it JOIN deg db ON p.item_b = db.it
           |WHERE co_users >= 3
           |ORDER BY item_a, item_b""".stripMargin,
+      "graph_kcore" -> {
+        val rounds = (1 to 3).map { i =>
+          s"""k$i AS (SELECT src FROM (
+             |    SELECT src, count(*) AS deg FROM e${i - 1} GROUP BY src)
+             |  WHERE deg >= 3),
+             |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+             |  JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH r AS (SELECT DISTINCT user_id AS u,
+           |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS it FROM events),
+           |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM r GROUP BY u)
+           |  WHERE dg > 1000),
+           |kept AS (SELECT * FROM r WHERE u NOT IN (SELECT u FROM pow)),
+           |c AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS co_users
+           |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2),
+           |c3 AS (SELECT item_a, item_b FROM c WHERE co_users >= 3),
+           |e0 AS (SELECT item_a AS src, item_b AS dst FROM c3
+           |  UNION SELECT item_b, item_a FROM c3),
+           |$rounds
+           |SELECT src AS node, count(*) AS degree FROM e3
+           |GROUP BY src ORDER BY node""".stripMargin
+      },
+      "sim_ivf_stats" -> {
+        val cells = (0 until 16).map { cIdx =>
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH s AS (
+           |  $cells),
+           |r AS (SELECT vec_id, cid, row_number() OVER (
+           |  PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s),
+           |a AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+           |g AS (SELECT cid AS centroid_id, count(*) AS n FROM a GROUP BY 1),
+           |t AS (SELECT count(*) AS total FROM a)
+           |SELECT centroid_id, n,
+           |  CAST((n * 1000000) // total AS BIGINT) AS share_micro,
+           |  CAST((n * 16 * 1000000) // total AS BIGINT) AS load_micro
+           |FROM g CROSS JOIN t ORDER BY centroid_id""".stripMargin
+      },
+      "text_js_divergence" ->
+        """WITH tk AS (SELECT CAST(substr(source, 4) AS BIGINT) % 2 = 0 AS even,
+          |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+          |  FROM documents),
+          |p AS (SELECT term, count(*) AS c_p FROM tk WHERE even GROUP BY term),
+          |q AS (SELECT term, count(*) AS c_q FROM tk WHERE NOT even GROUP BY term),
+          |t AS (SELECT (SELECT SUM(c_p) FROM p) AS n_p,
+          |    (SELECT SUM(c_q) FROM q) AS n_q),
+          |j AS (SELECT coalesce(p.term, q.term) AS term,
+          |    coalesce(c_p, 0) AS c_p, coalesce(c_q, 0) AS c_q
+          |  FROM p FULL JOIN q ON p.term = q.term)
+          |SELECT term, CAST(c_p AS BIGINT) AS c_p, CAST(c_q AS BIGINT) AS c_q,
+          |  CAST(round((
+          |    CASE WHEN c_p > 0 THEN (CAST(c_p AS DOUBLE) / n_p) *
+          |      ln(2.0 * CAST(c_p * n_q AS DOUBLE) /
+          |        CAST(c_p * n_q + c_q * n_p AS DOUBLE)) ELSE 0.0 END +
+          |    CASE WHEN c_q > 0 THEN (CAST(c_q AS DOUBLE) / n_q) *
+          |      ln(2.0 * CAST(c_q * n_p AS DOUBLE) /
+          |        CAST(c_p * n_q + c_q * n_p AS DOUBLE)) ELSE 0.0 END
+          |  ) * 500000, 0) AS BIGINT) AS js_micro
+          |FROM j CROSS JOIN t ORDER BY term""".stripMargin,
       "sim_mmr_rerank" -> {
         def cosMicro(a: String, b: String): String =
           s"CAST(floor((${dotSql(a, b)}) / (sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)})) * 1000000 + 0.5) AS BIGINT)"

@@ -175,6 +175,30 @@ object Graph {
     labels
   }
 
+  /** Bounded-round k-core pruning over an undirected edge list: each
+    * round recomputes degrees on the surviving subgraph and drops nodes
+    * with degree < k (plus their edges). Run to fixpoint this yields the
+    * exact k-core; the bounded-round form is the scheduled-pipeline
+    * variant ([[labelPropagation]]'s relationship to connected
+    * components) — each round is one map-side-combined degree agg plus
+    * two semi-joins, integer-only so the DuckDB twin unrolls the same
+    * rounds. Returns surviving (node, degree) on the post-prune
+    * subgraph. */
+  def kCorePrune(edges: DataFrame, aCol: String, bCol: String,
+      k: Long, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && k >= 1)
+    var e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("src")
+      e = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Per-node degree profile of a directed edge relation: out-degree,
     * in-degree, and distinct neighbor count — the one-pass connectivity
     * triage (hub detection, skew audit before a graph join). Three

@@ -1210,6 +1210,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.getLong(1) == 3L && top.getLong(3) == 0L)
   }
 
+  test("kcore prune: tail peels away round by round, the core survives intact") {
+    import spark.implicits._
+    // K4 core {1,2,3,4} plus a chain 4-5-6: at k=3 the whole chain falls
+    // and only the clique survives, every node at degree 3
+    val core = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (core ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val out = Graph.kCorePrune(edges, "a", "b", k = 3L, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $out")
+    // with only 1 round the chain's middle node is still present
+    val r1 = Graph.kCorePrune(edges, "a", "b", k = 2L, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(r1 == Set(1L, 2L, 3L, 4L, 5L), s"got $r1")
+  }
+
   test("mmr rerank: near-duplicate of the top hit is demoted below a diverse doc") {
     import spark.implicits._
     // query 100 at the origin direction; docs 0/1 nearly identical and most
