@@ -1244,18 +1244,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val edges = (0 until n * 3).map(_ => (r.nextInt(n).toLong, r.nextInt(n).toLong))
         .filter { case (a, b) => a != b }.distinct
       val k = 2L + r.nextInt(2)
-      // scala reference: peel until stable
+      // scala reference: peel until stable, counting the rounds needed
       var es = (edges ++ edges.map(_.swap)).toSet
       var changed = true
+      var peelRounds = 0
       while (changed) {
         val deg = es.groupBy(_._1).map { case (v, l) => v -> l.size }
         val keep = deg.filter(_._2 >= k).keySet
         val next = es.filter { case (a, b) => keep(a) && keep(b) }
         changed = next != es; es = next
+        if (changed) peelRounds += 1
       }
       val want = es.groupBy(_._1).map { case (v, l) => v -> l.size.toLong }
-      // n rounds always reach the fixpoint on an n-node graph
-      val got = Graph.kCorePrune(edges.toDF("a", "b"), "a", "b", k, rounds = n)
+      // peelRounds + 1 rounds reach the fixpoint (each non-final round
+      // removes >= 1 node); running exactly that many keeps the chained
+      // lineage shallow enough for analysis
+      val got = Graph.kCorePrune(edges.toDF("a", "b"), "a", "b", k,
+          rounds = peelRounds + 1)
         .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
       assert(got == want, s"k=$k got $got want $want")
     }
