@@ -2275,6 +2275,61 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    "stream_tws_running_state" -> ((s, dir) => {
+      // Spark 4 transformWithState — the arbitrary-stateful successor to
+      // flatMapGroupsWithState (typed ValueState handles, TTL, timers):
+      // a per-topic running (count, sum, max) summary re-emitted every
+      // batch in update mode. Needs the RocksDB state store (typed state
+      // lives in column families the HDFS-backed store lacks) — conf-
+      // isolated clone. Every emitted field is monotone in processed
+      // input, so max-per-key over the update sink is batch-boundary-
+      // independent and the batch oracle pins the final answer exactly.
+      val log = mainLog(s, dir)
+      val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      // RocksDB's checkpoint manager casts to the checksummed
+      // LocalFileSystem; the bench session pins RawLocalFileSystem
+      // globally AND Hadoop caches FileSystem instances JVM-wide. Session
+      // newHadoopConf() copies SQLConf keys VERBATIM (no spark.hadoop.
+      // prefix stripping), so set the bare hadoop keys: restore the
+      // default impl and bypass the fs cache for conf derived from this
+      // clone.
+      s2.conf.set("fs.file.impl", "org.apache.hadoop.fs.LocalFileSystem")
+      s2.conf.set("fs.file.impl.disable.cache", "true")
+      import s2.implicits._
+      val qn = s"stream_tws_${System.nanoTime()}"
+      val ckpt = Files.createTempDirectory("graft-stream-tws-")
+      val parsed = graft.streaming.WalrusStreams.readStream(s2, log.root)
+        .withColumn("k",
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
+        .where(col("k").isNotNull)
+        .select(col("topic"), col("k"))
+        .as[graft.streaming.TwsEvent]
+      val out = parsed.groupByKey(_.topic)
+        .transformWithState(new graft.streaming.RunningSummaryProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val q = out.toDF().writeStream.format("memory").queryName(qn)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = s2.table(qn).groupBy("topic")
+        .agg(max("n").as("n"), max("sum_k").as("sum_k"),
+          max("max_k").as("max_k"))
+        .orderBy("topic").collect().toSeq
+      s2.catalog.dropTempView(qn)
+      WalrusLog.deleteRecursively(ckpt)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("n", LongType), StructField("sum_k", LongType),
+          StructField("max_k", LongType))))
+        .orderBy("topic")
+    }),
+
     "stream_dedup" -> ((s, dir) => {
       // Stateful streaming dedup THROUGH the micro-batch engine: the first
       // occurrence of each (topic, payload-key) survives, every later
@@ -7421,6 +7476,12 @@ object SparkEntry {
            |  UNION ALL SELECT * FROM s3)
            |ORDER BY query_id, sel_rank""".stripMargin
       },
+      "stream_tws_running_state" ->
+        """WITH ev AS (SELECT event_type AS topic,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+          |SELECT topic, count(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+          |  MAX(k) AS max_k
+          |FROM ev WHERE k IS NOT NULL GROUP BY topic ORDER BY topic""".stripMargin,
       "stream_hopping_windows" ->
         """WITH ev AS (SELECT event_type AS topic,
           |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
