@@ -505,6 +505,21 @@ object SparkEntry {
       s"(($a % $hi - $a % $lo) * $lo + ($b % $hi - $b % $lo) * $hi)"
     }.mkString(" + ")
 
+  /** Dunning log-likelihood ratio in millinats over the 2×2 bigram
+    * contingency table — ONE SQL expression string evaluated VERBATIM by
+    * both engines (identical operand order; ln only of positive
+    * integers, x·ln x with the 0·ln 0 = 0 convention). Expects columns
+    * c_xy, c_x, c_y, n_bg in scope. */
+  private val llrMilliSql: String = {
+    def h(e: String) =
+      s"(CASE WHEN ($e) > 0 THEN CAST($e AS DOUBLE) * ln(CAST($e AS DOUBLE)) ELSE 0.0 END)"
+    "CAST(round(2000.0 * (" +
+      h("c_xy") + " + " + h("c_x - c_xy") + " + " + h("c_y - c_xy") + " + " +
+      h("n_bg - c_x - c_y + c_xy") + " - " + h("c_x") + " - " +
+      h("n_bg - c_x") + " - " + h("c_y") + " - " + h("n_bg - c_y") + " + " +
+      h("n_bg") + "), 0) AS BIGINT)"
+  }
+
   /** SQL dot of embedding with the deterministic projection `j`. */
   private def projDotSql(t: String, j: Int): String =
     (0 until 64).map { d =>
@@ -4180,6 +4195,47 @@ object SparkEntry {
           col("jaccard_micro"))
         .orderBy("item_a", "item_b")
     }),
+    "sim_farthest_points" -> ((s, dir) =>
+      // k-center greedy coreset: 6 rounds of "farthest from everything
+      // selected" — the diversity-sampling traversal (2-approx k-center)
+      // a curation pipeline uses to pick maximally-spread exemplars.
+      // Each round is one narrow corpus pass; the driver holds only the
+      // winners (BPE-train collect pattern).
+      Similarity.farthestPoints(table(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 6)
+        .orderBy("sel_rank")),
+    "text_llr_collocations" -> ((s, dir) => {
+      // Dunning log-likelihood-ratio collocations: the statistically
+      // calibrated alternative to PMI (PMI overranks rare pairs; LLR
+      // weighs evidence mass). The 2x2-table expression is ONE generated
+      // SQL string both engines evaluate verbatim — identical operand
+      // order, ln only of positive integers, millinat rounding at the
+      // end. Same bigram aggregation plan as text_pmi_bigrams.
+      import org.apache.spark.sql.expressions.Window
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .where(size(col("tk")) >= 2)
+      val bg = toks.select(explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> struct(element_at(tk, i) AS x, element_at(tk, i + 1) AS y))"))
+          .as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+      val cxy = bg.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      val cx = bg.groupBy("x").agg(count(lit(1)).as("c_x"))
+      val cy = bg.groupBy("y").agg(count(lit(1)).as("c_y"))
+      val n = bg.agg(count(lit(1)).as("n_bg"))
+      val scored = cxy.where(col("c_xy") >= 5)
+        .join(cx, "x").join(cy, "y").crossJoin(broadcast(n))
+        .withColumn("llr_milli", expr(llrMilliSql))
+      val top = scored
+        .orderBy(col("llr_milli").desc, col("x").asc, col("y").asc).limit(20)
+      val w = Window.partitionBy(pmod(col("c_xy"), lit(1)))
+        .orderBy(col("llr_milli").desc, col("x").asc, col("y").asc)
+      top.withColumn("rnk", row_number().over(w).cast("long"))
+        .select("x", "y", "c_xy", "llr_milli", "rnk")
+        .orderBy("rnk")
+    }),
     "graph_kcore" -> ((s, dir) => {
       // bounded-round k-core pruning (k=3, 3 rounds) over the
       // co-occurrence graph: the standard densest-region extraction before
@@ -7372,6 +7428,47 @@ object SparkEntry {
           |FROM p JOIN deg da ON p.item_a = da.it JOIN deg db ON p.item_b = db.it
           |WHERE co_users >= 3
           |ORDER BY item_a, item_b""".stripMargin,
+      "sim_farthest_points" -> {
+        def cosMicro(a: String, b: String): String =
+          s"CAST(floor((${dotSql(a, b)}) / (sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)})) * 1000000 + 0.5) AS BIGINT)"
+        val rounds = (2 to 6).map { i =>
+          s"""c$i AS (SELECT c.vec_id, max(${cosMicro("c", "s")}) AS ms
+             |  FROM embeddings c JOIN embeddings s
+             |    ON s.vec_id IN (SELECT vec_id FROM sel${i - 1})
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+             |  GROUP BY c.vec_id),
+             |s$i AS (SELECT CAST($i AS BIGINT) AS sel_rank, vec_id,
+             |    ms AS max_sim_micro FROM (
+             |    SELECT vec_id, ms, row_number() OVER (
+             |      ORDER BY ms ASC, vec_id ASC) AS rn FROM c$i) WHERE rn = 1),
+             |sel$i AS (SELECT sel_rank, vec_id, max_sim_micro FROM sel${i - 1}
+             |  UNION ALL SELECT sel_rank, vec_id, max_sim_micro FROM s$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH sel1 AS (SELECT CAST(1 AS BIGINT) AS sel_rank,
+           |    (SELECT min(vec_id) FROM embeddings) AS vec_id,
+           |    CAST(-1 AS BIGINT) AS max_sim_micro),
+           |$rounds
+           |SELECT sel_rank, vec_id, max_sim_micro FROM sel6
+           |ORDER BY sel_rank""".stripMargin
+      },
+      "text_llr_collocations" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           |  FROM documents),
+           |p AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 1)) AS i, tk
+           |  FROM t WHERE len(tk) >= 2),
+           |bg AS (SELECT tk[i] AS x, tk[i + 1] AS y FROM p),
+           |cxy AS (SELECT x, y, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+           |cx AS (SELECT x, count(*) AS c_x FROM bg GROUP BY 1),
+           |cy AS (SELECT y, count(*) AS c_y FROM bg GROUP BY 1),
+           |n AS (SELECT count(*) AS n_bg FROM bg),
+           |sc AS (SELECT x, y, c_xy, $llrMilliSql AS llr_milli
+           |  FROM cxy JOIN cx USING (x) JOIN cy USING (y), n
+           |  WHERE c_xy >= 5),
+           |r AS (SELECT x, y, c_xy, llr_milli,
+           |    CAST(row_number() OVER (ORDER BY llr_milli DESC, x, y) AS BIGINT) AS rnk
+           |  FROM sc)
+           |SELECT x, y, c_xy, llr_milli, rnk FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
       "graph_kcore" -> {
         val rounds = (1 to 3).map { i =>
           s"""k$i AS (SELECT src FROM (

@@ -575,6 +575,43 @@ object Similarity {
     selected
   }
 
+  /** Farthest-point (k-center / greedy coreset) selection: seed with the
+    * lowest id, then repeatedly add the vector whose MAXIMUM cosine to
+    * the already-selected set is smallest — the classic 2-approximation
+    * k-center traversal, used for diverse subset / coreset selection
+    * before expensive per-item work. Integer-micro similarities (argmin
+    * tie-breaks on lower id), so the unrolled DuckDB twin replays every
+    * round.
+    *
+    * Scale shape: each round is one narrow corpus pass — the ≤k selected
+    * vectors broadcast, per-row fused cosines, a max-aggregation per
+    * candidate, then a distributed TakeOrdered(1); the driver holds only
+    * the k winners (the BPE-train collect pattern). Cost k·|C| fused
+    * cosines total. Output: (sel_rank, id, max_sim_micro to the prior
+    * selection; -1 for the seed). */
+  def farthestPoints(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val seed = emb.agg(min(col(idCol))).collect()(0).getLong(0)
+    var picks = Seq((1L, seed, -1L))
+    for (r <- 2 to k) {
+      val selVecs = emb.where(col(idCol).isin(picks.map(_._2): _*))
+        .select(col(idCol).as("sel_id"), col(vecCol).as("sel_vec"))
+      val best = emb.where(!col(idCol).isin(picks.map(_._2): _*))
+        .crossJoin(broadcast(selVecs))
+        .withColumn("sim_micro",
+          floor(q6(cosine_similarity(col(vecCol), col("sel_vec"))) * 1e6 + 0.5)
+            .cast("long"))
+        .groupBy(col(idCol)).agg(max(col("sim_micro")).as("max_sim_micro"))
+        .orderBy(col("max_sim_micro").asc, col(idCol).asc).limit(1)
+        .collect()(0)
+      picks = picks :+ ((r.toLong, best.getLong(0), best.getLong(1)))
+    }
+    picks.toDF("sel_rank", idCol, "max_sim_micro")
+  }
+
   /** 1-bit binary quantization: bit `d` is set when the vector exceeds
     * the corpus mean of dimension `d` (sign-of-centered-dim, the BQ
     * layout modern vector stores keep in RAM). 64 dims pack into two

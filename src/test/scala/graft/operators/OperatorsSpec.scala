@@ -1311,6 +1311,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top2 == Set(0L, 1L))
   }
 
+  test("farthest points equals a naive greedy k-center on random vectors") {
+    import spark.implicits._
+    val r = new scala.util.Random(31)
+    val vecs = (0L until 25L).map { i =>
+      (i, Array.fill(64)((r.nextDouble() - 0.5).toFloat).toSeq)
+    }
+    val got = Similarity.farthestPoints(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    // naive reference with the same q6->micro cosine
+    def cos(a: Seq[Float], b: Seq[Float]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      val q6 = math.floor(dot / (na * nb) * 1e6 + 0.5) / 1e6
+      math.floor(q6 * 1e6 + 0.5).toLong
+    }
+    var sel = Seq(0L)
+    (2 to 4).foreach { _ =>
+      val cand = vecs.filterNot(v => sel.contains(v._1))
+        .map { case (id, v) => (id, sel.map(s => cos(v, vecs(s.toInt)._2)).max) }
+      val best = cand.minBy { case (id, ms) => (ms, id) }
+      sel = sel :+ best._1
+    }
+    assert(got.map(_._2).toSeq == sel, s"got ${got.toSeq} want $sel")
+  }
+
   test("format sniff: detection follows magic bytes, not the declared mime") {
     import spark.implicits._
     val payloads = Seq(
