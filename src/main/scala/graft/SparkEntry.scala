@@ -2290,6 +2290,58 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    "stream_checkpoint_resume" -> ((s, dir) => {
+      // M1 recovery THROUGH the streaming engine, end-to-end: drain half
+      // the events into a mirror log, STOP the query, append the second
+      // half to the source, then restart a NEW writer on the SAME
+      // checkpoint and drain again. The mirror sink appends WITHOUT an
+      // epoch tag, so a restart that replayed commit 1 would duplicate
+      // rows and fail the exact-count oracle — the hash match proves the
+      // checkpointed offsets resumed precisely where the first run
+      // stopped. Fresh temp dirs per invocation keep reruns stable.
+      val srcRoot = Files.createTempDirectory("graft-log-cr-src-").toString
+      val src = new WalrusLog(s, srcRoot,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val dstRoot = Files.createTempDirectory("graft-log-cr-dst-").toString
+      val dst = new WalrusLog(s, dstRoot,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ckpt = Files.createTempDirectory("graft-stream-cr-")
+      val ev = events(s, dir).select(
+        col("event_type").as("topic"),
+        encode(col("props"), "UTF-8").as("value"),
+        col("event_id").as("_seq"))
+      def mirror(): Unit = {
+        val w = graft.streaming.WalrusStreams.readStream(s, src.root)
+          .select(col("topic"), col("value"))
+          .writeStream.option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            dst.appendDF(batch) // NO tag: a replayed batch would duplicate
+            ()
+          }
+        graft.streaming.WalrusStreams.drainOnce(w)
+        ()
+      }
+      src.appendDF(ev.where(col("_seq") % 2 === 0), Some(col("_seq")), FixedTs)
+      mirror() // run 1: first half only, then the query STOPS
+      src.appendDF(ev.where(col("_seq") % 2 =!= 0), Some(col("_seq")), FixedTs)
+      mirror() // run 2: fresh writer, SAME checkpoint -> resumes at commit 2
+      val rows = dst.toDF()
+        .select(col("topic"),
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long")
+            .as("k"))
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("topic").collect().toSeq
+      dst.close(); src.close()
+      WalrusLog.deleteRecursively(java.nio.file.Paths.get(srcRoot))
+      WalrusLog.deleteRecursively(java.nio.file.Paths.get(dstRoot))
+      WalrusLog.deleteRecursively(ckpt)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("n", LongType), StructField("sum_k", LongType))))
+        .orderBy("topic")
+    }),
+
     "stream_tws_running_state" -> ((s, dir) => {
       // Spark 4 transformWithState — the arbitrary-stateful successor to
       // flatMapGroupsWithState (typed ValueState handles, TTL, timers):
@@ -7573,6 +7625,11 @@ object SparkEntry {
            |  UNION ALL SELECT * FROM s3)
            |ORDER BY query_id, sel_rank""".stripMargin
       },
+      "stream_checkpoint_resume" ->
+        """SELECT event_type AS topic, count(*) AS n,
+          |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+          |    AS sum_k
+          |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
       "stream_tws_running_state" ->
         """WITH ev AS (SELECT event_type AS topic,
           |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
