@@ -2397,6 +2397,61 @@ object SparkEntry {
         .orderBy("topic")
     }),
 
+    "stream_tws_timers" -> ((s, dir) => {
+      // transformWithState EVENT-TIME TIMERS: one timer per key at a
+      // fixed expiry; the final per-topic count emits exactly once when
+      // the watermark passes it (the emit-on-close pattern). Sentinels
+      // advance the watermark and are excluded INSIDE the processor —
+      // the one place Catalyst's push-through-watermark can't reach.
+      // Same two-phase sentinel drive as the session/outer-join family;
+      // RocksDB clone as in stream_tws_running_state.
+      val log = sessionLog(s, dir)
+      val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("fs.file.impl", "org.apache.hadoop.fs.LocalFileSystem")
+      s2.conf.set("fs.file.impl.disable.cache", "true")
+      import s2.implicits._
+      val qn = s"stream_tws_timers_${System.nanoTime()}"
+      val ckpt = Files.createTempDirectory("graft-stream-twt-")
+      val parsed = graft.streaming.WalrusStreams.readStream(s2, log.root)
+        .withColumn("k",
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
+        .where(col("k").isNotNull)
+        .withColumn("et", timestamp_seconds(col("k") + 3600))
+        .withWatermark("et", "0 seconds")
+        .select(col("topic"), col("k"))
+        .as[graft.streaming.TwsEvent]
+      val out = parsed.groupByKey(_.topic)
+        .transformWithState(
+          new graft.streaming.TimerCountProcessor(
+            expiryMs = 4000L * 1000L, sentinelFloor = 1000000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      val q = out.toDF().writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+      q.processAllAvailable()
+      val sent2 = log.topicNames.sorted.map(t => (t, """{"k": 2000000}"""))
+        .toDF("topic", "v")
+        .select(col("topic"), encode(col("v"), "UTF-8").as("value"),
+          lit(0L).as("_seq"))
+      log.appendDF(sent2, Some(col("_seq")), FixedTs)
+      q.processAllAvailable()
+      q.stop()
+      val rows = s2.table(qn).select(col("topic"), col("n"))
+        .orderBy("topic").collect().toSeq
+      s2.catalog.dropTempView(qn)
+      WalrusLog.deleteRecursively(ckpt)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("n", LongType))))
+        .orderBy("topic")
+    }),
+
     "stream_dedup" -> ((s, dir) => {
       // Stateful streaming dedup THROUGH the micro-batch engine: the first
       // occurrence of each (topic, payload-key) survives, every later
@@ -7630,6 +7685,10 @@ object SparkEntry {
           |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
           |    AS sum_k
           |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
+      "stream_tws_timers" ->
+        """SELECT event_type AS topic, count(*) AS n FROM events
+          |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+          |GROUP BY 1 ORDER BY topic""".stripMargin,
       "stream_tws_running_state" ->
         """WITH ev AS (SELECT event_type AS topic,
           |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
