@@ -187,9 +187,16 @@ object Graph {
   def kCorePrune(edges: DataFrame, aCol: String, bCol: String,
       k: Long, rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && k >= 1)
+    // materialize the symmetrized edge set ONCE: every round references it
+    // 3x (degree agg + two semi-joins) and later rounds nest earlier ones,
+    // so an expensive upstream (e.g. a co-occurrence projection) would
+    // otherwise be recomputed per reference — the standard
+    // persist-the-edge-list move of any iterative graph pass (eager
+    // localCheckpoint, not cache: truncates lineage, no LRU churn)
     var e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select("src")
