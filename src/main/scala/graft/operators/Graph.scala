@@ -160,9 +160,14 @@ object Graph {
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
       iterations: Int = 3): DataFrame = {
     require(iterations >= 1)
+    // same persist-the-edge-list move as [[kCorePrune]]: each round joins
+    // the symmetrized edges again and rounds nest, so an expensive
+    // upstream would be recomputed per round without the one-time
+    // materialization
     val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iterations) {
