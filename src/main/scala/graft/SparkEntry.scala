@@ -4302,6 +4302,26 @@ object SparkEntry {
           col("jaccard_micro"))
         .orderBy("item_a", "item_b")
     }),
+    "dedup_lsh_recall" -> ((s, dir) => {
+      // discovery-quality eval for the dedup pipeline: empirical recall
+      // of banded MinHash-LSH candidates against the EXACT shingle-
+      // Jaccard ground truth on the same subset and shingle size — the
+      // measurement that justifies a band configuration before trusting
+      // it at corpus scale (sim_recall_eval's counterpart for text).
+      // One row: truth size, caught count, recall in exact milli.
+      val docs = table(s, dir, "documents").where(col("doc_id") % 10 === 0)
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          k = 8, minJaccard = 0.12, maxDocFreq = Some(50))
+        .select(col("id_a"), col("id_b"))
+      val cand = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          k = 8, bands = 4, rowsPerBand = 4)
+        .select(col("id_a").as("c_a"), col("id_b").as("c_b"))
+      truth.join(cand,
+          col("id_a") === col("c_a") && col("id_b") === col("c_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("c_a").isNotNull, 1L).otherwise(0L)).as("n_caught"))
+        .withColumn("recall_milli", expr("(n_caught * 1000) DIV n_true"))
+    }),
     "sim_farthest_points" -> ((s, dir) =>
       // k-center greedy coreset: 6 rounds of "farthest from everything
       // selected" — the diversity-sampling traversal (2-approx k-center)
@@ -7535,6 +7555,41 @@ object SparkEntry {
           |FROM p JOIN deg da ON p.item_a = da.it JOIN deg db ON p.item_b = db.it
           |WHERE co_users >= 3
           |ORDER BY item_a, item_b""".stripMargin,
+      "dedup_lsh_recall" -> {
+        val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(${permSql("code", a, b)}) AS mh$j"
+        }.mkString(",\n  ")
+        val bandKeys = (0 until 4).map { bnd =>
+          (0 until 4).map(r => s"CAST(mh${bnd * 4 + r} AS VARCHAR)")
+            .mkString(s"SELECT doc_id, $bnd AS band, ", " || '_' || ", " AS bkey FROM sig")
+        }.mkString("\n  UNION ALL ")
+        s"""${shinglesSql(8, "doc_id % 10 = 0")},
+           |keep AS (SELECT c.doc_id, c.code FROM codes c
+           |  JOIN (SELECT code FROM codes GROUP BY code HAVING count(*) <= 50) ok
+           |    USING (code)),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM keep GROUP BY doc_id),
+           |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           |  FROM keep a JOIN keep b USING (code)
+           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+           |tr AS (SELECT id_a, id_b FROM inter
+           |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+           |  WHERE round(CAST(n_common AS DOUBLE) /
+           |    CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) >= 0.12),
+           |sig AS (SELECT doc_id, $mins FROM codes GROUP BY doc_id),
+           |banded AS (
+           |  $bandKeys),
+           |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+           |  WHERE l.doc_id < r.doc_id),
+           |j AS (SELECT t.id_a, t.id_b, c.id_a AS hit FROM tr t
+           |  LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+           |SELECT count(*) AS n_true,
+           |  CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_caught,
+           |  CAST((SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+           |    // count(*) AS BIGINT) AS recall_milli
+           |FROM j""".stripMargin
+      },
       "sim_farthest_points" -> {
         def cosMicro(a: String, b: String): String =
           s"CAST(floor((${dotSql(a, b)}) / (sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)})) * 1000000 + 0.5) AS BIGINT)"
