@@ -567,6 +567,23 @@ object SparkEntry {
         StructType(Seq(StructField("topic", StringType), StructField("cnt", LongType))))
         .orderBy("topic")
     }),
+    "log_offset_audit" -> ((s, dir) => {
+      // fsck for the log's offset space: per topic, offsets must be a
+      // DENSE sequence 0..n-1 with no duplicates — the invariant the
+      // cross-partition range-shuffle offset assignment (appendDF) exists
+      // to uphold, audited end-to-end through the read path. One
+      // map-side-combined aggregation over the scan; at 100 TB this is
+      // the consistency check an operator schedules after bulk loads.
+      mainLog(s, dir).toDF()
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"), max(col("offset")).as("max_off"),
+          countDistinct(col("offset")).as("n_distinct"),
+          min(col("offset")).as("min_off"))
+        .select(col("topic"), col("n"),
+          (col("min_off") === 0L && col("max_off") === col("n") - 1 &&
+            col("n_distinct") === col("n")).as("dense"))
+        .orderBy("topic")
+    }),
     "log_topic_sizes" -> ((s, dir) => {
       val log = mainLog(s, dir)
       val rows = log.topicNames.sorted.map(t => Row(t, log.topicSize(t)))
@@ -4703,6 +4720,9 @@ object SparkEntry {
            |FROM c WHERE cum_end > 1000 ORDER BY entry_offset LIMIT 2000""".stripMargin,
       "log_entry_counts" ->
         "SELECT event_type AS topic, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "log_offset_audit" ->
+        """SELECT event_type AS topic, count(*) AS n, TRUE AS dense
+          |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
       "log_topic_sizes" ->
         (s"SELECT event_type AS topic, CAST(SUM(length(props)) + $Meta * count(*) AS BIGINT) AS bytes " +
           "FROM events GROUP BY 1 ORDER BY 1"),
