@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -178,9 +178,23 @@ case class CommitIndexOffset(commitIndex: Long) extends Offset {
 class WalrusMicroBatchStream(
     nsDir: Path, topic: Option[String], maxBatchesPerTrigger: Option[Int],
     required: StructType)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def commits = WalrusLogSource.listCommits(nsDir)
+
+  /** `Trigger.AvailableNow` end-of-stream fence: the commit-log size is
+    * latched once at query start and later micro-batches never read past
+    * it — so the drain is a bounded sequence of admission-controlled
+    * micro-batches (the incremental catch-up loop of the reference's GET
+    * path, distributed-walrus/src/controller/mod.rs:199-268), not one
+    * unbounded batch. Without this Spark falls back to single-batch
+    * execution and `maxBatchesPerTrigger` is bypassed exactly when the
+    * backlog is largest. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(commits.size.toLong)
 
   override def initialOffset(): Offset = CommitIndexOffset(0L)
 
@@ -193,7 +207,7 @@ class WalrusMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startIdx = start.asInstanceOf[CommitIndexOffset].commitIndex
-    val available = commits.size.toLong
+    val available = availableNowCap.getOrElse(commits.size.toLong)
     val end = limit match {
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
         math.min(available, startIdx + rl.maxFiles())

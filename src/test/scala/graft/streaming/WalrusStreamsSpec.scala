@@ -141,6 +141,47 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains in admission-controlled slices, then stops") {
+    // Regression guard for the single-batch fallback: without
+    // SupportsTriggerAvailableNow, Spark logs "Falling back to single
+    // batch execution" and processes the whole backlog as ONE micro-batch,
+    // bypassing maxBatchesPerTrigger. With it, the drain is a bounded
+    // sequence of per-commit micro-batches followed by termination.
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    (0 until 5).foreach(i => log.batchAppend("t", Seq(bytes(s"e$i"), bytes(s"f$i"))))
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = WalrusStreams.readStream(spark, root, maxBatchesPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(b.count()); ()
+      }
+      .option("checkpointLocation", tempRoot())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000L)
+    assert(!q.isActive, "AvailableNow query terminated after the drain")
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.toSeq.filter(_ > 0)
+    assert(sizes.sum == 10, s"all 10 rows delivered, got $sizes")
+    assert(sizes.length == 5,
+      s"one micro-batch per commit under maxBatchesPerTrigger=1, got $sizes")
+    // a commit landing AFTER the drain started is not owed to this run;
+    // a fresh AvailableNow run picks it up from the checkpoint
+    log.batchAppend("t", Seq(bytes("late")))
+    batchSizes.clear()
+    val q2 = WalrusStreams.readStream(spark, root, maxBatchesPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(b.count()); ()
+      }
+      .option("checkpointLocation", tempRoot())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000L)
+    assert(batchSizes.asScala.sum == 11) // fresh checkpoint: full replay incl. late commit
+  }
+
   test("batch read via format(walruslog) matches toDF") {
     val root = tempRoot()
     val log = new WalrusLog(spark, root)
