@@ -3143,6 +3143,37 @@ object SparkEntry {
           StructField("first_offset", LongType))))
         .orderBy("topic", "probe_idx")
     }),
+    "log_source_offset_window" -> ((s, dir) => {
+      // Mid-log offset window THROUGH the V2 `walruslog` source: the
+      // topic/offset predicates are pushed into the scan builder
+      // (SupportsPushDownFilters), which prunes whole commits from the
+      // per-topic TopicRange metadata before any file is opened — the
+      // Spark-native sealed-count segment skip (reference:
+      // distributed-walrus/src/controller/mod.rs:209-224). Rows inside a
+      // surviving commit are still filtered by Spark's codegen'd residual.
+      val log = timesLog(s, dir)
+      s.read.format("walruslog").option("path", log.root).load()
+        .where(col("topic") === "purchase" &&
+          col("offset") >= 10L && col("offset") <= 39L)
+        .select(col("offset").as("entry_offset"),
+          decode(col("value"), "UTF-8").as("value_str"))
+        .orderBy("entry_offset")
+    }),
+    "log_source_time_window" -> ((s, dir) => {
+      // Time-bounded read through the V2 source: a ts_us predicate on the
+      // raw source schema prunes every commit stamped wholly before the
+      // probe (commit ts is exact for ingest commits — all entries carry
+      // ts_us = tsMillis·1000), so only the late batches are opened.
+      // timesLog's commit 0 (T0) is skipped entirely; commits at +1h/+2h
+      // survive.
+      val log = timesLog(s, dir)
+      val probeUs = (FixedTs.getTime + 3600L * 1000L) * 1000L
+      s.read.format("walruslog").option("path", log.root).load()
+        .where(col("topic") === "purchase" && col("ts_us") >= probeUs)
+        .select(col("offset").as("entry_offset"),
+          decode(col("value"), "UTF-8").as("value_str"))
+        .orderBy("entry_offset")
+    }),
     "log_tvf_groups" -> ((s, dir) => {
       // Consumer-group DESCRIBE as a SQL surface: walrus_groups(path)
       // dumps the persisted (group, topic) cursor store with end offsets
@@ -5596,6 +5627,26 @@ object SparkEntry {
           |SELECT topic, CAST(p AS BIGINT) AS probe_idx,
           |  CAST(first_offset AS BIGINT) AS first_offset
           |FROM f ORDER BY topic, probe_idx""".stripMargin,
+      "log_source_offset_window" ->
+        // same 3-commit offset replay as log_offset_for_times, windowed
+        """WITH e AS (SELECT event_type AS topic, props, event_id,
+          |    event_id % 3 AS ci FROM events),
+          |o AS (SELECT topic, props,
+          |    row_number() OVER (PARTITION BY topic ORDER BY ci, event_id) - 1 AS off
+          |  FROM e)
+          |SELECT CAST(off AS BIGINT) AS entry_offset, props AS value_str
+          |FROM o WHERE topic = 'purchase' AND off BETWEEN 10 AND 39
+          |ORDER BY entry_offset""".stripMargin,
+      "log_source_time_window" ->
+        // commits at T0+ci hours; ts_us >= T0+1h keeps ci >= 1
+        """WITH e AS (SELECT event_type AS topic, props, event_id,
+          |    event_id % 3 AS ci FROM events),
+          |o AS (SELECT topic, props, ci,
+          |    row_number() OVER (PARTITION BY topic ORDER BY ci, event_id) - 1 AS off
+          |  FROM e)
+          |SELECT CAST(off AS BIGINT) AS entry_offset, props AS value_str
+          |FROM o WHERE topic = 'purchase' AND ci >= 1
+          |ORDER BY entry_offset""".stripMargin,
       "log_tvf_groups" ->
         """WITH t AS (
           |  SELECT event_type AS topic, count(*) AS n

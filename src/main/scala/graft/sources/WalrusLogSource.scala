@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -85,30 +85,119 @@ object WalrusLogSource {
     }
   }
 
+  /** Pushed-predicate bounds used to skip whole commits from metadata —
+    * the Spark-native analogue of the reference's sealed-count segment
+    * skipping (distributed-walrus/src/controller/mod.rs:209-224). Offset
+    * pruning uses the per-topic [[graft.log.TopicRange]] each commit
+    * records; ts pruning is EXACT for ingest commits because every entry
+    * of a commit carries `ts_us = tsMillis * 1000` (WalrusLog.appendDF),
+    * and is skipped for compaction commits (`replaces` nonEmpty), whose
+    * rewritten rows keep their original timestamps. Residual evaluation
+    * stays with Spark's post-scan Filter (codegen'd), so pruning here is
+    * purely an IO reduction, never a semantics change. */
+  private[sources] final case class PruneSpec(
+      topics: Option[Set[String]] = None,
+      offsetMin: Long = Long.MinValue, offsetMax: Long = Long.MaxValue,
+      tsUsMin: Long = Long.MinValue, tsUsMax: Long = Long.MaxValue) {
+    def isNoop: Boolean = this == PruneSpec()
+    def withTopic(t: Option[String]): PruneSpec = t match {
+      case Some(v) => copy(topics = Some(topics.getOrElse(Set(v)).intersect(Set(v))))
+      case None => this
+    }
+    def topicMatches(t: String): Boolean = topics.forall(_.contains(t))
+    def commitMatches(c: CommitRecord): Boolean = {
+      val ranges = c.topics.collect {
+        case (t, r) if topicMatches(t) => r
+      }
+      val offsetOk = ranges.exists(r => r.start <= offsetMax && r.end - 1 >= offsetMin)
+      val tsOk = c.replaces.exists(_.nonEmpty) || {
+        val us = c.tsMillis * 1000L
+        us >= tsUsMin && us <= tsUsMax
+      }
+      offsetOk && tsOk
+    }
+    override def toString: String = {
+      val parts = Seq(
+        topics.map(t => s"topic IN {${t.toSeq.sorted.mkString(",")}}"),
+        if (offsetMin != Long.MinValue) Some(s"offset >= $offsetMin") else None,
+        if (offsetMax != Long.MaxValue) Some(s"offset <= $offsetMax") else None,
+        if (tsUsMin != Long.MinValue) Some(s"ts_us >= $tsUsMin") else None,
+        if (tsUsMax != Long.MaxValue) Some(s"ts_us <= $tsUsMax") else None).flatten
+      parts.mkString(", ")
+    }
+  }
+
+  /** Fold the pushable subset of `filters` into a [[PruneSpec]]; returns
+    * the spec plus the filters it actually consumed (for explain). Only
+    * top-level conjuncts on `topic`/`offset`/`ts_us` are considered —
+    * Spark has already split conjunctions before `pushFilters`. */
+  private[sources] def pruneSpecFrom(filters: Array[Filter]): (PruneSpec, Array[Filter]) = {
+    var spec = PruneSpec()
+    val used = filters.filter {
+      case EqualTo("topic", v: String) =>
+        spec = spec.withTopic(Some(v)); true
+      case In("topic", vs) if vs.forall(_.isInstanceOf[String]) =>
+        val set = vs.map(_.asInstanceOf[String]).toSet
+        spec = spec.copy(topics = Some(spec.topics.fold(set)(_ intersect set))); true
+      case f: Filter => numericBound(f) match {
+        case Some(("offset", lo, hi)) =>
+          spec = spec.copy(offsetMin = math.max(spec.offsetMin, lo),
+            offsetMax = math.min(spec.offsetMax, hi)); true
+        case Some(("ts_us", lo, hi)) =>
+          spec = spec.copy(tsUsMin = math.max(spec.tsUsMin, lo),
+            tsUsMax = math.min(spec.tsUsMax, hi)); true
+        case _ => f match {
+          case IsNotNull("topic" | "offset" | "ts_us" | "value" | "checksum") =>
+            true // engine columns are never null: trivially satisfied
+          case _ => false
+        }
+      }
+    }
+    (spec, used)
+  }
+
+  /** Inclusive [lo, hi] bound contributed by one comparison filter on a
+    * long column, if it is one we prune on. */
+  private def numericBound(f: Filter): Option[(String, Long, Long)] = {
+    def long(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue)
+      case _ => None
+    }
+    f match {
+      case EqualTo(a, v) => long(v).map(x => (a, x, x))
+      case GreaterThan(a, v) => long(v).map(x => (a, x + 1, Long.MaxValue))
+      case GreaterThanOrEqual(a, v) => long(v).map(x => (a, x, Long.MaxValue))
+      case LessThan(a, v) => long(v).map(x => (a, Long.MinValue, x - 1))
+      case LessThanOrEqual(a, v) => long(v).map(x => (a, Long.MinValue, x))
+      case _ => None
+    }
+  }
+
   private[sources] def partitionsFor(
       nsDir: Path, commits: Seq[(CommitRecord, Boolean)],
-      topic: Option[String]): Array[InputPartition] =
+      topic: Option[String],
+      prune: PruneSpec = PruneSpec()): Array[InputPartition] = {
+    val spec = prune.withTopic(topic)
     commits.flatMap {
       case (_, true) => Seq.empty // vacuumed: data reclaimed, skip
+      case (c, _) if !spec.commitMatches(c) => Seq.empty // pruned by pushdown
       case (c, _) =>
         val batchDir = nsDir.resolve("data").resolve(s"batch=${c.id}")
-        topicDirs(batchDir, topic).flatMap { td =>
+        topicDirs(batchDir, spec).flatMap { td =>
           val t = decodeTopic(td.getFileName.toString.stripPrefix("topic="))
           parquetFiles(td).map(f => WalrusFilePartition(t, f.toString))
         }
     }.toArray
+  }
 
-  private def topicDirs(batchDir: Path, topic: Option[String]): Seq[Path] = {
+  private def topicDirs(batchDir: Path, spec: PruneSpec): Seq[Path] = {
     if (!Files.exists(batchDir)) return Seq.empty
     val s = Files.list(batchDir)
     val dirs = try s.iterator().asScala
       .filter(_.getFileName.toString.startsWith("topic=")).toSeq
       finally s.close()
-    topic match {
-      case Some(t) => dirs.filter(d =>
-        decodeTopic(d.getFileName.toString.stripPrefix("topic=")) == t)
-      case None => dirs
-    }
+    dirs.filter(d =>
+      spec.topicMatches(decodeTopic(d.getFileName.toString.stripPrefix("topic="))))
   }
 
   private def parquetFiles(dir: Path): Seq[Path] = {
@@ -142,32 +231,47 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       private var required: StructType = WalrusLogSource.Schema
+      private var prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec()
+      private var pushed: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def build(): Scan = new WalrusLogScan(nsDir, options, required)
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (spec, used) = WalrusLogSource.pruneSpecFrom(filters)
+        prune = spec
+        pushed = used
+        // all filters stay residual: pruning is commit/metadata-granular,
+        // rows inside a surviving commit still need the (codegen'd)
+        // post-scan Filter
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def build(): Scan = new WalrusLogScan(nsDir, options, required, prune)
     }
 }
 
 class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
-    required: StructType) extends Scan {
+    required: StructType,
+    prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec()) extends Scan {
   private val topic = Option(options.get("topic"))
   override def readSchema(): StructType = required
   override def description(): String =
-    s"WalrusLogScan($nsDir, topic=$topic, columns=${required.fieldNames.mkString(",")})"
+    s"WalrusLogScan($nsDir, topic=$topic, columns=${required.fieldNames.mkString(",")}" +
+      (if (prune.isNoop) ")" else s", pushed=[$prune])")
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       WalrusLogSource.partitionsFor(nsDir,
-        WalrusLogSource.listCommits(nsDir), topic)
+        WalrusLogSource.listCommits(nsDir), topic, prune)
     override def createReaderFactory(): PartitionReaderFactory =
       new WalrusReaderFactory(required)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new WalrusMicroBatchStream(nsDir, topic,
-      Option(options.get("maxBatchesPerTrigger")).map(_.toInt), required)
+      Option(options.get("maxBatchesPerTrigger")).map(_.toInt), required, prune)
 }
 
 /** Streaming offset = number of commit-log entries consumed. */
@@ -177,7 +281,8 @@ case class CommitIndexOffset(commitIndex: Long) extends Offset {
 
 class WalrusMicroBatchStream(
     nsDir: Path, topic: Option[String], maxBatchesPerTrigger: Option[Int],
-    required: StructType)
+    required: StructType,
+    prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec())
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -221,7 +326,9 @@ class WalrusMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CommitIndexOffset].commitIndex.toInt
     val e = end.asInstanceOf[CommitIndexOffset].commitIndex.toInt
-    WalrusLogSource.partitionsFor(nsDir, commits.slice(s, e), topic)
+    // note: the offset RANGE (s, e] still advances over pruned commits —
+    // pruning empties their partition list, it never skews the cursor
+    WalrusLogSource.partitionsFor(nsDir, commits.slice(s, e), topic, prune)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -80,6 +80,32 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     SparkEntry.queries(name)(spark, sfDir).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
 
+  test("walruslog V2 scan: topic/offset predicates prune commits from metadata") {
+    val root = Files.createTempDirectory("plan-wl-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    (0 until 4).foreach(i =>
+      log.batchAppend("t", (0 until 5).map(j => s"c$i-$j".getBytes("UTF-8"))))
+    log.batchAppend("other", Seq("x".getBytes("UTF-8")))
+    val df = spark.read.format("walruslog").option("path", root).load()
+      .where(col("topic") === "t" && col("offset") >= 15L)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("pushed=["), s"scan reports no pushed filters:\n$plan")
+    assert(plan.contains("offset >= 15"), s"offset bound not pushed:\n$plan")
+    // topic 't' spans 4 commits of 5 entries (offsets 0..19); offset>=15
+    // survives only in commit 4's TopicRange, and 'other' is pruned by
+    // topic — exactly ONE file reaches the reader
+    val parts = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }.sum
+    assert(parts == 1, s"expected 1 surviving file partition, got $parts:\n$plan")
+    val rows = df.orderBy("offset").collect()
+    assert(rows.map(_.getAs[Long]("offset")).toSeq == (15L to 19L))
+    assert(rows.map(r => new String(r.getAs[Array[Byte]]("value"))).toSeq ==
+      (0 until 5).map(j => s"c3-$j"))
+  }
+
   test("minhash signatures: scan -> project, no computation shuffle") {
     // the only exchange allowed is the final output orderBy's range
     // partitioning — signatures themselves are per-row (no explode, no
