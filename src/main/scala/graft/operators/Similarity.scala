@@ -594,9 +594,15 @@ object Similarity {
     require(k >= 1)
     val spark = emb.sparkSession
     import spark.implicits._
-    val seed = emb.agg(min(col(idCol))).collect()(0).getLong(0)
+    // `idCol` must be integral (LongType view of the ids); an empty
+    // corpus or k > |corpus| are caller errors surfaced here as clear
+    // requires, not an ArrayIndexOutOfBounds on an empty collect
+    val seedRow = emb.agg(min(col(idCol).cast("long"))).collect()(0)
+    require(!seedRow.isNullAt(0), "farthestPoints: empty input corpus")
+    val seed = seedRow.getLong(0)
     var picks = Seq((1L, seed, -1L))
-    for (r <- 2 to k) {
+    var exhausted = false
+    for (r <- 2 to k if !exhausted) {
       val selVecs = emb.where(col(idCol).isin(picks.map(_._2): _*))
         .select(col(idCol).as("sel_id"), col(vecCol).as("sel_vec"))
       val best = emb.where(!col(idCol).isin(picks.map(_._2): _*))
@@ -606,8 +612,10 @@ object Similarity {
             .cast("long"))
         .groupBy(col(idCol)).agg(max(col("sim_micro")).as("max_sim_micro"))
         .orderBy(col("max_sim_micro").asc, col(idCol).asc).limit(1)
-        .collect()(0)
-      picks = picks :+ ((r.toLong, best.getLong(0), best.getLong(1)))
+        .collect()
+      if (best.isEmpty) exhausted = true // k exceeds |corpus|: selection is total
+      else picks = picks :+ ((r.toLong,
+        best(0).getAs[Number](0).longValue, best(0).getAs[Number](1).longValue))
     }
     picks.toDF("sel_rank", idCol, "max_sim_micro")
   }

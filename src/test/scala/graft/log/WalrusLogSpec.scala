@@ -897,4 +897,39 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re.producerHighWatermark("nope") == Long.MinValue)
     re.close()
   }
+
+  // reference: lease fencing + per-key CAS (distributed-walrus/src/
+  // bucket.rs:44-51, src/wal/runtime/writer.rs:148) — our single-
+  // filesystem analogue is create-exclusive commit publication: a
+  // collision between two live writers fails-stop, never clobbers.
+  test("commit publication is create-exclusive: the second writer throws") {
+    val dir = java.nio.file.Paths.get(tempRoot())
+    val target = dir.resolve("000000000042.json")
+    WalrusLog.writeAtomicNew(target, """{"winner":true}""")
+    val e = intercept[IllegalStateException] {
+      WalrusLog.writeAtomicNew(target, """{"clobber":true}""")
+    }
+    assert(e.getMessage.contains("collision"))
+    // the winner's content is untouched and no temp debris remains
+    assert(new String(Files.readAllBytes(target), "UTF-8") == """{"winner":true}""")
+    import scala.jdk.CollectionConverters._
+    val left = Files.list(dir)
+    try assert(left.iterator().asScala.map(_.getFileName.toString).toSeq == Seq("000000000042.json"))
+    finally left.close()
+  }
+
+  test("two live instances racing one namespace: exactly one append wins") {
+    val root = tempRoot()
+    val a = new WalrusLog(spark, root)
+    val b = new WalrusLog(spark, root) // both instances now plan batch id 0
+    a.batchAppend("t", Seq(bytes("from-a")))
+    // b's stale nextBatchId collides with a's published commit — the
+    // append must FAIL (data-dir or commit-file collision, whichever
+    // lands first), leaving a's commit fully intact
+    intercept[Exception] { b.batchAppend("t", Seq(bytes("from-b"))) }
+    val fresh = new WalrusLog(spark, root)
+    assert(fresh.entryCount("t") == 1L)
+    val got = fresh.batchRead("t", 1 << 20, checkpoint = false)
+    assert(got.map(e => str(e.value)) == Seq("from-a"))
+  }
 }
