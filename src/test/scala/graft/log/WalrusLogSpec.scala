@@ -918,6 +918,28 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally left.close()
   }
 
+  // TLA+ ReadProgress (reference DistributedWalrus.tla:195-203) at the
+  // engine surface: with a byte budget below every entry size, each
+  // consuming batchRead still delivers exactly the next entry (>= 1
+  // guarantee), so the cursor strictly advances to nextOffset and the
+  // caught-up read returns empty.
+  test("read progress: tiny-budget batchReads drain the topic with strict advancement") {
+    val log = new WalrusLog(spark, tempRoot())
+    val n = 12
+    log.batchAppend("t", (0 until n).map(i => bytes(s"payload-$i")))
+    var consumed = 0L
+    var steps = 0
+    while (consumed < n && steps <= n) {
+      val got = log.batchRead("t", maxBytes = 1L, checkpoint = true)
+      assert(got.nonEmpty, s"behind cursor at $consumed must advance")
+      assert(got.head.offset == consumed, "in-order delivery from the cursor")
+      consumed += got.size
+      steps += 1
+    }
+    assert(consumed == n && steps == n)
+    assert(log.batchRead("t", 1L, checkpoint = true).isEmpty)
+  }
+
   test("two live instances racing one namespace: exactly one append wins") {
     val root = tempRoot()
     val a = new WalrusLog(spark, root)
