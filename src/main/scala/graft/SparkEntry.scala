@@ -4703,6 +4703,123 @@ object SparkEntry {
           element_at(col("toks"), (col("chunk_idx") * stride + 1).cast("int"))
             .as("first_tok"))
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "sim_threshold_sweep" -> ((s, dir) => {
+      // threshold-calibration sweep for the embedding near-dup gate: ONE
+      // banded-LSH discovery pass at a low floor (0.20), then pair counts
+      // per 0.05-cosine bucket — the operating-curve table a curator
+      // reads before committing a dedup threshold. Costs one discovery
+      // (the expensive part) however many thresholds are under review;
+      // milli-cosine is exact integer, so bucketing is engine-exact.
+      val pairs = Dedup.embeddingNearDupPairs(
+        table(s, dir, "embeddings").where(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", minCosine = 0.20)
+      pairs
+        .withColumn("milli", floor(col("cosine") * 1000 + 0.5).cast("long"))
+        .groupBy(expr("milli DIV 50").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("milli")).as("min_milli"),
+          max(col("milli")).as("max_milli"))
+        .select((col("bucket") * 50).cast("long").as("bucket_lo_milli"),
+          col("n_pairs"), col("min_milli"), col("max_milli"))
+        .orderBy("bucket_lo_milli")
+    }),
+    "shard_temporal_split" -> ((s, dir) => {
+      // leakage-safe temporal split: train < cut, a 2%-of-span embargo
+      // gap (excluded from both sides — the lookahead-leakage guard for
+      // time-series features), test after the gap. Cut = lo + 80% of the
+      // span in exact integer nanos; one metadata-size bounds row
+      // broadcasts back — the corpus never shuffles, the split is a
+      // narrow projection at any scale.
+      val ev = events(s, dir).select(col("event_id"), col("ts"))
+      val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("cut", expr("lo + ((hi - lo) * 8) DIV 10"))
+        .withColumn("emb_end", expr("cut + (hi - lo) DIV 50"))
+        .withColumn("split", when(col("ts") < col("cut"), "train")
+          .when(col("ts") < col("emb_end"), "embargo").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_rows"), min(col("ts")).as("min_ts"),
+          max(col("ts")).as("max_ts"))
+        .orderBy("split")
+    }),
+    "rel_recursive_cte" -> ((s, dir) => {
+      // Spark 4 recursive CTE (SPARK-24497): digit-decade ancestor walk
+      // k → k DIV 10 → … → 0 per order key — the hierarchy-recursion
+      // shape (BOM explosion, org rollup) that previously needed manual
+      // round unrolling. Both engines execute the textually-identical
+      // recursion (modulo DIV vs //; all operands non-negative). The % 5
+      // filter keeps the recursion inside the engine's default 1M-row
+      // recursion budget at sf0.1 — at larger scale raise
+      // spark.sql.cteRecursionRowLimit or walk levels as bounded-round
+      // joins (the Graph.bfsLayers shape).
+      table(s, dir, "orders").createOrReplaceTempView("orders_rc")
+      s.sql("""
+        WITH RECURSIVE anc(k, anc, depth) AS (
+          SELECT o_orderkey, o_orderkey, CAST(0 AS BIGINT)
+          FROM orders_rc WHERE o_orderkey % 5 = 0
+          UNION ALL
+          SELECT k, anc DIV 10, depth + 1 FROM anc WHERE anc > 0)
+        SELECT k, max(depth) AS chain_len, count(*) AS n_nodes,
+          sum(anc) AS sum_anc
+        FROM anc GROUP BY k ORDER BY k""")
+    }),
+
+    // ---- round 6: graph reachability / seeded rank / clustering quality ----
+    "graph_bfs_layers" -> ((s, dir) => {
+      // reachability triage from a curated anchor set: hop distance
+      // (<= 3) of every co-occurrence node from the seed items
+      // (node % 7 == 0) — the "how far is this item from trusted
+      // anchors" gate. Per round one semi-join advance + one anti-join
+      // dedup, both id-keyed; unreached nodes are absent.
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      graft.operators.Graph.bfsLayers(co, "item_a", "item_b",
+          col("node") % 7 === 0, rounds = 3)
+        .orderBy("node")
+    }),
+    "graph_ppr" -> ((s, dir) => {
+      // personalized PageRank: teleport mass restarts ONLY at the seed
+      // items (node % 10 == 0), so ranks measure proximity to the seeds —
+      // the "related items" / trust-propagation primitive. Exact integer
+      // micro-units; the twin replays all 4 damped iterations.
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val e = graft.operators.Graph.symmetrize(co, "item_a", "item_b")
+        .localCheckpoint()
+      graft.operators.Graph.personalizedPageRank(e, "src", "dst",
+          col("node") % 10 === 0, iterations = 4)
+        .orderBy("node")
+    }),
+    "graph_modularity" -> ((s, dir) => {
+      // clustering-quality audit of the label-prop communities: exact-
+      // integer modularity numerator 4m²·q_c = 4·m·e_c − d_c² per
+      // community — the accept/reject gate on a community structure
+      // before it drives downstream grouping. The edge threshold is
+      // ADAPTIVE — keep pairs with co_users >= max(co_users) DIV 2 — so
+      // the graph stays sparse (and the partition non-trivial) at every
+      // corpus scale; a fixed minShared saturates to a clique as users
+      // grow. The co-occurrence projection materializes ONCE
+      // (localCheckpoint) and feeds the threshold probe (a 1-long
+      // collect), the labelling round, and the edge/degree aggregations.
+      val co0 = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 2L, maxUserDegree = 1000)
+        .localCheckpoint()
+      val t = co0.agg(max(col("co_users"))).collect()(0).getLong(0) / 2
+      val co = co0.where(col("co_users") >= t)
+      // ONE HashMin round: each node labels with min(self, neighbors) —
+      // a fine-grained partition (more rounds converge to the component
+      // min, collapsing the report toward one row per component)
+      val labels = graft.operators.Graph.labelPropagation(
+        co, "item_a", "item_b", iterations = 1)
+      graft.operators.Graph.modularityReport(co, "item_a", "item_b", labels)
+        .orderBy("label")
     })
   )
 
@@ -4719,6 +4836,21 @@ object SparkEntry {
          |          fi -> CAST(ascii(substr($v, fi, 1)) AS HUGEINT))),
          |      (acc, fb) -> mod(xor(acc, fb) * 1099511628211,
          |        CAST('18446744073709551616' AS HUGEINT)))""".stripMargin
+    // Symmetrized co-occurrence edge CTEs over the user→item interaction
+    // relation (ends with canonical pairs `e0(src, dst)` and symmetrized
+    // `e(src, dst)`) — the shared graph fixture behind the label-prop /
+    // k-core / BFS / PPR / modularity twins. Replays the self-join
+    // formulation of [[graft.operators.Graph.cooccurrence]] verbatim.
+    def coEdgesSql(minShared: Int): String =
+      s"""r AS (SELECT DISTINCT user_id AS u,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS it FROM events),
+         |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM r GROUP BY u)
+         |  WHERE dg > 1000),
+         |kept AS (SELECT * FROM r WHERE u NOT IN (SELECT u FROM pow)),
+         |c AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS co_users
+         |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2),
+         |e0 AS (SELECT item_a AS src, item_b AS dst FROM c WHERE co_users >= $minShared),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)""".stripMargin
     // Bloom-gate twin (exact_dup computed INDEPENDENTLY of the filter so
     // soundness is tested, not assumed) — shared by dedup_bloom_probe and
     // its streaming equivalent stream_bloom_gate
@@ -8036,7 +8168,92 @@ object SparkEntry {
           |  CAST(chunk_idx * 48 AS BIGINT) AS tok_start,
           |  CAST(least(64, n_tokens - chunk_idx * 48) AS BIGINT) AS tok_len,
           |  toks[CAST(chunk_idx * 48 + 1 AS INTEGER)] AS first_tok
-          |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
+          |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+      "sim_threshold_sweep" -> {
+        val (tables, planesPerTable) = (12, 3)
+        val bandSelects = (0 until tables).map { t =>
+          val key = (0 until planesPerTable).map { j =>
+            s"CASE WHEN (${projDotSql("e", t * planesPerTable + j)}) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+          }.mkString(" + ")
+          s"SELECT vec_id, CAST($t AS BIGINT) AS tbl, $key AS bkey FROM e"
+        }.mkString("\n  UNION ALL ")
+        val cosine = s"floor((${dotSql("a", "b")}) /" +
+          s" (sqrt(${normSqSql("a")}) * sqrt(${normSqSql("b")})) * 1000000 + 0.5) / 1000000"
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+           |bk AS (
+           |  $bandSelects),
+           |cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+           |  FROM bk l JOIN bk r ON l.tbl = r.tbl AND l.bkey = r.bkey
+           |    AND l.vec_id < r.vec_id),
+           |p AS (SELECT $cosine AS cosine
+           |  FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b
+           |  WHERE $cosine >= 0.20),
+           |mi AS (SELECT CAST(floor(cosine * 1000 + 0.5) AS BIGINT) AS milli FROM p)
+           |SELECT CAST((milli // 50) * 50 AS BIGINT) AS bucket_lo_milli,
+           |  count(*) AS n_pairs, min(milli) AS min_milli, max(milli) AS max_milli
+           |FROM mi GROUP BY 1 ORDER BY bucket_lo_milli""".stripMargin
+      },
+      "shard_temporal_split" ->
+        """WITH e AS (SELECT event_id, epoch_ns(ts) AS t FROM events),
+          |b AS (SELECT min(t) AS lo, max(t) AS hi FROM e),
+          |s AS (SELECT t,
+          |    CASE WHEN t < lo + ((hi - lo) * 8) // 10 THEN 'train'
+          |         WHEN t < lo + ((hi - lo) * 8) // 10 + (hi - lo) // 50
+          |           THEN 'embargo'
+          |         ELSE 'test' END AS split
+          |  FROM e CROSS JOIN b)
+          |SELECT split, count(*) AS n_rows,
+          |  CAST(min(t) AS BIGINT) AS min_ts, CAST(max(t) AS BIGINT) AS max_ts
+          |FROM s GROUP BY split ORDER BY split""".stripMargin,
+      "rel_recursive_cte" ->
+        """WITH RECURSIVE anc(k, anc, depth) AS (
+          |  SELECT o_orderkey, o_orderkey, CAST(0 AS BIGINT)
+          |  FROM orders WHERE o_orderkey % 5 = 0
+          |  UNION ALL
+          |  SELECT k, anc // 10, depth + 1 FROM anc WHERE anc > 0)
+          |SELECT k, max(depth) AS chain_len, count(*) AS n_nodes,
+          |  CAST(sum(anc) AS BIGINT) AS sum_anc
+          |FROM anc GROUP BY k ORDER BY k""".stripMargin,
+      "graph_bfs_layers" -> graft.operators.Graph.bfsLayersSql(
+        coEdgesSql(8), "node % 7 = 0", rounds = 3),
+      "graph_ppr" -> graft.operators.Graph.personalizedPageRankSql(
+        coEdgesSql(8), "n.node % 10 = 0", iterations = 4),
+      "graph_modularity" -> {
+        val rounds = (1 to 1).map { i =>
+          s"""l$i AS (SELECT l.node, least(l.label, min(nb.label)) AS label
+             |  FROM l${i - 1} l JOIN e ON e.src = l.node
+             |  JOIN l${i - 1} nb ON nb.node = e.dst
+             |  GROUP BY l.node, l.label)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH r AS (SELECT DISTINCT user_id AS u,
+           |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS it FROM events),
+           |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM r GROUP BY u)
+           |  WHERE dg > 1000),
+           |kept AS (SELECT * FROM r WHERE u NOT IN (SELECT u FROM pow)),
+           |c0 AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS co_users
+           |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2),
+           |c AS (SELECT * FROM c0 WHERE co_users >= 2),
+           |t AS (SELECT max(co_users) // 2 AS t FROM c),
+           |e0 AS (SELECT item_a AS src, item_b AS dst FROM c, t
+           |  WHERE co_users >= t.t),
+           |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+           |$rounds,
+           |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+           |mm AS (SELECT count(*) AS m FROM e0),
+           |ein AS (SELECT a.label, count(*) AS e_in FROM e0
+           |  JOIN l1 a ON a.node = e0.src JOIN l1 b ON b.node = e0.dst
+           |  WHERE a.label = b.label GROUP BY a.label),
+           |ds AS (SELECT l.label, count(*) AS n_nodes, SUM(d.deg) AS d_sum
+           |  FROM l1 l JOIN deg d ON d.node = l.node GROUP BY l.label)
+           |SELECT ds.label, ds.n_nodes,
+           |  CAST(coalesce(e_in, 0) AS BIGINT) AS e_in,
+           |  CAST(d_sum AS BIGINT) AS d_sum, CAST(m AS BIGINT) AS m,
+           |  CAST(4 * m * coalesce(e_in, 0) - d_sum * d_sum AS BIGINT)
+           |    AS q_num_x4m2
+           |FROM ds LEFT JOIN ein ON ds.label = ein.label CROSS JOIN mm
+           |ORDER BY ds.label""".stripMargin
+      }
     )
   }
 }

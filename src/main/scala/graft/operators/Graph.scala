@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge relations.
@@ -25,7 +25,7 @@ object Graph {
     * evaluated ONCE (a `union(select(a,b), select(b,a))` evaluates it
     * twice — 2× a whole co-occurrence projection before any checkpoint
     * can cut the lineage). */
-  private def symmetrize(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+  def symmetrize(edges: DataFrame, aCol: String, bCol: String): DataFrame =
     edges.select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("p"))
@@ -234,6 +234,156 @@ object Graph {
         .localCheckpoint()
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** Bounded-round multi-source BFS over an undirected edge list: every
+    * node satisfying `seed` starts at distance 0 and each round extends
+    * the frontier one hop, so after `rounds` rounds the output holds
+    * (node, dist) for every node within `rounds` hops of a seed —
+    * unreached nodes are absent. This is the reachability/labelling pass
+    * a pipeline runs from a trusted seed set (e.g. "how far is every item
+    * from a curated anchor set").
+    *
+    * Plan shape per round: one semi-join (edges ⋈ frontier on `src`) to
+    * advance, one anti-join against the visited set to drop re-visits —
+    * both equi-joins keyed on node ids, map-side-combinable, and the
+    * frontier/visited tables only ever hold (id, small-int) rows. The
+    * visited set is localCheckpoint'd per round (each round references it
+    * twice: frontier filter + anti-join, and rounds nest). Distances are
+    * integers, so a DuckDB twin unrolls the same rounds bit-for-bit. */
+  def bfsLayers(edges: DataFrame, aCol: String, bCol: String,
+      seed: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = symmetrize(edges, aCol, bCol).localCheckpoint()
+    var dist = e.select(col("src").as("node")).distinct()
+      .where(seed).withColumn("dist", lit(0L)).localCheckpoint()
+    for (r <- 1 to rounds) {
+      val frontier = dist.where(col("dist") === (r - 1).toLong)
+        .select(col("node").as("src"))
+      val reached = e.join(frontier, Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
+      dist = dist.unionAll(reached).localCheckpoint()
+    }
+    dist
+  }
+
+  /** The DuckDB twin of [[bfsLayers]]: unrolled frontier CTEs. `edgesCte`
+    * must end with a SYMMETRIZED relation `e(src, dst)`; `seedWhere` is a
+    * predicate over `node`. */
+  def bfsLayersSql(edgesCte: String, seedWhere: String, rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""f$i AS (SELECT DISTINCT e.dst AS node FROM e
+         |  JOIN d${i - 1} p ON e.src = p.node AND p.dist = ${i - 1}
+         |  WHERE e.dst NOT IN (SELECT node FROM d${i - 1})),
+         |d$i AS (SELECT node, dist FROM d${i - 1}
+         |  UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM n WHERE $seedWhere),
+       |$rs
+       |SELECT node, dist FROM d$rounds ORDER BY node""".stripMargin
+  }
+
+  /** Personalized PageRank in exact integer micro-units: same damped
+    * update as [[pageRank]], but the teleport mass returns ONLY to the
+    * seed set (`seed`, a predicate over `node`) — non-seed nodes get rank
+    * exclusively through in-links, so ranks measure proximity to the
+    * seeds (the "related items" / trust-propagation primitive). Identical
+    * per-iteration plan shape to pageRank; all operands non-negative
+    * integers, so the DuckDB twin replays every iteration. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seed: Column, iterations: Int = 4, unit: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && dampNum >= 0 && dampDen > dampNum)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val base = (dampDen - dampNum) * unit / dampDen
+    val restart = when(seed, lit(base)).otherwise(lit(0L))
+    var ranks = nodes.withColumn("rank",
+      when(seed, lit(unit)).otherwise(lit(0L)))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("rank DIV deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (restart + expr(s"($dampNum * coalesce(s, 0L)) DIV $dampDen"))
+            .as("rank"))
+    }
+    ranks
+  }
+
+  /** The DuckDB twin of [[personalizedPageRank]]. `edgesCte` must define
+    * `e(src, dst)`; `seedWhere` is a predicate over the qualified node
+    * column `n.node` (it is evaluated in scopes where a bare `node` is
+    * ambiguous). */
+  def personalizedPageRankSql(edgesCte: String, seedWhere: String,
+      iterations: Int = 4, unit: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): String = {
+    val base = (dampDen - dampNum) * unit / dampDen
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST(CASE WHEN $seedWhere THEN $base ELSE 0 END
+         |      + ($dampNum * COALESCE(c.s, 0)) // $dampDen AS BIGINT) AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+         |    FROM e JOIN r${i - 1} r ON e.src = r.node
+         |           JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |n AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |r0 AS (SELECT n.node,
+       |  CAST(CASE WHEN $seedWhere THEN $unit ELSE 0 END AS BIGINT) AS rank
+       |  FROM n),
+       |$iters
+       |SELECT node, rank FROM r$iterations ORDER BY node""".stripMargin
+  }
+
+  /** Exact-integer modularity report of a community labelling over an
+    * undirected graph. For canonical edges (a < b, distinct) with
+    * m = |E|, community internal-edge count e_c, and degree sum d_c, the
+    * per-community modularity contribution is
+    * `q_c = e_c/m − (d_c/2m)²`; this emits the integer numerator
+    * `4m²·q_c = 4·m·e_c − d_c²` (plus the raw counts), so the quality of
+    * a clustering (label-prop communities, dedup clusters) is
+    * oracle-checkable with zero floats. Plan: two node-keyed equi-joins
+    * (edge endpoints → labels) + two map-side-combined aggregations —
+    * never wider than the edge list. */
+  def modularityReport(edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") < col("b")).distinct().localCheckpoint()
+    val m = canon.agg(count(lit(1)).as("m"))
+    val la = labels.select(col("node").as("a"), col("label").as("la"))
+    val lb = labels.select(col("node").as("b"), col("label").as("lb"))
+    val eIn = canon.join(la, Seq("a")).join(lb, Seq("b"))
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+    val degs = canon.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    degs.join(labels, Seq("node"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_sum"))
+      .join(eIn, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"), col("m"),
+        (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L)) -
+          col("d_sum") * col("d_sum")).as("q_num_x4m2"))
   }
 
   /** Per-node degree profile of a directed edge relation: out-degree,
