@@ -328,6 +328,37 @@ object SparkEntry {
       log
     })
 
+  /** Events through the transactional-producer lifecycle (once per
+    * sfDir): txn1 stages thirds A (ids ≡ 0 mod 3) and B (≡ 1) across TWO
+    * appends; txn2 stages third C (≡ 2) and ABORTS; a third transaction
+    * is left open (never committed). txn1 commits AFTER the abort, so
+    * the visible log is exactly A∪B published as ONE atomic commit —
+    * per topic, A's rows take offsets [0, |A|) (append order), then B's.
+    * The fixture behind `log_txn_producer`. */
+  private def txnLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "txn"), {
+      val root = Files.createTempDirectory("graft-log-txn-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ev = events(spark, dir).select(
+        col("event_type").as("topic"),
+        encode(col("props"), "UTF-8").as("value"),
+        col("event_id").as("_seq")).cache()
+      ev.count() // materialize once; three stage writes read it
+      val t1 = log.beginTxn()
+      t1.append(ev.where(col("_seq") % 3 === 0), col("_seq"))
+      t1.append(ev.where(col("_seq") % 3 === 1), col("_seq"))
+      val t2 = log.beginTxn()
+      t2.append(ev.where(col("_seq") % 3 === 2), col("_seq"))
+      t2.abort()
+      val t3 = log.beginTxn()
+      t3.append(ev.where(col("_seq") % 3 === 2), col("_seq"))
+      // t3 stays open: its staged spool must stay invisible forever
+      t1.commit(FixedTs)
+      ev.unpersist()
+      log
+    })
+
   /** Documents re-written PARTITIONED BY lang (once per sfDir): the
     * partition-pruning fixture. A lang predicate on this layout prunes
     * whole directories at planning time — the first and cheapest pruning
@@ -4705,6 +4736,20 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    "log_txn_producer" -> ((s, dir) => {
+      // read-committed visibility under the transactional producer: two
+      // staged appends commit as ONE atomic batch, an aborted and a
+      // still-open transaction stay invisible. The dump is every visible
+      // (topic, offset, len) — the oracle reconstructs the exact offset
+      // space from the committed thirds (append order then seq), so a
+      // single leaked aborted/open row or a mis-sequenced offset fails
+      // the gate.
+      val log = txnLog(s, dir)
+      log.toDF()
+        .select(col("topic"), col("offset"),
+          col("len").cast("long").as("len"))
+        .orderBy("topic", "offset")
+    }),
     "sim_threshold_sweep" -> ((s, dir) => {
       // threshold-calibration sweep for the embedding near-dup gate: ONE
       // banded-LSH discovery pass at a low floor (0.20), then pair counts
@@ -8169,6 +8214,20 @@ object SparkEntry {
           |  CAST(least(64, n_tokens - chunk_idx * 48) AS BIGINT) AS tok_len,
           |  toks[CAST(chunk_idx * 48 + 1 AS INTEGER)] AS first_tok
           |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+      "log_txn_producer" ->
+        // visible rows = thirds 0 and 1 only (committed txn); per topic,
+        // third-0 rows order by event_id at offsets [0, n0), then third-1
+        // rows continue — append-call order is the major sort key
+        """WITH v AS (SELECT event_type AS topic, event_id, props,
+          |    event_id % 3 AS grp
+          |  FROM events WHERE event_id % 3 < 2),
+          |o AS (SELECT topic,
+          |    row_number() OVER (PARTITION BY topic ORDER BY grp, event_id) - 1
+          |      AS "offset",
+          |    length(props) AS len
+          |  FROM v)
+          |SELECT topic, "offset", CAST(len AS BIGINT) AS len
+          |FROM o ORDER BY topic, "offset"""".stripMargin,
       "sim_threshold_sweep" -> {
         val (tables, planesPerTable) = (12, 3)
         val bandSelects = (0 until tables).map { t =>

@@ -395,6 +395,31 @@ class WalrusLog(
   private def persistProducers(): Unit =
     writeAtomic(producersPath, Serialization.write(ProducerFile(producerSeq.toMap)))
 
+  // =========================================================================
+  // Transactional producer (Kafka-style transactions reduced to this
+  // engine's visibility primitive)
+  // =========================================================================
+
+  /** Begin a multi-append transaction. Staged appends spool as parquet
+    * under `<ns>/txns/` — real storage IO during the transaction — and
+    * become visible ATOMICALLY at [[WalrusTxn.commit]], which publishes
+    * all staged data as ONE commit (the atomic-rename visibility point
+    * this engine already has — no markers, no LSO tracking, no
+    * read-committed filtering on the consumer path, because uncommitted
+    * data is never referenced by the catalog in the first place).
+    * [[WalrusTxn.abort]] deletes the spool; a transaction abandoned by a
+    * crash is aborted on the next instance's recovery (the analogue of
+    * Kafka's transaction-timeout abort). Offsets are assigned at commit
+    * time, so concurrent non-transactional appends interleave freely
+    * between transactions (they serialize at the commit point only). */
+  def beginTxn(): WalrusTxn = {
+    val id = f"${System.currentTimeMillis()}%013d-${txnNonce.incrementAndGet()}%04d"
+    new WalrusTxn(this, id)
+  }
+
+  private val txnNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[log] def txnStageRoot: Path = nsDir.resolve("txns")
+
   private val entrySchema = StructType(Seq(
     StructField("topic", StringType, nullable = false),
     StructField("offset", LongType, nullable = false),
@@ -1008,6 +1033,12 @@ class WalrusLog(
     * cursors (clamped to valid range); orphaned uncommitted batch dirs are
     * ignored — they were never visible. */
   private def recover(): Unit = {
+    // Abandoned transaction spools (a writer crashed mid-transaction) are
+    // aborted here — staged data was never referenced by any commit, so
+    // deletion is the whole abort (Kafka's transaction-timeout abort,
+    // reduced to a directory sweep).
+    if (Files.exists(txnStageRoot))
+      listDir(txnStageRoot).foreach(deleteRecursively)
     val commitFiles = listDir(commitsDir).filter(_.getFileName.toString.endsWith(".json")).sorted
     commitFiles.foreach { p =>
       val txt = new String(Files.readAllBytes(p), "UTF-8")
@@ -1163,4 +1194,72 @@ object WalrusLog {
         .iterator().asScala.foreach(Files.delete)
       finally s.close()
     }
+}
+
+/** Handle for one transactional produce session (see
+  * [[WalrusLog.beginTxn]]). Single-writer per handle; `append` may be
+  * called any number of times before exactly one `commit` or `abort`.
+  *
+  * Cross-append ordering: within the committed batch, entries order by
+  * (append call index, `seqCol`) per topic — encoded as one composite
+  * long (`call << 40 | seq`), so each append's `seqCol` values must lie
+  * in `[0, 2^40)` (violations raise at stage time, before anything can
+  * publish). The reference's atomic batch (writer.rs:135-341) gives
+  * all-or-nothing for ONE call; this extends the same visibility
+  * guarantee across many calls with storage-backed staging.
+  */
+final class WalrusTxn private[log] (log: WalrusLog, val txnId: String) {
+  import org.apache.spark.sql.Column
+
+  private val stageDir: Path = log.txnStageRoot.resolve(s"txn-$txnId")
+  private var parts = 0L
+  @volatile private var status: String = "open"
+
+  def state: String = status
+  def isOpen: Boolean = status == "open"
+
+  /** Stage one append (columns `topic: STRING`, `value: BINARY`; per-call
+    * order from `seqCol`). Data is written durably now; visibility waits
+    * for [[commit]]. */
+  def append(input: DataFrame, seqCol: Column): this.type = {
+    require(isOpen, s"transaction $txnId is $status")
+    val seq = seqCol.cast(LongType)
+    val guarded = when(seq >= 0L && seq < WalrusTxn.MaxSeqPerAppend, seq)
+      .otherwise(raise_error(concat(
+        lit(s"txn $txnId: seq out of [0, 2^40): "), seq.cast(StringType))))
+    input.select(
+        col("topic").cast(StringType).as("topic"),
+        col("value").cast(BinaryType).as("value"),
+        (lit(parts * WalrusTxn.MaxSeqPerAppend) + guarded).as("_seq"))
+      .write.mode(SaveMode.Append).parquet(stageDir.toString)
+    parts += 1
+    this
+  }
+
+  /** Publish every staged append as ONE atomically visible commit and
+    * dissolve the spool. No-op empty transaction returns the empty
+    * commit record. */
+  def commit(ingestTs: Timestamp = new Timestamp(System.currentTimeMillis()))
+      : CommitRecord = {
+    require(isOpen, s"transaction $txnId is $status")
+    status = "committed"
+    if (parts == 0L) return CommitRecord(-1L, ingestTs.getTime, Map.empty)
+    val staged = log.spark.read.parquet(stageDir.toString)
+    try log.appendDF(staged, Some(col("_seq")), ingestTs)
+    finally WalrusLog.deleteRecursively(stageDir)
+  }
+
+  /** Drop the transaction: staged data is deleted and can never become
+    * visible. Idempotent on an already-aborted handle. */
+  def abort(): Unit = {
+    require(status != "committed", s"transaction $txnId already committed")
+    status = "aborted"
+    WalrusLog.deleteRecursively(stageDir)
+  }
+}
+
+object WalrusTxn {
+  /** Per-append seq domain: 2^40 values — composite ordering key is
+    * `appendIndex * 2^40 + seq`, overflow-safe below ~8M appends/txn. */
+  val MaxSeqPerAppend: Long = 1L << 40
 }

@@ -940,6 +940,60 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.batchRead("t", 1L, checkpoint = true).isEmpty)
   }
 
+  // Kafka-style transactions reduced to the atomic-commit visibility
+  // primitive: staged appends publish as ONE commit; abort/open spools
+  // never become visible; a crash-abandoned spool aborts on recovery.
+  test("transactions: multi-append commit is atomic, abort/open stay invisible") {
+    import spark.implicits._
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    def df(tag: String, n: Int) =
+      (0 until n).map(i => ("t", bytes(s"$tag-$i"), i.toLong))
+        .toDF("topic", "value", "_seq")
+
+    val t1 = log.beginTxn()
+    t1.append(df("a", 3), org.apache.spark.sql.functions.col("_seq"))
+    // nothing visible before commit
+    assert(log.batchRead("t", 1 << 20, checkpoint = false).isEmpty)
+    t1.append(df("b", 2), org.apache.spark.sql.functions.col("_seq"))
+    val t2 = log.beginTxn()
+    t2.append(df("x", 4), org.apache.spark.sql.functions.col("_seq"))
+    t2.abort()
+    val t3 = log.beginTxn() // abandoned open
+    t3.append(df("y", 1), org.apache.spark.sql.functions.col("_seq"))
+    t1.commit()
+
+    // visible = exactly t1's two appends, in (append, seq) order
+    val got = log.batchRead("t", 1 << 20, checkpoint = false)
+    assert(got.map(e => str(e.value)) ==
+      Seq("a-0", "a-1", "a-2", "b-0", "b-1"))
+    assert(got.map(_.offset) == (0L until 5L))
+    // handle lifecycle is enforced
+    intercept[IllegalArgumentException] {
+      t1.append(df("z", 1), org.apache.spark.sql.functions.col("_seq"))
+    }
+    intercept[IllegalArgumentException] { t2.commit() }
+
+    // restart: the abandoned t3 spool is swept (crash-abort) and the
+    // committed data is unchanged
+    val reopened = new WalrusLog(spark, root)
+    assert(reopened.batchRead("t", 1 << 20, checkpoint = false).size == 5)
+    assert(WalrusLog.listDir(
+      java.nio.file.Paths.get(root, "default", "txns")).isEmpty)
+  }
+
+  test("transactions: out-of-range seq fails at stage time, spool stays unpublishable") {
+    import spark.implicits._
+    val log = new WalrusLog(spark, tempRoot())
+    val t = log.beginTxn()
+    val bad = Seq(("t", bytes("v"), -1L)).toDF("topic", "value", "_seq")
+    intercept[org.apache.spark.SparkThrowable] {
+      t.append(bad, org.apache.spark.sql.functions.col("_seq"))
+    }
+    t.abort()
+    assert(log.batchRead("t", 1 << 20, checkpoint = false).isEmpty)
+  }
+
   test("two live instances racing one namespace: exactly one append wins") {
     val root = tempRoot()
     val a = new WalrusLog(spark, root)
