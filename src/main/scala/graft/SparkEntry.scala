@@ -359,11 +359,48 @@ object SparkEntry {
       log
     })
 
+  /** Events as a keyed changelog with planted tombstones (once per
+    * sfDir): topic = event_type, entries encode `<user_id>|<payload>`
+    * (the key travels with every entry, as Kafka's record key does), and
+    * every event with id ≡ 0 (mod 7) carries an EMPTY payload —
+    * `<user_id>|` — the deletion marker. The fixture behind
+    * `log_compact_tombstones`. */
+  private def tombLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "tomb"), {
+      val root = Files.createTempDirectory("graft-log-tomb-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ev = events(spark, dir).select(
+        col("event_type").as("topic"),
+        encode(concat(col("user_id").cast("string"), lit("|"),
+          when(col("event_id") % 7 === 0, lit("")).otherwise(col("props"))),
+          "UTF-8").as("value"),
+        col("event_id").as("_seq"))
+      log.appendDF(ev, Some(col("_seq")), FixedTs)
+      log
+    })
+
   /** Documents re-written PARTITIONED BY lang (once per sfDir): the
     * partition-pruning fixture. A lang predicate on this layout prunes
     * whole directories at planning time — the first and cheapest pruning
     * layer a 100 TB corpus store relies on (before row-group stats or
     * row-level filters ever run). */
+  /** Events changelog split into 3 parquet files (once per sfDir): the
+    * FILE-streaming-source fixture behind `stream_cdc_apply` — with
+    * maxFilesPerTrigger=1 the change stream replays as 3 micro-batches
+    * whose boundaries (and arrival order) the final state must be
+    * independent of. */
+  private val cdcDirCache = TrieMap.empty[String, String]
+  private def cdcStreamDir(spark: SparkSession, dir: String): String =
+    cdcDirCache.getOrElseUpdate(dir, {
+      val out = Files.createTempDirectory("graft-cdc-stream-").toString + "/changes"
+      events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(3, col("event_id"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   private val partDirCache = TrieMap.empty[String, String]
   private def partitionedDocs(spark: SparkSession, dir: String): String =
     partDirCache.getOrElseUpdate(dir, {
@@ -4736,6 +4773,86 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    "stream_cdc_apply" -> ((s, dir) => {
+      // rel_cdc_apply's streaming twin through Spark's FILE streaming
+      // source (the third source family next to walruslog and rate): the
+      // changelog arrives as 3 file-batches (maxFilesPerTrigger=1) and
+      // per-key last-writer-wins state rides mapGroupsWithState — the
+      // arg-max-by-seq update is ORDER-INDEPENDENT, so the final
+      // materialization equals the batch CDC apply whatever the file
+      // arrival order or batch boundaries. Emissions carry the running
+      // state; n_changes is strictly monotone per key, so max_by picks
+      // the final snapshot from the update sink.
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+      import s.implicits._
+      val sch = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(cdcStreamDir(s, dir))
+        .select(col("user_id").as("k"), col("event_id").as("seq"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .as[(Long, Long, String, Long)]
+      val out = src.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+          (k: Long, rows: Iterator[(Long, Long, String, Long)],
+           st: GroupState[(Long, Long, String, Long)]) => {
+            var (n, lastSeq, lastOp, lastCents) =
+              st.getOption.getOrElse((0L, Long.MinValue, "", 0L))
+            rows.foreach { r =>
+              n += 1
+              if (r._2 > lastSeq) { lastSeq = r._2; lastOp = r._3; lastCents = r._4 }
+            }
+            st.update((n, lastSeq, lastOp, lastCents))
+            (k, n, lastSeq, lastOp, lastCents)
+          })
+        .toDF("user_id", "n_changes", "last_seq", "last_op", "last_cents")
+      val rows = runStreamToMemory(s, out, "update")(
+        _.groupBy("user_id")
+          .agg(max_by(struct(col("n_changes"), col("last_seq"),
+            col("last_op"), col("last_cents")), col("n_changes")).as("f"))
+          .select(col("user_id"), col("f.n_changes").as("n_changes"),
+            col("f.last_seq").as("last_seq"), col("f.last_op").as("last_op"),
+            col("f.last_cents").as("last_cents"))
+          .where(col("last_op") =!= "D")
+          .orderBy("user_id").collect().toSeq)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("user_id", LongType),
+          StructField("n_changes", LongType),
+          StructField("last_seq", LongType),
+          StructField("last_op", StringType),
+          StructField("last_cents", LongType))))
+        .orderBy("user_id")
+    }),
+    "text_jelinek_mercer" -> ((s, dir) =>
+      // the other classic LM smoother next to Kneser-Ney: λ-interpolation
+      // of bigram MLE with the unigram prior (λ = 4/5), as two floored
+      // integer micro terms — the overflow-safe form at corpus scale
+      // (see TextAnalysis.jelinekMercerBigrams). Top-25 bigrams,
+      // TakeOrdered head.
+      TextAnalysis.jelinekMercerBigrams(table(s, dir, "documents"), "text")
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(25)),
+    "log_compact_tombstones" -> ((s, dir) => {
+      // Kafka log-cleaner view: latest entry per (topic, key) with
+      // tombstoned keys (latest payload empty) REMOVED — the compacted
+      // state a changelog consumer materializes. One (topic, key)-keyed
+      // shuffle with partial max_by aggregation; no per-key sort window.
+      val log = tombLog(s, dir)
+      val decoded = decode(col("value"), "UTF-8")
+      log.compactKeyed(
+          substring_index(decoded, "|", 1).cast("long"),
+          length(decode(col("value"), "UTF-8")) ===
+            length(substring_index(decode(col("value"), "UTF-8"), "|", 1)) + 1)
+        .select(col("topic"), col("key").cast("long").as("k"),
+          col("last_offset"), col("n_versions"),
+          (length(decode(col("value"), "UTF-8")) -
+            length(col("key").cast("string")) - 1).cast("long")
+            .as("payload_len"))
+        .orderBy("topic", "k")
+    }),
     "log_txn_producer" -> ((s, dir) => {
       // read-committed visibility under the transactional producer: two
       // staged appends commit as ONE atomic batch, an aborted and a
@@ -4881,6 +4998,20 @@ object SparkEntry {
          |          fi -> CAST(ascii(substr($v, fi, 1)) AS HUGEINT))),
          |      (acc, fb) -> mod(xor(acc, fb) * 1099511628211,
          |        CAST('18446744073709551616' AS HUGEINT)))""".stripMargin
+    // CDC last-writer-wins materialization twin — shared by the batch
+    // apply (rel_cdc_apply) and its streaming equivalent
+    // (stream_cdc_apply), so the two semantics can never drift
+    val cdcApplyOracleSql =
+      """WITH ch AS (SELECT user_id AS k, event_id AS seq,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (SELECT k AS user_id, count(*) AS n_changes, max(seq) AS last_seq,
+        |    arg_max(op, seq) AS last_op, arg_max(cents, seq) AS last_cents
+        |  FROM ch GROUP BY k)
+        |SELECT user_id, n_changes, last_seq, last_op, last_cents FROM f
+        |WHERE last_op <> 'D' ORDER BY user_id""".stripMargin
     // Symmetrized co-occurrence edge CTEs over the user→item interaction
     // relation (ends with canonical pairs `e0(src, dst)` and symmetrized
     // `e(src, dst)`) — the shared graph fixture behind the label-prop /
@@ -8147,17 +8278,8 @@ object SparkEntry {
            |$rounds
            |SELECT node, label FROM l3 ORDER BY node""".stripMargin
       },
-      "rel_cdc_apply" ->
-        """WITH ch AS (SELECT user_id AS k, event_id AS seq,
-          |    CASE WHEN event_type = 'signup' THEN 'I'
-          |         WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-          |  FROM events),
-          |f AS (SELECT k AS user_id, count(*) AS n_changes, max(seq) AS last_seq,
-          |    arg_max(op, seq) AS last_op, arg_max(cents, seq) AS last_cents
-          |  FROM ch GROUP BY k)
-          |SELECT user_id, n_changes, last_seq, last_op, last_cents FROM f
-          |WHERE last_op <> 'D' ORDER BY user_id""".stripMargin,
+      "rel_cdc_apply" -> cdcApplyOracleSql,
+      "stream_cdc_apply" -> cdcApplyOracleSql,
       "rel_skyline" ->
         """WITH g AS (SELECT CAST(o_orderdate AS DATE) AS day,
           |    o_totalprice AS price, count(*) AS n_orders
@@ -8214,6 +8336,39 @@ object SparkEntry {
           |  CAST(least(64, n_tokens - chunk_idx * 48) AS BIGINT) AS tok_len,
           |  toks[CAST(chunk_idx * 48 + 1 AS INTEGER)] AS first_tok
           |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+      "text_jelinek_mercer" ->
+        """WITH tks AS (
+          |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          |  FROM documents),
+          |d AS (SELECT tk, len(tk) AS n FROM tks WHERE len(tk) >= 2),
+          |bg AS (SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM (
+          |  SELECT tk, unnest(generate_series(1, n - 1)) AS i FROM d)),
+          |c AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+          |l AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c1 FROM c GROUP BY w1),
+          |u AS (SELECT tok AS w2, count(*) AS uw FROM (
+          |  SELECT unnest(tk) AS tok FROM tks) GROUP BY 1),
+          |nn AS (SELECT count(*) AS nt FROM (SELECT unnest(tk) AS tok FROM tks))
+          |SELECT c.w1, c.w2, c.cnt,
+          |  CAST((1000000 * 4 * c.cnt) // (5 * l.c1)
+          |    + (1000000 * u.uw) // (5 * nn.nt) AS BIGINT) AS p_micro
+          |FROM c JOIN l USING (w1) JOIN u USING (w2) CROSS JOIN nn
+          |ORDER BY c.cnt DESC, c.w1, c.w2 LIMIT 25""".stripMargin,
+      "log_compact_tombstones" ->
+        // replay the keyed changelog: per (topic, user) the latest
+        // payload by offset (dense per-topic offsets follow event_id
+        // order); keys whose latest payload is empty are tombstoned away
+        """WITH v AS (SELECT event_type AS topic, user_id AS k, event_id,
+          |    CASE WHEN event_id % 7 = 0 THEN '' ELSE props END AS payload
+          |  FROM events),
+          |o AS (SELECT topic, k, payload,
+          |    row_number() OVER (PARTITION BY topic ORDER BY event_id) - 1 AS off
+          |  FROM v),
+          |g AS (SELECT topic, k, count(*) AS n_versions,
+          |    max(off) AS last_offset, arg_max(payload, off) AS last_payload
+          |  FROM o GROUP BY topic, k)
+          |SELECT topic, k, CAST(last_offset AS BIGINT) AS last_offset,
+          |  n_versions, CAST(length(last_payload) AS BIGINT) AS payload_len
+          |FROM g WHERE length(last_payload) > 0 ORDER BY topic, k""".stripMargin,
       "log_txn_producer" ->
         // visible rows = thirds 0 and 1 only (committed txn); per topic,
         // third-0 rows order by event_id at offsets [0, n0), then third-1

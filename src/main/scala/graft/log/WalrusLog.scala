@@ -1027,6 +1027,33 @@ class WalrusLog(
     Some(id)
   }
 
+  /** Kafka log-cleaner semantics as a plan builder: the latest entry per
+    * (topic, key) across every visible entry, with keys whose latest
+    * value is a TOMBSTONE (per `tombstone`, e.g. `length(value) === 0`)
+    * removed entirely — the compacted-topic view a changelog consumer
+    * materializes. `keyExpr` extracts the record key from the entry
+    * columns (`topic/offset/ts/value/...`); null-key entries are outside
+    * compaction's domain (Kafka drops them from compacted topics) and are
+    * excluded.
+    *
+    * Plan shape: ONE shuffle keyed on (topic, key) with a partial
+    * `max_by(struct, offset)` aggregation — no per-key sort window, so
+    * map-side combine collapses hot keys before the exchange (the
+    * rel_cdc_apply shape). Callers wanting storage reclamation append the
+    * result to a fresh topic/log (the cleaner's output segment) — offsets
+    * in THIS log are never rewritten, mirroring how [[compact]] moves
+    * storage but never offsets.
+    * Columns: topic, key, last_offset, n_versions, value. */
+  def compactKeyed(keyExpr: org.apache.spark.sql.Column,
+      tombstone: org.apache.spark.sql.Column): DataFrame = {
+    val keyed = toDF().withColumn("_k", keyExpr).where(col("_k").isNotNull)
+    keyed.groupBy(col("topic"), col("_k").as("key"))
+      .agg(count(lit(1)).as("n_versions"),
+        max(col("offset")).as("last_offset"),
+        max_by(col("value"), col("offset")).as("value"))
+      .where(!tombstone)
+  }
+
   /** Startup recovery (reference: `startup_chore`,
     * src/wal/runtime/walrus.rs:240-425): replay the commit log in id order to
     * rebuild topic states, segment accounting, and entry counts; hydrate

@@ -447,6 +447,40 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("cnt"), col("p_micro"))
   }
 
+  /** Jelinek-Mercer interpolated bigram probabilities, EXACT-INTEGER:
+    * with λ = 4/5,
+    *   P_jm(w2|w1) = λ·c(w1,w2)/c1(w1) + (1−λ)·u(w2)/N
+    * is emitted as the SUM OF TWO FLOORED MICRO TERMS
+    *   p_micro = (10⁶·4·c) DIV (5·c1) + (10⁶·u) DIV (5·N)
+    * — deliberately NOT the single common-denominator fraction: that
+    * numerator carries c·N and overflows BIGINT once corpus token counts
+    * pass ~10⁶ (the 100 TB regime); each term here stays ≤ 4·10¹².
+    * Both engines replay the identical two-floor form bit-for-bit.
+    *
+    * Plan: the bigram-count aggregation (the expensive pass), a w1
+    * re-aggregation on the same exchange shape, a unigram aggregation,
+    * and one scalar token-count action. Returns every observed bigram:
+    * (w1, w2, cnt, p_micro). */
+  def jelinekMercerBigrams(df: DataFrame, textCol: String): DataFrame = {
+    val arrs = df
+      .select(expr(s"filter(split($textCol, ' '), x -> x <> '')").as("tk"))
+    val toks = arrs.select(explode(col("tk")).as("word"))
+    val bigrams = arrs.where(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cnts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val left = cnts.groupBy("w1").agg(sum("cnt").as("c1"))
+    val uni = toks.groupBy(col("word").as("w2")).agg(count(lit(1)).as("uw"))
+    val n = toks.count()
+    cnts.join(left, Seq("w1")).join(uni, Seq("w2"))
+      .withColumn("p_micro", expr(
+        s"(1000000 * 4 * cnt) DIV (5 * c1) + (1000000 * uw) DIV (5 * ${n}L)"))
+      .select(col("w1"), col("w2"), col("cnt"), col("p_micro"))
+  }
+
   def cmsTopK(df: DataFrame, textCol: String, depth: Int = 4,
       width: Int = 1024, topK: Int = 25): DataFrame = {
     require(depth >= 1 && depth <= 8, "depth out of range")
