@@ -4773,6 +4773,19 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    "sim_nn_descent" -> ((s, dir) =>
+      // one NN-Descent refinement of the LSH-initialized kNN graph: the
+      // graph-ANN construction loop behind HNSW-class indexes, expressed
+      // as k-bounded equi-joins (candidates = neighbors-of-neighbors,
+      // never corpus all-pairs). Measurably better than raw LSH init:
+      // the refined top-3 re-ranks over a candidate set the buckets
+      // alone never saw.
+      Similarity.nnDescentRound(
+          table(s, dir, "embeddings").where(col("vec_id") < 200),
+          "vec_id", "embedding", planes = 4, k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), col("cosine"))
+        .orderBy("query_id", "rnk")),
     "stream_cdc_apply" -> ((s, dir) => {
       // rel_cdc_apply's streaming twin through Spark's FILE streaming
       // source (the third source family next to walruslog and rate): the
@@ -4973,7 +4986,10 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("long").as("item")),
         "user_id", "item", minShared = 2L, maxUserDegree = 1000)
         .localCheckpoint()
-      val t = co0.agg(max(col("co_users"))).collect()(0).getLong(0) / 2
+      // empty co-occurrence (tiny corpora): NULL max → empty graph, empty
+      // report — matching the oracle's `co_users >= NULL` (never true)
+      val tRow = co0.agg(max(col("co_users"))).collect()(0)
+      val t = if (tRow.isNullAt(0)) Long.MaxValue else tRow.getLong(0) / 2
       val co = co0.where(col("co_users") >= t)
       // ONE HashMin round: each node labels with min(self, neighbors) —
       // a fine-grained partition (more rounds converge to the component
@@ -8383,6 +8399,41 @@ object SparkEntry {
           |  FROM v)
           |SELECT topic, "offset", CAST(len AS BIGINT) AS len
           |FROM o ORDER BY topic, "offset"""".stripMargin,
+      "sim_nn_descent" -> {
+        val bits = (0 until 4).map { j =>
+          s"CASE WHEN (${projDotSql("e", j)}) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+        }.mkString(" + ")
+        def cosSql(a: String, b: String): String =
+          s"floor((${dotSql(a, b)}) /" +
+            s" (sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)})) * 1000000 + 0.5) / 1000000"
+        s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+           |b AS (SELECT e.vec_id, $bits AS bucket FROM v e),
+           |p0 AS (SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+           |    ${cosSql("l", "r")} AS cosine
+           |  FROM v l JOIN b bl ON l.vec_id = bl.vec_id
+           |  JOIN b br ON bl.bucket = br.bucket
+           |  JOIN v r ON r.vec_id = br.vec_id AND r.vec_id <> l.vec_id),
+           |i0 AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+           |  FROM p0) WHERE rnk <= 3),
+           |sym AS (SELECT query_id, neighbor_id FROM i0
+           |  UNION SELECT neighbor_id, query_id FROM i0),
+           |nn2 AS (SELECT a.query_id, b.neighbor_id
+           |  FROM sym a JOIN sym b ON a.neighbor_id = b.query_id),
+           |cand AS (SELECT DISTINCT query_id, neighbor_id FROM (
+           |  SELECT * FROM sym UNION ALL SELECT * FROM nn2)
+           |  WHERE query_id <> neighbor_id),
+           |s AS (SELECT c.query_id, c.neighbor_id, ${cosSql("l", "r")} AS cosine
+           |  FROM cand c JOIN v l ON l.vec_id = c.query_id
+           |  JOIN v r ON r.vec_id = c.neighbor_id),
+           |f AS (SELECT query_id, neighbor_id, cosine,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM s)
+           |SELECT query_id, neighbor_id, rnk, cosine FROM f
+           |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+      },
       "sim_threshold_sweep" -> {
         val (tables, planesPerTable) = (12, 3)
         val bandSelects = (0 until tables).map { t =>

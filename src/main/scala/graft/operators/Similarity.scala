@@ -46,6 +46,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** One NN-Descent refinement round over an LSH-initialized kNN graph —
+    * the scalable graph-ANN construction loop (NN-Descent: "a neighbor of
+    * a neighbor is likely a neighbor"): initialize each vector's top-`k`
+    * from its sign-projection bucket ([[lshTopK]]), symmetrize, expand
+    * candidates to neighbors-of-neighbors, exact-rerank, keep top-`k`.
+    * Run to convergence this builds the kNN graph behind HNSW-class
+    * indexes; the single scheduled round here is the bounded-cost
+    * pipeline form (each further round is the same plan over the
+    * refined graph).
+    *
+    * Scale shape: candidate generation is one equi-join of two k-bounded
+    * neighbor lists (fan-out ≤ (2k)² per node, NEVER corpus all-pairs);
+    * the rerank joins vectors back by id and ranks inside a
+    * query-partitioned window. All similarity is q6 cosine with id
+    * tie-break, so the DuckDB twin replays init + round bit-for-bit. */
+  def nnDescentRound(
+      emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_similarity
+    val init = lshTopK(emb, idCol, vecCol, planes, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val sym = init.unionAll(init.select(col("neighbor_id").as("query_id"),
+        col("query_id").as("neighbor_id")))
+      .distinct().localCheckpoint()
+    val nn2 = sym.as("a")
+      .join(sym.as("b"), col("a.neighbor_id") === col("b.query_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("b.neighbor_id").as("neighbor_id"))
+    val cands = sym.unionAll(nn2)
+      .where(col("query_id") =!= col("neighbor_id")).distinct()
+    val l = emb.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val r = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = cands.join(l, Seq("query_id")).join(r, Seq("neighbor_id"))
+      .withColumn("cosine", q6(cosine_similarity(col("q_vec"), col("c_vec"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** The sign-random-projection bucket id as a Column — THE single
     * definition of the LSH hash (bit `j` set iff `dot(vec, r_j) > 0`);
     * every bucket consumer (lshBuckets, rangeSearch) and the generated SQL

@@ -596,4 +596,59 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("bit_count"), "hamming must use bit_count")
     assert(!plan.contains("Generate"), s"explode crept into the quantize:\n$plan")
   }
+
+  test("bfs layers and personalized pagerank: equi-join rounds, never nested-loop") {
+    Seq("graph_bfs_layers", "graph_ppr").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q BNL join:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+    }
+  }
+
+  test("modularity: label/degree joins are equi-joins; m joins as a 1-row broadcast") {
+    val plan = planOf("graph_modularity")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"node-keyed joins should stay hash/broadcast at this size:\n$plan")
+  }
+
+  test("recursive CTE: runs as UnionLoop, no manual unrolling") {
+    val plan = planOf("rel_recursive_cte")
+    assert(plan.contains("UnionLoop"), s"recursion must plan as UnionLoop:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("threshold sweep: banded discovery join, no all-pairs") {
+    val plan = planOf("sim_threshold_sweep")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNL join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("projection_dot"), "fused hyperplane projection missing")
+  }
+
+  test("temporal split: broadcast bounds row, corpus never shuffle-joined") {
+    val plan = planOf("shard_temporal_split")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"bounds must broadcast, never shuffle the corpus:\n$plan")
+  }
+
+  test("jelinek-mercer: count joins are equi-joins, N embedded as a literal") {
+    val plan = planOf("text_jelinek_mercer")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"non-equi join:\n$plan")
+  }
+
+  test("tombstone compaction: one max_by aggregation, no per-key sort window") {
+    val root = Files.createTempDirectory("plan-tomb-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    log.batchAppend("t", Seq("1|a", "2|b", "1|", "2|bb").map(_.getBytes("UTF-8")))
+    val decoded = decode(col("value"), "UTF-8")
+    val plan = log.compactKeyed(
+        substring_index(decoded, "|", 1).cast("long"),
+        length(decode(col("value"), "UTF-8")) ===
+          length(substring_index(decode(col("value"), "UTF-8"), "|", 1)) + 1)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Window"), s"keep-last must not sort per key:\n$plan")
+    assert(plan.contains("max_by"), s"arg-max aggregation expected:\n$plan")
+    assert(!plan.contains("Join"), s"must be join-free:\n$plan")
+  }
 }
