@@ -298,6 +298,30 @@ object SparkEntry {
       (log, cuts)
     })
 
+  /** Events in three commits (same thirds as [[vacLog]]) on a fresh
+    * namespace with NO consumers — the fixture behind size-based
+    * retention (`log_retention_bytes`), which must reclaim storage purely
+    * from per-topic payload-byte accounting. */
+  private def retainBytesLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "retainbytes"), {
+      val root = Files.createTempDirectory("graft-log-retain-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ev = events(spark, dir).select(
+        col("event_type").as("topic"),
+        encode(col("props"), "UTF-8").as("value"),
+        col("event_id").as("_seq")).cache()
+      val n = ev.count()
+      val cut1 = n / 3
+      val cut2 = 2 * n / 3
+      log.appendDF(ev.where(col("_seq") < cut1), Some(col("_seq")), FixedTs)
+      log.appendDF(ev.where(col("_seq") >= cut1 && col("_seq") < cut2),
+        Some(col("_seq")), FixedTs)
+      log.appendDF(ev.where(col("_seq") >= cut2), Some(col("_seq")), FixedTs)
+      ev.unpersist()
+      log
+    })
+
   /** Events through the full storage-churn lifecycle (once per sfDir):
     * two commits → `compact()` merges them (replaces + source deletion)
     * → a third commit → a gc cursor consumes through the compacted range
@@ -1705,6 +1729,37 @@ object SparkEntry {
           table(s, dir, "documents").where(col("doc_id") % 10 === 0),
           "doc_id", "text", k = 8, minContainment = 0.3, maxDocFreq = Some(50))
         .orderBy("id_a", "id_b")),
+    "dedup_substring_spans" -> ((s, dir) =>
+      // maximal duplicated word runs between doc pairs — the distributed
+      // suffix-array-dedup analogue (Lee et al. 2022): capped word-4-gram
+      // seed matches merged along (pair, diagonal) with a gaps-islands
+      // window; span start pair determines the diagonal, so
+      // (id_a, id_b, start_a, start_b) is a total order
+      Dedup.duplicatedSpans(
+          table(s, dir, "documents").where(col("doc_id") % 3 === 0),
+          "doc_id", "text", k = 4, maxGramFreq = 20, minSpanWords = 4)
+        .orderBy("id_a", "id_b", "start_a", "start_b")),
+    "dedup_edit_distance" -> ((s, dir) => {
+      // fuzzy dedup, discovery/verify split: MinHash-LSH candidates (the
+      // bounded bucket join) verified by EXACT Levenshtein distance — the
+      // character-level ground truth n-gram Jaccard only approximates.
+      // Edit distance is O(len²) per pair, so it runs strictly on the
+      // candidate set, never the corpus; both engines' levenshtein is the
+      // classic char-DP, and ned_milli divides non-negative integers
+      // (DIV/`//`-safe).
+      val docs = table(s, dir, "documents")
+      val cands = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 5, bands = 4, rowsPerBand = 4)
+      val t = docs.select(col("doc_id"), col("text"))
+      cands.join(t.as("ta"), col("id_a") === col("ta.doc_id"))
+        .join(t.as("tb"), col("id_b") === col("tb.doc_id"))
+        .withColumn("edit_dist",
+          levenshtein(col("ta.text"), col("tb.text")).cast("long"))
+        .withColumn("ned_milli",
+          expr("edit_dist * 1000 DIV greatest(length(ta.text), length(tb.text))"))
+        .select(col("id_a"), col("id_b"), col("edit_dist"), col("ned_milli"))
+        .orderBy("id_a", "id_b")
+    }),
 
     // ---- M3 reclamation, R8 checksum verify, consumer assignment ----
     "log_vacuum" -> ((s, dir) => {
@@ -1728,6 +1783,34 @@ object SparkEntry {
           StructField("total", LongType),
           StructField("committed", LongType),
           StructField("visible", LongType),
+          StructField("vacuumed_batches", LongType))))
+        .orderBy("topic")
+    }),
+    "log_retention_bytes" -> ((s, dir) => {
+      // Size-based retention (Kafka retention.bytes analogue): a 3-commit
+      // log with NO consumers reclaims every batch whose topics all have
+      // >= 20 kB of strictly newer payload retained — pure TopicRange
+      // metadata arithmetic, no data IO. The oracle replays the reclaim
+      // rule from per-(topic, third) byte sums, so the byte accounting
+      // itself is what's checked. Idempotent across reruns: survivors'
+      // newer-bytes are computed over visible commits and don't change
+      // when older batches disappear.
+      val log = retainBytesLog(s, dir)
+      log.vacuumToBytes(20000L)
+      val vac = jsonLong(log.metricsJson(), "vacuumed_batches")
+      val vis = log.toDF().groupBy("topic")
+        .agg(count(lit(1)).as("visible"),
+          sum(length(col("value"))).as("visible_bytes"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val rows = log.topicNames.sorted.map { t =>
+        val (v, vb) = vis.getOrElse(t, (0L, 0L))
+        Row(t, log.totalAppended(t), v, vb, vac)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("total", LongType),
+          StructField("visible", LongType),
+          StructField("visible_bytes", LongType),
           StructField("vacuumed_batches", LongType))))
         .orderBy("topic")
     }),
@@ -2608,6 +2691,34 @@ object SparkEntry {
         .where(col("k").isNotNull)
         .select(col("topic"), col("k"))
         .dropDuplicates("topic", "k")
+      val rows = runStreamToMemory(s, out, "append")(
+        _.orderBy("topic", "k").collect().toSeq)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("k", LongType))))
+        .orderBy("topic", "k")
+    }),
+    "stream_dedup_watermark" -> ((s, dir) => {
+      // The BOUNDED-STATE twin of stream_dedup: dropDuplicatesWithinWatermark
+      // expires each key's dedup state once the watermark passes its event
+      // time + delay — at 100 TB this is the only dedup that survives an
+      // unbounded keyspace (stream_dedup's state grows forever). The delay
+      // (4 h) deliberately exceeds the fixture's whole event-time span
+      // (k·60 s, k ≤ 99 → 100 min), so NO state expires before the drain
+      // ends and the emitted set is the exact DISTINCT whatever the
+      // admission-controlled batch boundaries were — the oracle stays
+      // stream_dedup's. Emission is eager (first occurrence emits
+      // immediately; only state EXPIRY waits for the watermark), so no
+      // sentinel flush is needed in append mode.
+      val log = mainLog(s, dir)
+      val out = graft.streaming.WalrusStreams.readStream(s, log.root)
+        .withColumn("k",
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
+        .where(col("k").isNotNull)
+        .withColumn("et", timestamp_seconds(col("k") * 60 + 3600))
+        .withWatermark("et", "4 hours")
+        .dropDuplicatesWithinWatermark("topic", "k")
+        .select(col("topic"), col("k"))
       val rows = runStreamToMemory(s, out, "append")(
         _.orderBy("topic", "k").collect().toSeq)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1),
@@ -4089,6 +4200,22 @@ object SparkEntry {
             get_json_object(col("props"), "$.k").cast("long").as("item")),
           "user_id", "item", minShared = 3L, maxUserDegree = 1000)
         .orderBy("item_a", "item_b")),
+    "graph_adamic_adar" -> ((s, dir) =>
+      // link prediction over the bipartite interaction graph: Adamic–Adar
+      // weighted common neighbors, rare shared items counting more
+      // (w = floor(1e6/ln(deg) + 0.5) micro-units, rounded per term so
+      // both engines sum identical integers). The user subset keeps item
+      // degrees bounded by the subset size at every SF; the degree cap is
+      // simultaneously the fan-out bound and AA's own "hubs carry no
+      // signal" semantics.
+      graft.operators.Graph.adamicAdar(
+          table(s, dir, "events")
+            .where(col("user_id") < 60)
+            .select(col("user_id"),
+              get_json_object(col("props"), "$.k").cast("long").as("item"))
+            .where(col("item").isNotNull),
+          "user_id", "item", maxItemDegree = 60, minCommon = 2L)
+        .orderBy("user_a", "user_b")),
     "graph_triangles" -> ((s, dir) => {
       // community structure of the co-occurrence graph: per-node triangle
       // counts via the canonical a<b<c 2-path + semi-join closure — each
@@ -6318,6 +6445,57 @@ object SparkEntry {
            |JOIN sz sb ON sb.doc_id = id_b
            |WHERE round(CAST(n_common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) >= 0.3
            |ORDER BY id_a, id_b""".stripMargin,
+      "dedup_substring_spans" ->
+        """WITH d AS (
+          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          |  WHERE doc_id % 3 = 0 AND len(string_split(text, ' ')) >= 4),
+          |g AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS pos FROM d),
+          |grams AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          |    array_to_string(ws[pos:pos+3], ' ') AS gram FROM g),
+          |keep AS (
+          |  SELECT doc_id, pos, gram FROM grams
+          |  WHERE gram IN (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 20)),
+          |m AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb,
+          |    a.pos - b.pos AS diag
+          |  FROM keep a JOIN keep b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+          |isl AS (
+          |  SELECT *, CASE WHEN pa - lag(pa) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) <= 4
+          |    THEN 0 ELSE 1 END AS brk FROM m),
+          |grp AS (
+          |  SELECT *, SUM(brk) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS gid FROM isl)
+          |SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
+          |  CAST(max(pa) - min(pa) + 4 AS BIGINT) AS span_words, count(*) AS n_seeds
+          |FROM grp GROUP BY id_a, id_b, diag, gid
+          |HAVING max(pa) - min(pa) + 4 >= 4
+          |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+      "dedup_edit_distance" -> {
+        val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(${permSql("code", a, b)}) AS mh$j"
+        }.mkString(",\n  ")
+        val bandKeys = (0 until 4).map { bnd =>
+          (0 until 4).map(r => s"CAST(mh${bnd * 4 + r} AS VARCHAR)")
+            .mkString(s"SELECT doc_id, $bnd AS band, ", " || '_' || ", " AS bkey FROM sig")
+        }.mkString("\n  UNION ALL ")
+        s"""${shinglesSql(5, "TRUE")},
+           |sig AS (SELECT doc_id, $mins FROM codes GROUP BY doc_id),
+           |banded AS (
+           |  $bandKeys),
+           |cand AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+           |  WHERE l.doc_id < r.doc_id),
+           |ld AS (
+           |  SELECT id_a, id_b,
+           |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+           |    greatest(length(ta.text), length(tb.text)) AS mx
+           |  FROM cand
+           |  JOIN documents ta ON ta.doc_id = id_a
+           |  JOIN documents tb ON tb.doc_id = id_b)
+           |SELECT id_a, id_b, edit_dist,
+           |  CAST(edit_dist * 1000 // mx AS BIGINT) AS ned_milli
+           |FROM ld ORDER BY id_a, id_b""".stripMargin
+      },
 
       "log_vacuum" ->
         """WITH cut AS (SELECT count(*) // 3 AS c1 FROM events),
@@ -6329,6 +6507,26 @@ object SparkEntry {
           |  CAST(total - committed AS BIGINT) AS visible,
           |  CAST(1 AS BIGINT) AS vacuumed_batches
           |FROM t ORDER BY topic""".stripMargin,
+      "log_retention_bytes" ->
+        """WITH nn AS (SELECT count(*) AS n FROM events),
+          |e AS (SELECT event_type AS topic, length(props) AS b,
+          |    CASE WHEN event_id < (SELECT n // 3 FROM nn) THEN 1
+          |         WHEN event_id < (SELECT 2 * n // 3 FROM nn) THEN 2
+          |         ELSE 3 END AS batch
+          |  FROM events),
+          |tb AS (SELECT topic, batch, count(*) AS cnt, sum(b) AS bytes
+          |  FROM e GROUP BY 1, 2),
+          |nw AS (SELECT t1.topic, t1.batch, t1.cnt, t1.bytes,
+          |    coalesce((SELECT sum(t2.bytes) FROM tb t2
+          |      WHERE t2.topic = t1.topic AND t2.batch > t1.batch), 0) AS newer_bytes
+          |  FROM tb t1),
+          |rec AS (SELECT batch FROM nw GROUP BY batch
+          |  HAVING min(CASE WHEN newer_bytes >= 20000 THEN 1 ELSE 0 END) = 1)
+          |SELECT topic, CAST(sum(cnt) AS BIGINT) AS total,
+          |  CAST(sum(CASE WHEN batch IN (SELECT batch FROM rec) THEN 0 ELSE cnt END) AS BIGINT) AS visible,
+          |  CAST(sum(CASE WHEN batch IN (SELECT batch FROM rec) THEN 0 ELSE bytes END) AS BIGINT) AS visible_bytes,
+          |  CAST((SELECT count(*) FROM rec) AS BIGINT) AS vacuumed_batches
+          |FROM nw GROUP BY topic ORDER BY topic""".stripMargin,
       "log_checksum_verify" ->
         """SELECT event_type AS topic, count(*) AS n, count(*) AS n_ok
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -6755,6 +6953,15 @@ object SparkEntry {
           |FROM g JOIN c USING (topic, k)
           |GROUP BY topic, sid ORDER BY topic, sess_start""".stripMargin,
       "stream_dedup" ->
+        """SELECT DISTINCT event_type AS topic,
+          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |FROM events
+          |WHERE json_extract_string(props, '$.k') IS NOT NULL
+          |ORDER BY topic, k""".stripMargin,
+      // same oracle as stream_dedup: the 4 h delay exceeds the fixture's
+      // event-time span, so no dedup state expires mid-drain and the
+      // emitted set is the exact distinct
+      "stream_dedup_watermark" ->
         """SELECT DISTINCT event_type AS topic,
           |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           |FROM events
@@ -7717,6 +7924,24 @@ object SparkEntry {
           |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2)
           |SELECT item_a, item_b, co_users FROM p WHERE co_users >= 3
           |ORDER BY item_a, item_b""".stripMargin,
+      "graph_adamic_adar" ->
+        """WITH r AS (
+          |  SELECT DISTINCT user_id AS u,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS it
+          |  FROM events
+          |  WHERE user_id < 60 AND json_extract_string(props, '$.k') IS NOT NULL),
+          |d AS (SELECT it, count(*) AS deg FROM r GROUP BY it
+          |  HAVING count(*) BETWEEN 2 AND 60),
+          |w AS (SELECT it,
+          |    CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT) AS w
+          |  FROM d),
+          |p AS (
+          |  SELECT a.u AS user_a, b.u AS user_b, w.w
+          |  FROM r a JOIN r b ON a.it = b.it AND a.u < b.u JOIN w ON w.it = a.it)
+          |SELECT user_a, user_b, count(*) AS n_common,
+          |  CAST(sum(w) AS BIGINT) AS aa_micro
+          |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+          |ORDER BY user_a, user_b""".stripMargin,
       "graph_triangles" ->
         """WITH r AS (SELECT DISTINCT user_id AS u,
           |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS it FROM events),

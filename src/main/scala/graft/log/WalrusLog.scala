@@ -973,6 +973,33 @@ class WalrusLog(
     reclaim.map(_.id).toSeq
   }
 
+  /** Size-based retention (the Kafka `retention.bytes` analogue,
+    * complementing [[vacuum]]'s consumption-based and [[vacuumOlderThan]]'s
+    * time-based reclamation): reclaim every batch whose data is entirely
+    * beyond the retained tail — a batch qualifies iff for EVERY topic it
+    * carries, strictly newer visible batches already hold ≥ `maxTopicBytes`
+    * of that topic's payload bytes. Reclamation is batch-granular (like
+    * the reference's file-level reclamation, allocator.rs:188-342), so the
+    * retained tail per topic is at least `maxTopicBytes` but may overshoot
+    * by up to one batch. Storage-only, like the other vacuums: offsets,
+    * counts, segments, and cursors survive. Accounting uses the payload
+    * byte sums each commit records per topic ([[TopicRange.bytes]]) —
+    * pure metadata, no data-file IO at any scale. */
+  def vacuumToBytes(maxTopicBytes: Long): Seq[Long] = synchronized {
+    val vis = visibleCommits.filter(_.topics.nonEmpty).toSeq.sortBy(_.id)
+    // suffix sums per topic: bytes in strictly newer batches (metadata
+    // scale: O(commits × topics-per-commit))
+    val newer = mutable.Map.empty[String, Long]
+    val reclaimable = vis.reverseIterator.map { c =>
+      val ok = c.topics.forall { case (t, _) => newer.getOrElse(t, 0L) >= maxTopicBytes }
+      c.topics.foreach { case (t, r) => newer(t) = newer.getOrElse(t, 0L) + r.bytes }
+      (c, ok)
+    }.toSeq
+    val reclaim = reclaimable.collect { case (c, true) => c }
+    reclaim.foreach(reclaimBatch)
+    reclaim.map(_.id).sorted
+  }
+
   /** Delete a batch's data dir and mark its commit record vacuumed —
     * state is still replayed on recovery, only reads skip it. */
   private def reclaimBatch(c: CommitRecord): Unit = {

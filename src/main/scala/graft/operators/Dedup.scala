@@ -468,6 +468,55 @@ object Dedup {
       .where(col("shared_fps") >= minShared)
   }
 
+  /** Maximal duplicated-substring spans between document pairs — the
+    * distributed analogue of suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): instead of one global suffix array (inherently
+    * sequential to build), duplicated RUNS are recovered from word k-gram
+    * seed matches merged along match diagonals.
+    *
+    * Pipeline: positional word k-grams per doc (one split + one explode,
+    * no shuffle) → total-occurrence cap drops boilerplate grams (the
+    * stop-shingle playbook; also bounds every join bucket to ≤ maxGramFreq
+    * rows per side) → equi-join on the gram STRING → per (pair, diagonal
+    * = pos_a − pos_b) gaps-islands merge: seed matches whose positions on
+    * a shared diagonal are within `k` words belong to one contiguous (or
+    * overlapping) duplicated span. Output: one row per maximal span with
+    * its start in both docs, word length, and seed count.
+    *
+    * At 100 TB the shuffle keys are (gram) then (id_a, id_b, diag) — both
+    * bounded: the first by the frequency cap, the second
+    * match-proportional. Nothing is ever all-pairs, and the window
+    * partition is a single span chain, never a whole document. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, maxGramFreq: Int = 20, minSpanWords: Int = 4): DataFrame = {
+    val d = df.select(col(idCol).as("_id"), split(col(textCol), " ").as("_ws"))
+      .where(size(col("_ws")) >= k)
+    val grams = d.select(col("_id"), posexplode(expr(
+        s"transform(sequence(1, size(_ws) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(_ws, i, $k)))")).as(Seq("_p0", "gram")))
+      .select(col("_id"), (col("_p0") + 1).cast("long").as("pos"), col("gram"))
+    val hot = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxGramFreq).select("gram")
+    val keep = grams.join(broadcast(hot), Seq("gram"), "left_anti")
+    val m = keep.as("a").join(keep.as("b"),
+        col("a.gram") === col("b.gram") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    m.withColumn("brk",
+        when(col("pa") - lag("pa", 1).over(w) <= k, 0L).otherwise(1L))
+      .withColumn("gid", sum("brk").over(w))
+      .groupBy("id_a", "id_b", "diag", "gid")
+      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+        (max("pa") - min("pa") + k).as("span_words"),
+        count(lit(1)).as("n_seeds"))
+      .where(col("span_words") >= minSpanWords)
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("span_words").cast("long").as("span_words"), col("n_seeds"))
+  }
+
   /** Content-defined chunking (CDC): split each document at positions
     * where the rolling k-shingle hash hits `hash % divisor == 0` — the
     * rsync/LBFS boundary rule that underpins chunk-level dedup in storage

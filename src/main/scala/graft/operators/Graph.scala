@@ -140,6 +140,38 @@ object Graph {
       .where(col("co_users") >= minShared)
   }
 
+  /** Adamic–Adar link prediction over a bipartite (user, item) relation:
+    * for each user pair sharing ≥ `minCommon` items, the classic
+    * score Σ_{shared item} 1 / ln(degree(item)) — rare shared items count
+    * more than popular ones (Adamic & Adar 2003, "Friends and neighbors
+    * on the Web"). Scores are exact integers: each item contributes
+    * floor(1e6 / ln(deg) + 0.5) micro-units, rounded PER TERM before the
+    * sum so both engines add identical integers (the millinat playbook).
+    *
+    * Same join-free shape as [[cooccurrence]]: one collect_set per item
+    * (the degree filter is also the fan-out cap — and unlike the ad-hoc
+    * caps elsewhere, dropping high-degree hubs here is the operator's own
+    * semantics: a hub's 1/ln(deg) weight is negligible similarity signal),
+    * pairs generated inside the explode stage, one pair-keyed aggregation
+    * with map-side combine. Per-item state ≤ maxItemDegree users at any
+    * corpus scale. */
+  def adamicAdar(rel: DataFrame, userCol: String, itemCol: String,
+      maxItemDegree: Int = 50, minCommon: Long = 2L): DataFrame = {
+    val byItem = rel.select(col(userCol).as("u"), col(itemCol).as("it"))
+      .groupBy("it").agg(sort_array(collect_set(col("u"))).as("us"))
+      .where(size(col("us")).between(2, maxItemDegree))
+      .withColumn("w",
+        floor(lit(1000000.0) / log(size(col("us")).cast("double")) + lit(0.5))
+          .cast("long"))
+    byItem.select(col("w"), explode(expr(
+        "flatten(transform(us, (x, i) -> " +
+          "transform(slice(us, i + 2, size(us) - i - 1), " +
+          "y -> struct(x AS ua, y AS ub))))")).as("p"))
+      .groupBy(col("p.ua").as("user_a"), col("p.ub").as("user_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w")).as("aa_micro"))
+      .where(col("n_common") >= minCommon)
+  }
+
   /** Per-node triangle counts over an undirected edge list (pairs in
     * either orientation; duplicates collapse). Edges are canonicalized
     * a < b, and triangles enumerate as the 2-path join (a−b)(b−c) closed

@@ -152,6 +152,32 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected an equi-join on (chunk_idx, chunk_value):\n$plan")
   }
 
+  test("substring spans: capped gram equi-join + diagonal window, no all-pairs") {
+    val plan = planOf("dedup_substring_spans")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
+    assert(plan.contains("Window"), s"island merge window missing:\n$plan")
+    // the span-merge window is partitioned per (pair, diagonal) — never an
+    // unpartitioned global sort
+    assert(!plan.contains("Window Partition Specification: []"),
+      s"unpartitioned window:\n$plan")
+  }
+
+  test("edit distance: LSH candidates only — equi-joins, no all-pairs verify") {
+    val plan = planOf("dedup_edit_distance")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
+    assert(plan.contains("levenshtein"), s"exact verify missing:\n$plan")
+  }
+
+  test("adamic-adar: join-free collect_set shape, two aggregation exchanges") {
+    val plan = planOf("graph_adamic_adar")
+    assert(!plan.contains("Join"), s"AA must be join-free:\n$plan")
+    assert(plan.contains("Generate"), s"in-stage pair explode missing:\n$plan")
+  }
+
   test("embedding neardup: LSH-banded equi-join discovery, no all-pairs") {
     val plan = planOf("dedup_embedding_neardup")
     assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -611,6 +611,35 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re.batchRead("t", Long.MaxValue, checkpoint = true, group = "g").isEmpty)
   }
 
+  test("size-based retention: a batch is reclaimed only when EVERY topic is beyond the cap") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.col
+    val log = new WalrusLog(spark, tempRoot())
+    def ingest(rows: Seq[(String, String)]): Unit = {
+      val df = spark.createDataFrame(rows.zipWithIndex.map {
+        case ((t, v), i) => (t, v.getBytes("UTF-8"), i.toLong) })
+        .toDF("topic", "value", "_seq")
+      log.appendDF(df, Some(col("_seq")), new Timestamp(1000L))
+    }
+    ingest(Seq(("t", "aaaaaaaaaa"), ("u", "bbbbbbbbbb"))) // batch 0: t=10B u=10B
+    ingest(Seq(("t", "cccccccccc")))                      // batch 1: t=10B
+    ingest(Seq(("t", "dddddddddd"), ("u", "eeeeeeeeee"))) // batch 2: t=10B u=10B
+    // cap 15: topic u has only 10 newer bytes for batch 0 — u PINS the
+    // whole batch even though t has 20; batch 1's t has 10 < 15 too
+    assert(log.vacuumToBytes(15L).isEmpty)
+    // cap 10: batch 0 (t newer 20 >= 10, u newer 10 >= 10) and batch 1
+    // (t newer 10 >= 10) reclaim; batch 2 is the retained tail
+    assert(log.vacuumToBytes(10L) == Seq(0L, 1L))
+    assert(log.totalAppended("t") == 3L) // accounting survives
+    val rem = log.batchRead("t", Long.MaxValue, checkpoint = false)
+    assert(rem.map(e => str(e.value)) == Seq("dddddddddd"))
+    assert(rem.map(_.offset) == Seq(2L))
+    assert(log.batchRead("u", Long.MaxValue, checkpoint = false)
+      .map(_.offset) == Seq(1L))
+    // idempotent: survivors' newer-bytes don't change when older batches go
+    assert(log.vacuumToBytes(10L).isEmpty)
+  }
+
   test("arrivalOrder ingest pins shuffle-lineage inputs and stays dense") {
     import org.apache.spark.sql.functions._
     val log = new WalrusLog(spark, tempRoot())

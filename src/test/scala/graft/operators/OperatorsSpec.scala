@@ -1357,4 +1357,43 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == (("application/octet-stream", 0L)))
     assert(got(4L) == (("application/octet-stream", 0L)))
   }
+
+  test("duplicated spans: diagonal seeds merge into maximal spans, split runs stay split") {
+    // docs 0/1 share the 7-word run s1..s7 (overlapping 4-gram seeds at a
+    // single diagonal -> ONE maximal span); doc 3 shares only the two
+    // edge grams with each, at different diagonals -> separate 4-word
+    // spans; doc 2 shares nothing
+    val df = docsDF(Seq(
+      (0L, "x1 x2 s1 s2 s3 s4 s5 s6 s7 y1 y2"),
+      (1L, "z1 s1 s2 s3 s4 s5 s6 s7 z2 z3 z4"),
+      (2L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q0 qa"),
+      (3L, "s1 s2 s3 s4 m1 m2 m3 m4 m5 s4 s5 s6 s7")))
+    val got = Dedup.duplicatedSpans(df, "doc_id", "text",
+        k = 4, maxGramFreq = 20, minSpanWords = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      (0L, 1L, 3L, 2L, 7L, 4L),  // the full run: span 7 words, 4 seeds
+      (0L, 3L, 3L, 1L, 4L, 1L), (0L, 3L, 6L, 10L, 4L, 1L),
+      (1L, 3L, 2L, 1L, 4L, 1L), (1L, 3L, 5L, 10L, 4L, 1L)))
+  }
+
+  test("adamic-adar: rare shared items outweigh popular ones; hub items dropped") {
+    val rel = spark.createDataFrame(Seq(
+      (1L, 101L), (2L, 101L),                             // deg 2 — rare
+      (1L, 102L), (2L, 102L), (3L, 102L),                 // deg 3
+      (1L, 109L), (2L, 109L), (3L, 109L), (4L, 109L)))    // deg 4 — hub
+      .toDF("u", "it")
+    val got = Graph.adamicAdar(rel, "u", "it", maxItemDegree = 3, minCommon = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val w2 = math.floor(1e6 / math.log(2) + 0.5).toLong
+    val w3 = math.floor(1e6 / math.log(3) + 0.5).toLong
+    assert(w2 > w3) // rarer item carries more weight
+    assert(got((1L, 2L)) == ((2L, w2 + w3)))
+    assert(got((1L, 3L)) == ((1L, w3)))
+    assert(got((2L, 3L)) == ((1L, w3)))
+    // user 4 shares only the capped hub item — no pair survives
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
 }
