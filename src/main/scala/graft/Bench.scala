@@ -295,6 +295,47 @@ object Bench {
     val mbLatency = if (durations.nonEmpty) durations.sum / durations.size else -1.0
     q.stop()
 
+    // real-time-mode latency: commit-visible delay through a RUNNING
+    // Trigger.RealTime batch — the tail path (readers poll the commit dir
+    // at a 5 ms cadence; no trigger boundary is involved). Medians over
+    // 11 single-entry commits after 3 warm-ups: `realtime_visible_ms`
+    // counts from commit-publish to foreach-visible (the engine's own
+    // latency), `realtime_e2e_ms` from before the append call (adds the
+    // producer's Spark write job).
+    val rtRoot = Files.createTempDirectory("bench-rt-").toString
+    val rtLog = new WalrusLog(spark, rtRoot)
+    rtLog.append("t", "seed".getBytes)
+    val rtSession = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(spark)
+    rtSession.conf.set("spark.sql.streaming.realTimeMode.minBatchDuration", "5s")
+    val (rtRun, rtWriter) = graft.streaming.RtTailCollector.fresh()
+    val rtCkpt = Files.createTempDirectory("bench-rt-ck-")
+    val rtQ = rtSession.readStream.format("walruslog").option("path", rtRoot)
+      .option("realTimePartitions", "1").load()
+      .select(col("topic"), col("offset"), decode(col("value"), "UTF-8").as("v"))
+      .writeStream.foreach(rtWriter).outputMode("update")
+      .option("checkpointLocation", rtCkpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.RealTime("5 seconds"))
+      .start()
+    def rtVisible(n: Int): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (graft.streaming.RtTailCollector.size(rtRun) < n &&
+        System.nanoTime() < deadline) Thread.sleep(1)
+    }
+    rtVisible(1)
+    (0 until 3).foreach { i => rtLog.append("t", s"w$i".getBytes); rtVisible(2 + i) }
+    val rtLats = (0 until 11).map { i =>
+      val t0 = System.nanoTime()
+      rtLog.append("t", s"m$i".getBytes)
+      val tCommit = System.nanoTime()
+      rtVisible(5 + i)
+      val tSeen = System.nanoTime()
+      ((tSeen - t0) / 1e6, (tSeen - tCommit) / 1e6)
+    }
+    rtQ.stop()
+    graft.streaming.RtTailCollector.drain(rtRun)
+    val rtE2e = rtLats.map(_._1).sorted.apply(5)
+    val rtVisibleMs = rtLats.map(_._2).sorted.apply(5)
+
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
     val total = r3(results.map(_._2).sum)
     // The driver captures only the LAST ~2000 chars of stdout and parses
@@ -320,7 +361,9 @@ object Bench {
       "bulk_source_drain_mb_per_sec" -> (bigBytes / 1e6 / bigSourceDrainSec).toLong,
       "stream_drain_rows_per_sec" -> (1000000.0 / streamDrainSec).toLong,
       "stream_drain_mb_per_sec" -> (bigBytes / 1e6 / streamDrainSec).toLong,
-      "microbatch_latency_ms" -> r3(mbLatency))
+      "microbatch_latency_ms" -> r3(mbLatency),
+      "realtime_visible_ms" -> r3(rtVisibleMs),
+      "realtime_e2e_ms" -> r3(rtE2e))
     val engineJson = engineMetrics
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
     val detail =

@@ -1976,6 +1976,50 @@ object SparkEntry {
         .orderBy("topic")
     }),
 
+    "stream_realtime_tail" -> ((s, dir) => {
+      // Spark 4.1 REAL-TIME MODE (Trigger.RealTime) over the V2 source: a
+      // batch is a TIME budget and each reader partition TAILS the commit
+      // dir, picking commits up the moment they land — the Spark-native
+      // twin of the reference's long-lived per-cursor GET loop
+      // (controller/mod.rs:199-268), vs the micro-batch path's
+      // plan-per-trigger. The drive collects through the (allowlisted)
+      // foreach sink into a (topic, offset)-keyed map — replay-proof —
+      // and stops once the whole fixture log has arrived; the collected
+      // SET is deterministic even though batch boundaries are wall-clock.
+      val log = mainLog(s, dir)
+      val expected = log.topicNames.map(t => log.entryCount(t)).sum
+      val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
+      s2.conf.set("spark.sql.streaming.realTimeMode.minBatchDuration", "2s")
+      val (runId, writer) = graft.streaming.RtTailCollector.fresh()
+      val df = s2.readStream.format("walruslog").option("path", log.root)
+        .option("realTimePartitions", "2").load()
+        .select(col("topic"), col("offset"),
+          decode(col("value"), "UTF-8").as("v"))
+      val ckpt = Files.createTempDirectory("graft-rtm-")
+      val q = df.writeStream.foreach(writer).outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.RealTime("2 seconds"))
+        .start()
+      try {
+        val dl = System.currentTimeMillis() + 120000
+        while (graft.streaming.RtTailCollector.size(runId) < expected &&
+          System.currentTimeMillis() < dl) Thread.sleep(25)
+      } finally {
+        q.stop()
+        WalrusLog.deleteRecursively(ckpt)
+      }
+      val rows = graft.streaming.RtTailCollector.drain(runId)
+      require(rows.size == expected,
+        s"real-time tail collected ${rows.size} of $expected")
+      s.createDataFrame(
+          s.sparkContext.parallelize(rows.map(r => Row(r._1, r._3)), 1),
+          StructType(Seq(StructField("topic", StringType),
+            StructField("v", StringType))))
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"), sum(length(col("v"))).as("bytes"))
+        .orderBy("topic")
+    }),
+
     "sim_cosine_builtin" -> ((s, dir) => {
       // the "functions, not UDFs" alternative path: exact pairwise cosine
       // through Spark's higher-order functions (zip_with + aggregate) —
@@ -6831,6 +6875,12 @@ object SparkEntry {
            |WHERE rnk <= 5 ORDER BY cell, rnk""".stripMargin
       },
       "stream_log_mirror" ->
+        """SELECT event_type AS topic, count(*) AS n,
+          |  CAST(SUM(length(props)) AS BIGINT) AS bytes
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      // real-time mode delivers exactly the committed entry set, so the
+      // oracle is the same per-topic profile as the micro-batch mirror
+      "stream_realtime_tail" ->
         """SELECT event_type AS topic, count(*) AS n,
           |  CAST(SUM(length(props)) AS BIGINT) AS bytes
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

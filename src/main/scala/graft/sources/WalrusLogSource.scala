@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, PartitionOffset, ReadLimit, SupportsAdmissionControl, SupportsRealTimeMode, SupportsRealTimeRead, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -69,20 +69,27 @@ object WalrusLogSource {
   /** Commit-log listing shared by batch + streaming paths. Reads straight
     * from disk so a source in one process observes commits published by
     * another (cross-process tail). */
-  private[sources] def listCommits(nsDir: Path): Seq[(CommitRecord, Boolean)] = {
+  private[sources] def listCommits(nsDir: Path): Seq[(CommitRecord, Boolean)] =
+    commitFiles(nsDir).map(parseCommit)
+
+  /** Sorted commit-JSON paths — the cheap "has anything new landed?"
+    * probe the real-time tail polls (names only; no parsing). */
+  private[sources] def commitFiles(nsDir: Path): Seq[Path] = {
     val dir = nsDir.resolve("commits")
     if (!Files.exists(dir)) return Seq.empty
     val s = Files.list(dir)
     val files = try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".json")).toSeq
       finally s.close()
-    files.sortBy(_.getFileName.toString).map { p =>
-      val parsed = JsonMethods.parse(new String(Files.readAllBytes(p), "UTF-8"))
-      val vac = (parsed \ "vacuumed") match {
-        case org.json4s.JBool(b) => b
-        case _ => false
-      }
-      (parsed.extract[CommitRecord], vac)
+    files.sortBy(_.getFileName.toString)
+  }
+
+  private[sources] def parseCommit(p: Path): (CommitRecord, Boolean) = {
+    val parsed = JsonMethods.parse(new String(Files.readAllBytes(p), "UTF-8"))
+    val vac = (parsed \ "vacuumed") match {
+      case org.json4s.JBool(b) => b
+      case _ => false
     }
+    (parsed.extract[CommitRecord], vac)
   }
 
   /** Pushed-predicate bounds used to skip whole commits from metadata —
@@ -211,6 +218,31 @@ object WalrusLogSource {
 
   private def decodeTopic(escaped: String): String =
     java.net.URLDecoder.decode(escaped, "UTF-8")
+
+  /** Stable topic → real-time-reader-partition assignment (String.hashCode
+    * is spec-fixed, so drivers and executors of any JVM agree). */
+  private[sources] def rtPartitionOf(topic: String, numPartitions: Int): Int =
+    ((topic.hashCode % numPartitions) + numPartitions) % numPartitions
+
+  /** The (topic, file) slice of one commit owned by one real-time reader
+    * partition, in a DETERMINISTIC order (topic dir name, then file name) —
+    * row-granular offsets within a commit are only replayable because this
+    * order is stable across listings and JVMs. */
+  private[sources] def sliceFiles(nsDir: Path, c: CommitRecord,
+      topic: Option[String], prune: PruneSpec,
+      partitionId: Int, numPartitions: Int): Seq[(String, String)] = {
+    val spec = prune.withTopic(topic)
+    if (!spec.commitMatches(c)) return Seq.empty
+    val batchDir = nsDir.resolve("data").resolve(s"batch=${c.id}")
+    topicDirs(batchDir, spec)
+      .sortBy(_.getFileName.toString)
+      .flatMap { td =>
+        val t = decodeTopic(td.getFileName.toString.stripPrefix("topic="))
+        if (rtPartitionOf(t, numPartitions) != partitionId) Seq.empty
+        else parquetFiles(td).sortBy(_.getFileName.toString)
+          .map(f => (t, f.toString))
+      }
+  }
 }
 
 class WalrusLogTable(options: CaseInsensitiveStringMap)
@@ -271,7 +303,8 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new WalrusMicroBatchStream(nsDir, topic,
-      Option(options.get("maxBatchesPerTrigger")).map(_.toInt), required, prune)
+      Option(options.get("maxBatchesPerTrigger")).map(_.toInt), required, prune,
+      Option(options.get("realTimePartitions")).map(_.toInt).getOrElse(2))
 }
 
 /** Streaming offset = number of commit-log entries consumed. */
@@ -279,12 +312,29 @@ case class CommitIndexOffset(commitIndex: Long) extends Offset {
   override def json(): String = s"""{"commitIndex":$commitIndex}"""
 }
 
+/** Real-time-mode per-reader progress: position in the ordered commit log
+  * plus rows already emitted from the current commit's slice — a batch can
+  * end mid-commit (the time budget, not the data, bounds it), so the
+  * offset must be row-granular for exactly-once resume. */
+case class WalrusRealTimePartitionOffset(
+    partitionId: Int, commitIdx: Long, rowInCommit: Long) extends PartitionOffset
+
+/** Real-time-mode composite end offset: every reader partition's
+  * (commitIdx, rowInCommit) pair, keyed by partition id. */
+case class WalrusRealTimeOffset(parts: Map[Int, (Long, Long)]) extends Offset {
+  override def json(): String =
+    parts.toSeq.sortBy(_._1).map { case (p, (c, r)) =>
+      s"""{"p":$p,"commitIdx":$c,"row":$r}"""
+    }.mkString("""{"parts":[""", ",", "]}")
+}
+
 class WalrusMicroBatchStream(
     nsDir: Path, topic: Option[String], maxBatchesPerTrigger: Option[Int],
     required: StructType,
-    prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec())
+    prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec(),
+    rtPartitions: Int = 2)
     extends MicroBatchStream with SupportsAdmissionControl
-    with SupportsTriggerAvailableNow {
+    with SupportsTriggerAvailableNow with SupportsRealTimeMode {
 
   private def commits = WalrusLogSource.listCommits(nsDir)
 
@@ -310,15 +360,23 @@ class WalrusMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit =
     maxBatchesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val startIdx = start.asInstanceOf[CommitIndexOffset].commitIndex
-    val available = availableNowCap.getOrElse(commits.size.toLong)
-    val end = limit match {
-      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
-        math.min(available, startIdx + rl.maxFiles())
-      case _ => available
-    }
-    CommitIndexOffset(math.max(end, startIdx))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = start match {
+    case CommitIndexOffset(startIdx) =>
+      val available = availableNowCap.getOrElse(commits.size.toLong)
+      val end = limit match {
+        case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+          math.min(available, startIdx + rl.maxFiles())
+        case _ => available
+      }
+      CommitIndexOffset(math.max(end, startIdx))
+    case rt: WalrusRealTimeOffset =>
+      // real-time mode: the engine still asks for the available end, but
+      // the batch's TRUE end is whatever the time-budgeted readers reach
+      // (mergeOffsets). Report "everything through the latest commit" per
+      // partition; admission limits don't apply — time is the budget.
+      val latest = commits.size.toLong
+      WalrusRealTimeOffset(rt.parts.map { case (p, _) => p -> ((latest, 0L)) })
+    case other => throw new IllegalArgumentException(s"unexpected $other")
   }
 
   override def reportLatestOffset(): Offset = CommitIndexOffset(commits.size.toLong)
@@ -336,14 +394,60 @@ class WalrusMicroBatchStream(
 
   override def deserializeOffset(json: String): Offset = {
     implicit val f: Formats = DefaultFormats
-    CommitIndexOffset((JsonMethods.parse(json) \ "commitIndex").extract[Long])
+    val parsed = JsonMethods.parse(json)
+    (parsed \ "parts") match {
+      case org.json4s.JArray(ps) =>
+        WalrusRealTimeOffset(ps.map { p =>
+          (p \ "p").extract[Int] ->
+            ((p \ "commitIdx").extract[Long], (p \ "row").extract[Long])
+        }.toMap)
+      case _ => CommitIndexOffset((parsed \ "commitIndex").extract[Long])
+    }
   }
 
   override def commit(end: Offset): Unit = () // checkpoint log owns progress
   override def stop(): Unit = ()
+
+  // ------------------------------------------------------ real-time mode
+  // Trigger.RealTime (Spark 4.1): a batch runs for a fixed TIME budget
+  // and each reader partition TAILS the commit log for that long — the
+  // Spark-native analogue of the reference's long-lived per-bucket reader
+  // loop (distributed-walrus/src/controller/mod.rs:199-268): data is
+  // picked up the moment its commit file lands, not at the next trigger.
+  // Topics are hash-assigned to a fixed set of reader partitions; a batch
+  // may end MID-commit (the budget, not the data, bounds it), which is
+  // why the merged end offset is row-granular per partition.
+
+  override def prepareForRealTimeMode(): Unit = () // live tail: nothing to latch
+
+  override def mergeOffsets(offsets: Array[PartitionOffset]): Offset =
+    WalrusRealTimeOffset(offsets.map {
+      case o: WalrusRealTimePartitionOffset =>
+        o.partitionId -> ((o.commitIdx, o.rowInCommit))
+      case other => throw new IllegalArgumentException(s"unexpected $other")
+    }.toMap)
+
+  override def planInputPartitions(start: Offset): Array[InputPartition] = {
+    val startOf: Int => (Long, Long) = start match {
+      case CommitIndexOffset(c) => _ => (c, 0L)
+      case WalrusRealTimeOffset(m) => i => m.getOrElse(i, (0L, 0L))
+      case other => throw new IllegalArgumentException(s"unexpected $other")
+    }
+    Array.tabulate[InputPartition](rtPartitions) { i =>
+      val (c, r) = startOf(i)
+      WalrusRealTimePartition(i, rtPartitions, nsDir.toString, topic, prune, c, r)
+    }
+  }
 }
 
 case class WalrusFilePartition(topic: String, file: String) extends InputPartition
+
+/** One real-time tail reader's assignment: its id in the fixed reader set,
+  * the namespace to tail, and its row-granular resume point. */
+case class WalrusRealTimePartition(
+    partitionId: Int, numPartitions: Int, nsDirStr: String,
+    topic: Option[String], prune: WalrusLogSource.PruneSpec,
+    startCommitIdx: Long, startRowInCommit: Long) extends InputPartition
 
 /** Reads one data file of one topic. File columns are a subset of
   * (offset, ts_us, value, checksum, len); `topic` comes from the dir name
@@ -356,7 +460,7 @@ class WalrusReaderFactory(schema: StructType) extends PartitionReaderFactory {
   private val hasTopic = schema.fieldNames.contains("topic")
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    fileCols.nonEmpty
+    partition.isInstanceOf[WalrusFilePartition] && fileCols.nonEmpty
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[WalrusFilePartition]
@@ -382,8 +486,14 @@ class WalrusReaderFactory(schema: StructType) extends PartitionReaderFactory {
   }
 
   /** Row fallback for projections with no file columns: emit `rowCount`
-    * constant rows (topic or empty), count from the parquet footer. */
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    * constant rows (topic or empty), count from the parquet footer.
+    * Real-time partitions get the tailing reader instead. */
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    case rt: WalrusRealTimePartition => new WalrusRealTimeReader(rt, schema)
+    case _ => createCountingReader(partition)
+  }
+
+  private def createCountingReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WalrusFilePartition]
     val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.file), new org.apache.hadoop.conf.Configuration())
@@ -399,4 +509,154 @@ class WalrusReaderFactory(schema: StructType) extends PartitionReaderFactory {
       override def close(): Unit = ()
     }
   }
+}
+
+/** Real-time tail reader: emits its partition's slice of every commit from
+  * the resume point onward, then POLLS the commit dir until the batch's
+  * time budget expires — data is picked up the moment its commit file
+  * lands (the reference's long-lived reader loop, vs the micro-batch
+  * path's plan-per-trigger). The engine stops asking for records once the
+  * budget is spent and checkpoints [[getOffset]], which is row-granular
+  * because the budget can expire mid-commit.
+  *
+  * Single-threaded like every PartitionReader; files of one commit slice
+  * are read in the stable (topic dir, file name) order that makes
+  * row-granular offsets replayable. Poll cadence 5 ms over a names-only
+  * dir listing (commit JSONs parse incrementally) — the latency floor of
+  * the tail, far below any achievable trigger cadence. */
+class WalrusRealTimeReader(p: WalrusRealTimePartition, schema: StructType)
+    extends PartitionReader[InternalRow] with SupportsRealTimeRead[InternalRow] {
+  import SupportsRealTimeRead.RecordStatus
+
+  private val nsDir = Paths.get(p.nsDirStr)
+  private val fileCols = schema.fields.filter(_.name != "topic")
+  private val hasTopic = schema.fieldNames.contains("topic")
+
+  private var commits = WalrusLogSource.listCommits(nsDir).toVector
+  private var commitIdx: Long = p.startCommitIdx // position in the ordered commit log
+  private var rowInCommit: Long = 0L             // slice rows consumed (emitted + skipped)
+  private var toSkip: Long = p.startRowInCommit  // resume skip within the first commit
+  private var files: List[(String, String)] = Nil
+  private var sliceLoaded = false
+  private var reader: VectorizedParquetRecordReader = null
+  private var constRowsLeft: Long = 0L           // topic-only/empty projection mode
+  private var constRow: InternalRow = null
+  private var current: InternalRow = null
+
+  /** Incremental tail refresh: list names (cheap), parse only commits past
+    * the cached prefix — the commit log is append-only by id, so the
+    * prefix never changes order. (A concurrent vacuum rewrites an OLD
+    * commit's flag in place; the tail reader is past it by definition —
+    * the same listing-race exposure as the batch planner.) */
+  private def refreshCommits(): Unit = {
+    val names = WalrusLogSource.commitFiles(nsDir)
+    if (names.size > commits.size)
+      commits = commits ++ names.drop(commits.size).map(WalrusLogSource.parseCommit)
+  }
+
+  /** Load the file slice of commit `commitIdx`, refreshing the commit log
+    * when the index is past the cached view. False = commit not yet
+    * published. */
+  private def ensureSlice(): Boolean = {
+    if (sliceLoaded) return true
+    if (commitIdx >= commits.size) {
+      refreshCommits()
+      if (commitIdx >= commits.size) return false
+    }
+    val (c, vacuumed) = commits(commitIdx.toInt)
+    files =
+      if (vacuumed) Nil
+      else WalrusLogSource.sliceFiles(nsDir, c, p.topic, p.prune,
+        p.partitionId, p.numPartitions).toList
+    sliceLoaded = true
+    true
+  }
+
+  private def closeReader(): Unit =
+    if (reader != null) { reader.close(); reader = null }
+
+  private def openNextFile(): Boolean = {
+    closeReader()
+    files match {
+      case (t, f) :: rest =>
+        files = rest
+        if (fileCols.nonEmpty) {
+          val r = new VectorizedParquetRecordReader(false, 4096)
+          var ok = false
+          try {
+            r.initialize(f, fileCols.map(_.name).toList.asJava)
+            if (hasTopic)
+              r.initBatch(StructType(Seq(StructField("topic", StringType))),
+                new GenericInternalRow(Array[Any](UTF8String.fromString(t))))
+            else r.initBatch(new StructType(), InternalRow.empty)
+            ok = true
+          } finally if (!ok) r.close()
+          reader = r
+        } else {
+          val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), new org.apache.hadoop.conf.Configuration())
+          val footer = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
+          constRowsLeft = try footer.getRecordCount finally footer.close()
+          constRow =
+            if (hasTopic) new GenericInternalRow(Array[Any](UTF8String.fromString(t)))
+            else InternalRow.empty
+        }
+        true
+      case Nil => false
+    }
+  }
+
+  /** Next row of the current slice into `current`; false = slice done. */
+  private def advance(): Boolean = {
+    while (true) {
+      if (reader != null) {
+        if (reader.nextKeyValue()) {
+          current = reader.getCurrentValue.asInstanceOf[InternalRow]
+          return true
+        }
+        closeReader()
+      } else if (constRowsLeft > 0) {
+        constRowsLeft -= 1
+        current = constRow
+        return true
+      }
+      if (!openNextFile()) return false
+    }
+    false // unreachable
+  }
+
+  override def nextWithTimeout(deadlineMs: java.lang.Long): RecordStatus = {
+    while (true) {
+      if (ensureSlice()) {
+        var produced = advance()
+        while (produced && toSkip > 0) { // exactly-once resume mid-commit
+          toSkip -= 1; rowInCommit += 1; produced = advance()
+        }
+        if (produced) {
+          rowInCommit += 1
+          return RecordStatus.newStatusWithArrivalTimeMs(System.currentTimeMillis())
+        }
+        commitIdx += 1; rowInCommit = 0L; toSkip = 0L; sliceLoaded = false
+      } else {
+        val now = System.currentTimeMillis()
+        if (now >= deadlineMs) return RecordStatus.newStatusWithoutArrivalTime(false)
+        try Thread.sleep(math.max(1L, math.min(5L, deadlineMs - now)))
+        catch {
+          case _: InterruptedException =>
+            Thread.currentThread().interrupt()
+            return RecordStatus.newStatusWithoutArrivalTime(false)
+        }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def getOffset: PartitionOffset =
+    WalrusRealTimePartitionOffset(p.partitionId, commitIdx, rowInCommit)
+
+  override def next(): Boolean =
+    throw new UnsupportedOperationException(
+      "real-time reader is driven via nextWithTimeout")
+  override def get(): InternalRow = current
+  override def close(): Unit = closeReader()
 }

@@ -85,3 +85,41 @@ object WalrusStreams {
     q
   }
 }
+
+/** Replay-proof collector for REAL-TIME-MODE drives (`Trigger.RealTime`
+  * allows only console/foreach/kafka sinks): rows land in a per-run map
+  * keyed by (topic, offset), so a retried task or replayed batch is
+  * idempotent and the collected set is deterministic whatever the
+  * wall-clock batch boundaries were. Local-mode only by construction (the
+  * foreach writer and the driver share one JVM — exactly the memory-sink
+  * constraint every streaming drive here already has). */
+object RtTailCollector {
+  import scala.collection.concurrent.TrieMap
+  private val buffers =
+    TrieMap.empty[String, java.util.concurrent.ConcurrentHashMap[(String, Long), String]]
+
+  /** New collection run: returns (runId, writer). */
+  def fresh(): (String, org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row]) = {
+    val id = java.util.UUID.randomUUID().toString
+    buffers(id) = new java.util.concurrent.ConcurrentHashMap[(String, Long), String]
+    (id, new W(id))
+  }
+
+  def size(runId: String): Int = buffers(runId).size
+
+  /** Drain and forget the run's rows: (topic, offset, value-string). */
+  def drain(runId: String): Seq[(String, Long, String)] = {
+    import scala.jdk.CollectionConverters._
+    val rows = buffers.remove(runId).get.asScala.toSeq
+      .map { case ((t, o), v) => (t, o, v) }
+    rows.sortBy(r => (r._1, r._2))
+  }
+
+  private class W(runId: String)
+      extends org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+    def open(partitionId: Long, epochId: Long): Boolean = true
+    def process(r: org.apache.spark.sql.Row): Unit =
+      buffers(runId).put((r.getString(0), r.getLong(1)), r.getString(2))
+    def close(errorOrNull: Throwable): Unit = ()
+  }
+}

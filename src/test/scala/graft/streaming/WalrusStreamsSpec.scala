@@ -272,6 +272,76 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("real-time offsets: json roundtrip, merge, per-partition resume") {
+    import graft.sources._
+    import java.nio.file.Paths
+    val o = WalrusRealTimeOffset(Map(1 -> ((3L, 7L)), 0 -> ((2L, 0L))))
+    val stream = new WalrusMicroBatchStream(Paths.get("/tmp/none"), None, None,
+      WalrusLogSource.Schema)
+    assert(stream.deserializeOffset(o.json()) == o)
+    assert(stream.deserializeOffset(CommitIndexOffset(5L).json()) == CommitIndexOffset(5L))
+    val merged = stream.mergeOffsets(Array(
+      WalrusRealTimePartitionOffset(0, 2, 0), WalrusRealTimePartitionOffset(1, 3, 7)))
+    assert(merged == o)
+    // each partition resumes at ITS OWN row-granular point
+    val parts = stream.planInputPartitions(o)
+      .map(_.asInstanceOf[WalrusRealTimePartition])
+    assert(parts.map(p => (p.partitionId, p.startCommitIdx, p.startRowInCommit))
+      .toSeq == Seq((0, 2L, 0L), (1, 3L, 7L)))
+    // an initial CommitIndexOffset fans out to every partition
+    val init = stream.planInputPartitions(CommitIndexOffset(4L))
+      .map(_.asInstanceOf[WalrusRealTimePartition])
+    assert(init.forall(p => p.startCommitIdx == 4L && p.startRowInCommit == 0L))
+  }
+
+  test("real-time mode: one batch tails the log; commits during the batch arrive; restart has no dups") {
+    import scala.jdk.CollectionConverters._
+    RtmCollector.seen.clear()
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    log.batchAppend("alpha", (0 until 5).map(i => bytes(s"pre-a$i")))
+    log.batchAppend("beta", (0 until 5).map(i => bytes(s"pre-b$i")))
+    val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(spark)
+    s2.conf.set("spark.sql.streaming.realTimeMode.minBatchDuration", "2s")
+    val df = s2.readStream.format("walruslog").option("path", root)
+      .option("realTimePartitions", "2").load()
+      .select(col("topic"), col("offset"), decode(col("value"), "UTF-8").as("v"))
+    val ckpt = Files.createTempDirectory("rtm-ck-").toString
+    def start() = df.writeStream.foreach(new RtmCollector.W).outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.RealTime("2 seconds"))
+      .start()
+    def await(cond: => Boolean, ms: Long = 30000): Unit = {
+      val dl = System.currentTimeMillis() + ms
+      while (!cond && System.currentTimeMillis() < dl) Thread.sleep(20)
+      assert(cond, "condition not reached in time")
+    }
+    val q = start()
+    try {
+      await(RtmCollector.seen.size == 10)
+      // commits landing while the query runs are tailed in (the probe's
+      // structural guarantee; arrival needs no new trigger boundary)
+      log.batchAppend("alpha", (0 until 3).map(i => bytes(s"live-$i")))
+      await(RtmCollector.seen.size == 13)
+      // drain a full empty batch so the last data-carrying batch's offsets
+      // are committed before the stop (a killed IN-FLIGHT batch replays
+      // into the non-transactional foreach sink by design)
+      val settled = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      await(Option(q.lastProgress).exists(_.batchId >= settled + 2), 15000)
+    } finally q.stop()
+    val afterStop = RtmCollector.seen.size
+    log.batchAppend("beta", (0 until 3).map(i => bytes(s"post-$i")))
+    val q2 = start()
+    try await(RtmCollector.seen.size >= afterStop + 3, 15000) finally q2.stop()
+    val all = RtmCollector.seen.asScala.toSeq
+    assert(all.size == all.distinct.size, s"duplicate deliveries: $all")
+    assert(all.toSet == (
+      (0 until 5).map(i => ("alpha", i.toLong, s"pre-a$i")) ++
+      (0 until 3).map(i => ("alpha", (5 + i).toLong, s"live-$i")) ++
+      (0 until 5).map(i => ("beta", i.toLong, s"pre-b$i")) ++
+      (0 until 3).map(i => ("beta", (5 + i).toLong, s"post-$i"))).toSet)
+  }
+
   test("SparkEntry streaming queries are rerun-stable (driver reruns them)") {
     // The bench and correctness drivers invoke each query repeatedly in one
     // JVM; the streaming entries manage per-invocation sinks/checkpoints and
@@ -285,5 +355,17 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(first.nonEmpty, s"$name produced rows")
       assert(first == second, s"$name drifted across reruns")
     }
+  }
+}
+
+/** Shared collector for the real-time-mode tests (the foreach writer runs
+  * on executor threads — same JVM in local mode). */
+object RtmCollector {
+  val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+  class W extends org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+    def open(partitionId: Long, epochId: Long): Boolean = true
+    def process(r: org.apache.spark.sql.Row): Unit =
+      seen.add((r.getString(0), r.getLong(1), r.getString(2)))
+    def close(errorOrNull: Throwable): Unit = ()
   }
 }
