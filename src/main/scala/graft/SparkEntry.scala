@@ -1056,6 +1056,17 @@ object SparkEntry {
           nCentroids = 8, iters = 1)
         .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
         .orderBy("vec_id")),
+    "sim_kmeans_balanced" -> ((s, dir) => {
+      // capacity-constrained assignment (balanced k-means, one rebalance
+      // round): cells capped at ceil(n/8), overflow spills to the
+      // second-best cell — uniform IVF probe cost / shard sizes by
+      // construction; cap derived from the corpus count in BOTH engines
+      val emb = table(s, dir, "embeddings")
+      val cap = (emb.count() + 7L) / 8L
+      Similarity.balancedAssign(emb, "vec_id", "embedding",
+          nCells = 8, capacity = cap)
+        .orderBy("vec_id")
+    }),
     "sim_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(table(s, dir, "embeddings").where(col("vec_id") < 200),
           "vec_id", "embedding", planes = 4, k = 3)
@@ -1099,6 +1110,12 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
           col("n_words"), col("mean_word_len"), col("stopword_ratio"),
           col("punct_ratio"), col("quality_score"))
+        .orderBy("doc_id")),
+    "text_gopher_rules" -> ((s, dir) =>
+      // Gopher rule battery: hard pass/fail gates with the full rule MASK
+      // (which rule killed the doc), vs text_quality's scalar score —
+      // integer milli-ratios, one narrow projection, no shuffle
+      TextAnalysis.gopherRules(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(table(s, dir, "documents"), "doc_id", "text")
@@ -3726,6 +3743,13 @@ object SparkEntry {
       // target, and the exact-integer sampling weight that equalizes it
       graft.operators.Sharding.mixtureWeights(table(s, dir, "documents"), "lang", "text")
         .orderBy("domain")),
+    "shard_temperature_mix" -> ((s, dir) =>
+      // α=0.5 temperature sampling (the XLM-R multilingual up-sampling
+      // rule): weights ∝ √tokens, per-term milli-rounded sqrt so the
+      // normalization sums exact integers in both engines
+      graft.operators.Sharding.temperatureMix(table(s, dir, "documents"),
+          "lang", "text", sampleN = 1000L)
+        .orderBy("domain")),
     "stream_static_enrich" -> ((s, dir) => {
       // Stream-static broadcast enrichment: the event stream decodes its
       // payload key in-flight and joins the tiny static nation dim
@@ -5632,6 +5656,25 @@ object SparkEntry {
            |  PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s)
            |SELECT vec_id, cid AS centroid_id FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
       },
+      "sim_kmeans_balanced" -> {
+        val cells = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH s AS (
+           |  $cells),
+           |r AS (SELECT vec_id, cid, sim, row_number() OVER (
+           |  PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s),
+           |best AS (SELECT vec_id, cid AS cell1, sim AS sim1 FROM r WHERE rn = 1),
+           |sec AS (SELECT vec_id, cid AS cell2 FROM r WHERE rn = 2),
+           |cap AS (SELECT (count(*) + 7) // 8 AS c FROM embeddings),
+           |cr AS (SELECT b.vec_id, b.cell1, s2.cell2, row_number() OVER (
+           |    PARTITION BY b.cell1 ORDER BY b.sim1 DESC, b.vec_id) AS cr
+           |  FROM best b JOIN sec s2 ON s2.vec_id = b.vec_id)
+           |SELECT vec_id,
+           |  CASE WHEN cr <= (SELECT c FROM cap) THEN cell1 ELSE cell2 END AS cell_id,
+           |  CAST(CASE WHEN cr > (SELECT c FROM cap) THEN 1 ELSE 0 END AS BIGINT) AS reassigned
+           |FROM cr ORDER BY vec_id""".stripMargin
+      },
       "sim_ivf_kmeans" -> {
         val cells0 = (0 until 8).map { cIdx =>
           s"SELECT vec_id, $cIdx AS cid, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
@@ -5740,6 +5783,35 @@ object SparkEntry {
           |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS subword_tokens,
           |  CAST(length(text) AS BIGINT) AS n_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_gopher_rules" ->
+        """WITH b AS (
+          |  SELECT doc_id,
+          |    CAST(length(text) AS BIGINT) AS nc,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          |    CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS aw,
+          |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is|a|in|that)\b')) AS BIGINT) AS stop_cnt,
+          |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS na
+          |  FROM documents),
+          |m AS (
+          |  SELECT doc_id, n_words, stop_cnt,
+          |    (nc - (n_words - 1)) * 1000 // n_words AS mwl_milli,
+          |    na * 1000 // nc AS sym_milli,
+          |    aw * 1000 // n_words AS alpha_milli
+          |  FROM b),
+          |k AS (
+          |  SELECT *,
+          |    (CASE WHEN n_words BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) +
+          |    (CASE WHEN mwl_milli BETWEEN 2000 AND 12000 THEN 2 ELSE 0 END) +
+          |    (CASE WHEN stop_cnt >= 2 THEN 4 ELSE 0 END) +
+          |    (CASE WHEN sym_milli <= 100 THEN 8 ELSE 0 END) +
+          |    (CASE WHEN alpha_milli >= 800 THEN 16 ELSE 0 END) AS rule_mask
+          |  FROM m)
+          |SELECT doc_id, n_words, CAST(mwl_milli AS BIGINT) AS mwl_milli,
+          |  stop_cnt, CAST(sym_milli AS BIGINT) AS sym_milli,
+          |  CAST(alpha_milli AS BIGINT) AS alpha_milli,
+          |  CAST(rule_mask AS BIGINT) AS rule_mask,
+          |  CAST(CASE WHEN rule_mask = 31 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          |FROM k ORDER BY doc_id""".stripMargin,
       "text_quality" ->
         s"""WITH $QualityBaseCte
            |SELECT doc_id,
@@ -7573,6 +7645,20 @@ object SparkEntry {
           |  CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000, 0) AS BIGINT)
           |    - clnc // n_tokens AS BIGINT) AS entropy_millinats
           |FROM a ORDER BY doc_id""".stripMargin,
+      "shard_temperature_mix" ->
+        """WITH pd AS (
+          |  SELECT lang AS domain,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |tk AS (SELECT domain, SUM(n_tok) AS n_tokens FROM pd GROUP BY 1),
+          |s AS (SELECT domain, n_tokens,
+          |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS s_milli
+          |  FROM tk),
+          |tot AS (SELECT SUM(s_milli) AS s_total FROM s)
+          |SELECT domain, CAST(n_tokens AS BIGINT) AS n_tokens, s_milli,
+          |  CAST(s_milli * 1000000 // s_total AS BIGINT) AS weight_micro,
+          |  CAST((s_milli * 1000000 // s_total) * 1000 // 1000000 AS BIGINT) AS expected_docs
+          |FROM s, tot ORDER BY domain""".stripMargin,
       "shard_mixture_weights" ->
         """WITH pd AS (
           |  SELECT lang AS domain,

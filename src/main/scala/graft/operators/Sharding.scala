@@ -73,6 +73,34 @@ object Sharding {
           .as("weight_micro"))
   }
 
+  /** Temperature-scaled mixture weights (α = 0.5): sampling probability
+    * ∝ p_domain^α — the multilingual up-sampling rule (XLM-R, Conneau
+    * et al. 2020, arXiv:1911.02116 §3) that flattens the domain
+    * distribution without inverting it ([[mixtureWeights]] is the α → 0
+    * uniform-target limit). With α = 1/2 the share p = tok/N cancels:
+    * q_l = √tok_l / Σ√tok_k. Each √ rounds to integer MILLI units per
+    * term before the sum (IEEE sqrt is correctly rounded in both
+    * engines; summing raw doubles would be order-dependent), so weights
+    * and expected counts are engine-exact integers. One token-count
+    * aggregation; the domain table is metadata-scale. */
+  def temperatureMix(df: DataFrame, domainCol: String, textCol: String,
+      sampleN: Long = 1000L): DataFrame = {
+    val toks = df
+      .select(col(domainCol).as("domain"),
+        expr(s"CAST(size(filter(split($textCol, ' '), x -> x <> '')) AS BIGINT)")
+          .as("n_tok"))
+      .groupBy("domain").agg(sum("n_tok").as("n_tokens"))
+      .withColumn("s_milli",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000.0) + lit(0.5))
+          .cast("long"))
+    val tot = toks.agg(sum("s_milli").as("s_total"))
+    toks.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_tokens"), col("s_milli"),
+        expr("s_milli * 1000000 DIV s_total").as("weight_micro"),
+        expr(s"(s_milli * 1000000 DIV s_total) * $sampleN DIV 1000000")
+          .as("expected_docs"))
+  }
+
   /** Embedding-space eval-set decontamination: flag every train vector
     * whose cosine to ANY eval vector reaches `tau` — the semantic
     * complement of the n-gram-overlap gate ([[Dedup.decontaminate]]):

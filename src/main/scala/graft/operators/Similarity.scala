@@ -122,6 +122,47 @@ object Similarity {
       greatest(sims: _*).getField("cid").as("centroid_id"))
   }
 
+  /** Capacity-constrained ("balanced") cell assignment: every vector goes
+    * to its best [[ivfAssign]] cell UNLESS that cell is over capacity, in
+    * which case the weakest overflow (ranked by (sim DESC, id ASC) within
+    * the cell) spills to its second-best cell — one rebalance round of the
+    * classic balanced k-means assignment (spilled cells may themselves
+    * exceed cap; iterate for a strict bound). Balanced cells are what keep
+    * IVF probe cost and shard sizes uniform — the skew fix applied at
+    * ASSIGNMENT time instead of query time.
+    *
+    * Plan shape: one explode over nCells per-vector scores, a per-vector
+    * top-2 window (vector-keyed — always tiny), then a per-CELL rank
+    * window. The cell window holds ~n/nCells rows per partition; at
+    * 100 TB replace it with the two-phase bucketed prefix rank
+    * (packManifest's shape) — same semantics, bounded partitions. */
+  def balancedAssign(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, capacity: Long): DataFrame = {
+    import graft.functions.GraftFunctions.projection_dot
+    import org.apache.spark.sql.expressions.Window
+    val sims = (0 until nCells).map { cIdx =>
+      struct(q6(projection_dot(col(vecCol), cIdx + 101)).as("sim"),
+        lit(cIdx.toLong).as("cid"))
+    }
+    val scored = emb.select(col(idCol), explode(array(sims: _*)).as("s"))
+      .select(col(idCol), col("s.sim").as("sim"), col("s.cid").as("cid"))
+    val perVec = Window.partitionBy(idCol).orderBy(desc("sim"), desc("cid"))
+    val top2 = scored.withColumn("rn", row_number().over(perVec))
+      .where(col("rn") <= 2)
+    val best = top2.where(col("rn") === 1)
+      .select(col(idCol), col("cid").as("cell1"), col("sim").as("sim1"))
+    val second = top2.where(col("rn") === 2)
+      .select(col(idCol), col("cid").as("cell2"))
+    val perCell = Window.partitionBy("cell1").orderBy(desc("sim1"), col(idCol))
+    best.join(second, idCol)
+      .withColumn("cr", row_number().over(perCell))
+      .select(col(idCol),
+        when(col("cr") <= capacity, col("cell1")).otherwise(col("cell2"))
+          .as("cell_id"),
+        (col("cr") > capacity).cast("long").as("reassigned"))
+  }
+
   /** Coarse-quantizer outlier triage: every vector's BEST cell score
     * (the same q6 projection-dot and tie-break as [[ivfAssign]] — larger
     * cid wins ties), keeping only vectors whose best score falls below

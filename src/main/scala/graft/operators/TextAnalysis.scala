@@ -135,6 +135,47 @@ object TextAnalysis {
       round(raw, 6).as("quality_score"))
   }
 
+  /** Gopher-style quality RULE battery (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1 — adapted to single-line ASCII docs): unlike the scalar
+    * [[qualityScore]], each rule is a hard pass/fail gate and the output
+    * carries the full mask, so downstream can audit WHICH rule kills a
+    * document (the operational need at curation scale). All signals are
+    * exact integers (milli-ratios via non-negative floor division), so
+    * both engines compute identical masks. One narrow projection, no
+    * shuffle, no explode — word stats derive from length arithmetic.
+    *
+    * Rules: r1 word count in [10, 1000]; r2 mean word length in
+    * [2, 12] chars; r3 ≥ 2 stopword hits; r4 symbol ratio ≤ 10%;
+    * r5 ≥ 80% of words contain a letter. keep = all five. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("long")
+    val nWords = size(split(t, " ")).cast("long")
+    val wordChars = (nChars - (nWords - lit(1L))) // single-space separators
+    val alphaWords = size(filter(split(t, " "),
+      w => w.rlike("[a-z]"))).cast("long")
+    val nonAlnum = (length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))).cast("long")
+    val stop = markerCount(t, Seq("the", "and", "of", "to", "is", "a", "in", "that"))
+      .cast("long")
+    df.select(col(idCol), nWords.as("n_words"),
+        (wordChars * lit(1000L)).as("_wc1000"),
+        (nonAlnum * lit(1000L)).as("_na1000"),
+        (alphaWords * lit(1000L)).as("_aw1000"),
+        stop.as("stop_cnt"), nChars.as("_nc"))
+      .withColumn("mwl_milli", expr("_wc1000 DIV n_words"))
+      .withColumn("sym_milli", expr("_na1000 DIV _nc"))
+      .withColumn("alpha_milli", expr("_aw1000 DIV n_words"))
+      .withColumn("rule_mask",
+        when(col("n_words").between(10L, 1000L), 1L).otherwise(0L) +
+        when(col("mwl_milli").between(2000L, 12000L), 2L).otherwise(0L) +
+        when(col("stop_cnt") >= 2L, 4L).otherwise(0L) +
+        when(col("sym_milli") <= 100L, 8L).otherwise(0L) +
+        when(col("alpha_milli") >= 800L, 16L).otherwise(0L))
+      .withColumn("keep", (col("rule_mask") === 31L).cast("long"))
+      .select(col(idCol), col("n_words"), col("mwl_milli"), col("stop_cnt"),
+        col("sym_milli"), col("alpha_milli"), col("rule_mask"), col("keep"))
+  }
+
   /** Language ID: per-language marker-stopword hit counts; winner is the
     * highest count (ties broken by language code ascending), `und` when no
     * marker fires. A deterministic n-gram-heuristic stand-in for a real

@@ -172,6 +172,22 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("levenshtein"), s"exact verify missing:\n$plan")
   }
 
+  test("gopher rules: join-free narrow projection (only the output sort shuffles)") {
+    val plan = planOf("text_gopher_rules")
+    assert(!plan.contains("Join"), s"rule battery must be join-free:\n$plan")
+    assert(!plan.contains("Generate"), s"no explode expected:\n$plan")
+    assert(!plan.contains("hashpartitioning"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("balanced assign: equi-join + partitioned windows, no all-pairs") {
+    val plan = planOf("sim_kmeans_balanced")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+    assert(plan.contains("Window"), s"rank windows missing:\n$plan")
+    assert(!plan.contains("Window Partition Specification: []"),
+      s"unpartitioned window:\n$plan")
+  }
+
   test("adamic-adar: join-free collect_set shape, two aggregation exchanges") {
     val plan = planOf("graph_adamic_adar")
     assert(!plan.contains("Join"), s"AA must be join-free:\n$plan")

@@ -1378,6 +1378,55 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 3L, 2L, 1L, 4L, 1L), (1L, 3L, 5L, 10L, 4L, 1L)))
   }
 
+  test("gopher rules: each rule gates independently and the mask names the killer") {
+    val good = (1 to 30).map(i => s"the word and of to is a in that w$i").mkString(" ")
+    val df = docsDF(Seq(
+      (0L, good),                              // passes everything
+      (1L, "too short doc"),                   // r1 (word count) fails
+      (2L, (1 to 30).map(_ => "@#$%!").mkString(" ") + " the of"), // symbols + no alpha
+      (3L, (1 to 20).map(i => "supercalifragilisticexpialidocious").mkString(" ")))) // mwl + stopwords fail
+    val got = TextAnalysis.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(6), r.getLong(7))).toMap
+    assert(got(0L) == ((31L, 1L)))
+    assert((got(1L)._1 & 1L) == 0L && got(1L)._2 == 0L)     // word count rule off
+    assert((got(2L)._1 & 8L) == 0L && (got(2L)._1 & 16L) == 0L) // symbol + alpha off
+    assert((got(3L)._1 & 2L) == 0L && (got(3L)._1 & 4L) == 0L)  // mwl + stopword off
+  }
+
+  test("balanced assign: caps cells at capacity, spills keep their second choice") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val cap = (n + 7) / 8
+    val bal = Similarity.balancedAssign(emb, "vec_id", "embedding", 8, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bal.length == n)
+    val ivf = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    // non-spilled rows sit in their unconstrained-best cell; spilled ones don't
+    bal.foreach { case (id, cell, moved) =>
+      if (moved == 0L) assert(cell == ivf(id), s"vec $id moved without flag")
+      else assert(cell != ivf(id), s"vec $id flagged but kept cell")
+    }
+    // every cell holds at most cap NON-SPILLED members (spill targets may
+    // exceed cap — single rebalance round, documented)
+    val kept = bal.filter(_._3 == 0L).groupBy(_._2).map(_._2.size)
+    assert(kept.forall(_ <= cap))
+    val expectedSpills = ivf.values.groupBy(identity)
+      .map { case (_, v) => math.max(0L, v.size - cap) }.sum
+    assert(bal.count(_._3 == 1L) == expectedSpills)
+  }
+
+  test("temperature mix: alpha=0.5 weights are exact integer sqrt ratios") {
+    val df = docsDF(Seq(
+      (0L, (1 to 100).map(i => s"a$i").mkString(" ")),   // en: 100 tokens
+      (1L, (1 to 400).map(i => s"b$i").mkString(" "))))  // fr: 400 tokens
+      .withColumn("lang", when(col("doc_id") === 0L, "en").otherwise("fr"))
+    val got = graft.operators.Sharding.temperatureMix(df, "lang", "text", sampleN = 1000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("en") == ((100L, 10000L, 333333L, 333L))) // sqrt(100)=10 exactly
+    assert(got("fr") == ((400L, 20000L, 666666L, 666L)))
+  }
+
   test("adamic-adar: rare shared items outweigh popular ones; hub items dropped") {
     val rel = spark.createDataFrame(Seq(
       (1L, 101L), (2L, 101L),                             // deg 2 — rare
