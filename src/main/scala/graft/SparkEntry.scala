@@ -1117,6 +1117,14 @@ object SparkEntry {
       // integer milli-ratios, one narrow projection, no shuffle
       TextAnalysis.gopherRules(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "text_hash_embedding" -> ((s, dir) =>
+      // model-free 64-dim doc embedding via the hashing trick: integer
+      // signed-count vector per doc, sparse (id, dim, val) rows — the
+      // deterministic lexical twin of the embeddings column
+      TextAnalysis.hashEmbedding(
+          table(s, dir, "documents").where(col("doc_id") % 7 === 0),
+          "doc_id", "text", dims = 64)
+        .orderBy("doc_id", "dim")),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -2035,6 +2043,55 @@ object SparkEntry {
         .groupBy("topic")
         .agg(count(lit(1)).as("n"), sum(length(col("v"))).as("bytes"))
         .orderBy("topic")
+    }),
+
+    "stream_realtime_enrich" -> ((s, dir) => {
+      // real-time mode THROUGH an allowlisted operator pipeline: in-flight
+      // JSON decode (Project) → null filter (Filter) → broadcast hash
+      // join with the static nation dim (BroadcastHashJoinExec is on the
+      // real-time allowlist; the dim never shuffles) → foreach collect.
+      // Proves RTM is not just a scan surface — map-side enrichment runs
+      // inside the time-budgeted batch. Stateful aggs stay micro-batch
+      // (shuffles aren't allowlisted); the sink-side groupBy here runs on
+      // the COLLECTED batch result, as every streaming drive does.
+      val log = mainLog(s, dir)
+      val expected = log.toDF()
+        .where(get_json_object(decode(col("value"), "UTF-8"), "$.k").isNotNull)
+        .count()
+      val dim = table(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
+      s2.conf.set("spark.sql.streaming.realTimeMode.minBatchDuration", "2s")
+      val (runId, writer) = graft.streaming.RtTailCollector.fresh()
+      val enriched = s2.readStream.format("walruslog").option("path", log.root)
+        .option("realTimePartitions", "2").load()
+        .withColumn("k",
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
+        .where(col("k").isNotNull)
+        .join(broadcast(dim), col("k") % 25 === col("n_nationkey"))
+        .select(col("topic"), col("offset"), col("n_name"))
+      val ckpt = Files.createTempDirectory("graft-rtme-")
+      val q = enriched.writeStream.foreach(writer).outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.RealTime("2 seconds"))
+        .start()
+      try {
+        val dl = System.currentTimeMillis() + 120000
+        while (graft.streaming.RtTailCollector.size(runId) < expected &&
+          System.currentTimeMillis() < dl) Thread.sleep(25)
+      } finally {
+        q.stop()
+        WalrusLog.deleteRecursively(ckpt)
+      }
+      val rows = graft.streaming.RtTailCollector.drain(runId)
+      require(rows.size == expected,
+        s"real-time enrich collected ${rows.size} of $expected")
+      s.createDataFrame(
+          s.sparkContext.parallelize(rows.map(r => Row(r._1, r._3)), 1),
+          StructType(Seq(StructField("topic", StringType),
+            StructField("n_name", StringType))))
+        .groupBy("topic", "n_name")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("topic", "n_name")
     }),
 
     "sim_cosine_builtin" -> ((s, dir) => {
@@ -3417,6 +3474,25 @@ object SparkEntry {
         s"""SELECT topic, entries, bytes FROM walrus_topics('${log.root}')
            |ORDER BY topic""".stripMargin)
     }),
+    "log_snapshot_manifest" -> ((s, dir) => {
+      // export/backup surface: the consistent snapshot manifest of every
+      // visible commit's per-topic range (commit order, offsets, payload
+      // bytes) — pure metadata, no data IO at any log size; commit
+      // immutability makes it consistent without pausing writers. The
+      // three-commit times fixture gives a multi-batch manifest whose
+      // prefix-sum offset ranges the oracle replays.
+      val log = timesLog(s, dir)
+      val rows = log.snapshotManifest().map { case (seq, t, r) =>
+        Row(seq, t, r.start, r.end, r.bytes)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("batch_seq", LongType),
+          StructField("topic", StringType),
+          StructField("start_offset", LongType),
+          StructField("end_offset", LongType),
+          StructField("bytes", LongType))))
+        .orderBy("batch_seq", "topic")
+    }),
     "log_offset_for_times" -> ((s, dir) => {
       // Kafka offsetsForTimes parity: per (topic, probe hour) the
       // earliest offset whose entry timestamp is >= the probe, resolved
@@ -4193,6 +4269,33 @@ object SparkEntry {
           coalesce(col("effective_to"), lit(Long.MaxValue)).as("effective_to"),
           col("effective_to").isNull.as("is_current"))
         .orderBy("user_id", "version")
+    }),
+    "rel_scd2_pointintime" -> ((s, dir) => {
+      // the warehouse POINT-IN-TIME lookup against the SCD2 dimension:
+      // every view event joins the k-interval valid AT its timestamp —
+      // an equi-join on user_id (the natural co-location key; per-user
+      // interval counts are small, so the range residual filters a tiny
+      // bucket, never a banded join). Views before a user's first change
+      // interval drop out (inner join semantics — the standard PIT rule).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val dim = ev.withColumn("prev_k", lag(col("k"), 1).over(w))
+        .where(col("prev_k").isNull || col("k") =!= col("prev_k"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("eff_to", coalesce(lead(col("ts"), 1).over(w), lit(Long.MaxValue)))
+        .select(col("user_id").as("d_user"), col("version"),
+          col("k").as("k_at_time"), col("ts").as("eff_from"), col("eff_to"))
+      val views = events(s, dir)
+        .where(col("event_type") === "view" && col("event_id") % 10 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      views.join(dim, col("user_id") === col("d_user") &&
+          col("ts") >= col("eff_from") && col("ts") < col("eff_to"))
+        .select(col("event_id"), col("user_id"), col("version"),
+          col("k_at_time"))
+        .orderBy("event_id")
     }),
     "text_inverted_index" -> ((s, dir) => {
       // IR index build: per token, document frequency, total term
@@ -5783,6 +5886,28 @@ object SparkEntry {
           |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS subword_tokens,
           |  CAST(length(text) AS BIGINT) AS n_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_hash_embedding" -> {
+        // FNV-1a-64 as an unsigned HUGEINT fold (the mm_feature_extract
+        // twin); dim = low 6 bits, sign = bit 6 — identical to the signed
+        // Long arithmetic on the Spark side because 64 divides 2^64
+        val fnv =
+          """list_reduce(
+            |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+            |        list_transform(generate_series(1, length(w)),
+            |          fi -> CAST(ascii(substr(w, fi, 1)) AS HUGEINT))),
+            |      (acc, fb) -> mod(xor(acc, fb) * 1099511628211,
+            |        CAST('18446744073709551616' AS HUGEINT)))""".stripMargin
+        s"""WITH t AS (
+           |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |h AS (SELECT doc_id, $fnv AS h FROM t),
+           |s AS (SELECT doc_id, CAST(mod(h, 64) AS BIGINT) AS dim,
+           |    CASE WHEN mod(h // 64, 2) = 1 THEN 1 ELSE -1 END AS sign
+           |  FROM h)
+           |SELECT doc_id, dim, CAST(SUM(sign) AS BIGINT) AS val
+           |FROM s GROUP BY 1, 2 HAVING SUM(sign) <> 0
+           |ORDER BY doc_id, dim""".stripMargin
+      },
       "text_gopher_rules" ->
         """WITH b AS (
           |  SELECT doc_id,
@@ -6252,6 +6377,23 @@ object SparkEntry {
           |ORDER BY grp, topic""".stripMargin,
       "stream_topic_counts" ->
         "SELECT event_type AS topic, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "log_snapshot_manifest" ->
+        // manifest twin over the SAME three-commit times fixture: ranges
+        // are per-(commit, topic) counts with prefix-sum start offsets
+        """WITH e AS (
+          |  SELECT event_type AS topic,
+          |    CAST(event_id % 3 + 1 AS BIGINT) AS batch_seq,
+          |    length(props) AS b
+          |  FROM events),
+          |tb AS (SELECT batch_seq, topic, count(*) AS cnt,
+          |    CAST(sum(b) AS BIGINT) AS bytes
+          |  FROM e GROUP BY 1, 2),
+          |pre AS (SELECT *,
+          |    SUM(cnt) OVER (PARTITION BY topic ORDER BY batch_seq) AS cum
+          |  FROM tb)
+          |SELECT batch_seq, topic, CAST(cum - cnt AS BIGINT) AS start_offset,
+          |  CAST(cum AS BIGINT) AS end_offset, bytes
+          |FROM pre ORDER BY batch_seq, topic""".stripMargin,
       "log_offset_for_times" ->
         // time-index twin: commit i holds event_id % 3 == i stamped at
         // T0 + i hours; offsets continue across commits per topic in
@@ -7682,6 +7824,17 @@ object SparkEntry {
           |SELECT topic, n_name, count(*) AS n
           |FROM e JOIN nation ON e.k % 25 = n_nationkey
           |GROUP BY 1, 2 ORDER BY topic, n_name""".stripMargin,
+      // real-time mode delivers exactly the committed set through the
+      // broadcast enrichment, so the oracle is stream_static_enrich's
+      "stream_realtime_enrich" ->
+        """WITH e AS (
+          |  SELECT event_type AS topic,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |  FROM events
+          |  WHERE json_extract_string(props, '$.k') IS NOT NULL)
+          |SELECT topic, n_name, count(*) AS n
+          |FROM e JOIN nation ON e.k % 25 = n_nationkey
+          |GROUP BY 1, 2 ORDER BY topic, n_name""".stripMargin,
       "text_novelty" ->
         s"""${shinglesSql(8, "TRUE")},
            |first AS (SELECT code, MIN(doc_id) AS first_doc FROM codes GROUP BY code)
@@ -8004,6 +8157,30 @@ object SparkEntry {
           |  COALESCE(effective_to, 9223372036854775807) AS effective_to,
           |  effective_to IS NULL AS is_current
           |FROM v ORDER BY user_id, version""".stripMargin,
+      "rel_scd2_pointintime" ->
+        """WITH p AS (
+          |  SELECT user_id, event_id, epoch_ns(ts) AS t,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |  FROM events WHERE event_type = 'purchase'),
+          |c AS (
+          |  SELECT user_id, event_id, t, k,
+          |    lag(k) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_k
+          |  FROM p),
+          |f AS (SELECT * FROM c WHERE prev_k IS NULL OR k <> prev_k),
+          |v AS (
+          |  SELECT user_id AS d_user,
+          |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS BIGINT) AS version,
+          |    k AS k_at_time, t AS eff_from,
+          |    COALESCE(lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id),
+          |      9223372036854775807) AS eff_to
+          |  FROM f),
+          |vw AS (
+          |  SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
+          |  WHERE event_type = 'view' AND event_id % 10 = 0)
+          |SELECT vw.event_id, vw.user_id, v.version, v.k_at_time
+          |FROM vw JOIN v ON vw.user_id = v.d_user
+          |  AND vw.t >= v.eff_from AND vw.t < v.eff_to
+          |ORDER BY event_id""".stripMargin,
       "text_inverted_index" ->
         """WITH t AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

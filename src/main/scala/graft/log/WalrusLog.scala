@@ -973,6 +973,21 @@ class WalrusLog(
     reclaim.map(_.id).toSeq
   }
 
+  /** Consistent snapshot manifest: every visible commit's per-topic
+    * range, in commit order — the export/backup surface (what a
+    * point-in-time copy or cross-cluster mirror would ship). Pure commit
+    * metadata: no data IO at any log size, and because commits are
+    * immutable the manifest is consistent WITHOUT pausing writers — a
+    * commit landing after the listing is simply past the snapshot point
+    * (the same atomic-visibility argument as the reader paths).
+    * Returns (batchSeq starting at 1, topic, range). */
+  def snapshotManifest(): Seq[(Long, String, TopicRange)] = synchronized {
+    visibleCommits.filter(_.topics.nonEmpty).sortBy(_.id).zipWithIndex.flatMap {
+      case (c, i) =>
+        c.topics.toSeq.sortBy(_._1).map { case (t, r) => ((i + 1).toLong, t, r) }
+    }
+  }
+
   /** Size-based retention (the Kafka `retention.bytes` analogue,
     * complementing [[vacuum]]'s consumption-based and [[vacuumOlderThan]]'s
     * time-based reclamation): reclaim every batch whose data is entirely

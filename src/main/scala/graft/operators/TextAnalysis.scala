@@ -135,6 +135,31 @@ object TextAnalysis {
       round(raw, 6).as("quality_score"))
   }
 
+  /** Feature-hashing ("hashing trick") document embedding (Weinberger
+    * et al. 2009, arXiv:0902.2206): each token instance lands in dimension
+    * `fnv(token) mod dims` with sign from the next hash bit, so a doc's
+    * embedding is an integer vector computable WITHOUT any model or
+    * vocabulary — the deterministic lexical twin of the learned-embedding
+    * column, and exact in both engines (FNV-1a is the wire-parity hash).
+    * Emitted SPARSE as (id, dim, val ≠ 0) rows: one explode + one
+    * (id, dim)-keyed aggregation with map-side combine; at 100 TB the
+    * shuffle key is (id, small-int) and rows cap at dims per doc. */
+  def hashEmbedding(df: DataFrame, idCol: String, textCol: String,
+      dims: Int = 64): DataFrame = {
+    require(dims == 64, "sign comes from hash bit 6 — the layout is fixed at 64 dims")
+    import graft.functions.GraftFunctions.fnv1a64
+    val h = fnv1a64(encode(col("w"), "UTF-8"))
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(col(idCol),
+        (((h % dims) + dims) % dims).cast("long").as("dim"),
+        when(shiftright(h, 6).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)
+          .as("sign"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum("sign").as("val"))
+      .where(col("val") =!= 0L)
+  }
+
   /** Gopher-style quality RULE battery (Rae et al. 2021, arXiv:2112.11446
     * §A1.1 — adapted to single-line ASCII docs): unlike the scalar
     * [[qualityScore]], each rule is a hard pass/fail gate and the output

@@ -188,6 +188,13 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unpartitioned window:\n$plan")
   }
 
+  test("scd2 point-in-time: equi-join on the user key, range stays residual") {
+    val plan = planOf("rel_scd2_pointintime")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"PIT lookup must join on the user key, not scan all intervals:\n$plan")
+  }
+
   test("adamic-adar: join-free collect_set shape, two aggregation exchanges") {
     val plan = planOf("graph_adamic_adar")
     assert(!plan.contains("Join"), s"AA must be join-free:\n$plan")

@@ -640,6 +640,21 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.vacuumToBytes(10L).isEmpty)
   }
 
+  test("snapshot manifest: per-commit topic ranges in commit order, vacuumed batches absent") {
+    val log = new WalrusLog(spark, tempRoot())
+    log.batchAppend("a", (0 until 3).map(i => bytes(s"aa$i"))) // 9 bytes
+    log.batchAppend("b", (0 until 2).map(i => bytes(s"bbb$i"))) // 8 bytes
+    log.batchAppend("a", (0 until 2).map(i => bytes(s"a$i")))  // 4 bytes
+    val m1 = log.snapshotManifest()
+    assert(m1 == Seq((1L, "a", TopicRange(0L, 3L, 9L)),
+      (2L, "b", TopicRange(0L, 2L, 8L)),
+      (3L, "a", TopicRange(3L, 5L, 4L))))
+    // storage reclamation drops reclaimed batches from the manifest
+    // (a snapshot ships only data that still exists)
+    assert(log.vacuumOlderThan(System.currentTimeMillis() + 1000).size == 3)
+    assert(log.snapshotManifest().isEmpty)
+  }
+
   test("arrivalOrder ingest pins shuffle-lineage inputs and stays dense") {
     import org.apache.spark.sql.functions._
     val log = new WalrusLog(spark, tempRoot())

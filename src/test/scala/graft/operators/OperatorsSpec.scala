@@ -1427,6 +1427,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("fr") == ((400L, 20000L, 666666L, 666L)))
   }
 
+  test("hash embedding: mass equals token count; doubling tokens doubles values") {
+    val df = docsDF(Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta alpha beta gamma delta")))
+    val got = TextAnalysis.hashEmbedding(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val d0 = got.filter(_._1._1 == 0L)
+    // |val| sums to the token count when no two tokens collide+cancel
+    assert(d0.values.map(math.abs).sum == 4L)
+    assert(d0.keys.forall { case (_, dim) => dim >= 0 && dim < 64 })
+    // doc 1 = doc 0 twice: every dim value exactly doubles
+    d0.foreach { case ((_, dim), v) => assert(got((1L, dim)) == 2 * v) }
+  }
+
   test("adamic-adar: rare shared items outweigh popular ones; hub items dropped") {
     val rel = spark.createDataFrame(Seq(
       (1L, 101L), (2L, 101L),                             // deg 2 — rare
