@@ -3474,6 +3474,20 @@ object SparkEntry {
         s"""SELECT topic, entries, bytes FROM walrus_topics('${log.root}')
            |ORDER BY topic""".stripMargin)
     }),
+    "log_runtime_pruned_join" -> ((s, dir) => {
+      // runtime filtering end-to-end: the broadcast dim's topic values are
+      // pushed into the V2 scan AT RUNTIME (SupportsRuntimeFiltering), so
+      // only the joined topics' files open — the log-source analogue of
+      // dynamic partition pruning. The oracle is the plain join semantics;
+      // the pruning itself is pinned by PlanContractSpec.
+      import s.implicits._
+      val log = mainLog(s, dir)
+      val dim = Seq(("click", 1L), ("purchase", 2L)).toDF("name", "boost")
+      graft.streaming.WalrusStreams.read(s, log.root)
+        .join(broadcast(dim), col("topic") === col("name"))
+        .groupBy("topic", "boost").agg(count(lit(1)).as("n"))
+        .orderBy("topic")
+    }),
     "log_snapshot_manifest" -> ((s, dir) => {
       // export/backup surface: the consistent snapshot manifest of every
       // visible commit's per-topic range (commit order, offsets, payload
@@ -6377,6 +6391,11 @@ object SparkEntry {
           |ORDER BY grp, topic""".stripMargin,
       "stream_topic_counts" ->
         "SELECT event_type AS topic, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "log_runtime_pruned_join" ->
+        """WITH d AS (SELECT * FROM (VALUES ('click', 1), ('purchase', 2)) AS t(name, boost))
+          |SELECT event_type AS topic, CAST(boost AS BIGINT) AS boost, count(*) AS n
+          |FROM events JOIN d ON event_type = name
+          |GROUP BY 1, 2 ORDER BY topic""".stripMargin,
       "log_snapshot_manifest" ->
         // manifest twin over the SAME three-commit times fixture: ranges
         // are per-(commit, topic) counts with prefix-sum start offsets

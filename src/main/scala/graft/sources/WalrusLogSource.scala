@@ -286,17 +286,54 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
 
 class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     required: StructType,
-    prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec()) extends Scan {
+    prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec())
+    extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   private val topic = Option(options.get("topic"))
   override def readSchema(): StructType = required
   override def description(): String =
     s"WalrusLogScan($nsDir, topic=$topic, columns=${required.fieldNames.mkString(",")}" +
       (if (prune.isNoop) ")" else s", pushed=[$prune])")
 
+  // -------------------------------------------------- runtime filtering
+  // The dynamic-partition-pruning analogue for the log: when this scan is
+  // the probe side of a join on `topic`/`offset`, Spark evaluates the
+  // build side FIRST and hands the resulting values here at RUNTIME —
+  // whole topic dirs / commits are then skipped from metadata exactly
+  // like compile-time pushdown, but with values only a join can know
+  // (e.g. "the topics in this dim table slice"). At 100 TB this is the
+  // difference between scanning every topic of a namespace and opening
+  // only the joined ones.
+  @volatile private var runtimePrune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec()
+
+  // only columns that SURVIVED pruning may be declared (Spark resolves
+  // these against the scan output — a pruned-away column fails analysis)
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array("topic", "offset").filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val (spec, _) = WalrusLogSource.pruneSpecFrom(filters)
+    runtimePrune = spec
+  }
+
+  /** Static pushdown ∧ runtime filters, applied together at plan time. */
+  private def effectivePrune: WalrusLogSource.PruneSpec = {
+    val r = runtimePrune
+    WalrusLogSource.PruneSpec(
+      topics = (prune.topics, r.topics) match {
+        case (Some(a), Some(b)) => Some(a.intersect(b))
+        case (a, b) => a.orElse(b)
+      },
+      offsetMin = math.max(prune.offsetMin, r.offsetMin),
+      offsetMax = math.min(prune.offsetMax, r.offsetMax),
+      tsUsMin = math.max(prune.tsUsMin, r.tsUsMin),
+      tsUsMax = math.min(prune.tsUsMax, r.tsUsMax))
+  }
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       WalrusLogSource.partitionsFor(nsDir,
-        WalrusLogSource.listCommits(nsDir), topic, prune)
+        WalrusLogSource.listCommits(nsDir), topic, effectivePrune)
     override def createReaderFactory(): PartitionReaderFactory =
       new WalrusReaderFactory(required)
   }

@@ -106,6 +106,37 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 5).map(j => s"c3-$j"))
   }
 
+  test("walruslog runtime filtering: join values prune commits/topic dirs at runtime") {
+    import org.apache.spark.sql.sources.{EqualTo, Filter}
+    val root = Files.createTempDirectory("plan-rf-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    (0 until 4).foreach(i =>
+      log.batchAppend(s"t$i", (0 until 5).map(j => s"v$i-$j".getBytes("UTF-8"))))
+
+    // mechanics: a runtime filter() call narrows planInputPartitions
+    val tbl = new graft.sources.WalrusLogTable(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", root)))
+    val scan = tbl.newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build()
+    assert(scan.toBatch.planInputPartitions().length == 4)
+    scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+      .filter(Array[Filter](EqualTo("topic", "t1")))
+    assert(scan.toBatch.planInputPartitions().length == 1,
+      "runtime topic filter must prune to the single matching file")
+
+    // end-to-end: Spark injects the runtime filter on a broadcast join
+    import spark.implicits._
+    val dim = Seq(("t2", 1L)).toDF("name", "x")
+    val joined = spark.read.format("walruslog").option("path", root).load()
+      .join(broadcast(dim), col("topic") === col("name"))
+      .select(col("topic"), col("offset"))
+    val rows = joined.collect()
+    assert(rows.length == 5 && rows.forall(_.getString(0) == "t2"))
+    assert(joined.queryExecution.executedPlan.toString.contains("RuntimeFilters"),
+      "expected Spark to attach runtime filters to the V2 scan")
+  }
+
   test("minhash signatures: scan -> project, no computation shuffle") {
     // the only exchange allowed is the final output orderBy's range
     // partitioning — signatures themselves are per-row (no explode, no
