@@ -571,6 +571,65 @@ object SparkEntry {
        |pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - ${k - 1})) AS i FROM d),
        |codes AS (SELECT DISTINCT doc_id, ${codeSql("text", k)} AS code FROM pos)""".stripMargin
 
+  /** CTE chain (no WITH prefix) computing the Gopher rule mask per doc:
+    * ends with `gmask(doc_id, n_words, mwl_milli, stop_cnt, sym_milli,
+    * alpha_milli, rule_mask)` — ONE definition shared by the
+    * text_gopher_rules oracle and the composed pretraining pipeline
+    * (pipeline_pretrain_mix), mirroring TextAnalysis.gopherRules. */
+  private val gopherMaskCtes: String =
+    """gb AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS nc,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS aw,
+      |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is|a|in|that)\b')) AS BIGINT) AS stop_cnt,
+      |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS na
+      |  FROM documents),
+      |gmm AS (
+      |  SELECT doc_id, n_words, stop_cnt,
+      |    (nc - (n_words - 1)) * 1000 // n_words AS mwl_milli,
+      |    na * 1000 // nc AS sym_milli,
+      |    aw * 1000 // n_words AS alpha_milli
+      |  FROM gb),
+      |gmask AS (
+      |  SELECT *,
+      |    (CASE WHEN n_words BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN mwl_milli BETWEEN 2000 AND 12000 THEN 2 ELSE 0 END) +
+      |    (CASE WHEN stop_cnt >= 2 THEN 4 ELSE 0 END) +
+      |    (CASE WHEN sym_milli <= 100 THEN 8 ELSE 0 END) +
+      |    (CASE WHEN alpha_milli >= 800 THEN 16 ELSE 0 END) AS rule_mask
+      |  FROM gmm)""".stripMargin
+
+  /** CTE chain (no WITH prefix) computing the maximal duplicated-span
+    * table `spans(id_a, id_b, start_a, start_b, span_words, n_seeds)` of
+    * the `doc_id % 3 = 0` slice — ONE definition shared by the
+    * dedup_substring_spans oracle and its interval-union application
+    * (dedup_span_removal), mirroring Dedup.duplicatedSpans(k=4, cap 20). */
+  private val substringSpanCtes: String =
+    """spd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE doc_id % 3 = 0 AND len(string_split(text, ' ')) >= 4),
+      |spg AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS pos FROM spd),
+      |grams AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    array_to_string(ws[pos:pos+3], ' ') AS gram FROM spg),
+      |gkeep AS (
+      |  SELECT doc_id, pos, gram FROM grams
+      |  WHERE gram IN (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 20)),
+      |gm AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb,
+      |    a.pos - b.pos AS diag
+      |  FROM gkeep a JOIN gkeep b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |gisl AS (
+      |  SELECT *, CASE WHEN pa - lag(pa) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) <= 4
+      |    THEN 0 ELSE 1 END AS brk FROM gm),
+      |ggrp AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS gid FROM gisl),
+      |spans AS (
+      |  SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
+      |    CAST(max(pa) - min(pa) + 4 AS BIGINT) AS span_words, count(*) AS n_seeds
+      |  FROM ggrp GROUP BY id_a, id_b, diag, gid
+      |  HAVING max(pa) - min(pa) + 4 >= 4)""".stripMargin
+
   /** WITH-clause (RECURSIVE) CTE chain computing connected components over
     * the MinHash-LSH candidate graph of ALL documents (k=5, 4 bands × 4
     * rows): ends with `reach(node, lbl)` where min(lbl) per node is the
@@ -1764,6 +1823,26 @@ object SparkEntry {
           table(s, dir, "documents").where(col("doc_id") % 3 === 0),
           "doc_id", "text", k = 4, maxGramFreq = 20, minSpanWords = 4)
         .orderBy("id_a", "id_b", "start_a", "start_b")),
+    "dedup_span_removal" -> ((s, dir) =>
+      // the APPLY half of substring dedup: per kept-side doc, merged
+      // removable word intervals across all partners (interval union via
+      // one running-max window) and the removable-content fraction
+      Dedup.spanRemovalStats(
+          table(s, dir, "documents").where(col("doc_id") % 3 === 0),
+          "doc_id", "text", k = 4, maxGramFreq = 20, minSpanWords = 4)
+        .orderBy("doc_id")),
+    "dedup_cluster_stats" -> ((s, dir) => {
+      // the dedup REPORT: cluster-size histogram of the LSH candidate
+      // graph's connected components — what "how duplicated is this
+      // corpus" resolves to operationally (n docs removable = sum over
+      // sizes of (size-1) · n_clusters)
+      val pairs = Dedup.minHashLshPairs(table(s, dir, "documents"),
+        "doc_id", "text", k = 5, bands = 4, rowsPerBand = 4)
+      Dedup.connectedComponents(pairs)
+        .groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
     "dedup_edit_distance" -> ((s, dir) => {
       // fuzzy dedup, discovery/verify split: MinHash-LSH candidates (the
       // bounded bucket join) verified by EXACT Levenshtein distance — the
@@ -3349,6 +3428,45 @@ object SparkEntry {
         .orderBy("source", "split")
     }),
 
+    "pipeline_pretrain_mix" -> ((s, dir) => {
+      // the full pretraining-mix manifest, composed from four operator
+      // families in ONE declarative plan: Gopher rule gate → exact dedup
+      // (keep lowest id) → eval-slice n-gram decontamination → per-lang
+      // doc/token counts with α=0.5 temperature sampling weights over the
+      // SURVIVORS. Every stage is an existing oracled operator; the
+      // composition (semi-join gates feeding the mixture) is the point.
+      val docs = table(s, dir, "documents")
+      val gated = docs.join(
+        TextAnalysis.gopherRules(docs, "doc_id", "text")
+          .where(col("keep") === 1L).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val deduped = gated.join(
+        Dedup.exact(gated, "doc_id", "text").select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      // contamination = overlap FRACTION of the doc's own shingle set
+      // (≥ 50%) against a FIXED-SIZE eval set (first 5 docs) — short
+      // shingles shared with ANY eval doc are ubiquitous (measured: 100%
+      // of docs share ≥ 6, and a PROPORTIONAL eval slice saturates the
+      // fractions as the corpus grows: median 0.91 at sf0.1), so both a
+      // raw-count gate and a %-sampled eval set degenerate; real
+      // pipelines use long n-grams or fraction gates for exactly this
+      val train = deduped.where(col("doc_id") >= 5)
+      val tot = TextOps.shingles(train, "doc_id", "text", 8)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val contaminated = Dedup.decontaminate(
+          train, docs.where(col("doc_id") < 5), "doc_id", "text", k = 8)
+        .join(tot, "doc_id")
+        .where(expr("n_shared_shingles * 1000 DIV n_sh >= 500"))
+        .select("doc_id")
+      val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      val counts = clean.groupBy(col("lang").as("domain"))
+        .agg(count(lit(1)).as("n_docs"))
+      graft.operators.Sharding.temperatureMix(clean, "lang", "text", sampleN = 1000L)
+        .join(counts, "domain")
+        .select(col("domain"), col("n_docs"), col("n_tokens"), col("s_milli"),
+          col("weight_micro"), col("expected_docs"))
+        .orderBy("domain")
+    }),
     "shard_decontaminate" -> ((s, dir) => {
       // eval-overlap gate: ~1% of docs play the benchmark set; training
       // docs sharing any 8-shingle with it are flagged with their hit count
@@ -5923,34 +6041,13 @@ object SparkEntry {
            |ORDER BY doc_id, dim""".stripMargin
       },
       "text_gopher_rules" ->
-        """WITH b AS (
-          |  SELECT doc_id,
-          |    CAST(length(text) AS BIGINT) AS nc,
-          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-          |    CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS aw,
-          |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is|a|in|that)\b')) AS BIGINT) AS stop_cnt,
-          |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS na
-          |  FROM documents),
-          |m AS (
-          |  SELECT doc_id, n_words, stop_cnt,
-          |    (nc - (n_words - 1)) * 1000 // n_words AS mwl_milli,
-          |    na * 1000 // nc AS sym_milli,
-          |    aw * 1000 // n_words AS alpha_milli
-          |  FROM b),
-          |k AS (
-          |  SELECT *,
-          |    (CASE WHEN n_words BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) +
-          |    (CASE WHEN mwl_milli BETWEEN 2000 AND 12000 THEN 2 ELSE 0 END) +
-          |    (CASE WHEN stop_cnt >= 2 THEN 4 ELSE 0 END) +
-          |    (CASE WHEN sym_milli <= 100 THEN 8 ELSE 0 END) +
-          |    (CASE WHEN alpha_milli >= 800 THEN 16 ELSE 0 END) AS rule_mask
-          |  FROM m)
-          |SELECT doc_id, n_words, CAST(mwl_milli AS BIGINT) AS mwl_milli,
-          |  stop_cnt, CAST(sym_milli AS BIGINT) AS sym_milli,
-          |  CAST(alpha_milli AS BIGINT) AS alpha_milli,
-          |  CAST(rule_mask AS BIGINT) AS rule_mask,
-          |  CAST(CASE WHEN rule_mask = 31 THEN 1 ELSE 0 END AS BIGINT) AS keep
-          |FROM k ORDER BY doc_id""".stripMargin,
+        s"""WITH $gopherMaskCtes
+           |SELECT doc_id, n_words, CAST(mwl_milli AS BIGINT) AS mwl_milli,
+           |  stop_cnt, CAST(sym_milli AS BIGINT) AS sym_milli,
+           |  CAST(alpha_milli AS BIGINT) AS alpha_milli,
+           |  CAST(rule_mask AS BIGINT) AS rule_mask,
+           |  CAST(CASE WHEN rule_mask = 31 THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM gmask ORDER BY doc_id""".stripMargin,
       "text_quality" ->
         s"""WITH $QualityBaseCte
            |SELECT doc_id,
@@ -6723,29 +6820,42 @@ object SparkEntry {
            |WHERE round(CAST(n_common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) >= 0.3
            |ORDER BY id_a, id_b""".stripMargin,
       "dedup_substring_spans" ->
-        """WITH d AS (
-          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-          |  WHERE doc_id % 3 = 0 AND len(string_split(text, ' ')) >= 4),
-          |g AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS pos FROM d),
-          |grams AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-          |    array_to_string(ws[pos:pos+3], ' ') AS gram FROM g),
-          |keep AS (
-          |  SELECT doc_id, pos, gram FROM grams
-          |  WHERE gram IN (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 20)),
-          |m AS (
-          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb,
-          |    a.pos - b.pos AS diag
-          |  FROM keep a JOIN keep b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-          |isl AS (
-          |  SELECT *, CASE WHEN pa - lag(pa) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) <= 4
-          |    THEN 0 ELSE 1 END AS brk FROM m),
-          |grp AS (
-          |  SELECT *, SUM(brk) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS gid FROM isl)
-          |SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
-          |  CAST(max(pa) - min(pa) + 4 AS BIGINT) AS span_words, count(*) AS n_seeds
-          |FROM grp GROUP BY id_a, id_b, diag, gid
-          |HAVING max(pa) - min(pa) + 4 >= 4
-          |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+        s"""WITH $substringSpanCtes
+           |SELECT id_a, id_b, start_a, start_b, span_words, n_seeds
+           |FROM spans ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+      "dedup_span_removal" ->
+        // interval-union application of the spans: per kept-side doc, the
+        // merged removable word intervals. The running max uses the same
+        // ROWS frame as the Spark window; tie rows (identical intervals
+        // from different partners) produce identical break flags, so the
+        // cumulative-sum group ids are tie-order-insensitive.
+        s"""WITH $substringSpanCtes,
+           |ivals AS (SELECT id_b AS doc_id, start_b AS s,
+           |    start_b + span_words AS e FROM spans),
+           |mk AS (SELECT *,
+           |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           |  FROM ivals),
+           |bk AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk FROM mk),
+           |gp AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS gid FROM bk),
+           |per_isl AS (SELECT doc_id, gid, max(e) - min(s) AS len
+           |  FROM gp GROUP BY doc_id, gid),
+           |per_doc AS (SELECT doc_id, CAST(SUM(len) AS BIGINT) AS dup_words,
+           |    count(*) AS n_spans FROM per_isl GROUP BY doc_id),
+           |nw AS (SELECT doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+           |  FROM documents WHERE doc_id % 3 = 0)
+           |SELECT nw.doc_id AS doc_id, n_words, dup_words, n_spans,
+           |  CAST(dup_words * 1000 // n_words AS BIGINT) AS dup_milli
+           |FROM nw JOIN per_doc ON per_doc.doc_id = nw.doc_id
+           |ORDER BY nw.doc_id""".stripMargin,
+      "dedup_cluster_stats" ->
+        s"""$lshReachCtes,
+           |lab AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+           |cs AS (SELECT lbl, count(*) AS cluster_size FROM lab GROUP BY lbl)
+           |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           |  count(*) AS n_clusters
+           |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
       "dedup_edit_distance" -> {
         val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
           s"MIN(${permSql("code", a, b)}) AS mh$j"
@@ -7516,6 +7626,35 @@ object SparkEntry {
            |SELECT query_id, neighbor_id, cosine FROM p
            |WHERE cosine >= 0.2 ORDER BY query_id, neighbor_id""".stripMargin
       },
+      "pipeline_pretrain_mix" ->
+        s"""${shinglesSql(8, "TRUE")},
+           |$gopherMaskCtes,
+           |gk AS (SELECT doc_id FROM gmask WHERE rule_mask = 31),
+           |pd1 AS (SELECT d.* FROM documents d JOIN gk USING (doc_id)),
+           |pex AS (SELECT min(doc_id) AS doc_id FROM pd1 GROUP BY text),
+           |pd2 AS (SELECT pd1.* FROM pd1 JOIN pex USING (doc_id)),
+           |pev AS (SELECT DISTINCT code FROM codes WHERE doc_id < 5),
+           |psz AS (SELECT doc_id, count(*) AS n_sh FROM codes
+           |  WHERE doc_id >= 5 GROUP BY doc_id),
+           |pshared AS (SELECT c.doc_id, count(*) AS shared
+           |  FROM codes c JOIN pev USING (code)
+           |  WHERE c.doc_id >= 5 GROUP BY c.doc_id),
+           |pcont AS (SELECT s.doc_id FROM pshared s JOIN psz z USING (doc_id)
+           |  WHERE shared * 1000 // n_sh >= 500),
+           |pclean AS (SELECT * FROM pd2 WHERE doc_id >= 5
+           |  AND doc_id NOT IN (SELECT doc_id FROM pcont)),
+           |ptk AS (SELECT lang AS domain, count(*) AS n_docs,
+           |    SUM(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)) AS n_tokens
+           |  FROM pclean GROUP BY 1),
+           |psq AS (SELECT domain, n_docs, n_tokens,
+           |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS s_milli
+           |  FROM ptk),
+           |ptot AS (SELECT SUM(s_milli) AS s_total FROM psq)
+           |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens, s_milli,
+           |  CAST(s_milli * 1000000 // s_total AS BIGINT) AS weight_micro,
+           |  CAST((s_milli * 1000000 // s_total) * 1000 // 1000000 AS BIGINT) AS expected_docs
+           |FROM psq, ptot ORDER BY domain""".stripMargin,
       "pipeline_curate" ->
         s"""WITH b AS (
            |  SELECT doc_id, source, text,

@@ -517,6 +517,40 @@ object Dedup {
         col("span_words").cast("long").as("span_words"), col("n_seeds"))
   }
 
+  /** The APPLICATION half of [[duplicatedSpans]] (Lee et al. 2022 drop
+    * duplicated substrings, keep the rest): per KEPT-SIDE document
+    * (id_b — the higher id loses, matching every keep-lowest-id rule
+    * here), the union of its duplicated word intervals, merged across
+    * ALL partners, and the resulting removable-content stats. Interval
+    * union is one running-max window per doc (order-insensitive under
+    * ties: equal intervals produce identical break flags), so the merge
+    * is a plain (doc)-keyed window over match-proportional rows — never
+    * document-scale state. Returns only docs with ≥ 1 duplicated span:
+    * (id, n_words, dup_words, n_spans, dup_milli). */
+  def spanRemovalStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, maxGramFreq: Int = 20, minSpanWords: Int = 4): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, k, maxGramFreq, minSpanWords)
+    val ivals = spans.select(col("id_b").as("_id"), col("start_b").as("s"),
+      (col("start_b") + col("span_words")).as("e"))
+    val w = Window.partitionBy("_id").orderBy("s", "e")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val isl = ivals
+      .withColumn("pmax", max("e").over(wPrev))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("gid", sum("brk").over(w))
+    val perDoc = isl.groupBy("_id", "gid")
+      .agg((max("e") - min("s")).as("len"))
+      .groupBy("_id")
+      .agg(sum("len").as("dup_words"), count(lit(1)).as("n_spans"))
+    df.select(col(idCol).as("_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_words"))
+      .join(perDoc, Seq("_id"))
+      .select(col("_id").as(idCol), col("n_words"),
+        col("dup_words").cast("long").as("dup_words"), col("n_spans"),
+        expr("dup_words * 1000 DIV n_words").as("dup_milli"))
+  }
+
   /** Content-defined chunking (CDC): split each document at positions
     * where the rolling k-shingle hash hits `hash % divisor == 0` — the
     * rsync/LBFS boundary rule that underpins chunk-level dedup in storage

@@ -1378,6 +1378,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 3L, 2L, 1L, 4L, 1L), (1L, 3L, 5L, 10L, 4L, 1L)))
   }
 
+  test("span removal: intervals union across partners, duplicates collapse") {
+    val df = docsDF(Seq(
+      (0L, "x1 x2 s1 s2 s3 s4 s5 s6 s7 y1 y2"),
+      (1L, "z1 s1 s2 s3 s4 s5 s6 s7 z2 z3 z4"),
+      (3L, "s1 s2 s3 s4 m1 m2 m3 m4 m5 s4 s5 s6 s7")))
+    val got = Dedup.spanRemovalStats(df, "doc_id", "text",
+        k = 4, maxGramFreq = 20, minSpanWords = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: kept side of (0,1) — one 7-word span at words [2,9)
+    assert(got(1L) == ((11L, 7L, 1L, 636L)))
+    // doc 3: kept side of (0,3) AND (1,3) — identical [1,5)+[10,14)
+    // intervals from both partners collapse into two 4-word islands
+    assert(got(3L) == ((13L, 8L, 2L, 615L)))
+    assert(!got.contains(0L)) // lowest id never loses content
+  }
+
   test("gopher rules: each rule gates independently and the mask names the killer") {
     val good = (1 to 30).map(i => s"the word and of to is a in that w$i").mkString(" ")
     val df = docsDF(Seq(
