@@ -3477,6 +3477,27 @@ object SparkEntry {
           "doc_id", "text", k = 8)
         .orderBy("doc_id")
     }),
+    "shard_decontaminate_13gram" -> ((s, dir) => {
+      // the GPT-3-style contamination gate (Brown et al. 2020, appendix C:
+      // 13-gram overlap): flag train docs sharing ANY 13-WORD gram with
+      // the eval slice — long grams are sparse, so a single hit is strong
+      // evidence (vs the 8-char shingle COUNT report and the ≥50%-fraction
+      // gate — this closes the decontamination trio). Join on the gram
+      // string; eval grams are tiny and broadcast.
+      val docs = table(s, dir, "documents")
+      def grams(df: DataFrame) = df
+        .select(col("doc_id"), split(col("text"), " ").as("_ws"))
+        .where(size(col("_ws")) >= 13)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(_ws) - 12), " +
+            "i -> concat_ws(' ', slice(_ws, i, 13)))")).as("gram"))
+      val ev = grams(docs.where(col("doc_id") % 20 === 0)).select("gram").distinct()
+      grams(docs.where(col("doc_id") % 20 =!= 0))
+        .join(broadcast(ev), Seq("gram"), "left_semi")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_shared_13grams"))
+        .orderBy("doc_id")
+    }),
     "shard_leakage_split" -> ((s, dir) => {
       // Leakage-safe train/val/test split: near-duplicate documents MUST
       // land in the same split (a near-dup of a test document in train is
@@ -7682,6 +7703,17 @@ object SparkEntry {
            |SELECT source, split, count(*) AS n_docs,
            |  CAST(SUM(toks) AS BIGINT) AS n_tokens
            |FROM sp GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+      "shard_decontaminate_13gram" ->
+        """WITH dd AS (
+          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          |  WHERE len(string_split(text, ' ')) >= 13),
+          |gg AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 12)) AS pos FROM dd),
+          |g13 AS (SELECT doc_id, array_to_string(ws[pos:pos+12], ' ') AS gram FROM gg),
+          |ev AS (SELECT DISTINCT gram FROM g13 WHERE doc_id % 20 = 0)
+          |SELECT t.doc_id, CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared_13grams
+          |FROM g13 t JOIN ev USING (gram)
+          |WHERE t.doc_id % 20 <> 0
+          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
       "shard_decontaminate" ->
         s"""${shinglesSql(8, "TRUE")},
            |ev AS (SELECT DISTINCT code FROM codes WHERE doc_id % 97 = 0),
