@@ -287,9 +287,40 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
 class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     required: StructType,
     prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec())
-    extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val topic = Option(options.get("topic"))
   override def readSchema(): StructType = required
+
+  /** Exact post-pushdown size/row statistics from commit metadata (the
+    * per-topic counts and payload-byte sums every commit records) — no
+    * data IO at any log size. Without this a DSv2 relation reports
+    * `defaultSizeInBytes` (effectively infinite), so a topic-pruned log
+    * scan could NEVER be auto-chosen as a broadcast build side; with it,
+    * Catalyst's join planning sees the log like a well-analyzed table.
+    * Bytes include the per-entry metadata overhead the read budget uses,
+    * so the estimate is the decoded width, not just payload. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val meta = graft.log.LogConfig().metaOverheadBytes.toLong
+    val spec = prune.withTopic(topic)
+    var rows = 0L
+    var bytes = 0L
+    WalrusLogSource.listCommits(nsDir).foreach {
+      case (c, vacuumed) if !vacuumed && spec.commitMatches(c) =>
+        c.topics.foreach { case (t, r) =>
+          if (spec.topicMatches(t)) {
+            val n = r.end - r.start
+            rows += n
+            bytes += r.bytes + meta * n
+          }
+        }
+      case _ => ()
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
   override def description(): String =
     s"WalrusLogScan($nsDir, topic=$topic, columns=${required.fieldNames.mkString(",")}" +
       (if (prune.isNoop) ")" else s", pushed=[$prune])")

@@ -137,6 +137,41 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected Spark to attach runtime filters to the V2 scan")
   }
 
+  test("walruslog scan statistics: exact metadata counts drive UNHINTED auto-broadcast") {
+    import org.apache.spark.sql.sources.{EqualTo, Filter}
+    val root = Files.createTempDirectory("plan-stats-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    log.batchAppend("small", (0 until 3).map(i => s"s$i".getBytes("UTF-8")))   // 6 B payload
+    log.batchAppend("big", (0 until 20).map(i => s"bbbb$i".getBytes("UTF-8")))
+
+    // direct: post-pushdown stats are the exact commit-metadata sums
+    val tbl = new graft.sources.WalrusLogTable(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", root)))
+    val sb = tbl.newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+    sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      .pushFilters(Array[Filter](EqualTo("topic", "small")))
+    val stats = sb.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong == 3L)
+    val meta = graft.log.LogConfig().metaOverheadBytes.toLong
+    assert(stats.sizeInBytes().getAsLong == 6L + 3L * meta)
+
+    // end-to-end: NO broadcast hint anywhere — Catalyst picks BHJ because
+    // the pruned log side reports a tiny size (a DSv2 scan without stats
+    // reports defaultSizeInBytes and could never be auto-broadcast)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val logDf = spark.read.format("walruslog").option("path", root).load()
+      .where(col("topic") === "small")
+      .select(col("offset"), decode(col("value"), "UTF-8").as("v"))
+    val joined = docs.join(logDf, col("doc_id") % 3 === col("offset"))
+    val plan = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), s"no auto-broadcast:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("minhash signatures: scan -> project, no computation shuffle") {
     // the only exchange allowed is the final output orderBy's range
     // partitioning — signatures themselves are per-row (no explode, no
