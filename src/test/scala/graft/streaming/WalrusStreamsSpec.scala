@@ -342,6 +342,41 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 3).map(i => ("beta", (5 + i).toLong, s"post-$i"))).toSet)
   }
 
+  test("real-time mode: 4 reader partitions over hash-assigned topics, empty partitions merge cleanly") {
+    import scala.jdk.CollectionConverters._
+    RtmCollector.seen.clear()
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    // 6 topics over 4 reader partitions: some partitions own several
+    // topics, and with few topics some may own none — their (commitIdx,
+    // 0) offsets must still merge into the composite end offset
+    val topics = (0 until 6).map(i => s"topic-$i")
+    topics.zipWithIndex.foreach { case (t, i) =>
+      log.batchAppend(t, (0 until (i + 1)).map(j => bytes(s"$t/$j")))
+    }
+    val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(spark)
+    s2.conf.set("spark.sql.streaming.realTimeMode.minBatchDuration", "2s")
+    val df = s2.readStream.format("walruslog").option("path", root)
+      .option("realTimePartitions", "4").load()
+      .select(col("topic"), col("offset"), decode(col("value"), "UTF-8").as("v"))
+    val ckpt = Files.createTempDirectory("rtm-ck4-").toString
+    val q = df.writeStream.foreach(new RtmCollector.W).outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.RealTime("2 seconds"))
+      .start()
+    val expected = (1 to 6).sum
+    try {
+      val dl = System.currentTimeMillis() + 30000
+      while (RtmCollector.seen.size < expected && System.currentTimeMillis() < dl)
+        Thread.sleep(20)
+    } finally q.stop()
+    val all = RtmCollector.seen.asScala.toSeq
+    assert(all.size == expected, s"got ${all.size} of $expected: $all")
+    assert(all.toSet == topics.zipWithIndex.flatMap { case (t, i) =>
+      (0 until (i + 1)).map(j => (t, j.toLong, s"$t/$j"))
+    }.toSet)
+  }
+
   test("SparkEntry streaming queries are rerun-stable (driver reruns them)") {
     // The bench and correctness drivers invoke each query repeatedly in one
     // JVM; the streaming entries manage per-invocation sinks/checkpoints and
