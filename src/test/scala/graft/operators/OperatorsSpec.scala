@@ -1378,6 +1378,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 3L, 2L, 1L, 4L, 1L), (1L, 3L, 5L, 10L, 4L, 1L)))
   }
 
+  test("duplicated spans: planted shared runs recover at exact position and full length") {
+    val r = new scala.util.Random(7)
+    (0 until 8).foreach { trial =>
+      val runLen = 4 + r.nextInt(8)
+      val run = (0 until runLen).map(i => s"s${trial}x$i")
+      def filler(tag: String, n: Int) = (0 until n).map(i => s"${tag}f$i")
+      val pa = 1 + r.nextInt(5)
+      val pb = 1 + r.nextInt(5)
+      val docA = (filler(s"qa$trial", pa) ++ run ++ filler(s"za$trial", 3 + r.nextInt(4))).mkString(" ")
+      val docB = (filler(s"qb$trial", pb) ++ run ++ filler(s"zb$trial", 3 + r.nextInt(4))).mkString(" ")
+      val got = Dedup.duplicatedSpans(docsDF(Seq((0L, docA), (1L, docB))),
+        "doc_id", "text").collect()
+      assert(got.length == 1, s"trial $trial found ${got.length} spans")
+      val row = got.head
+      assert((row.getLong(2), row.getLong(3), row.getLong(4)) ==
+        (((pa + 1).toLong, (pb + 1).toLong, runLen.toLong)),
+        s"trial $trial: planted at (${pa + 1}, ${pb + 1}) len $runLen, got $row")
+    }
+  }
+
   test("span removal: intervals union across partners, duplicates collapse") {
     val df = docsDF(Seq(
       (0L, "x1 x2 s1 s2 s3 s4 s5 s6 s7 y1 y2"),
