@@ -3627,6 +3627,18 @@ object SparkEntry {
         .groupBy("topic", "boost").agg(count(lit(1)).as("n"))
         .orderBy("topic")
     }),
+    "log_time_travel" -> ((s, dir) => {
+      // Delta-style time travel on the source: asOfCommit=1 reads the
+      // three-commit times fixture exactly as it was after its second
+      // commit — the commit log IS the version history, so the as-of view
+      // is a metadata filter composing with pushdown/stats/pruning
+      val log = timesLog(s, dir)
+      s.read.format("walruslog").option("path", log.root)
+        .option("asOfCommit", "1").load()
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"), max("offset").as("max_offset"))
+        .orderBy("topic")
+    }),
     "log_snapshot_manifest" -> ((s, dir) => {
       // export/backup surface: the consistent snapshot manifest of every
       // visible commit's per-topic range (commit order, offsets, payload
@@ -6514,6 +6526,13 @@ object SparkEntry {
           |SELECT event_type AS topic, CAST(boost AS BIGINT) AS boost, count(*) AS n
           |FROM events JOIN d ON event_type = name
           |GROUP BY 1, 2 ORDER BY topic""".stripMargin,
+      "log_time_travel" ->
+        // commits 0/1 hold event_id % 3 in {0, 1}; per-topic offsets are
+        // dense from 0, so max_offset = count - 1
+        """SELECT event_type AS topic, count(*) AS n,
+          |  CAST(count(*) - 1 AS BIGINT) AS max_offset
+          |FROM events WHERE event_id % 3 <= 1
+          |GROUP BY 1 ORDER BY topic""".stripMargin,
       "log_snapshot_manifest" ->
         // manifest twin over the SAME three-commit times fixture: ranges
         // are per-(commit, topic) counts with prefix-sum start offsets

@@ -290,6 +290,21 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val topic = Option(options.get("topic"))
+
+  /** Time travel (the Delta `versionAsOf` analogue): `asOfCommit = N`
+    * reads the log exactly as it was when commit N was the newest — the
+    * commit log IS the version history, so this is a metadata filter, not
+    * a data operation. Composes with pushdown/runtime pruning and with
+    * [[estimateStatistics]] (stats describe the as-of view). Batch reads
+    * only; streams by definition tail the live log. */
+  private val asOfCommit: Option[Long] = Option(options.get("asOfCommit")).map(_.toLong)
+
+  private def visibleAsOf(commits: Seq[(CommitRecord, Boolean)]): Seq[(CommitRecord, Boolean)] =
+    asOfCommit match {
+      case Some(n) => commits.filter(_._1.id <= n)
+      case None => commits
+    }
+
   override def readSchema(): StructType = required
 
   /** Exact post-pushdown size/row statistics from commit metadata (the
@@ -305,7 +320,7 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     val spec = prune.withTopic(topic)
     var rows = 0L
     var bytes = 0L
-    WalrusLogSource.listCommits(nsDir).foreach {
+    visibleAsOf(WalrusLogSource.listCommits(nsDir)).foreach {
       case (c, vacuumed) if !vacuumed && spec.commitMatches(c) =>
         c.topics.foreach { case (t, r) =>
           if (spec.topicMatches(t)) {
@@ -364,7 +379,7 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       WalrusLogSource.partitionsFor(nsDir,
-        WalrusLogSource.listCommits(nsDir), topic, effectivePrune)
+        visibleAsOf(WalrusLogSource.listCommits(nsDir)), topic, effectivePrune)
     override def createReaderFactory(): PartitionReaderFactory =
       new WalrusReaderFactory(required)
   }

@@ -377,6 +377,29 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toSet)
   }
 
+  test("time travel: asOfCommit reads the log as of that commit, later data invisible") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    log.batchAppend("t", (0 until 3).map(i => bytes(s"v1-$i")))
+    log.batchAppend("t", (0 until 2).map(i => bytes(s"v2-$i")))
+    def asOf(n: String) = spark.read.format("walruslog")
+      .option("path", root).option("asOfCommit", n).load()
+    assert(asOf("0").count() == 3)
+    assert(asOf("1").count() == 5)
+    val v0 = asOf("0").orderBy("offset").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8"))
+    assert(v0.toSeq == Seq("v1-0", "v1-1", "v1-2"))
+    // stats describe the as-of view too
+    val tbl = new graft.sources.WalrusLogTable(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", root, "asOfCommit", "0")))
+    val stats = tbl.newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong == 3L)
+  }
+
   test("SparkEntry streaming queries are rerun-stable (driver reruns them)") {
     // The bench and correctness drivers invoke each query repeatedly in one
     // JVM; the streaming entries manage per-invocation sinks/checkpoints and
