@@ -3467,6 +3467,33 @@ object SparkEntry {
           col("weight_micro"), col("expected_docs"))
         .orderBy("domain")
     }),
+    "pipeline_dataset_card" -> ((s, dir) => {
+      // datasheet-for-datasets rollup (Gebru et al. 2021,
+      // arXiv:1803.09010) per (source, lang): volume, token mass, mean
+      // heuristic quality (milli), Gopher pass count, near-dup
+      // involvement — the one-page data card a corpus release ships,
+      // composed from three operator families in one plan
+      val docs = table(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          floor(col("quality_score") * 1000 + lit(0.5)).cast("long").as("qmilli"))
+      val g = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 5, bands = 4, rowsPerBand = 4)
+      val dupDocs = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+        .withColumn("is_dup", lit(1L))
+      docs.join(q, "doc_id").join(g, "doc_id")
+        .join(dupDocs, Seq("doc_id"), "left")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          expr("sum(qmilli) DIV count(1)").as("mean_quality_milli"),
+          sum(col("keep")).as("n_gopher_pass"),
+          coalesce(sum(col("is_dup")), lit(0L)).as("n_dup_involved"))
+        .orderBy("source", "lang")
+    }),
     "shard_decontaminate" -> ((s, dir) => {
       // eval-overlap gate: ~1% of docs play the benchmark set; training
       // docs sharing any 8-shingle with it are flagged with their hit count
@@ -7666,6 +7693,29 @@ object SparkEntry {
            |SELECT query_id, neighbor_id, cosine FROM p
            |WHERE cosine >= 0.2 ORDER BY query_id, neighbor_id""".stripMargin
       },
+      "pipeline_dataset_card" ->
+        s"""$lshReachCtes,
+           |$QualityBaseCte,
+           |$gopherMaskCtes,
+           |dq AS (SELECT doc_id,
+           |    CAST(floor(($QualityScoreSql) * 1000 + 0.5) AS BIGINT) AS qmilli
+           |  FROM b),
+           |gpass AS (SELECT doc_id,
+           |    CASE WHEN rule_mask = 31 THEN 1 ELSE 0 END AS keep FROM gmask),
+           |dup AS (SELECT DISTINCT doc_id FROM (
+           |  SELECT id_a AS doc_id FROM cand
+           |  UNION ALL SELECT id_b AS doc_id FROM cand)),
+           |base AS (SELECT dd.source, dd.lang, dd.doc_id,
+           |    len(string_split(dd.text, ' ')) AS tk FROM documents dd)
+           |SELECT source, lang, count(*) AS n_docs,
+           |  CAST(SUM(tk) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(qmilli) // count(*) AS BIGINT) AS mean_quality_milli,
+           |  CAST(SUM(keep) AS BIGINT) AS n_gopher_pass,
+           |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_involved
+           |FROM base
+           |JOIN dq USING (doc_id) JOIN gpass USING (doc_id)
+           |LEFT JOIN dup USING (doc_id)
+           |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
       "pipeline_pretrain_mix" ->
         s"""${shinglesSql(8, "TRUE")},
            |$gopherMaskCtes,
