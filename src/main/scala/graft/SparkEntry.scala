@@ -3666,6 +3666,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), max("offset").as("max_offset"))
         .orderBy("topic")
     }),
+    "log_change_feed" -> ((s, dir) => {
+      // change data feed between two as-of versions (the Delta CDF
+      // analogue): rows present at asOfCommit=2 but absent at
+      // asOfCommit=1. Appends are the only mutation, so the diff is an
+      // anti-join on (topic, offset) over two metadata-filtered views of
+      // the SAME files — version reads share storage
+      val log = timesLog(s, dir)
+      def view(n: String) = s.read.format("walruslog")
+        .option("path", log.root).option("asOfCommit", n).load()
+        .select(col("topic"), col("offset"))
+      view("2").join(view("1"), Seq("topic", "offset"), "left_anti")
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n_new"), min("offset").as("first_new"))
+        .orderBy("topic")
+    }),
     "log_snapshot_manifest" -> ((s, dir) => {
       // export/backup surface: the consistent snapshot manifest of every
       // visible commit's per-topic range (commit order, offsets, payload
@@ -6553,6 +6568,13 @@ object SparkEntry {
           |SELECT event_type AS topic, CAST(boost AS BIGINT) AS boost, count(*) AS n
           |FROM events JOIN d ON event_type = name
           |GROUP BY 1, 2 ORDER BY topic""".stripMargin,
+      "log_change_feed" ->
+        // commit 2 holds event_id % 3 = 2; its rows' offsets start where
+        // the first two commits' per-topic counts end
+        """SELECT event_type AS topic,
+          |  CAST(SUM(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+          |  CAST(SUM(CASE WHEN event_id % 3 <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_new
+          |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
       "log_time_travel" ->
         // commits 0/1 hold event_id % 3 in {0, 1}; per-topic offsets are
         // dense from 0, so max_offset = count - 1
