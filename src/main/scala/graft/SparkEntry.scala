@@ -987,6 +987,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("event_type", "hour_bucket")
     }),
+    "rel_conversion_lag" -> ((s, dir) => {
+      // time-to-convert: per user the first view and the first purchase
+      // at/after it; lag distribution in exact integer ms (nanos DIV 1e6,
+      // non-negative by construction). Both shuffles ride the same
+      // 8-byte user key; the report is one global aggregate — no window,
+      // no sort, collapses map-side
+      val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val t3 = ev.join(t1, "user_id")
+        .where(col("event_type") === "purchase" && col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      t3.join(t1, "user_id")
+        .select(expr("(t3 - t1) DIV 1000000").as("lag_ms"))
+        .agg(count(lit(1)).as("n_converted"),
+          min("lag_ms").as("min_lag_ms"), max("lag_ms").as("max_lag_ms"),
+          expr("sum(lag_ms) DIV count(1)").as("mean_lag_ms"))
+    }),
+    "text_heaps_law" -> ((s, dir) => {
+      // Heaps'-law vocabulary growth: distinct vocabulary vs token mass
+      // at ten doc-id-prefix checkpoints — the sublinear V(n) ∝ n^β curve
+      // that sizes tokenizer vocabularies. Each word's FIRST document is
+      // computed once (one aggregation); checkpoint fan-out is a 10-row
+      // broadcast (a deliberate tiny-side BNL, the 1-row-total pattern)
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+      val cps = (1 to 10).map(i => ((i.toLong, (maxId + 1) * i / 10)))
+        .toDF("decile", "cutoff")
+      val docTok = docs.select(col("doc_id"),
+        expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)").as("tk"))
+      val firstSeen = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+        .where(col("wd") =!= "")
+        .groupBy("wd").agg(min("doc_id").as("first_doc"))
+      val toks = docTok.crossJoin(broadcast(cps))
+        .where(col("doc_id") < col("cutoff"))
+        .groupBy("decile", "cutoff").agg(sum("tk").as("n_tokens"))
+      val voc = firstSeen.crossJoin(broadcast(cps.select("decile", "cutoff")))
+        .where(col("first_doc") < col("cutoff"))
+        .groupBy(col("decile").as("d2")).agg(count(lit(1)).as("n_vocab"))
+      toks.join(voc, col("decile") === col("d2"))
+        .select(col("decile"), col("cutoff"), col("n_tokens"), col("n_vocab"))
+        .orderBy("decile")
+    }),
     "rel_funnel_stages" -> ((s, dir) => {
       // ordered conversion funnel view → click → purchase: per user, the
       // first view, the first click AT/AFTER that view, the first purchase
@@ -8210,6 +8255,39 @@ object SparkEntry {
            |  CAST(row_number() OVER (PARTITION BY query_id
            |    ORDER BY rrf_micro DESC, neighbor_id) AS BIGINT) AS rnk
            |FROM f QUALIFY rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+      "rel_conversion_lag" ->
+        """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+          |  FROM events e JOIN v USING (user_id)
+          |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= v.t1
+          |  GROUP BY 1),
+          |l AS (SELECT (t3 - t1) // 1000000 AS lag_ms FROM p JOIN v USING (user_id))
+          |SELECT count(*) AS n_converted,
+          |  CAST(min(lag_ms) AS BIGINT) AS min_lag_ms,
+          |  CAST(max(lag_ms) AS BIGINT) AS max_lag_ms,
+          |  CAST(SUM(lag_ms) // count(*) AS BIGINT) AS mean_lag_ms
+          |FROM l""".stripMargin,
+      "text_heaps_law" ->
+        """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+          |cp AS (SELECT CAST(i AS BIGINT) AS decile,
+          |    (SELECT m FROM mx) * i // 10 AS cutoff
+          |  FROM (SELECT unnest(generate_series(1, 10)) AS i)),
+          |wrd AS (SELECT doc_id,
+          |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS wd
+          |  FROM documents),
+          |fs AS (SELECT wd, min(doc_id) AS first_doc FROM wrd GROUP BY wd),
+          |dt AS (SELECT doc_id,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tk
+          |  FROM documents),
+          |tks AS (SELECT decile, cutoff, SUM(tk) AS n_tokens FROM dt, cp
+          |  WHERE doc_id < cutoff GROUP BY 1, 2),
+          |vc AS (SELECT decile, count(*) AS n_vocab FROM fs, cp
+          |  WHERE first_doc < cutoff GROUP BY 1)
+          |SELECT decile, CAST(cutoff AS BIGINT) AS cutoff,
+          |  CAST(n_tokens AS BIGINT) AS n_tokens,
+          |  CAST(n_vocab AS BIGINT) AS n_vocab
+          |FROM tks JOIN vc USING (decile) ORDER BY decile""".stripMargin,
       "rel_funnel_stages" ->
         """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
           |  WHERE event_type = 'view' GROUP BY user_id),
