@@ -5196,6 +5196,30 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("hamming"))
         .orderBy("query_id", "rnk")
     }),
+    "sim_cascade_rerank" -> ((s, dir) => {
+      // the production retrieval cascade: 8-byte hamming codes prefilter
+      // to top-20 candidates per query (the 32×-compressed scan), then
+      // EXACT q6 cosine reranks the top-5 — float accuracy at bit-scan
+      // cost. Rerank touches only candidate rows; the raw-vector joins
+      // shuffle 20·|queries| rows, never the corpus.
+      import graft.functions.GraftFunctions.cosine_similarity
+      import org.apache.spark.sql.expressions.Window
+      val emb = table(s, dir, "embeddings")
+      val codes = Similarity.binaryQuantCodes(emb, "vec_id", "embedding")
+      val cands = Similarity.hammingTopKWords(
+          codes.where(col("vec_id") < 10), codes, "vec_id",
+          Seq("bq0", "bq1"), k = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val qv = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val scored = cands.join(qv, "query_id").join(cv, "neighbor_id")
+        .withColumn("cosine", TextOps.q6(cosine_similarity(col("qv"), col("cv"))))
+      val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
     "graph_label_prop" -> ((s, dir) => {
       // bounded-round HashMin community labelling over the co-occurrence
       // graph: 3 synchronous min-label rounds (labels after round r =
@@ -9169,6 +9193,41 @@ object SparkEntry {
            |  FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
            |  WHERE q.vec_id < 20)
            |SELECT query_id, neighbor_id, rnk, hamming FROM scored
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      },
+      "sim_cascade_rerank" -> {
+        // binary-quant code CTEs (same construction as sim_binary_quant),
+        // then hamming top-20 candidates, then the shared q6-cosine rerank
+        val sums = (0 until 64).map(d =>
+          s"SUM(CAST(floor(CAST(embedding[${d + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s$d")
+          .mkString(",\n    ")
+        def word(lo: Int): String = (lo until lo + 32).map(d =>
+          s"(CASE WHEN CAST(floor(CAST(e.embedding[${d + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) * a.n > a.s$d THEN CAST(${1L << (d - lo)} AS BIGINT) ELSE 0 END)")
+          .mkString(" + ")
+        val cosine = s"floor((${dotSql("qa", "ca")}) /" +
+          s" (sqrt(${normSqSql("qa")}) * sqrt(${normSqSql("ca")})) * 1000000 + 0.5) / 1000000"
+        s"""WITH a AS (SELECT count(*) AS n,
+           |    $sums
+           |  FROM embeddings),
+           |codes AS (SELECT e.vec_id, ${word(0)} AS w0,
+           |    ${word(32)} AS w1
+           |  FROM embeddings e CROSS JOIN a),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    CAST(row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) ASC,
+           |        c.vec_id ASC) AS BIGINT) AS hrnk
+           |  FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 10),
+           |cand AS (SELECT query_id, neighbor_id FROM scored WHERE hrnk <= 20),
+           |rr AS (
+           |  SELECT cand.query_id, cand.neighbor_id, $cosine AS cosine
+           |  FROM cand
+           |  JOIN embeddings qa ON qa.vec_id = cand.query_id
+           |  JOIN embeddings ca ON ca.vec_id = cand.neighbor_id),
+           |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rnk FROM rr)
+           |SELECT query_id, neighbor_id, rnk, cosine FROM rk
            |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
       },
       "graph_label_prop" -> {
