@@ -499,7 +499,8 @@ object SparkEntry {
     * throws, so a failed query can't leak session-lifetime driver state.
     * (stream_session_windows keeps its own drive: append-mode session
     * windows need the ProcessingTime + sentinel-commit flush.) */
-  private def runStreamToMemory(s: SparkSession, out: DataFrame, mode: String)
+  private def runStreamToMemory(s: SparkSession, out: DataFrame, mode: String,
+      probeName: Option[String] = None)
       (result: DataFrame => Seq[Row]): Seq[Row] = {
     val qn = s"graft_stream_${System.nanoTime()}"
     val ckpt = Files.createTempDirectory("graft-stream-")
@@ -515,6 +516,7 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        probeName.foreach(graft.streaming.StreamStateProbe.record(_, q))
         result(s.table(qn))
       } finally s.catalog.dropTempView(qn)
     } finally WalrusLog.deleteRecursively(ckpt)
@@ -2732,6 +2734,7 @@ object SparkEntry {
           lit(0L).as("_seq"))
       log.appendDF(sent2, Some(col("_seq")), FixedTs)
       q.processAllAvailable()
+      graft.streaming.StreamStateProbe.record("stream_outer_join", q)
       q.stop()
       val rows = s2.table(qn)
         .where(col("k") < 1000000L) // drop the sentinel self-matches
@@ -3181,7 +3184,8 @@ object SparkEntry {
           col("et_l") >= col("et_r") - expr("INTERVAL 5 MINUTES") &&
           col("et_l") <= col("et_r") + expr("INTERVAL 5 MINUTES"))
         .select(col("k"))
-      val rows = runStreamToMemory(s, out, "append")(
+      val rows = runStreamToMemory(s, out, "append",
+        probeName = Some("stream_stream_join"))(
         _.groupBy("k").agg(count(lit(1)).as("n"))
           .orderBy("k").collect().toSeq)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1),
@@ -6639,14 +6643,23 @@ object SparkEntry {
           |GROUP BY 1, 2 ORDER BY topic""".stripMargin,
       "log_change_feed" ->
         // commit 2 holds event_id % 3 = 2; its rows' offsets start where
-        // the first two commits' per-topic counts end
+        // the first two commits' per-topic counts end. HAVING n_new > 0
+        // mirrors the Spark side's left_anti join, which emits NO row for
+        // a topic with zero commit-2 entries — without it, parity would
+        // silently depend on every event_type having events in each
+        // event_id % 3 third (true at shipped SFs, not structural).
         """SELECT event_type AS topic,
           |  CAST(SUM(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
           |  CAST(SUM(CASE WHEN event_id % 3 <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_new
-          |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
+          |FROM events GROUP BY 1
+          |HAVING SUM(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END) > 0
+          |ORDER BY topic""".stripMargin,
       "log_time_travel" ->
         // commits 0/1 hold event_id % 3 in {0, 1}; per-topic offsets are
-        // dense from 0, so max_offset = count - 1
+        // dense from 0 in commit order, so ANY as-of prefix has
+        // max_offset = count - 1 — no fixture-shape assumption: a topic
+        // with no commit-0/1 rows is absent from both the WHERE'd GROUP BY
+        // here and the as-of view on the Spark side.
         """SELECT event_type AS topic, count(*) AS n,
           |  CAST(count(*) - 1 AS BIGINT) AS max_offset
           |FROM events WHERE event_id % 3 <= 1

@@ -53,6 +53,7 @@ class WalrusLog(
   private val nsDir: Path = Paths.get(root, sanitizeKey(namespace))
   private val dataDir: Path = nsDir.resolve("data")
   private val commitsDir: Path = nsDir.resolve("commits")
+  private val manifestsDir: Path = nsDir.resolve("manifests")
   private val cursorsPath: Path = nsDir.resolve("cursors.json")
   private val cleanPath: Path = nsDir.resolve("topic_clean.json")
   private val producersPath: Path = nsDir.resolve("producers.json")
@@ -70,6 +71,7 @@ class WalrusLog(
   private val unpersistedReads = mutable.Map.empty[(String, String), Long]
   private val producerSeq = mutable.Map.empty[String, Long]
   private val isBatchWriting = new AtomicBoolean(false)
+  private var sinceManifest: Int = 0 // commits applied since the last manifest
 
   recover()
 
@@ -330,6 +332,7 @@ class WalrusLog(
       nextBatchId = id + 1
       applyCommit(rec)
       persistClean()
+      maybeWriteManifest()
       rec
       } finally pinned.foreach(_.unpersist(false))
     }
@@ -567,11 +570,13 @@ class WalrusLog(
     nextBatchId = id + 1
     applyCommit(rec)
     persistClean()
+    maybeWriteManifest()
     rec
   }
 
   private def applyCommit(rec: CommitRecord): Unit = {
     commits += rec
+    sinceManifest += 1 // recover() recomputes after replay; commit sites roll up
     rec.replaces match {
       case Some(ids) =>
         // Compaction: same rows, same offsets — no topic-state change.
@@ -1015,11 +1020,52 @@ class WalrusLog(
     reclaim.map(_.id).sorted
   }
 
+  // -------------------------------------------------------------- manifest
+  // The rolled-up commit-log checkpoint (the Delta checkpoint / Raft
+  // snapshot analogue — reference: distributed-walrus/src/metadata.rs:
+  // 115-189): every `cfg.manifestEveryCommits` commits, the full in-memory
+  // commit list + vacuumed flags is written as ONE JSON file. Cold starts
+  // ([[recover]], a fresh V2 scan/stream) read newest-manifest + JSON tail
+  // instead of parsing every commit file — O(K) driver work at any log age.
+
+  /** Write `manifests/manifest-<maxId>.json` from in-memory state (atomic
+    * replace; manifests are derived state, so last-writer-wins is safe —
+    * any reader that misses one simply parses more of the JSON tail).
+    * Keeps the newest two files so a reader that just listed the directory
+    * never races a deletion. */
+  private def writeManifest(): Unit = {
+    if (commits.isEmpty) return
+    val ordered = commits.filter(_.id >= 0).sortBy(_.id) // only published commits
+    val entries = ordered.map(c => ManifestEntry(c.id, c.tsMillis, c.topics,
+      c.tag, c.replaces, vacuumed.contains(c.id)))
+    val asOf = ordered.last.id
+    Files.createDirectories(manifestsDir)
+    writeAtomic(manifestsDir.resolve(f"manifest-$asOf%012d.json"),
+      Serialization.write(LogManifest(asOf, entries.toSeq)))
+    manifestFiles(manifestsDir).dropRight(2).foreach(Files.deleteIfExists(_))
+    sinceManifest = 0
+  }
+
+  private def newestManifestAsOf: Option[Long] =
+    manifestFiles(manifestsDir).lastOption.flatMap(manifestIdOf)
+
+  private def maybeWriteManifest(): Unit =
+    if (cfg.manifestEveryCommits > 0 && sinceManifest >= cfg.manifestEveryCommits)
+      writeManifest()
+
   /** Delete a batch's data dir and mark its commit record vacuumed —
-    * state is still replayed on recovery, only reads skip it. */
+    * state is still replayed on recovery, only reads skip it.
+    *
+    * Ordering: the manifest (when one covers this commit) is rewritten
+    * BEFORE the data directory is deleted, so a recovery that trusts the
+    * manifest can never see the batch live after its storage is gone — the
+    * crash window is "flag set but data still present" (re-vacuum is
+    * idempotent), never the reverse. The commit JSON's own rewrite keeps
+    * the no-manifest path on its existing (pre-manifest) semantics. */
   private def reclaimBatch(c: CommitRecord): Unit = {
-    deleteRecursively(dataDir.resolve(s"batch=${c.id}"))
     vacuumed += c.id
+    if (newestManifestAsOf.exists(_ >= c.id)) writeManifest()
+    deleteRecursively(dataDir.resolve(s"batch=${c.id}"))
     writeAtomic(commitsDir.resolve(f"${c.id}%012d.json"),
       Serialization.write(c).dropRight(1) + ",\"vacuumed\":true}")
   }
@@ -1064,6 +1110,7 @@ class WalrusLog(
     writeAtomicNew(commitsDir.resolve(f"$id%012d.json"), Serialization.write(rec))
     nextBatchId = id + 1
     applyCommit(rec)
+    maybeWriteManifest()
     // Sources are invisible from here on; reclaim their storage.
     ids.foreach(i => deleteRecursively(dataDir.resolve(s"batch=$i")))
     Some(id)
@@ -1108,7 +1155,21 @@ class WalrusLog(
     // reduced to a directory sweep).
     if (Files.exists(txnStageRoot))
       listDir(txnStageRoot).foreach(deleteRecursively)
-    val commitFiles = listDir(commitsDir).filter(_.getFileName.toString.endsWith(".json")).sorted
+    // Manifest fast path: replay the rolled-up prefix from ONE file, then
+    // parse only the JSON tail past it — O(tail) instead of O(all commits).
+    val manifest = readNewestManifest(nsDir)
+    manifest.foreach(_.entries.foreach { e =>
+      // State is ALWAYS replayed — a vacuumed batch's entries still count
+      // toward offsets/segments (only its storage is gone); the flag just
+      // excludes its directory from reads.
+      if (e.vacuumed) vacuumed += e.id
+      applyCommit(e.record)
+      e.topics.foreach { case (t, _) => state(t) }
+    })
+    val manifestAsOf = manifest.map(_.asOf).getOrElse(-1L)
+    val commitFiles = listDir(commitsDir)
+      .filter(_.getFileName.toString.endsWith(".json")).sorted
+      .filter(p => commitIdOf(p).forall(_ > manifestAsOf))
     commitFiles.foreach { p =>
       val txt = new String(Files.readAllBytes(p), "UTF-8")
       val parsed = org.json4s.jackson.JsonMethods.parse(txt)
@@ -1117,13 +1178,11 @@ class WalrusLog(
         case org.json4s.JBool(b) => b
         case _ => false
       }
-      // State is ALWAYS replayed — a vacuumed batch's entries still count
-      // toward offsets/segments (only its storage is gone); the flag just
-      // excludes its directory from reads.
       if (isVac) vacuumed += rec.id
       applyCommit(rec)
       rec.topics.foreach { case (t, _) => state(t) }
     }
+    sinceManifest = commitFiles.size
     // clean markers + registered-but-empty topics
     if (Files.exists(cleanPath)) {
       val cf = org.json4s.jackson.JsonMethods
@@ -1255,6 +1314,34 @@ object WalrusLog {
       val s = Files.list(dir)
       try s.iterator().asScala.toSeq finally s.close()
     }
+
+  // -------- manifest files (shared by recovery and the V2 source) --------
+
+  /** Sorted `manifest-<id>.json` paths of a namespace's manifests dir. */
+  private[graft] def manifestFiles(manifestsDir: Path): Seq[Path] =
+    listDir(manifestsDir)
+      .filter(_.getFileName.toString.matches("manifest-\\d{12}\\.json")).sorted
+
+  private[graft] def manifestIdOf(p: Path): Option[Long] =
+    p.getFileName.toString.stripPrefix("manifest-").stripSuffix(".json").toLongOption
+
+  /** Commit id a `commits/<id>.json` path names (None for foreign files). */
+  private[graft] def commitIdOf(p: Path): Option[Long] =
+    p.getFileName.toString.stripSuffix(".json").toLongOption
+
+  /** Parse the newest rolled-up manifest of a namespace, if any. A reader
+    * that pairs this with the JSON tail (`commits/<id>.json` for
+    * id > asOf) reconstructs exactly what parsing every commit file would
+    * yield — the cold-start path for recovery and the V2 scan/stream.
+    * Tolerates the kept-2 deletion race by falling back to the older file. */
+  private[graft] def readNewestManifest(nsDir: Path): Option[LogManifest] = {
+    implicit val formats: Formats = DefaultFormats
+    manifestFiles(nsDir.resolve("manifests")).reverseIterator.flatMap { p =>
+      try Some(org.json4s.jackson.JsonMethods
+        .parse(new String(Files.readAllBytes(p), "UTF-8")).extract[LogManifest])
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    }.nextOption()
+  }
 
   private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

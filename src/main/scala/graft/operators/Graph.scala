@@ -148,21 +148,29 @@ object Graph {
     * floor(1e6 / ln(deg) + 0.5) micro-units, rounded PER TERM before the
     * sum so both engines add identical integers (the millinat playbook).
     *
-    * Same join-free shape as [[cooccurrence]]: one collect_set per item
-    * (the degree filter is also the fan-out cap — and unlike the ad-hoc
-    * caps elsewhere, dropping high-degree hubs here is the operator's own
-    * semantics: a hub's 1/ln(deg) weight is negligible similarity signal),
-    * pairs generated inside the explode stage, one pair-keyed aggregation
-    * with map-side combine. Per-item state ≤ maxItemDegree users at any
-    * corpus scale. */
+    * Plan shape: a cheap per-item `count_distinct` FIRST drops hub items
+    * (> maxItemDegree — and unlike the ad-hoc caps elsewhere, dropping
+    * high-degree hubs here is the operator's own semantics: a hub's
+    * 1/ln(deg) weight is negligible similarity signal), THEN the surviving
+    * items collect their user sets — so no executor ever materializes a
+    * hub's unbounded user set, and the per-item aggregation state really
+    * is ≤ maxItemDegree users at any corpus scale. The join and the
+    * collect_set reuse the degree aggregation's `it` partitioning (one
+    * extra exchange vs the single-pass shape, bought for bounded state);
+    * pairs generate inside the explode stage, one pair-keyed aggregation
+    * with map-side combine. */
   def adamicAdar(rel: DataFrame, userCol: String, itemCol: String,
       maxItemDegree: Int = 50, minCommon: Long = 2L): DataFrame = {
-    val byItem = rel.select(col(userCol).as("u"), col(itemCol).as("it"))
-      .groupBy("it").agg(sort_array(collect_set(col("u"))).as("us"))
-      .where(size(col("us")).between(2, maxItemDegree))
+    val base = rel.select(col(userCol).as("u"), col(itemCol).as("it"))
+    val deg = base.groupBy("it")
+      .agg(count_distinct(col("u")).as("deg"))
+      .where(col("deg").between(2, maxItemDegree))
       .withColumn("w",
-        floor(lit(1000000.0) / log(size(col("us")).cast("double")) + lit(0.5))
+        floor(lit(1000000.0) / log(col("deg").cast("double")) + lit(0.5))
           .cast("long"))
+    val byItem = base.join(deg, "it")
+      .groupBy(col("it"), col("w"))
+      .agg(sort_array(collect_set(col("u"))).as("us"))
     byItem.select(col("w"), explode(expr(
         "flatten(transform(us, (x, i) -> " +
           "transform(slice(us, i + 2, size(us) - i - 1), " +

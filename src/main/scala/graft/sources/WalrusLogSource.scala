@@ -66,15 +66,51 @@ object WalrusLogSource {
 
   private[sources] implicit val formats: Formats = DefaultFormats
 
+  /** Commit-JSON parse counter — a test probe pinning the O(1)-parse-per-
+    * new-commit contract of the cached stream/scan paths (each commit file
+    * is parsed once per reader lifetime, not once per trigger). */
+  private[graft] val commitParseCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Commit-log listing shared by batch + streaming paths. Reads straight
     * from disk so a source in one process observes commits published by
-    * another (cross-process tail). */
-  private[sources] def listCommits(nsDir: Path): Seq[(CommitRecord, Boolean)] =
-    commitFiles(nsDir).map(parseCommit)
+    * another (cross-process tail). Cold-start cost is O(tail): the newest
+    * rolled-up manifest (see [[graft.log.LogConfig.manifestEveryCommits]])
+    * stands in for the prefix; only commit JSONs past its `asOf` are
+    * parsed. Batches superseded by a compaction commit (`replaces`) are
+    * flagged consumed-equivalent so statistics never double-count them. */
+  private[graft] def listCommits(nsDir: Path): Vector[(CommitRecord, Boolean)] =
+    markReplaced(assembleCommits(nsDir))
+
+  /** Newest-manifest prefix + parsed JSON tail, in commit-file order —
+    * exactly one element per file in `commits/` (the manifest covers every
+    * commit with id ≤ asOf, each of which has a JSON file), so cached
+    * readers can append `names.drop(cached.size)` on refresh. */
+  private[graft] def assembleCommits(nsDir: Path): Vector[(CommitRecord, Boolean)] =
+    graft.log.WalrusLog.readNewestManifest(nsDir) match {
+      case Some(m) =>
+        val prefix = m.entries.map(e => (e.record, e.vacuumed)).toVector
+        prefix ++ commitFiles(nsDir)
+          .filter(p => graft.log.WalrusLog.commitIdOf(p).forall(_ > m.asOf))
+          .map(parseCommit)
+      case None => commitFiles(nsDir).map(parseCommit).toVector
+    }
+
+  /** Flag commits superseded by a compaction commit (their data dirs are
+    * deleted; the compaction batch carries the same rows) — keeps
+    * [[WalrusLogScan.estimateStatistics]] exact after `compact()` and
+    * saves readers the empty-dir listings. */
+  private[sources] def markReplaced(
+      entries: Vector[(CommitRecord, Boolean)]): Vector[(CommitRecord, Boolean)] = {
+    val replaced = entries.iterator.flatMap(_._1.replaces).flatten.toSet
+    if (replaced.isEmpty) entries
+    else entries.map { case e @ (c, flagged) =>
+      if (!flagged && replaced(c.id)) (c, true) else e
+    }
+  }
 
   /** Sorted commit-JSON paths — the cheap "has anything new landed?"
     * probe the real-time tail polls (names only; no parsing). */
-  private[sources] def commitFiles(nsDir: Path): Seq[Path] = {
+  private[graft] def commitFiles(nsDir: Path): Seq[Path] = {
     val dir = nsDir.resolve("commits")
     if (!Files.exists(dir)) return Seq.empty
     val s = Files.list(dir)
@@ -83,7 +119,8 @@ object WalrusLogSource {
     files.sortBy(_.getFileName.toString)
   }
 
-  private[sources] def parseCommit(p: Path): (CommitRecord, Boolean) = {
+  private[graft] def parseCommit(p: Path): (CommitRecord, Boolean) = {
+    commitParseCount.incrementAndGet()
     val parsed = JsonMethods.parse(new String(Files.readAllBytes(p), "UTF-8"))
     val vac = (parsed \ "vacuumed") match {
       case org.json4s.JBool(b) => b
@@ -307,6 +344,16 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
 
   override def readSchema(): StructType = required
 
+  /** One commit-log parse per scan lifetime (manifest-accelerated cold
+    * start): statistics estimation and partition planning share this
+    * snapshot — batch semantics are point-in-time anyway, and a commit
+    * landing between optimization and execution is simply past the
+    * snapshot, the same atomic-visibility argument as the engine's reads.
+    * A vacuum landing after the snapshot leaves a stale `false` flag; the
+    * planner tolerates it (a reclaimed batch's dir listing is empty). */
+  private lazy val commitsSnapshot: Vector[(CommitRecord, Boolean)] =
+    WalrusLogSource.listCommits(nsDir)
+
   /** Exact post-pushdown size/row statistics from commit metadata (the
     * per-topic counts and payload-byte sums every commit records) — no
     * data IO at any log size. Without this a DSv2 relation reports
@@ -320,7 +367,7 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     val spec = prune.withTopic(topic)
     var rows = 0L
     var bytes = 0L
-    visibleAsOf(WalrusLogSource.listCommits(nsDir)).foreach {
+    visibleAsOf(commitsSnapshot).foreach {
       case (c, vacuumed) if !vacuumed && spec.commitMatches(c) =>
         c.topics.foreach { case (t, r) =>
           if (spec.topicMatches(t)) {
@@ -379,15 +426,21 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       WalrusLogSource.partitionsFor(nsDir,
-        visibleAsOf(WalrusLogSource.listCommits(nsDir)), topic, effectivePrune)
+        visibleAsOf(commitsSnapshot), topic, effectivePrune)
     override def createReaderFactory(): PartitionReaderFactory =
       new WalrusReaderFactory(required)
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // Streams by definition tail the LIVE log; silently ignoring a time
+    // travel option would mask a user error as wrong results.
+    require(asOfCommit.isEmpty,
+      "asOfCommit is a batch-read option: a stream cannot time-travel " +
+        "(use spark.read.format(\"walruslog\") for as-of views)")
     new WalrusMicroBatchStream(nsDir, topic,
       Option(options.get("maxBatchesPerTrigger")).map(_.toInt), required, prune,
       Option(options.get("realTimePartitions")).map(_.toInt).getOrElse(2))
+  }
 }
 
 /** Streaming offset = number of commit-log entries consumed. */
@@ -403,12 +456,19 @@ case class WalrusRealTimePartitionOffset(
     partitionId: Int, commitIdx: Long, rowInCommit: Long) extends PartitionOffset
 
 /** Real-time-mode composite end offset: every reader partition's
-  * (commitIdx, rowInCommit) pair, keyed by partition id. */
-case class WalrusRealTimeOffset(parts: Map[Int, (Long, Long)]) extends Offset {
+  * (commitIdx, rowInCommit) pair, keyed by partition id, plus the reader
+  * partition COUNT the offsets were taken under. Row-granular skips are
+  * only replayable against the same hash assignment of topics onto
+  * readers, so a checkpoint records `numPartitions` and planning fails
+  * fast on a mismatch (the Kafka-source stance on partition-map changes)
+  * instead of silently rehashing — which would apply each partition's
+  * skip to a different topic slice (duplication and/or loss). */
+case class WalrusRealTimeOffset(parts: Map[Int, (Long, Long)],
+    numPartitions: Int) extends Offset {
   override def json(): String =
     parts.toSeq.sortBy(_._1).map { case (p, (c, r)) =>
       s"""{"p":$p,"commitIdx":$c,"row":$r}"""
-    }.mkString("""{"parts":[""", ",", "]}")
+    }.mkString(s"""{"n":$numPartitions,"parts":[""", ",", "]}")
 }
 
 class WalrusMicroBatchStream(
@@ -419,7 +479,35 @@ class WalrusMicroBatchStream(
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with SupportsRealTimeMode {
 
-  private def commits = WalrusLogSource.listCommits(nsDir)
+  /** Cached parsed prefix of the commit log — the same incremental-tail
+    * pattern as [[WalrusRealTimeReader.refreshCommits]]: the cold start is
+    * newest-manifest + JSON tail (one manifest + O(tail) parses however
+    * old the log), every later trigger is a names-only listing plus a
+    * parse of ONLY the new suffix (the commit log is append-only by id, so
+    * the cached prefix is stable). Without this, `latestOffset` /
+    * `planInputPartitions` / `reportLatestOffset` each re-parsed EVERY
+    * commit JSON on the driver — ~3 full O(N_commits) passes per trigger,
+    * the one driver-side bottleneck left at high commit counts.
+    *
+    * Staleness exposure (same as the RTM reader's, documented there): a
+    * vacuum that lands after an entry was cached leaves its flag `false`;
+    * planning then finds the reclaimed batch's dir empty and emits zero
+    * partitions — an IO-level no-op, never wrong rows. */
+  private var cachedCommits: Vector[(CommitRecord, Boolean)] = Vector.empty
+  private var coldLoaded = false
+
+  private def commits: Vector[(CommitRecord, Boolean)] = synchronized {
+    if (!coldLoaded) {
+      cachedCommits = WalrusLogSource.assembleCommits(nsDir)
+      coldLoaded = true
+    } else {
+      val names = WalrusLogSource.commitFiles(nsDir)
+      if (names.size > cachedCommits.size)
+        cachedCommits = cachedCommits ++
+          names.drop(cachedCommits.size).map(WalrusLogSource.parseCommit)
+    }
+    cachedCommits
+  }
 
   /** `Trigger.AvailableNow` end-of-stream fence: the commit-log size is
     * latched once at query start and later micro-batches never read past
@@ -458,7 +546,8 @@ class WalrusMicroBatchStream(
       // (mergeOffsets). Report "everything through the latest commit" per
       // partition; admission limits don't apply — time is the budget.
       val latest = commits.size.toLong
-      WalrusRealTimeOffset(rt.parts.map { case (p, _) => p -> ((latest, 0L)) })
+      WalrusRealTimeOffset(
+        rt.parts.map { case (p, _) => p -> ((latest, 0L)) }, rt.numPartitions)
     case other => throw new IllegalArgumentException(s"unexpected $other")
   }
 
@@ -480,10 +569,15 @@ class WalrusMicroBatchStream(
     val parsed = JsonMethods.parse(json)
     (parsed \ "parts") match {
       case org.json4s.JArray(ps) =>
-        WalrusRealTimeOffset(ps.map { p =>
+        val parts = ps.map { p =>
           (p \ "p").extract[Int] ->
             ((p \ "commitIdx").extract[Long], (p \ "row").extract[Long])
-        }.toMap)
+        }.toMap
+        val n = (parsed \ "n") match {
+          case org.json4s.JInt(v) => v.toInt
+          case _ => parts.size // pre-"n" checkpoint: the count IS parts.size
+        }
+        WalrusRealTimeOffset(parts, n)
       case _ => CommitIndexOffset((parsed \ "commitIndex").extract[Long])
     }
   }
@@ -508,12 +602,20 @@ class WalrusMicroBatchStream(
       case o: WalrusRealTimePartitionOffset =>
         o.partitionId -> ((o.commitIdx, o.rowInCommit))
       case other => throw new IllegalArgumentException(s"unexpected $other")
-    }.toMap)
+    }.toMap, rtPartitions)
 
   override def planInputPartitions(start: Offset): Array[InputPartition] = {
     val startOf: Int => (Long, Long) = start match {
       case CommitIndexOffset(c) => _ => (c, 0L)
-      case WalrusRealTimeOffset(m) => i => m.getOrElse(i, (0L, 0L))
+      case WalrusRealTimeOffset(m, n) =>
+        // Fail fast on a partition-count change against an existing
+        // checkpoint (the Kafka-source stance): row-granular skips are
+        // only valid under the SAME topic→reader hash assignment.
+        require(n == rtPartitions,
+          s"realTimePartitions=$rtPartitions does not match the checkpointed " +
+            s"reader partition count $n; restart with realTimePartitions=$n " +
+            "or start a fresh checkpoint")
+        i => m.getOrElse(i, (0L, 0L))
       case other => throw new IllegalArgumentException(s"unexpected $other")
     }
     Array.tabulate[InputPartition](rtPartitions) { i =>

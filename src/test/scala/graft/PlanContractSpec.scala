@@ -261,10 +261,20 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"PIT lookup must join on the user key, not scan all intervals:\n$plan")
   }
 
-  test("adamic-adar: join-free collect_set shape, two aggregation exchanges") {
+  test("adamic-adar: hub-prefiltered collect_set, equi-join discovery only") {
+    // The degree count_distinct runs FIRST and drops hub items, so no
+    // executor ever materializes a > maxItemDegree user set; the join back
+    // to the relation must be an equi-join on `it` (never all-pairs), and
+    // pairs still generate inside the explode stage.
     val plan = planOf("graph_adamic_adar")
-    assert(!plan.contains("Join"), s"AA must be join-free:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"AA discovery must stay an equi-join:\n$plan")
     assert(plan.contains("Generate"), s"in-stage pair explode missing:\n$plan")
+    assert(plan.contains("collect_set"), s"user-set aggregation missing:\n$plan")
+    // the degree prefilter is the distinct-count aggregation upstream of
+    // the join; its filter bounds collect_set's per-item state
+    assert(plan.contains("count(distinct") || plan.contains("count(u"),
+      s"degree prefilter aggregation missing:\n$plan")
   }
 
   test("embedding neardup: LSH-banded equi-join discovery, no all-pairs") {

@@ -275,10 +275,13 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("real-time offsets: json roundtrip, merge, per-partition resume") {
     import graft.sources._
     import java.nio.file.Paths
-    val o = WalrusRealTimeOffset(Map(1 -> ((3L, 7L)), 0 -> ((2L, 0L))))
+    val o = WalrusRealTimeOffset(Map(1 -> ((3L, 7L)), 0 -> ((2L, 0L))), 2)
     val stream = new WalrusMicroBatchStream(Paths.get("/tmp/none"), None, None,
       WalrusLogSource.Schema)
     assert(stream.deserializeOffset(o.json()) == o)
+    // pre-"n" checkpoint json: the partition count defaults to parts.size
+    val legacy = """{"parts":[{"p":0,"commitIdx":2,"row":0},{"p":1,"commitIdx":3,"row":7}]}"""
+    assert(stream.deserializeOffset(legacy) == o)
     assert(stream.deserializeOffset(CommitIndexOffset(5L).json()) == CommitIndexOffset(5L))
     val merged = stream.mergeOffsets(Array(
       WalrusRealTimePartitionOffset(0, 2, 0), WalrusRealTimePartitionOffset(1, 3, 7)))
@@ -292,6 +295,12 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val init = stream.planInputPartitions(CommitIndexOffset(4L))
       .map(_.asInstanceOf[WalrusRealTimePartition])
     assert(init.forall(p => p.startCommitIdx == 4L && p.startRowInCommit == 0L))
+    // changing realTimePartitions against a checkpointed offset fails fast:
+    // row-granular skips are only valid under the same topic→reader hash
+    val resized = new WalrusMicroBatchStream(Paths.get("/tmp/none"), None, None,
+      WalrusLogSource.Schema, rtPartitions = 3)
+    val err = intercept[IllegalArgumentException](resized.planInputPartitions(o))
+    assert(err.getMessage.contains("checkpointed"))
   }
 
   test("real-time mode: one batch tails the log; commits during the batch arrive; restart has no dups") {
@@ -398,6 +407,91 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
       .estimateStatistics()
     assert(stats.numRows().getAsLong == 3L)
+  }
+
+  test("commit-log cache: one parse per commit per stream lifetime, not per trigger") {
+    val root = tempRoot()
+    // manifest disabled so every parse is an individual commit JSON
+    val log = new WalrusLog(spark, root,
+      cfg = graft.log.LogConfig(manifestEveryCommits = 0))
+    (0 until 6).foreach(i => log.batchAppend("t", Seq(bytes(s"e$i"))))
+    graft.sources.WalrusLogSource.commitParseCount.set(0L)
+    val q = spark.readStream.format("walruslog").option("path", root)
+      .option("maxBatchesPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("mcache")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    assert(spark.sql("SELECT count(*) FROM mcache").head().getLong(0) == 6)
+    val parses = graft.sources.WalrusLogSource.commitParseCount.get()
+    // 6 commits drained over 6 one-commit triggers, each trigger making ~3
+    // listing calls (latestOffset / planInputPartitions / reportLatest):
+    // the pre-cache behavior re-parsed ~6×6×3 = 100+ files; the cached
+    // prefix parses each commit file exactly once per stream lifetime.
+    assert(parses <= 6L, s"expected ≤ 6 commit-JSON parses, got $parses")
+  }
+
+  test("manifest checkpoint: a cold scan parses one manifest + the JSON tail") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root,
+      cfg = graft.log.LogConfig(manifestEveryCommits = 4))
+    (0 until 10).foreach(i => log.batchAppend("t", Seq(bytes(s"e$i"))))
+    // manifests rolled at commits 4 and 8 → newest covers ids 0..7; the
+    // JSON tail is {8, 9}. A cold scan must not parse the covered prefix.
+    graft.sources.WalrusLogSource.commitParseCount.set(0L)
+    val df = spark.read.format("walruslog").option("path", root).load()
+    val vals = df.orderBy("offset").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8"))
+    assert(vals.toSeq == (0 until 10).map(i => s"e$i"))
+    val parses = graft.sources.WalrusLogSource.commitParseCount.get()
+    assert(parses <= 4L, // ≤ K with slack for a re-built scan; full = 10/scan
+      s"expected the 2-file tail (≤ 4 with scan rebuilds), got $parses parses")
+    // streaming cold start rides the same manifest
+    graft.sources.WalrusLogSource.commitParseCount.set(0L)
+    val q = spark.readStream.format("walruslog").option("path", root).load()
+      .writeStream.format("memory").queryName("mmanif")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    assert(spark.sql("SELECT count(*) FROM mmanif").head().getLong(0) == 10)
+    assert(graft.sources.WalrusLogSource.commitParseCount.get() <= 4L)
+  }
+
+  test("scan statistics exclude compaction-replaced batches (no double count)") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    log.batchAppend("t", (0 until 3).map(i => bytes(s"a$i")))
+    log.batchAppend("t", (0 until 4).map(i => bytes(s"b$i")))
+    log.batchAppend("u", (0 until 5).map(i => bytes(s"c$i")))
+    assert(log.compact().nonEmpty)
+    val tbl = new graft.sources.WalrusLogTable(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", root)))
+    val stats = tbl.newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    // the 12 rows live ONLY in the compaction batch now; counting the
+    // replaced sources too would report 24 and skew join planning
+    assert(stats.numRows().getAsLong == 12L)
+    assert(spark.read.format("walruslog").option("path", root).load().count() == 12L)
+  }
+
+  test("readStream rejects asOfCommit (streams cannot time-travel)") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    log.batchAppend("t", Seq(bytes("x")))
+    val err = intercept[Exception] {
+      // the rejection may surface at start() or on the stream thread
+      val q = spark.readStream.format("walruslog").option("path", root)
+        .option("asOfCommit", "0").load()
+        .writeStream.format("memory").queryName("mtt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(err).exists(_.getMessage != null) &&
+      causes(err).exists(c => Option(c.getMessage).exists(_.contains("time-travel"))),
+      s"unexpected error: $err")
   }
 
   test("SparkEntry streaming queries are rerun-stable (driver reruns them)") {
