@@ -116,6 +116,30 @@ object SparkEntry {
   private def mainLog(spark: SparkSession, dir: String): WalrusLog =
     eventsLog(spark, dir, "main", LogConfig())
 
+  /** Lineitem mirrored once per sfDir into a scratch log — topic =
+    * ship YEAR (`ship-1997`), value = JSON of the Q6 measure columns.
+    * The "log as topic-partitioned fact table" fixture: a predicate on
+    * ship year becomes a topic EQUALITY the V2 scan prunes at commit
+    * metadata, never opening other years' files (the TPC-H analogue of
+    * the reference's sealed-count segment skipping,
+    * distributed-walrus/src/controller/mod.rs:209-224). Doubles survive
+    * the JSON hop exactly: to_json emits Jackson's shortest round-trip
+    * form and from_json parses it back to the identical IEEE value. */
+  private def lineitemLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "lineitem"), {
+      val root = Files.createTempDirectory("graft-log-li-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val li = table(spark, dir, "lineitem").select(
+        concat(lit("ship-"), year(col("l_shipdate"))).as("topic"),
+        encode(to_json(struct(
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))),
+          "UTF-8").as("value"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("_seq"))
+      log.appendDF(li, Some(col("_seq")), FixedTs)
+      log
+    })
+
   /** Events mirrored once with every 5th payload truncated mid-JSON —
     * the planted-corruption fixture behind the dead-letter-queue query
     * (the oracle reproduces the PLANT rule, not the parse, so the routing
@@ -2803,6 +2827,56 @@ object SparkEntry {
         .orderBy("topic")
     }),
 
+    "stream_sink_roundtrip" -> ((s, dir) => {
+      // The `format("walruslog")` WRITE path end-to-end: source log →
+      // streaming engine → V1-fallback sink, where each micro-batch is ONE
+      // atomic commit tagged v1sink-<ckpt>-<batchId>. The run is split by
+      // a STOP + restart on the same checkpoint after more source
+      // commits land, so the exact group counts prove (a) checkpointed
+      // offsets resumed precisely and (b) no epoch double-committed —
+      // a replayed epoch would find its tag and no-op, an unreplayed
+      // duplicate would fail the count oracle.
+      val srcRoot = Files.createTempDirectory("graft-sinkrt-src-").toString
+      val src = new WalrusLog(s, srcRoot,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val dstRoot = Files.createTempDirectory("graft-sinkrt-dst-").toString
+      val ckpt = Files.createTempDirectory("graft-sinkrt-ckpt-")
+      val ev = events(s, dir).select(
+        col("event_type").as("topic"),
+        encode(col("props"), "UTF-8").as("value"),
+        col("event_id").as("_seq"))
+      def drain(): Unit = {
+        val q = graft.streaming.WalrusStreams.readStream(s, src.root)
+          .select(col("topic"), col("value"))
+          .writeStream.format("walruslog")
+          .option("path", dstRoot)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      src.appendDF(ev.where(col("_seq") % 2 === 0), Some(col("_seq")), FixedTs)
+      drain() // run 1: first half, then the query stops
+      src.appendDF(ev.where(col("_seq") % 2 =!= 0), Some(col("_seq")), FixedTs)
+      drain() // run 2: fresh writer, same checkpoint → only the delta
+      val dst = new WalrusLog(s, dstRoot)
+      val rows = dst.toDF()
+        .select(col("topic"),
+          get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long")
+            .as("k"))
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("topic").collect().toSeq
+      dst.close(); src.close()
+      WalrusLog.deleteRecursively(java.nio.file.Paths.get(srcRoot))
+      WalrusLog.deleteRecursively(java.nio.file.Paths.get(dstRoot))
+      WalrusLog.deleteRecursively(ckpt)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("n", LongType), StructField("sum_k", LongType))))
+        .orderBy("topic")
+    }),
+
     "stream_tws_running_state" -> ((s, dir) => {
       // Spark 4 transformWithState — the arbitrary-stateful successor to
       // flatMapGroupsWithState (typed ValueState handles, TTL, timers):
@@ -3330,6 +3404,30 @@ object SparkEntry {
           col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            col("l_discount").cast("decimal(18,4)"))
+          .cast("decimal(38,4)").cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+    "rel_q6_log_scan" -> ((s, dir) => {
+      // TPC-H Q6 driven through the engine's OWN V2 scan instead of the
+      // parquet fixture: lineitem lives in a log topic-partitioned by
+      // ship year, so Q6's one-year date range is a topic EQUALITY the
+      // scan prunes at commit metadata — files of other years are never
+      // opened (PlanContractSpec pins the pushed topic filter), and
+      // column pruning reaches the vectorized reader. The measures ride
+      // the payload as JSON; the remaining predicates apply post-decode.
+      // Same shape and same answer as rel_q6_forecast_revenue.
+      val log = lineitemLog(s, dir)
+      graft.streaming.WalrusStreams.read(s, log.root)
+        .where(col("topic") === "ship-1997")
+        .select(from_json(decode(col("value"), "UTF-8"),
+          StructType(Seq(
+            StructField("l_quantity", DoubleType),
+            StructField("l_extendedprice", DoubleType),
+            StructField("l_discount", DoubleType)))).as("m"))
+        .select(col("m.*"))
+        .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
             col("l_discount").cast("decimal(18,4)"))
           .cast("decimal(38,4)").cast("double").as("revenue"),
@@ -7676,6 +7774,16 @@ object SparkEntry {
           |  AND l_shipdate < TIMESTAMP '1998-01-01'
           |  AND l_discount BETWEEN 0.05 AND 0.07
           |  AND l_quantity < 24""".stripMargin,
+      "rel_q6_log_scan" ->
+        """SELECT
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |    CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+          |  count(*) AS n_lines
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin,
       "rel_q15_top_supplier" ->
         """WITH revenue AS (
           |  SELECT l_suppkey,
@@ -9137,6 +9245,11 @@ object SparkEntry {
            |ORDER BY query_id, sel_rank""".stripMargin
       },
       "stream_checkpoint_resume" ->
+        """SELECT event_type AS topic, count(*) AS n,
+          |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+          |    AS sum_k
+          |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
+      "stream_sink_roundtrip" ->
         """SELECT event_type AS topic, count(*) AS n,
           |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
           |    AS sum_k

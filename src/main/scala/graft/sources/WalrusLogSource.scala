@@ -45,13 +45,88 @@ import graft.log.CommitRecord
   * of the reference's byte-budget read admission,
   * walrus_read.rs:675-781).
   */
-class WalrusLogSource extends TableProvider with DataSourceRegister {
+class WalrusLogSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "walruslog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WalrusLogSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new WalrusLogTable(new CaseInsensitiveStringMap(properties))
+
+  /** `df.writeStream.format("walruslog")` — the write-side twin of the
+    * micro-batch source. The table deliberately does NOT claim
+    * STREAMING_WRITE: a DataWriter-per-task V2 write would have to spool
+    * rows before the driver can assign dense per-topic offsets (offsets
+    * are baked into the data files), so Spark's documented fallback — the
+    * planner calls `createV1Sink` when the V2 table lacks the capability —
+    * routes the whole micro-batch DataFrame to [[WalrusLogSink]], which is
+    * the existing epoch-tagged [[graft.log.WalrusLog.appendDF]] commit
+    * with zero extra materialization. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "walruslog sink partitions by topic internally; partitionBy() is not supported")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"walruslog sink is append-only (a published log entry is immutable, " +
+        s"so Update/Complete re-emissions would duplicate rows); got $outputMode")
+    new WalrusLogSink(sqlContext.sparkSession, parameters)
+  }
+}
+
+/** Streaming sink: each micro-batch becomes ONE atomic log commit tagged
+  * `v1sink-<checkpoint-id>-<batchId>`, so a replayed epoch (restart after
+  * a commit but before the checkpoint write landed) finds its tag already
+  * committed and is a no-op — exactly-once end to end, the same tag
+  * idempotence contract as [[graft.streaming.WalrusStreams.sink]]
+  * (reference: fsync-then-publish atomicity, src/wal/runtime/
+  * writer.rs:135-341). Rows need `topic` + `value` columns, or a single
+  * `value` column plus `.option("topic", t)`. */
+class WalrusLogSink(spark: org.apache.spark.sql.SparkSession,
+    parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private def opt(key: String): Option[String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+  private val root = opt("path")
+    .map(p => if (p.startsWith("file:")) Paths.get(java.net.URI.create(p)).toString else p)
+    .getOrElse(throw new IllegalArgumentException("walruslog sink requires option 'path'"))
+  private val namespace = opt("namespace").getOrElse("default")
+  private val topicOpt = opt("topic")
+
+  /** Epoch tags must be stable across restarts of the SAME query (so a
+    * replayed batchId is dropped) and distinct between different queries
+    * appending to one namespace — the checkpoint location is exactly that
+    * identity. A checkpoint-less run gets a random base: replay protection
+    * is moot there because a restart starts a fresh query anyway. */
+  private val tagBase = opt("checkpointLocation")
+    .map(p => java.lang.Long.toHexString(graft.functions.Fnv1a64.hash(p.getBytes("UTF-8"))))
+    .getOrElse(java.util.UUID.randomUUID().toString.take(8))
+
+  private lazy val log = new graft.log.WalrusLog(spark, root, namespace)
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    // ForeachBatchSink-style pin: building new operators directly on the
+    // incremental Dataset would re-analyze its streaming sources (and
+    // re-trigger the batch); wrap the executed Tungsten rows instead.
+    val pinned = org.apache.spark.sql.graft.GraftSqlInternal.internalCreateDataFrame(
+      data.sparkSession, data.queryExecution.toRdd, data.schema)
+    val withTopic = topicOpt match {
+      case Some(t) if !pinned.columns.contains("topic") =>
+        pinned.withColumn("topic", lit(t))
+      case _ => pinned
+    }
+    require(withTopic.columns.contains("topic") && withTopic.columns.contains("value"),
+      s"walruslog sink needs 'topic' and 'value' columns (or option 'topic'); " +
+        s"got [${pinned.columns.mkString(", ")}]")
+    log.appendDF(withTopic.select(col("topic"), col("value")),
+      tag = Some(s"v1sink-$tagBase-$batchId"))
+    ()
+  }
+
+  override def toString: String = s"WalrusLogSink($root/$namespace)"
 }
 
 object WalrusLogSource {

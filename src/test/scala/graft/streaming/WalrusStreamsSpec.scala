@@ -224,6 +224,70 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == (0 until 8).map(i => s"m$i").toSet)
   }
 
+  test("writeStream.format(walruslog): V1 sink fallback appends epoch-tagged commits") {
+    val srcRoot = tempRoot(); val dstRoot = tempRoot()
+    val src = new WalrusLog(spark, srcRoot)
+    src.batchAppend("a", (0 until 6).map(i => bytes(s"x$i")))
+    src.batchAppend("b", (0 until 4).map(i => bytes(s"y$i")))
+    val ckpt = tempRoot()
+    def drain(): Unit = {
+      val q = WalrusStreams.readStream(spark, srcRoot)
+        .select(col("topic"), col("value"))
+        .writeStream.format("walruslog")
+        .option("path", dstRoot)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val dst1 = new WalrusLog(spark, dstRoot)
+    assert(dst1.entryCount("a") == 6 && dst1.entryCount("b") == 4)
+    // restart on the SAME checkpoint with new source data: the committed
+    // epochs are checkpointed (and tag-protected), only the delta lands
+    src.batchAppend("a", (6 until 9).map(i => bytes(s"x$i")))
+    drain()
+    val dst2 = new WalrusLog(spark, dstRoot)
+    assert(dst2.entryCount("a") == 9 && dst2.entryCount("b") == 4)
+    assert(dst2.batchRead("a", 1 << 20, checkpoint = false)
+      .map(e => new String(e.value)).toSet == (0 until 9).map(i => s"x$i").toSet)
+    // the commits carry the v1sink tag derived from the checkpoint path
+    val tags = graft.sources.WalrusLogSource.listCommits(
+      java.nio.file.Paths.get(dstRoot, "default")).flatMap(_._1.tag)
+    assert(tags.nonEmpty && tags.forall(_.startsWith("v1sink-")))
+    assert(tags.map(_.split("-")(1)).toSet.size == 1) // one stable query identity
+  }
+
+  test("walruslog sink: option topic supplies the topic column; bad shapes rejected") {
+    val srcRoot = tempRoot(); val dstRoot = tempRoot()
+    val src = new WalrusLog(spark, srcRoot)
+    src.batchAppend("t", (0 until 5).map(i => bytes(s"v$i")))
+    val q = WalrusStreams.readStream(spark, srcRoot)
+      .select(col("value")) // no topic column in the stream
+      .writeStream.format("walruslog")
+      .option("path", dstRoot).option("topic", "routed")
+      .option("checkpointLocation", tempRoot())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(new WalrusLog(spark, dstRoot).entryCount("routed") == 5)
+    // append-only: Update/Complete modes are rejected at sink creation
+    val agg = WalrusStreams.readStream(spark, srcRoot)
+      .groupBy("topic").count()
+      .select(col("topic"), col("count").cast("string").cast("binary").as("value"))
+    val ex = intercept[Exception] {
+      agg.writeStream.format("walruslog")
+        .option("path", tempRoot()).outputMode("complete")
+        .option("checkpointLocation", tempRoot())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(c => Option(c.getMessage).exists(_.contains("append-only"))))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions across micro-batches") {
     val root = tempRoot()
     val log = new WalrusLog(spark, root)
