@@ -1,0 +1,124 @@
+package graft.server
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.log.WalrusLog
+
+/** Cross-PROCESS end-to-end: real second JVMs against one namespace /
+  * one TCP server — the counterpart of the reference's spawned-node tests
+  * (distributed-walrus/tests/cli_e2e.rs:24-123; Makefile:22-47
+  * cluster-test-*), which the in-process WalrusServerSpec and the
+  * same-JVM two-instance race cannot cover. Slow by nature (JVM spawns;
+  * the append test boots a second SparkSession) — tagged via the suite
+  * name for selective runs, but kept in the default `sbt test` sweep. */
+class CrossJvmE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("CrossJvmE2ESpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // same module opens build.sbt gives forked JVMs (a child SparkSession
+  // on JDK 17 needs them; socket/NIO-only modes do not)
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def spawnChild(args: Seq[String], withSpark: Boolean): Process = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cmd = Seq(javaBin) ++
+      (if (withSpark) addOpens ++ Seq("-Xmx2g") else Seq("-Xmx256m")) ++
+      Seq("graft.log.E2EChild") ++ args
+    val pb = new ProcessBuilder(cmd: _*)
+    // classpath via env (the forked-test classpath is jar-per-jar long)
+    pb.environment().put("CLASSPATH", System.getProperty("java.class.path"))
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD) // Spark logs
+    pb.start()
+  }
+
+  private def stdoutLines(p: Process, timeoutSec: Long = 180): Seq[String] = {
+    val ok = p.waitFor(timeoutSec, TimeUnit.SECONDS)
+    if (!ok) { p.destroyForcibly(); fail(s"child JVM timed out after ${timeoutSec}s") }
+    scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+  }
+
+  test("second JVM drives the 5-command wire protocol against this process's server") {
+    val root = Files.createTempDirectory("xjvm-proto-").toString
+    val log = new WalrusLog(spark, root)
+    val server = new WalrusServer(log)
+    try {
+      val child = spawnChild(Seq("protocol", server.boundPort.toString), withSpark = false)
+      val out = stdoutLines(child)
+      assert(child.exitValue() == 0, s"child failed: $out")
+      assert(out.lastOption.contains("PROTOCOL OK"), s"unexpected child output: $out")
+      // the child's PUTs are durable in THIS process's log: 3 rounds × 2
+      assert(log.totalAppended("e2e") == 6)
+      // and its GETs advanced the shared cursor past everything
+      assert(log.readNext("e2e", checkpoint = false).isEmpty)
+    } finally server.close()
+  }
+
+  test("commit collision across real processes: exactly one of two racing JVMs wins") {
+    val dir = Files.createTempDirectory("xjvm-collide-")
+    val target = dir.resolve("000000000042.json")
+    val a = spawnChild(Seq("collide", target.toString, "writer-a"), withSpark = false)
+    val b = spawnChild(Seq("collide", target.toString, "writer-b"), withSpark = false)
+    // wait for both to report READY, then drop the barrier file so the
+    // two create-exclusive attempts genuinely overlap
+    val ra = new java.io.BufferedReader(new java.io.InputStreamReader(a.getInputStream))
+    val rb = new java.io.BufferedReader(new java.io.InputStreamReader(b.getInputStream))
+    assert(ra.readLine() == "READY" && rb.readLine() == "READY")
+    Files.writeString(Paths.get(target.toString + ".go"), "go")
+    val (resA, resB) = (ra.readLine(), rb.readLine())
+    assert(a.waitFor(30, TimeUnit.SECONDS) && b.waitFor(30, TimeUnit.SECONDS))
+    assert(Set(resA, resB) == Set("WIN", "LOSE"),
+      s"expected one winner and one loser, got a=$resA b=$resB")
+    // the surviving content is the winner's, intact
+    val content = Files.readString(target)
+    val winner = if (resA == "WIN") "writer-a" else "writer-b"
+    assert(content == winner)
+    // no stray temp files left behind by either attempt
+    val s = Files.list(dir)
+    val leftovers =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).filter(_.endsWith(".tmp")).toList
+      } finally s.close()
+    assert(leftovers.isEmpty, s"tmp leftovers: $leftovers")
+  }
+
+  test("second JVM appends through its own WalrusLog; reopen here observes its commits") {
+    val root = Files.createTempDirectory("xjvm-append-").toString
+    val log = new WalrusLog(spark, root)
+    log.batchAppend("shared", Seq("parent-0", "parent-1").map(_.getBytes("UTF-8")))
+    log.close()
+    val child = spawnChild(Seq("append", root, "shared", "3"), withSpark = true)
+    val out = stdoutLines(child)
+    assert(child.exitValue() == 0, s"child failed: $out")
+    assert(out.lastOption.contains("APPENDED 5"), s"unexpected child output: $out")
+    // recovery in THIS process replays the child's commits: dense offsets,
+    // parent's entries then the child's, checksums intact
+    val reopened = new WalrusLog(spark, root)
+    assert(reopened.entryCount("shared") == 5)
+    val entries = reopened.batchRead("shared", 1 << 20, checkpoint = false)
+    assert(entries.map(_.offset) == (0L until 5L))
+    assert(entries.map(e => new String(e.value)) ==
+      Seq("parent-0", "parent-1", "child-0", "child-1", "child-2"))
+  }
+}
