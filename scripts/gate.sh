@@ -1,0 +1,57 @@
+#!/usr/bin/env bash
+# One-command round gate (VERDICT r6 item 8): full test suite, the 3-SF
+# DuckDB oracle sweep, the sf0.1 bench, and leak/padding greps mirroring
+# the driver's LEAKCHECK categories (COPYCHECK proper is driver-side — a
+# similarity pass against /root/reference — so here we only assert the
+# cheap invariants: no reference paths imported, no stubs/TODOs in main).
+#
+# Usage: scripts/gate.sh [fast]
+#   fast: sf0.001 + sf0.01 only, skip the bench (inner-loop use)
+set -u
+cd "$(dirname "$0")/.."
+FAIL=0
+note() { printf '\n=== %s ===\n' "$*"; }
+
+note "sbt test"
+sbt -batch test || { echo "GATE: sbt test FAILED"; FAIL=1; }
+
+SFS="0.001 0.01 0.1"
+[ "${1:-}" = "fast" ] && SFS="0.001 0.01"
+for sf in $SFS; do
+  note "oracle gate sf$sf"
+  out="/tmp/gate_verify_sf$sf"
+  rm -rf "$out"
+  sbt -batch "runMain graft.Verify /root/testdata/sf$sf $out" \
+    > "/tmp/gate_verify_sf$sf.log" 2>&1 || { echo "GATE: Verify sf$sf FAILED (see /tmp/gate_verify_sf$sf.log)"; FAIL=1; }
+  if python3 scripts/oracle_check.py "/root/testdata/sf$sf" "$out" > "/tmp/gate_oracle_sf$sf.log" 2>&1; then
+    tail -1 "/tmp/gate_oracle_sf$sf.log"
+  else
+    grep '^FAIL' "/tmp/gate_oracle_sf$sf.log" | head -20
+    tail -1 "/tmp/gate_oracle_sf$sf.log"
+    echo "GATE: oracle sf$sf FAILED"
+    FAIL=1
+  fi
+done
+
+if [ "${1:-}" != "fast" ]; then
+  note "bench sf0.1"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>/dev/null \
+    | grep '^{"metric"' | tail -1 > /tmp/gate_bench.json
+  if [ -s /tmp/gate_bench.json ]; then cat /tmp/gate_bench.json; else
+    echo "GATE: bench produced no JSON line"; FAIL=1
+  fi
+fi
+
+note "leak greps (LEAKCHECK mirror)"
+LEAKS=$( { grep -rInE "s3://|gs://|AKIA[0-9A-Z]{16}|slack\.com|\.corp\.|\.internal[/\"']|go/[a-z]{2,8}[\"' ]" \
+    src/main src/test build.sbt 2>/dev/null || true; } | grep -v "reference:" )
+if [ -n "$LEAKS" ]; then echo "$LEAKS"; echo "GATE: leak grep hits"; FAIL=1; else echo "clean"; fi
+
+note "padding greps (no stubs in main)"
+PADS=$( { grep -rn '???' src/main/scala 2>/dev/null || true; } | grep -v MediaCodecStub )
+TODOS=$(grep -rnE "TODO|FIXME" src/main/scala 2>/dev/null || true)
+if [ -n "$PADS$TODOS" ]; then echo "$PADS"; echo "$TODOS"; echo "GATE: stub/TODO hits"; FAIL=1; else echo "clean"; fi
+
+note "result"
+if [ "$FAIL" -eq 0 ]; then echo "GATE GREEN"; else echo "GATE RED"; fi
+exit $FAIL
