@@ -199,6 +199,23 @@ object SparkEntry {
       log
     })
 
+  /** Built through the PUBLIC batch writer (`df.write.format("walruslog")`
+    * — the V1-fallback batch write path, twin of the streaming sink), not
+    * the WalrusLog API: the fixture IS the test of that surface. seqCol
+    * makes per-topic order follow event_id globally, so offsets are
+    * deterministic at any shuffle layout. */
+  private def batchWriteLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "batchwrite"), {
+      val root = Files.createTempDirectory("graft-log-batchwrite-").toString
+      events(spark, dir).where(col("event_id") % 5 === 0).select(
+          col("event_type").as("topic"),
+          encode(col("props"), "UTF-8").as("value"),
+          col("event_id").as("seq"))
+        .write.format("walruslog").mode("append")
+        .option("path", root).option("seqCol", "seq").save()
+      new WalrusLog(spark, root)
+    })
+
   private def docsLog(spark: SparkSession, dir: String): WalrusLog =
     logCache.getOrElseUpdate((dir, "docs"), {
       val root = Files.createTempDirectory("graft-log-docs-").toString
@@ -3828,6 +3845,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_new"), min("offset").as("first_new"))
         .orderBy("topic")
     }),
+    "log_batch_write" -> ((s, dir) => {
+      // the batch DataFrameWriter path end-to-end: a fifth of events written
+      // through df.write.format("walruslog") as ONE commit (dense per-topic
+      // offsets follow the seqCol), read back through the V2 scan. Dense
+      // offsets make max_offset = n - 1 — the write path's sequencing
+      // contract is IN the checked output, not just the row set
+      val log = batchWriteLog(s, dir)
+      s.read.format("walruslog").option("path", log.root).load()
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"),
+          max("offset").as("max_offset"),
+          sum(length(col("value")).cast("long")).as("payload_bytes"))
+        .orderBy("topic")
+    }),
     "log_snapshot_manifest" -> ((s, dir) => {
       // export/backup surface: the consistent snapshot manifest of every
       // visible commit's per-topic range (commit order, offsets, payload
@@ -6761,6 +6792,14 @@ object SparkEntry {
         """SELECT event_type AS topic, count(*) AS n,
           |  CAST(count(*) - 1 AS BIGINT) AS max_offset
           |FROM events WHERE event_id % 3 <= 1
+          |GROUP BY 1 ORDER BY topic""".stripMargin,
+      "log_batch_write" ->
+        // props is ASCII JSON at every shipped SF, so length == byte count
+        // (the same assumption log_batch_read_budget's budget math makes)
+        """SELECT event_type AS topic, count(*) AS n,
+          |  CAST(count(*) - 1 AS BIGINT) AS max_offset,
+          |  CAST(SUM(length(props)) AS BIGINT) AS payload_bytes
+          |FROM events WHERE event_id % 5 = 0
           |GROUP BY 1 ORDER BY topic""".stripMargin,
       "log_snapshot_manifest" ->
         // manifest twin over the SAME three-commit times fixture: ranges

@@ -46,7 +46,8 @@ import graft.log.CommitRecord
   * walrus_read.rs:675-781).
   */
 class WalrusLogSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
   override def shortName(): String = "walruslog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WalrusLogSource.Schema
@@ -72,6 +73,84 @@ class WalrusLogSource extends TableProvider with DataSourceRegister
       s"walruslog sink is append-only (a published log entry is immutable, " +
         s"so Update/Complete re-emissions would duplicate rows); got $outputMode")
     new WalrusLogSink(sqlContext.sparkSession, parameters)
+  }
+
+  /** `df.write.format("walruslog").save()` — the batch twin of the
+    * streaming sink, via the same documented V1 fallback (the V2 table
+    * claims no BATCH_WRITE for the same reason it claims no
+    * STREAMING_WRITE: offsets are baked into data files, so a
+    * DataWriter-per-task path would spool rows before the driver can
+    * assign them; `DataFrameWriter.save` then routes here). The whole
+    * DataFrame becomes ONE atomically visible commit through
+    * [[graft.log.WalrusLog.appendDF]].
+    *
+    * Rows need `topic` + `value` columns, or a `value` column plus
+    * `.option("topic", t)`; `.option("seqCol", c)` makes per-topic order
+    * follow column `c` globally (otherwise input order is used).
+    * SaveModes follow log semantics: `Append` always appends;
+    * `ErrorIfExists` (the `save()` default) refuses a namespace — or,
+    * with a topic option, a topic — that already holds entries; `Ignore`
+    * is a no-op in that case; `Overwrite` is rejected outright (published
+    * entries are immutable — retention/vacuum are the deletion surface,
+    * reference: walrus.rs batch-file immutability). */
+  override def createRelation(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    def opt(key: String): Option[String] =
+      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+    val root = opt("path")
+      .map(p => if (p.startsWith("file:")) Paths.get(java.net.URI.create(p)).toString else p)
+      .getOrElse(throw new IllegalArgumentException(
+        "walruslog batch write requires option 'path'"))
+    val namespace = opt("namespace").getOrElse("default")
+    val topicOpt = opt("topic")
+    val log = new graft.log.WalrusLog(sqlContext.sparkSession, root, namespace)
+
+    val exists = topicOpt match {
+      case Some(t) => log.entryCount(t) > 0
+      case None => log.entryCounts.valuesIterator.exists(_ > 0)
+    }
+    val target = topicOpt.map(t => s"topic '$t'").getOrElse(s"namespace '$namespace'")
+    val write = mode match {
+      case SaveMode.Append => true
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"walruslog $target at $root already holds entries " +
+            "(SaveMode.ErrorIfExists); use mode(\"append\")")
+        true
+      case SaveMode.Ignore => !exists
+      case SaveMode.Overwrite => throw new UnsupportedOperationException(
+        "walruslog is append-only: published entries are immutable, so " +
+          "SaveMode.Overwrite is not supported — expire data via retention " +
+          "(vacuum/retainBytes) and append")
+    }
+    if (write) {
+      val withTopic = topicOpt match {
+        case Some(t) if !data.columns.contains("topic") =>
+          data.withColumn("topic", org.apache.spark.sql.functions.lit(t))
+        case _ => data
+      }
+      require(withTopic.columns.contains("topic") && withTopic.columns.contains("value"),
+        s"walruslog batch write needs 'topic' and 'value' columns (or " +
+          s"option 'topic'); got [${data.columns.mkString(", ")}]")
+      // appendDF projects (topic, value, seq) itself, so the seq column —
+      // when named — must survive into the input it sees
+      opt("seqCol").map(org.apache.spark.sql.functions.col) match {
+        case some @ Some(_) => log.appendDF(withTopic, seqCol = some)
+        case None => log.appendDF(withTopic.select(
+          org.apache.spark.sql.functions.col("topic"),
+          org.apache.spark.sql.functions.col("value")))
+      }
+      ()
+    }
+    val outerCtx = sqlContext
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = outerCtx
+      override def schema: StructType = WalrusLogSource.Schema
+    }
   }
 }
 
