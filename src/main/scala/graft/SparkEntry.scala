@@ -3859,6 +3859,27 @@ object SparkEntry {
           sum(length(col("value")).cast("long")).as("payload_bytes"))
         .orderBy("topic")
     }),
+    "log_catalog_sql" -> ((s, dir) => {
+      // the SQL catalog face of the log (CREATE/SHOW/SELECT over topics as
+      // tables): SHOW TABLES discovers the topic directory from commit
+      // metadata, then each topic is read through its catalog identifier —
+      // including a VERSION AS OF commit-1 view (time travel resolved by
+      // the catalog, not a reader option). The clone isolates the catalog
+      // conf; topic count bounds the collected list and the union width.
+      val log = timesLog(s, dir)
+      val c = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
+      c.conf.set("spark.sql.catalog.graftwal", "graft.sources.WalrusCatalog")
+      c.conf.set("spark.sql.catalog.graftwal.root", log.root)
+      val topics = c.sql("SHOW TABLES IN graftwal.default")
+        .select("tableName").collect().map(_.getString(0)).sorted
+      val selects = topics.map { t =>
+        s"""SELECT '$t' AS topic, a.n, b.n_v1
+           |FROM (SELECT count(*) AS n FROM graftwal.default.`$t`) a
+           |CROSS JOIN (SELECT count(*) AS n_v1
+           |  FROM graftwal.default.`$t` VERSION AS OF 1) b""".stripMargin
+      }
+      c.sql(selects.mkString("\nUNION ALL\n")).orderBy("topic")
+    }),
     "log_snapshot_manifest" -> ((s, dir) => {
       // export/backup surface: the consistent snapshot manifest of every
       // visible commit's per-topic range (commit order, offsets, payload
@@ -6801,6 +6822,12 @@ object SparkEntry {
           |  CAST(SUM(length(props)) AS BIGINT) AS payload_bytes
           |FROM events WHERE event_id % 5 = 0
           |GROUP BY 1 ORDER BY topic""".stripMargin,
+      "log_catalog_sql" ->
+        // topics = event types; VERSION AS OF 1 sees commits 0+1, which
+        // hold event_id % 3 in {0, 1} (the times fixture's slicing)
+        """SELECT event_type AS topic, count(*) AS n,
+          |  CAST(SUM(CASE WHEN event_id % 3 <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1
+          |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
       "log_snapshot_manifest" ->
         // manifest twin over the SAME three-commit times fixture: ranges
         // are per-(commit, topic) counts with prefix-sum start offsets

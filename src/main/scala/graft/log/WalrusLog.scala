@@ -63,6 +63,10 @@ class WalrusLog(
 
   // ---- in-memory state (rebuilt from disk on open; see recover()) ----
   private val topics = mutable.LinkedHashMap.empty[String, TopicState]
+  /** Topics THIS instance explicitly unregistered — kept out of the
+    * persistClean merge so a drop isn't resurrected by our own next
+    * persist (see [[unregisterTopic]]). */
+  private val unregistered = mutable.Set.empty[String]
   private val commits = mutable.ArrayBuffer.empty[CommitRecord]
   private val vacuumed = mutable.Set.empty[Long]
   private val replaced = mutable.Set.empty[Long] // batches rewritten by compaction
@@ -916,6 +920,25 @@ class WalrusLog(
     * distributed-walrus/src/controller/mod.rs:124-156). */
   def ensureTopic(topic: String): Unit = synchronized { state(topic); persistClean() }
 
+  /** DROP TABLE surface for [[graft.sources.WalrusCatalog]]: forget a
+    * registered topic that never held (or no longer holds) entries.
+    * Published entries are immutable, so a topic WITH entries cannot be
+    * dropped — expire its data via retention first (the same stance as
+    * the batch writer's Overwrite rejection). Returns false if the topic
+    * is unknown. */
+  def unregisterTopic(topic: String): Boolean = synchronized {
+    if (!topics.contains(topic)) false
+    else {
+      require(entryCount(topic) == 0L,
+        s"topic '$topic' holds ${entryCount(topic)} entries; published " +
+          "entries are immutable — vacuum/retention are the deletion surface")
+      topics.remove(topic)
+      unregistered.add(topic)
+      persistClean()
+      true
+    }
+  }
+
   def topicNames: Seq[String] = topics.keys.toSeq
 
   // =========================================================================
@@ -1221,14 +1244,34 @@ class WalrusLog(
 
   // ---- helpers ----
 
-  private def state(topic: String): TopicState =
+  private def state(topic: String): TopicState = {
+    unregistered.remove(topic)
     topics.getOrElseUpdate(topic, new TopicState)
+  }
 
+  /** Persist clean markers, MERGED with the on-disk file: a second live
+    * instance on this namespace (catalog DDL, a second process) may have
+    * registered topics this instance never loaded, and a whole-file
+    * last-writer-wins overwrite would silently drop them. In-memory state
+    * wins per topic it knows; explicit unregisters win over disk. Two
+    * instances racing the read-modify-write can still lose ONE
+    * registration of a never-written topic (writes re-register on every
+    * commit, so data-bearing topics self-heal); full mutual exclusion
+    * would need the create-exclusive commit protocol, which registration
+    * deliberately stays off of (reference REGISTER is idempotent,
+    * distributed-walrus/src/controller/mod.rs:124-156). */
   private def persistClean(): Unit = {
-    val cf = CleanFile(topics.map { case (t, st) =>
+    val disk: Map[String, CleanState] =
+      if (!Files.exists(cleanPath)) Map.empty
+      else try org.json4s.jackson.JsonMethods
+        .parse(new String(Files.readAllBytes(cleanPath), "UTF-8"))
+        .extract[CleanFile].topics
+      catch { case _: Exception => Map.empty }
+    val mem = topics.map { case (t, st) =>
       t -> CleanState(st.cleanGeneration, st.clean)
-    }.toMap)
-    writeAtomic(cleanPath, Serialization.write(cf))
+    }.toMap
+    writeAtomic(cleanPath, Serialization.write(
+      CleanFile((disk -- unregistered) ++ mem)))
   }
 
   private lazy val readSchema = StructType(Seq(
@@ -1341,6 +1384,19 @@ object WalrusLog {
         .parse(new String(Files.readAllBytes(p), "UTF-8")).extract[LogManifest])
       catch { case _: java.nio.file.NoSuchFileException => None }
     }.nextOption()
+  }
+
+  /** Registered-topic names straight from the persisted clean file — the
+    * catalog's listing path (no SparkSession, no instance state; a fresh
+    * read so one process sees topics another registered). */
+  private[graft] def registeredTopicsOnDisk(nsDir: Path): Seq[String] = {
+    implicit val formats: Formats = DefaultFormats
+    val p = nsDir.resolve("topic_clean.json")
+    if (!Files.exists(p)) Seq.empty
+    else try org.json4s.jackson.JsonMethods
+      .parse(new String(Files.readAllBytes(p), "UTF-8")).extract[CleanFile]
+      .topics.keys.toSeq
+    catch { case _: Exception => Seq.empty }
   }
 
   private[graft] def deleteRecursively(p: Path): Unit =

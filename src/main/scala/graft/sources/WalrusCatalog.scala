@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.log.WalrusLog
+
+/** DSv2 catalog over a log root: namespaces are the log's namespaces,
+  * tables are its topics — so plain SQL reaches the log with no TVF or
+  * path options:
+  *
+  * {{{
+  * spark.sql.catalog.wal      = graft.sources.WalrusCatalog
+  * spark.sql.catalog.wal.root = /data/walrus
+  *
+  * SHOW TABLES IN wal.default
+  * SELECT * FROM wal.default.clicks                -- topic-pruned V2 scan
+  * SELECT * FROM wal.default.clicks VERSION AS OF 3   -- asOfCommit
+  * SELECT * FROM wal.default.clicks TIMESTAMP AS OF '...'
+  * CREATE TABLE wal.default.audit                  -- REGISTER/ensure_topic
+  * DROP TABLE wal.default.audit                    -- empty topics only
+  * }}}
+  *
+  * This is the SQL face of the reference's topic directory (`REGISTER` +
+  * the STATE listing, distributed-walrus/src/controller/mod.rs:124-195):
+  * `CREATE TABLE` is REGISTER, `SHOW TABLES` is the directory, and a
+  * SELECT plans the same [[WalrusLogTable]] scan as the path-based reader
+  * — pushdown, statistics, runtime filtering and time travel all ride
+  * along because the TABLE is the unit of integration, not the query.
+  *
+  * Listing reads disk metadata only (clean-file topics ∪ commit-record
+  * topics; a few KB), never data files — cheap at any log size, and a
+  * catalog in one process sees topics another process registered.
+  *
+  * Scale note: a topic-qualified scan lists only `topic=<t>` directories
+  * (commit-granular pruning happens before file listing), so
+  * `SELECT ... FROM wal.ns.t WHERE offset > x` on a 100 TB namespace
+  * touches just that topic's surviving files.
+  *
+  * Immutability contract: `DROP TABLE` succeeds only for topics with no
+  * entries (same stance as the batch writer's Overwrite rejection —
+  * retention/vacuum are the deletion surface); `ALTER`/`RENAME` are
+  * rejected (entry schema is fixed, topic identity is baked into paths). */
+class WalrusCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root"))
+      .map(p => if (p.startsWith("file:")) Paths.get(java.net.URI.create(p)).toString else p)
+      .getOrElse(throw new IllegalArgumentException(
+        s"walrus catalog '$name' needs spark.sql.catalog.$name.root=<log root>"))
+  }
+
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def nsDir(namespace: Array[String]): Path = {
+    require(namespace.length == 1,
+      s"walrus namespaces are single-level; got [${namespace.mkString(".")}]")
+    Paths.get(root, WalrusLog.sanitizeKey(namespace.head))
+  }
+
+  /** A namespace exists once a log instance has touched it (its `commits`
+    * dir is created at construction) or createNamespace made the dir. */
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && Files.isDirectory(nsDir(namespace))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) return Array.empty
+    val s = Files.list(r)
+    try s.iterator().asScala.filter(Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString)).toArray
+    finally s.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] =
+    if (namespaceExists(namespace))
+      Map("location" -> nsDir(namespace).toString).asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    Files.createDirectories(nsDir(namespace).resolve("commits"))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "walrus namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!Files.isDirectory(dir)) return false
+    if (!cascade && topicsOf(dir).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(namespace)
+    WalrusLog.deleteRecursively(dir)
+    true
+  }
+
+  /** Registered ∪ written topics, from metadata only: the clean file plus
+    * the topic maps of the commit records (manifest-prefixed — O(tail)
+    * JSON parses however old the log). */
+  private def topicsOf(dir: Path): Seq[String] =
+    (WalrusLog.registeredTopicsOnDisk(dir) ++
+      WalrusLogSource.listCommits(dir).iterator.flatMap(_._1.topics.keys))
+      .distinct.sorted
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    topicsOf(nsDir(namespace)).map(t => Identifier.of(namespace, t)).toArray
+  }
+
+  private def tableOptions(ident: Identifier,
+      extra: Map[String, String] = Map.empty): CaseInsensitiveStringMap = {
+    require(ident.namespace.length == 1,
+      s"walrus tables live at <catalog>.<namespace>.<topic>; got $ident")
+    new CaseInsensitiveStringMap((Map(
+      "path" -> root,
+      "namespace" -> ident.namespace.head,
+      "topic" -> ident.name) ++ extra).asJava)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && namespaceExists(ident.namespace) &&
+      topicsOf(nsDir(ident.namespace)).contains(ident.name)
+
+  override def loadTable(ident: Identifier): Table =
+    if (tableExists(ident)) new WalrusLogTable(tableOptions(ident))
+    else throw new NoSuchTableException(ident)
+
+  /** `VERSION AS OF v` — commit-id time travel (the batch reader's
+    * `asOfCommit` through SQL). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    if (tableExists(ident)) {
+      val v = try version.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"walrus versions are commit ids (integers); got '$version'")
+      }
+      new WalrusLogTable(tableOptions(ident, Map("asOfCommit" -> v.toString)))
+    } else throw new NoSuchTableException(ident)
+
+  /** `TIMESTAMP AS OF t` — resolves to the newest commit published at or
+    * before `t` (micros since epoch, per the connector contract): commit
+    * metadata is the version history, so this is a metadata scan. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    if (tableExists(ident)) {
+      val asOf = WalrusLogSource.listCommits(nsDir(ident.namespace)).iterator
+        .map(_._1).filter(_.tsMillis * 1000L <= timestampMicros)
+        .foldLeft(-1L)((m, c) => math.max(m, c.id))
+      if (asOf < 0) throw new NoSuchTableException(ident)
+      new WalrusLogTable(tableOptions(ident, Map("asOfCommit" -> asOf.toString)))
+    } else throw new NoSuchTableException(ident)
+
+  /** `CREATE TABLE` = REGISTER/ensure_topic. The entry schema is fixed —
+    * a user schema, when given, must be empty (plain `CREATE TABLE t`) or
+    * exactly the entry schema; partitioning/properties carry nothing. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(schema.isEmpty || schema == WalrusLogSource.Schema,
+      "walrus topics have the fixed entry schema " +
+        s"${WalrusLogSource.Schema.simpleString}; omit the column list")
+    require(partitions.isEmpty,
+      "walrus topics partition by commit internally; PARTITIONED BY is not supported")
+    val log = new WalrusLog(org.apache.spark.sql.SparkSession.active, root,
+      ident.namespace.head)
+    log.ensureTopic(ident.name)
+    new WalrusLogTable(tableOptions(ident))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "walrus topics have a fixed entry schema and no mutable properties")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "topic identity is baked into published data paths; rename is not supported")
+
+  /** `DROP TABLE` — empty topics only (published entries are immutable;
+    * retention/vacuum are the deletion surface). */
+  override def dropTable(ident: Identifier): Boolean =
+    if (!tableExists(ident)) false
+    else new WalrusLog(org.apache.spark.sql.SparkSession.active, root,
+      ident.namespace.head).unregisterTopic(ident.name)
+
+  override def toString: String = s"WalrusCatalog($catalogName -> $root)"
+}

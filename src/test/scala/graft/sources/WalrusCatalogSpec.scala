@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.log.WalrusLog
+
+/** SQL catalog over a log root: topics as tables, namespaces as
+  * namespaces, DDL as topic lifecycle (reference: REGISTER + STATE
+  * directory, distributed-walrus/src/controller/mod.rs:124-195). */
+class WalrusCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val root = Files.createTempDirectory("wcat-").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("WalrusCatalogSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.catalog.wal", "graft.sources.WalrusCatalog")
+    .config("spark.sql.catalog.wal.root", root)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def bytes(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  test("SHOW TABLES lists registered and written topics; SELECT scans one topic") {
+    val log = new WalrusLog(spark, root)
+    log.batchAppend("clicks", (0 until 4).map(i => bytes(s"c$i")))
+    log.batchAppend("views", (0 until 2).map(i => bytes(s"v$i")))
+    log.ensureTopic("empty_reg") // registered, never written
+    val tables = spark.sql("SHOW TABLES IN wal.default")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(tables == Set("clicks", "views", "empty_reg"))
+    // qualified SELECT resolves through the catalog and prunes to the topic
+    val rows = spark.sql(
+      "SELECT offset, CAST(value AS STRING) v FROM wal.default.clicks ORDER BY offset")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((0L, "c0"), (1L, "c1"), (2L, "c2"), (3L, "c3")))
+    assert(spark.sql("SELECT count(*) FROM wal.default.empty_reg").head.getLong(0) == 0)
+    // SHOW NAMESPACES sees default
+    assert(spark.sql("SHOW NAMESPACES IN wal").collect()
+      .map(_.getString(0)).contains("default"))
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF time-travel through the catalog") {
+    val log = new WalrusLog(spark, root, "tt")
+    log.appendDF(ttDF("t", Seq("a", "b")), ingestTs = new java.sql.Timestamp(1000000L))
+    log.appendDF(ttDF("t", Seq("c")), ingestTs = new java.sql.Timestamp(2000000L))
+    log.appendDF(ttDF("t", Seq("d")), ingestTs = new java.sql.Timestamp(3000000L))
+    assert(spark.sql("SELECT count(*) FROM wal.tt.t").head.getLong(0) == 4)
+    assert(spark.sql("SELECT count(*) FROM wal.tt.t VERSION AS OF 1").head.getLong(0) == 3)
+    // timestamp 2000s lands ON commit 1 → commits 0+1 visible
+    assert(spark.sql(
+      "SELECT count(*) FROM wal.tt.t TIMESTAMP AS OF '1970-01-01 00:33:20'")
+      .head.getLong(0) == 3)
+  }
+
+  private def ttDF(topic: String, vs: Seq[String]) = {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    vs.zipWithIndex.toDF("v", "seq")
+      .select(lit(topic).as("topic"), col("v").cast("binary").as("value"),
+        col("seq").cast("long").as("_seq"))
+  }
+
+  test("CREATE TABLE registers a topic; DROP TABLE drops empty topics only") {
+    spark.sql("CREATE TABLE wal.default.audit")
+    val log = new WalrusLog(spark, root)
+    assert(log.topicNames.contains("audit"))
+    intercept[Exception] { spark.sql("CREATE TABLE wal.default.audit") }
+    // a registered-but-empty topic drops cleanly...
+    spark.sql("DROP TABLE wal.default.audit")
+    assert(!spark.sql("SHOW TABLES IN wal.default").collect()
+      .map(_.getString(1)).contains("audit"))
+    // ...a topic with entries does not (published entries are immutable)
+    val ex = intercept[Exception] { spark.sql("DROP TABLE wal.default.clicks") }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(c => Option(c.getMessage)).toSeq
+    assert(msgs.exists(_.contains("immutable")))
+    // fixed schema: a column list is rejected
+    val bad = intercept[Exception] {
+      spark.sql("CREATE TABLE wal.default.typed (x INT)")
+    }
+    assert(Iterator.iterate(bad: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(c => Option(c.getMessage))
+      .exists(_.contains("fixed entry schema")))
+  }
+
+  test("a second instance's persist does not erase catalog registrations (clean-file merge)") {
+    val log = new WalrusLog(spark, root, "merge")
+    log.batchAppend("t", Seq(bytes("x")))
+    // catalog DDL registers through its OWN WalrusLog instance...
+    spark.sql("CREATE TABLE wal.merge.reg")
+    // ...then the ORIGINAL instance persists (dirty-marker write): a
+    // whole-file overwrite would drop 'reg'; the merge must keep it
+    log.markTopicDirty("t")
+    assert(spark.sql("SHOW TABLES IN wal.merge").collect()
+      .map(_.getString(1)).toSet == Set("t", "reg"))
+    // and an explicit drop stays dropped after that instance persists again
+    spark.sql("DROP TABLE wal.merge.reg")
+    log.markTopicClean("t")
+    assert(spark.sql("SHOW TABLES IN wal.merge").collect()
+      .map(_.getString(1)).toSet == Set("t"))
+  }
+
+  test("namespace DDL: create, list, non-empty drop refused without cascade") {
+    spark.sql("CREATE NAMESPACE wal.scratch")
+    assert(spark.sql("SHOW NAMESPACES IN wal").collect()
+      .map(_.getString(0)).contains("scratch"))
+    val log = new WalrusLog(spark, root, "scratch")
+    log.batchAppend("t", Seq(bytes("x")))
+    intercept[Exception] { spark.sql("DROP NAMESPACE wal.scratch") }
+    spark.sql("DROP NAMESPACE wal.scratch CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN wal").collect()
+      .map(_.getString(0)).contains("scratch"))
+  }
+}
