@@ -64,6 +64,11 @@ class WalrusCatalog extends TableCatalog with SupportsNamespaces {
   override def name(): String = catalogName
   override def defaultNamespace(): Array[String] = Array("default")
 
+  /** Engine-assigned columns carry NULL defaults (and topic tables a topic
+    * default), so `INSERT INTO wal.ns.t (value) ...` is a full statement. */
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    Set(org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+
   private def nsDir(namespace: Array[String]): Path = {
     require(namespace.length == 1,
       s"walrus namespaces are single-level; got [${namespace.mkString(".")}]")
@@ -134,7 +139,8 @@ class WalrusCatalog extends TableCatalog with SupportsNamespaces {
     new CaseInsensitiveStringMap((Map(
       "path" -> root,
       "namespace" -> ident.namespace.head,
-      "topic" -> ident.name) ++ extra).asJava)
+      "topic" -> ident.name,
+      "catalogManaged" -> "true") ++ extra).asJava)
   }
 
   override def tableExists(ident: Identifier): Boolean =

@@ -437,7 +437,8 @@ object WalrusLogSource {
 }
 
 class WalrusLogTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   // The catalog path arrives as a file: URI (CREATE TABLE ... USING
   // walruslog normalizes OPTIONS('path')); the DataFrame path passes the
   // raw filesystem path. Accept both.
@@ -450,8 +451,74 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
 
   override def name(): String = s"walruslog:$root/$namespace"
   override def schema(): StructType = WalrusLogSource.Schema
+
+  /** Catalog-managed tables (loaded via [[WalrusCatalog]], which sets this
+    * option) additionally accept `INSERT INTO` through the V1 write
+    * bridge. Path-loaded tables deliberately do NOT claim it: their write
+    * surface is `df.write.format("walruslog")`, whose SaveMode semantics
+    * (ErrorIfExists/Ignore/topic routing/seqCol) live in `createRelation`
+    * and would be bypassed by a V2 AppendData plan. */
+  private val catalogManaged = options.getBoolean("catalogManaged", false)
+
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    (Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ) ++
+      (if (catalogManaged) Set(TableCapability.V1_BATCH_WRITE) else Set.empty)).asJava
+
+  /** Column metadata with defaults for the engine-assigned columns
+    * (`offset`/`ts_us`/`checksum` default NULL — the commit protocol
+    * assigns them) and, on a catalog-managed topic table, the topic name
+    * itself — so `INSERT INTO wal.ns.t (value) VALUES (...)` is the whole
+    * statement. */
+  override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] = {
+    import org.apache.spark.sql.connector.catalog.{Column => CColumn, ColumnDefaultValue}
+    // the connector-layer LiteralValue is private[sql]; the Literal
+    // interface is public — implement it directly
+    def clit[T](v: T, t: DataType): org.apache.spark.sql.connector.expressions.Literal[T] =
+      new org.apache.spark.sql.connector.expressions.Literal[T] {
+        override def value(): T = v
+        override def dataType(): DataType = t
+      }
+    def nullDefault(t: DataType) = new ColumnDefaultValue("NULL", clit(null, t))
+    val topicDefault = Option(options.get("topic")).map(t =>
+      new ColumnDefaultValue(s"'$t'", clit(UTF8String.fromString(t), StringType)))
+    Array(
+      CColumn.create("offset", LongType, true, null, nullDefault(LongType), null),
+      CColumn.create("ts_us", LongType, true, null, nullDefault(LongType), null),
+      CColumn.create("value", BinaryType),
+      CColumn.create("checksum", LongType, true, null, nullDefault(LongType), null),
+      topicDefault.map(d => CColumn.create("topic", StringType, true, null, d, null))
+        .getOrElse(CColumn.create("topic", StringType)))
+  }
+
+  /** `INSERT INTO` (catalog-managed tables): the aligned rows become one
+    * atomic commit via [[graft.log.WalrusLog.appendDF]]. Engine-assigned
+    * columns (`offset`/`ts_us`/`checksum`) are ignored — the commit
+    * protocol assigns them — and on a topic table every row lands in THE
+    * table's topic (the table IS the topic). INSERT OVERWRITE is rejected:
+    * published entries are immutable. */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+                require(!overwrite,
+                  "walruslog is append-only: INSERT OVERWRITE is not supported — " +
+                    "expire data via retention (vacuum/retainBytes) and append")
+                import org.apache.spark.sql.functions.{col, lit}
+                val routed = Option(options.get("topic")) match {
+                  case Some(t) => data.withColumn("topic", lit(t))
+                  case None => data
+                }
+                new graft.log.WalrusLog(data.sparkSession, root, namespace)
+                  .appendDF(routed.select(col("topic"), col("value")))
+                ()
+              }
+            }
+        }
+    }
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns

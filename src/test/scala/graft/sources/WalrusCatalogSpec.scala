@@ -92,6 +92,30 @@ class WalrusCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .exists(_.contains("fixed entry schema")))
   }
 
+  test("INSERT INTO a catalog table appends one atomic commit; OVERWRITE rejected") {
+    val log = new WalrusLog(spark, root, "ins")
+    log.batchAppend("t", Seq(bytes("seed")))
+    // column-list insert: engine columns + topic come from declared defaults
+    spark.sql("INSERT INTO wal.ins.t (value) VALUES (CAST('i0' AS BINARY)), (CAST('i1' AS BINARY))")
+    val rows = spark.sql(
+      "SELECT offset, CAST(value AS STRING) v FROM wal.ins.t ORDER BY offset")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((0L, "seed"), (1L, "i0"), (2L, "i1")))
+    // INSERT ... SELECT lands in THE table's topic whatever the topic col says
+    spark.sql("INSERT INTO wal.ins.t SELECT NULL, NULL, CAST('i2' AS BINARY), NULL, 'elsewhere'")
+    assert(new WalrusLog(spark, root, "ins").entryCount("t") == 4)
+    assert(spark.sql("SHOW TABLES IN wal.ins").collect().map(_.getString(1)).toSet == Set("t"))
+    // append-only: INSERT OVERWRITE is rejected
+    val ex = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE wal.ins.t SELECT * FROM wal.ins.t")
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(c => Option(c.getMessage)).toSeq
+    info("overwrite rejection: " + msgs.mkString(" | ").take(500))
+    assert(msgs.exists(m => m.contains("append-only") ||
+      m.toLowerCase.contains("truncate") || m.toLowerCase.contains("overwrite")))
+  }
+
   test("a second instance's persist does not erase catalog registrations (clean-file merge)") {
     val log = new WalrusLog(spark, root, "merge")
     log.batchAppend("t", Seq(bytes("x")))
