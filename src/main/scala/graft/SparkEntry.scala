@@ -4793,6 +4793,36 @@ object SparkEntry {
             .where(col("item").isNotNull),
           "user_id", "item", maxItemDegree = 60, minCommon = 2L)
         .orderBy("user_a", "user_b")),
+    "graph_hits" -> ((s, dir) =>
+      // hubs-and-authorities over the same bipartite interaction graph
+      // (Kleinberg's HITS): users as hubs, items as authorities, 4
+      // exact-integer iterations with L1 renormalization each pass — the
+      // DuckDB twin replays every DIV-floored term. Per iteration one
+      // equi-join + one agg per side; the only global is a broadcast
+      // 1-row total.
+      graft.operators.Graph.hits(
+          table(s, dir, "events")
+            .where(col("user_id") < 60)
+            .select(col("user_id"),
+              get_json_object(col("props"), "$.k").cast("long").as("item"))
+            .where(col("item").isNotNull),
+          "user_id", "item", iterations = 4)
+        .orderBy("kind", "node")),
+    "graph_link_predict" -> ((s, dir) =>
+      // the unweighted link-prediction battery on the SAME pairs
+      // adamic_adar weights: common neighbors, exact-integer Jaccard, and
+      // preferential attachment side by side — the feature row a ranker
+      // consumes. Hub items drop BEFORE any user set materializes
+      // (bounded aggregation state); degrees describe the hub-filtered
+      // graph so all three scores share one universe.
+      graft.operators.Graph.linkPredict(
+          table(s, dir, "events")
+            .where(col("user_id") < 60)
+            .select(col("user_id"),
+              get_json_object(col("props"), "$.k").cast("long").as("item"))
+            .where(col("item").isNotNull),
+          "user_id", "item", maxItemDegree = 60, minCommon = 2L)
+        .orderBy("user_a", "user_b")),
     "graph_triangles" -> ((s, dir) => {
       // community structure of the co-occurrence graph: per-node triangle
       // counts via the canonical a<b<c 2-path + semi-join closure — each
@@ -8824,6 +8854,34 @@ object SparkEntry {
           |SELECT user_a, user_b, count(*) AS n_common,
           |  CAST(sum(w) AS BIGINT) AS aa_micro
           |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+          |ORDER BY user_a, user_b""".stripMargin,
+      "graph_hits" -> graft.operators.Graph.hitsSql(
+        """e AS (
+          |  SELECT DISTINCT user_id AS u,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS it
+          |  FROM events
+          |  WHERE user_id < 60 AND json_extract_string(props, '$.k') IS NOT NULL)""".stripMargin,
+        iterations = 4),
+      "graph_link_predict" ->
+        """WITH r AS (
+          |  SELECT DISTINCT user_id AS u,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS it
+          |  FROM events
+          |  WHERE user_id < 60 AND json_extract_string(props, '$.k') IS NOT NULL),
+          |d AS (SELECT it, count(*) AS deg FROM r GROUP BY it
+          |  HAVING count(*) BETWEEN 2 AND 60),
+          |kept AS (SELECT r.u, r.it FROM r JOIN d ON r.it = d.it),
+          |ud AS (SELECT u, count(*) AS udeg FROM kept GROUP BY u),
+          |c AS (
+          |  SELECT a.u AS user_a, b.u AS user_b, count(*) AS n_common
+          |  FROM kept a JOIN kept b ON a.it = b.it AND a.u < b.u
+          |  GROUP BY 1, 2 HAVING count(*) >= 2)
+          |SELECT c.user_a, c.user_b, c.n_common,
+          |  ua.udeg AS deg_a, ub.udeg AS deg_b,
+          |  CAST((c.n_common * 1000000) // (ua.udeg + ub.udeg - c.n_common) AS BIGINT)
+          |    AS jaccard_micro,
+          |  CAST(ua.udeg * ub.udeg AS BIGINT) AS pref_attach
+          |FROM c JOIN ud ua ON ua.u = c.user_a JOIN ud ub ON ub.u = c.user_b
           |ORDER BY user_a, user_b""".stripMargin,
       "graph_triangles" ->
         """WITH r AS (SELECT DISTINCT user_id AS u,

@@ -180,6 +180,116 @@ object Graph {
       .where(col("n_common") >= minCommon)
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a bipartite directed
+    * relation `user → item`, in exact integer micro-units: per iteration,
+    * authority(item) = Σ hub(user) over in-edges and hub(user) =
+    * Σ authority(item) over out-edges, each side L1-normalized to `unit`
+    * total via `(raw · unit) DIV Σ raw` — all operands non-negative, so
+    * Spark `DIV` and DuckDB `//` agree term by term (the pageRank
+    * discipline). Returns `(node, kind 'hub'|'auth', score_micro)`.
+    *
+    * Scale shape: per iteration one edges⋈scores equi-join + one
+    * map-side-combining aggregation per side, plus a 1-row total
+    * broadcast-crossed in (the only global). Overflow bound: after the
+    * first normalization every Σ raw ≤ unit², so `raw · unit` needs
+    * unit³ ≤ 2⁶³ — fine at unit = 1e6; the FIRST pass needs
+    * unit² · n_users ≤ 2⁶³ (n_users ≤ ~9e6 at the default unit — seed
+    * with a smaller unit for larger node sets). */
+  def hits(rel: DataFrame, userCol: String, itemCol: String,
+      iterations: Int = 4, unit: Long = 1000000L): DataFrame = {
+    require(iterations >= 1)
+    val e = rel.select(col(userCol).as("u"), col(itemCol).as("it")).distinct()
+    def normalize(scores: DataFrame, key: String): DataFrame = {
+      val tot = scores.agg(sum(col("raw")).as("tot"))
+      scores.crossJoin(broadcast(tot))
+        .select(col(key), expr(s"(raw * $unit) DIV tot").as("score"))
+    }
+    var hubs = e.select(col("u")).distinct().withColumn("score", lit(unit))
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      auths = normalize(
+        e.join(hubs, Seq("u"))
+          .groupBy("it").agg(sum(col("score")).as("raw")), "it")
+      hubs = normalize(
+        e.join(auths, Seq("it"))
+          .groupBy("u").agg(sum(col("score")).as("raw")), "u")
+    }
+    hubs.select(col("u").as("node"), lit("hub").as("kind"),
+        col("score").as("score_micro"))
+      .unionAll(auths.select(col("it").as("node"), lit("auth").as("kind"),
+        col("score").as("score_micro")))
+  }
+
+  /** The DuckDB twin of [[hits]]: unrolled CTEs, floor division on the
+    * same non-negative integers. `edgesCte` must define `e(u, it)`
+    * (already distinct). Every stage is `AS MATERIALIZED` — each level is
+    * referenced several times (normalizer total + next level + final
+    * select), and DuckDB's default CTE inlining would re-evaluate the
+    * whole chain per reference: exponential in `iterations`. This is
+    * DuckDB-only syntax, which is fine — oracles never run on Spark. */
+  def hitsSql(edgesCte: String, iterations: Int = 4,
+      unit: Long = 1000000L): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.it, SUM(h.score) AS raw
+         |  FROM e JOIN h${i - 1} h ON e.u = h.u GROUP BY e.it),
+         |a$i AS MATERIALIZED (SELECT it,
+         |  CAST((raw * $unit) // (SELECT SUM(raw) FROM ar$i) AS BIGINT) AS score
+         |  FROM ar$i),
+         |hr$i AS MATERIALIZED (SELECT e.u, SUM(a.score) AS raw
+         |  FROM e JOIN a$i a ON e.it = a.it GROUP BY e.u),
+         |h$i AS MATERIALIZED (SELECT u,
+         |  CAST((raw * $unit) // (SELECT SUM(raw) FROM hr$i) AS BIGINT) AS score
+         |  FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |h0 AS MATERIALIZED (SELECT DISTINCT u, CAST($unit AS BIGINT) AS score FROM e),
+       |$iters
+       |SELECT u AS node, 'hub' AS kind, score AS score_micro FROM h$iterations
+       |UNION ALL
+       |SELECT it, 'auth', score FROM a$iterations
+       |ORDER BY kind, node""".stripMargin
+  }
+
+  /** Link-prediction battery over a bipartite (user, item) relation: for
+    * each user pair sharing ≥ `minCommon` distinct non-hub items, the
+    * three classic unweighted scores side by side — common neighbors,
+    * Jaccard (in exact micro-units, `(common · 1e6) DIV union`), and
+    * preferential attachment (`deg_a · deg_b`) — the feature row a ranking
+    * model consumes (Liben-Nowell & Kleinberg 2003). Complements
+    * [[adamicAdar]], which weights the SAME pairs by item rarity.
+    *
+    * Degrees (and therefore Jaccard's union) are computed over the
+    * hub-filtered relation, so the three scores describe one consistent
+    * graph. Plan shape is [[adamicAdar]]'s: cheap per-item degree first
+    * (hub items dropped BEFORE any user set materializes — bounded state),
+    * pairs generated inside the explode, one pair-keyed aggregation, then
+    * two joins to the compact per-user degree table. */
+  def linkPredict(rel: DataFrame, userCol: String, itemCol: String,
+      maxItemDegree: Int = 50, minCommon: Long = 2L): DataFrame = {
+    val base = rel.select(col(userCol).as("u"), col(itemCol).as("it"))
+    val deg = base.groupBy("it")
+      .agg(count_distinct(col("u")).as("deg"))
+      .where(col("deg").between(2, maxItemDegree))
+    val kept = base.join(deg.select("it"), "it").distinct()
+    val udeg = kept.groupBy("u").agg(count(lit(1)).as("udeg"))
+    val byItem = kept.groupBy("it")
+      .agg(sort_array(collect_set(col("u"))).as("us"))
+    byItem.select(explode(expr(
+        "flatten(transform(us, (x, i) -> " +
+          "transform(slice(us, i + 2, size(us) - i - 1), " +
+          "y -> struct(x AS ua, y AS ub))))")).as("p"))
+      .groupBy(col("p.ua").as("user_a"), col("p.ub").as("user_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minCommon)
+      .join(udeg.select(col("u").as("user_a"), col("udeg").as("deg_a")), Seq("user_a"))
+      .join(udeg.select(col("u").as("user_b"), col("udeg").as("deg_b")), Seq("user_b"))
+      .select(col("user_a"), col("user_b"), col("n_common"),
+        col("deg_a"), col("deg_b"),
+        expr("(n_common * 1000000) DIV (deg_a + deg_b - n_common)")
+          .as("jaccard_micro"),
+        (col("deg_a") * col("deg_b")).as("pref_attach"))
+  }
+
   /** Per-node triangle counts over an undirected edge list (pairs in
     * either orientation; duplicates collapse). Edges are canonicalized
     * a < b, and triangles enumerate as the 2-path join (a−b)(b−c) closed
