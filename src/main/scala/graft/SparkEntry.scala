@@ -3572,6 +3572,67 @@ object SparkEntry {
           "vec_id", "embedding", planes = 4, minCosine = 0.2)
         .orderBy("query_id", "neighbor_id")
     }),
+    "pipeline_ccnet" -> ((s, dir) => {
+      // the CCNet pipeline shape (Wenzek et al. 2020, arXiv:1911.00359) in
+      // ONE declarative plan: (1) corpus-wide paragraph dedup — 20-token
+      // paragraphs, first occurrence in (doc_id, idx) order wins (the
+      // composite encodes as doc_id·1e6 + idx; documented bound: < 1e6
+      // paragraphs per doc); (2) language ID on the raw text; (3) a
+      // unigram LM trained on the KEPT corpus scoring each doc in
+      // integer millinats-per-token; (4) perplexity terciles
+      // head/middle/tail over a total (ppl, doc_id) order — CCNet's
+      // quality buckets. Shapes: paragraph dedup is one para-keyed agg +
+      // one equi-join; the LM is one token-keyed agg joined back with a
+      // broadcast 1-row total; ranking windows ride the non-foldable
+      // all-zero partition key (text_pmi_bigrams pattern).
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .where(size(col("tk")) >= 1)
+      val paras = toks
+        .withColumn("pi", explode(expr("sequence(0, (size(tk) - 1) DIV 20)")))
+        .select(col("doc_id"), col("pi"),
+          concat_ws(" ", expr("slice(tk, pi * 20 + 1, 20)")).as("para"))
+      val owner = paras.groupBy("para")
+        .agg(min(col("doc_id") * 1000000L + col("pi")).as("own"))
+      val kept = paras.join(owner, "para")
+        .where(col("doc_id") * 1000000L + col("pi") === col("own"))
+      val pstats = paras.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+      val kstats = kept.groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+      val kt = kept.select(col("doc_id"),
+        explode(expr("filter(split(para, ' '), x -> x <> '')")).as("w"))
+      val lm = kt.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val tot = kt.agg(count(lit(1)).as("n_tot"))
+      val sc = kt.join(lm, "w").crossJoin(broadcast(tot))
+        .withColumn("s_m",
+          round(log(col("n_tot").cast("double") / col("cnt")) * 1000, 0)
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("tok_kept"), sum("s_m").as("sur"))
+        .withColumn("ppl_milli", expr("sur DIV tok_kept"))
+      val lang = TextAnalysis.languageId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("lang_pred"))
+      val base = pstats.join(lang, "doc_id")
+        .join(kstats, Seq("doc_id"), "left")
+        .join(sc.select("doc_id", "tok_kept", "ppl_milli"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang_pred"), col("n_paras"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tok_kept"), lit(0L)).as("tok_kept"),
+          coalesce(col("ppl_milli"), lit(-1L)).as("ppl_milli"))
+      val zero = pmod(col("n_paras"), lit(1)) // non-foldable all-zero key
+      val w = Window.partitionBy(zero).orderBy(col("ppl_milli"), col("doc_id"))
+      val ranked = base.where(col("ppl_milli") >= 0)
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy(zero)))
+        .withColumn("bucket", expr(
+          "CASE ((rnk - 1) * 3) DIV nn WHEN 0 THEN 'head' " +
+            "WHEN 1 THEN 'middle' ELSE 'tail' END"))
+        .drop("rnk", "nn")
+      ranked.unionByName(
+          base.where(col("ppl_milli") < 0).withColumn("bucket", lit("empty")))
+        .orderBy("doc_id")
+    }),
     "pipeline_curate" -> ((s, dir) => {
       // the end-to-end curation manifest a training run starts from:
       // quality gate -> exact dedup (keep the min id per identical text)
@@ -8053,6 +8114,63 @@ object SparkEntry {
            |  CAST(s_milli * 1000000 // s_total AS BIGINT) AS weight_micro,
            |  CAST((s_milli * 1000000 // s_total) * 1000 // 1000000 AS BIGINT) AS expected_docs
            |FROM psq, ptot ORDER BY domain""".stripMargin,
+      "pipeline_ccnet" -> {
+        // langid CTE generated from the SAME LangMarkers as the engine
+        val hitCols = TextAnalysis.LangMarkers.map { case (l, ws) =>
+          s"CAST(len(regexp_extract_all(text, '${ws.mkString("\\b(", "|", ")\\b")}')) AS BIGINT) AS hits_$l"
+        }.mkString(",\n    ")
+        val m = TextAnalysis.LangMarkers.map { case (l, _) => s"hits_$l" }
+          .mkString("greatest(", ", ", ")")
+        val pick = TextAnalysis.LangMarkers.map { case (l, _) =>
+          s"WHEN hits_$l = m AND m > 0 THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE 'und' END")
+        s"""WITH toks AS MATERIALIZED (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           |  FROM documents),
+           |paras AS MATERIALIZED (
+           |  SELECT doc_id, i AS pi,
+           |    array_to_string(list_slice(tk, i * 20 + 1, i * 20 + 20), ' ') AS para
+           |  FROM (SELECT doc_id, tk,
+           |      unnest(generate_series(0, (len(tk) - 1) // 20)) AS i
+           |    FROM toks WHERE len(tk) >= 1)),
+           |own AS (SELECT para, min(doc_id * 1000000 + pi) AS own
+           |  FROM paras GROUP BY para),
+           |kept AS MATERIALIZED (
+           |  SELECT p.doc_id, p.para FROM paras p JOIN own o
+           |  ON p.para = o.para AND p.doc_id * 1000000 + p.pi = o.own),
+           |pstats AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id),
+           |kstats AS (SELECT doc_id, count(*) AS n_kept FROM kept GROUP BY doc_id),
+           |kt AS MATERIALIZED (
+           |  SELECT doc_id, unnest(list_filter(string_split(para, ' '), x -> x <> '')) AS w
+           |  FROM kept),
+           |lm AS (SELECT w, count(*) AS cnt FROM kt GROUP BY w),
+           |tot AS (SELECT count(*) AS n_tot FROM kt),
+           |sc AS (SELECT doc_id, count(*) AS tok_kept,
+           |    SUM(CAST(round(ln(CAST(n_tot AS DOUBLE) / cnt) * 1000, 0) AS BIGINT)) AS sur
+           |  FROM kt JOIN lm USING (w) CROSS JOIN tot GROUP BY doc_id),
+           |lh AS (SELECT doc_id, $hitCols FROM documents),
+           |lang AS (SELECT doc_id, $pick AS lang_pred
+           |  FROM (SELECT doc_id, $m AS m, * FROM lh)),
+           |base AS MATERIALIZED (
+           |  SELECT p.doc_id, l.lang_pred, p.n_paras,
+           |    COALESCE(k.n_kept, 0) AS n_kept,
+           |    COALESCE(s.tok_kept, 0) AS tok_kept,
+           |    CAST(COALESCE(s.sur // s.tok_kept, -1) AS BIGINT) AS ppl_milli
+           |  FROM pstats p JOIN lang l USING (doc_id)
+           |  LEFT JOIN kstats k USING (doc_id) LEFT JOIN sc s USING (doc_id)),
+           |r AS (SELECT *,
+           |    row_number() OVER (ORDER BY ppl_milli, doc_id) AS rnk,
+           |    count(*) OVER () AS nn
+           |  FROM base WHERE ppl_milli >= 0)
+           |SELECT doc_id, lang_pred, n_paras, n_kept, tok_kept, ppl_milli,
+           |  CASE ((rnk - 1) * 3) // nn WHEN 0 THEN 'head'
+           |    WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+           |FROM r
+           |UNION ALL
+           |SELECT doc_id, lang_pred, n_paras, n_kept, tok_kept, ppl_milli, 'empty'
+           |FROM base WHERE ppl_milli < 0
+           |ORDER BY doc_id""".stripMargin
+      },
       "pipeline_curate" ->
         s"""WITH b AS (
            |  SELECT doc_id, source, text,

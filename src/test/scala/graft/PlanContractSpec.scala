@@ -791,4 +791,27 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("max_by"), s"arg-max aggregation expected:\n$plan")
     assert(!plan.contains("Join"), s"must be join-free:\n$plan")
   }
+
+  test("hits: per-iteration equi-joins; only the 1-row totals broadcast-cross") {
+    val plan = planOf("graph_hits")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // edges ⋈ scores each round is a hash equi-join
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin")
+        || plan.contains("SortMergeJoin"), s"equi-join missing:\n$plan")
+  }
+
+  test("link predict: pairs generate inside the explode, degree joins are equi-joins") {
+    val plan = planOf("graph_link_predict")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("Generate"), s"explode pair generation missing:\n$plan")
+  }
+
+  test("ccnet pipeline: no cartesian, no unpartitioned data-scale window") {
+    val plan = planOf("pipeline_ccnet")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // the tercile windows ride the non-foldable all-zero partition key
+    assert(!plan.contains("Window Partition Specification: []"),
+      s"unpartitioned window:\n$plan")
+  }
 }
