@@ -198,10 +198,24 @@ object Graph {
   def hits(rel: DataFrame, userCol: String, itemCol: String,
       iterations: Int = 4, unit: Long = 1000000L): DataFrame = {
     require(iterations >= 1)
-    val e = rel.select(col(userCol).as("u"), col(itemCol).as("it")).distinct()
+    // the [[labelPropagation]]/[[kCorePrune]] discipline: the edge set is
+    // joined twice per iteration and iterations nest, and each normalized
+    // side is referenced TWICE by `normalize` (the 1-row total aggregate
+    // + the broadcast-crossed rescale) and again by the next iteration —
+    // without per-iteration truncation the final plan holds up to
+    // 2^(2·iterations) copies of the base subtree (measured: 30 s at
+    // sf0.1 on an input adamicAdar handles in ~1 s). localCheckpoint
+    // changes evaluation only, never values, so the integer contract with
+    // the DuckDB twin (whose CTEs are AS MATERIALIZED for the same
+    // reason) is untouched.
+    val e = rel.select(col(userCol).as("u"), col(itemCol).as("it"))
+      .distinct().localCheckpoint()
     def normalize(scores: DataFrame, key: String): DataFrame = {
-      val tot = scores.agg(sum(col("raw")).as("tot"))
-      scores.crossJoin(broadcast(tot))
+      // materialize the pre-normalization scores once: both the total and
+      // the rescale read them, and the next iteration reads the result
+      val s = scores.localCheckpoint()
+      val tot = s.agg(sum(col("raw")).as("tot"))
+      s.crossJoin(broadcast(tot))
         .select(col(key), expr(s"(raw * $unit) DIV tot").as("score"))
     }
     var hubs = e.select(col("u")).distinct().withColumn("score", lit(unit))

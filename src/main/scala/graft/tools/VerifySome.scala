@@ -23,9 +23,11 @@ object VerifySome {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
+      val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
-      println(s"[verify-some] dumped $name")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[verify-some] dumped $name (${sec}%.2f s)")
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

@@ -792,12 +792,27 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Join"), s"must be join-free:\n$plan")
   }
 
-  test("hits: per-iteration equi-joins; only the 1-row totals broadcast-cross") {
+  test("hits: per-iteration lineage is truncated — the final plan is FLAT") {
     val plan = planOf("graph_hits")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
-    // edges ⋈ scores each round is a hash equi-join
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin")
-        || plan.contains("SortMergeJoin"), s"equi-join missing:\n$plan")
+    // The r7 post-mortem: join-TYPE checks passed while the plan held up
+    // to 2^(2·iterations) copies of the edges⋈scores subtree (30 s on an
+    // input adamicAdar handles in ~1 s), because each normalize
+    // referenced its input twice and nothing truncated lineage between
+    // iterations. With per-iteration localCheckpoint the FINAL plan must
+    // be flat: only the last normalize of each side survives (two
+    // checkpointed scans + two 1-row totals), so the join count is a
+    // small constant, not exponential in iterations. 4 iterations
+    // un-truncated would show dozens of joins; flat shows ≤ 4.
+    // count TREE nodes only ("<Op> (<id>)"), not the detail section
+    val joins = """Join[a-zA-Z ]* \(\d+\)""".r.findAllIn(plan).length
+    assert(joins <= 4, s"expected a flat post-checkpoint plan, found $joins joins:\n$plan")
+    val scans = """Scan ExistingRDD[a-zA-Z ]* \(\d+\)""".r.findAllIn(plan).length
+    assert(scans >= 1 && scans <= 8,
+      s"expected checkpointed per-iteration scans, found $scans:\n$plan")
+    // and nothing re-reads the raw events fixture in the final plan — the
+    // base scan was consumed by the first checkpoint
+    assert(!plan.contains("Scan parquet"), s"base scan re-read post-checkpoint:\n$plan")
   }
 
   test("link predict: pairs generate inside the explode, degree joins are equi-joins") {
