@@ -35,16 +35,30 @@ done
 
 if [ "${1:-}" != "fast" ]; then
   note "bench sf0.1"
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>/dev/null \
+  # snapshot the prior round's per-query detail BEFORE Bench overwrites it
+  # (the wall-time tripwire below compares fresh vs prior)
+  PRIOR_DETAIL=/tmp/gate_bench_detail_prior.json
+  cp BENCH_DETAIL.json "$PRIOR_DETAIL" 2>/dev/null || rm -f "$PRIOR_DETAIL"
+  # stderr goes to a log, not /dev/null: a bench crash must surface as a
+  # diagnostic, not just "no JSON line"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>/tmp/gate_bench_stderr.log \
     | grep '^{"metric"' | tail -1 > /tmp/gate_bench.json
   if [ -s /tmp/gate_bench.json ]; then cat /tmp/gate_bench.json; else
-    echo "GATE: bench produced no JSON line"; FAIL=1
+    echo "GATE: bench produced no JSON line (stderr tail follows, full log /tmp/gate_bench_stderr.log)"
+    tail -20 /tmp/gate_bench_stderr.log; FAIL=1
+  fi
+  note "wall-time tripwire (fresh vs prior BENCH_DETAIL)"
+  if python3 scripts/bench_tripwire.py "$PRIOR_DETAIL" BENCH_DETAIL.json; then :; else
+    echo "GATE: wall-time regression tripwire FIRED"; FAIL=1
   fi
 fi
 
 note "leak greps (LEAKCHECK mirror)"
+# exclude ONLY citation-shaped comment lines (`// reference: ...` /
+# scaladoc `* reference: ...`), not any line containing "reference:" --
+# a genuine leak sharing a line with that word must still surface
 LEAKS=$( { grep -rInE "s3://|gs://|AKIA[0-9A-Z]{16}|slack\.com|\.corp\.|\.internal[/\"']|go/[a-z]{2,8}[\"' ]" \
-    src/main src/test build.sbt 2>/dev/null || true; } | grep -v "reference:" )
+    src/main src/test build.sbt 2>/dev/null || true; } | grep -vE "^[^:]+:[0-9]+:\s*(//|\*)\s*reference:" )
 if [ -n "$LEAKS" ]; then echo "$LEAKS"; echo "GATE: leak grep hits"; FAIL=1; else echo "clean"; fi
 
 note "padding greps (no stubs in main)"
