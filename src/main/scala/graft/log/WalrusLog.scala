@@ -70,6 +70,16 @@ class WalrusLog(
   private val commits = mutable.ArrayBuffer.empty[CommitRecord]
   private val vacuumed = mutable.Set.empty[Long]
   private val replaced = mutable.Set.empty[Long] // batches rewritten by compaction
+  // Dropped-commit accounting (manifest v2 — the Raft snapshot-truncates-
+  // the-log analogue, reference: distributed-walrus/src/metadata.rs:
+  // 115-189): fully-reclaimed commits leave `commits` at manifest-write
+  // time; these scalars/maps preserve what replaying them would have
+  // contributed (total counts for METRICS, epoch tags for sink
+  // idempotence, the id high-water mark for the JSON-tail boundary).
+  private var maxPublishedId: Long = -1L
+  private var publishedCount: Long = 0L
+  private var droppedVacuumedCount: Long = 0L
+  private val droppedTags = mutable.Map.empty[String, Long]
   private var nextBatchId: Long = 0L
   private val cursors = mutable.Map.empty[(String, String), Long]
   private val unpersistedReads = mutable.Map.empty[(String, String), Long]
@@ -177,6 +187,12 @@ class WalrusLog(
       // an already-committed tag is a no-op (exactly-once foreachBatch).
       tag.foreach { t =>
         commits.find(_.tag.contains(t)).foreach { existing => return existing }
+        // a reclaimed epoch's tag survives the manifest drop (droppedTags):
+        // a sink replaying an epoch whose data was already vacuumed must
+        // still be a no-op, not a re-commit of reclaimed rows
+        droppedTags.get(t).foreach { id =>
+          return CommitRecord(id, 0L, Map.empty, Some(t))
+        }
       }
       // Small commits collapse to ONE Spark job (see appendSmallCommit).
       // Size comes from the caller's hint when exact (append/batchAppend)
@@ -580,6 +596,7 @@ class WalrusLog(
 
   private def applyCommit(rec: CommitRecord): Unit = {
     commits += rec
+    if (rec.id >= 0) { maxPublishedId = math.max(maxPublishedId, rec.id); publishedCount += 1 }
     sinceManifest += 1 // recover() recomputes after replay; commit sites roll up
     rec.replaces match {
       case Some(ids) =>

@@ -98,11 +98,37 @@ final case class ManifestEntry(id: Long, tsMillis: Long,
   def record: CommitRecord = CommitRecord(id, tsMillis, topics, tag, replaces)
 }
 
-/** Rolled-up commit-log manifest: every commit with id ≤ `asOf`, in id
-  * order — exactly what parsing those commits' JSON files would yield, so
-  * readers can substitute `newest manifest + JSON tail (id > asOf)` for a
-  * full directory parse. */
-final case class LogManifest(asOf: Long, entries: Seq[ManifestEntry])
+/** One sealed segment of a topic snapshot (ordered; LinkedHashMap parity). */
+final case class SegmentSnap(seg: Long, n: Long, leader: String)
+
+/** Serialized [[TopicState]] — what a manifest-v2 recovery restores instead
+  * of replaying per-commit `applyAppend` transitions. Carrying the STATE in
+  * the snapshot (not just the log entries) is what lets the manifest drop
+  * reclaimed entries entirely: the Raft snapshot-then-truncate semantics
+  * (reference: distributed-walrus/src/metadata.rs:115-189 apply/snapshot/
+  * restore), where our previous manifest only accelerated reads. */
+final case class TopicSnapshot(topic: String, nextOffset: Long,
+    bytesTotal: Long, currentSegment: Long, lastSealedEntryOffset: Long,
+    segments: Seq[SegmentSnap], cleanGeneration: Long, clean: Boolean)
+
+/** Rolled-up commit-log manifest covering every commit with id ≤ `asOf`.
+  *
+  * v1 (all optional fields absent): `entries` holds EVERY covered commit in
+  * id order — positionally one per commit JSON file — and recovery replays
+  * them. v2: `entries` holds only the LIVE covered commits (neither
+  * vacuumed nor replaced — the ones whose data directories still exist);
+  * reclaimed commits are represented by their absence, `state` carries the
+  * fully-rolled-up topic states, and the scalar counters preserve the
+  * metrics a replay would have produced. Readers that need positional
+  * alignment (the V2 source's one-element-per-commit-file contract)
+  * synthesize tombstone placeholders for covered ids missing from
+  * `entries`. `droppedTags` keeps the epoch-idempotence tags of dropped
+  * commits so a streaming-sink replay of a reclaimed epoch stays a no-op. */
+final case class LogManifest(asOf: Long, entries: Seq[ManifestEntry],
+    state: Option[Seq[TopicSnapshot]] = None,
+    publishedCount: Option[Long] = None,
+    vacuumedCount: Option[Long] = None,
+    droppedTags: Option[Map[String, Long]] = None)
 
 /** A concurrent atomic batch append was rejected — parity with the
   * reference's `ErrorKind::WouldBlock` on its `is_batch_writing` CAS flag
