@@ -63,10 +63,11 @@ class WalrusLog(
 
   // ---- in-memory state (rebuilt from disk on open; see recover()) ----
   private val topics = mutable.LinkedHashMap.empty[String, TopicState]
-  /** Topics THIS instance explicitly unregistered — kept out of the
-    * persistClean merge so a drop isn't resurrected by our own next
-    * persist (see [[unregisterTopic]]). */
-  private val unregistered = mutable.Set.empty[String]
+  /** Topics THIS instance explicitly unregistered, with the tombstone
+    * generation each drop recorded (last live generation + 1, so the drop
+    * outranks every marker the topic ever persisted while live — see
+    * [[persistClean]]'s merge and [[unregisterTopic]]). */
+  private val unregistered = mutable.Map.empty[String, Long]
   private val commits = mutable.ArrayBuffer.empty[CommitRecord]
   private val vacuumed = mutable.Set.empty[Long]
   private val replaced = mutable.Set.empty[Long] // batches rewritten by compaction
@@ -79,7 +80,43 @@ class WalrusLog(
   private var maxPublishedId: Long = -1L
   private var publishedCount: Long = 0L
   private var droppedVacuumedCount: Long = 0L
-  private val droppedTags = mutable.Map.empty[String, Long]
+  /** Epoch-idempotence tags of commits dropped from the manifest, BOUNDED:
+    * a sink restart can only replay the NEWEST epoch of a query (every
+    * older epoch is behind the sink's own checkpoint, so the engine never
+    * re-offers it), so per tag family (`<base>-<n>`, the shape both sink
+    * paths emit) only the highest-n tag needs replay protection — one map
+    * entry per DISTINCT SINK QUERY, not per dropped commit. Tags without a
+    * numeric suffix (manual tagged appends) are kept verbatim in the
+    * irregular map, which grows only with hand-tagged drops. */
+  private val droppedTagFamilies = mutable.Map.empty[String, (Long, Long)] // base -> (n, commitId)
+  private val droppedIrregularTags = mutable.Map.empty[String, Long] // tag -> commitId
+
+  /** Split `<base>-<digits>` tags into their family key + epoch number. */
+  private def tagFamily(tag: String): Option[(String, Long)] = {
+    val i = tag.lastIndexOf('-')
+    if (i <= 0 || i == tag.length - 1) None
+    else tag.substring(i + 1).toLongOption.map(n => (tag.substring(0, i), n))
+  }
+
+  private def recordDroppedTag(tag: String, commitId: Long): Unit =
+    tagFamily(tag) match {
+      case Some((base, n)) =>
+        val keep = droppedTagFamilies.get(base).forall(_._1 <= n)
+        if (keep) droppedTagFamilies(base) = (n, commitId)
+      case None => droppedIrregularTags(tag) = commitId
+    }
+
+  private def droppedTagCommitId(tag: String): Option[Long] =
+    tagFamily(tag) match {
+      case Some((base, n)) =>
+        droppedTagFamilies.get(base).collect { case (m, id) if m == n => id }
+      case None => droppedIrregularTags.get(tag)
+    }
+
+  /** Serialized dropped-tag map (full tag -> commit id) for the manifest. */
+  private def droppedTagsSnapshot: Map[String, Long] =
+    droppedTagFamilies.map { case (base, (n, id)) => s"$base-$n" -> id }.toMap ++
+      droppedIrregularTags
   private var nextBatchId: Long = 0L
   private val cursors = mutable.Map.empty[(String, String), Long]
   private val unpersistedReads = mutable.Map.empty[(String, String), Long]
@@ -187,10 +224,10 @@ class WalrusLog(
       // an already-committed tag is a no-op (exactly-once foreachBatch).
       tag.foreach { t =>
         commits.find(_.tag.contains(t)).foreach { existing => return existing }
-        // a reclaimed epoch's tag survives the manifest drop (droppedTags):
-        // a sink replaying an epoch whose data was already vacuumed must
-        // still be a no-op, not a re-commit of reclaimed rows
-        droppedTags.get(t).foreach { id =>
+        // a reclaimed epoch's tag survives the manifest drop (bounded
+        // dropped-tag maps): a sink replaying an epoch whose data was
+        // already vacuumed must still be a no-op, not a re-commit
+        droppedTagCommitId(t).foreach { id =>
           return CommitRecord(id, 0L, Map.empty, Some(t))
         }
       }
@@ -949,8 +986,9 @@ class WalrusLog(
       require(entryCount(topic) == 0L,
         s"topic '$topic' holds ${entryCount(topic)} entries; published " +
           "entries are immutable — vacuum/retention are the deletion surface")
+      val tombGen = topics(topic).cleanGeneration + 1
       topics.remove(topic)
-      unregistered.add(topic)
+      unregistered(topic) = tombGen
       persistClean()
       true
     }
@@ -978,10 +1016,13 @@ class WalrusLog(
 
   def metricsJson(): String = {
     val totalEntries = topics.valuesIterator.map(_.nextOffset).sum
+    // publishedCount / droppedVacuumedCount keep these totals invariant
+    // under manifest-v2 shedding: "commits" counts commits EVER published,
+    // not the live working set (reference METRICS counts are monotone).
     s"""{"namespace":"$namespace","topics":${topics.size},""" +
-      s""""commits":${commits.size},"total_entries":$totalEntries,""" +
+      s""""commits":$publishedCount,"total_entries":$totalEntries,""" +
       s""""consumer_groups":${cursors.keys.map(_._1).toSet.size},""" +
-      s""""vacuumed_batches":${vacuumed.size}}"""
+      s""""vacuumed_batches":${vacuumed.size + droppedVacuumedCount}}"""
   }
 
   // =========================================================================
@@ -999,7 +1040,7 @@ class WalrusLog(
     val reclaim = visibleCommits.filter { c =>
       c.topics.nonEmpty && c.topics.forall { case (t, r) => r.end <= minCursor(t) }
     }
-    reclaim.foreach(reclaimBatch)
+    reclaimAll(reclaim.toSeq)
     reclaim.map(_.id).toSeq
   }
 
@@ -1014,7 +1055,7 @@ class WalrusLog(
   def vacuumOlderThan(cutoffMillis: Long): Seq[Long] = synchronized {
     val reclaim = visibleCommits.filter(c =>
       c.topics.nonEmpty && c.tsMillis < cutoffMillis)
-    reclaim.foreach(reclaimBatch)
+    reclaimAll(reclaim.toSeq)
     reclaim.map(_.id).toSeq
   }
 
@@ -1056,7 +1097,7 @@ class WalrusLog(
       (c, ok)
     }.toSeq
     val reclaim = reclaimable.collect { case (c, true) => c }
-    reclaim.foreach(reclaimBatch)
+    reclaimAll(reclaim.toSeq)
     reclaim.map(_.id).sorted
   }
 
@@ -1072,16 +1113,53 @@ class WalrusLog(
     * replace; manifests are derived state, so last-writer-wins is safe —
     * any reader that misses one simply parses more of the JSON tail).
     * Keeps the newest two files so a reader that just listed the directory
-    * never races a deletion. */
+    * never races a deletion.
+    *
+    * v2 = snapshot-then-truncate (the Raft-snapshot semantics of the
+    * reference, distributed-walrus/src/metadata.rs:115-189, where v1 only
+    * ACCELERATED reads): the manifest carries the rolled-up topic states
+    * plus only the LIVE covered commits; fully-reclaimed commits (vacuumed
+    * or replaced — no data directory either way) are dropped from the file
+    * AND from the in-memory `commits` vector, so both manifest size and
+    * driver memory are O(live batches), not O(commits ever published) —
+    * at streaming cadence (a commit every 200 ms for months) the
+    * difference between a bounded working set and 10⁷⁺ records. What a
+    * replay of the dropped records would have contributed survives in the
+    * scalar counters and the bounded dropped-tag maps. */
   private def writeManifest(): Unit = {
-    if (commits.isEmpty) return
-    val ordered = commits.filter(_.id >= 0).sortBy(_.id) // only published commits
-    val entries = ordered.map(c => ManifestEntry(c.id, c.tsMillis, c.topics,
-      c.tag, c.replaces, vacuumed.contains(c.id)))
-    val asOf = ordered.last.id
+    val covered = commits.filter(_.id >= 0)
+    if (covered.isEmpty) return
+    val asOf = math.max(covered.map(_.id).max, maxPublishedId)
+    val (dead, live) = covered.partition(c =>
+      vacuumed.contains(c.id) || replaced.contains(c.id))
+    // shed the reclaimed prefix from memory; keep what replaying it
+    // would have produced (tags for sink idempotence, vacuum count)
+    dead.foreach { c =>
+      c.tag.foreach(recordDroppedTag(_, c.id))
+      if (vacuumed.contains(c.id)) droppedVacuumedCount += 1
+      vacuumed -= c.id
+      replaced -= c.id
+    }
+    if (dead.nonEmpty) {
+      val deadIds = dead.map(_.id).toSet
+      commits.filterInPlace(c => c.id < 0 || !deadIds(c.id))
+    }
+    val entries = live.sortBy(_.id).map(c => ManifestEntry(c.id, c.tsMillis,
+      c.topics, c.tag, c.replaces, vacuumed.contains(c.id)))
+    val snaps = topics.map { case (t, st) =>
+      TopicSnapshot(t, st.nextOffset, st.bytesTotal, st.currentSegment,
+        st.lastSealedEntryOffset,
+        st.sealedSegments.map { case (seg, n) =>
+          SegmentSnap(seg, n, st.segmentLeaders.getOrElse(seg, ""))
+        }.toSeq,
+        st.cleanGeneration, st.clean)
+    }.toSeq
     Files.createDirectories(manifestsDir)
     writeAtomic(manifestsDir.resolve(f"manifest-$asOf%012d.json"),
-      Serialization.write(LogManifest(asOf, entries.toSeq)))
+      Serialization.write(LogManifest(asOf, entries.toSeq,
+        state = Some(snaps), publishedCount = Some(publishedCount),
+        vacuumedCount = Some(droppedVacuumedCount),
+        droppedTags = Some(droppedTagsSnapshot))))
     manifestFiles(manifestsDir).dropRight(2).foreach(Files.deleteIfExists(_))
     sinceManifest = 0
   }
@@ -1093,21 +1171,27 @@ class WalrusLog(
     if (cfg.manifestEveryCommits > 0 && sinceManifest >= cfg.manifestEveryCommits)
       writeManifest()
 
-  /** Delete a batch's data dir and mark its commit record vacuumed —
-    * state is still replayed on recovery, only reads skip it.
+  /** Delete the batches' data dirs and mark their commit records vacuumed —
+    * offsets/segments/cursors survive (storage-only), only reads skip them.
     *
-    * Ordering: the manifest (when one covers this commit) is rewritten
-    * BEFORE the data directory is deleted, so a recovery that trusts the
-    * manifest can never see the batch live after its storage is gone — the
-    * crash window is "flag set but data still present" (re-vacuum is
-    * idempotent), never the reverse. The commit JSON's own rewrite keeps
-    * the no-manifest path on its existing (pre-manifest) semantics. */
-  private def reclaimBatch(c: CommitRecord): Unit = {
-    vacuumed += c.id
-    if (newestManifestAsOf.exists(_ >= c.id)) writeManifest()
-    deleteRecursively(dataDir.resolve(s"batch=${c.id}"))
-    writeAtomic(commitsDir.resolve(f"${c.id}%012d.json"),
-      Serialization.write(c).dropRight(1) + ",\"vacuumed\":true}")
+    * Ordering: the manifest (when one covers ANY reclaimed commit) is
+    * rewritten ONCE, BEFORE any data directory is deleted, so a recovery
+    * that trusts the manifest can never see a batch live after its storage
+    * is gone — the crash window is "flag set but data still present"
+    * (re-vacuum is idempotent), never the reverse. One rewrite per vacuum
+    * CALL, not per batch: a retention pass reclaiming K batches costs one
+    * O(live) manifest write, not K of them. The commit JSONs' own rewrite
+    * keeps the no-manifest path on its existing (pre-manifest) semantics. */
+  private def reclaimAll(cs: Seq[CommitRecord]): Unit = {
+    if (cs.isEmpty) return
+    cs.foreach(c => vacuumed += c.id)
+    val asOf = newestManifestAsOf
+    if (cs.exists(c => asOf.exists(_ >= c.id))) writeManifest()
+    cs.foreach { c =>
+      deleteRecursively(dataDir.resolve(s"batch=${c.id}"))
+      writeAtomic(commitsDir.resolve(f"${c.id}%012d.json"),
+        Serialization.write(c).dropRight(1) + ",\"vacuumed\":true}")
+    }
   }
 
   /** Compact the current visible batches into one batch of few large files
@@ -1116,11 +1200,15 @@ class WalrusLog(
     * Offsets, counts, segments, and cursors are untouched: the compaction
     * commit carries the merged ranges and `replaces` the source batches.
     *
-    * Streaming note: a stream that already consumed the source commits will
-    * see the compaction commit as new input (same (topic, offset) rows) —
-    * compact data already consumed by all streams, or dedupe downstream on
-    * (topic, offset). Returns the new batch id, or None if < 2 batches.
-    */
+    * Streaming note: a stream whose cursor is PAST every replaced source
+    * commit skips the compaction commit entirely (the V2 stream resolves
+    * `replaces` against its own consumed prefix — no re-delivery, matching
+    * the reference's byte-position cursors over immutable blocks). Only a
+    * stream whose cursor straddles the replaced set (some sources consumed,
+    * some not) receives the compaction batch whole and re-sees the consumed
+    * subset — dedupe downstream on (topic, offset) there, or compact data
+    * already consumed by all streams. Returns the new batch id, or None if
+    * < 2 batches. */
   def compact(targetFileBytes: Long = 1L << 30,
       maxSourceBatches: Int = Int.MaxValue): Option[Long] = synchronized {
     val sources = visibleCommits.filter(_.topics.nonEmpty).take(maxSourceBatches)
@@ -1195,17 +1283,49 @@ class WalrusLog(
     // reduced to a directory sweep).
     if (Files.exists(txnStageRoot))
       listDir(txnStageRoot).foreach(deleteRecursively)
-    // Manifest fast path: replay the rolled-up prefix from ONE file, then
+    // Manifest fast path: restore the rolled-up prefix from ONE file, then
     // parse only the JSON tail past it — O(tail) instead of O(all commits).
     val manifest = readNewestManifest(nsDir)
-    manifest.foreach(_.entries.foreach { e =>
-      // State is ALWAYS replayed — a vacuumed batch's entries still count
-      // toward offsets/segments (only its storage is gone); the flag just
-      // excludes its directory from reads.
-      if (e.vacuumed) vacuumed += e.id
-      applyCommit(e.record)
-      e.topics.foreach { case (t, _) => state(t) }
-    })
+    manifest.foreach { m =>
+      m.state match {
+        case Some(snaps) =>
+          // v2: the snapshot IS the replayed state of every commit ≤ asOf
+          // (live AND dropped) — restore it directly, then register the
+          // live entries for the read path WITHOUT re-applying them.
+          snaps.foreach { snap =>
+            val st = state(snap.topic)
+            st.nextOffset = snap.nextOffset
+            st.bytesTotal = snap.bytesTotal
+            st.currentSegment = snap.currentSegment
+            st.lastSealedEntryOffset = snap.lastSealedEntryOffset
+            snap.segments.foreach { s =>
+              st.sealedSegments(s.seg) = s.n
+              st.segmentLeaders(s.seg) = s.leader
+            }
+            st.cleanGeneration = snap.cleanGeneration
+            st.clean = snap.clean
+          }
+          m.entries.foreach { e =>
+            if (e.vacuumed) vacuumed += e.id
+            e.replaces.foreach(replaced ++= _)
+            commits += e.record
+            e.topics.foreach { case (t, _) => state(t) }
+          }
+          maxPublishedId = m.asOf
+          publishedCount = m.publishedCount.getOrElse(m.entries.size.toLong)
+          droppedVacuumedCount = m.vacuumedCount.getOrElse(0L)
+          m.droppedTags.getOrElse(Map.empty).foreach { case (t, id) =>
+            recordDroppedTag(t, id)
+          }
+        case None =>
+          // v1: positional replay — state comes from re-applying entries.
+          m.entries.foreach { e =>
+            if (e.vacuumed) vacuumed += e.id
+            applyCommit(e.record)
+            e.topics.foreach { case (t, _) => state(t) }
+          }
+      }
+    }
     val manifestAsOf = manifest.map(_.asOf).getOrElse(-1L)
     val commitFiles = listDir(commitsDir)
       .filter(_.getFileName.toString.endsWith(".json")).sorted
@@ -1228,7 +1348,15 @@ class WalrusLog(
       val cf = org.json4s.jackson.JsonMethods
         .parse(new String(Files.readAllBytes(cleanPath), "UTF-8")).extract[CleanFile]
       cf.topics.foreach { case (t, cs) =>
-        val st = state(t); st.cleanGeneration = cs.generation; st.clean = cs.clean
+        // a tombstone must NOT rehydrate the topic: it records a drop.
+        // (getOrElseUpdate directly — state()'s tombstone-seeding disk read
+        // is for fresh registrations, not for hydrating this same file)
+        if (!cs.dropped) {
+          val st = topics.getOrElseUpdate(t, new TopicState)
+          if (cs.generation >= st.cleanGeneration) {
+            st.cleanGeneration = cs.generation; st.clean = cs.clean
+          }
+        }
       }
     }
     if (Files.exists(producersPath)) {
@@ -1246,7 +1374,10 @@ class WalrusLog(
         }
       }
     }
-    val maxCommit = commits.map(_.id).maxOption.getOrElse(-1L)
+    // maxPublishedId guards against id reuse when EVERY covered commit was
+    // dropped from a v2 manifest (commits empty, data dirs reclaimed).
+    val maxCommit = math.max(
+      commits.map(_.id).maxOption.getOrElse(-1L), maxPublishedId)
     val maxDir = listDir(dataDir).flatMap { p =>
       val n = p.getFileName.toString
       if (n.startsWith("batch=")) n.stripPrefix("batch=").toLongOption else None
@@ -1261,34 +1392,64 @@ class WalrusLog(
 
   // ---- helpers ----
 
-  private def state(topic: String): TopicState = {
-    unregistered.remove(topic)
-    topics.getOrElseUpdate(topic, new TopicState)
-  }
+  private def state(topic: String): TopicState =
+    topics.getOrElseUpdate(topic, {
+      // Re-registration after a drop must OUTRANK the tombstone in the
+      // clean-file merge, or the new registration would lose to it and the
+      // topic would stay invisible to other processes. Seed the generation
+      // from whichever tombstone exists — this instance's or one another
+      // process persisted (ties go to the live entry in the merge). Disk
+      // is consulted only here, on topic CREATION — never on the hot path.
+      val st = new TopicState
+      val localTomb = unregistered.remove(topic).getOrElse(0L)
+      val diskTomb = diskCleanTopics.get(topic)
+        .collect { case cs if cs.dropped => cs.generation }.getOrElse(0L)
+      st.cleanGeneration = math.max(localTomb, diskTomb)
+      st
+    })
+
+  /** Current on-disk clean file, tolerant of absence/corruption. */
+  private def diskCleanTopics: Map[String, CleanState] =
+    if (!Files.exists(cleanPath)) Map.empty
+    else try org.json4s.jackson.JsonMethods
+      .parse(new String(Files.readAllBytes(cleanPath), "UTF-8"))
+      .extract[CleanFile].topics
+    catch { case _: Exception => Map.empty }
 
   /** Persist clean markers, MERGED with the on-disk file: a second live
     * instance on this namespace (catalog DDL, a second process) may have
     * registered topics this instance never loaded, and a whole-file
-    * last-writer-wins overwrite would silently drop them. In-memory state
-    * wins per topic it knows; explicit unregisters win over disk. Two
-    * instances racing the read-modify-write can still lose ONE
-    * registration of a never-written topic (writes re-register on every
-    * commit, so data-bearing topics self-heal); full mutual exclusion
-    * would need the create-exclusive commit protocol, which registration
-    * deliberately stays off of (reference REGISTER is idempotent,
+    * last-writer-wins overwrite would silently drop them. The merge is
+    * GENERATION-ORDERED per topic (ADVICE r7): the entry with the higher
+    * cleanGeneration wins — so a stale long-lived instance can neither
+    * overwrite a newer generation another process persisted nor resurrect
+    * a topic a catalog DROP tombstoned at a higher generation. Ties go to
+    * the live entry (a re-registration seeds its generation AT the
+    * tombstone's and must win it — see [[state]]). Two instances racing
+    * the read-modify-write can still lose ONE registration of a
+    * never-written topic (writes re-register on every commit, so
+    * data-bearing topics self-heal); full mutual exclusion would need the
+    * create-exclusive commit protocol, which registration deliberately
+    * stays off of (reference REGISTER is idempotent,
     * distributed-walrus/src/controller/mod.rs:124-156). */
   private def persistClean(): Unit = {
-    val disk: Map[String, CleanState] =
-      if (!Files.exists(cleanPath)) Map.empty
-      else try org.json4s.jackson.JsonMethods
-        .parse(new String(Files.readAllBytes(cleanPath), "UTF-8"))
-        .extract[CleanFile].topics
-      catch { case _: Exception => Map.empty }
+    val disk = diskCleanTopics
     val mem = topics.map { case (t, st) =>
       t -> CleanState(st.cleanGeneration, st.clean)
     }.toMap
-    writeAtomic(cleanPath, Serialization.write(
-      CleanFile((disk -- unregistered) ++ mem)))
+    val tombs = unregistered.map { case (t, g) =>
+      t -> CleanState(g, clean = true, dropped = true)
+    }.toMap
+    val merged = (disk.keySet ++ mem.keySet ++ tombs.keySet).iterator.map { t =>
+      // priority order breaks generation TIES: memory (our newest action —
+      // clean-marker toggles share a generation) beats disk, and a local
+      // tombstone beats the disk copy it is deleting; disk wins only when
+      // STRICTLY newer (another process moved the topic past us)
+      val winner = Seq(mem.get(t), tombs.get(t), disk.get(t)).flatten
+        .maxBy(_.generation)
+      t -> winner
+    }.toMap
+    writeAtomic(cleanPath, Serialization.write(CleanFile(merged)))
   }
 
   private lazy val readSchema = StructType(Seq(
@@ -1412,7 +1573,7 @@ object WalrusLog {
     if (!Files.exists(p)) Seq.empty
     else try org.json4s.jackson.JsonMethods
       .parse(new String(Files.readAllBytes(p), "UTF-8")).extract[CleanFile]
-      .topics.keys.toSeq
+      .topics.collect { case (t, cs) if !cs.dropped => t }.toSeq
     catch { case _: Exception => Seq.empty }
   }
 

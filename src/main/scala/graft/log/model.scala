@@ -170,7 +170,13 @@ final case class ProducerFile(producers: Map[String, Long])
 
 /** Topic clean/dirty markers with generation counters
   * (reference: src/wal/runtime/topic_clean.rs:12-257). */
-final case class CleanState(generation: Long, clean: Boolean)
+/** One topic's persisted clean marker. `dropped = true` is a TOMBSTONE
+  * (catalog DROP TABLE): the topic is unregistered, and the generation
+  * records the drop so a stale instance's lower-generation live entry
+  * cannot resurrect it in the [[graft.log.WalrusLog]] persistClean merge.
+  * Absent in pre-tombstone files → default false (live). */
+final case class CleanState(generation: Long, clean: Boolean,
+    dropped: Boolean = false)
 final case class CleanFile(topics: Map[String, CleanState])
 
 /** In-memory per-topic state — the driver-side analogue of the reference's

@@ -177,10 +177,23 @@ class WalrusLogSink(spark: org.apache.spark.sql.SparkSession,
 
   /** Epoch tags must be stable across restarts of the SAME query (so a
     * replayed batchId is dropped) and distinct between different queries
-    * appending to one namespace — the checkpoint location is exactly that
-    * identity. A checkpoint-less run gets a random base: replay protection
-    * is moot there because a restart starts a fresh query anyway. */
+    * appending to one namespace — the resolved checkpoint location is
+    * exactly that identity. Spark resolves it from the writer option OR
+    * from `spark.sql.streaming.checkpointLocation` + the query name, so
+    * the tag base must cover BOTH routes: a conf-based checkpoint restarts
+    * into the same directory and can replay its last epoch just like an
+    * explicit one. Only a genuinely checkpoint-less run (no option, and no
+    * conf or no queryName — where Spark itself mints a fresh random
+    * checkpoint dir per start) gets a random base: replay across restarts
+    * is impossible there by construction. */
   private val tagBase = opt("checkpointLocation")
+    .orElse {
+      for {
+        confLoc <- Option(spark.conf.get("spark.sql.streaming.checkpointLocation", null))
+          .filter(_.nonEmpty)
+        name <- opt("queryName")
+      } yield s"$confLoc/$name"
+    }
     .map(p => java.lang.Long.toHexString(graft.functions.Fnv1a64.hash(p.getBytes("UTF-8"))))
     .getOrElse(java.util.UUID.randomUUID().toString.take(8))
 
@@ -236,18 +249,32 @@ object WalrusLogSource {
     markReplaced(assembleCommits(nsDir))
 
   /** Newest-manifest prefix + parsed JSON tail, in commit-file order —
-    * exactly one element per file in `commits/` (the manifest covers every
-    * commit with id ≤ asOf, each of which has a JSON file), so cached
-    * readers can append `names.drop(cached.size)` on refresh. */
-  private[graft] def assembleCommits(nsDir: Path): Vector[(CommitRecord, Boolean)] =
+    * exactly one element per file in `commits/`, so cached readers can
+    * append `names.drop(cached.size)` on refresh and stream checkpoints
+    * (commit INDEX offsets) stay stable. A v2 manifest holds only the LIVE
+    * covered commits (fully-reclaimed ones are truncated away, the Raft
+    * snapshot semantics — see WalrusLog.writeManifest); the positional
+    * contract is kept by synthesizing a tombstone per covered commit file
+    * whose id the manifest no longer carries — names-only work, no parse:
+    * a reclaimed commit has no data directory, so an empty vacuumed-flagged
+    * record is exactly what parsing its rewritten JSON would plan as. */
+  private[graft] def assembleCommits(nsDir: Path): Vector[(CommitRecord, Boolean)] = {
+    val names = commitFiles(nsDir)
     graft.log.WalrusLog.readNewestManifest(nsDir) match {
       case Some(m) =>
-        val prefix = m.entries.map(e => (e.record, e.vacuumed)).toVector
-        prefix ++ commitFiles(nsDir)
-          .filter(p => graft.log.WalrusLog.commitIdOf(p).forall(_ > m.asOf))
-          .map(parseCommit)
-      case None => commitFiles(nsDir).map(parseCommit).toVector
+        val byId = m.entries.iterator.map(e => e.id -> e).toMap
+        val (coveredFiles, tailFiles) = names.partition(p =>
+          graft.log.WalrusLog.commitIdOf(p).exists(_ <= m.asOf))
+        val prefix = coveredFiles.flatMap(graft.log.WalrusLog.commitIdOf).map { id =>
+          byId.get(id) match {
+            case Some(e) => (e.record, e.vacuumed)
+            case None => (CommitRecord(id, 0L, Map.empty), true) // reclaimed
+          }
+        }.toVector
+        prefix ++ tailFiles.map(parseCommit)
+      case None => names.map(parseCommit).toVector
     }
+  }
 
   /** Flag commits superseded by a compaction commit (their data dirs are
     * deleted; the compaction batch carries the same rows) — keeps
@@ -260,6 +287,21 @@ object WalrusLogSource {
     else entries.map { case e @ (c, flagged) =>
       if (!flagged && replaced(c.id)) (c, true) else e
     }
+  }
+
+  /** Index of the commit with `id` in an assembled commit vector (which is
+    * in filename order = ascending id), or -1 — binary search, O(log n). */
+  private[graft] def commitIndexOfId(
+      all: Vector[(CommitRecord, Boolean)], id: Long): Int = {
+    var lo = 0; var hi = all.size - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = all(mid)._1.id
+      if (v == id) return mid
+      else if (v < id) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
   }
 
   /** Sorted commit-JSON paths — the cheap "has anything new landed?"
@@ -779,7 +821,24 @@ class WalrusMicroBatchStream(
     val e = end.asInstanceOf[CommitIndexOffset].commitIndex.toInt
     // note: the offset RANGE (s, e] still advances over pruned commits —
     // pruning empties their partition list, it never skews the cursor
-    WalrusLogSource.partitionsFor(nsDir, commits.slice(s, e), topic, prune)
+    val all = commits
+    // A compaction commit rewrites rows this stream may have ALREADY
+    // consumed as the source batches (same (topic, offset) rows — see
+    // WalrusLog.compact). When every `replaces` id resolves to a commit
+    // index below the stream's start, the stream has delivered all of its
+    // content — skip it instead of re-delivering (the reference never
+    // re-delivers: its cursors are byte positions over immutable blocks).
+    // A compaction straddling the cursor (some sources unconsumed) is
+    // still delivered whole: at commit granularity that's the lossless
+    // side of the trade, and the partial overlap is documented.
+    val slice = all.slice(s, e).filterNot { case (c, flagged) =>
+      !flagged && c.replaces.exists(ids =>
+        ids.nonEmpty && ids.forall { id =>
+          val i = WalrusLogSource.commitIndexOfId(all, id)
+          i >= 0 && i < s
+        })
+    }
+    WalrusLogSource.partitionsFor(nsDir, slice, topic, prune)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -1083,6 +1083,104 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re.toDF().count() == 0)     // no read error on missing dirs
   }
 
+  test("manifest v2 truncates reclaimed commits; counters, recovery, id high-water survive") {
+    val root = tempRoot()
+    val cfg = LogConfig(manifestEveryCommits = 2)
+    val log = new WalrusLog(spark, root, cfg = cfg)
+    (0 until 4).foreach(i => log.append("t", bytes(s"e$i"))) // manifests at asOf 1, 3
+    (0 until 2).foreach(_ => log.readNext("t", checkpoint = true))
+    assert(log.vacuum() == Seq(0L, 1L)) // reclaim the consumed prefix
+    // the rewritten manifest TRUNCATED the reclaimed commits (Raft-snapshot
+    // semantics) — only the live tail is serialized, state is rolled up
+    val nsDir = java.nio.file.Paths.get(root, "default")
+    val m = WalrusLog.readNewestManifest(nsDir).get
+    assert(m.entries.map(_.id) == Seq(2L, 3L))
+    assert(m.state.exists(_.exists(s => s.topic == "t" && s.nextOffset == 4L)))
+    assert(m.publishedCount.contains(4L))
+    assert(m.vacuumedCount.contains(2L))
+    // METRICS totals stay monotone across the shed
+    assert(log.metricsJson().contains("\"commits\":4"))
+    assert(log.metricsJson().contains("\"vacuumed_batches\":2"))
+    log.close()
+    // recovery restores rolled-up state from the snapshot without replaying
+    // the dropped records
+    val re = new WalrusLog(spark, root, cfg = cfg)
+    assert(re.totalAppended("t") == 4L)
+    assert(re.toDF().count() == 2L)
+    assert(str(re.readNext("t").get.value) == "e2")
+    assert(re.metricsJson().contains("\"commits\":4"))
+    // drop EVERYTHING: after a full vacuum the id high-water mark must
+    // survive the snapshot (no reuse of a dropped id)
+    (0 until 1).foreach(_ => re.readNext("t", checkpoint = true)) // e3
+    assert(re.vacuum() == Seq(2L, 3L))
+    re.close()
+    val re2 = new WalrusLog(spark, root, cfg = cfg)
+    val rec = re2.appendDF(
+      spark.createDataFrame(Seq(("t", bytes("fresh")))).toDF("topic", "value"))
+    assert(rec.id == 4L, s"dropped ids must not be reused, got ${rec.id}")
+    assert(re2.totalAppended("t") == 5L)
+    assert(re2.metricsJson().contains("\"vacuumed_batches\":4"))
+  }
+
+  test("a reclaimed epoch's tag still no-ops a replayed sink commit, across restart") {
+    val root = tempRoot()
+    val cfg = LogConfig(manifestEveryCommits = 2)
+    val log = new WalrusLog(spark, root, cfg = cfg)
+    def df(v: String) = spark.createDataFrame(Seq(("t", bytes(v)))).toDF("topic", "value")
+    log.appendDF(df("x0"), tag = Some("v1sink-q-0"))
+    log.appendDF(df("x1"), tag = Some("v1sink-q-1"))
+    (0 until 2).foreach(_ => log.readNext("t", checkpoint = true))
+    assert(log.vacuum() == Seq(0L, 1L)) // both epochs dropped from the manifest
+    // a restart can only replay the NEWEST epoch of a query — its tag is
+    // kept in the bounded per-family map and the replay is a no-op
+    val replay = log.appendDF(df("x1-again"), tag = Some("v1sink-q-1"))
+    assert(replay.id == 1L)
+    assert(log.totalAppended("t") == 2L)
+    log.close()
+    // the tag map rides the manifest across restarts
+    val re = new WalrusLog(spark, root, cfg = cfg)
+    val replay2 = re.appendDF(df("x1-again"), tag = Some("v1sink-q-1"))
+    assert(replay2.id == 1L)
+    assert(re.totalAppended("t") == 2L)
+  }
+
+  test("clean-file merge is generation-ordered: a stale instance neither resurrects a drop nor rewinds a newer marker") {
+    val root = tempRoot()
+    val nsDir = java.nio.file.Paths.get(root, "default")
+    def diskClean: Map[String, CleanState] = {
+      implicit val f: org.json4s.Formats = org.json4s.DefaultFormats
+      org.json4s.jackson.JsonMethods.parse(new String(
+        Files.readAllBytes(nsDir.resolve("topic_clean.json")), "UTF-8"))
+        .extract[CleanFile].topics
+    }
+    val a = new WalrusLog(spark, root)
+    a.ensureTopic("keep"); a.ensureTopic("doomed")
+    val b = new WalrusLog(spark, root) // second live instance, loads both
+    // b advances 'keep' and drops 'doomed'; a's in-memory copies are stale
+    b.markTopicDirty("keep")
+    val keepGen = diskClean("keep").generation
+    assert(b.unregisterTopic("doomed"))
+    // a's next persist must neither resurrect the drop (its live entry is
+    // below the tombstone generation) nor rewind keep's newer marker
+    a.ensureTopic("later")
+    val after = diskClean
+    assert(after("doomed").dropped, s"drop resurrected: $after")
+    assert(after("keep").generation == keepGen,
+      s"stale instance rewound keep: ${after("keep")} vs gen $keepGen")
+    assert(!WalrusLog.registeredTopicsOnDisk(nsDir).contains("doomed"))
+    // re-registration outranks the tombstone (REGISTER is idempotent and
+    // re-creatable in the reference) — and survives further stale persists
+    b.ensureTopic("doomed")
+    assert(!diskClean("doomed").dropped)
+    assert(WalrusLog.registeredTopicsOnDisk(nsDir).contains("doomed"))
+    // a fresh open never rehydrates tombstoned topics
+    val c = new WalrusLog(spark, root)
+    assert(c.topicNames.toSet.contains("doomed")) // re-registered above
+    assert(b.unregisterTopic("doomed"))
+    val d = new WalrusLog(spark, root)
+    assert(!d.topicNames.contains("doomed"))
+  }
+
   test("two live instances racing one namespace: exactly one append wins") {
     val root = tempRoot()
     val a = new WalrusLog(spark, root)

@@ -258,6 +258,38 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tags.map(_.split("-")(1)).toSet.size == 1) // one stable query identity
   }
 
+  test("sink epoch tags are stable under conf-based checkpoint + queryName (not just the option)") {
+    // ADVICE r7: with the checkpoint resolved from
+    // spark.sql.streaming.checkpointLocation + queryName (no writer
+    // option), the tag base must still be the stable query identity —
+    // a fresh-random base per restart would double-commit a replayed epoch.
+    val srcRoot = tempRoot(); val dstRoot = tempRoot()
+    val src = new WalrusLog(spark, srcRoot)
+    src.batchAppend("a", (0 until 4).map(i => bytes(s"x$i")))
+    val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(spark)
+    s2.conf.set("spark.sql.streaming.checkpointLocation", tempRoot())
+    def drain(): Unit = {
+      val q = WalrusStreams.readStream(s2, srcRoot)
+        .select(col("topic"), col("value"))
+        .writeStream.format("walruslog")
+        .option("path", dstRoot)
+        .queryName("conf-ckpt-sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    src.batchAppend("a", (4 until 7).map(i => bytes(s"x$i")))
+    drain() // restart resolves the SAME checkpoint dir from conf + name
+    val dst = new WalrusLog(spark, dstRoot)
+    assert(dst.entryCount("a") == 7)
+    val tags = graft.sources.WalrusLogSource.listCommits(
+      java.nio.file.Paths.get(dstRoot, "default")).flatMap(_._1.tag)
+    assert(tags.nonEmpty && tags.forall(_.startsWith("v1sink-")))
+    assert(tags.map(_.split("-")(1)).toSet.size == 1,
+      s"tag base must be one stable query identity across restarts: $tags")
+  }
+
   test("walruslog sink: option topic supplies the topic column; bad shapes rejected") {
     val srcRoot = tempRoot(); val dstRoot = tempRoot()
     val src = new WalrusLog(spark, srcRoot)
@@ -537,6 +569,41 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // replaced sources too would report 24 and skew join planning
     assert(stats.numRows().getAsLong == 12L)
     assert(spark.read.format("walruslog").option("path", root).load().count() == 12L)
+  }
+
+  test("stream skips a compaction commit whose sources it already consumed") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    log.batchAppend("t", (0 until 6).map(i => bytes(s"a$i")))
+    log.batchAppend("t", (0 until 6).map(i => bytes(s"b$i")))
+    val q = WalrusStreams.readStream(spark, root)
+      .writeStream.format("memory").queryName("cskip1").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM cskip1").head().getLong(0) == 12)
+      // compaction rewrites the 12 already-delivered rows into one batch;
+      // this stream's cursor is past both sources, so the compaction
+      // commit must be SKIPPED (no re-delivery), and fresh data after it
+      // still flows
+      assert(log.compact().nonEmpty)
+      log.batchAppend("t", Seq(bytes("c0")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT offset, CAST(value AS STRING) v FROM cskip1 ORDER BY offset").collect()
+      assert(rows.length == 13, s"re-delivered rows: ${rows.length - 13}")
+      assert(rows.map(_.getLong(0)).toSeq == (0L until 13L))
+      assert(rows.last.getString(1) == "c0")
+    } finally q.stop()
+    // a FRESH stream (cursor 0) still gets every row exactly once: the
+    // replaced sources have no data dirs, the compaction batch carries them
+    val q2 = WalrusStreams.readStream(spark, root)
+      .writeStream.format("memory").queryName("cskip2").start()
+    try {
+      q2.processAllAvailable()
+      val rows2 = spark.sql("SELECT offset FROM cskip2 ORDER BY offset").collect()
+      assert(rows2.length == 13)
+      assert(rows2.map(_.getLong(0)).toSeq == (0L until 13L))
+    } finally q2.stop()
   }
 
   test("readStream rejects asOfCommit (streams cannot time-travel)") {
