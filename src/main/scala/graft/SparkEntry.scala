@@ -2556,8 +2556,7 @@ object SparkEntry {
       val tot = bigrams.agg(count(lit(1)).as("n_tot"))
       bigrams.join(corpus, "bg").crossJoin(broadcast(tot))
         .withColumn("s_m",
-          round(log(col("n_tot").cast("double") / col("cnt")) * 1000, 0)
-            .cast("long"))
+          TextOps.milliLn(col("n_tot").cast("double") / col("cnt")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           sum(col("s_m")).as("surprisal_milli"),
@@ -3606,8 +3605,7 @@ object SparkEntry {
       val tot = kt.agg(count(lit(1)).as("n_tot"))
       val sc = kt.join(lm, "w").crossJoin(broadcast(tot))
         .withColumn("s_m",
-          round(log(col("n_tot").cast("double") / col("cnt")) * 1000, 0)
-            .cast("long"))
+          TextOps.milliLn(col("n_tot").cast("double") / col("cnt")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("tok_kept"), sum("s_m").as("sur"))
         .withColumn("ppl_milli", expr("sur DIV tok_kept"))
@@ -3783,7 +3781,7 @@ object SparkEntry {
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
         .withColumn("idf_milli",
-          round(log(col("n_docs").cast("double") / col("df")) * 1000, 0).cast("long"))
+          TextOps.milliLn(col("n_docs").cast("double") / col("df")))
         .withColumn("score_milli", col("tf") * col("idf_milli"))
       val w = Window.partitionBy("source")
         .orderBy(col("score_milli").desc, col("tok").asc)
@@ -3813,8 +3811,8 @@ object SparkEntry {
       val scored = cxy.where(col("c_xy") >= 5)
         .join(cx, "x").join(cy, "y").crossJoin(broadcast(n))
         .withColumn("pmi_milli",
-          round(log((col("c_xy") * col("n_bg")).cast("double") /
-            (col("c_x") * col("c_y")).cast("double")) * 1000, 0).cast("long"))
+          TextOps.milliLn((col("c_xy") * col("n_bg")).cast("double") /
+            (col("c_x") * col("c_y")).cast("double")))
       // distributed top-k (TakeOrderedAndProject), never a global-window
       // rank over the full scored set; rnk is attached afterwards over the
       // ≤20 surviving rows (constant partition key = declared bounded input)
@@ -7720,7 +7718,7 @@ object SparkEntry {
            |ORDER BY label, dim""".stripMargin
       },
       "text_perplexity" ->
-        """WITH toks AS (
+        s"""WITH toks AS (
           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
           |  FROM documents),
           |pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
@@ -7729,7 +7727,7 @@ object SparkEntry {
           |corpus AS (SELECT bg, count(*) AS cnt FROM b GROUP BY bg),
           |tot AS (SELECT count(*) AS n_tot FROM b),
           |t AS (SELECT doc_id,
-          |    CAST(round(ln(CAST(n_tot AS DOUBLE) / cnt) * 1000, 0) AS BIGINT) AS s_m
+          |    ${TextOps.milliLnSql("CAST(n_tot AS DOUBLE) / cnt")} AS s_m
           |  FROM b JOIN corpus USING (bg) CROSS JOIN tot)
           |SELECT doc_id, count(*) AS n_bigrams,
           |  CAST(SUM(s_m) AS BIGINT) AS surprisal_milli,
@@ -8146,7 +8144,7 @@ object SparkEntry {
            |lm AS (SELECT w, count(*) AS cnt FROM kt GROUP BY w),
            |tot AS (SELECT count(*) AS n_tot FROM kt),
            |sc AS (SELECT doc_id, count(*) AS tok_kept,
-           |    SUM(CAST(round(ln(CAST(n_tot AS DOUBLE) / cnt) * 1000, 0) AS BIGINT)) AS sur
+           |    SUM(${TextOps.milliLnSql("CAST(n_tot AS DOUBLE) / cnt")}) AS sur
            |  FROM kt JOIN lm USING (w) CROSS JOIN tot GROUP BY doc_id),
            |lh AS (SELECT doc_id, $hitCols FROM documents),
            |lang AS (SELECT doc_id, $pick AS lang_pred
@@ -8228,7 +8226,7 @@ object SparkEntry {
            |       ELSE 'test' END AS split
            |FROM r ORDER BY doc_id""".stripMargin,
       "text_tfidf_topk" ->
-        """WITH tok AS (
+        s"""WITH tok AS (
           |  SELECT source, doc_id,
           |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
           |  FROM documents),
@@ -8236,7 +8234,7 @@ object SparkEntry {
           |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
           |n AS (SELECT count(*) AS n_docs FROM documents),
           |sc AS (SELECT source, tok, tf, df,
-          |    CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000, 0) AS BIGINT) AS idf_milli
+          |    ${TextOps.milliLnSql("CAST(n_docs AS DOUBLE) / df")} AS idf_milli
           |  FROM tf JOIN dfq USING (tok), n),
           |r AS (SELECT source, tok, tf, df, idf_milli,
           |    tf * idf_milli AS score_milli,
@@ -8246,7 +8244,7 @@ object SparkEntry {
           |SELECT source, tok, tf, df, idf_milli, score_milli, rnk
           |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
       "text_pmi_bigrams" ->
-        """WITH t AS (
+        s"""WITH t AS (
           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
           |  FROM documents),
           |p AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 1)) AS i, tk
@@ -8257,8 +8255,7 @@ object SparkEntry {
           |cy AS (SELECT y, count(*) AS c_y FROM bg GROUP BY 1),
           |n AS (SELECT count(*) AS n_bg FROM bg),
           |sc AS (SELECT x, y, c_xy,
-          |    CAST(round(ln(CAST(c_xy * n_bg AS DOUBLE) /
-          |      CAST(c_x * c_y AS DOUBLE)) * 1000, 0) AS BIGINT) AS pmi_milli
+          |    ${TextOps.milliLnSql("CAST(c_xy * n_bg AS DOUBLE) / CAST(c_x * c_y AS DOUBLE)")} AS pmi_milli
           |  FROM cxy JOIN cx USING (x) JOIN cy USING (y), n
           |  WHERE c_xy >= 5),
           |r AS (SELECT x, y, c_xy, pmi_milli,
@@ -8457,7 +8454,7 @@ object SparkEntry {
       "text_entropy" ->
         // millinat entropy twin: one ln + one round per DISTINCT token
         // count, exact BIGINT sums, non-negative integer division
-        """WITH t AS (
+        s"""WITH t AS (
           |  SELECT doc_id,
           |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
           |  FROM documents),
@@ -8465,11 +8462,11 @@ object SparkEntry {
           |a AS (SELECT doc_id,
           |    CAST(SUM(c) AS BIGINT) AS n_tokens,
           |    CAST(count(*) AS BIGINT) AS n_types,
-          |    CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000, 0) AS BIGINT)) AS BIGINT) AS clnc
+          |    CAST(SUM(c * ${TextOps.milliLnSql("CAST(c AS DOUBLE)")}) AS BIGINT) AS clnc
           |  FROM c GROUP BY 1)
           |SELECT doc_id, n_tokens, n_types,
           |  floor(CAST(n_types AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000 AS ttr,
-          |  CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000, 0) AS BIGINT)
+          |  CAST(${TextOps.milliLnSql("CAST(n_tokens AS DOUBLE)")}
           |    - clnc // n_tokens AS BIGINT) AS entropy_millinats
           |FROM a ORDER BY doc_id""".stripMargin,
       "shard_temperature_mix" ->

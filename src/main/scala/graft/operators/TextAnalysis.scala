@@ -97,14 +97,13 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_types"),
-        sum(col("c") *
-          round(log(col("c").cast("double")) * 1000, 0).cast("long"))
+        sum(col("c") * TextOps.milliLn(col("c").cast("double")))
           .as("_clnc"))
       .select(col(idCol),
         col("n_tokens"), col("n_types"),
         q6(col("n_types").cast("double") / col("n_tokens").cast("double"))
           .as("ttr"),
-        (round(log(col("n_tokens").cast("double")) * 1000, 0).cast("long") -
+        (TextOps.milliLn(col("n_tokens").cast("double")) -
           expr("_clnc DIV n_tokens")).as("entropy_millinats"))
   }
 

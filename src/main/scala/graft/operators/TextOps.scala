@@ -25,6 +25,25 @@ object TextOps {
     * engines. The SQL twin is `floor(x * 1000000 + 0.5) / 1000000`. */
   def q6(x: Column): Column = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
 
+  /** `ln(x)` quantized to integer MILLInats — THE cross-engine surprisal
+    * contract (perplexity / tf-idf / PMI / entropy families). Quantizes at
+    * MICROnat grain first (`floor(ln·10⁶ + 0.5)`, the only float-sensitive
+    * step), then derives millinats with exact arithmetic on that integer
+    * (`floor((micro + 500) / 1000)` — IEEE-identical in both engines for
+    * |micro| < 2⁵², and exact: ulp near the quotient ≪ 1/1000). A 1-ulp
+    * `ln` divergence between engines can now flip the result only when
+    * ln(x)·10⁶ lands within an ulp of a .5 boundary — 1000× narrower than
+    * rounding at milli grain directly, where a boundary graze would shift
+    * a per-term surprisal and could cascade into a rank flip downstream
+    * (ADVICE r7 on pipeline_ccnet). [[milliLnSql]] generates the same
+    * formula for the DuckDB oracle — never hand-copy it into SQL. */
+  def milliLn(x: Column): Column =
+    floor((floor(log(x) * lit(1e6) + lit(0.5)) + lit(500L)) / lit(1e3)).cast("long")
+
+  /** DuckDB twin of [[milliLn]], generated from the same formula. */
+  def milliLnSql(x: String): String =
+    s"CAST(floor((CAST(floor(ln($x) * 1000000 + 0.5) AS BIGINT) + 500) / 1000.0) AS BIGINT)"
+
   /** Deterministic per-permutation coefficients (odd multipliers derived
     * from the golden-ratio constant, reduced mod P). */
   def hashCoeffs(n: Int): Seq[(Long, Long)] =

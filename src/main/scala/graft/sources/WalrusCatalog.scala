@@ -159,6 +159,14 @@ class WalrusCatalog extends TableCatalog with SupportsNamespaces {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"walrus versions are commit ids (integers); got '$version'")
       }
+      // DSv2 contract: an as-of version must NAME an existing version —
+      // silently accepting a future commit id would alias it to "latest"
+      // (ADVICE r7). Names-only listing; no commit parse.
+      val latest = WalrusLogSource.commitFiles(nsDir(ident.namespace))
+        .flatMap(graft.log.WalrusLog.commitIdOf)
+        .foldLeft(-1L)(math.max)
+      if (v < 0 || v > latest) throw new IllegalArgumentException(
+        s"version $v does not exist for ${ident.name}: latest commit id is $latest")
       new WalrusLogTable(tableOptions(ident, Map("asOfCommit" -> v.toString)))
     } else throw new NoSuchTableException(ident)
 
@@ -179,6 +187,11 @@ class WalrusCatalog extends TableCatalog with SupportsNamespaces {
     * exactly the entry schema; partitioning/properties carry nothing. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    if (!namespaceExists(ident.namespace))
+      // DSv2 contract: creating into a missing namespace is an analysis
+      // error, not an implicit CREATE NAMESPACE (ADVICE r7 — the WalrusLog
+      // constructor would otherwise silently create the directories)
+      throw new NoSuchNamespaceException(ident.namespace)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     require(schema.isEmpty || schema == WalrusLogSource.Schema,
       "walrus topics have the fixed entry schema " +

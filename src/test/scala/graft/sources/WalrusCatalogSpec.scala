@@ -59,6 +59,27 @@ class WalrusCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(
       "SELECT count(*) FROM wal.tt.t TIMESTAMP AS OF '1970-01-01 00:33:20'")
       .head.getLong(0) == 3)
+    // a version past the latest commit is an ERROR, not an alias of latest
+    val ex = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM wal.tt.t VERSION AS OF 99").collect()
+    }
+    def chain(t: Throwable) =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("does not exist"))))
+  }
+
+  test("CREATE TABLE into a missing namespace is an analysis error, not an implicit mkdir") {
+    val ex = intercept[Exception] {
+      spark.sql("CREATE TABLE wal.no_such_ns.t")
+    }
+    def chain(t: Throwable) =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(ex).exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException]))
+    // and the namespace was NOT created as a side effect
+    assert(!spark.sql("SHOW NAMESPACES IN wal").collect()
+      .map(_.getString(0)).contains("no_such_ns"))
   }
 
   private def ttDF(topic: String, vs: Seq[String]) = {
