@@ -791,6 +791,21 @@ object SparkEntry {
         StructType(Seq(StructField("topic", StringType), StructField("cnt", LongType))))
         .orderBy("topic")
     }),
+    "log_agg_pushdown" -> ((s, dir) => {
+      // The "count a 100 TB namespace from one manifest read" path: the
+      // WHOLE Aggregate (count + offset bounds per topic) is answered
+      // from commit metadata by the V2 scan's aggregate pushdown
+      // (WalrusAggRowsScan — zero file IO, one driver-side metadata
+      // fold); plan-pinned in PlanContractSpec. Same numbers as
+      // log_entry_counts, but through Catalyst's SupportsPushDownAggregates
+      // contract rather than the engine API.
+      val log = mainLog(s, dir)
+      s.read.format("walruslog").option("path", log.root).load()
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"), min("offset").as("min_off"),
+          max("offset").as("max_off"))
+        .orderBy("topic")
+    }),
     "log_offset_audit" -> ((s, dir) => {
       // fsck for the log's offset space: per topic, offsets must be a
       // DENSE sequence 0..n-1 with no duplicates — the invariant the
@@ -5815,6 +5830,28 @@ object SparkEntry {
         co, "item_a", "item_b", iterations = 1)
       graft.operators.Graph.modularityReport(co, "item_a", "item_b", labels)
         .orderBy("label")
+    }),
+
+    "sketch_kmv_distinct" -> ((s, dir) => {
+      // KMV distinct-token sketch per source (Sketches.scala scaladoc):
+      // the BottomK typed aggregate ships one ≤128-long buffer per group
+      // per map partition — COUNT(DISTINCT)-grade answers with a
+      // metadata-sized shuffle. Deterministic hash → the oracle recomputes
+      // sketch AND estimate exactly (approximation with an exact gate).
+      val toks = table(s, dir, "documents").select(col("source"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+      graft.operators.Sketches.kmvDistinct(toks, "source", "tok", 128)
+        .orderBy("source")
+    }),
+    "sketch_kmv_overlap" -> ((s, dir) => {
+      // Pairwise corpus overlap (language × language token-set Jaccard)
+      // via the KMV union sketch — the decontamination-grade "how much do
+      // these corpora share" probe at O(k) state per pair; exact Jaccard
+      // computed alongside for the gate.
+      val toks = table(s, dir, "documents").select(col("lang"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+      graft.operators.Sketches.kmvPairJaccard(toks, "lang", "tok", 64)
+        .orderBy("g1", "g2")
     })
   )
 
@@ -5952,6 +5989,12 @@ object SparkEntry {
            |FROM c WHERE cum_end > 1000 ORDER BY entry_offset LIMIT 2000""".stripMargin,
       "log_entry_counts" ->
         "SELECT event_type AS topic, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "log_agg_pushdown" ->
+        // per-topic offsets are dense 0..n-1 (log_offset_audit pins it),
+        // so the metadata-answered bounds are 0 and n-1
+        """SELECT event_type AS topic, count(*) AS n,
+          |  CAST(0 AS BIGINT) AS min_off, count(*) - 1 AS max_off
+          |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
       "log_offset_audit" ->
         """SELECT event_type AS topic, count(*) AS n, TRUE AS dense
           |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
@@ -9839,6 +9882,60 @@ object SparkEntry {
            |    AS q_num_x4m2
            |FROM ds LEFT JOIN ein ON ds.label = ein.label CROSS JOIN mm
            |ORDER BY ds.label""".stripMargin
+      },
+
+      "sketch_kmv_distinct" -> {
+        val h = "CAST(mod(" + fnvSql("tok") +
+          ", CAST('9223372036854775808' AS HUGEINT)) AS BIGINT)"
+        s"""WITH t AS (
+           |  SELECT source,
+           |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+           |  FROM documents),
+           |h AS (SELECT DISTINCT source, $h AS h FROM t),
+           |r AS (SELECT source, h,
+           |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+           |    count(*) OVER (PARTITION BY source) AS nd
+           |  FROM h),
+           |kt AS (SELECT source,
+           |    max(CASE WHEN rn = 128 THEN h END) AS kth,
+           |    CAST(count(CASE WHEN rn <= 128 THEN 1 END) AS BIGINT) AS k_used,
+           |    CAST(max(nd) AS BIGINT) AS n_exact
+           |  FROM r GROUP BY source)
+           |SELECT source, n_exact, k_used,
+           |  ${graft.operators.Sketches.kmvEstimateSql("kth", "k_used", 128)} AS est_distinct
+           |FROM kt ORDER BY source""".stripMargin
+      },
+      "sketch_kmv_overlap" -> {
+        val h = "CAST(mod(" + fnvSql("item") +
+          ", CAST('9223372036854775808' AS HUGEINT)) AS BIGINT)"
+        s"""WITH t AS (
+           |  SELECT lang AS g,
+           |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS item
+           |  FROM documents),
+           |m AS (SELECT DISTINCT g, item FROM t),
+           |mh AS (SELECT g, $h AS h FROM m),
+           |gs AS (SELECT DISTINCT g FROM mh),
+           |p AS (SELECT a.g AS g1, b.g AS g2 FROM gs a, gs b WHERE a.g < b.g),
+           |u AS (SELECT p.g1, p.g2, mh.h,
+           |    CAST(max(CASE WHEN mh.g = p.g1 THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+           |    CAST(max(CASE WHEN mh.g = p.g2 THEN 1 ELSE 0 END) AS BIGINT) AS in_b
+           |  FROM p JOIN mh ON mh.g = p.g1 OR mh.g = p.g2
+           |  GROUP BY 1, 2, 3),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+           |  FROM u),
+           |agg AS (SELECT g1, g2,
+           |    CAST(count(*) AS BIGINT) AS n_union,
+           |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter,
+           |    CAST(count(CASE WHEN rn <= 64 THEN 1 END) AS BIGINT) AS k_used,
+           |    CAST(SUM(CASE WHEN rn <= 64 THEN in_a * in_b ELSE 0 END) AS BIGINT)
+           |      AS inter_in_sketch
+           |  FROM r GROUP BY 1, 2)
+           |SELECT g1, g2, n_union, n_inter, k_used, inter_in_sketch,
+           |  floor(CAST(inter_in_sketch AS DOUBLE) / k_used * 1000000 + 0.5) / 1000000
+           |    AS jac_est,
+           |  floor(CAST(n_inter AS DOUBLE) / n_union * 1000000 + 0.5) / 1000000
+           |    AS jac_exact
+           |FROM agg ORDER BY g1, g2""".stripMargin
       }
     )
   }

@@ -702,6 +702,84 @@ object Sq8Recon {
   }
 }
 
+/** Bottom-k DISTINCT long values per group — the KMV (k-minimum-values)
+  * distinct-count sketch's state, as a native typed imperative aggregate.
+  *
+  * Scale story: the buffer is a ≤ k-element sorted set with map-side
+  * partial aggregation, so a corpus-wide distinct estimate shuffles ONE
+  * k-long array per group per map partition — versus the exact path's
+  * full shuffle of every distinct value (`COUNT(DISTINCT)`'s expand).
+  * Deterministic given the deterministic hash inputs, so the DuckDB
+  * oracle reproduces the sketch (and its estimate) EXACTLY — unlike
+  * HLL-style sketches there is no engine-specific randomness.
+  * (KMV estimator: Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007.) */
+case class BottomK(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(k > 0, "bottom_k needs k > 0")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bottom_k expects BIGINT, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def trim(b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    while (b.size > k) b.pollLast()
+    b
+  }
+
+  override def update(b: java.util.TreeSet[java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) { b.add(v.asInstanceOf[Long]); trim(b) }
+    b
+  }
+
+  override def merge(b: java.util.TreeSet[java.lang.Long],
+      o: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    b.addAll(o); trim(b)
+  }
+
+  override def eval(b: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](b.size)
+    val it = b.iterator(); var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(b: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.size)
+    bb.putInt(b.size)
+    val it = b.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new java.util.TreeSet[java.lang.Long]()
+    (0 until n).foreach(_ => b.add(bb.getLong))
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): BottomK =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BottomK =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): BottomK =
+    copy(child = newChild)
+  override def prettyName: String = "bottom_k"
+}
+
 /** Column-level entry points + SQL registration for graft's native functions. */
 object GraftFunctions {
   def fnv1a64(c: Column): Column =
@@ -725,6 +803,9 @@ object GraftFunctions {
       basePlane: Int): Column =
     GraftSqlInternal.column(PqCode(GraftSqlInternal.expression(c),
       subspaces, subCentroids, subDim, basePlane))
+  def bottom_k(c: Column, k: Int): Column =
+    GraftSqlInternal.column(
+      BottomK(GraftSqlInternal.expression(c), k).toAggregateExpression())
   def sq8_recon(vec: Column, mn: Column, mx: Column): Column =
     GraftSqlInternal.column(Sq8Recon(GraftSqlInternal.expression(vec),
       GraftSqlInternal.expression(mn), GraftSqlInternal.expression(mx)))

@@ -396,6 +396,21 @@ object WalrusLogSource {
     (spec, used)
   }
 
+  /** Filters whose semantics are FULLY enforced by metadata/dir pruning —
+    * safe to drop from the post-scan residual, not just prune with: exact
+    * topic membership (the `topic=` partition directory IS the topic — a
+    * surviving dir contains only matching rows) and never-null engine
+    * columns. Offset/ts bounds stay residual (commit-granular pruning
+    * keeps partial commits). Dropping these is what lets Catalyst push a
+    * whole Aggregate into the scan (aggregate pushdown requires an empty
+    * post-scan filter list). */
+  private[sources] def exactlyPruned(f: Filter): Boolean = f match {
+    case EqualTo("topic", _: String) => true
+    case In("topic", vs) if vs.forall(_.isInstanceOf[String]) => true
+    case IsNotNull("topic" | "offset" | "ts_us" | "value" | "checksum") => true
+    case _ => false
+  }
+
   /** Inclusive [lo, hi] bound contributed by one comparison filter on a
     * long column, if it is one we prune on. */
   private def numericBound(f: Filter): Option[(String, Long, Long)] = {
@@ -564,23 +579,82 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns
-        with SupportsPushDownFilters {
+        with SupportsPushDownFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var required: StructType = WalrusLogSource.Schema
       private var prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec()
       private var pushed: Array[Filter] = Array.empty
+      private var aggPushed: Option[(Boolean, Seq[String])] = None
       override def pruneColumns(requiredSchema: StructType): Unit =
-        required = requiredSchema
+        // once an aggregate is pushed, the read schema IS the aggregate
+        // output — later pruning calls must not narrow it
+        if (aggPushed.isEmpty) required = requiredSchema
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         val (spec, used) = WalrusLogSource.pruneSpecFrom(filters)
         prune = spec
         pushed = used
-        // all filters stay residual: pruning is commit/metadata-granular,
-        // rows inside a surviving commit still need the (codegen'd)
-        // post-scan Filter
-        filters
+        // offset/ts filters stay residual (pruning is commit-granular:
+        // rows inside a surviving commit still need the codegen'd
+        // post-scan Filter); exact-topic and never-null filters are FULLY
+        // enforced by directory pruning and drop out of the residual —
+        // which also unblocks whole-Aggregate pushdown below
+        filters.filterNot(WalrusLogSource.exactlyPruned)
       }
       override def pushedFilters(): Array[Filter] = pushed
-      override def build(): Scan = new WalrusLogScan(nsDir, options, required, prune)
+
+      /** COUNT/MIN(offset)/MAX(offset), optionally grouped by topic, are
+        * answered from commit METADATA (each commit records exact
+        * per-topic ranges) — zero data IO at any log size: counting a
+        * 100 TB namespace costs one manifest read. Only legal when no
+        * offset/ts bound was pushed (those prune at commit granularity,
+        * so metadata totals would overcount). Engine columns are never
+        * null, so COUNT(col) ≡ COUNT(*). */
+      private def aggSpec(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Option[(Boolean, Seq[String])] = {
+        import org.apache.spark.sql.connector.expressions.NamedReference
+        import org.apache.spark.sql.connector.expressions.aggregate._
+        def name(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+          e match {
+            case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+            case _ => None
+          }
+        val boundsFree =
+          prune.offsetMin == Long.MinValue && prune.offsetMax == Long.MaxValue &&
+            prune.tsUsMin == Long.MinValue && prune.tsUsMax == Long.MaxValue
+        if (!boundsFree) return None
+        val byTopic = agg.groupByExpressions.toSeq match {
+          case Seq() => Some(false)
+          case Seq(g) if name(g).contains("topic") => Some(true)
+          case _ => None
+        }
+        val cols = agg.aggregateExpressions.toSeq.map {
+          case _: CountStar => Some("count")
+          case c: Count if !c.isDistinct && name(c.column).exists(
+            Set("topic", "offset", "ts_us", "value", "checksum")) => Some("count")
+          case m: Min if name(m.column).contains("offset") => Some("min_offset")
+          case m: Max if name(m.column).contains("offset") => Some("max_offset")
+          case _ => None
+        }
+        for (bt <- byTopic; cs <- Some(cols) if cs.forall(_.isDefined))
+          yield (bt, cs.map(_.get))
+      }
+
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        aggSpec(agg).isDefined
+
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        aggSpec(agg) match {
+          case s @ Some(_) => aggPushed = s; true
+          case None => false
+        }
+
+      override def build(): Scan = aggPushed match {
+        case Some((byTopic, cols)) =>
+          WalrusAggRowsScan.fromMetadata(nsDir, options, prune, byTopic, cols)
+        case None => new WalrusLogScan(nsDir, options, required, prune)
+      }
     }
 }
 
@@ -901,6 +975,97 @@ class WalrusMicroBatchStream(
     Array.tabulate[InputPartition](rtPartitions) { i =>
       val (c, r) = startOf(i)
       WalrusRealTimePartition(i, rtPartitions, nsDir.toString, topic, prune, c, r)
+    }
+  }
+}
+
+/** Aggregate-pushdown result scan: the whole `Aggregate` was answered from
+  * commit metadata on the driver (see the scan builder's `aggSpec`), so the
+  * "scan" is one partition replaying precomputed rows — the 100 TB story
+  * is that `SELECT topic, count(*) ... GROUP BY topic` over an arbitrarily
+  * large log costs one manifest read and zero executor IO (the reference's
+  * entry-count surface, walrus.rs:878-882, generalized to SQL). Output
+  * schema follows the DSv2 contract: group-by columns first, then the
+  * aggregate columns, in pushed order. */
+class WalrusAggRowsScan(schema: StructType, rows: Seq[Seq[Any]])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(WalrusAggRowsPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WalrusAggRowsReaderFactory(schema)
+  override def description(): String =
+    s"WalrusAggRowsScan(metadata-answered aggregate, ${rows.size} rows)"
+}
+
+object WalrusAggRowsScan {
+  /** Build the aggregate answer from the commit log: per-topic exact
+    * counts/offset bounds over the LIVE (non-vacuumed, non-replaced)
+    * commits, respecting the topic option, pushed topic pruning, and
+    * `asOfCommit` time travel. Point-in-time semantics match the data
+    * scan's snapshot argument (estimateStatistics' scaladoc). */
+  def fromMetadata(nsDir: Path, options: CaseInsensitiveStringMap,
+      prune: WalrusLogSource.PruneSpec, byTopic: Boolean,
+      cols: Seq[String]): WalrusAggRowsScan = {
+    val spec = prune.withTopic(Option(options.get("topic")))
+    val asOf = Option(options.get("asOfCommit")).map(_.toLong)
+    val live = WalrusLogSource.listCommits(nsDir).iterator
+      .filter { case (c, flagged) => !flagged && asOf.forall(c.id <= _) }
+      .map(_._1)
+    val perTopic = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Long)] // count, minOffset, maxOffset
+    live.foreach { c =>
+      c.topics.foreach { case (t, r) =>
+        if (spec.topicMatches(t)) {
+          val (n, lo, hi) = perTopic.getOrElse(t, (0L, Long.MaxValue, Long.MinValue))
+          perTopic(t) = (n + (r.end - r.start), math.min(lo, r.start), math.max(hi, r.end - 1))
+        }
+      }
+    }
+    def aggVals(n: Long, lo: Long, hi: Long): Seq[Any] = cols.map {
+      case "count" => java.lang.Long.valueOf(n)
+      case "min_offset" => if (n == 0L) null else java.lang.Long.valueOf(lo)
+      case "max_offset" => if (n == 0L) null else java.lang.Long.valueOf(hi)
+    }
+    val rows: Seq[Seq[Any]] =
+      if (byTopic) perTopic.toSeq.sortBy(_._1).map { case (t, (n, lo, hi)) =>
+        t +: aggVals(n, lo, hi)
+      }
+      else {
+        val n = perTopic.valuesIterator.map(_._1).sum
+        val lo = if (perTopic.isEmpty) 0L else perTopic.valuesIterator.map(_._2).min
+        val hi = if (perTopic.isEmpty) 0L else perTopic.valuesIterator.map(_._3).max
+        Seq(aggVals(n, lo, hi)) // global aggregate: exactly one row
+      }
+    val aggFields = cols.zipWithIndex.map { case (c, i) =>
+      StructField(s"agg_$i" + "_" + c, LongType, nullable = c != "count")
+    }
+    val schema = StructType(
+      (if (byTopic) Seq(StructField("topic", StringType, nullable = false)) else Nil)
+        ++ aggFields)
+    new WalrusAggRowsScan(schema, rows)
+  }
+}
+
+case class WalrusAggRowsPartition(rows: Seq[Seq[Any]]) extends InputPartition
+
+class WalrusAggRowsReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val it = p.asInstanceOf[WalrusAggRowsPartition].rows.iterator
+    new org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var cur: Seq[Any] = null
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          cur.zip(schema.fields).map {
+            case (null, _) => null
+            case (s: String, f) if f.dataType == StringType => UTF8String.fromString(s)
+            case (v, _) => v.asInstanceOf[AnyRef]
+          }.toArray[Any])
+      override def close(): Unit = ()
     }
   }
 }

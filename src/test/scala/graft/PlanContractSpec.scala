@@ -106,6 +106,14 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 5).map(j => s"c3-$j"))
   }
 
+  test("log_agg_pushdown: the whole aggregate collapses into the metadata scan") {
+    val plan = planOf("log_agg_pushdown")
+    assert(plan.contains("WalrusAggRowsScan"),
+      s"aggregate not answered from commit metadata:\n$plan")
+    assert(!plan.contains("WalrusLogScan"),
+      s"a data scan survived next to the metadata answer:\n$plan")
+  }
+
   test("rel_q6_log_scan: ship-year topic filter is pushed into the walruslog scan") {
     // The TPC-H-through-the-log contract (judge r6 #6): the Q6 date range
     // becomes a topic equality the V2 scan prunes at commit metadata, and
@@ -119,6 +127,58 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scanLine = plan.linesIterator.find(_.contains("WalrusLogScan")).get
     assert(!scanLine.contains("checksum") && !scanLine.contains("offset"),
       s"unused columns not pruned from the log scan:\n$scanLine")
+  }
+
+  test("walruslog aggregate pushdown: COUNT/MIN/MAX(offset) answered from commit metadata") {
+    val root = Files.createTempDirectory("plan-agg-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    log.batchAppend("a", (0 until 5).map(i => s"a$i".getBytes("UTF-8")))
+    log.batchAppend("a", (5 until 8).map(i => s"a$i".getBytes("UTF-8")))
+    log.batchAppend("b", (0 until 2).map(i => s"b$i".getBytes("UTF-8")))
+    val df = spark.read.format("walruslog").option("path", root).load()
+
+    // grouped: the whole Aggregate collapses into the metadata scan
+    val grouped = df.groupBy("topic").agg(count(lit(1)).as("n"),
+      min("offset").as("lo"), max("offset").as("hi"))
+    val gplan = grouped.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(gplan.contains("WalrusAggRowsScan"),
+      s"grouped aggregate not answered from metadata:\n$gplan")
+    val grows = grouped.orderBy("topic").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(grows == Seq(("a", 8L, 0L, 7L), ("b", 2L, 0L, 1L)), grows.toString)
+
+    // topic-filtered global count: the exact topic filter leaves no
+    // residual, so the aggregate still pushes (zero data IO)
+    val filtered = df.where(col("topic") === "a").agg(count(lit(1)).as("n"))
+    assert(filtered.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).contains("WalrusAggRowsScan"))
+    assert(filtered.head.getLong(0) == 8L)
+
+    // count(value) ≡ count(*): engine columns are never null
+    val cv = df.agg(count(col("value")).as("n"))
+    assert(cv.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).contains("WalrusAggRowsScan"))
+    assert(cv.head.getLong(0) == 10L)
+
+    // an offset bound prunes at COMMIT granularity — metadata would
+    // overcount, so the aggregate must NOT push and the answer must come
+    // from the data scan
+    val bounded = df.where(col("offset") >= 5L).agg(count(lit(1)).as("n"))
+    assert(!bounded.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).contains("WalrusAggRowsScan"),
+      "offset-bounded aggregate must read data, not metadata")
+    assert(bounded.head.getLong(0) == 3L)
+
+    // vacuumed storage leaves the metadata answer in lockstep with reads
+    (0 until 10).foreach(_ => log.readNext("a", checkpoint = true))
+    (0 until 2).foreach(_ => log.readNext("b", checkpoint = true))
+    log.vacuum()
+    val after = spark.read.format("walruslog").option("path", root).load()
+      .groupBy("topic").agg(count(lit(1)).as("n"))
+    assert(after.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).contains("WalrusAggRowsScan"))
+    assert(after.collect().isEmpty, "reclaimed commits must not be counted")
   }
 
   test("walruslog runtime filtering: join values prune commits/topic dirs at runtime") {

@@ -1496,4 +1496,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // user 4 shares only the capped hub item — no pair survives
     assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("bottom_k aggregate: k smallest distinct values survive partial/merge across partitions") {
+    import spark.implicits._
+    // values deliberately duplicated and scattered over 8 partitions so
+    // the TypedImperativeAggregate's update→serialize→merge path runs
+    val vals = (0 until 500).map(i => (i % 3).toString -> ((i * 2654435761L) % 10007))
+    val df = vals.toDF("g", "v").repartition(8)
+    val got = df.groupBy("g")
+      .agg(graft.functions.GraftFunctions.bottom_k(col("v"), 10).as("bk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val expect = vals.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).distinct.sorted.take(10)
+    }
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (g, e) => assert(got(g) == e, s"group $g") }
+    // fewer than k distinct values → the full sorted distinct set
+    val small = Seq(("a", 5L), ("a", 1L), ("a", 5L)).toDF("g", "v")
+      .groupBy("g").agg(graft.functions.GraftFunctions.bottom_k(col("v"), 10).as("bk"))
+      .head.getSeq[Long](1)
+    assert(small == Seq(1L, 5L))
+  }
+
+  test("KMV distinct estimate is exact below k and within theory error above it") {
+    import spark.implicits._
+    // 2000 distinct items in one group, 50 in another
+    val items = (0 until 2000).map(i => ("big", s"tok$i")) ++
+      (0 until 50).map(i => ("small", s"s$i"))
+    val df = items.toDF("g", "item").repartition(8)
+    val got = Sketches.kmvDistinct(df, "g", "item", 128).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (bigExact, bigK, bigEst) = got("big")
+    assert(bigExact == 2000L && bigK == 128L)
+    // KMV std error ≈ 1/sqrt(k-1) ≈ 9%; allow 4σ
+    assert(math.abs(bigEst - 2000L) < 2000 * 0.36, s"est $bigEst")
+    val (smallExact, smallK, smallEst) = got("small")
+    assert(smallExact == 50L && smallK == 50L && smallEst == 50L) // exact below k
+  }
 }
