@@ -5833,11 +5833,14 @@ object SparkEntry {
     }),
 
     "sketch_kmv_distinct" -> ((s, dir) => {
-      // KMV distinct-token sketch per source (Sketches.scala scaladoc):
-      // the BottomK typed aggregate ships one ≤128-long buffer per group
-      // per map partition — COUNT(DISTINCT)-grade answers with a
-      // metadata-sized shuffle. Deterministic hash → the oracle recomputes
-      // sketch AND estimate exactly (approximation with an exact gate).
+      // PER-GROUP KMV distinct sketch via the BottomK typed imperative
+      // aggregate: one ≤128-long buffer per group per map partition — the
+      // grouped, single-shuffle form of the sketch (rel_kmv_distinct is
+      // the GLOBAL form and rides distinct+TakeOrdered; a grouped version
+      // of that shape would need a full distinct shuffle plus a per-group
+      // window, which is exactly what the native aggregate removes).
+      // Deterministic hash → the oracle recomputes sketch AND estimate
+      // exactly (approximation with an exact gate).
       val toks = table(s, dir, "documents").select(col("source"),
         explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
       graft.operators.Sketches.kmvDistinct(toks, "source", "tok", 128)

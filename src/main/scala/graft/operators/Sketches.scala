@@ -20,6 +20,12 @@ import graft.functions.GraftFunctions
   * metadata-sized exchange and a data-sized one; the exact counts computed
   * alongside in these operators exist for the oracle gate, a production
   * caller drops them.
+  *
+  * Relation to `rel_kmv_distinct` (SparkEntry): that query is the GLOBAL
+  * single-sketch form, planned as distinct + TakeOrdered (fine for one
+  * group). This object is the grouped/mergeable form — per-group sketches
+  * in one aggregation, plus the union-sketch pairwise-Jaccard estimator
+  * neither form had.
   */
 object Sketches {
   /** 2⁶³ as an exact double — the value range of [[positiveHash]]. */

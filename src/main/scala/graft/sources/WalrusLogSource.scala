@@ -580,11 +580,13 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns
         with SupportsPushDownFilters
-        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+        with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
       private var required: StructType = WalrusLogSource.Schema
       private var prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec()
       private var pushed: Array[Filter] = Array.empty
       private var aggPushed: Option[(Boolean, Seq[String])] = None
+      private var limitPushed: Option[Int] = None
       override def pruneColumns(requiredSchema: StructType): Unit =
         // once an aggregate is pushed, the read schema IS the aggregate
         // output — later pruning calls must not narrow it
@@ -650,17 +652,36 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
           case None => false
         }
 
+      /** LIMIT pushdown as PARTITION-LIST trimming: each commit records
+        * its exact per-topic row counts, so planning keeps only a prefix
+        * of commits whose surviving topics already cover the limit — a
+        * `.limit(10)` peek at a million-commit namespace opens a handful
+        * of files instead of all of them. PARTIAL push (Spark still
+        * applies the LIMIT operator; we only bound the IO), and only when
+        * no offset/ts bound is pushed — those filter rows WITHIN
+        * surviving commits, so a row-count prefix could under-deliver. */
+      override def pushLimit(limit: Int): Boolean = {
+        val boundsFree =
+          prune.offsetMin == Long.MinValue && prune.offsetMax == Long.MaxValue &&
+            prune.tsUsMin == Long.MinValue && prune.tsUsMax == Long.MaxValue
+        if (boundsFree && limit > 0) { limitPushed = Some(limit); true }
+        else false
+      }
+      override def isPartiallyPushed(): Boolean = true
+
       override def build(): Scan = aggPushed match {
         case Some((byTopic, cols)) =>
           WalrusAggRowsScan.fromMetadata(nsDir, options, prune, byTopic, cols)
-        case None => new WalrusLogScan(nsDir, options, required, prune)
+        case None =>
+          new WalrusLogScan(nsDir, options, required, prune, limitPushed)
       }
     }
 }
 
 class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     required: StructType,
-    prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec())
+    prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec(),
+    limit: Option[Int] = None)
     extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val topic = Option(options.get("topic"))
@@ -760,10 +781,31 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
       tsUsMax = math.min(prune.tsUsMax, r.tsUsMax))
   }
 
+  /** Pushed-LIMIT commit prefix: keep commits until their surviving
+    * topics' metadata row counts cover `limit` (vacuumed/replaced
+    * commits contribute nothing). Only reached when no offset/ts bound
+    * is in the spec — see the builder's pushLimit. */
+  private def limitPrefix(commits: Seq[(CommitRecord, Boolean)],
+      spec: WalrusLogSource.PruneSpec): Seq[(CommitRecord, Boolean)] =
+    limit match {
+      case None => commits
+      case Some(n) =>
+        var covered = 0L
+        commits.takeWhile { case (c, flagged) =>
+          val take = covered < n
+          if (take && !flagged)
+            covered += c.topics.iterator.collect {
+              case (t, r) if spec.topicMatches(t) => r.end - r.start
+            }.sum
+          take
+        }
+    }
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       WalrusLogSource.partitionsFor(nsDir,
-        visibleAsOf(commitsSnapshot), topic, effectivePrune)
+        limitPrefix(visibleAsOf(commitsSnapshot), effectivePrune.withTopic(topic)),
+        topic, effectivePrune)
     override def createReaderFactory(): PartitionReaderFactory =
       new WalrusReaderFactory(required)
   }

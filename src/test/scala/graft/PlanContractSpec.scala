@@ -181,6 +181,30 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.collect().isEmpty, "reclaimed commits must not be counted")
   }
 
+  test("walruslog limit pushdown trims the commit prefix from metadata row counts") {
+    val root = Files.createTempDirectory("plan-lim-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    (0 until 10).foreach(i =>
+      log.batchAppend("t", (0 until 5).map(j => s"c$i-$j".getBytes("UTF-8"))))
+    val df = spark.read.format("walruslog").option("path", root).load()
+    def partsOf(d: org.apache.spark.sql.DataFrame): Int = {
+      d.collect() // force execution so AQE finalizes the scan
+      d.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.sum
+    }
+    // limit 7 needs two 5-row commits; the other eight are never opened
+    val lim = df.limit(7)
+    assert(lim.count() == 7)
+    assert(partsOf(lim) == 2, s"expected 2 file partitions, got ${partsOf(lim)}")
+    // an offset bound blocks the push (residual filtering could starve it)
+    val bounded = df.where(col("offset") >= 48L).limit(2)
+    assert(bounded.count() == 2, "offset-bounded limit must still deliver")
+    // and without limit, all ten commits plan
+    assert(partsOf(df) == 10)
+  }
+
   test("walruslog runtime filtering: join values prune commits/topic dirs at runtime") {
     import org.apache.spark.sql.sources.{EqualTo, Filter}
     val root = Files.createTempDirectory("plan-rf-").toString

@@ -606,6 +606,47 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("stream checkpoint survives manifest-v2 truncation (commit-index offsets stay aligned)") {
+    // Stream offsets are POSITIONS in the commit-file order. After vacuum
+    // drops every consumed commit from the v2 manifest, a restarted
+    // stream's cold start must still see one element per commit file
+    // (tombstones synthesized for truncated ids) or its checkpointed
+    // index would silently shift onto the wrong commit.
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root,
+      cfg = graft.log.LogConfig(manifestEveryCommits = 2))
+    (0 until 4).foreach(i => log.batchAppend("t", Seq(bytes(s"old$i"))))
+    val ckpt = tempRoot()
+    val dstRoot = tempRoot()
+    val dst = new WalrusLog(spark, dstRoot)
+    def drain(): Unit = {
+      // untagged foreachBatch mirror: a replayed epoch would DUPLICATE
+      val w = WalrusStreams.readStream(spark, root)
+        .select(col("topic"), col("value"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          dst.appendDF(batch); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val q = w.start(); q.awaitTermination()
+    }
+    drain()
+    assert(dst.entryCount("t") == 4)
+    // consume + vacuum: all four commits leave the manifest entirely
+    (0 until 4).foreach(_ => log.readNext("t", checkpoint = true))
+    assert(log.vacuum().size == 4)
+    val m = graft.log.WalrusLog.readNewestManifest(
+      java.nio.file.Paths.get(root, "default")).get
+    assert(m.entries.isEmpty && m.state.isDefined, "expected a truncated v2 manifest")
+    log.batchAppend("t", Seq(bytes("fresh")))
+    // restart on the SAME checkpoint: exactly the new commit, no dup/loss
+    drain()
+    assert(dst.entryCount("t") == 5, s"got ${dst.entryCount("t")} rows after restart")
+    val got = dst.batchRead("t", 1 << 20, checkpoint = false)
+      .map(e => new String(e.value, "UTF-8")).sorted
+    assert(got == Seq("fresh", "old0", "old1", "old2", "old3"), got.toString)
+  }
+
   test("readStream rejects asOfCommit (streams cannot time-travel)") {
     val root = tempRoot()
     val log = new WalrusLog(spark, root)
