@@ -581,12 +581,14 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
     new ScanBuilder with SupportsPushDownRequiredColumns
         with SupportsPushDownFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-        with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+        with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+        with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
       private var required: StructType = WalrusLogSource.Schema
       private var prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec()
       private var pushed: Array[Filter] = Array.empty
       private var aggPushed: Option[(Boolean, Seq[String])] = None
       private var limitPushed: Option[Int] = None
+      private var limitFromTail: Boolean = false
       override def pruneColumns(requiredSchema: StructType): Unit =
         // once an aggregate is pushed, the read schema IS the aggregate
         // output — later pruning calls must not narrow it
@@ -669,11 +671,38 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
       }
       override def isPartiallyPushed(): Boolean = true
 
+      /** TopN pushdown — the "head/tail a topic" path. Per-topic offsets
+        * ascend with commit id, so `ORDER BY offset ASC LIMIT k` is
+        * covered by the same commit PREFIX the plain limit uses, and
+        * `DESC` by the commit SUFFIX — tailing the last k entries of an
+        * arbitrarily old log opens a handful of files. PARTIAL push
+        * (Spark still runs its TopN over the surviving rows, so
+        * cross-topic interleaving and exact order stay correct); only on
+        * a bounds-free spec, like the limit. */
+      override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+          limit: Int): Boolean = {
+        import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+        val boundsFree =
+          prune.offsetMin == Long.MinValue && prune.offsetMax == Long.MaxValue &&
+            prune.tsUsMin == Long.MinValue && prune.tsUsMax == Long.MaxValue
+        val onOffset = orders.length == 1 && (orders(0).expression() match {
+          case r: NamedReference =>
+            r.fieldNames.length == 1 && r.fieldNames()(0) == "offset"
+          case _ => false
+        })
+        if (boundsFree && onOffset && limit > 0) {
+          limitPushed = Some(limit)
+          limitFromTail = orders(0).direction() == SortDirection.DESCENDING
+          true
+        } else false
+      }
+
       override def build(): Scan = aggPushed match {
         case Some((byTopic, cols)) =>
           WalrusAggRowsScan.fromMetadata(nsDir, options, prune, byTopic, cols)
         case None =>
-          new WalrusLogScan(nsDir, options, required, prune, limitPushed)
+          new WalrusLogScan(nsDir, options, required, prune, limitPushed,
+            limitFromTail)
       }
     }
 }
@@ -681,7 +710,7 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
 class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     required: StructType,
     prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec(),
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, limitFromTail: Boolean = false)
     extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val topic = Option(options.get("topic"))
@@ -791,14 +820,18 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
       case None => commits
       case Some(n) =>
         var covered = 0L
-        commits.takeWhile { case (c, flagged) =>
-          val take = covered < n
-          if (take && !flagged)
-            covered += c.topics.iterator.collect {
-              case (t, r) if spec.topicMatches(t) => r.end - r.start
-            }.sum
-          take
+        def walk(cs: Seq[(CommitRecord, Boolean)]) = cs.takeWhile {
+          case (c, flagged) =>
+            val take = covered < n
+            if (take && !flagged)
+              covered += c.topics.iterator.collect {
+                case (t, r) if spec.topicMatches(t) => r.end - r.start
+              }.sum
+            take
         }
+        // DESC TopN on offset reads the newest commits first: walk the
+        // suffix (per-topic offsets ascend with commit id)
+        if (limitFromTail) walk(commits.reverse).reverse else walk(commits)
     }
 
   override def toBatch: Batch = new Batch {

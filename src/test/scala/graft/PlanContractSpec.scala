@@ -203,6 +203,16 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bounded.count() == 2, "offset-bounded limit must still deliver")
     // and without limit, all ten commits plan
     assert(partsOf(df) == 10)
+    // TopN DESC on offset = "tail the log": only the newest commits plan,
+    // and the rows are the true global tail
+    val tail = df.orderBy(col("offset").desc).limit(7)
+    val tailRows = tail.collect().map(_.getAs[Long]("offset")).toSeq
+    assert(tailRows == (49L to 43L by -1L), tailRows.toString)
+    assert(partsOf(tail) == 2, s"expected 2 tail partitions, got ${partsOf(tail)}")
+    // TopN ASC mirrors the plain limit prefix
+    val head7 = df.orderBy(col("offset").asc).limit(7)
+    assert(head7.collect().map(_.getAs[Long]("offset")).toSeq == (0L to 6L))
+    assert(partsOf(head7) == 2)
   }
 
   test("walruslog runtime filtering: join values prune commits/topic dirs at runtime") {
