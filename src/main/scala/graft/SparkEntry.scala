@@ -363,6 +363,30 @@ object SparkEntry {
       log
     })
 
+  /** Events as THREE visible commits (event-id thirds, once per sfDir) —
+    * the fixture for per-row commit provenance (`log_commit_provenance`):
+    * unlike [[mainLog]] (one commit) or [[churnLog]] (churn leaves one
+    * visible), all three publish batches stay live. */
+  private def multiLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "multi"), {
+      val root = Files.createTempDirectory("graft-log-multi-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ev = events(spark, dir).select(
+        col("event_type").as("topic"),
+        encode(col("props"), "UTF-8").as("value"),
+        col("event_id").as("_seq")).cache()
+      val n = ev.count()
+      val cut1 = n / 3
+      val cut2 = 2 * n / 3
+      log.appendDF(ev.where(col("_seq") < cut1), Some(col("_seq")), FixedTs)
+      log.appendDF(ev.where(col("_seq") >= cut1 && col("_seq") < cut2),
+        Some(col("_seq")), FixedTs)
+      log.appendDF(ev.where(col("_seq") >= cut2), Some(col("_seq")), FixedTs)
+      ev.unpersist()
+      log
+    })
+
   /** Events through the full storage-churn lifecycle (once per sfDir):
     * two commits → `compact()` merges them (replaces + source deletion)
     * → a third commit → a gc cursor consumes through the compacted range
@@ -805,6 +829,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min("offset").as("min_off"),
           max("offset").as("max_off"))
         .orderBy("topic")
+    }),
+    "log_commit_provenance" -> ((s, dir) => {
+      // the `_commit` METADATA COLUMN (DSv2 SupportsMetadataColumns):
+      // per-row publish provenance — which ingest batch produced each
+      // row — surfaced on demand without a data column, filled as a
+      // partition constant like the topic dir name (zero IO). Joinable
+      // against the commit-metadata surfaces (time travel, change feed,
+      // snapshot manifest). Aggregates the 3-commit fixture by it.
+      val log = multiLog(s, dir)
+      s.read.format("walruslog").option("path", log.root).load()
+        .select(col("topic"), col("offset"), col("_commit"))
+        .groupBy(col("_commit"), col("topic"))
+        .agg(count(lit(1)).as("n"),
+          min("offset").as("min_off"), max("offset").as("max_off"))
+        .orderBy("_commit", "topic")
     }),
     "log_offset_audit" -> ((s, dir) => {
       // fsck for the log's offset space: per topic, offsets must be a
@@ -5998,6 +6037,21 @@ object SparkEntry {
         """SELECT event_type AS topic, count(*) AS n,
           |  CAST(0 AS BIGINT) AS min_off, count(*) - 1 AS max_off
           |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
+      "log_commit_provenance" ->
+        // commits are event-id thirds; per-topic offsets are assigned
+        // densely in _seq (= event_id) order across the three appends
+        """WITH nn AS (SELECT count(*) AS n FROM events),
+          |e AS (SELECT event_type AS topic, event_id,
+          |    CASE WHEN event_id < n // 3 THEN 0
+          |         WHEN event_id < 2 * n // 3 THEN 1 ELSE 2 END AS c
+          |  FROM events, nn),
+          |r AS (SELECT topic, c,
+          |    row_number() OVER (PARTITION BY topic ORDER BY event_id) - 1 AS off
+          |  FROM e)
+          |SELECT CAST(c AS BIGINT) AS _commit, topic,
+          |  count(*) AS n, CAST(min(off) AS BIGINT) AS min_off,
+          |  CAST(max(off) AS BIGINT) AS max_off
+          |FROM r GROUP BY 1, 2 ORDER BY _commit, topic""".stripMargin,
       "log_offset_audit" ->
         """SELECT event_type AS topic, count(*) AS n, TRUE AS dense
           |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,

@@ -440,7 +440,7 @@ object WalrusLogSource {
         val batchDir = nsDir.resolve("data").resolve(s"batch=${c.id}")
         topicDirs(batchDir, spec).flatMap { td =>
           val t = decodeTopic(td.getFileName.toString.stripPrefix("topic="))
-          parquetFiles(td).map(f => WalrusFilePartition(t, f.toString))
+          parquetFiles(td).map(f => WalrusFilePartition(t, f.toString, c.id))
         }
     }.toArray
   }
@@ -495,7 +495,24 @@ object WalrusLogSource {
 
 class WalrusLogTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_commit`: the commit/batch id that published each row — provenance
+    * (which ingest batch produced this row, joinable against the commit
+    * metadata surfaces: time travel, change feed, snapshot manifest)
+    * without burning a data column. A partition-level CONSTANT (one
+    * commit per batch directory), so selecting it costs nothing: the
+    * vectorized reader fills it exactly like the `topic` dir constant. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_commit"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "id of the commit (batch) that published this row"
+    })
   // The catalog path arrives as a file: URI (CREATE TABLE ... USING
   // walruslog normalizes OPTIONS('path')); the DataFrame path passes the
   // raw filesystem path. Accept both.
@@ -1145,7 +1162,8 @@ class WalrusAggRowsReaderFactory(schema: StructType) extends PartitionReaderFact
   }
 }
 
-case class WalrusFilePartition(topic: String, file: String) extends InputPartition
+case class WalrusFilePartition(topic: String, file: String,
+    commitId: Long = -1L) extends InputPartition
 
 /** One real-time tail reader's assignment: its id in the fixed reader set,
   * the namespace to tail, and its row-granular resume point. */
@@ -1161,8 +1179,18 @@ case class WalrusRealTimePartition(
   * `ColumnarBatch`es; only a topic-only/empty projection (e.g. count(*))
   * falls back to a row reader driven by footer row counts. */
 class WalrusReaderFactory(schema: StructType) extends PartitionReaderFactory {
-  private val fileCols = schema.fields.filter(_.name != "topic")
-  private val hasTopic = schema.fieldNames.contains("topic")
+  // partition-level CONSTANT columns: the topic directory name and the
+  // `_commit` metadata column (one commit per batch dir) — both filled by
+  // the vectorized reader's partition-column mechanism, zero IO
+  private val ConstNames = Set("topic", "_commit")
+  private val constCols = schema.fields.filter(f => ConstNames(f.name))
+  private val fileCols = schema.fields.filterNot(f => ConstNames(f.name))
+
+  private def constRow(p: WalrusFilePartition): InternalRow =
+    new GenericInternalRow(constCols.map {
+      case f if f.name == "topic" => UTF8String.fromString(p.topic)
+      case _ => java.lang.Long.valueOf(p.commitId)
+    }.toArray[Any])
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     partition.isInstanceOf[WalrusFilePartition] && fileCols.nonEmpty
@@ -1173,12 +1201,7 @@ class WalrusReaderFactory(schema: StructType) extends PartitionReaderFactory {
     var ok = false
     try {
       reader.initialize(p.file, fileCols.map(_.name).toList.asJava)
-      val (partSchema, partRow) =
-        if (hasTopic)
-          (StructType(Seq(StructField("topic", StringType))),
-            new GenericInternalRow(Array[Any](UTF8String.fromString(p.topic))))
-        else (new StructType(), InternalRow.empty)
-      reader.initBatch(partSchema, partRow)
+      reader.initBatch(StructType(constCols.toSeq), constRow(p))
       reader.enableReturningBatches()
       ok = true
     } finally if (!ok) reader.close()
@@ -1204,9 +1227,7 @@ class WalrusReaderFactory(schema: StructType) extends PartitionReaderFactory {
       new org.apache.hadoop.fs.Path(p.file), new org.apache.hadoop.conf.Configuration())
     val footer = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
     val rowCount = try footer.getRecordCount finally footer.close()
-    val row: InternalRow =
-      if (hasTopic) new GenericInternalRow(Array[Any](UTF8String.fromString(p.topic)))
-      else InternalRow.empty
+    val row: InternalRow = constRow(p)
     new PartitionReader[InternalRow] {
       private var remaining = rowCount
       override def next(): Boolean = { remaining -= 1; remaining >= 0 }
@@ -1231,6 +1252,9 @@ class WalrusReaderFactory(schema: StructType) extends PartitionReaderFactory {
   * the tail, far below any achievable trigger cadence. */
 class WalrusRealTimeReader(p: WalrusRealTimePartition, schema: StructType)
     extends PartitionReader[InternalRow] with SupportsRealTimeRead[InternalRow] {
+  require(!schema.fieldNames.contains("_commit"),
+    "_commit metadata column is a batch/micro-batch feature; " +
+      "not supported under Trigger.RealTime")
   import SupportsRealTimeRead.RecordStatus
 
   private val nsDir = Paths.get(p.nsDirStr)
