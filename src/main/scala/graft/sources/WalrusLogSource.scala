@@ -729,7 +729,23 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec(),
     limit: Option[Int] = None, limitFromTail: Boolean = false)
     extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** The `topic=` directory layout is a bucketed table on `topic`: report
+    * key-grouped partitioning so Spark elides the exchange for per-topic
+    * aggregations and co-partitioned log⋈log joins (storage-partitioned
+    * join) when `spark.sql.sources.v2.bucketing.enabled` is set. Only
+    * reported while `topic` survives column pruning — the key must
+    * resolve against the scan output. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (required.fieldNames.contains("topic"))
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("topic")),
+        toBatch.planInputPartitions().length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
   private val topic = Option(options.get("topic"))
 
   /** Time travel (the Delta `versionAsOf` analogue): `asOfCommit = N`
@@ -1164,6 +1180,15 @@ class WalrusAggRowsReaderFactory(schema: StructType) extends PartitionReaderFact
 
 case class WalrusFilePartition(topic: String, file: String,
     commitId: Long = -1L) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** Storage-partitioned execution: every file of a topic carries the
+    * topic as its partition key, so Spark (with
+    * `spark.sql.sources.v2.bucketing.enabled`) groups splits per topic
+    * and per-topic aggregations/joins run WITHOUT a shuffle — the log's
+    * directory layout IS a bucketed table on `topic`. */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(topic)))
+}
 
 /** One real-time tail reader's assignment: its id in the fixed reader set,
   * the namespace to tail, and its row-granular resume point. */

@@ -215,6 +215,55 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(partsOf(head7) == 2)
   }
 
+  test("storage-partitioned execution: per-topic aggregation over the log runs without a shuffle") {
+    val root = Files.createTempDirectory("plan-spj-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    (0 until 3).foreach { i =>
+      (0 until 4).foreach(t =>
+        log.batchAppend(s"t$t", (0 until 5).map(j => s"v$i$t$j".getBytes("UTF-8"))))
+    }
+    val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(spark)
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = s2.read.format("walruslog").option("path", root).load()
+      // an aggregate the metadata path can NOT answer, so it must execute
+      .groupBy("topic").agg(sum(length(col("value"))).as("bytes"))
+    val rows = df.collect()
+    assert(rows.length == 4 && rows.forall(_.getLong(1) == 60L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected the key-grouped scan to elide the aggregation shuffle:\n$plan")
+    // without the conf, the same plan keeps its exchange (and still agrees)
+    val df2 = spark.read.format("walruslog").option("path", root).load()
+      .groupBy("topic").agg(sum(length(col("value"))).as("bytes"))
+    assert(df2.collect().toSet.map((r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getLong(1))) ==
+      rows.map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
+  test("storage-partitioned join: log-to-log on topic elides both exchanges") {
+    val rootA = Files.createTempDirectory("plan-spjj-a-").toString
+    val rootB = Files.createTempDirectory("plan-spjj-b-").toString
+    val a = new graft.log.WalrusLog(spark, rootA)
+    val b = new graft.log.WalrusLog(spark, rootB)
+    (0 until 3).foreach { t =>
+      a.batchAppend(s"t$t", (0 until 4).map(j => s"a$t$j".getBytes("UTF-8")))
+      b.batchAppend(s"t$t", (0 until 2).map(j => s"b$t$j".getBytes("UTF-8")))
+    }
+    val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(spark)
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def side(root: String, n: String) =
+      s2.read.format("walruslog").option("path", root).load()
+        .select(col("topic"), col("offset").as(s"off_$n"))
+    val joined = side(rootA, "a").join(side(rootB, "b"), "topic")
+      .groupBy("topic").agg(count(lit(1)).as("n"))
+    val rows = joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows == Map("t0" -> 8L, "t1" -> 8L, "t2" -> 8L), rows.toString)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected a storage-partitioned join with no exchanges:\n$plan")
+  }
+
   test("walruslog runtime filtering: join values prune commits/topic dirs at runtime") {
     import org.apache.spark.sql.sources.{EqualTo, Filter}
     val root = Files.createTempDirectory("plan-rf-").toString
