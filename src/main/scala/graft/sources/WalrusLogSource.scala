@@ -739,13 +739,20 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     * reported while `topic` survives column pruning — the key must
     * resolve against the scan output. */
   override def outputPartitioning()
-      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (required.fieldNames.contains("topic"))
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    // partition planning (a full file listing) only when the feature can
+    // actually be used — Spark calls this on EVERY plan of the scan, and
+    // with bucketing disabled the answer is discarded
+    val bucketing = try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+    catch { case _: Exception => false }
+    if (bucketing && required.fieldNames.contains("topic"))
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions.identity("topic")),
         toBatch.planInputPartitions().length)
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+  }
   private val topic = Option(options.get("topic"))
 
   /** Time travel (the Delta `versionAsOf` analogue): `asOfCommit = N`
