@@ -830,6 +830,26 @@ object SparkEntry {
           max("offset").as("max_off"))
         .orderBy("topic")
     }),
+    "log_spj_join" -> ((s, dir) => {
+      // storage-partitioned log⋈log join: both sides report
+      // KeyGroupedPartitioning(topic) from the directory layout, so with
+      // V2 bucketing enabled the join and the downstream per-topic
+      // aggregate run with ZERO exchanges (contract-pinned). The probe
+      // side keeps only offsets < 3 per topic (commit-metadata pruning),
+      // so the per-topic pair count is n(topic) · 3.
+      val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = mainLog(s, dir)
+      val b = multiLog(s, dir)
+      val da = s2.read.format("walruslog").option("path", a.root).load()
+        .select(col("topic"), col("offset").as("off_a"))
+      val db = s2.read.format("walruslog").option("path", b.root).load()
+        .where(col("offset") < 3).select(col("topic"), col("offset").as("off_b"))
+      da.join(db, "topic")
+        .groupBy("topic").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("topic")
+    }),
     "log_commit_provenance" -> ((s, dir) => {
       // the `_commit` METADATA COLUMN (DSv2 SupportsMetadataColumns):
       // per-row publish provenance — which ingest batch produced each
@@ -6036,6 +6056,9 @@ object SparkEntry {
         // so the metadata-answered bounds are 0 and n-1
         """SELECT event_type AS topic, count(*) AS n,
           |  CAST(0 AS BIGINT) AS min_off, count(*) - 1 AS max_off
+          |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
+      "log_spj_join" ->
+        """SELECT event_type AS topic, count(*) * 3 AS n_pairs
           |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
       "log_commit_provenance" ->
         // commits are event-id thirds; per-topic offsets are assigned

@@ -240,6 +240,13 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows.map(r => (r.getString(0), r.getLong(1))).toSet)
   }
 
+  test("log_spj_join: the oracled storage-partitioned join plans with zero hash exchanges") {
+    val plan = planOf("log_spj_join")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected zero exchanges in the storage-partitioned join:\n$plan")
+    assert(plan.contains("BatchScan walruslog"), s"not a log-to-log join:\n$plan")
+  }
+
   test("storage-partitioned join: log-to-log on topic elides both exchanges") {
     val rootA = Files.createTempDirectory("plan-spjj-a-").toString
     val rootB = Files.createTempDirectory("plan-spjj-b-").toString
