@@ -3332,7 +3332,13 @@ object SparkEntry {
       // the k % 10 restriction bounds the pair fan-out. Join rows land in
       // the append sink; the per-key counts aggregate over the sink table.
       val log = mainLog(s, dir)
-      val base = graft.streaming.WalrusStreams.readStream(s, log.root)
+      // state-partition right-sizing, same rationale (and measurement) as
+      // stream_outer_join: 4 store commits per shuffle partition per
+      // batch is pure fixed overhead at ~100 keys — the conf-isolated
+      // clone sizes state partitioning to key count, as a deployment would
+      val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val base = graft.streaming.WalrusStreams.readStream(s2, log.root)
         .withColumn("k",
           get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
         .where(col("k").isNotNull && col("k") % 10 === 0)
@@ -3348,7 +3354,7 @@ object SparkEntry {
           col("et_l") >= col("et_r") - expr("INTERVAL 5 MINUTES") &&
           col("et_l") <= col("et_r") + expr("INTERVAL 5 MINUTES"))
         .select(col("k"))
-      val rows = runStreamToMemory(s, out, "append",
+      val rows = runStreamToMemory(s2, out, "append",
         probeName = Some("stream_stream_join"))(
         _.groupBy("k").agg(count(lit(1)).as("n"))
           .orderBy("k").collect().toSeq)
