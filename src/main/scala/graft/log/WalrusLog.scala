@@ -91,11 +91,23 @@ class WalrusLog(
   private val droppedTagFamilies = mutable.Map.empty[String, (Long, Long)] // base -> (n, commitId)
   private val droppedIrregularTags = mutable.Map.empty[String, Long] // tag -> commitId
 
-  /** Split `<base>-<digits>` tags into their family key + epoch number. */
+  /** Split `<base>-<digits>` tags into their family key + epoch number —
+    * ONLY for the tag shapes the sink paths themselves emit
+    * (`v1sink-<ckptId>-<batchId>`, `stream-epoch-<epochId>`). The
+    * "only the newest epoch can replay" collapse argument holds exactly
+    * for sink epochs (older epochs sit behind the sink's own checkpoint);
+    * a HAND-tagged append (`job-1`) has no such ordering, so collapsing
+    * it would let a replay of an older manual tag re-commit reclaimed
+    * rows as fresh data (ADVICE r8) — those stay verbatim. */
   private def tagFamily(tag: String): Option[(String, Long)] = {
     val i = tag.lastIndexOf('-')
     if (i <= 0 || i == tag.length - 1) None
-    else tag.substring(i + 1).toLongOption.map(n => (tag.substring(0, i), n))
+    else {
+      val base = tag.substring(0, i)
+      if (base.startsWith("v1sink-") || base == "stream-epoch")
+        tag.substring(i + 1).toLongOption.map(n => (base, n))
+      else None
+    }
   }
 
   private def recordDroppedTag(tag: String, commitId: Long): Unit =
@@ -1356,6 +1368,13 @@ class WalrusLog(
           if (cs.generation >= st.cleanGeneration) {
             st.cleanGeneration = cs.generation; st.clean = cs.clean
           }
+        } else {
+          // A topic captured in a manifest snapshot but DROP'd afterwards:
+          // the snapshot restore above resurrected it with the OLDER
+          // generation. The newer on-disk tombstone must win (ADVICE r8) —
+          // remove it again, or memory lists a topic disk says is dropped.
+          topics.get(t).filter(_.cleanGeneration < cs.generation)
+            .foreach(_ => topics.remove(t))
         }
       }
     }
@@ -1372,6 +1391,26 @@ class WalrusLog(
           val hi = topics.get(t).map(_.nextOffset).getOrElse(0L)
           cursors((g, t)) = math.min(math.max(o, 0L), hi) // clamp (walrus.rs:429-550)
         }
+      }
+    }
+    // Orphaned-storage sweep (ADVICE r8): reclamation orders manifest
+    // rewrite → dir delete, so a crash in between leaves `batch=N` dirs
+    // whose commit the manifest already shed (or whose vacuumed/replaced
+    // flag survived but the delete didn't land). Reads tombstone them —
+    // never wrong results — but nothing would ever delete them: the
+    // commits are gone from the in-memory vector, so re-vacuum can't find
+    // them. Sweep here: a dir is dead iff its id is ≤ the manifest
+    // watermark yet no live commit lists it, or its commit is flagged
+    // vacuumed/replaced (data provably superseded either way). Live dirs
+    // (tail commits, a concurrent writer's in-flight batch — always past
+    // the watermark and not yet committed) never match.
+    val liveIds = commits.iterator.map(_.id).toSet
+    listDir(dataDir).foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("batch=")) n.stripPrefix("batch=").toLongOption.foreach { id =>
+        val dead = (id <= maxPublishedId && !liveIds(id)) ||
+          vacuumed.contains(id) || replaced.contains(id)
+        if (dead) deleteRecursively(p)
       }
     }
     // maxPublishedId guards against id reuse when EVERY covered commit was
@@ -1581,7 +1620,9 @@ object WalrusLog {
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete)
+        // deleteIfExists: two processes may race the same dead dir (e.g.
+        // the recovery sweep vs the vacuum that crashed mid-delete)
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
       finally s.close()
     }
 }

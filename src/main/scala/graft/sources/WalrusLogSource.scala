@@ -606,6 +606,7 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
       private var aggPushed: Option[(Boolean, Seq[String])] = None
       private var limitPushed: Option[Int] = None
       private var limitFromTail: Boolean = false
+      private var limitOrdered: Boolean = false
       override def pruneColumns(requiredSchema: StructType): Unit =
         // once an aggregate is pushed, the read schema IS the aggregate
         // output — later pruning calls must not narrow it
@@ -688,14 +689,16 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
       }
       override def isPartiallyPushed(): Boolean = true
 
-      /** TopN pushdown — the "head/tail a topic" path. Per-topic offsets
-        * ascend with commit id, so `ORDER BY offset ASC LIMIT k` is
-        * covered by the same commit PREFIX the plain limit uses, and
-        * `DESC` by the commit SUFFIX — tailing the last k entries of an
-        * arbitrarily old log opens a handful of files. PARTIAL push
-        * (Spark still runs its TopN over the surviving rows, so
-        * cross-topic interleaving and exact order stay correct); only on
-        * a bounds-free spec, like the limit. */
+      /** TopN pushdown — the "head/tail a topic" path. Offsets are
+        * PER-TOPIC counters that ascend with commit id, so each topic's
+        * `ORDER BY offset ASC LIMIT k` candidates live in that topic's own
+        * commit prefix (DESC: suffix) — tailing the last k entries of an
+        * arbitrarily old log opens a handful of files. The planner trims
+        * commits PER TOPIC (a global-prefix trim would silently drop
+        * another topic's low offsets — ADVICE r8). PARTIAL push (Spark
+        * still runs its TopN over the surviving rows, so cross-topic
+        * interleaving and exact order stay correct); only on a
+        * bounds-free spec, like the limit. */
       override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
           limit: Int): Boolean = {
         import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
@@ -709,6 +712,7 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
         })
         if (boundsFree && onOffset && limit > 0) {
           limitPushed = Some(limit)
+          limitOrdered = true
           limitFromTail = orders(0).direction() == SortDirection.DESCENDING
           true
         } else false
@@ -719,7 +723,7 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
           WalrusAggRowsScan.fromMetadata(nsDir, options, prune, byTopic, cols)
         case None =>
           new WalrusLogScan(nsDir, options, required, prune, limitPushed,
-            limitFromTail)
+            limitFromTail, limitOrdered)
       }
     }
 }
@@ -727,7 +731,8 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
 class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     required: StructType,
     prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec(),
-    limit: Option[Int] = None, limitFromTail: Boolean = false)
+    limit: Option[Int] = None, limitFromTail: Boolean = false,
+    limitOrdered: Boolean = false)
     extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -850,28 +855,59 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
       tsUsMax = math.min(prune.tsUsMax, r.tsUsMax))
   }
 
-  /** Pushed-LIMIT commit prefix: keep commits until their surviving
-    * topics' metadata row counts cover `limit` (vacuumed/replaced
-    * commits contribute nothing). Only reached when no offset/ts bound
-    * is in the spec — see the builder's pushLimit. */
+  /** Pushed-LIMIT commit trimming. Plain LIMIT (any n rows satisfy it):
+    * keep the commit prefix whose surviving topics' metadata row counts
+    * cover `limit` (vacuumed/replaced commits contribute nothing). TopN
+    * on offset: offsets are PER-TOPIC counters, so trimming must cover n
+    * rows for EVERY surviving topic independently — a topic registered
+    * late still starts at offset 0, so its ASC top-n candidates sit in
+    * ITS first commits, not the log's (ADVICE r8). Two safety bail-outs
+    * (return the full list — pure IO give-up, Spark applies the
+    * LIMIT/TopN either way): a live compaction commit breaks the
+    * offsets-ascend-with-commit-id invariant TopN trimming rests on (it
+    * carries OLD offsets at a NEW id), and offset/ts bounds arriving via
+    * runtime filtering would make metadata row counts overcount what the
+    * scan actually delivers. */
   private def limitPrefix(commits: Seq[(CommitRecord, Boolean)],
       spec: WalrusLogSource.PruneSpec): Seq[(CommitRecord, Boolean)] =
     limit match {
       case None => commits
-      case Some(n) =>
+      case Some(_) if spec.offsetMin != Long.MinValue ||
+          spec.offsetMax != Long.MaxValue ||
+          spec.tsUsMin != Long.MinValue ||
+          spec.tsUsMax != Long.MaxValue => commits
+      case Some(n) if !limitOrdered =>
         var covered = 0L
-        def walk(cs: Seq[(CommitRecord, Boolean)]) = cs.takeWhile {
-          case (c, flagged) =>
-            val take = covered < n
-            if (take && !flagged)
-              covered += c.topics.iterator.collect {
-                case (t, r) if spec.topicMatches(t) => r.end - r.start
-              }.sum
-            take
+        commits.takeWhile { case (c, flagged) =>
+          val take = covered < n
+          if (take && !flagged)
+            covered += c.topics.iterator.collect {
+              case (t, r) if spec.topicMatches(t) => r.end - r.start
+            }.sum
+          take
         }
-        // DESC TopN on offset reads the newest commits first: walk the
-        // suffix (per-topic offsets ascend with commit id)
-        if (limitFromTail) walk(commits.reverse).reverse else walk(commits)
+      case Some(n) =>
+        if (commits.exists { case (c, flagged) =>
+            !flagged && c.replaces.exists(_.nonEmpty) }) commits
+        else {
+          val covered = scala.collection.mutable.Map.empty[String, Long]
+          // DESC TopN reads each topic's newest commits first: walk the
+          // suffix (per-topic offsets ascend with commit id)
+          val ordered = if (limitFromTail) commits.reverse else commits
+          val kept = ordered.filter { case (c, flagged) =>
+            if (flagged) false // data reclaimed: delivers nothing
+            else {
+              val mine = c.topics.iterator
+                .filter { case (t, _) => spec.topicMatches(t) }.toSeq
+              val need = mine.exists { case (t, _) =>
+                covered.getOrElse(t, 0L) < n }
+              if (need) mine.foreach { case (t, r) =>
+                covered(t) = covered.getOrElse(t, 0L) + (r.end - r.start) }
+              need
+            }
+          }
+          if (limitFromTail) kept.reverse else kept
+        }
     }
 
   override def toBatch: Batch = new Batch {

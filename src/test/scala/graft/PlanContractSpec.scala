@@ -979,4 +979,57 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Window Partition Specification: []"),
       s"unpartitioned window:\n$plan")
   }
+
+  test("TopN pushdown is per-topic: multi-topic ORDER BY offset LIMIT k stays exact") {
+    // ADVICE r8 repro: offsets are PER-TOPIC counters, so a commit-prefix
+    // trim by TOTAL covered rows would return topic a's {0,1,2} and miss
+    // topic b's 0. commit0 = a:0-5, commit1 = b:0-2.
+    val root = Files.createTempDirectory("plan-topn-mt-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    log.batchAppend("a", (0 until 6).map(i => s"a$i".getBytes("UTF-8")))
+    log.batchAppend("b", (0 until 3).map(i => s"b$i".getBytes("UTF-8")))
+    val df = spark.read.format("walruslog").option("path", root).load()
+    val asc = df.orderBy(col("offset").asc, col("topic"))
+      .limit(3).select("topic", "offset").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(asc == Seq(("a", 0L), ("b", 0L), ("a", 1L)), asc.toString)
+    // DESC mirror: the true global tail is a:5, a:4, a:3 — but trimming
+    // by totals from the newest commit (b, 3 rows) would have starved a
+    val desc = df.orderBy(col("offset").desc, col("topic"))
+      .limit(3).select("topic", "offset").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(desc == Seq(("a", 5L), ("a", 4L), ("a", 3L)), desc.toString)
+    // per-topic trimming still prunes: a single-topic tail over many
+    // commits opens only the newest commits of that topic
+    (0 until 8).foreach(i =>
+      log.batchAppend("c", (0 until 4).map(j => s"c$i$j".getBytes("UTF-8"))))
+    val tail = spark.read.format("walruslog").option("path", root).load()
+      .where(col("topic") === "c").orderBy(col("offset").desc).limit(3)
+    assert(tail.collect().map(_.getAs[Long]("offset")).toSeq ==
+      Seq(31L, 30L, 29L))
+    tail.collect()
+    val parts = tail.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }.sum
+    assert(parts <= 2, s"expected a trimmed tail, planned $parts partitions")
+  }
+
+  test("TopN pushdown disables trimming on a compacted log (old offsets at new commit ids)") {
+    val root = Files.createTempDirectory("plan-topn-cp-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    (0 until 3).foreach(i =>
+      log.batchAppend("t", (0 until 4).map(j => s"v$i$j".getBytes("UTF-8"))))
+    assert(log.compact().nonEmpty) // offsets 0-11 now live at the NEWEST id
+    log.batchAppend("t", (0 until 4).map(j => s"w$j".getBytes("UTF-8")))
+    val df = spark.read.format("walruslog").option("path", root).load()
+    // ASC top-3 lives in the compaction commit at the END of the id order;
+    // a prefix trim would return {12,13,14} from the post-compaction batch
+    val asc = df.orderBy(col("offset").asc).limit(3)
+      .collect().map(_.getAs[Long]("offset")).toSeq
+    assert(asc == Seq(0L, 1L, 2L), asc.toString)
+    val desc = df.orderBy(col("offset").desc).limit(3)
+      .collect().map(_.getAs[Long]("offset")).toSeq
+    assert(desc == Seq(15L, 14L, 13L), desc.toString)
+  }
 }

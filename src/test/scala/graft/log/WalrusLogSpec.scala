@@ -1144,6 +1144,87 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re.totalAppended("t") == 2L)
   }
 
+  test("manual tags dropped from the manifest stay verbatim: a replay of ANY of them no-ops") {
+    // ADVICE r8: family collapsing is only sound for sink epoch tags
+    // (older epochs sit behind the sink's own checkpoint). A hand-tagged
+    // append has no such ordering — after 'job-1' AND 'job-2' are shed
+    // from the manifest, a replayed 'job-1' must still be recognized.
+    val root = tempRoot()
+    val cfg = LogConfig(manifestEveryCommits = 2)
+    val log = new WalrusLog(spark, root, cfg = cfg)
+    def df(v: String) = spark.createDataFrame(Seq(("t", bytes(v)))).toDF("topic", "value")
+    log.appendDF(df("x0"), tag = Some("job-1"))
+    log.appendDF(df("x1"), tag = Some("job-2"))
+    log.appendDF(df("s0"), tag = Some("v1sink-q-0"))
+    log.appendDF(df("s1"), tag = Some("v1sink-q-1"))
+    (0 until 4).foreach(_ => log.readNext("t", checkpoint = true))
+    assert(log.vacuum() == Seq(0L, 1L, 2L, 3L)) // all four shed from the manifest
+    // the OLDER manual tag must still no-op (the collapse bug re-committed it)
+    val replay = log.appendDF(df("x0-again"), tag = Some("job-1"))
+    assert(replay.id == 0L, s"older manual tag re-committed as ${replay.id}")
+    assert(log.totalAppended("t") == 4L)
+    // sink families still collapse to one entry (boundedness preserved)
+    val nsDir = java.nio.file.Paths.get(root, "default")
+    val dropped = WalrusLog.readNewestManifest(nsDir).get.droppedTags.get
+    assert(dropped.contains("job-1") && dropped.contains("job-2"), dropped.toString)
+    assert(dropped.contains("v1sink-q-1") && !dropped.contains("v1sink-q-0"),
+      s"sink family must keep only the newest epoch: $dropped")
+    log.close()
+    // and the verbatim manual tags ride the manifest across restarts
+    val re = new WalrusLog(spark, root, cfg = cfg)
+    assert(re.appendDF(df("x0-again"), tag = Some("job-1")).id == 0L)
+    assert(re.totalAppended("t") == 4L)
+  }
+
+  test("v2 recovery does not resurrect a topic dropped AFTER the manifest snapshot") {
+    // ADVICE r8: the snapshot captured 'gone' live; the later DROP's
+    // on-disk tombstone (higher generation) must win on restart.
+    val root = tempRoot()
+    val cfg = LogConfig(manifestEveryCommits = 2)
+    val log = new WalrusLog(spark, root, cfg = cfg)
+    log.ensureTopic("gone")
+    log.append("t", bytes("e0"))
+    log.append("t", bytes("e1")) // manifest written here, snapshotting 'gone'
+    val nsDir = java.nio.file.Paths.get(root, "default")
+    assert(WalrusLog.readNewestManifest(nsDir).exists(
+      _.state.exists(_.exists(_.topic == "gone"))))
+    assert(log.unregisterTopic("gone")) // tombstone lands AFTER the snapshot
+    val re = new WalrusLog(spark, root, cfg = cfg)
+    assert(!re.topicNames.contains("gone"),
+      s"snapshot resurrected a dropped topic: ${re.topicNames}")
+    assert(re.topicNames.contains("t"))
+    // re-registration after the drop still works and survives restart
+    re.ensureTopic("gone")
+    val re2 = new WalrusLog(spark, root, cfg = cfg)
+    assert(re2.topicNames.contains("gone"))
+  }
+
+  test("recovery sweeps data dirs orphaned by a crash between manifest rewrite and dir delete") {
+    val root = tempRoot()
+    val cfg = LogConfig(manifestEveryCommits = 2)
+    val log = new WalrusLog(spark, root, cfg = cfg)
+    (0 until 3).foreach(i => log.append("t", bytes(s"e$i")))
+    (0 until 2).foreach(_ => log.readNext("t", checkpoint = true))
+    assert(log.vacuum() == Seq(0L, 1L)) // manifest sheds 0 and 1; dirs deleted
+    val nsDir = java.nio.file.Paths.get(root, "default")
+    // simulate the crash window: the manifest no longer lists batch 0, but
+    // its data dir "survived" (re-created here) — nothing in the old code
+    // would ever delete it again
+    val orphan = nsDir.resolve("data").resolve("batch=0").resolve("topic=t")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-0.parquet"), bytes("junk"))
+    // an in-flight writer's dir (id past the manifest watermark, commit not
+    // yet published) must NOT be swept
+    val inflight = nsDir.resolve("data").resolve("batch=99")
+    Files.createDirectories(inflight)
+    val re = new WalrusLog(spark, root, cfg = cfg)
+    assert(!Files.exists(nsDir.resolve("data").resolve("batch=0")),
+      "orphaned reclaimed dir must be swept on recovery")
+    assert(Files.exists(inflight), "in-flight batch dir must survive recovery")
+    assert(re.toDF().count() == 1L) // only e2 remains visible
+    assert(str(re.readNext("t").get.value) == "e2")
+  }
+
   test("clean-file merge is generation-ordered: a stale instance neither resurrects a drop nor rewinds a newer marker") {
     val root = tempRoot()
     val nsDir = java.nio.file.Paths.get(root, "default")
