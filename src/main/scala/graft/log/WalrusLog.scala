@@ -394,7 +394,8 @@ class WalrusLog(
 
       // Publish: the atomic rename IS the visibility point (W2/M2 parity).
       val ranges = perTopicTotal.map { case (t, (c, b)) =>
-        t -> TopicRange(baseOffsets(t), baseOffsets(t) + c, b)
+        val tsUs = ingestTs.getTime * 1000L // every entry carries this ts_us
+        t -> TopicRange(baseOffsets(t), baseOffsets(t) + c, b, Some(tsUs), Some(tsUs))
       }.toMap
       val rec = CommitRecord(id, ingestTs.getTime, ranges, tag)
       writeAtomicNew(commitsDir.resolve(f"$id%012d.json"), Serialization.write(rec))
@@ -632,7 +633,8 @@ class WalrusLog(
     }
     val ranges = perTopic.map { case (t, (c, b)) =>
       val start = bases.getOrElse(t, 0L)
-      t -> TopicRange(start, start + c, b)
+      val tsUs = ingestTs.getTime * 1000L // every entry carries this ts_us
+      t -> TopicRange(start, start + c, b, Some(tsUs), Some(tsUs))
     }.toMap
     val rec = CommitRecord(id, ingestTs.getTime, ranges, tag)
     writeAtomicNew(commitsDir.resolve(f"$id%012d.json"), Serialization.write(rec))
@@ -1226,11 +1228,18 @@ class WalrusLog(
     val sources = visibleCommits.filter(_.topics.nonEmpty).take(maxSourceBatches)
     if (sources.size < 2) return None
     val ids = sources.map(_.id)
-    val merged: Map[String, TopicRange] = sources.flatMap(_.topics.toSeq)
+    // Per-topic ts bounds inherit min/max over the replaced ranges (a
+    // source persisted before bounds existed contributes its exact commit
+    // ts — ingest stamps every entry with it), so a compacted log KEEPS
+    // time pruning and metadata-answered MIN/MAX(ts_us).
+    val merged: Map[String, TopicRange] = sources
+      .flatMap(c => c.topics.toSeq.map { case (t, r) => (t, c.tsMillis, r) })
       .groupBy(_._1).map { case (t, rs) =>
-        val ranges = rs.map(_._2)
+        val ranges = rs.map(_._3)
+        val lo = rs.map { case (_, ts, r) => r.tsUsMin.getOrElse(ts * 1000L) }.min
+        val hi = rs.map { case (_, ts, r) => r.tsUsMax.getOrElse(ts * 1000L) }.max
         t -> TopicRange(ranges.map(_.start).min, ranges.map(_.end).max,
-          ranges.map(_.bytes).sum)
+          ranges.map(_.bytes).sum, Some(lo), Some(hi))
       }
     val totalBytes = merged.valuesIterator.map(r =>
       r.bytes + cfg.metaOverheadBytes.toLong * (r.end - r.start)).sum

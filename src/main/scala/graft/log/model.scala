@@ -142,8 +142,17 @@ final class InvalidDataException(msg: String) extends RuntimeException(msg)
 
 // ---- persisted metadata records (JSON via json4s) ----
 
-/** Per-topic offset/byte range added by one committed batch. */
-final case class TopicRange(start: Long, end: Long, bytes: Long)
+/** Per-topic offset/byte range added by one committed batch, plus the
+  * inclusive event-time bounds of its entries (`ts_us` micros). Ingest
+  * commits stamp every entry with the commit timestamp, so both bounds
+  * equal `tsMillis * 1000`; a compaction commit inherits min/max over the
+  * ranges it replaces — which is what keeps TIME pruning and MIN/MAX(ts_us)
+  * metadata answers alive on compacted logs (the reference's file-name ms
+  * timestamps never lose time addressing either, src/wal/paths.rs:47-49).
+  * Optional for wire-compat: ranges persisted before the field existed
+  * read back as None and fall back to commit-level semantics. */
+final case class TopicRange(start: Long, end: Long, bytes: Long,
+    tsUsMin: Option[Long] = None, tsUsMax: Option[Long] = None)
 
 /** One entry of the atomic commit log: batch `id` became visible, adding
   * `topics` ranges. Replaces the reference's "offset published only after

