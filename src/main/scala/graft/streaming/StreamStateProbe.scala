@@ -15,6 +15,8 @@ object StreamStateProbe {
   /** Record the last progress that carried state-operator metrics (the
     * final data batch — later no-data/sentinel batches may report empty). */
   def record(name: String, q: StreamingQuery): Unit = {
+    lastProgressJsons.clear()
+    q.recentProgress.foreach(p => lastProgressJsons.add(p.json))
     val ps = q.recentProgress.filter(_.stateOperators.nonEmpty)
     if (ps.nonEmpty) {
       val last = ps.last
@@ -29,4 +31,8 @@ object StreamStateProbe {
 
   /** Name → JSON blob of the recorded queries (insertion-order-free). */
   def snapshot(): Map[String, String] = metrics.asScala.toMap
+
+  /** Dev-probe detail: every progress (durationMs breakdown) of the last
+    * recorded query — populated by [[record]], read by StreamPhaseProbe. */
+  val lastProgressJsons = new java.util.concurrent.CopyOnWriteArrayList[String]()
 }
