@@ -101,12 +101,45 @@ object GraftExtensions {
     GraftSqlInternal.analyzedPlan(df)
   }
 
+  /** `walrus_members(path, group, n_members)` — the per-MEMBER half of
+    * Kafka's DESCRIBE GROUPS (topics play the partition role): the group's
+    * cursor-bearing topics are dealt to `n_members` consumers with the
+    * deterministic range assignor (the rebalance queries' assignment), one
+    * row per (member, topic) with that cursor's committed/end/lag. Same
+    * snapshot-at-plan, metadata-only semantics as [[walrusGroupsPlan]]. */
+  private[graft] def walrusMembersPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 3, "walrus_members expects (path, group, n_members)")
+    require(exprs.forall(e => e.foldable && e.eval() != null),
+      "walrus_members: arguments must be constants")
+    val spark = SparkSession.active
+    val log = new graft.log.WalrusLog(spark, String.valueOf(exprs(0).eval()))
+    val grp = String.valueOf(exprs(1).eval())
+    val nMembers = String.valueOf(exprs(2).eval()).toInt
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cursors = log.consumerCursors.collect { case (g, t, c) if g == grp => (t, c) }
+    val owner = graft.log.ConsumerAssignment.range(cursors.map(_._1), nMembers).toMap
+    val rows = cursors.map { case (t, committed) =>
+      val end = log.totalAppended(t)
+      Row(s"member-${owner(t)}", t, committed, end, end - committed)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("member", StringType),
+        StructField("topic", StringType),
+        StructField("committed", LongType),
+        StructField("end_offset", LongType),
+        StructField("lag_entries", LongType))))
+    GraftSqlInternal.analyzedPlan(df)
+  }
+
   /** Runtime registration of the TVFs on a live session (the extensions
     * path below covers sessions built with spark.sql.extensions). */
   def registerWalrusLogTvf(spark: SparkSession): Unit = {
     GraftSqlInternal.registerTableFunction(spark, "walrus_log", walrusLogPlan)
     GraftSqlInternal.registerTableFunction(spark, "walrus_topics", walrusTopicsPlan)
     GraftSqlInternal.registerTableFunction(spark, "walrus_groups", walrusGroupsPlan)
+    GraftSqlInternal.registerTableFunction(spark, "walrus_members", walrusMembersPlan)
   }
 
   /** Runtime registration of the manual bloom-filter function pair
@@ -202,6 +235,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("walrus_groups",
         "_FUNC_(path) - consumer-group cursors (committed, end, lag) as a table."),
       GraftExtensions.walrusGroupsPlan _))
+    ext.injectTableFunction((FunctionIdentifier("walrus_members"),
+      info("walrus_members",
+        "_FUNC_(path, group, n_members) - per-member topic assignment + lag " +
+          "of one consumer group (range assignor)."),
+      GraftExtensions.walrusMembersPlan _))
     ext.injectFunction((FunctionIdentifier("pq_code"),
       info("pq_code",
         "_FUNC_(vec, subspaces, subCentroids, subDim, basePlane) - packed PQ code in one fused pass."),

@@ -4198,6 +4198,35 @@ object SparkEntry {
       s.sql(s"""SELECT grp, topic, committed, end_offset, lag_entries
                |FROM walrus_groups('$root') ORDER BY grp, topic""".stripMargin)
     }),
+    "log_tvf_members" -> ((s, dir) => {
+      // the per-MEMBER half of DESCRIBE GROUPS (VERDICT r8 stretch): each
+      // group's topics dealt to 2 members by the deterministic range
+      // assignor, one row per (member, topic) with the cursor's
+      // committed/end/lag — Kafka's member table with topics in the
+      // partition role. Same bounded fixture discipline as log_tvf_groups
+      // (a dedicated log keeps the group set deterministic).
+      val root = Files.createTempDirectory("graft-tvf-members-").toString
+      val log = new WalrusLog(s, root)
+      log.appendDF(events(s, dir).where(col("event_id") < 600)
+        .select(col("event_type").as("topic"),
+          encode(col("props"), "UTF-8").as("value"),
+          col("event_id").as("_seq")),
+        Some(col("_seq")), FixedTs)
+      log.topicNames.sorted.foreach { t =>
+        log.batchRead(t, maxBytes = Long.MaxValue / 4, checkpoint = true,
+          group = "g_cap", entriesCap = 100)
+        log.batchRead(t, maxBytes = Long.MaxValue / 4, checkpoint = true,
+          group = "g_all")
+      }
+      GraftExtensions.registerWalrusLogTvf(s)
+      s.sql(
+        s"""SELECT 'g_all' AS grp, member, topic, committed, end_offset, lag_entries
+           |FROM walrus_members('$root', 'g_all', 2)
+           |UNION ALL
+           |SELECT 'g_cap' AS grp, member, topic, committed, end_offset, lag_entries
+           |FROM walrus_members('$root', 'g_cap', 2)
+           |ORDER BY grp, topic""".stripMargin)
+    }),
     "rel_bloom_manual_prune" -> ((s, dir) => {
       // the bloom pair as a FUNCTION surface: build the filter over the
       // selective dim in a scalar subquery, prune the fact scan with
@@ -7211,6 +7240,27 @@ object SparkEntry {
           |SELECT 'g_cap' AS grp, topic, CAST(least(n, 100) AS BIGINT),
           |  CAST(n AS BIGINT), CAST(n - least(n, 100) AS BIGINT)
           |FROM t
+          |ORDER BY grp, topic""".stripMargin,
+      "log_tvf_members" ->
+        // range assignor replay: sorted topics cut into ceil(T/2) blocks,
+        // member j owns block j (both operands non-negative, so // == DIV)
+        """WITH t AS (
+          |  SELECT event_type AS topic, count(*) AS n
+          |  FROM events WHERE event_id < 600 GROUP BY 1),
+          |r AS (SELECT topic, n,
+          |    row_number() OVER (ORDER BY topic) - 1 AS idx,
+          |    count(*) OVER () AS tc
+          |  FROM t),
+          |m AS (SELECT topic, n,
+          |    concat('member-', CAST(idx // ((tc + 1) // 2) AS VARCHAR)) AS member
+          |  FROM r)
+          |SELECT 'g_all' AS grp, member, topic, CAST(n AS BIGINT) AS committed,
+          |  CAST(n AS BIGINT) AS end_offset, CAST(0 AS BIGINT) AS lag_entries
+          |FROM m
+          |UNION ALL
+          |SELECT 'g_cap' AS grp, member, topic, CAST(least(n, 100) AS BIGINT),
+          |  CAST(n AS BIGINT), CAST(n - least(n, 100) AS BIGINT)
+          |FROM m
           |ORDER BY grp, topic""".stripMargin,
       "sim_ivf_multiprobe" -> {
         val cells = (0 until 8).map { cIdx =>
