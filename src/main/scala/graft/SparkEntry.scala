@@ -4162,6 +4162,19 @@ object SparkEntry {
           decode(col("value"), "UTF-8").as("value_str"))
         .orderBy("entry_offset")
     }),
+    "log_time_tail" -> ((s, dir) => {
+      // "newest k entries by time" through pushed TopN on ts_us: ingest
+      // commits are POINTS in time, so planning keeps only the newest
+      // commits whose row counts reach k (the time-domain twin of the
+      // offset tail). Rows tie within the boundary commit (all entries
+      // share its ts), so the DETERMINISTIC surface is the ts multiset —
+      // aggregate the tail by ts_us.
+      val log = timesLog(s, dir)
+      val tail = s.read.format("walruslog").option("path", log.root).load()
+        .orderBy(col("ts_us").desc).limit(400)
+      tail.groupBy("ts_us").agg(count(lit(1)).as("n"))
+        .orderBy(col("ts_us").desc)
+    }),
     "log_ts_agg_metadata" -> ((s, dir) => {
       // MIN/MAX(ts_us) in the metadata-answered aggregate set: per-topic
       // ts bounds make the answer exact even ACROSS the compaction commit
@@ -7222,6 +7235,15 @@ object SparkEntry {
           |SELECT CAST(off AS BIGINT) AS entry_offset, props AS value_str
           |FROM o WHERE topic = 'purchase' AND ci >= 2
           |ORDER BY entry_offset""".stripMargin,
+      "log_time_tail" ->
+        // commits at T0 + (event_id % 3) hours; top-400 by ts, then the
+        // deterministic ts multiset (boundary-commit rows tie on ts)
+        s"""WITH e AS (SELECT
+           |    (${FixedTs.getTime} + (event_id % 3) * 3600000) * 1000 AS ts_us
+           |  FROM events),
+           |tail AS (SELECT ts_us FROM e ORDER BY ts_us DESC LIMIT 400)
+           |SELECT CAST(ts_us AS BIGINT) AS ts_us, count(*) AS n
+           |FROM tail GROUP BY 1 ORDER BY ts_us DESC""".stripMargin,
       "log_ts_agg_metadata" ->
         // per-topic entry ts = T0 + (event_id % 3) hours, in micros; the
         // fixture constant is interpolated from FixedTs, never hand-copied

@@ -621,7 +621,7 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
       private var aggPushed: Option[(Boolean, Seq[String])] = None
       private var limitPushed: Option[Int] = None
       private var limitFromTail: Boolean = false
-      private var limitOrdered: Boolean = false
+      private var limitOrderCol: Option[String] = None
       override def pruneColumns(requiredSchema: StructType): Unit =
         // once an aggregate is pushed, the read schema IS the aggregate
         // output — later pruning calls must not narrow it
@@ -724,30 +724,38 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
       }
       override def isPartiallyPushed(): Boolean = true
 
-      /** TopN pushdown — the "head/tail a topic" path. Offsets are
-        * PER-TOPIC counters that ascend with commit id, so each topic's
-        * `ORDER BY offset ASC LIMIT k` candidates live in that topic's own
-        * commit prefix (DESC: suffix) — tailing the last k entries of an
-        * arbitrarily old log opens a handful of files. The planner trims
+      /** TopN pushdown — the "head/tail a log" paths, both PARTIAL (Spark
+        * still runs its TopN over the surviving rows, so interleaving and
+        * exact order stay correct) and only on a bounds-free spec, like
+        * the limit.
+        *
+        * `ORDER BY offset`: offsets are PER-TOPIC counters that ascend
+        * with commit id, so each topic's ASC top-k candidates live in that
+        * topic's own commit prefix (DESC: suffix) — the planner trims
         * commits PER TOPIC (a global-prefix trim would silently drop
-        * another topic's low offsets — ADVICE r8). PARTIAL push (Spark
-        * still runs its TopN over the surviving rows, so cross-topic
-        * interleaving and exact order stay correct); only on a
-        * bounds-free spec, like the limit. */
+        * another topic's low offsets — ADVICE r8).
+        *
+        * `ORDER BY ts_us`: every ingest commit is a POINT in time (all
+        * entries share the commit ts), so "the newest k entries by time"
+        * is covered by the commits with the largest ts whose surviving
+        * row counts reach k — tail-by-time over an arbitrarily old log
+        * opens a handful of files (the time-domain twin of the offset
+        * tail, riding the r9 per-commit ts bounds). */
       override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
           limit: Int): Boolean = {
         import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
         val boundsFree =
           prune.offsetMin == Long.MinValue && prune.offsetMax == Long.MaxValue &&
             prune.tsUsMin == Long.MinValue && prune.tsUsMax == Long.MaxValue
-        val onOffset = orders.length == 1 && (orders(0).expression() match {
-          case r: NamedReference =>
-            r.fieldNames.length == 1 && r.fieldNames()(0) == "offset"
-          case _ => false
-        })
-        if (boundsFree && onOffset && limit > 0) {
+        val orderCol = if (orders.length != 1) None
+        else orders(0).expression() match {
+          case r: NamedReference if r.fieldNames.length == 1 &&
+              Set("offset", "ts_us")(r.fieldNames()(0)) => Some(r.fieldNames()(0))
+          case _ => None
+        }
+        if (boundsFree && orderCol.isDefined && limit > 0) {
           limitPushed = Some(limit)
-          limitOrdered = true
+          limitOrderCol = orderCol
           limitFromTail = orders(0).direction() == SortDirection.DESCENDING
           true
         } else false
@@ -758,7 +766,7 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
           WalrusAggRowsScan.fromMetadata(nsDir, options, prune, byTopic, cols)
         case None =>
           new WalrusLogScan(nsDir, options, required, prune, limitPushed,
-            limitFromTail, limitOrdered)
+            limitFromTail, limitOrderCol)
       }
     }
 }
@@ -767,7 +775,7 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     required: StructType,
     prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec(),
     limit: Option[Int] = None, limitFromTail: Boolean = false,
-    limitOrdered: Boolean = false)
+    limitOrderCol: Option[String] = None)
     extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -920,13 +928,17 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     * on offset: offsets are PER-TOPIC counters, so trimming must cover n
     * rows for EVERY surviving topic independently — a topic registered
     * late still starts at offset 0, so its ASC top-n candidates sit in
-    * ITS first commits, not the log's (ADVICE r8). Two safety bail-outs
-    * (return the full list — pure IO give-up, Spark applies the
-    * LIMIT/TopN either way): a live compaction commit breaks the
-    * offsets-ascend-with-commit-id invariant TopN trimming rests on (it
-    * carries OLD offsets at a NEW id), and offset/ts bounds arriving via
-    * runtime filtering would make metadata row counts overcount what the
-    * scan actually delivers. */
+    * ITS first commits, not the log's (ADVICE r8). TopN on ts_us: every
+    * ingest commit is a POINT in time, so walking commits by that ts
+    * (desc for the tail) until surviving row counts reach n delivers a
+    * superset whose top-n ts multiset equals the true one — boundary
+    * ties are safe because every kept row's ts ≥ every excluded row's
+    * ts. Safety bail-outs (return the full list — pure IO give-up,
+    * Spark applies the LIMIT/TopN either way): a live compaction commit
+    * breaks BOTH trimming invariants (it carries OLD offsets — and a ts
+    * RANGE — at a NEW id), and offset/ts bounds arriving via runtime
+    * filtering would make metadata row counts overcount what the scan
+    * actually delivers. */
   private def limitPrefix(commits: Seq[(CommitRecord, Boolean)],
       spec: WalrusLogSource.PruneSpec): Seq[(CommitRecord, Boolean)] =
     limit match {
@@ -935,7 +947,7 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
           spec.offsetMax != Long.MaxValue ||
           spec.tsUsMin != Long.MinValue ||
           spec.tsUsMax != Long.MaxValue => commits
-      case Some(n) if !limitOrdered =>
+      case Some(n) if limitOrderCol.isEmpty =>
         var covered = 0L
         commits.takeWhile { case (c, flagged) =>
           val take = covered < n
@@ -945,28 +957,47 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
             }.sum
           take
         }
-      case Some(n) =>
-        if (commits.exists { case (c, flagged) =>
-            !flagged && c.replaces.exists(_.nonEmpty) }) commits
-        else {
-          val covered = scala.collection.mutable.Map.empty[String, Long]
-          // DESC TopN reads each topic's newest commits first: walk the
-          // suffix (per-topic offsets ascend with commit id)
-          val ordered = if (limitFromTail) commits.reverse else commits
-          val kept = ordered.filter { case (c, flagged) =>
-            if (flagged) false // data reclaimed: delivers nothing
-            else {
-              val mine = c.topics.iterator
-                .filter { case (t, _) => spec.topicMatches(t) }.toSeq
-              val need = mine.exists { case (t, _) =>
-                covered.getOrElse(t, 0L) < n }
-              if (need) mine.foreach { case (t, r) =>
-                covered(t) = covered.getOrElse(t, 0L) + (r.end - r.start) }
-              need
-            }
+      case Some(_) if commits.exists { case (c, flagged) =>
+          !flagged && c.replaces.exists(_.nonEmpty) } => commits
+      case Some(n) if limitOrderCol.contains("offset") =>
+        val covered = scala.collection.mutable.Map.empty[String, Long]
+        // DESC TopN reads each topic's newest commits first: walk the
+        // suffix (per-topic offsets ascend with commit id)
+        val ordered = if (limitFromTail) commits.reverse else commits
+        val kept = ordered.filter { case (c, flagged) =>
+          if (flagged) false // data reclaimed: delivers nothing
+          else {
+            val mine = c.topics.iterator
+              .filter { case (t, _) => spec.topicMatches(t) }.toSeq
+            val need = mine.exists { case (t, _) =>
+              covered.getOrElse(t, 0L) < n }
+            if (need) mine.foreach { case (t, r) =>
+              covered(t) = covered.getOrElse(t, 0L) + (r.end - r.start) }
+            need
           }
-          if (limitFromTail) kept.reverse else kept
         }
+        if (limitFromTail) kept.reverse else kept
+      case Some(n) => // limitOrderCol = Some("ts_us"); no live compactions
+        val keyed = commits.filter(!_._2).map { e =>
+          // point ts of an ingest commit: the recorded bound, or the
+          // commit instant for pre-bounds records (same value — every
+          // entry carries ts_us = tsMillis·1000)
+          val ts = e._1.topics.valuesIterator.flatMap(_.tsUsMin).nextOption()
+            .getOrElse(e._1.tsMillis * 1000L)
+          (e, ts)
+        }
+        val ordered =
+          if (limitFromTail) keyed.sortBy { case (_, ts) => -ts }
+          else keyed.sortBy { case (_, ts) => ts }
+        var covered = 0L
+        val kept = ordered.takeWhile { case ((c, _), _) =>
+          val take = covered < n
+          if (take) covered += c.topics.iterator.collect {
+            case (t, r) if spec.topicMatches(t) => r.end - r.start
+          }.sum
+          take
+        }.map(_._1)
+        kept.sortBy(_._1.id) // deterministic planning order
     }
 
   override def toBatch: Batch = new Batch {

@@ -1095,6 +1095,36 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts <= 2, s"expected a trimmed tail, planned $parts partitions")
   }
 
+  test("TopN on ts_us: tail-by-time opens only the newest commits") {
+    val root = Files.createTempDirectory("plan-topn-ts-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    val t0 = 1704067200000L
+    (0 until 6).foreach { i =>
+      log.appendDF(
+        spark.createDataFrame((0 until 10).map(j => ("t", s"v$i$j".getBytes("UTF-8"))))
+          .toDF("topic", "value"),
+        ingestTs = new java.sql.Timestamp(t0 + i * 60000L))
+    }
+    val df = spark.read.format("walruslog").option("path", root).load()
+    val tail = df.orderBy(col("offset").desc).limit(1) // warm nothing; real probe below
+    tail.collect()
+    val q = df.orderBy(col("ts_us").desc).limit(15)
+    val got = q.collect().map(_.getAs[Long]("ts_us")).sorted.reverse.toSeq
+    // true top-15 by time: all 10 rows of the newest commit + 5 of the next
+    assert(got.count(_ == (t0 + 5 * 60000L) * 1000L) == 10 &&
+      got.count(_ == (t0 + 4 * 60000L) * 1000L) == 5, got.mkString(","))
+    val parts = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }.sum
+    assert(parts == 2, s"expected the 2 newest commits planned, got $parts")
+    // ASC head-by-time mirrors
+    val head = df.orderBy(col("ts_us").asc).limit(15)
+    val hgot = head.collect().map(_.getAs[Long]("ts_us")).sorted.toSeq
+    assert(hgot.count(_ == t0 * 1000L) == 10 &&
+      hgot.count(_ == (t0 + 60000L) * 1000L) == 5, hgot.mkString(","))
+  }
+
   test("TopN pushdown disables trimming on a compacted log (old offsets at new commit ids)") {
     val root = Files.createTempDirectory("plan-topn-cp-").toString
     val log = new graft.log.WalrusLog(spark, root)
@@ -1111,5 +1141,17 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     val desc = df.orderBy(col("offset").desc).limit(3)
       .collect().map(_.getAs[Long]("offset")).toSeq
     assert(desc == Seq(15L, 14L, 13L), desc.toString)
+    // ts-TopN also yields here: the compaction commit is a ts RANGE, not a
+    // point, so trimming is disabled — every live partition plans
+    def parts(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.sum
+    }
+    val all = parts(df.select("ts_us"))
+    assert(parts(df.orderBy(col("ts_us").asc).limit(3)) == all,
+      "compacted log must not trim a ts-ordered TopN")
   }
 }
