@@ -4211,6 +4211,42 @@ object SparkEntry {
       s.sql(s"""SELECT grp, topic, committed, end_offset, lag_entries
                |FROM walrus_groups('$root') ORDER BY grp, topic""".stripMargin)
     }),
+    "log_call_procedures" -> ((s, dir) => {
+      // the maintenance surface as SQL stored procedures (Spark 4
+      // ProcedureCatalog): snapshot → compact → time-retention vacuum,
+      // each CALL returning its outcome rows — the whole admin lifecycle
+      // without leaving SQL. Deterministic: 2 ingest commits → compaction
+      // id 2; a far-future cutoff reclaims exactly the compaction batch;
+      // reads then see zero rows (storage-only reclamation).
+      val root = Files.createTempDirectory("graft-proc-").toString
+      val log = new WalrusLog(s, root)
+      val ev = events(s, dir).where(col("event_id") < 300)
+      (0 until 2).foreach { i =>
+        log.appendDF(ev.where(col("event_id") % 2 === i).select(
+          col("event_type").as("topic"),
+          encode(col("props"), "UTF-8").as("value"),
+          col("event_id").as("_seq")), Some(col("_seq")), FixedTs)
+      }
+      val c = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
+      c.conf.set("spark.sql.catalog.graftwal", "graft.sources.WalrusCatalog")
+      c.conf.set("spark.sql.catalog.graftwal.root", root)
+      val snapRows = c.sql("CALL graftwal.default.snapshot_manifest()").count()
+      val newId = c.sql("CALL graftwal.default.compact(1073741824)")
+        .head.getLong(0)
+      val nReclaimed = c.sql(
+        s"CALL graftwal.default.vacuum_older_than(${System.currentTimeMillis() + 86400000L})")
+        .count()
+      val remaining = s.read.format("walruslog").option("path", root).load().count()
+      val rows = Seq(
+        Row("compacted_batch_id", newId),
+        Row("n_reclaimed", nReclaimed),
+        Row("snapshot_rows", snapRows),
+        Row("visible_rows_after", remaining))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("step", StringType),
+          StructField("v", LongType))))
+        .orderBy("step")
+    }),
     "log_tvf_members" -> ((s, dir) => {
       // the per-MEMBER half of DESCRIBE GROUPS (VERDICT r8 stretch): each
       // group's topics dealt to 2 members by the deterministic range
@@ -7263,6 +7299,18 @@ object SparkEntry {
           |  CAST(n AS BIGINT), CAST(n - least(n, 100) AS BIGINT)
           |FROM t
           |ORDER BY grp, topic""".stripMargin,
+      "log_call_procedures" ->
+        // lifecycle twin: 2 ingest commits (ids 0, 1) → compaction id 2;
+        // retention reclaims that one batch; snapshot saw one row per
+        // (commit, topic) pair before compaction
+        """WITH t AS (
+          |  SELECT DISTINCT event_type FROM events WHERE event_id < 300)
+          |SELECT 'compacted_batch_id' AS step, CAST(2 AS BIGINT) AS v
+          |UNION ALL SELECT 'n_reclaimed', CAST(1 AS BIGINT)
+          |UNION ALL SELECT 'snapshot_rows',
+          |  (SELECT CAST(2 * count(*) AS BIGINT) FROM t)
+          |UNION ALL SELECT 'visible_rows_after', CAST(0 AS BIGINT)
+          |ORDER BY step""".stripMargin,
       "log_tvf_members" ->
         // range assignor replay: sorted topics cut into ceil(T/2) blocks,
         // member j owns block j (both operands non-negative, so // == DIV)

@@ -48,7 +48,8 @@ import graft.log.WalrusLog
   * entries (same stance as the batch writer's Overwrite rejection —
   * retention/vacuum are the deletion surface); `ALTER`/`RENAME` are
   * rejected (entry schema is fixed, topic identity is baked into paths). */
-class WalrusCatalog extends TableCatalog with SupportsNamespaces {
+class WalrusCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -218,6 +219,114 @@ class WalrusCatalog extends TableCatalog with SupportsNamespaces {
     if (!tableExists(ident)) false
     else new WalrusLog(org.apache.spark.sql.SparkSession.active, root,
       ident.namespace.head).unregisterTopic(ident.name)
+
+  // ------------------------------------------------- stored procedures
+  // The maintenance surface as SQL (`CALL wal.<ns>.<proc>(...)`) — the
+  // Iceberg-procedures shape for the engine's reclamation/compaction ops
+  // (reference: allocator.rs:188-342 reclamation; compaction = the 1 GB
+  // file-target consolidation, src/wal/paths.rs:46-62). Each CALL returns
+  // its outcome as rows (reclaimed batch ids / the new batch id / the
+  // snapshot manifest), so admin scripts stay in SQL end to end.
+  // SHOW PROCEDURES / DESCRIBE PROCEDURE work through the same interface.
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  /** Procedure output must be a [[org.apache.spark.sql.connector.read.LocalScan]]
+    * (driver-side rows) per the CALL contract — these results ARE driver
+    * metadata (reclaimed ids, manifest rows), so local is the right shape. */
+  private class ProcResultScan(schema: StructType, data: Seq[Seq[Any]])
+      extends org.apache.spark.sql.connector.read.LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+      data.map { vals =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          vals.zip(schema.fields).map {
+            case (s: String, f) if f.dataType == org.apache.spark.sql.types.StringType =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case (v, _) => v.asInstanceOf[AnyRef]
+          }.toArray[Any])
+      }.toArray
+  }
+
+  /** One self-binding procedure (parameters are static; bind = identity). */
+  private abstract class Proc(procName: String, desc: String,
+      params: Array[ProcedureParameter]) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false // mutates log state
+    protected def result(scan: Scan): java.util.Iterator[Scan] =
+      java.util.Collections.singletonList(scan).iterator()
+    protected def ids(values: Seq[Long], col: String): Scan =
+      new ProcResultScan(
+        StructType(Seq(StructField(col, LongType, nullable = false))),
+        values.map(v => Seq(java.lang.Long.valueOf(v))))
+  }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    nsDir(ident.namespace()) // validates single-level namespaces
+    def log = new WalrusLog(org.apache.spark.sql.SparkSession.active, root,
+      ident.namespace().head)
+    ident.name() match {
+      case "vacuum" => new Proc("vacuum",
+          "reclaim batches fully consumed by every consumer group; " +
+            "returns reclaimed batch ids", Array.empty) {
+        override def call(input: org.apache.spark.sql.catalyst.InternalRow) =
+          result(ids(log.vacuum(), "reclaimed_batch_id"))
+      }
+      case "vacuum_older_than" => new Proc("vacuum_older_than",
+          "time retention: reclaim batches committed before cutoff_ms; " +
+            "returns reclaimed batch ids",
+          Array(ProcedureParameter.in("cutoff_ms", LongType).build())) {
+        override def call(input: org.apache.spark.sql.catalyst.InternalRow) =
+          result(ids(log.vacuumOlderThan(input.getLong(0)), "reclaimed_batch_id"))
+      }
+      case "vacuum_to_bytes" => new Proc("vacuum_to_bytes",
+          "size retention: keep at least max_topic_bytes per topic; " +
+            "returns reclaimed batch ids",
+          Array(ProcedureParameter.in("max_topic_bytes", LongType).build())) {
+        override def call(input: org.apache.spark.sql.catalyst.InternalRow) =
+          result(ids(log.vacuumToBytes(input.getLong(0)), "reclaimed_batch_id"))
+      }
+      case "compact" => new Proc("compact",
+          "rewrite visible batches into one batch of ~target_file_bytes " +
+            "files; returns the new batch id (no row if < 2 batches)",
+          Array(ProcedureParameter.in("target_file_bytes", LongType).build())) {
+        override def call(input: org.apache.spark.sql.catalyst.InternalRow) =
+          result(ids(log.compact(input.getLong(0)).toSeq, "new_batch_id"))
+      }
+      case "snapshot_manifest" => new Proc("snapshot_manifest",
+          "consistent per-commit topic ranges of every visible batch " +
+            "(metadata only; the export/backup surface)", Array.empty) {
+        override def call(input: org.apache.spark.sql.catalyst.InternalRow) =
+          result(new ProcResultScan(
+            StructType(Seq(
+              StructField("batch_seq", LongType, nullable = false),
+              StructField("topic", StringType, nullable = false),
+              StructField("start_offset", LongType, nullable = false),
+              StructField("end_offset", LongType, nullable = false),
+              StructField("bytes", LongType, nullable = false))),
+            log.snapshotManifest().map { case (seq, t, r) =>
+              Seq(java.lang.Long.valueOf(seq), t,
+                java.lang.Long.valueOf(r.start), java.lang.Long.valueOf(r.end),
+                java.lang.Long.valueOf(r.bytes))
+            }))
+      }
+      case other => throw new RuntimeException(
+        s"undefined procedure: $catalogName.${ident.namespace().mkString(".")}.$other " +
+          "(defined: compact, snapshot_manifest, vacuum, vacuum_older_than, " +
+          "vacuum_to_bytes)")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    nsDir(namespace)
+    Array("compact", "snapshot_manifest", "vacuum", "vacuum_older_than",
+      "vacuum_to_bytes").map(Identifier.of(namespace, _))
+  }
 
   override def toString: String = s"WalrusCatalog($catalogName -> $root)"
 }

@@ -154,6 +154,49 @@ class WalrusCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getString(1)).toSet == Set("t"))
   }
 
+  test("CALL procedures: compact / vacuum / retention / snapshot as SQL, with result rows") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS wal.proc")
+    val log = new WalrusLog(spark, root, "proc")
+    log.batchAppend("t", (0 until 3).map(i => bytes(s"a$i")))
+    log.batchAppend("t", (0 until 2).map(i => bytes(s"b$i")))
+    log.batchAppend("u", (0 until 4).map(i => bytes(s"c$i")))
+    // SHOW PROCEDURES surfaces the maintenance set
+    val procs = spark.sql("SHOW PROCEDURES IN wal.proc").collect()
+      .map(_.getAs[String]("procedure_name")).toSet
+    assert(procs == Set("compact", "snapshot_manifest", "vacuum",
+      "vacuum_older_than", "vacuum_to_bytes"), procs.toString)
+    // snapshot: per-commit ranges as rows
+    val snap = spark.sql("CALL wal.proc.snapshot_manifest()").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(snap.toSeq == Seq((1L, "t", 0L, 3L), (2L, "t", 3L, 5L), (3L, "u", 0L, 4L)),
+      snap.mkString(","))
+    // compact: returns the new batch id; reads unchanged
+    val newId = spark.sql("CALL wal.proc.compact(1073741824)").collect()
+    assert(newId.map(_.getLong(0)).toSeq == Seq(3L), newId.mkString(","))
+    assert(spark.sql("SELECT count(*) FROM wal.proc.t").head.getLong(0) == 5L)
+    // time retention: reclaim everything committed before the far future
+    val reclaimed = spark.sql(
+      s"CALL wal.proc.vacuum_older_than(${System.currentTimeMillis() + 86400000L})")
+      .collect().map(_.getLong(0)).toSeq
+    assert(reclaimed == Seq(3L), s"expected the compaction batch reclaimed: $reclaimed")
+    assert(spark.sql("SELECT count(*) FROM wal.proc.t").head.getLong(0) == 0L)
+    // offsets survive (storage-only semantics): fresh appends continue —
+    // through a RE-OPENED instance (the CALLs committed via their own log
+    // instances; the stale one must re-open to observe, by design)
+    new WalrusLog(spark, root, "proc").batchAppend("t", Seq(bytes("d0")))
+    assert(spark.sql("SELECT max(offset) FROM wal.proc.t").head.getLong(0) == 5L)
+    // consumption-based vacuum via CALL: nothing consumed -> nothing reclaimed
+    assert(spark.sql("CALL wal.proc.vacuum()").collect().isEmpty)
+    // an unknown procedure is an explicit error (Spark wraps the
+    // catalog's message in FAILED_TO_LOAD_ROUTINE)
+    val err = intercept[Exception] { spark.sql("CALL wal.proc.nope()").collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(m => m.contains("undefined procedure") ||
+      m.contains("FAILED_TO_LOAD_ROUTINE")), msgs(err).mkString(" | "))
+  }
+
   test("namespace DDL: create, list, non-empty drop refused without cascade") {
     spark.sql("CREATE NAMESPACE wal.scratch")
     assert(spark.sql("SHOW NAMESPACES IN wal").collect()
