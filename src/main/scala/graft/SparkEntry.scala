@@ -3919,6 +3919,52 @@ object SparkEntry {
         .select("source", "tok", "tf", "df", "idf_milli", "score_milli", "rnk")
         .orderBy("source", "rnk")
     }),
+    "text_bm25_topk" -> ((s, dir) => {
+      // BM25 retrieval (the lexical-search scorer TF-IDF approximates)
+      // with integer-exact cross-engine math: k1 = 6/5, b = 3/4 make the
+      // per-term score idf·(k1+1)·tf / (tf + k1·(1−b+b·len/avgdl)) a
+      // ratio of EXACT integers after scaling by 10·T (T = corpus token
+      // count, N = docs, avgdl = T/N):
+      //   idf_milli · 22·tf·T / (10·tf·T + 3·T + 9·len·N)
+      // idf = ln((N+1)/(df+0.5)) in integer millinats; each term's score
+      // is quantized to integer MICRO-units before the per-doc sum, so
+      // addition order can't change the result. The 3 query terms are
+      // derived deterministically (most document-frequent tokens with
+      // df ≤ N/2, ties by token) — self-contained at any SF. Plan: one
+      // explode, three keyed aggregations, then a BROADCAST of the 3-term
+      // query set and the 1-row totals — the corpus side never shuffles
+      // more than its (doc, tok) aggregation, the textbook distributed
+      // BM25 shape.
+      val docs = table(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val dfreq = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val nT = docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(toks.agg(count(lit(1)).as("t_tokens")))
+      val qterms = dfreq.crossJoin(broadcast(nT.select("n_docs")))
+        .where(col("df") * 2 <= col("n_docs"))
+        .orderBy(col("df").desc, col("tok").asc).limit(3)
+        .select("tok", "df")
+      val scored = tf.join(broadcast(qterms), "tok")
+        .join(dlen, "doc_id")
+        .crossJoin(broadcast(nT))
+        .withColumn("idf_milli", TextOps.milliLn(
+          (col("n_docs").cast("double") + lit(1.0)) /
+            (col("df").cast("double") + lit(0.5))))
+        .withColumn("num",
+          col("idf_milli") * lit(22L) * col("tf") * col("t_tokens"))
+        .withColumn("den", lit(10L) * col("tf") * col("t_tokens") +
+          lit(3L) * col("t_tokens") + lit(9L) * col("len") * col("n_docs"))
+        .withColumn("term_mu",
+          floor(col("num").cast("double") / col("den").cast("double") *
+            lit(1e6) + lit(0.5)).cast("long"))
+      scored.groupBy("doc_id")
+        .agg(sum(col("term_mu")).as("score_mu"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score_mu").desc, col("doc_id").asc).limit(10)
+    }),
     "text_pmi_bigrams" -> ((s, dir) => {
       // collocation mining: corpus-wide PMI of adjacent word pairs,
       // ln((c_xy·N)/(c_x·c_y)) in integer millinats (exact integer products
@@ -8577,6 +8623,33 @@ object SparkEntry {
            |       WHEN (rep * ${graft.operators.Sharding.HashMul}) % 100 < 95 THEN 'val'
            |       ELSE 'test' END AS split
            |FROM r ORDER BY doc_id""".stripMargin,
+      "text_bm25_topk" ->
+        // BM25 twin: identical integer scaling (k1=6/5, b=3/4 → score =
+        // idf_milli·22·tf·T / (10·tf·T + 3·T + 9·len·N)), same milliLn
+        // idf, same micro-unit per-term quantization before the doc sum
+        s"""WITH tok AS (
+           |  SELECT doc_id,
+           |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+           |  FROM documents),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dlen AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+           |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+           |nt AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+           |    (SELECT count(*) FROM tok) AS t_tokens),
+           |q AS (SELECT tok, df FROM dfq, nt WHERE df * 2 <= n_docs
+           |  ORDER BY df DESC, tok ASC LIMIT 3),
+           |sc AS (SELECT tf.doc_id, tf.tf, q.df, dlen.len, nt.n_docs, nt.t_tokens,
+           |    ${TextOps.milliLnSql("(n_docs + 1.0) / (df + 0.5)")} AS idf_milli
+           |  FROM tf JOIN q USING (tok) JOIN dlen USING (doc_id), nt),
+           |mu AS (SELECT doc_id,
+           |    CAST(floor(CAST(idf_milli * 22 * tf * t_tokens AS DOUBLE) /
+           |      CAST(10 * tf * t_tokens + 3 * t_tokens + 9 * len * n_docs AS DOUBLE)
+           |      * 1000000 + 0.5) AS BIGINT) AS term_mu
+           |  FROM sc)
+           |SELECT doc_id, CAST(sum(term_mu) AS BIGINT) AS score_mu,
+           |  count(*) AS n_terms
+           |FROM mu GROUP BY 1
+           |ORDER BY score_mu DESC, doc_id ASC LIMIT 10""".stripMargin,
       "text_tfidf_topk" ->
         s"""WITH tok AS (
           |  SELECT source, doc_id,
