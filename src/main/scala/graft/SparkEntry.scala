@@ -1708,6 +1708,26 @@ object SparkEntry {
           StructField("cnt", LongType))))
         .orderBy("topic")
     }),
+    "stream_start_timestamp" -> ((s, dir) => {
+      // Kafka startingTimestamp parity: a FRESH stream positioned by time,
+      // resolved from commit metadata (the r9 per-topic ts bounds — no
+      // data IO however old the log). timesLog's commits land at T0/+1h/
+      // +2h; starting at T0+1h skips commit 0 entirely — per-topic counts
+      // and min offsets prove position, not filtering (offsets continue
+      // across commits).
+      val log = timesLog(s, dir)
+      val rows = runStreamToMemory(s,
+        graft.streaming.WalrusStreams.readStream(s, log.root,
+            startingTimestampMs = Some(FixedTs.getTime + 3600L * 1000L))
+          .groupBy("topic").agg(count(lit(1)).as("n"),
+            min("offset").as("first_offset")),
+        "complete")(_.orderBy("topic").collect().toSeq)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("n", LongType),
+          StructField("first_offset", LongType))))
+        .orderBy("topic")
+    }),
     "log_consumer_lag" -> ((s, dir) => {
       // Consumer-group admin dump (D3's shared cursors + R5 consistency
       // surface): two groups consume through the checkpointed read path —
@@ -7210,6 +7230,15 @@ object SparkEntry {
           |ORDER BY grp, topic""".stripMargin,
       "stream_topic_counts" ->
         "SELECT event_type AS topic, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "stream_start_timestamp" ->
+        // commits at T0 + ci hours; starting at T0+1h keeps ci >= 1; the
+        // first delivered offset per topic = that topic's ci==0 row count
+        // (offsets continue across commits)
+        """WITH e AS (SELECT event_type AS topic, event_id % 3 AS ci FROM events)
+          |SELECT topic,
+          |  CAST(SUM(CASE WHEN ci >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+          |  CAST(SUM(CASE WHEN ci = 0 THEN 1 ELSE 0 END) AS BIGINT) AS first_offset
+          |FROM e GROUP BY 1 ORDER BY topic""".stripMargin,
       "log_runtime_pruned_join" ->
         """WITH d AS (SELECT * FROM (VALUES ('click', 1), ('purchase', 2)) AS t(name, boost))
           |SELECT event_type AS topic, CAST(boost AS BIGINT) AS boost, count(*) AS n

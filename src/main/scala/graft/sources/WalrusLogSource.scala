@@ -1014,7 +1014,8 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
         "(use spark.read.format(\"walruslog\") for as-of views)")
     new WalrusMicroBatchStream(nsDir, topic,
       Option(options.get("maxBatchesPerTrigger")).map(_.toInt), required, prune,
-      Option(options.get("realTimePartitions")).map(_.toInt).getOrElse(2))
+      Option(options.get("realTimePartitions")).map(_.toInt).getOrElse(2),
+      Option(options.get("startingTimestampMs")).map(_.toLong))
   }
 }
 
@@ -1050,7 +1051,8 @@ class WalrusMicroBatchStream(
     nsDir: Path, topic: Option[String], maxBatchesPerTrigger: Option[Int],
     required: StructType,
     prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec(),
-    rtPartitions: Int = 2)
+    rtPartitions: Int = 2,
+    startingTimestampMs: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with SupportsRealTimeMode {
 
@@ -1097,7 +1099,27 @@ class WalrusMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(commits.size.toLong)
 
-  override def initialOffset(): Offset = CommitIndexOffset(0L)
+  /** Fresh-start position. `startingTimestampMs` is the Kafka
+    * `startingTimestamp` analogue, resolved from COMMIT METADATA (the r9
+    * per-topic ts bounds — no data IO at any log age): the stream starts
+    * at the first commit whose entries can reach the probe. Commit-
+    * granular, which is EXACT for pure-ingest logs (every entry of a
+    * commit shares its instant); a compaction commit straddling the probe
+    * is delivered whole (lossless side). No qualifying commit → start at
+    * the live end, i.e. "only events from T onward". Only consulted on a
+    * fresh start: a checkpointed query resumes from its offsets. */
+  override def initialOffset(): Offset = CommitIndexOffset(
+    startingTimestampMs match {
+      case None => 0L
+      case Some(ms) =>
+        val probeUs = ms * 1000L
+        val all = commits
+        val i = all.indexWhere { case (c, flagged) =>
+          !flagged && c.topics.nonEmpty && c.topics.valuesIterator.map(r =>
+            r.tsUsMax.getOrElse(c.tsMillis * 1000L)).max >= probeUs
+        }
+        if (i < 0) all.size.toLong else i.toLong
+    })
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

@@ -48,11 +48,13 @@ object WalrusStreams {
   def readStream(
       spark: SparkSession, root: String, namespace: String = "default",
       topic: Option[String] = None,
-      maxBatchesPerTrigger: Option[Int] = None): DataFrame = {
+      maxBatchesPerTrigger: Option[Int] = None,
+      startingTimestampMs: Option[Long] = None): DataFrame = {
     var r = spark.readStream.format("walruslog")
       .option("path", root).option("namespace", namespace)
     topic.foreach(t => r = r.option("topic", t))
     maxBatchesPerTrigger.foreach(n => r = r.option("maxBatchesPerTrigger", n))
+    startingTimestampMs.foreach(ms => r = r.option("startingTimestampMs", ms))
     entryShape(r.load())
   }
 

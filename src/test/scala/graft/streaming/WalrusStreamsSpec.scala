@@ -719,6 +719,47 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("startingTimestampMs: a fresh stream starts at the first commit reaching the probe") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    val t0 = 1704067200000L
+    def one(v: String, tsMs: Long) = log.appendDF(
+      spark.createDataFrame(Seq(("t", v.getBytes("UTF-8")))).toDF("topic", "value"),
+      ingestTs = new java.sql.Timestamp(tsMs))
+    one("a", t0); one("b", t0 + 1000L); one("c", t0 + 2000L)
+    def drained(startMs: Option[Long]): Seq[String] = {
+      val qn = s"stamp${System.nanoTime()}"
+      val q = WalrusStreams.readStream(spark, root, startingTimestampMs = startMs)
+        .select(decode(col("value"), "UTF-8").as("v"))
+        .writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+      val rows = spark.sql(s"SELECT v FROM $qn").collect().map(_.getString(0)).sorted.toSeq
+      spark.catalog.dropTempView(qn)
+      rows
+    }
+    assert(drained(None) == Seq("a", "b", "c"))
+    assert(drained(Some(t0 + 1000L)) == Seq("b", "c"))
+    assert(drained(Some(t0 + 1500L)) == Seq("c")) // between commits: next one
+    // probe past everything: only FUTURE commits flow
+    val qn = s"stampfut${System.nanoTime()}"
+    val q = WalrusStreams.readStream(spark, root,
+        startingTimestampMs = Some(t0 + 999999000L))
+      .select(decode(col("value"), "UTF-8").as("v"))
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql(s"SELECT count(*) FROM $qn").head.getLong(0) == 0L)
+      one("d", t0 + 999999000L + 1000L)
+      q.processAllAvailable()
+      val got = spark.sql(s"SELECT v FROM $qn").collect().map(_.getString(0)).toSeq
+      assert(got == Seq("d"), got.mkString(","))
+    } finally q.stop()
+    spark.catalog.dropTempView(qn)
+  }
+
   test("readStream rejects asOfCommit (streams cannot time-travel)") {
     val root = tempRoot()
     val log = new WalrusLog(spark, root)
