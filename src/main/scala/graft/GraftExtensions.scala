@@ -133,6 +133,38 @@ object GraftExtensions {
     GraftSqlInternal.analyzedPlan(df)
   }
 
+  /** `walrus_commits(path)` — the commit log as a table (the Delta
+    * `DESCRIBE HISTORY` analogue): one row per tracked commit with its
+    * instant, aggregate row/byte footprint, epoch tag, and lifecycle
+    * flags. Same snapshot-at-plan, metadata-only semantics as the other
+    * admin TVFs. */
+  private[graft] def walrusCommitsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1, "walrus_commits expects (path)")
+    require(exprs.head.foldable && exprs.head.eval() != null,
+      "walrus_commits: path must be a constant string")
+    val spark = SparkSession.active
+    val log = new graft.log.WalrusLog(spark, String.valueOf(exprs.head.eval()))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = log.commitHistory.map {
+      case (id, tsMs, nTopics, nRows, bytes, tag, nReplaces, vac, repl) =>
+        Row(id, tsMs, nTopics.toLong, nRows, bytes, tag.orNull,
+          nReplaces.toLong, vac, repl)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("commit_id", LongType),
+        StructField("ts_ms", LongType),
+        StructField("n_topics", LongType),
+        StructField("n_rows", LongType),
+        StructField("bytes", LongType),
+        StructField("tag", StringType),
+        StructField("n_replaces", LongType),
+        StructField("vacuumed", BooleanType),
+        StructField("replaced", BooleanType))))
+    GraftSqlInternal.analyzedPlan(df)
+  }
+
   /** Runtime registration of the TVFs on a live session (the extensions
     * path below covers sessions built with spark.sql.extensions). */
   def registerWalrusLogTvf(spark: SparkSession): Unit = {
@@ -140,6 +172,7 @@ object GraftExtensions {
     GraftSqlInternal.registerTableFunction(spark, "walrus_topics", walrusTopicsPlan)
     GraftSqlInternal.registerTableFunction(spark, "walrus_groups", walrusGroupsPlan)
     GraftSqlInternal.registerTableFunction(spark, "walrus_members", walrusMembersPlan)
+    GraftSqlInternal.registerTableFunction(spark, "walrus_commits", walrusCommitsPlan)
   }
 
   /** Runtime registration of the manual bloom-filter function pair
@@ -240,6 +273,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(path, group, n_members) - per-member topic assignment + lag " +
           "of one consumer group (range assignor)."),
       GraftExtensions.walrusMembersPlan _))
+    ext.injectTableFunction((FunctionIdentifier("walrus_commits"),
+      info("walrus_commits",
+        "_FUNC_(path) - the commit log as a table (DESCRIBE HISTORY): " +
+          "instant, rows, bytes, tag, lifecycle flags per commit."),
+      GraftExtensions.walrusCommitsPlan _))
     ext.injectFunction((FunctionIdentifier("pq_code"),
       info("pq_code",
         "_FUNC_(vec, subspaces, subCentroids, subDim, basePlane) - packed PQ code in one fused pass."),

@@ -4277,6 +4277,18 @@ object SparkEntry {
       s.sql(s"""SELECT grp, topic, committed, end_offset, lag_entries
                |FROM walrus_groups('$root') ORDER BY grp, topic""".stripMargin)
     }),
+    "log_tvf_commits" -> ((s, dir) => {
+      // DESCRIBE HISTORY as SQL: the commit log itself as rows (instant,
+      // per-commit row/byte footprint, tag, lifecycle flags) — the
+      // Delta-history analogue over the times fixture's three commits.
+      // Pure metadata at any log size.
+      val log = timesLog(s, dir)
+      GraftExtensions.registerWalrusLogTvf(s)
+      s.sql(
+        s"""SELECT commit_id, ts_ms, n_topics, n_rows, bytes, tag,
+           |  n_replaces, vacuumed, replaced
+           |FROM walrus_commits('${log.root}') ORDER BY commit_id""".stripMargin)
+    }),
     "log_call_procedures" -> ((s, dir) => {
       // the maintenance surface as SQL stored procedures (Spark 4
       // ProcedureCatalog): snapshot → compact → time-retention vacuum,
@@ -7374,6 +7386,19 @@ object SparkEntry {
           |  CAST(n AS BIGINT), CAST(n - least(n, 100) AS BIGINT)
           |FROM t
           |ORDER BY grp, topic""".stripMargin,
+      "log_tvf_commits" ->
+        // history twin: commit i holds event_id % 3 == i at T0 + i hours
+        s"""WITH e AS (SELECT event_id % 3 AS ci, event_type,
+           |    length(props) AS b FROM events)
+           |SELECT CAST(ci AS BIGINT) AS commit_id,
+           |  CAST(${FixedTs.getTime} + ci * 3600000 AS BIGINT) AS ts_ms,
+           |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_topics,
+           |  count(*) AS n_rows,
+           |  CAST(sum(b) AS BIGINT) AS bytes,
+           |  CAST(NULL AS VARCHAR) AS tag,
+           |  CAST(0 AS BIGINT) AS n_replaces,
+           |  false AS vacuumed, false AS replaced
+           |FROM e GROUP BY ci ORDER BY commit_id""".stripMargin,
       "log_call_procedures" ->
         // lifecycle twin: 2 ingest commits (ids 0, 1) → compaction id 2;
         // retention reclaims that one batch; snapshot saw one row per

@@ -968,6 +968,23 @@ class WalrusLog(
     cursors.toSeq.map { case ((g, t), o) => (g, t, o) }.sortBy(x => (x._1, x._2))
   }
 
+  /** DESCRIBE HISTORY surface: every commit the working set still tracks,
+    * in id order, with its aggregate row/byte footprint, tag, and
+    * lifecycle flags — pure metadata, the Delta-history analogue over the
+    * commit log. Commits shed by manifest truncation are absent by design
+    * (their contribution lives in the monotone counters; see
+    * [[metricsJson]]). */
+  def commitHistory: Seq[(Long, Long, Int, Long, Long, Option[String], Int, Boolean, Boolean)] =
+    synchronized {
+      commits.iterator.filter(_.id >= 0).toSeq.sortBy(_.id).map { c =>
+        val rows = c.topics.valuesIterator.map(r => r.end - r.start).sum
+        val bytes = c.topics.valuesIterator.map(_.bytes).sum
+        (c.id, c.tsMillis, c.topics.size, rows, bytes, c.tag,
+          c.replaces.map(_.size).getOrElse(0),
+          vacuumed.contains(c.id), replaced.contains(c.id))
+      }
+    }
+
   def markTopicDirty(topic: String): Unit = synchronized {
     val st = state(topic); st.cleanGeneration += 1; st.clean = false; persistClean()
   }

@@ -298,6 +298,23 @@ class WalrusCatalog extends TableCatalog with SupportsNamespaces
         override def call(input: org.apache.spark.sql.catalyst.InternalRow) =
           result(ids(log.compact(input.getLong(0)).toSeq, "new_batch_id"))
       }
+      case "seek" => new Proc("seek",
+          "reposition a consumer group's cursor on one topic (clamped to " +
+            "the valid range — the Kafka offset-reset); returns the " +
+            "resulting committed offset",
+          Array(ProcedureParameter.in("grp", StringType).build(),
+            ProcedureParameter.in("topic", StringType).build(),
+            ProcedureParameter.in("to_offset", LongType).build())) {
+        override def call(input: org.apache.spark.sql.catalyst.InternalRow) = {
+          val l = log
+          val g = input.getUTF8String(0).toString
+          val t = input.getUTF8String(1).toString
+          l.seek(g, t, input.getLong(2))
+          val committed = l.consumerCursors
+            .collectFirst { case (`g`, `t`, o) => o }.getOrElse(0L)
+          result(ids(Seq(committed), "committed_offset"))
+        }
+      }
       case "snapshot_manifest" => new Proc("snapshot_manifest",
           "consistent per-commit topic ranges of every visible batch " +
             "(metadata only; the export/backup surface)", Array.empty) {
@@ -317,15 +334,15 @@ class WalrusCatalog extends TableCatalog with SupportsNamespaces
       }
       case other => throw new RuntimeException(
         s"undefined procedure: $catalogName.${ident.namespace().mkString(".")}.$other " +
-          "(defined: compact, snapshot_manifest, vacuum, vacuum_older_than, " +
-          "vacuum_to_bytes)")
+          "(defined: compact, seek, snapshot_manifest, vacuum, " +
+          "vacuum_older_than, vacuum_to_bytes)")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     nsDir(namespace)
-    Array("compact", "snapshot_manifest", "vacuum", "vacuum_older_than",
-      "vacuum_to_bytes").map(Identifier.of(namespace, _))
+    Array("compact", "seek", "snapshot_manifest", "vacuum",
+      "vacuum_older_than", "vacuum_to_bytes").map(Identifier.of(namespace, _))
   }
 
   override def toString: String = s"WalrusCatalog($catalogName -> $root)"

@@ -163,8 +163,11 @@ class WalrusCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // SHOW PROCEDURES surfaces the maintenance set
     val procs = spark.sql("SHOW PROCEDURES IN wal.proc").collect()
       .map(_.getAs[String]("procedure_name")).toSet
-    assert(procs == Set("compact", "snapshot_manifest", "vacuum",
+    assert(procs == Set("compact", "seek", "snapshot_manifest", "vacuum",
       "vacuum_older_than", "vacuum_to_bytes"), procs.toString)
+    // offset reset: clamped seek returns the resulting committed offset
+    assert(spark.sql("CALL wal.proc.seek('g1', 't', 2)").head.getLong(0) == 2L)
+    assert(spark.sql("CALL wal.proc.seek('g1', 't', 99)").head.getLong(0) == 5L)
     // snapshot: per-commit ranges as rows
     val snap = spark.sql("CALL wal.proc.snapshot_manifest()").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
