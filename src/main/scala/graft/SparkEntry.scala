@@ -4084,6 +4084,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), max("offset").as("max_offset"))
         .orderBy("topic")
     }),
+    "log_time_travel_ts" -> ((s, dir) => {
+      // the timestamp spelling of time travel on the PATH reader (Delta's
+      // timestampAsOf twin of log_time_travel's versionAsOf): T0+1h
+      // resolves to commit 1, and the agg answer rides the metadata
+      // pushdown of the as-of view
+      val log = timesLog(s, dir)
+      s.read.format("walruslog").option("path", log.root)
+        .option("asOfTimestampMs", (FixedTs.getTime + 3600L * 1000L).toString)
+        .load()
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"), max("offset").as("max_offset"))
+        .orderBy("topic")
+    }),
     "log_change_feed" -> ((s, dir) => {
       // change data feed between two as-of versions (the Delta CDF
       // analogue): rows present at asOfCommit=2 but absent at
@@ -7275,6 +7288,12 @@ object SparkEntry {
         // max_offset = count - 1 — no fixture-shape assumption: a topic
         // with no commit-0/1 rows is absent from both the WHERE'd GROUP BY
         // here and the as-of view on the Spark side.
+        """SELECT event_type AS topic, count(*) AS n,
+          |  CAST(count(*) - 1 AS BIGINT) AS max_offset
+          |FROM events WHERE event_id % 3 <= 1
+          |GROUP BY 1 ORDER BY topic""".stripMargin,
+      "log_time_travel_ts" ->
+        // timestamp spelling resolves to the same commit-1 view
         """SELECT event_type AS topic, count(*) AS n,
           |  CAST(count(*) - 1 AS BIGINT) AS max_offset
           |FROM events WHERE event_id % 3 <= 1

@@ -827,16 +827,32 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
   }
   private val topic = Option(options.get("topic"))
 
-  /** Time travel (the Delta `versionAsOf` analogue): `asOfCommit = N`
-    * reads the log exactly as it was when commit N was the newest — the
-    * commit log IS the version history, so this is a metadata filter, not
-    * a data operation. Composes with pushdown/runtime pruning and with
-    * [[estimateStatistics]] (stats describe the as-of view). Batch reads
-    * only; streams by definition tail the live log. */
+  /** Time travel (the Delta `versionAsOf`/`timestampAsOf` analogues):
+    * `asOfCommit = N` reads the log exactly as it was when commit N was
+    * the newest; `asOfTimestampMs = T` resolves to the newest commit
+    * published at or before T (same rule as the catalog's
+    * `TIMESTAMP AS OF`) — the commit log IS the version history, so both
+    * are metadata filters, not data operations. Composes with pushdown/
+    * runtime pruning and with [[estimateStatistics]] (stats describe the
+    * as-of view). Batch reads only; streams by definition tail the live
+    * log. */
   private val asOfCommit: Option[Long] = Option(options.get("asOfCommit")).map(_.toLong)
+  private val asOfTimestampMs: Option[Long] =
+    Option(options.get("asOfTimestampMs")).map(_.toLong)
+  require(asOfCommit.isEmpty || asOfTimestampMs.isEmpty,
+    "asOfCommit and asOfTimestampMs are mutually exclusive")
+
+  private lazy val asOfResolved: Option[Long] = asOfCommit.orElse(
+    asOfTimestampMs.map { ms =>
+      val id = commitsSnapshot.iterator.map(_._1)
+        .filter(_.tsMillis <= ms).foldLeft(-1L)((m, c) => math.max(m, c.id))
+      require(id >= 0,
+        s"no commit published at or before timestamp $ms ms in $nsDir")
+      id
+    })
 
   private def visibleAsOf(commits: Seq[(CommitRecord, Boolean)]): Seq[(CommitRecord, Boolean)] =
-    asOfCommit match {
+    asOfResolved match {
       case Some(n) => commits.filter(_._1.id <= n)
       case None => commits
     }
@@ -1009,9 +1025,10 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     // Streams by definition tail the LIVE log; silently ignoring a time
     // travel option would mask a user error as wrong results.
-    require(asOfCommit.isEmpty,
-      "asOfCommit is a batch-read option: a stream cannot time-travel " +
-        "(use spark.read.format(\"walruslog\") for as-of views)")
+    require(asOfCommit.isEmpty && asOfTimestampMs.isEmpty,
+      "asOfCommit/asOfTimestampMs are batch-read options: a stream cannot " +
+        "time-travel (use spark.read.format(\"walruslog\") for as-of " +
+        "views, or startingTimestampMs to POSITION a fresh stream)")
     new WalrusMicroBatchStream(nsDir, topic,
       Option(options.get("maxBatchesPerTrigger")).map(_.toInt), required, prune,
       Option(options.get("realTimePartitions")).map(_.toInt).getOrElse(2),
@@ -1269,8 +1286,18 @@ object WalrusAggRowsScan {
       prune: WalrusLogSource.PruneSpec, byTopic: Boolean,
       cols: Seq[String]): WalrusAggRowsScan = {
     val spec = prune.withTopic(Option(options.get("topic")))
-    val asOf = Option(options.get("asOfCommit")).map(_.toLong)
-    val live = WalrusLogSource.listCommits(nsDir).iterator
+    val all = WalrusLogSource.listCommits(nsDir)
+    // both time-travel spellings apply to the metadata answer too — an
+    // ignored as-of option here would silently aggregate the full log
+    val asOf = Option(options.get("asOfCommit")).map(_.toLong).orElse(
+      Option(options.get("asOfTimestampMs")).map(_.toLong).map { ms =>
+        val id = all.iterator.map(_._1)
+          .filter(_.tsMillis <= ms).foldLeft(-1L)((m, c) => math.max(m, c.id))
+        require(id >= 0,
+          s"no commit published at or before timestamp $ms ms in $nsDir")
+        id
+      })
+    val live = all.iterator
       .filter { case (c, flagged) => !flagged && asOf.forall(c.id <= _) }
       .map(_._1)
     // count, minOffset, maxOffset, minTsUs, maxTsUs

@@ -1003,6 +1003,12 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ts_us >="), s"ts bound not pushed:\n$plan")
   }
 
+  test("log_time_travel_ts: the timestamp as-of view still answers its aggregate from metadata") {
+    val plan = planOf("log_time_travel_ts")
+    assert(plan.contains("WalrusAggRowsScan"),
+      s"as-of-timestamp aggregate not answered from commit metadata:\n$plan")
+  }
+
   test("log_ts_agg_metadata: MIN/MAX(ts_us) answered from metadata across compaction") {
     val plan = planOf("log_ts_agg_metadata")
     assert(plan.contains("WalrusAggRowsScan"),
