@@ -3985,6 +3985,54 @@ object SparkEntry {
         .agg(sum(col("term_mu")).as("score_mu"), count(lit(1)).as("n_terms"))
         .orderBy(col("score_mu").desc, col("doc_id").asc).limit(10)
     }),
+    "text_selfbleu" -> ((s, dir) => {
+      // Sampled Self-BLEU diversity profile (the generation-diversity
+      // eval): smoothed clipped 1/2-gram precisions of the 50 lowest-id
+      // docs against the REST of the corpus as references. The reference
+      // cap per n-gram avoids any per-candidate corpus pass via a
+      // top-2/count-at-max trick: cap(c) = max2 when c ALONE holds the
+      // corpus max per-doc count, else max1 ("some other doc reaches
+      // max1"). ln precisions in integer millinats over add-one-smoothed
+      // exact-integer ratios; score = ln p1 + ln p2 (2·log-BLEU without
+      // brevity penalty — the diversity signal). Plan: keyed n-gram
+      // aggregations over one explode, the max1 join reusing the (n, g)
+      // partitioning, then ONE broadcast of the 50 candidates' counts
+      // into the stats — never all-pairs.
+      val docs = table(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+      val uni = toks.select(col("doc_id"), lit(1).as("n"),
+        explode(col("tk")).as("g"))
+      val bi = toks.where(size(col("tk")) >= 2)
+        .select(col("doc_id"), lit(2).as("n"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("g"))
+      val cnt = uni.unionByName(bi).groupBy("doc_id", "n", "g")
+        .agg(count(lit(1)).as("c"))
+      val m1 = cnt.groupBy("n", "g").agg(max("c").as("max1"))
+      val stats = cnt.join(m1, Seq("n", "g"))
+        .groupBy("n", "g", "max1").agg(
+          sum(when(col("c") === col("max1"), 1L).otherwise(0L)).as("n_at_max"),
+          max(when(col("c") < col("max1"), col("c"))).as("max2"))
+      val cand = docs.select("doc_id").orderBy("doc_id").limit(50)
+      val joined = cnt.join(broadcast(cand), "doc_id")
+        .join(stats, Seq("n", "g"))
+        .withColumn("cap",
+          when(col("c") === col("max1") && col("n_at_max") === 1L,
+            coalesce(col("max2"), lit(0L))).otherwise(col("max1")))
+        .withColumn("clip", least(col("c"), col("cap")))
+      joined.groupBy("doc_id").agg(
+          coalesce(sum(when(col("n") === 1, col("c"))), lit(0L)).as("c1"),
+          coalesce(sum(when(col("n") === 1, col("clip"))), lit(0L)).as("clip1"),
+          coalesce(sum(when(col("n") === 2, col("c"))), lit(0L)).as("c2"),
+          coalesce(sum(when(col("n") === 2, col("clip"))), lit(0L)).as("clip2"))
+        .withColumn("lnp1_milli", TextOps.milliLn(
+          (col("clip1").cast("double") + lit(1.0)) / (col("c1").cast("double") + lit(1.0))))
+        .withColumn("lnp2_milli", TextOps.milliLn(
+          (col("clip2").cast("double") + lit(1.0)) / (col("c2").cast("double") + lit(1.0))))
+        .withColumn("logbleu2_milli", col("lnp1_milli") + col("lnp2_milli"))
+        .orderBy("doc_id")
+    }),
     "text_pmi_bigrams" -> ((s, dir) => {
       // collocation mining: corpus-wide PMI of adjacent word pairs,
       // ln((c_xy·N)/(c_x·c_y)) in integer millinats (exact integer products
@@ -8741,6 +8789,40 @@ object SparkEntry {
           |  FROM sc)
           |SELECT source, tok, tf, df, idf_milli, score_milli, rnk
           |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+      "text_selfbleu" ->
+        // Self-BLEU twin: same top-2/count-at-max reference cap, same
+        // add-one smoothing and millinat ln
+        s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           |  FROM documents),
+           |uni AS (SELECT doc_id, 1 AS n, unnest(tk) AS g FROM t),
+           |p AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 1)) AS i, tk
+           |  FROM t WHERE len(tk) >= 2),
+           |bi AS (SELECT doc_id, 2 AS n, tk[i] || ' ' || tk[i + 1] AS g FROM p),
+           |cnt AS (SELECT doc_id, n, g, count(*) AS c
+           |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) GROUP BY 1, 2, 3),
+           |m1 AS (SELECT n, g, max(c) AS max1 FROM cnt GROUP BY 1, 2),
+           |st AS (SELECT n, g, max1,
+           |    SUM(CASE WHEN c = max1 THEN 1 ELSE 0 END) AS n_at_max,
+           |    max(CASE WHEN c < max1 THEN c END) AS max2
+           |  FROM cnt JOIN m1 USING (n, g) GROUP BY 1, 2, 3),
+           |cand AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50),
+           |j AS (SELECT cnt.doc_id, cnt.n, cnt.c,
+           |    least(cnt.c, CASE WHEN cnt.c = max1 AND n_at_max = 1
+           |      THEN coalesce(max2, 0) ELSE max1 END) AS clip
+           |  FROM cnt JOIN cand USING (doc_id) JOIN st USING (n, g)),
+           |agg AS (SELECT doc_id,
+           |    CAST(coalesce(SUM(CASE WHEN n = 1 THEN c END), 0) AS BIGINT) AS c1,
+           |    CAST(coalesce(SUM(CASE WHEN n = 1 THEN clip END), 0) AS BIGINT) AS clip1,
+           |    CAST(coalesce(SUM(CASE WHEN n = 2 THEN c END), 0) AS BIGINT) AS c2,
+           |    CAST(coalesce(SUM(CASE WHEN n = 2 THEN clip END), 0) AS BIGINT) AS clip2
+           |  FROM j GROUP BY 1)
+           |SELECT doc_id, c1, clip1, c2, clip2,
+           |  ${TextOps.milliLnSql("(clip1 + 1.0) / (c1 + 1.0)")} AS lnp1_milli,
+           |  ${TextOps.milliLnSql("(clip2 + 1.0) / (c2 + 1.0)")} AS lnp2_milli,
+           |  ${TextOps.milliLnSql("(clip1 + 1.0) / (c1 + 1.0)")} +
+           |    ${TextOps.milliLnSql("(clip2 + 1.0) / (c2 + 1.0)")} AS logbleu2_milli
+           |FROM agg ORDER BY doc_id""".stripMargin,
       "text_pmi_bigrams" ->
         s"""WITH t AS (
           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk

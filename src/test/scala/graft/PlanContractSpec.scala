@@ -972,6 +972,12 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Generate"), s"explode pair generation missing:\n$plan")
   }
 
+  test("self-bleu: reference caps come from keyed aggregation, never an all-pairs join") {
+    val plan = planOf("text_selfbleu")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  }
+
   test("ccnet pipeline: no cartesian, no unpartitioned data-scale window") {
     val plan = planOf("pipeline_ccnet")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
