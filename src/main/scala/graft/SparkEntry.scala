@@ -1708,6 +1708,23 @@ object SparkEntry {
           StructField("cnt", LongType))))
         .orderBy("topic")
     }),
+    "stream_rate_limited" -> ((s, dir) => {
+      // Kafka maxOffsetsPerTrigger parity: the times fixture drains under
+      // a ROW budget resolved from commit metadata (each trigger admits
+      // whole commits until the budget is covered, never stalling on an
+      // oversized one) — totals must equal the unthrottled drain exactly
+      // (admission slices IO, never rows).
+      val log = timesLog(s, dir)
+      val rows = runStreamToMemory(s,
+        graft.streaming.WalrusStreams.readStream(s, log.root,
+            maxRowsPerTrigger = Some(1L)) // < any commit: one commit/slice
+          .groupBy("topic").agg(count(lit(1)).as("cnt")),
+        "complete")(_.orderBy("topic").collect().toSeq)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("cnt", LongType))))
+        .orderBy("topic")
+    }),
     "stream_start_timestamp" -> ((s, dir) => {
       // Kafka startingTimestamp parity: a FRESH stream positioned by time,
       // resolved from commit metadata (the r9 per-topic ts bounds — no
@@ -7302,6 +7319,8 @@ object SparkEntry {
           |FROM tot
           |ORDER BY grp, topic""".stripMargin,
       "stream_topic_counts" ->
+        "SELECT event_type AS topic, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "stream_rate_limited" ->
         "SELECT event_type AS topic, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
       "stream_start_timestamp" ->
         // commits at T0 + ci hours; starting at T0+1h keeps ci >= 1; the

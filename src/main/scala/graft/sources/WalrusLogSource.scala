@@ -1032,7 +1032,8 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     new WalrusMicroBatchStream(nsDir, topic,
       Option(options.get("maxBatchesPerTrigger")).map(_.toInt), required, prune,
       Option(options.get("realTimePartitions")).map(_.toInt).getOrElse(2),
-      Option(options.get("startingTimestampMs")).map(_.toLong))
+      Option(options.get("startingTimestampMs")).map(_.toLong),
+      Option(options.get("maxRowsPerTrigger")).map(_.toLong))
   }
 }
 
@@ -1069,7 +1070,8 @@ class WalrusMicroBatchStream(
     required: StructType,
     prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec(),
     rtPartitions: Int = 2,
-    startingTimestampMs: Option[Long] = None)
+    startingTimestampMs: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with SupportsRealTimeMode {
 
@@ -1142,18 +1144,59 @@ class WalrusMicroBatchStream(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxBatchesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+  /** Admission control. `maxBatchesPerTrigger` caps the COMMIT count per
+    * micro-batch (ReadMaxFiles); `maxRowsPerTrigger` is the Kafka
+    * `maxOffsetsPerTrigger` analogue — a ROW budget resolved from commit
+    * metadata (each commit records exact per-topic counts, so no data IO),
+    * admitting whole commits until the budget is covered, always ≥ 1 so
+    * the stream can't stall on one oversized commit. Both together
+    * compose (the tighter one wins per trigger). */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxBatchesPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case more => ReadLimit.compositeLimit(more.toArray)
+    }
+  }
+
+  /** Rows a commit delivers to THIS stream (its topic/prune view). */
+  private def commitRows(c: CommitRecord): Long = {
+    val spec = prune.withTopic(topic)
+    c.topics.iterator.collect {
+      case (t, r) if spec.topicMatches(t) => r.end - r.start
+    }.sum
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = start match {
     case CommitIndexOffset(startIdx) =>
-      val available = availableNowCap.getOrElse(commits.size.toLong)
-      val end = limit match {
+      val all = commits
+      val available = availableNowCap.getOrElse(all.size.toLong)
+      def rowsAt(i: Long): Long = {
+        val (c, flagged) = all(i.toInt)
+        if (flagged) 0L else commitRows(c)
+      }
+      def applyOne(limit: ReadLimit): Long = limit match {
         case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
           math.min(available, startIdx + rl.maxFiles())
+        case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+          var idx = startIdx
+          var budget = rl.maxRows()
+          var admittedRows = false
+          // zero-row commits (vacuumed/pruned) pass for free; the first
+          // ROW-BEARING commit always passes (progress guarantee)
+          while (idx < available && (rowsAt(idx) == 0L ||
+              !admittedRows || budget >= rowsAt(idx))) {
+            if (rowsAt(idx) > 0L) { budget -= rowsAt(idx); admittedRows = true }
+            idx += 1
+          }
+          idx
+        case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+          c.getReadLimits.map(applyOne).min
         case _ => available
       }
-      CommitIndexOffset(math.max(end, startIdx))
+      CommitIndexOffset(math.max(applyOne(limit), startIdx))
     case rt: WalrusRealTimeOffset =>
       // real-time mode: the engine still asks for the available end, but
       // the batch's TRUE end is whatever the time-budgeted readers reach

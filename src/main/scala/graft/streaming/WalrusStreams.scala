@@ -49,12 +49,14 @@ object WalrusStreams {
       spark: SparkSession, root: String, namespace: String = "default",
       topic: Option[String] = None,
       maxBatchesPerTrigger: Option[Int] = None,
-      startingTimestampMs: Option[Long] = None): DataFrame = {
+      startingTimestampMs: Option[Long] = None,
+      maxRowsPerTrigger: Option[Long] = None): DataFrame = {
     var r = spark.readStream.format("walruslog")
       .option("path", root).option("namespace", namespace)
     topic.foreach(t => r = r.option("topic", t))
     maxBatchesPerTrigger.foreach(n => r = r.option("maxBatchesPerTrigger", n))
     startingTimestampMs.foreach(ms => r = r.option("startingTimestampMs", ms))
+    maxRowsPerTrigger.foreach(n => r = r.option("maxRowsPerTrigger", n))
     entryShape(r.load())
   }
 

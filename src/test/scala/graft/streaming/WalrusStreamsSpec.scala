@@ -719,6 +719,48 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("maxRowsPerTrigger: row-budget admission slices the drain by commit metadata") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    (0 until 6).foreach(i =>
+      log.batchAppend("t", (0 until 3).map(j => bytes(s"v$i$j")))) // 6 × 3 rows
+    val qn = s"rows${System.nanoTime()}"
+    val q = WalrusStreams.readStream(spark, root, maxRowsPerTrigger = Some(7L))
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    // all 18 rows land exactly once...
+    assert(spark.sql(s"SELECT count(*) FROM $qn").head.getLong(0) == 18L)
+    // ...across ceil(18/6-per-2-commits) slices: a 7-row budget admits 2
+    // whole 3-row commits per batch (the 3rd would exceed), so 3 batches
+    val q2 = spark.streams.active.find(_.name == qn)
+    assert(q2.isEmpty) // stopped; inspect via the recorded progress below
+    spark.catalog.dropTempView(qn)
+    // oversized-commit progress guarantee: a budget SMALLER than one
+    // commit still admits exactly one commit per trigger
+    val qn2 = s"rows1${System.nanoTime()}"
+    val p = WalrusStreams.readStream(spark, root, maxRowsPerTrigger = Some(1L))
+      .writeStream.format("memory").queryName(qn2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(p.awaitTermination(120000)) finally p.stop()
+    assert(spark.sql(s"SELECT count(*) FROM $qn2").head.getLong(0) == 18L)
+    val batches = p.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.forall(_.numInputRows == 3L),
+      batches.map(_.numInputRows).mkString(","))
+    assert(batches.length == 6, s"expected 6 one-commit slices, got ${batches.length}")
+    spark.catalog.dropTempView(qn2)
+    // composite: 1 batch AND 100 rows -> the tighter (files) wins
+    val qn3 = s"rowsc${System.nanoTime()}"
+    val c = WalrusStreams.readStream(spark, root,
+        maxBatchesPerTrigger = Some(1), maxRowsPerTrigger = Some(100L))
+      .writeStream.format("memory").queryName(qn3)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(c.awaitTermination(120000)) finally c.stop()
+    assert(spark.sql(s"SELECT count(*) FROM $qn3").head.getLong(0) == 18L)
+    assert(c.recentProgress.count(_.numInputRows > 0) == 6)
+    spark.catalog.dropTempView(qn3)
+  }
+
   test("startingTimestampMs: a fresh stream starts at the first commit reaching the probe") {
     val root = tempRoot()
     val log = new WalrusLog(spark, root)
