@@ -136,13 +136,20 @@ class WalrusLogSource extends TableProvider with DataSourceRegister
       require(withTopic.columns.contains("topic") && withTopic.columns.contains("value"),
         s"walruslog batch write needs 'topic' and 'value' columns (or " +
           s"option 'topic'); got [${data.columns.mkString(", ")}]")
+      // `tag` = caller-supplied idempotence key: a re-run of the same
+      // batch job (orchestrator retry, backfill re-submission) with the
+      // same tag is a NO-OP instead of a duplicate commit — the batch
+      // spelling of the streaming sink's epoch tags (manual tags are
+      // kept verbatim across manifest truncation; see
+      // WalrusLog.recordDroppedTag).
+      val tag = opt("tag")
       // appendDF projects (topic, value, seq) itself, so the seq column —
       // when named — must survive into the input it sees
       opt("seqCol").map(org.apache.spark.sql.functions.col) match {
-        case some @ Some(_) => log.appendDF(withTopic, seqCol = some)
+        case some @ Some(_) => log.appendDF(withTopic, seqCol = some, tag = tag)
         case None => log.appendDF(withTopic.select(
           org.apache.spark.sql.functions.col("topic"),
-          org.apache.spark.sql.functions.col("value")))
+          org.apache.spark.sql.functions.col("value")), tag = tag)
       }
       ()
     }

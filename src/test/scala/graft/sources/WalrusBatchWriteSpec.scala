@@ -105,4 +105,26 @@ class WalrusBatchWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .take(10).flatMap(c => Option(c.getMessage)).toSeq
     assert(all.exists(_.contains("'topic' and 'value'")))
   }
+
+  test("tag option: a re-run of the same tagged batch write is a no-op, across restart and vacuum") {
+    val root = tempRoot()
+    val s = spark; import s.implicits._
+    def save(v: String): Unit =
+      Seq(("t", v)).toDF("topic", "v")
+        .select(col("topic"), col("v").cast("binary").as("value"))
+        .write.format("walruslog").mode(SaveMode.Append)
+        .option("path", root).option("tag", "backfill-7").save()
+    save("x0")
+    save("x0-retry") // same tag: orchestrator retry — must not duplicate
+    val log = new WalrusLog(spark, root,
+      cfg = graft.log.LogConfig(manifestEveryCommits = 1))
+    assert(log.entryCount("t") == 1)
+    assert(new String(log.readNext("t", checkpoint = true).get.value) == "x0")
+    // even after the commit is vacuumed OUT of the manifest, the verbatim
+    // manual tag still blocks a replay (the ADVICE-r8 contract)
+    assert(log.vacuum().nonEmpty)
+    log.close()
+    save("x0-late-retry")
+    assert(new WalrusLog(spark, root).totalAppended("t") == 1)
+  }
 }
