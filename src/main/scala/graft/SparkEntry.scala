@@ -1827,6 +1827,33 @@ object SparkEntry {
           round(matches.cast("double") / 16.0, 6).as("est_jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    "dedup_bbit_minhash" -> ((s, dir) => {
+      // b-bit minwise hashing (Li & König 2010): keep only the lowest
+      // b = 2 bits of each MinHash component — 16 perms fit ONE 32-bit
+      // word per doc (8× smaller signatures; at 100 TB the sketch store
+      // shrinks from TBs to 100s of GB). Random 2-bit values collide with
+      // prob 1/4, so the unbiased estimate from m agreeing components is
+      // (m/16 − 1/4)/(3/4) = (m − 4)/12, clamped at 0 — computed in
+      // integer micros over the SAME LSH candidate pairs the full-width
+      // estimator scores (dedup_minhash_est_jaccard's shape; never
+      // all-pairs).
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 5, bands = 4, rowsPerBand = 4)
+      val sig = Dedup.minHashSignatures(docs, "doc_id", "text", k = 5, numHashes = 16)
+      val bsig = sig.select(col("doc_id") +: (0 until 16).map(j =>
+        (col(s"mh$j") % 4).as(s"bb$j")): _*)
+      val mBits = (0 until 16).map { j =>
+        when(col(s"a.bb$j") === col(s"b.bb$j"), 1).otherwise(0)
+      }.reduce(_ + _)
+      pairs.join(bsig.as("a"), col("id_a") === col("a.doc_id"))
+        .join(bsig.as("b"), col("id_b") === col("b.doc_id"))
+        .select(col("id_a"), col("id_b"), mBits.cast("long").as("m_bits"))
+        .withColumn("est_bbit_micro", greatest(lit(0L),
+          floor((col("m_bits").cast("double") - lit(4.0)) / lit(12.0) *
+            lit(1e6) + lit(0.5)).cast("long")))
+        .orderBy("id_a", "id_b")
+    }),
     "log_topic_clean" -> ((s, dir) => {
       // W6 surface: generation-counted clean markers. Ingest marks every
       // topic dirty (generation 1 after the single commit); marking two
@@ -7599,6 +7626,32 @@ object SparkEntry {
            |  WHERE l.doc_id < r.doc_id)
            |SELECT id_a, id_b,
            |  round(CAST($agree AS DOUBLE) / 16.0, 6) AS est_jaccard
+           |FROM pairs
+           |JOIN sig a ON a.doc_id = id_a
+           |JOIN sig b ON b.doc_id = id_b
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+      "dedup_bbit_minhash" -> {
+        val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(${permSql("code", a, b)}) AS mh$j"
+        }.mkString(",\n  ")
+        val bandKeys = (0 until 4).map { bnd =>
+          (0 until 4).map(r => s"CAST(mh${bnd * 4 + r} AS VARCHAR)")
+            .mkString(s"SELECT doc_id, $bnd AS band, ", " || '_' || ", " AS bkey FROM sig")
+        }.mkString("\n  UNION ALL ")
+        val agree = (0 until 16).map(j =>
+          s"CASE WHEN a.mh$j % 4 = b.mh$j % 4 THEN 1 ELSE 0 END").mkString(" + ")
+        s"""${shinglesSql(5, "TRUE")},
+           |sig AS (SELECT doc_id, $mins FROM codes GROUP BY doc_id),
+           |banded AS (
+           |  $bandKeys),
+           |pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+           |  WHERE l.doc_id < r.doc_id)
+           |SELECT id_a, id_b, CAST($agree AS BIGINT) AS m_bits,
+           |  greatest(0, CAST(floor((CAST($agree AS DOUBLE) - 4.0) / 12.0
+           |    * 1000000 + 0.5) AS BIGINT)) AS est_bbit_micro
            |FROM pairs
            |JOIN sig a ON a.doc_id = id_a
            |JOIN sig b ON b.doc_id = id_b
