@@ -1293,6 +1293,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "shard_softdedup_weights" -> ((s, dir) => {
+      // SOFT dedup (keep duplicates, down-weight them): training weight
+      // 1/cluster_size over the LSH near-dup clusters, so a dup group
+      // contributes ONE document's worth of gradient in aggregate — the
+      // soft alternative to dropping (dedup_canonical). Output is the
+      // cluster-size → weight histogram plus the singleton row, bounded
+      // rows at any corpus size (Σ n_clusters = the effective dataset
+      // size the weighting implies).
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 5, bands = 4, rowsPerBand = 4)
+      val cc = Dedup.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      val clustered = cc.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs_at", col("csize") * col("n_clusters"))
+        .withColumn("weight_micro",
+          floor(lit(1e6) / col("csize") + lit(0.5)).cast("long"))
+      val singles = docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(cc.agg(count(lit(1)).as("n_clustered"))))
+        .select(lit(1L).as("csize"),
+          (col("n_docs") - col("n_clustered")).as("n_clusters"),
+          (col("n_docs") - col("n_clustered")).as("n_docs_at"),
+          lit(1000000L).as("weight_micro"))
+      clustered.select("csize", "n_clusters", "n_docs_at", "weight_micro")
+        .unionByName(singles).orderBy("csize")
+    }),
+
     // ---- full dedup pipeline: LSH discovery -> exact-Jaccard verify ----
     "dedup_pipeline" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
@@ -4029,6 +4057,38 @@ object SparkEntry {
         .agg(sum(col("term_mu")).as("score_mu"), count(lit(1)).as("n_terms"))
         .orderBy(col("score_mu").desc, col("doc_id").asc).limit(10)
     }),
+    "text_watermark_greenlist" -> ((s, dir) => {
+      // Green-list watermark detection (Kirchenbauer et al. 2023): a
+      // watermarking generator boosts tokens whose hash with the PREVIOUS
+      // token lands in the "green" half of the vocabulary; natural text
+      // sits at green fraction ≈ 1/2. Detector: per doc, green = FNV low
+      // bit of each bigram (the sign-stable bit — signed mod 2 would
+      // disagree across engines on negative longs), deviation 2g − n, and
+      // the one-sided z² = (2g−n)²/n in integer micros (exact-integer
+      // ratio through one IEEE division — no sqrt). Synthetic corpus ⇒
+      // expected mostly unflagged; the operator is the point. One explode
+      // + one per-doc aggregation: embarrassingly parallel at 100 TB.
+      import graft.functions.GraftFunctions.fnv1a64
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .where(size(col("tk")) >= 2)
+      val bg = toks.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("bg"))
+        .withColumn("green",
+          (fnv1a64(encode(col("bg"), "UTF-8")).bitwiseAND(lit(1L)) === 0L)
+            .cast("long"))
+      bg.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("green").as("n_green"))
+        .withColumn("dev", lit(2L) * col("n_green") - col("n_bigrams"))
+        .withColumn("z2_micro",
+          floor((col("dev") * col("dev")).cast("double") /
+            col("n_bigrams").cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+        .withColumn("watermarked",
+          col("dev") > 0 && col("z2_micro") > lit(4000000L))
+        .orderBy("doc_id").limit(200)
+    }),
     "text_selfbleu" -> ((s, dir) => {
       // Sampled Self-BLEU diversity profile (the generation-diversity
       // eval): smoothed clipped 1/2-gram precisions of the 50 lowest-id
@@ -6612,6 +6672,24 @@ object SparkEntry {
         s"""$lshReachCtes
            |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
            |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+      "shard_softdedup_weights" ->
+        s"""$lshReachCtes,
+           |cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+           |  FROM reach GROUP BY node),
+           |sz AS (SELECT cluster_id, count(*) AS csize FROM cc GROUP BY 1),
+           |hist AS (SELECT csize, count(*) AS n_clusters FROM sz GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |ncl AS (SELECT count(*) AS n_clustered FROM cc)
+           |SELECT CAST(csize AS BIGINT) AS csize,
+           |  CAST(n_clusters AS BIGINT) AS n_clusters,
+           |  CAST(csize * n_clusters AS BIGINT) AS n_docs_at,
+           |  CAST(floor(1000000.0 / csize + 0.5) AS BIGINT) AS weight_micro
+           |FROM hist
+           |UNION ALL
+           |SELECT 1, CAST(n_docs - n_clustered AS BIGINT),
+           |  CAST(n_docs - n_clustered AS BIGINT), CAST(1000000 AS BIGINT)
+           |FROM n, ncl
+           |ORDER BY csize""".stripMargin,
       "dedup_simhash" -> {
         val votes = (0 until 16).map { j =>
           s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
@@ -8861,6 +8939,29 @@ object SparkEntry {
           |  FROM sc)
           |SELECT source, tok, tf, df, idf_milli, score_milli, rnk
           |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+      "text_watermark_greenlist" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           |  FROM documents),
+           |p AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 1)) AS i, tk
+           |  FROM t WHERE len(tk) >= 2),
+           |bg AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg FROM p),
+           |g AS (SELECT doc_id,
+           |    CASE WHEN mod(${fnvSql("bg")}, 2) = 0 THEN 1 ELSE 0 END AS green
+           |  FROM bg),
+           |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+           |    CAST(sum(green) AS BIGINT) AS n_green
+           |  FROM g GROUP BY 1),
+           |sc AS (SELECT doc_id, n_bigrams, n_green,
+           |    CAST(2 * n_green - n_bigrams AS BIGINT) AS dev
+           |  FROM agg)
+           |SELECT doc_id, n_bigrams, n_green, dev,
+           |  CAST(floor(CAST(dev * dev AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+           |    * 1000000 + 0.5) AS BIGINT) AS z2_micro,
+           |  (dev > 0 AND CAST(floor(CAST(dev * dev AS DOUBLE) /
+           |    CAST(n_bigrams AS DOUBLE) * 1000000 + 0.5) AS BIGINT) > 4000000)
+           |    AS watermarked
+           |FROM sc ORDER BY doc_id LIMIT 200""".stripMargin,
       "text_selfbleu" ->
         // Self-BLEU twin: same top-2/count-at-max reference cap, same
         // add-one smoothing and millinat ln
