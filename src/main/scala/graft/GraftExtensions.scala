@@ -23,14 +23,16 @@ object GraftExtensions {
   import org.apache.spark.sql.functions.col
   import org.apache.spark.sql.graft.GraftSqlInternal
 
-  /** `walrus_log(path[, topic])` — the log as a table-valued function: a
-    * FROM-clause surface for ad-hoc SQL over any log root (the DDL table
-    * path, log_sql_table, needs a catalog entry first). Resolves to the
-    * V2 source's plan, so topic/column pruning reach the vectorized
-    * reader exactly as on the DataFrame path. */
+  /** `walrus_log(path[, topic[, namespace]])` — the log as a table-valued
+    * function: a FROM-clause surface for ad-hoc SQL over any log root
+    * (the DDL table path, log_sql_table, needs a catalog entry first).
+    * Resolves to the V2 source's plan, so topic/column pruning reach the
+    * vectorized reader exactly as on the DataFrame path. An empty-string
+    * topic means "all topics" (so the namespace can be addressed
+    * positionally without a filter). */
   private[graft] def walrusLogPlan(exprs: Seq[Expression]): LogicalPlan = {
-    require(exprs.nonEmpty && exprs.size <= 2,
-      "walrus_log expects (path[, topic])")
+    require(exprs.nonEmpty && exprs.size <= 3,
+      "walrus_log expects (path[, topic[, namespace]])")
     def str(i: Int, what: String): String = {
       val e = exprs(i)
       require(e.foldable && e.eval() != null,
@@ -38,8 +40,11 @@ object GraftExtensions {
       String.valueOf(e.eval())
     }
     val spark = SparkSession.active
-    val base = spark.read.format("walruslog").option("path", str(0, "path")).load()
-    val df = if (exprs.size == 2) base.where(col("topic") === str(1, "topic")) else base
+    var reader = spark.read.format("walruslog").option("path", str(0, "path"))
+    if (exprs.size == 3) reader = reader.option("namespace", str(2, "namespace"))
+    val base = reader.load()
+    val topicFilter = if (exprs.size >= 2) Some(str(1, "topic")).filter(_.nonEmpty) else None
+    val df = topicFilter.fold(base)(t => base.where(col("topic") === t))
     GraftSqlInternal.analyzedPlan(df)
   }
 

@@ -819,6 +819,15 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
          |FROM walrus_log('$root', 'tb') ORDER BY offset""".stripMargin)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(filtered == Seq((0L, "b0"), (1L, "b1"), (2L, "b2")))
+    // third arg addresses a non-default namespace; '' topic = all topics
+    val other = new WalrusLog(spark, root, "ns2")
+    other.append("tx", bytes("x0"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM walrus_log('$root', '', 'ns2')").head.getLong(0) == 1L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM walrus_log('$root', 'tx', 'ns2')").head.getLong(0) == 1L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM walrus_log('$root', 'tb', 'ns2')").head.getLong(0) == 0L)
   }
 
   test("offsetForTimestamp: earliest offset at-or-after the probe, None past the end") {

@@ -190,6 +190,10 @@ class WalrusCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT max(offset) FROM wal.proc.t").head.getLong(0) == 5L)
     // consumption-based vacuum via CALL: nothing consumed -> nothing reclaimed
     assert(spark.sql("CALL wal.proc.vacuum()").collect().isEmpty)
+    // DESCRIBE PROCEDURE surfaces the parameter signature
+    val desc = spark.sql("DESCRIBE PROCEDURE wal.proc.vacuum_older_than")
+      .collect().map(_.toString).mkString("\n")
+    assert(desc.contains("vacuum_older_than") && desc.contains("cutoff_ms"), desc)
     // an unknown procedure is an explicit error (Spark wraps the
     // catalog's message in FAILED_TO_LOAD_ROUTINE)
     val err = intercept[Exception] { spark.sql("CALL wal.proc.nope()").collect() }
