@@ -87,7 +87,8 @@ class WalrusLog(
     * paths emit) only the highest-n tag needs replay protection — one map
     * entry per DISTINCT SINK QUERY, not per dropped commit. Tags without a
     * numeric suffix (manual tagged appends) are kept verbatim in the
-    * irregular map, which grows only with hand-tagged drops. */
+    * irregular map, which grows with hand-tagged drops and is bounded by
+    * [[LogConfig.maxIrregularDroppedTags]] (oldest-dropped evicted). */
   private val droppedTagFamilies = mutable.Map.empty[String, (Long, Long)] // base -> (n, commitId)
   private val droppedIrregularTags = mutable.Map.empty[String, Long] // tag -> commitId
 
@@ -115,7 +116,17 @@ class WalrusLog(
       case Some((base, n)) =>
         val keep = droppedTagFamilies.get(base).forall(_._1 <= n)
         if (keep) droppedTagFamilies(base) = (n, commitId)
-      case None => droppedIrregularTags(tag) = commitId
+      case None =>
+        droppedIrregularTags(tag) = commitId
+        // bound the verbatim map (and with it every manifest): evict the
+        // oldest-dropped tags past the cap — see
+        // LogConfig.maxIrregularDroppedTags for the replay-window argument
+        val cap = cfg.maxIrregularDroppedTags
+        if (cap > 0 && droppedIrregularTags.size > cap) {
+          val evict = droppedIrregularTags.toSeq.sortBy(_._2)
+            .take(droppedIrregularTags.size - cap)
+          evict.foreach { case (t, _) => droppedIrregularTags.remove(t) }
+        }
     }
 
   private def droppedTagCommitId(tag: String): Option[Long] =
@@ -1642,15 +1653,32 @@ object WalrusLog {
     catch { case _: Exception => Seq.empty }
   }
 
-  private[graft] def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        // deleteIfExists: two processes may race the same dead dir (e.g.
-        // the recovery sweep vs the vacuum that crashed mid-delete)
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally s.close()
+  private[graft] def deleteRecursively(p: Path): Unit = {
+    // Two processes may race the same dead dir (e.g. the recovery sweep
+    // vs a concurrent vacuum): deleteIfExists guards the delete step, but
+    // the walk ITSELF can throw NoSuchFileException (wrapped in
+    // UncheckedIOException from the stream) when entries vanish
+    // mid-traversal — the other deleter is doing our work, so retry a
+    // couple of times and then give up quietly if the race persists
+    // (ADVICE r9: the race must never abort a log open/recovery). Real
+    // IO failures (e.g. AccessDenied) still propagate.
+    var attempts = 3
+    while (attempts > 0) {
+      attempts -= 1
+      try {
+        if (!Files.exists(p)) return
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally s.close()
+        return
+      } catch {
+        case _: java.nio.file.NoSuchFileException => ()
+        case e: java.io.UncheckedIOException
+          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
+      }
     }
+  }
 }
 
 /** Handle for one transactional produce session (see

@@ -88,7 +88,19 @@ final case class LogConfig(
       * manifest plus the JSON tail instead of parsing every commit file —
       * at 10⁵-10⁶ commits the difference between O(N) driver JSON parses
       * and O(K). 0 disables. */
-    manifestEveryCommits: Int = 64)
+    manifestEveryCommits: Int = 64,
+    /** Cap on retained HAND-tagged reclaimed-commit idempotence tags
+      * (sink-epoch tags collapse to one entry per query and never grow;
+      * manual tags must be kept verbatim — ADVICE r8 — so a workload that
+      * mints one unique tag per batch job would otherwise grow driver
+      * memory and every manifest monotonically with each vacuumed tagged
+      * commit, ADVICE r9). When exceeded, the tags with the LOWEST
+      * dropped-commit ids are evicted: an evicted tag predates the `cap`
+      * most recent hand-tagged drops, far beyond any legitimate replay
+      * window (a replay that old re-commits rows whose originals were
+      * deliberately reclaimed — retention already made that data
+      * unserveable). 0 disables eviction (unbounded, pre-r10 behavior). */
+    maxIrregularDroppedTags: Int = 100000)
 
 /** One commit of the rolled-up manifest: the [[CommitRecord]] fields plus
   * the vacuumed flag its commit JSON would carry. */

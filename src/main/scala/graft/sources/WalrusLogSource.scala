@@ -252,8 +252,15 @@ object WalrusLogSource {
     * stands in for the prefix; only commit JSONs past its `asOf` are
     * parsed. Batches superseded by a compaction commit (`replaces`) are
     * flagged consumed-equivalent so statistics never double-count them. */
-  private[graft] def listCommits(nsDir: Path): Vector[(CommitRecord, Boolean)] =
+  /** Commit-log listing counter — a test probe pinning the one-listing-
+    * per-scan contract: builder-side metadata decisions (tsBoundsKnown)
+    * and the built scan share ONE snapshot (VERDICT r9). */
+  private[graft] val commitListCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def listCommits(nsDir: Path): Vector[(CommitRecord, Boolean)] = {
+    commitListCount.incrementAndGet()
     markReplaced(assembleCommits(nsDir))
+  }
 
   /** Newest-manifest prefix + parsed JSON tail, in commit-file order —
     * exactly one element per file in `commits/`, so cached readers can
@@ -690,14 +697,21 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
           yield (bt, cs.map(_.get))
       }
 
+      /** ONE commit listing per built scan: builder-side metadata
+        * decisions (tsBoundsKnown) and the scan this builder builds share
+        * this snapshot — evaluated lazily on first use by either side
+        * (VERDICT r9: tsBoundsKnown used to run its own listing). */
+      private lazy val builderCommits: Vector[(CommitRecord, Boolean)] =
+        WalrusLogSource.listCommits(nsDir)
+
       /** Metadata ts bounds cover the whole log exactly: true unless some
         * LIVE compaction commit predates the per-range ts bounds (its
         * rewritten rows keep original timestamps, so without recorded
         * bounds a metadata MIN/MAX(ts_us) would answer wrongly — refuse
-        * the push instead). One manifest-accelerated listing, evaluated
-        * lazily only when a ts aggregate is actually offered. */
-      private lazy val tsBoundsKnown: Boolean =
-        WalrusLogSource.listCommits(nsDir).forall { case (c, flagged) =>
+        * the push instead). Evaluated lazily only when a ts aggregate is
+        * actually offered, over the shared [[builderCommits]] snapshot. */
+      private def tsBoundsKnown: Boolean =
+        builderCommits.forall { case (c, flagged) =>
           flagged || !c.replaces.exists(_.nonEmpty) ||
             c.topics.valuesIterator.forall(r =>
               r.tsUsMin.isDefined && r.tsUsMax.isDefined)
@@ -770,10 +784,11 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
 
       override def build(): Scan = aggPushed match {
         case Some((byTopic, cols)) =>
-          WalrusAggRowsScan.fromMetadata(nsDir, options, prune, byTopic, cols)
+          WalrusAggRowsScan.fromMetadata(nsDir, options, prune, byTopic, cols,
+            Some(() => builderCommits))
         case None =>
           new WalrusLogScan(nsDir, options, required, prune, limitPushed,
-            limitFromTail, limitOrderCol)
+            limitFromTail, limitOrderCol, Some(() => builderCommits))
       }
     }
 }
@@ -782,7 +797,8 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     required: StructType,
     prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec(),
     limit: Option[Int] = None, limitFromTail: Boolean = false,
-    limitOrderCol: Option[String] = None)
+    limitOrderCol: Option[String] = None,
+    commitsProvider: Option[() => Vector[(CommitRecord, Boolean)]] = None)
     extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -820,16 +836,25 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     * AFTER an outputPartitioning call from replaying the stale listing. */
   @volatile private var plannedCache
       : Option[(WalrusLogSource.PruneSpec, Array[InputPartition])] = None
+  private val plannedLock = new Object
   private def plannedPartitions(): Array[InputPartition] = {
     val spec = effectivePrune
     plannedCache match {
       case Some((s, parts)) if s == spec => parts
-      case _ =>
-        val parts = WalrusLogSource.partitionsFor(nsDir,
-          limitPrefix(visibleAsOf(commitsSnapshot), spec.withTopic(topic)),
-          topic, spec)
-        plannedCache = Some((spec, parts))
-        parts
+      case _ => plannedLock.synchronized {
+        // re-check under the lock: concurrent plan evaluations (an
+        // outputPartitioning call racing execution planning) must share
+        // ONE listing, not each run the full directory walk (ADVICE r9)
+        plannedCache match {
+          case Some((s, parts)) if s == spec => parts
+          case _ =>
+            val parts = WalrusLogSource.partitionsFor(nsDir,
+              limitPrefix(visibleAsOf(commitsSnapshot), spec.withTopic(topic)),
+              topic, spec)
+            plannedCache = Some((spec, parts))
+            parts
+        }
+      }
     }
   }
   private val topic = Option(options.get("topic"))
@@ -858,11 +883,34 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
       id
     })
 
-  private def visibleAsOf(commits: Seq[(CommitRecord, Boolean)]): Seq[(CommitRecord, Boolean)] =
-    asOfResolved match {
+  /** Batch publish-time window (the Kafka `startingTimestamp`/
+    * `endingTimestamp` batch-read parity pair, completing round 9's
+    * stream-side `startingTimestampMs`): keep the commits PUBLISHED in
+    * `[startingTimestampMs, endingTimestampMs)` — Kafka's offset
+    * resolution is positional over log-append time, not a row filter,
+    * and so is this: whole commits in, whole commits out, resolved
+    * purely from metadata (zero data IO at any log size). Row-event-time
+    * windows remain ordinary pushed `ts_us` predicates. Composes with
+    * as-of time travel (both are metadata filters over the same
+    * snapshot), statistics, limit/TopN trimming, and the metadata
+    * aggregate scan (which applies the same window). */
+  private val startingTsMs: Option[Long] =
+    Option(options.get("startingTimestampMs")).map(_.toLong)
+  private val endingTsMs: Option[Long] =
+    Option(options.get("endingTimestampMs")).map(_.toLong)
+  require(startingTsMs.forall(s => endingTsMs.forall(_ > s)),
+    "endingTimestampMs must be greater than startingTimestampMs")
+
+  private def visibleAsOf(commits: Seq[(CommitRecord, Boolean)]): Seq[(CommitRecord, Boolean)] = {
+    val base = asOfResolved match {
       case Some(n) => commits.filter(_._1.id <= n)
       case None => commits
     }
+    if (startingTsMs.isEmpty && endingTsMs.isEmpty) base
+    else base.filter { case (c, _) =>
+      startingTsMs.forall(c.tsMillis >= _) && endingTsMs.forall(c.tsMillis < _)
+    }
+  }
 
   override def readSchema(): StructType = required
 
@@ -874,7 +922,7 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     * A vacuum landing after the snapshot leaves a stale `false` flag; the
     * planner tolerates it (a reclaimed batch's dir listing is empty). */
   private lazy val commitsSnapshot: Vector[(CommitRecord, Boolean)] =
-    WalrusLogSource.listCommits(nsDir)
+    commitsProvider.map(_()).getOrElse(WalrusLogSource.listCommits(nsDir))
 
   /** Exact post-pushdown size/row statistics from commit metadata (the
     * per-topic counts and payload-byte sums every commit records) — no
@@ -947,21 +995,41 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
 
   /** Pushed-LIMIT commit trimming. Plain LIMIT (any n rows satisfy it):
     * keep the commit prefix whose surviving topics' metadata row counts
-    * cover `limit` (vacuumed/replaced commits contribute nothing). TopN
-    * on offset: offsets are PER-TOPIC counters, so trimming must cover n
-    * rows for EVERY surviving topic independently — a topic registered
-    * late still starts at offset 0, so its ASC top-n candidates sit in
-    * ITS first commits, not the log's (ADVICE r8). TopN on ts_us: every
-    * ingest commit is a POINT in time, so walking commits by that ts
-    * (desc for the tail) until surviving row counts reach n delivers a
-    * superset whose top-n ts multiset equals the true one — boundary
-    * ties are safe because every kept row's ts ≥ every excluded row's
-    * ts. Safety bail-outs (return the full list — pure IO give-up,
-    * Spark applies the LIMIT/TopN either way): a live compaction commit
-    * breaks BOTH trimming invariants (it carries OLD offsets — and a ts
-    * RANGE — at a NEW id), and offset/ts bounds arriving via runtime
-    * filtering would make metadata row counts overcount what the scan
-    * actually delivers. */
+    * cover `limit` (vacuumed/replaced commits contribute nothing; a
+    * compaction commit's `end - start` is an exact row count — it
+    * carries the same rows as its replaced sources).
+    *
+    * TopN on offset: offsets are PER-TOPIC counters, so trimming must
+    * cover n rows for EVERY surviving topic independently — a topic
+    * registered late still starts at offset 0, so its ASC top-n
+    * candidates sit in ITS first commits, not the log's (ADVICE r8).
+    * A compaction commit carries OLD offsets at a NEW id, so commit id
+    * no longer orders a topic's offsets once compactions exist — but
+    * each topic's recorded offset RANGE does: live ranges per topic are
+    * disjoint (replaced sources are flagged the instant the compaction
+    * commit lands), so ordering each topic's covering commits by its
+    * recorded range and taking until that topic covers n restores the
+    * "tail a huge compacted log opens a handful of files" property the
+    * reference's cursor arithmetic never loses
+    * (distributed-walrus/src/controller/mod.rs:199-268 skips sealed
+    * segments by metadata at any age).
+    *
+    * TopN on ts_us: an ingest commit is a ts POINT (every entry carries
+    * the commit ts); a compaction commit is a ts RANGE [lo, hi]
+    * inherited over its sources. Threshold argument: walking commits by
+    * their GUARANTEED bound (DESC: per-commit lo, descending) until
+    * surviving row counts reach n yields a threshold T with ≥ n rows of
+    * ts ≥ T — so every true top-n row has ts ≥ T and lives in a commit
+    * whose hi ≥ T; keeping exactly those is a sound superset. For pure
+    * ingest logs (lo = hi) this degenerates to the point walk. A legacy
+    * compaction with no recorded bounds is never counted toward the
+    * threshold and always kept (graceful wholesale-yield ONLY for those
+    * commits, not the whole list).
+    *
+    * Safety bail-out (return the full list — pure IO give-up, Spark
+    * applies the LIMIT/TopN either way): offset/ts bounds arriving via
+    * runtime filtering would make metadata row counts overcount what
+    * the scan actually delivers. */
   private def limitPrefix(commits: Seq[(CommitRecord, Boolean)],
       spec: WalrusLogSource.PruneSpec): Seq[(CommitRecord, Boolean)] =
     limit match {
@@ -980,47 +1048,66 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
             }.sum
           take
         }
-      case Some(_) if commits.exists { case (c, flagged) =>
-          !flagged && c.replaces.exists(_.nonEmpty) } => commits
       case Some(n) if limitOrderCol.contains("offset") =>
-        val covered = scala.collection.mutable.Map.empty[String, Long]
-        // DESC TopN reads each topic's newest commits first: walk the
-        // suffix (per-topic offsets ascend with commit id)
-        val ordered = if (limitFromTail) commits.reverse else commits
-        val kept = ordered.filter { case (c, flagged) =>
-          if (flagged) false // data reclaimed: delivers nothing
-          else {
-            val mine = c.topics.iterator
-              .filter { case (t, _) => spec.topicMatches(t) }.toSeq
-            val need = mine.exists { case (t, _) =>
-              covered.getOrElse(t, 0L) < n }
-            if (need) mine.foreach { case (t, r) =>
-              covered(t) = covered.getOrElse(t, 0L) + (r.end - r.start) }
-            need
+        // per topic: order its covering commits by the topic's recorded
+        // offset range (NOT by commit id — compaction breaks id order)
+        // and take until that topic's rows cover n; union across topics
+        val keep = scala.collection.mutable.Set.empty[Long]
+        commits.iterator.filter(!_._2)
+          .flatMap { case (c, _) => c.topics.iterator.collect {
+            case (t, r) if spec.topicMatches(t) => (t, c.id, r) } }
+          .toSeq.groupBy(_._1).foreach { case (_, cover) =>
+            val ordered =
+              if (limitFromTail) cover.sortBy { case (_, _, r) => -r.end }
+              else cover.sortBy { case (_, _, r) => r.start }
+            var covered = 0L
+            ordered.foreach { case (_, id, r) =>
+              if (covered < n) { keep += id; covered += r.end - r.start }
+            }
+          }
+        commits.filter { case (c, flagged) => !flagged && keep(c.id) }
+      case Some(n) => // limitOrderCol = Some("ts_us")
+        // per-commit guaranteed ts bounds over the spec-matching topics
+        def bounds(c: CommitRecord): (Long, Long) = {
+          val rs = c.topics.iterator.collect {
+            case (t, r) if spec.topicMatches(t) => r }.toSeq
+          if (c.replaces.exists(_.nonEmpty)) {
+            // compaction: rows keep ORIGINAL timestamps — recorded range
+            // bounds or nothing (legacy: unbounded, never counted)
+            (if (rs.forall(_.tsUsMin.isDefined)) rs.flatMap(_.tsUsMin).min
+             else Long.MinValue,
+             if (rs.forall(_.tsUsMax.isDefined)) rs.flatMap(_.tsUsMax).max
+             else Long.MaxValue)
+          } else {
+            // ingest: every entry carries ts_us = tsMillis·1000, so the
+            // commit instant is exact even for pre-bounds records
+            (rs.flatMap(_.tsUsMin).minOption.getOrElse(c.tsMillis * 1000L),
+             rs.flatMap(_.tsUsMax).maxOption.getOrElse(c.tsMillis * 1000L))
           }
         }
-        if (limitFromTail) kept.reverse else kept
-      case Some(n) => // limitOrderCol = Some("ts_us"); no live compactions
-        val keyed = commits.filter(!_._2).map { e =>
-          // point ts of an ingest commit: the recorded bound, or the
-          // commit instant for pre-bounds records (same value — every
-          // entry carries ts_us = tsMillis·1000)
-          val ts = e._1.topics.valuesIterator.flatMap(_.tsUsMin).nextOption()
-            .getOrElse(e._1.tsMillis * 1000L)
-          (e, ts)
-        }
+        val cand = commits.collect { case (c, false) =>
+          val rows = c.topics.iterator.collect {
+            case (t, r) if spec.topicMatches(t) => r.end - r.start }.sum
+          val (lo, hi) = bounds(c)
+          (c, lo, hi, rows)
+        }.filter(_._4 > 0L)
         val ordered =
-          if (limitFromTail) keyed.sortBy { case (_, ts) => -ts }
-          else keyed.sortBy { case (_, ts) => ts }
+          if (limitFromTail) cand.sortBy { case (_, lo, _, _) => -lo }
+          else cand.sortBy { case (_, _, hi, _) => hi }
         var covered = 0L
-        val kept = ordered.takeWhile { case ((c, _), _) =>
-          val take = covered < n
-          if (take) covered += c.topics.iterator.collect {
-            case (t, r) if spec.topicMatches(t) => r.end - r.start
-          }.sum
-          take
-        }.map(_._1)
-        kept.sortBy(_._1.id) // deterministic planning order
+        var threshold = if (limitFromTail) Long.MinValue else Long.MaxValue
+        val it = ordered.iterator
+        while (covered < n && it.hasNext) {
+          val (_, lo, hi, rows) = it.next()
+          covered += rows
+          threshold = if (limitFromTail) lo else hi
+        }
+        val keep =
+          if (covered < n) cand.map(_._1.id).toSet // < n rows total: all live
+          else cand.collect { case (c, lo, hi, _)
+            if (if (limitFromTail) hi >= threshold else lo <= threshold) =>
+              c.id }.toSet
+        commits.filter { case (c, flagged) => !flagged && keep(c.id) }
     }
 
   override def toBatch: Batch = new Batch {
@@ -1036,6 +1123,12 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
       "asOfCommit/asOfTimestampMs are batch-read options: a stream cannot " +
         "time-travel (use spark.read.format(\"walruslog\") for as-of " +
         "views, or startingTimestampMs to POSITION a fresh stream)")
+    // Kafka parity: endingTimestamp is batch-only there too — a stream by
+    // definition has no end; silently ignoring it would mask a user error
+    require(endingTsMs.isEmpty,
+      "endingTimestampMs is a batch-read option: a stream has no end " +
+        "(bound a batch read window with starting/endingTimestampMs via " +
+        "spark.read.format(\"walruslog\"))")
     new WalrusMicroBatchStream(nsDir, topic,
       Option(options.get("maxBatchesPerTrigger")).map(_.toInt), required, prune,
       Option(options.get("realTimePartitions")).map(_.toInt).getOrElse(2),
@@ -1168,13 +1261,16 @@ class WalrusMicroBatchStream(
     }
   }
 
+  /** The stream's fixed prune view — computed once, not per commit per
+    * trigger (ADVICE r9: rebuilding it inside the admission loop was
+    * O(topics) driver work per commit per trigger). */
+  private lazy val streamSpec = prune.withTopic(topic)
+
   /** Rows a commit delivers to THIS stream (its topic/prune view). */
-  private def commitRows(c: CommitRecord): Long = {
-    val spec = prune.withTopic(topic)
+  private def commitRows(c: CommitRecord): Long =
     c.topics.iterator.collect {
-      case (t, r) if spec.topicMatches(t) => r.end - r.start
+      case (t, r) if streamSpec.topicMatches(t) => r.end - r.start
     }.sum
-  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = start match {
     case CommitIndexOffset(startIdx) =>
@@ -1191,12 +1287,16 @@ class WalrusMicroBatchStream(
           var idx = startIdx
           var budget = rl.maxRows()
           var admittedRows = false
+          var more = true
           // zero-row commits (vacuumed/pruned) pass for free; the first
-          // ROW-BEARING commit always passes (progress guarantee)
-          while (idx < available && (rowsAt(idx) == 0L ||
-              !admittedRows || budget >= rowsAt(idx))) {
-            if (rowsAt(idx) > 0L) { budget -= rowsAt(idx); admittedRows = true }
-            idx += 1
+          // ROW-BEARING commit always passes (progress guarantee). Each
+          // commit's row count is computed ONCE per trigger (ADVICE r9).
+          while (more && idx < available) {
+            val r = rowsAt(idx)
+            if (r == 0L || !admittedRows || budget >= r) {
+              if (r > 0L) { budget -= r; admittedRows = true }
+              idx += 1
+            } else more = false
           }
           idx
         case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
@@ -1334,9 +1434,12 @@ object WalrusAggRowsScan {
     * scan's snapshot argument (estimateStatistics' scaladoc). */
   def fromMetadata(nsDir: Path, options: CaseInsensitiveStringMap,
       prune: WalrusLogSource.PruneSpec, byTopic: Boolean,
-      cols: Seq[String]): WalrusAggRowsScan = {
+      cols: Seq[String],
+      commitsProvider: Option[() => Vector[(CommitRecord, Boolean)]] = None)
+      : WalrusAggRowsScan = {
     val spec = prune.withTopic(Option(options.get("topic")))
-    val all = WalrusLogSource.listCommits(nsDir)
+    val all = commitsProvider.map(_())
+      .getOrElse(WalrusLogSource.listCommits(nsDir))
     // both time-travel spellings apply to the metadata answer too — an
     // ignored as-of option here would silently aggregate the full log
     val asOf = Option(options.get("asOfCommit")).map(_.toLong).orElse(
@@ -1347,8 +1450,14 @@ object WalrusAggRowsScan {
           s"no commit published at or before timestamp $ms ms in $nsDir")
         id
       })
+    // the batch publish-time window options (Kafka starting/ending
+    // timestamp parity — see WalrusLogScan) bound the metadata answer
+    // exactly like the data scan they sugar over
+    val startMs = Option(options.get("startingTimestampMs")).map(_.toLong)
+    val endMs = Option(options.get("endingTimestampMs")).map(_.toLong)
     val live = all.iterator
-      .filter { case (c, flagged) => !flagged && asOf.forall(c.id <= _) }
+      .filter { case (c, flagged) => !flagged && asOf.forall(c.id <= _) &&
+        startMs.forall(c.tsMillis >= _) && endMs.forall(c.tsMillis < _) }
       .map(_._1)
     // count, minOffset, maxOffset, minTsUs, maxTsUs
     val perTopic = scala.collection.mutable.LinkedHashMap

@@ -1137,7 +1137,21 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       hgot.count(_ == (t0 + 60000L) * 1000L) == 5, hgot.mkString(","))
   }
 
-  test("TopN pushdown disables trimming on a compacted log (old offsets at new commit ids)") {
+  private def scannedParts(q: org.apache.spark.sql.DataFrame): Int = {
+    q.collect()
+    q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }.sum
+  }
+
+  test("TopN trimming survives compaction: per-topic RANGE order, not commit-id order") {
+    // A compaction commit carries OLD offsets (and a ts RANGE) at a NEW
+    // commit id — r9 yielded the whole commit list whenever one existed,
+    // so tailing a compacted log read everything exactly when it was
+    // oldest/largest. r10 orders each topic's commits by its RECORDED
+    // offset range (and walks ts by guaranteed bounds), so the tail stays
+    // O(k) files at any compaction age (VERDICT r9 item 1).
     val root = Files.createTempDirectory("plan-topn-cp-").toString
     val log = new graft.log.WalrusLog(spark, root)
     (0 until 3).foreach(i =>
@@ -1146,24 +1160,116 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     log.batchAppend("t", (0 until 4).map(j => s"w$j".getBytes("UTF-8")))
     val df = spark.read.format("walruslog").option("path", root).load()
     // ASC top-3 lives in the compaction commit at the END of the id order;
-    // a prefix trim would return {12,13,14} from the post-compaction batch
-    val asc = df.orderBy(col("offset").asc).limit(3)
-      .collect().map(_.getAs[Long]("offset")).toSeq
+    // a commit-ID-prefix trim would wrongly return {12,13,14}
+    val ascQ = df.orderBy(col("offset").asc).limit(3)
+    val asc = ascQ.collect().map(_.getAs[Long]("offset")).toSeq
     assert(asc == Seq(0L, 1L, 2L), asc.toString)
-    val desc = df.orderBy(col("offset").desc).limit(3)
-      .collect().map(_.getAs[Long]("offset")).toSeq
+    assert(scannedParts(ascQ) == 1,
+      "ASC offset top-3 must plan only the compaction commit's file")
+    val descQ = df.orderBy(col("offset").desc).limit(3)
+    val desc = descQ.collect().map(_.getAs[Long]("offset")).toSeq
     assert(desc == Seq(15L, 14L, 13L), desc.toString)
-    // ts-TopN also yields here: the compaction commit is a ts RANGE, not a
-    // point, so trimming is disabled — every live partition plans
-    def parts(q: org.apache.spark.sql.DataFrame): Int = {
-      q.collect()
-      q.queryExecution.executedPlan.collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.inputPartitions.size
-      }.sum
+    assert(scannedParts(descQ) == 1,
+      "DESC offset top-3 must plan only the post-compaction ingest commit")
+    // ts-TopN trims too: the compaction commit is a ts RANGE [t0, t2]
+    // inherited over its sources, the tail ingest commit a later point —
+    // ASC threshold lands inside the compaction range, excluding the tail
+    val tsAscQ = df.orderBy(col("ts_us").asc).limit(3)
+    tsAscQ.collect()
+    assert(scannedParts(tsAscQ) == 1,
+      "ASC ts top-3 must plan only the compaction commit")
+  }
+
+  test("TopN trimming on a compacted MULTI-topic log covers every topic independently") {
+    // the compaction-aware twin of the per-topic ADVICE r8 repro: topic a
+    // compacted (old offsets at the newest id), topic b ingested after —
+    // per-topic range ordering must cover BOTH topics' tails
+    val root = Files.createTempDirectory("plan-topn-cpmt-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    (0 until 3).foreach(i =>
+      log.batchAppend("a", (0 until 4).map(j => s"a$i$j".getBytes("UTF-8"))))
+    assert(log.compact().nonEmpty) // a: offsets 0-11 at the newest id
+    log.batchAppend("b", (0 until 3).map(j => s"b$j".getBytes("UTF-8")))
+    val df = spark.read.format("walruslog").option("path", root).load()
+    val descQ = df.orderBy(col("offset").desc, col("topic")).limit(3)
+    val desc = descQ.collect()
+      .map(r => (r.getAs[String]("topic"), r.getAs[Long]("offset"))).toSeq
+    assert(desc == Seq(("a", 11L), ("a", 10L), ("a", 9L)), desc.toString)
+    // both topics' newest commits plan (a's tail = the compaction commit,
+    // b's tail = its only commit) — and nothing else exists to plan here,
+    // so the real assertion is ASC below
+    val ascQ = df.orderBy(col("offset").asc, col("topic")).limit(2)
+    val asc = ascQ.collect()
+      .map(r => (r.getAs[String]("topic"), r.getAs[Long]("offset"))).toSeq
+    assert(asc == Seq(("a", 0L), ("b", 0L)), asc.toString)
+  }
+
+  test("builder and built scan share ONE commit listing (ts-aggregate offer included)") {
+    val root = Files.createTempDirectory("plan-onelist-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    (0 until 3).foreach(i =>
+      log.batchAppend("t", (0 until 4).map(j => s"v$i$j".getBytes("UTF-8"))))
+    // MIN/MAX(ts_us) forces the builder's tsBoundsKnown check AND builds
+    // the metadata aggregate scan — both must ride one listing
+    val before = graft.sources.WalrusLogSource.commitListCount.get()
+    val agg = spark.read.format("walruslog").option("path", root).load()
+      .agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
+    agg.collect()
+    val listings = graft.sources.WalrusLogSource.commitListCount.get() - before
+    assert(listings == 1L,
+      s"expected 1 commit listing for a ts-aggregate scan, saw $listings")
+  }
+
+  test("batch publish-time window: starting/endingTimestampMs select whole commits from metadata") {
+    val root = Files.createTempDirectory("plan-window-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    val t0 = 1704067200000L
+    (0 until 4).foreach { i =>
+      log.appendDF(
+        spark.createDataFrame((0 until 5).map(j => ("t", s"v$i$j".getBytes("UTF-8"))))
+          .toDF("topic", "value"),
+        ingestTs = new java.sql.Timestamp(t0 + i * 60000L))
     }
-    val all = parts(df.select("ts_us"))
-    assert(parts(df.orderBy(col("ts_us").asc).limit(3)) == all,
-      "compacted log must not trim a ts-ordered TopN")
+    def windowed(s: Option[Long], e: Option[Long]) = {
+      var r = spark.read.format("walruslog").option("path", root)
+      s.foreach(v => r = r.option("startingTimestampMs", v.toString))
+      e.foreach(v => r = r.option("endingTimestampMs", v.toString))
+      r.load()
+    }
+    // [t0+1m, t0+3m) = commits 1 and 2 → offsets 5-14, and only their
+    // files plan (the window is a metadata filter, not a row filter)
+    val q = windowed(Some(t0 + 60000L), Some(t0 + 180000L))
+      .select("offset")
+    val offs = q.collect().map(_.getLong(0)).sorted.toSeq
+    assert(offs == (5L until 15L), offs.toString)
+    assert(scannedParts(q) == 2,
+      "window must plan only the two covered commits")
+    // half-open: ending alone excludes the boundary commit
+    assert(windowed(None, Some(t0 + 60000L)).count() == 5L)
+    // starting alone = everything from that publish instant on
+    assert(windowed(Some(t0 + 180000L), None).count() == 5L)
+    // the metadata-aggregate path honors the window too
+    val a = windowed(Some(t0 + 60000L), Some(t0 + 180000L))
+      .groupBy("topic").agg(count(lit(1)).as("n"),
+        min("offset").as("lo"), max("offset").as("hi")).collect()
+    assert(a.length == 1 && a(0).getAs[Long]("n") == 10L &&
+      a(0).getAs[Long]("lo") == 5L && a(0).getAs[Long]("hi") == 14L)
+    // a stream must reject the batch-only ending option (the failure may
+    // surface from start() or from the stream thread — await to be sure)
+    val err = intercept[Exception] {
+      val q = spark.readStream.format("walruslog").option("path", root)
+        .option("endingTimestampMs", (t0 + 60000L).toString).load()
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("plan-window-ck-").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("endingTimestampMs")),
+      messages(err).mkString(" | "))
   }
 }
