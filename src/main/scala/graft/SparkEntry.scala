@@ -2134,6 +2134,38 @@ object SparkEntry {
           table(s, dir, "documents").where(col("doc_id") % 3 === 0),
           "doc_id", "text", k = 4, maxGramFreq = 20, minSpanWords = 4)
         .orderBy("doc_id")),
+    "dedup_line_level" -> ((s, dir) => {
+      // CCNet-style LINE-level dedup — the granularity real CCNet dedups
+      // at (paragraph/line hashes across the whole corpus), previously
+      // the one missing grain here because documents.text has no line
+      // structure: lines are DERIVED deterministically as 8-word chunks
+      // (both engines chunk identically), each distinct line keeps its
+      // FIRST occurrence (min (doc_id, line_no), encoded as one integer
+      // key so both engines order identically) and every later copy is
+      // removed. Output per doc: lines, survivors, surviving chars — the
+      // doc-trim report a CCNet stage emits. Scale shape: one map-side-
+      // combining min-aggregation per distinct line + one equi-join back
+      // on the line text — no corpus-wide windows, no collect; a hot
+      // line is a single join key (AQE skew territory), never a
+      // cross-product.
+      val lines = table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(ws) - 1) div 8), " +
+            "i -> array_join(slice(ws, i * 8 + 1, 8), ' '))"))
+          .as(Seq("line_no", "line")))
+      val firsts = lines.groupBy("line")
+        .agg(min(col("doc_id") * 1000000L + col("line_no")).as("first_key"))
+      lines.join(firsts, Seq("line"))
+        .withColumn("kept",
+          col("doc_id") * 1000000L + col("line_no") === col("first_key"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), length(col("line")).cast("long"))
+            .otherwise(0L)).as("kept_chars"))
+        .orderBy("doc_id")
+    }),
     "dedup_cluster_stats" -> ((s, dir) => {
       // the dedup REPORT: cluster-size histogram of the LSH candidate
       // graph's connected components — what "how duplicated is this
@@ -4406,6 +4438,38 @@ object SparkEntry {
       tail.groupBy("ts_us").agg(count(lit(1)).as("n"))
         .orderBy(col("ts_us").desc)
     }),
+    "log_tail_compacted" -> ((s, dir) => {
+      // log_time_tail's hard twin: tail-by-time on a COMPACTED log. The
+      // r10 trimming walks commits by their GUARANTEED ts bounds (the
+      // compaction commit is a ts RANGE inherited over its sources)
+      // instead of yielding the whole commit list whenever a live
+      // compaction exists — tailing stays O(k) files exactly where the
+      // log is oldest/largest (plan contract in PlanContractSpec; the
+      // row-level answer is proven here). Boundary ties make the top-k
+      // ROW SET arbitrary but its ts multiset exact — aggregate by ts.
+      val log = compactTimesLog(s, dir)
+      val tail = s.read.format("walruslog").option("path", log.root).load()
+        .orderBy(col("ts_us").desc).limit(400)
+      tail.groupBy("ts_us").agg(count(lit(1)).as("n"))
+        .orderBy(col("ts_us").desc)
+    }),
+    "log_time_window" -> ((s, dir) => {
+      // the batch publish-time window (Kafka batch starting/ending
+      // timestamp parity, completing r9's stream-side
+      // startingTimestampMs): [T0+1h, T0+2h) selects exactly the middle
+      // commit of the three-commit times fixture — whole commits from
+      // metadata, half-open on the right, zero data IO for the aggregate
+      // leg (the windowed METADATA aggregate answers it).
+      val log = timesLog(s, dir)
+      s.read.format("walruslog").option("path", log.root)
+        .option("startingTimestampMs", (FixedTs.getTime + 3600L * 1000L).toString)
+        .option("endingTimestampMs", (FixedTs.getTime + 2 * 3600L * 1000L).toString)
+        .load()
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"), min("offset").as("min_offset"),
+          max("offset").as("max_offset"))
+        .orderBy("topic")
+    }),
     "log_ts_agg_metadata" -> ((s, dir) => {
       // MIN/MAX(ts_us) in the metadata-answered aggregate set: per-topic
       // ts bounds make the answer exact even ACROSS the compaction commit
@@ -6255,6 +6319,22 @@ object SparkEntry {
           col("node") % 7 === 0, rounds = 3)
         .orderBy("node")
     }),
+    "graph_betweenness" -> ((s, dir) => {
+      // sampled Brandes betweenness, truncated at 2 hops: which items
+      // sit ON the shortest paths between others — the bridge/hub triage
+      // that decides which interaction hubs dominate a graph-derived
+      // curriculum (degree finds POPULAR nodes; betweenness finds
+      // CONNECTOR nodes). Roots are the node % 13 == 0 sample (Brandes
+      // pivots); dependency accumulation runs in integer micro-units
+      // with truncating division so the oracle replays every level.
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      graft.operators.Graph.brandesBetweenness(co, "item_a", "item_b",
+          col("node") % 13 === 0, rounds = 2)
+        .orderBy("node")
+    }),
     "graph_ppr" -> ((s, dir) => {
       // personalized PageRank: teleport mass restarts ONLY at the seed
       // items (node % 10 == 0), so ranks measure proximity to the seeds —
@@ -7558,6 +7638,29 @@ object SparkEntry {
            |tail AS (SELECT ts_us FROM e ORDER BY ts_us DESC LIMIT 400)
            |SELECT CAST(ts_us AS BIGINT) AS ts_us, count(*) AS n
            |FROM tail GROUP BY 1 ORDER BY ts_us DESC""".stripMargin,
+      "log_tail_compacted" ->
+        // same row-level answer as log_time_tail: compaction moves
+        // storage, never timestamps — rows keep ts = T0 + (event_id % 3)
+        // hours even though the first two commits live in one batch now
+        s"""WITH e AS (SELECT
+           |    (${FixedTs.getTime} + (event_id % 3) * 3600000) * 1000 AS ts_us
+           |  FROM events),
+           |tail AS (SELECT ts_us FROM e ORDER BY ts_us DESC LIMIT 400)
+           |SELECT CAST(ts_us AS BIGINT) AS ts_us, count(*) AS n
+           |FROM tail GROUP BY 1 ORDER BY ts_us DESC""".stripMargin,
+      "log_time_window" ->
+        // the publish-time window [T0+1h, T0+2h) is exactly commit 1 =
+        // event_id % 3 == 1; per-topic offsets continue across commits in
+        // (commit, event_id) order (the log_offset_for_times convention)
+        """WITH e AS (SELECT event_type AS topic, event_id,
+          |    event_id % 3 AS ci FROM events),
+          |o AS (SELECT topic, ci,
+          |    row_number() OVER (PARTITION BY topic ORDER BY ci, event_id) - 1 AS off
+          |  FROM e)
+          |SELECT topic, count(*) AS n,
+          |  CAST(min(off) AS BIGINT) AS min_offset,
+          |  CAST(max(off) AS BIGINT) AS max_offset
+          |FROM o WHERE ci = 1 GROUP BY 1 ORDER BY topic""".stripMargin,
       "log_ts_agg_metadata" ->
         // per-topic entry ts = T0 + (event_id % 3) hours, in micros; the
         // fixture constant is interpolated from FixedTs, never hand-copied
@@ -7942,6 +8045,22 @@ object SparkEntry {
            |  CAST(dup_words * 1000 // n_words AS BIGINT) AS dup_milli
            |FROM nw JOIN per_doc ON per_doc.doc_id = nw.doc_id
            |ORDER BY nw.doc_id""".stripMargin,
+      "dedup_line_level" ->
+        // identical 8-word chunking (DuckDB slice is 1-based inclusive =
+        // Spark slice(ws, i*8+1, 8)); first occurrence = min integer key
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |l AS (SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+          |    array_to_string(ws[i*8+1 : i*8+8], ' ') AS line
+          |  FROM w, LATERAL (SELECT unnest(generate_series(0, (len(ws)-1)//8)) AS i) g),
+          |f AS (SELECT line, min(doc_id*1000000 + line_no) AS first_key
+          |  FROM l GROUP BY 1),
+          |m AS (SELECT l.doc_id, l.line,
+          |    (l.doc_id*1000000 + l.line_no = f.first_key) AS kept
+          |  FROM l JOIN f ON l.line = f.line)
+          |SELECT doc_id, count(*) AS n_lines,
+          |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  CAST(SUM(CASE WHEN kept THEN length(line) ELSE 0 END) AS BIGINT) AS kept_chars
+          |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin,
       "dedup_cluster_stats" ->
         s"""$lshReachCtes,
            |lab AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
@@ -10555,6 +10674,8 @@ object SparkEntry {
           |FROM anc GROUP BY k ORDER BY k""".stripMargin,
       "graph_bfs_layers" -> graft.operators.Graph.bfsLayersSql(
         coEdgesSql(8), "node % 7 = 0", rounds = 3),
+      "graph_betweenness" -> graft.operators.Graph.brandesBetweennessSql(
+        coEdgesSql(8), "node % 13 = 0", rounds = 2),
       "graph_ppr" -> graft.operators.Graph.personalizedPageRankSql(
         coEdgesSql(8), "n.node % 10 = 0", iterations = 4),
       "graph_modularity" -> {

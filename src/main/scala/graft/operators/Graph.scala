@@ -451,6 +451,111 @@ object Graph {
        |SELECT node, dist FROM d$rounds ORDER BY node""".stripMargin
   }
 
+  /** Sampled Brandes betweenness over an undirected edge list, truncated
+    * at `rounds` hops — the two standard approximations composed:
+    * Brandes-pivot root SAMPLING (`seed` picks the roots) and k-BOUNDED
+    * paths (`rounds` caps the BFS depth), the shapes that make
+    * betweenness tractable on a corpus-scale graph where exact Brandes'
+    * O(V·E) is out of reach.
+    *
+    * Forward pass: multi-source BFS keyed by (root, node) accumulating
+    * INTEGER shortest-path counts σ (bfsLayers with multiplicities — one
+    * frontier equi-join + one keyed σ-sum + one visited anti-join per
+    * level). Backward pass (Brandes' dependency accumulation): per level
+    * d from the deepest in, δ(v) = Σ over shortest-path-DAG successors w
+    * of (σ(v) · (unit + δ(w))) DIV σ(w), in integer micro-units with
+    * truncating division — all operands non-negative, so Spark's `DIV`
+    * and DuckDB's `//` agree on every intermediate and the twin replays
+    * every level bit-for-bit (the pageRank/bfsLayers oracle argument;
+    * truncation loses < 1 micro-unit per DAG edge vs real-valued
+    * Brandes). The DAG needs no materialization: level-(d+1) membership
+    * IS the successor test, so each backward level is one equi-join with
+    * edges + one equi-join with the deeper level on (root, dst) + one
+    * keyed sum. State is only ever (root, node, two longs); no
+    * all-pairs, no global windows. Output: (node, btw_micro) summed over
+    * roots with v ≠ root, for every node within `rounds` hops of a
+    * root. */
+  def brandesBetweenness(edges: DataFrame, aCol: String, bCol: String,
+      seed: Column, rounds: Int, unit: Long = 1000000L): DataFrame = {
+    require(rounds >= 1)
+    val e = symmetrize(edges, aCol, bCol).localCheckpoint()
+    val roots = e.select(col("src").as("node")).distinct().where(seed)
+      .select(col("node").as("root"), col("node"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var levels = Vector(roots)
+    var visited = roots.select("root", "node").localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val f = levels.last.select(col("root"), col("node").as("src"), col("sigma"))
+      val next = e.join(f, Seq("src"))
+        .select(col("root"), col("dst").as("node"), col("sigma"))
+        .join(visited, Seq("root", "node"), "left_anti")
+        .groupBy("root", "node").agg(sum("sigma").as("sigma"))
+        .localCheckpoint()
+      levels = levels :+ next
+      visited = visited.unionAll(next.select("root", "node")).localCheckpoint()
+    }
+    var deeper = levels(rounds).withColumn("delta", lit(0L))
+    var acc = deeper.select(col("root"), col("node"), col("delta"))
+    for (d <- (rounds - 1) to 0 by -1) {
+      val cur = levels(d)
+      val dw = deeper.select(col("root"), col("node").as("dst"),
+        col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+      val contrib = cur.select(col("root"), col("node").as("src"), col("sigma"))
+        .join(e, Seq("src"))
+        .join(dw, Seq("root", "dst"))
+        .select(col("root"), col("src").as("node"),
+          expr(s"(sigma * ($unit + delta_w)) DIV sigma_w").as("c"))
+        .groupBy("root", "node").agg(sum("c").as("delta"))
+      deeper = cur.join(contrib, Seq("root", "node"), "left")
+        .select(col("root"), col("node"), col("sigma"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .localCheckpoint()
+      acc = acc.unionAll(deeper.select(col("root"), col("node"), col("delta")))
+    }
+    acc.where(col("node") =!= col("root"))
+      .groupBy("node").agg(sum("delta").as("btw_micro"))
+  }
+
+  /** The DuckDB twin of [[brandesBetweenness]]: unrolled forward levels
+    * (σ-counting BFS with NOT EXISTS visited guards) + unrolled backward
+    * dependency levels with the same `//` accumulation. `edgesCte` must
+    * end with a SYMMETRIZED relation `e(src, dst)`; `seedWhere` is a
+    * predicate over `node`. */
+  def brandesBetweennessSql(edgesCte: String, seedWhere: String,
+      rounds: Int, unit: Long = 1000000L): String = {
+    val fwd = (1 to rounds).map { i =>
+      s"""l$i AS (SELECT f.root, e.dst AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+         |  FROM l${i - 1} f JOIN e ON e.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v
+         |    WHERE v.root = f.root AND v.node = e.dst)
+         |  GROUP BY 1, 2),
+         |v$i AS (SELECT root, node FROM v${i - 1}
+         |  UNION ALL SELECT root, node FROM l$i)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((rounds - 1) to 0 by -1).map { d =>
+      s"""d$d AS (SELECT c.root, c.node, c.sigma, COALESCE(x.delta, 0) AS delta
+         |  FROM l$d c LEFT JOIN (
+         |    SELECT c2.root, c2.node,
+         |      CAST(SUM((c2.sigma * ($unit + w.delta)) // w.sigma) AS BIGINT) AS delta
+         |    FROM l$d c2 JOIN e ON e.src = c2.node
+         |    JOIN d${d + 1} w ON w.root = c2.root AND w.node = e.dst
+         |    GROUP BY 1, 2) x ON x.root = c.root AND x.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    val accAll = (0 to rounds)
+      .map(d => s"SELECT root, node, delta FROM d$d").mkString("\n  UNION ALL ")
+    s"""WITH $edgesCte,
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |l0 AS (SELECT node AS root, node, CAST(1 AS BIGINT) AS sigma
+       |  FROM n WHERE $seedWhere),
+       |v0 AS (SELECT root, node FROM l0),
+       |$fwd,
+       |d$rounds AS (SELECT root, node, sigma, CAST(0 AS BIGINT) AS delta FROM l$rounds),
+       |$bwd,
+       |a AS ($accAll)
+       |SELECT node, CAST(SUM(delta) AS BIGINT) AS btw_micro
+       |FROM a WHERE node <> root GROUP BY node ORDER BY node""".stripMargin
+  }
+
   /** Personalized PageRank in exact integer micro-units: same damped
     * update as [[pageRank]], but the teleport mass returns ONLY to the
     * seed set (`seed`, a predicate over `node`) — non-seed nodes get rank

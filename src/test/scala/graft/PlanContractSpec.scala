@@ -895,6 +895,15 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("betweenness: forward/backward levels are equi-joins, never all-pairs") {
+    // both passes run per (root, node): edges join frontiers/levels on
+    // node keys only — a nested-loop anywhere would be the O(V·E)
+    // exact-Brandes shape the sampling exists to avoid
+    val plan = planOf("graph_betweenness")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNL join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("modularity: label/degree joins are equi-joins; m joins as a 1-row broadcast") {
     val plan = planOf("graph_modularity")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
