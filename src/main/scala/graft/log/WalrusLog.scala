@@ -1631,11 +1631,35 @@ object WalrusLog {
     * id > asOf) reconstructs exactly what parsing every commit file would
     * yield — the cold-start path for recovery and the V2 scan/stream.
     * Tolerates the kept-2 deletion race by falling back to the older file. */
+  /** Parsed-manifest cache, process-wide. A manifest at 10⁵ live commits
+    * is a multi-MB JSON whose json4s extraction costs SECONDS, and every
+    * fresh batch scan re-reads the newest manifest (CommitScaleProbe:
+    * ~2.5 s of a ~3 s plan at n=10⁵ was this parse). The key is the
+    * CONTENT hash (plus path/length), so a rewrite at the same name —
+    * writeManifest atomically replaces `manifest-<asOf>.json`, and a
+    * vacuum can rewrite at an unchanged asOf — can never serve stale
+    * state; the raw read (~tens of ms from page cache) is what the cache
+    * does NOT avoid, only the parse. Bounded small (manifests per
+    * namespace are capped at 2 and a process talks to few namespaces);
+    * cleared wholesale on overflow. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int), LogManifest]
+
   private[graft] def readNewestManifest(nsDir: Path): Option[LogManifest] = {
     implicit val formats: Formats = DefaultFormats
     manifestFiles(nsDir.resolve("manifests")).reverseIterator.flatMap { p =>
-      try Some(org.json4s.jackson.JsonMethods
-        .parse(new String(Files.readAllBytes(p), "UTF-8")).extract[LogManifest])
+      try {
+        val bytes = Files.readAllBytes(p)
+        val key = (p.toString, bytes.length.toLong,
+          scala.util.hashing.MurmurHash3.bytesHash(bytes))
+        Option(manifestCache.get(key)).orElse {
+          val m = org.json4s.jackson.JsonMethods
+            .parse(new String(bytes, "UTF-8")).extract[LogManifest]
+          if (manifestCache.size >= 64) manifestCache.clear()
+          manifestCache.put(key, m)
+          Some(m)
+        }
+      }
       catch { case _: java.nio.file.NoSuchFileException => None }
     }.nextOption()
   }
