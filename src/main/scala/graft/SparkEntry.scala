@@ -3038,6 +3038,36 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    "stream_txn_isolation" -> ((s, dir) => {
+      // Kafka isolation.level=read_committed parity THROUGH the
+      // streaming source: the txn fixture commits two staged appends as
+      // ONE batch while an aborted and a still-OPEN transaction sit
+      // staged in the spool — the stream must deliver exactly the
+      // committed rows, dense offsets and all. The engine provides
+      // read_committed STRUCTURALLY (no weaker level exists to opt out
+      // of): transactions stage OUTSIDE data/, and the create-exclusive
+      // commit is the only publication — the reference's visibility rule
+      // (offsets publish only after fsync, writer.rs:135-341) has the
+      // same no-dirty-reads shape. The crash window (a writer dying
+      // mid-transaction with a durable spool) is spec'd across real JVMs
+      // in CrossJvmE2ESpec.
+      val log = txnLog(s, dir)
+      val name = s"txn_iso_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.streaming.WalrusStreams.readStream(s, log.root)
+        .select(col("topic"), col("offset"),
+          length(col("value")).cast("long").as("len"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-txniso-").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"), max("offset").as("max_offset"),
+          sum("len").as("len_sum"))
+        .orderBy("topic")
+    }),
     "stream_checkpoint_resume" -> ((s, dir) => {
       // M1 recovery THROUGH the streaming engine, end-to-end: drain half
       // the events into a mirror log, STOP the query, append the second
@@ -10365,6 +10395,15 @@ object SparkEntry {
           |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
           |    AS sum_k
           |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
+      "stream_txn_isolation" ->
+        // only the COMMITTED transaction's thirds (seq % 3 in {0, 1}) are
+        // visible; dense offsets make max_offset = n - 1; props is ASCII
+        // JSON so length == byte count (the log_batch_write convention)
+        """SELECT event_type AS topic, count(*) AS n,
+          |  CAST(count(*) - 1 AS BIGINT) AS max_offset,
+          |  CAST(SUM(length(props)) AS BIGINT) AS len_sum
+          |FROM events WHERE event_id % 3 <= 1
+          |GROUP BY 1 ORDER BY topic""".stripMargin,
       "stream_tws_timers" ->
         """SELECT event_type AS topic, count(*) AS n FROM events
           |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL

@@ -17,6 +17,12 @@ import java.nio.file.{Files, Paths}
   *   append <root> <topic> <n>  open a real WalrusLog (own SparkSession)
   *                              on a namespace the parent also uses and
   *                              append n entries
+  *   stagecrash <root> <topic> <n>  begin a TRANSACTION, stage n entries
+  *                              durably, print the spool dir, then HALT
+  *                              the JVM without commit or abort — the
+  *                              mid-transaction writer crash whose spool
+  *                              must never become visible (the
+  *                              read_committed crash window)
   *
   * All output contracts are single stdout lines (Spark logs go to
   * stderr); a failed assertion exits nonzero.
@@ -71,6 +77,27 @@ object E2EChild {
       log.close()
       spark.stop()
       println(s"APPENDED $count")
+
+    case "stagecrash" =>
+      val (root, topic, n) = (args(1), args(2), args(3).toInt)
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .appName("e2e-stagecrash")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import org.apache.spark.sql.functions.col
+      val log = new WalrusLog(spark, root)
+      val txn = log.beginTxn()
+      val rows = (0 until n).map(i => (topic, s"staged-$i".getBytes("UTF-8"), i.toLong))
+      txn.append(
+        spark.createDataFrame(rows).toDF("topic", "value", "seq"), col("seq"))
+      println(s"STAGED ${log.txnStageRoot.resolve(s"txn-${txn.txnId}")}")
+      Console.out.flush()
+      // crash, not exit: no shutdown hooks, no cleanup — the spool stays
+      // on disk exactly as a power-cut would leave it
+      Runtime.getRuntime.halt(137)
 
     case other =>
       println(s"FAIL unknown mode $other"); sys.exit(2)

@@ -121,4 +121,51 @@ class CrossJvmE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(entries.map(e => new String(e.value)) ==
       Seq("parent-0", "parent-1", "child-0", "child-1", "child-2"))
   }
+
+  test("read_committed across a crash window: a JVM killed mid-transaction leaks nothing") {
+    // The Kafka isolation.level=read_committed analogue, spec'd where it
+    // actually bites: a writer process stages a transaction DURABLY and
+    // dies (halt, not exit — no cleanup runs). The spool must be
+    // invisible to every reader surface before recovery, and recovery
+    // must abort it (the reference's rollback-invisibility shape,
+    // rollback_recovery.rs; Kafka's transaction-timeout abort).
+    val root = Files.createTempDirectory("xjvm-txn-").toString
+    val log = new WalrusLog(spark, root)
+    log.batchAppend("t", Seq("committed-0", "committed-1").map(_.getBytes("UTF-8")))
+    log.close()
+    val child = spawnChild(Seq("stagecrash", root, "t", "4"), withSpark = true)
+    val out = stdoutLines(child)
+    assert(child.exitValue() == 137, s"child should halt(137): $out")
+    val staged = out.collectFirst { case l if l.startsWith("STAGED ") =>
+      Paths.get(l.stripPrefix("STAGED ")) }
+    assert(staged.exists(Files.exists(_)),
+      s"the crashed child's spool must survive on disk: $out")
+    // 1. invisible to the V2 batch scan (no recovery involved: the scan
+    //    reads commits/, and the spool was never committed)
+    val batch = spark.read.format("walruslog").option("path", root).load()
+    assert(batch.count() == 2L, "batch scan must see only committed rows")
+    // 2. invisible to the streaming source, end-to-end
+    import org.apache.spark.sql.functions.col
+    val name = "xjvm_txn_iso"
+    val q = spark.readStream.format("walruslog").option("path", root).load()
+      .select(col("topic"), col("value"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("xjvm-txn-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table(name).count() == 2L,
+      "stream must deliver only committed rows")
+    // 3. recovery ABORTS the abandoned spool (deletion IS the abort) and
+    //    the log keeps working; the staged rows can never appear
+    val reopened = new WalrusLog(spark, root)
+    assert(staged.forall(!Files.exists(_)),
+      "recovery must sweep the abandoned transaction spool")
+    assert(reopened.entryCount("t") == 2)
+    reopened.append("t", "after-crash".getBytes("UTF-8"))
+    val values = reopened.batchRead("t", 1 << 20, checkpoint = false)
+      .map(e => new String(e.value))
+    assert(values == Seq("committed-0", "committed-1", "after-crash"))
+  }
 }
