@@ -97,6 +97,11 @@ object SparkEntry {
   private val logCache = TrieMap.empty[(String, String), WalrusLog]
   private val FixedTs = new Timestamp(1704067200000L) // deterministic ingest ts
 
+  /** Topic regex probed by log_topic_pattern (full-match, Java syntax =
+    * DuckDB regexp_full_match syntax for this alphabet): event types
+    * containing an 'r' — {error, purchase} of the events fixture. */
+  private val TopicPatternProbe = ".*r.*"
+
   /** Scratch checkpoint dir for the streaming query harnesses. Checkpoint
     * placement is a DEPLOYMENT choice (production pins a durable DFS URI);
     * these in-query checkpoints live exactly as long as one drive, so they
@@ -6260,6 +6265,23 @@ object SparkEntry {
             .as("payload_len"))
         .orderBy("topic", "k")
     }),
+    "log_topic_pattern" -> ((s, dir) => {
+      // Kafka subscribePattern parity on the batch reader: topicPattern
+      // prunes whole topic directories from METADATA (the regex runs
+      // against commit-recorded topic names at plan time, never against
+      // rows) and composes with the metadata aggregate, so this count
+      // costs zero data IO at any log size. A topic created later is
+      // picked up the moment its first commit lands (per-commit
+      // resolution — Kafka's periodic pattern re-resolution, at trigger
+      // granularity). The regex is interpolated into the oracle from ONE
+      // constant (never hand-copied).
+      val log = mainLog(s, dir)
+      s.read.format("walruslog").option("path", log.root)
+        .option("topicPattern", TopicPatternProbe).load()
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"), max("offset").as("max_offset"))
+        .orderBy("topic")
+    }),
     "log_txn_producer" -> ((s, dir) => {
       // read-committed visibility under the transactional producer: two
       // staged appends commit as ONE atomic batch, an aborted and a
@@ -10617,6 +10639,14 @@ object SparkEntry {
           |SELECT topic, k, CAST(last_offset AS BIGINT) AS last_offset,
           |  n_versions, CAST(length(last_payload) AS BIGINT) AS payload_len
           |FROM g WHERE length(last_payload) > 0 ORDER BY topic, k""".stripMargin,
+      "log_topic_pattern" ->
+        // only the pattern-matching topics (full-match regex); dense
+        // offsets make max_offset = n - 1
+        s"""SELECT event_type AS topic, count(*) AS n,
+           |  CAST(count(*) - 1 AS BIGINT) AS max_offset
+           |FROM events
+           |WHERE regexp_full_match(event_type, '$TopicPatternProbe')
+           |GROUP BY 1 ORDER BY topic""".stripMargin,
       "log_txn_producer" ->
         // visible rows = thirds 0 and 1 only (committed txn); per topic,
         // third-0 rows order by event_id at offsets [0, n0), then third-1

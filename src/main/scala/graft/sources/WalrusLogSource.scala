@@ -354,13 +354,26 @@ object WalrusLogSource {
   private[sources] final case class PruneSpec(
       topics: Option[Set[String]] = None,
       offsetMin: Long = Long.MinValue, offsetMax: Long = Long.MaxValue,
-      tsUsMin: Long = Long.MinValue, tsUsMax: Long = Long.MaxValue) {
+      tsUsMin: Long = Long.MinValue, tsUsMax: Long = Long.MaxValue,
+      /** Kafka `subscribePattern` parity: a Java regex the FULL topic
+        * name must match. Resolved per commit at plan/admission time (not
+        * once at subscription), so a topic registered after the
+        * scan/stream started is picked up the moment its first commit
+        * lands — Kafka's periodic pattern re-resolution, at trigger
+        * granularity. Composes with exact-topic pruning (conjunction);
+        * carried in the spec so every surface (batch planning, metadata
+        * aggregates, statistics, admission control, real-time slices)
+        * prunes identically. */
+      topicPattern: Option[String] = None) {
+    @transient private lazy val patternRe =
+      topicPattern.map(java.util.regex.Pattern.compile)
     def isNoop: Boolean = this == PruneSpec()
     def withTopic(t: Option[String]): PruneSpec = t match {
       case Some(v) => copy(topics = Some(topics.getOrElse(Set(v)).intersect(Set(v))))
       case None => this
     }
-    def topicMatches(t: String): Boolean = topics.forall(_.contains(t))
+    def topicMatches(t: String): Boolean =
+      topics.forall(_.contains(t)) && patternRe.forall(_.matcher(t).matches())
     def commitMatches(c: CommitRecord): Boolean = {
       // a row of topic t lies in [r.start, r.end) × [tsLo, tsHi] — the
       // commit survives iff SOME surviving topic range overlaps both
@@ -382,6 +395,7 @@ object WalrusLogSource {
     override def toString: String = {
       val parts = Seq(
         topics.map(t => s"topic IN {${t.toSeq.sorted.mkString(",")}}"),
+        topicPattern.map(p => s"topic RLIKE '$p'"),
         if (offsetMin != Long.MinValue) Some(s"offset >= $offsetMin") else None,
         if (offsetMax != Long.MaxValue) Some(s"offset <= $offsetMax") else None,
         if (tsUsMin != Long.MinValue) Some(s"ts_us >= $tsUsMin") else None,
@@ -630,7 +644,15 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
         with org.apache.spark.sql.connector.read.SupportsPushDownLimit
         with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
       private var required: StructType = WalrusLogSource.Schema
-      private var prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec()
+      // Kafka subscribePattern parity: an option-borne regex over topic
+      // names, carried in the prune spec so it survives pushFilters
+      // replacing the pushed bounds and flows into every built surface
+      private val topicPattern = Option(o.get("topicPattern"))
+      require(topicPattern.isEmpty || Option(options.get("topic")).isEmpty,
+        "topic and topicPattern are mutually exclusive (Kafka's " +
+          "subscribe vs subscribePattern rule)")
+      private var prune: WalrusLogSource.PruneSpec =
+        WalrusLogSource.PruneSpec(topicPattern = topicPattern)
       private var pushed: Array[Filter] = Array.empty
       private var aggPushed: Option[(Boolean, Seq[String])] = None
       private var limitPushed: Option[Int] = None
@@ -642,7 +664,7 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
         if (aggPushed.isEmpty) required = requiredSchema
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         val (spec, used) = WalrusLogSource.pruneSpecFrom(filters)
-        prune = spec
+        prune = spec.copy(topicPattern = topicPattern)
         pushed = used
         // offset/ts filters stay residual (pruning is commit-granular:
         // rows inside a surviving commit still need the codegen'd
@@ -990,7 +1012,8 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
       offsetMin = math.max(prune.offsetMin, r.offsetMin),
       offsetMax = math.min(prune.offsetMax, r.offsetMax),
       tsUsMin = math.max(prune.tsUsMin, r.tsUsMin),
-      tsUsMax = math.min(prune.tsUsMax, r.tsUsMax))
+      tsUsMax = math.min(prune.tsUsMax, r.tsUsMax),
+      topicPattern = prune.topicPattern) // option-borne; runtime never sets it
   }
 
   /** Pushed-LIMIT commit trimming. Plain LIMIT (any n rows satisfy it):

@@ -1229,6 +1229,43 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected 1 commit listing for a ts-aggregate scan, saw $listings")
   }
 
+  test("topicPattern prunes topic dirs at plan time and flows into metadata aggregates") {
+    val root = Files.createTempDirectory("plan-pattern-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    Seq("orders", "orders_eu", "audit").foreach(t =>
+      log.batchAppend(t, (0 until 3).map(j => s"$t$j".getBytes("UTF-8"))))
+    val df = spark.read.format("walruslog").option("path", root)
+      .option("topicPattern", "orders.*").load()
+    // rows: only the two matching topics
+    val q = df.select("topic", "offset")
+    assert(q.collect().map(_.getString(0)).toSet == Set("orders", "orders_eu"))
+    // plan: the non-matching topic's file is never planned
+    assert(scannedParts(q) == 2,
+      "pattern must prune the audit topic's directory from the plan")
+    // the metadata-aggregate path honors the pattern (zero data IO count)
+    val agg = df.groupBy("topic").agg(count(lit(1)).as("n")).collect()
+    assert(agg.map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("orders", 3L), ("orders_eu", 3L)))
+    // a topic registered AFTER the first read is picked up on the next
+    // plan (per-commit resolution — Kafka's pattern re-subscription)
+    log.batchAppend("orders_us", (0 until 2).map(j => s"u$j".getBytes("UTF-8")))
+    val again = spark.read.format("walruslog").option("path", root)
+      .option("topicPattern", "orders.*").load()
+      .groupBy("topic").agg(count(lit(1)).as("n")).collect()
+    assert(again.map(_.getString(0)).toSet ==
+      Set("orders", "orders_eu", "orders_us"))
+    // topic and topicPattern are mutually exclusive (Kafka's rule)
+    val err = intercept[Exception] {
+      spark.read.format("walruslog").option("path", root)
+        .option("topic", "orders").option("topicPattern", "orders.*")
+        .load().collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("mutually exclusive")),
+      msgs(err).mkString(" | "))
+  }
+
   test("batch publish-time window: starting/endingTimestampMs select whole commits from metadata") {
     val root = Files.createTempDirectory("plan-window-").toString
     val log = new graft.log.WalrusLog(spark, root)
