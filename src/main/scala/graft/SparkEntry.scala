@@ -4873,6 +4873,17 @@ object SparkEntry {
       graft.operators.Sharding.temperatureMix(table(s, dir, "documents"),
           "lang", "text", sampleN = 1000L)
         .orderBy("domain")),
+    "shard_domain_balance" -> ((s, dir) =>
+      // DoReMi-shaped iterative domain reweighting (multiplicative
+      // weights / Group-DRO update, arXiv:2305.10429): 4 rounds toward a
+      // uniform target share, one corpus scan then |domains|-row
+      // iterations — the excess-share slot is where a full DoReMi plugs
+      // the measured per-domain proxy loss. Integer milli/micro units
+      // with non-negative truncating division; the oracle replays every
+      // round.
+      graft.operators.Sharding.domainBalance(table(s, dir, "documents"),
+          "source", "text")
+        .orderBy("domain")),
     "stream_static_enrich" -> ((s, dir) => {
       // Stream-static broadcast enrichment: the event stream decodes its
       // payload key in-flight and joins the tiny static nation dim
@@ -9407,6 +9418,8 @@ object SparkEntry {
           |  CAST(s_milli * 1000000 // s_total AS BIGINT) AS weight_micro,
           |  CAST((s_milli * 1000000 // s_total) * 1000 // 1000000 AS BIGINT) AS expected_docs
           |FROM s, tot ORDER BY domain""".stripMargin,
+      "shard_domain_balance" -> graft.operators.Sharding.domainBalanceSql(
+        "SELECT source AS domain, text FROM documents"),
       "shard_mixture_weights" ->
         """WITH pd AS (
           |  SELECT lang AS domain,

@@ -73,6 +73,104 @@ object Sharding {
           .as("weight_micro"))
   }
 
+  /** Iterative domain reweighting by multiplicative weights — the
+    * Group-DRO update shape at the heart of DoReMi (Xie et al. 2023,
+    * arXiv:2305.10429): per round, each domain's weight multiplies up by
+    * how far it falls SHORT of its target share under the current
+    * weights (and down where it overshoots), then shares are re-derived
+    * from the reweighted token masses. Here the per-round "excess" is
+    * the target-minus-actual share deviation (so the fixpoint is the
+    * target mixture); in a full DoReMi the same slot takes the measured
+    * per-domain excess LOSS of a proxy model — the update, the
+    * normalization, and the plan shape are identical, which is what this
+    * operator demonstrates at scale.
+    *
+    * All arithmetic is non-negative BIGINT with truncating division
+    * (milli shares, micro weights): the multiplier is computed as
+    * `(2·10⁶ + excess·η) DIV 10³ − 10³` so the dividend stays
+    * non-negative even when the excess is (bounded) negative — Spark DIV
+    * and DuckDB `//` agree, and the twin replays every round.
+    *
+    * Plan shape: ONE corpus scan (narrow token-count projection +
+    * map-side-combining groupBy(domain)); every round thereafter runs on
+    * the |domains|-row table with a 1-row broadcast total — iteration
+    * cost is independent of corpus size. Output per domain: token mass,
+    * starting/final milli share, final normalized micro weight. */
+  def domainBalance(df: DataFrame, domainCol: String, textCol: String,
+      rounds: Int = 4, etaMilli: Long = 500L,
+      targetMilliFor: Option[DataFrame] = None): DataFrame = {
+    require(rounds >= 1 && etaMilli >= 0 && etaMilli <= 999)
+    val perDom = df
+      .select(col(domainCol).as("domain"),
+        expr(s"CAST(size(filter(split($textCol, ' '), x -> x <> '')) AS BIGINT)")
+          .as("n_tok"))
+      .groupBy("domain").agg(sum("n_tok").as("domain_tokens"))
+      .localCheckpoint() // one corpus scan; rounds iterate on |domains| rows
+    val withTarget = targetMilliFor match {
+      case Some(t) => perDom.join(t, Seq("domain")) // (domain, target_milli)
+      case None =>
+        val nd = broadcast(perDom.agg(count(lit(1)).as("n_domains")))
+        perDom.crossJoin(nd)
+          .withColumn("target_milli", expr("1000 DIV n_domains"))
+          .drop("n_domains")
+    }
+    def shares(w: DataFrame): DataFrame = {
+      val tot = broadcast(w.agg(sum(expr("weight * domain_tokens")).as("mass")))
+      w.crossJoin(tot)
+        .withColumn("share_milli",
+          expr("(weight * domain_tokens * 1000) DIV mass"))
+        .drop("mass")
+    }
+    var cur = shares(withTarget.withColumn("weight", lit(1000000L)))
+      .withColumn("share0_milli", col("share_milli"))
+    for (_ <- 1 to rounds) {
+      val stepped = cur.withColumn("weight",
+        expr(s"(weight * ((2000000 + (target_milli - share_milli) * $etaMilli)" +
+          " DIV 1000 - 1000)) DIV 1000"))
+      cur = shares(stepped.drop("share_milli")).localCheckpoint()
+    }
+    val wTot = broadcast(cur.agg(sum("weight").as("w_total")))
+    cur.crossJoin(wTot)
+      .select(col("domain"), col("domain_tokens"), col("target_milli"),
+        col("share0_milli"), col("share_milli").as("share_final_milli"),
+        expr("(weight * 1000000) DIV w_total").as("weight_micro"))
+  }
+
+  /** The DuckDB twin of [[domainBalance]] (uniform target): unrolled
+    * rounds over the domain table. `docsRel` must expose
+    * (domain, text). */
+  def domainBalanceSql(docsRel: String, rounds: Int = 4,
+      etaMilli: Long = 500L): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""w$i AS (SELECT domain, domain_tokens, target_milli, share0_milli,
+         |    (weight * ((2000000 + (target_milli - share_milli) * $etaMilli)
+         |      // 1000 - 1000)) // 1000 AS weight
+         |  FROM s${i - 1}),
+         |s$i AS (SELECT w.*, (w.weight * w.domain_tokens * 1000)
+         |      // (SELECT SUM(weight * domain_tokens) FROM w$i) AS share_milli
+         |  FROM w$i w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT domain,
+       |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+       |      AS BIGINT) AS domain_tokens
+       |  FROM ($docsRel) GROUP BY 1),
+       |t AS (SELECT d.*, 1000 // (SELECT count(*) FROM d) AS target_milli
+       |  FROM d),
+       |w0 AS (SELECT domain, domain_tokens, target_milli,
+       |    CAST(1000000 AS BIGINT) AS weight FROM t),
+       |s0p AS (SELECT w.*, (w.weight * w.domain_tokens * 1000)
+       |    // (SELECT SUM(weight * domain_tokens) FROM w0) AS share_milli
+       |  FROM w0 w),
+       |s0 AS (SELECT *, share_milli AS share0_milli FROM s0p),
+       |$iters
+       |SELECT domain, domain_tokens, CAST(target_milli AS BIGINT) AS target_milli,
+       |  CAST(share0_milli AS BIGINT) AS share0_milli,
+       |  CAST(share_milli AS BIGINT) AS share_final_milli,
+       |  CAST((weight * 1000000) // (SELECT SUM(weight) FROM w$rounds)
+       |    AS BIGINT) AS weight_micro
+       |FROM s$rounds ORDER BY domain""".stripMargin
+  }
+
   /** Temperature-scaled mixture weights (α = 0.5): sampling probability
     * ∝ p_domain^α — the multilingual up-sampling rule (XLM-R, Conneau
     * et al. 2020, arXiv:1911.02116 §3) that flattens the domain
