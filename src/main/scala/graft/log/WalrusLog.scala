@@ -1256,18 +1256,29 @@ class WalrusLog(
     val sources = visibleCommits.filter(_.topics.nonEmpty).take(maxSourceBatches)
     if (sources.size < 2) return None
     val ids = sources.map(_.id)
-    // Per-topic ts bounds inherit min/max over the replaced ranges (a
-    // source persisted before bounds existed contributes its exact commit
-    // ts — ingest stamps every entry with it), so a compacted log KEEPS
-    // time pruning and metadata-answered MIN/MAX(ts_us).
+    // Per-topic ts bounds inherit min/max over the replaced ranges. An
+    // INGEST source persisted before bounds existed contributes its exact
+    // commit ts (ingest stamps every entry with it) — but a LEGACY
+    // COMPACTION source (bounds-less `replaces` record from before the
+    // feature) holds rows with ORIGINAL timestamps unrelated to its
+    // commit instant, so its unknown-ness must PROPAGATE: inheriting
+    // tsMillis there would stamp confidently-wrong bounds that ts pruning
+    // and metadata MIN/MAX would then trust (found by the r10 trimming
+    // property test). With all-known sources the compacted log KEEPS time
+    // pruning and metadata-answered MIN/MAX(ts_us).
     val merged: Map[String, TopicRange] = sources
-      .flatMap(c => c.topics.toSeq.map { case (t, r) => (t, c.tsMillis, r) })
+      .flatMap(c => c.topics.toSeq.map { case (t, r) => (t, c, r) })
       .groupBy(_._1).map { case (t, rs) =>
         val ranges = rs.map(_._3)
-        val lo = rs.map { case (_, ts, r) => r.tsUsMin.getOrElse(ts * 1000L) }.min
-        val hi = rs.map { case (_, ts, r) => r.tsUsMax.getOrElse(ts * 1000L) }.max
+        def knownBound(c: CommitRecord, r: TopicRange): Boolean =
+          r.tsUsMin.isDefined || !c.replaces.exists(_.nonEmpty)
+        val allKnown = rs.forall { case (_, c, r) => knownBound(c, r) }
+        val lo = if (allKnown) Some(rs.map { case (_, c, r) =>
+          r.tsUsMin.getOrElse(c.tsMillis * 1000L) }.min) else None
+        val hi = if (allKnown) Some(rs.map { case (_, c, r) =>
+          r.tsUsMax.getOrElse(c.tsMillis * 1000L) }.max) else None
         t -> TopicRange(ranges.map(_.start).min, ranges.map(_.end).max,
-          ranges.map(_.bytes).sum, Some(lo), Some(hi))
+          ranges.map(_.bytes).sum, lo, hi)
       }
     val totalBytes = merged.valuesIterator.map(r =>
       r.bytes + cfg.metaOverheadBytes.toLong * (r.end - r.start)).sum

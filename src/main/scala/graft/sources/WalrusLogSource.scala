@@ -351,7 +351,7 @@ object WalrusLogSource {
     * compaction range waives the ts test. Residual evaluation stays with
     * Spark's post-scan Filter (codegen'd), so pruning here is purely an
     * IO reduction, never a semantics change. */
-  private[sources] final case class PruneSpec(
+  private[graft] final case class PruneSpec(
       topics: Option[Set[String]] = None,
       offsetMin: Long = Long.MinValue, offsetMax: Long = Long.MaxValue,
       tsUsMin: Long = Long.MinValue, tsUsMax: Long = Long.MaxValue,
@@ -464,6 +464,101 @@ object WalrusLogSource {
       case _ => None
     }
   }
+
+  /** Pushed LIMIT/TopN commit trimming — the pure metadata computation
+    * behind [[WalrusLogScan]]'s limitPrefix, kept static so the
+    * soundness invariant ("the kept commits contain the true top-n rows
+    * under ANY layout, compactions included") is property-testable
+    * without building logs (PropertySpec). Semantics and the threshold
+    * argument: see limitPrefix's scaladoc. */
+  private[graft] def trimForLimit(commits: Seq[(CommitRecord, Boolean)],
+      spec: PruneSpec, limit: Option[Int],
+      limitOrderCol: Option[String], limitFromTail: Boolean)
+      : Seq[(CommitRecord, Boolean)] =
+    limit match {
+      case None => commits
+      case Some(_) if spec.offsetMin != Long.MinValue ||
+          spec.offsetMax != Long.MaxValue ||
+          spec.tsUsMin != Long.MinValue ||
+          spec.tsUsMax != Long.MaxValue => commits
+      case Some(n) if limitOrderCol.isEmpty =>
+        var covered = 0L
+        commits.takeWhile { case (c, flagged) =>
+          val take = covered < n
+          if (take && !flagged)
+            covered += c.topics.iterator.collect {
+              case (t, r) if spec.topicMatches(t) => r.end - r.start
+            }.sum
+          take
+        }
+      case Some(n) if limitOrderCol.contains("offset") =>
+        // per topic: order its covering commits by the topic's recorded
+        // offset range (NOT by commit id — compaction breaks id order)
+        // and take until that topic's rows cover n; union across topics
+        val keep = scala.collection.mutable.Set.empty[Long]
+        commits.iterator.filter(!_._2)
+          .flatMap { case (c, _) => c.topics.iterator.collect {
+            case (t, r) if spec.topicMatches(t) => (t, c.id, r) } }
+          .toSeq.groupBy(_._1).foreach { case (_, cover) =>
+            val ordered =
+              if (limitFromTail)
+                cover.sortBy { case (_, _, r) => r.end }(Ordering[Long].reverse)
+              else cover.sortBy { case (_, _, r) => r.start }
+            var covered = 0L
+            ordered.foreach { case (_, id, r) =>
+              if (covered < n) { keep += id; covered += r.end - r.start }
+            }
+          }
+        commits.filter { case (c, flagged) => !flagged && keep(c.id) }
+      case Some(n) => // limitOrderCol = Some("ts_us")
+        // per-commit guaranteed ts bounds over the spec-matching topics
+        def bounds(c: CommitRecord): (Long, Long) = {
+          val rs = c.topics.iterator.collect {
+            case (t, r) if spec.topicMatches(t) => r }.toSeq
+          if (rs.isEmpty) (Long.MinValue, Long.MaxValue) // 0 rows: filtered below
+          else if (c.replaces.exists(_.nonEmpty)) {
+            // compaction: rows keep ORIGINAL timestamps — recorded range
+            // bounds or nothing (legacy: unbounded, never counted)
+            (if (rs.forall(_.tsUsMin.isDefined)) rs.flatMap(_.tsUsMin).min
+             else Long.MinValue,
+             if (rs.forall(_.tsUsMax.isDefined)) rs.flatMap(_.tsUsMax).max
+             else Long.MaxValue)
+          } else {
+            // ingest: every entry carries ts_us = tsMillis·1000, so the
+            // commit instant is exact even for pre-bounds records
+            (rs.flatMap(_.tsUsMin).minOption.getOrElse(c.tsMillis * 1000L),
+             rs.flatMap(_.tsUsMax).maxOption.getOrElse(c.tsMillis * 1000L))
+          }
+        }
+        val cand = commits.collect { case (c, false) =>
+          val rows = c.topics.iterator.collect {
+            case (t, r) if spec.topicMatches(t) => r.end - r.start }.sum
+          val (lo, hi) = bounds(c)
+          (c, lo, hi, rows)
+        }.filter(_._4 > 0L)
+        // NOTE: descending via Ordering.reverse, NEVER -lo — a legacy
+        // commit's Long.MinValue bound negates to ITSELF and would sort
+        // first, silently corrupting the threshold walk (caught by the
+        // trimming property test)
+        val ordered =
+          if (limitFromTail)
+            cand.sortBy { case (_, lo, _, _) => lo }(Ordering[Long].reverse)
+          else cand.sortBy { case (_, _, hi, _) => hi }
+        var covered = 0L
+        var threshold = if (limitFromTail) Long.MinValue else Long.MaxValue
+        val it = ordered.iterator
+        while (covered < n && it.hasNext) {
+          val (_, lo, hi, rows) = it.next()
+          covered += rows
+          threshold = if (limitFromTail) lo else hi
+        }
+        val keep =
+          if (covered < n) cand.map(_._1.id).toSet // < n rows total: all live
+          else cand.collect { case (c, lo, hi, _)
+            if (if (limitFromTail) hi >= threshold else lo <= threshold) =>
+              c.id }.toSet
+        commits.filter { case (c, flagged) => !flagged && keep(c.id) }
+    }
 
   /** Partition-planning invocation counter — a test probe pinning the
     * one-listing-per-scan contract of [[WalrusLogScan.plannedPartitions]]
@@ -1055,83 +1150,8 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
     * the scan actually delivers. */
   private def limitPrefix(commits: Seq[(CommitRecord, Boolean)],
       spec: WalrusLogSource.PruneSpec): Seq[(CommitRecord, Boolean)] =
-    limit match {
-      case None => commits
-      case Some(_) if spec.offsetMin != Long.MinValue ||
-          spec.offsetMax != Long.MaxValue ||
-          spec.tsUsMin != Long.MinValue ||
-          spec.tsUsMax != Long.MaxValue => commits
-      case Some(n) if limitOrderCol.isEmpty =>
-        var covered = 0L
-        commits.takeWhile { case (c, flagged) =>
-          val take = covered < n
-          if (take && !flagged)
-            covered += c.topics.iterator.collect {
-              case (t, r) if spec.topicMatches(t) => r.end - r.start
-            }.sum
-          take
-        }
-      case Some(n) if limitOrderCol.contains("offset") =>
-        // per topic: order its covering commits by the topic's recorded
-        // offset range (NOT by commit id — compaction breaks id order)
-        // and take until that topic's rows cover n; union across topics
-        val keep = scala.collection.mutable.Set.empty[Long]
-        commits.iterator.filter(!_._2)
-          .flatMap { case (c, _) => c.topics.iterator.collect {
-            case (t, r) if spec.topicMatches(t) => (t, c.id, r) } }
-          .toSeq.groupBy(_._1).foreach { case (_, cover) =>
-            val ordered =
-              if (limitFromTail) cover.sortBy { case (_, _, r) => -r.end }
-              else cover.sortBy { case (_, _, r) => r.start }
-            var covered = 0L
-            ordered.foreach { case (_, id, r) =>
-              if (covered < n) { keep += id; covered += r.end - r.start }
-            }
-          }
-        commits.filter { case (c, flagged) => !flagged && keep(c.id) }
-      case Some(n) => // limitOrderCol = Some("ts_us")
-        // per-commit guaranteed ts bounds over the spec-matching topics
-        def bounds(c: CommitRecord): (Long, Long) = {
-          val rs = c.topics.iterator.collect {
-            case (t, r) if spec.topicMatches(t) => r }.toSeq
-          if (c.replaces.exists(_.nonEmpty)) {
-            // compaction: rows keep ORIGINAL timestamps — recorded range
-            // bounds or nothing (legacy: unbounded, never counted)
-            (if (rs.forall(_.tsUsMin.isDefined)) rs.flatMap(_.tsUsMin).min
-             else Long.MinValue,
-             if (rs.forall(_.tsUsMax.isDefined)) rs.flatMap(_.tsUsMax).max
-             else Long.MaxValue)
-          } else {
-            // ingest: every entry carries ts_us = tsMillis·1000, so the
-            // commit instant is exact even for pre-bounds records
-            (rs.flatMap(_.tsUsMin).minOption.getOrElse(c.tsMillis * 1000L),
-             rs.flatMap(_.tsUsMax).maxOption.getOrElse(c.tsMillis * 1000L))
-          }
-        }
-        val cand = commits.collect { case (c, false) =>
-          val rows = c.topics.iterator.collect {
-            case (t, r) if spec.topicMatches(t) => r.end - r.start }.sum
-          val (lo, hi) = bounds(c)
-          (c, lo, hi, rows)
-        }.filter(_._4 > 0L)
-        val ordered =
-          if (limitFromTail) cand.sortBy { case (_, lo, _, _) => -lo }
-          else cand.sortBy { case (_, _, hi, _) => hi }
-        var covered = 0L
-        var threshold = if (limitFromTail) Long.MinValue else Long.MaxValue
-        val it = ordered.iterator
-        while (covered < n && it.hasNext) {
-          val (_, lo, hi, rows) = it.next()
-          covered += rows
-          threshold = if (limitFromTail) lo else hi
-        }
-        val keep =
-          if (covered < n) cand.map(_._1.id).toSet // < n rows total: all live
-          else cand.collect { case (c, lo, hi, _)
-            if (if (limitFromTail) hi >= threshold else lo <= threshold) =>
-              c.id }.toSet
-        commits.filter { case (c, flagged) => !flagged && keep(c.id) }
-    }
+    WalrusLogSource.trimForLimit(commits, spec, limit, limitOrderCol,
+      limitFromTail)
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = plannedPartitions()

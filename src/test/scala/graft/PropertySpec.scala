@@ -294,6 +294,120 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("LIMIT/TopN trimming is sound on random logs with compactions and legacy bounds") {
+    // the r10 invariant behind WalrusLogScan's pushed-limit planning: for
+    // ANY commit layout — multi-topic ingests, repeated partial
+    // compactions (old offsets and ts RANGES at new ids), legacy records
+    // without stored ts bounds — the kept commits contain the true top-n
+    // rows. Rows are simulated from the same metadata the planner sees,
+    // with compactions carrying their sources' EXACT rows (what
+    // WalrusLog.compact does).
+    import graft.log.{CommitRecord, TopicRange}
+    import graft.sources.WalrusLogSource
+    val r = rng
+    (0 until Cases).foreach { caseNo =>
+      val topics = (0 until 1 + r.nextInt(4)).map(i => s"t$i")
+      val nextOffset = scala.collection.mutable.Map.empty[String, Long]
+      var commits = Vector.empty[(CommitRecord, Boolean)]
+      // commitId -> its rows (topic, offset, tsUs)
+      val rowsOf = scala.collection.mutable.Map.empty[Long, Seq[(String, Long, Long)]]
+      var id = 0L
+      var tsMs = 1700000000000L
+      (0 until 2 + r.nextInt(8)).foreach { _ =>
+        if (r.nextInt(4) == 0 && commits.count(e => !e._2 && e._1.topics.nonEmpty) >= 2) {
+          // compact a prefix of the live commits (maxSourceBatches shape)
+          val live = commits.filter(e => !e._2 && e._1.topics.nonEmpty).map(_._1)
+          val srcs = live.take(2 + r.nextInt(live.size - 1))
+          // `legacy` simulates a pre-bounds-era compaction record; a
+          // MODERN compaction over such a source must propagate the
+          // unknown-ness per topic (WalrusLog.compact's knownBound rule)
+          val legacy = r.nextInt(4) == 0
+          val merged = srcs.flatMap(c => c.topics.toSeq.map { case (t, tr) =>
+            (t, c, tr) }).groupBy(_._1).map { case (t, rs) =>
+            val allKnown = rs.forall { case (_, c, tr) =>
+              tr.tsUsMin.isDefined || !c.replaces.exists(_.nonEmpty) }
+            val lo = rs.map { case (_, c, tr) =>
+              tr.tsUsMin.getOrElse(c.tsMillis * 1000L) }.min
+            val hi = rs.map { case (_, c, tr) =>
+              tr.tsUsMax.getOrElse(c.tsMillis * 1000L) }.max
+            t -> TopicRange(rs.map(_._3.start).min, rs.map(_._3.end).max, 0L,
+              if (legacy || !allKnown) None else Some(lo),
+              if (legacy || !allKnown) None else Some(hi))
+          }
+          tsMs += 1000L
+          val rec = CommitRecord(id, tsMs, merged, None, Some(srcs.map(_.id)))
+          rowsOf(id) = srcs.flatMap(c => rowsOf(c.id))
+          val replaced = srcs.map(_.id).toSet
+          commits = commits.map { case e @ (c, f) =>
+            if (!f && replaced(c.id)) (c, true) else e } :+ ((rec, false))
+          id += 1
+        } else {
+          // ingest commit: random topic subset, random counts
+          tsMs += 1000L
+          val legacy = r.nextInt(5) == 0
+          val mine = topics.filter(_ => r.nextInt(2) == 0) match {
+            case Seq() => Seq(topics(r.nextInt(topics.size)))
+            case s => s
+          }
+          val ranges = mine.map { t =>
+            val start = nextOffset.getOrElse(t, 0L)
+            val n = 1 + r.nextInt(5)
+            nextOffset(t) = start + n
+            t -> TopicRange(start, start + n, 0L,
+              if (legacy) None else Some(tsMs * 1000L),
+              if (legacy) None else Some(tsMs * 1000L))
+          }.toMap
+          rowsOf(id) = ranges.toSeq.flatMap { case (t, tr) =>
+            (tr.start until tr.end).map(o => (t, o, tsMs * 1000L)) }
+          commits = commits :+ ((CommitRecord(id, tsMs, ranges), false))
+          id += 1
+        }
+      }
+      // random vacuum flags on live commits (data reclaimed: no rows)
+      commits = commits.map { case e @ (c, f) =>
+        if (!f && r.nextInt(10) == 0) (c, true) else e }
+      val spec =
+        if (r.nextInt(3) == 0)
+          WalrusLogSource.PruneSpec(topics =
+            Some(topics.filter(_ => r.nextInt(2) == 0).toSet))
+        else WalrusLogSource.PruneSpec()
+      def visibleRows(of: Seq[(CommitRecord, Boolean)]) = of.collect {
+        case (c, false) => rowsOf(c.id) }.flatten
+        .filter { case (t, _, _) => spec.topicMatches(t) }
+      val all = visibleRows(commits)
+      for {
+        orderCol <- Seq(None, Some("offset"), Some("ts_us"))
+        fromTail <- Seq(false, true)
+        n <- Seq(1, 3, 7)
+      } {
+        val kept = WalrusLogSource.trimForLimit(commits, spec, Some(n),
+          orderCol, fromTail)
+        val keptRows = visibleRows(kept)
+        orderCol match {
+          case None =>
+            assert(keptRows.size >= math.min(n.toLong, all.size.toLong),
+              s"case $caseNo: plain limit under-delivers")
+          case Some(colName) =>
+            val key: ((String, Long, Long)) => Long =
+              if (colName == "offset") _._2 else _._3
+            def topKeys(rows: Seq[(String, Long, Long)]) = {
+              val sorted = rows.map(key).sorted
+              (if (fromTail) sorted.reverse else sorted).take(n)
+            }
+            assert(topKeys(keptRows) == topKeys(all),
+              s"case $caseNo: $colName tail=$fromTail n=$n spec=$spec " +
+                s"kept=${kept.map(_._1.id)} of ${commits.size}\n" +
+                commits.map { case (c, f) =>
+                  s"  id=${c.id} flag=$f ts=${c.tsMillis} repl=${c.replaces} " +
+                    c.topics.map { case (t, tr) =>
+                      s"$t[${tr.start},${tr.end})lo=${tr.tsUsMin}hi=${tr.tsUsMax}"
+                    }.mkString(" ")
+                }.mkString("\n"))
+        }
+      }
+    }
+  }
+
   test("winnowing guarantee: shared >= k+w-1 run always shares a fingerprint") {
     import graft.functions.WinnowFingerprints
     import graft.operators.TextOps
