@@ -1176,7 +1176,12 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
       Option(options.get("maxBatchesPerTrigger")).map(_.toInt), required, prune,
       Option(options.get("realTimePartitions")).map(_.toInt).getOrElse(2),
       Option(options.get("startingTimestampMs")).map(_.toLong),
-      Option(options.get("maxRowsPerTrigger")).map(_.toLong))
+      Option(options.get("maxRowsPerTrigger")).map(_.toLong),
+      Option(options.get("minRowsPerTrigger")).map(_.toLong),
+      Option(options.get("maxTriggerDelayMs")).map(_.toLong)
+        .getOrElse(15L * 60 * 1000),
+      failOnDataLoss =
+        Option(options.get("failOnDataLoss")).exists(_.toBoolean))
   }
 }
 
@@ -1214,7 +1219,11 @@ class WalrusMicroBatchStream(
     prune: WalrusLogSource.PruneSpec = WalrusLogSource.PruneSpec(),
     rtPartitions: Int = 2,
     startingTimestampMs: Option[Long] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    minRowsPerTrigger: Option[Long] = None,
+    maxTriggerDelayMs: Long = 15L * 60 * 1000,
+    clockMs: () => Long = () => System.currentTimeMillis(),
+    failOnDataLoss: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with SupportsRealTimeMode {
 
@@ -1292,11 +1301,17 @@ class WalrusMicroBatchStream(
     * `maxOffsetsPerTrigger` analogue — a ROW budget resolved from commit
     * metadata (each commit records exact per-topic counts, so no data IO),
     * admitting whole commits until the budget is covered, always ≥ 1 so
-    * the stream can't stall on one oversized commit. Both together
-    * compose (the tighter one wins per trigger). */
+    * the stream can't stall on one oversized commit.
+    * `minRowsPerTrigger`/`maxTriggerDelayMs` are the Kafka
+    * `minOffsetsPerTrigger`/`maxTriggerDelay` pair: a trigger with fewer
+    * than `min` new rows available is SKIPPED (no micro-batch) until the
+    * delay since the last fired batch expires — small-batch suppression
+    * for bursty sources, so state/commit overhead amortizes over real
+    * data. All limits compose (the tighter one wins per trigger). */
   override def getDefaultReadLimit: ReadLimit = {
     val limits = maxBatchesPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
-      maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).toSeq
+      maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).toSeq ++
+      minRowsPerTrigger.map(n => ReadLimit.minRows(n, maxTriggerDelayMs)).toSeq
     limits match {
       case Seq() => ReadLimit.allAvailable()
       case Seq(one) => one
@@ -1315,6 +1330,11 @@ class WalrusMicroBatchStream(
       case (t, r) if streamSpec.topicMatches(t) => r.end - r.start
     }.sum
 
+  /** Wall instant of the last FIRED micro-batch — the maxTriggerDelay
+    * reference point (Kafka keeps the same per-source clock). Injectable
+    * (`clockMs`) so admission specs are deterministic. */
+  private var lastTriggerFiredMs: Long = clockMs()
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = start match {
     case CommitIndexOffset(startIdx) =>
       val all = commits
@@ -1324,6 +1344,21 @@ class WalrusMicroBatchStream(
         if (flagged) 0L else commitRows(c)
       }
       def applyOne(limit: ReadLimit): Long = limit match {
+        case rl: org.apache.spark.sql.connector.read.streaming.ReadMinRows =>
+          // gate, not a cap: fewer than minRows new rows → no batch this
+          // trigger (return start), unless the delay since the last
+          // fired batch expired. AvailableNow drains ignore the gate —
+          // the fence demands everything gets delivered.
+          var rows = 0L
+          var i = startIdx
+          while (i < available && rows < rl.minRows()) {
+            rows += rowsAt(i); i += 1
+          }
+          val expired =
+            clockMs() - lastTriggerFiredMs >= rl.maxTriggerDelayMs()
+          if (rows >= rl.minRows() || expired || availableNowCap.isDefined)
+            available
+          else startIdx
         case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
           math.min(available, startIdx + rl.maxFiles())
         case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
@@ -1346,7 +1381,9 @@ class WalrusMicroBatchStream(
           c.getReadLimits.map(applyOne).min
         case _ => available
       }
-      CommitIndexOffset(math.max(applyOne(limit), startIdx))
+      val end = math.max(applyOne(limit), startIdx)
+      if (end > startIdx) lastTriggerFiredMs = clockMs()
+      CommitIndexOffset(end)
     case rt: WalrusRealTimeOffset =>
       // real-time mode: the engine still asks for the available end, but
       // the batch's TRUE end is whatever the time-budgeted readers reach
@@ -1381,6 +1418,26 @@ class WalrusMicroBatchStream(
           val i = WalrusLogSource.commitIndexOfId(all, id)
           i >= 0 && i < s
         })
+    }
+    // Kafka failOnDataLoss parity (opt-in; default is the engine's
+    // historical silent-skip): a commit this stream is ABOUT to deliver
+    // but cannot — reclaimed by vacuum/retention and NOT re-readable
+    // through a live compaction commit — raises instead of silently
+    // yielding nothing. A manifest-truncated tombstone records no topics,
+    // so it is conservatively loss (its rows are unknowable). Commits
+    // whose every matching topic was pruned away never count.
+    if (failOnDataLoss) {
+      val coveredByCompaction = all.iterator.collect {
+        case (c, false) => c.replaces.getOrElse(Nil) }.flatten.toSet
+      val lost = slice.collect {
+        case (c, true) if !coveredByCompaction(c.id) &&
+          (c.topics.isEmpty || commitRows(c) > 0L) => c.id
+      }
+      if (lost.nonEmpty) throw new IllegalStateException(
+        s"failOnDataLoss: commits ${lost.mkString(",")} were reclaimed " +
+          "(vacuum/retention) before this stream consumed them — rows are " +
+          "gone. Set failOnDataLoss=false to skip reclaimed ranges, or " +
+          "retain data at least as long as the slowest consumer")
     }
     WalrusLogSource.partitionsFor(nsDir, slice, topic, prune)
   }

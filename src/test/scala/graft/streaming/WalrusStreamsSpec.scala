@@ -821,6 +821,112 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected error: $err")
   }
 
+  test("minRowsPerTrigger gates triggers until rows or maxTriggerDelay (Kafka minOffsetsPerTrigger)") {
+    // driven at the admission-control seam with an injected clock, so the
+    // time-based escape hatch is deterministic
+    import graft.sources.{CommitIndexOffset, WalrusLogSource, WalrusMicroBatchStream}
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    (0 until 3).foreach(i =>
+      log.batchAppend("t", (0 until 4).map(j => bytes(s"v$i$j"))))
+    var now = 0L
+    val stream = new WalrusMicroBatchStream(
+      java.nio.file.Paths.get(root, "default"), None, None,
+      WalrusLogSource.Schema,
+      minRowsPerTrigger = Some(10L), maxTriggerDelayMs = 5000L,
+      clockMs = () => now)
+    val lim = stream.getDefaultReadLimit
+    // 12 rows ≥ min 10 → the trigger fires through the backlog
+    assert(stream.latestOffset(CommitIndexOffset(0L), lim) ==
+      CommitIndexOffset(3L))
+    // 4 new rows < 10 → gated (no progress), again just before the delay
+    log.batchAppend("t", (0 until 4).map(j => bytes(s"w$j")))
+    assert(stream.latestOffset(CommitIndexOffset(3L), lim) ==
+      CommitIndexOffset(3L))
+    now = 4999L
+    assert(stream.latestOffset(CommitIndexOffset(3L), lim) ==
+      CommitIndexOffset(3L))
+    // delay expired → fires despite the deficit, and resets the clock
+    now = 5000L
+    assert(stream.latestOffset(CommitIndexOffset(3L), lim) ==
+      CommitIndexOffset(4L))
+    log.batchAppend("t", (0 until 4).map(j => bytes(s"x$j")))
+    assert(stream.latestOffset(CommitIndexOffset(4L), lim) ==
+      CommitIndexOffset(4L), "firing must reset the delay reference")
+    // min composes with max: enough rows to fire, but the row cap still
+    // bounds how far one micro-batch reaches (tighter limit wins)
+    var now2 = 0L
+    val both = new WalrusMicroBatchStream(
+      java.nio.file.Paths.get(root, "default"), None, None,
+      WalrusLogSource.Schema,
+      maxRowsPerTrigger = Some(5L),
+      minRowsPerTrigger = Some(10L), maxTriggerDelayMs = 5000L,
+      clockMs = () => now2)
+    assert(both.latestOffset(CommitIndexOffset(0L), both.getDefaultReadLimit) ==
+      CommitIndexOffset(1L))
+    // end-to-end through the engine: an AvailableNow drain ignores the
+    // gate (the fence demands full delivery) and still sees every row
+    val q = spark.readStream.format("walruslog").option("path", root)
+      .option("minRowsPerTrigger", "1000000").load()
+      .writeStream.format("memory").queryName("minrows_e2e")
+      .option("checkpointLocation",
+        Files.createTempDirectory("minrows-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("minrows_e2e").count() == 20L)
+  }
+
+  test("failOnDataLoss: reclaimed-unconsumed commits raise when opted in, skip by default") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    (0 until 2).foreach(i =>
+      log.batchAppend("t", (0 until 3).map(j => bytes(s"v$i$j"))))
+    log.batchAppend("t", (0 until 3).map(j => bytes(s"w$j"))) // stays live
+    // reclaim the first two commits before any stream consumed them
+    log.vacuumOlderThan(System.currentTimeMillis() + 3600000L) match {
+      case ids => assert(ids.size == 3) // all three reclaimed... rebuild one
+    }
+    log.batchAppend("t", (0 until 3).map(j => bytes(s"x$j"))) // live again
+    def drain(opts: Map[String, String], name: String) = {
+      var r = spark.readStream.format("walruslog").option("path", root)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load().writeStream.format("memory").queryName(name)
+        .option("checkpointLocation",
+          Files.createTempDirectory("fodl-ck-").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // default: silent skip (the engine's historical retention semantics)
+    drain(Map.empty, "fodl_default")
+    assert(spark.table("fodl_default").count() == 3L)
+    // opted in: the unconsumed reclaimed range raises
+    val err = intercept[Exception] {
+      drain(Map("failOnDataLoss" -> "true"), "fodl_strict")
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    assert(causes(err).exists(_.contains("failOnDataLoss")),
+      causes(err).mkString(" | "))
+    // compaction is NOT loss: replaced sources stay readable through the
+    // compaction commit, so a strict fresh stream drains cleanly
+    val root2 = tempRoot()
+    val log2 = new WalrusLog(spark, root2)
+    (0 until 3).foreach(i =>
+      log2.batchAppend("t", (0 until 3).map(j => bytes(s"c$i$j"))))
+    assert(log2.compact().nonEmpty)
+    val q2 = spark.readStream.format("walruslog").option("path", root2)
+      .option("failOnDataLoss", "true").load()
+      .writeStream.format("memory").queryName("fodl_compact")
+      .option("checkpointLocation",
+        Files.createTempDirectory("fodl2-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.table("fodl_compact").count() == 9L)
+  }
+
   test("SparkEntry streaming queries are rerun-stable (driver reruns them)") {
     // The bench and correctness drivers invoke each query repeatedly in one
     // JVM; the streaming entries manage per-invocation sinks/checkpoints and
