@@ -2171,6 +2171,39 @@ object SparkEntry {
             .otherwise(0L)).as("kept_chars"))
         .orderBy("doc_id")
     }),
+    "text_rep_trim" -> ((s, dir) => {
+      // WITHIN-doc consecutive-repetition collapse ("stutter removal") —
+      // the cleanup pass for looping/degenerate generations (distinct
+      // from Gopher's repetition FRACTIONS, which gate whole docs, and
+      // from dedup_line_level's cross-corpus dedup): collapse each run of
+      // consecutive identical tokens to its first occurrence. Per doc:
+      // tokens, survivors after run-collapse, the longest run, and chars
+      // removed by the collapse. Window partitioned by doc_id (docs are
+      // bounded), never corpus-global; only docs with at least one
+      // collapsed run are reported (the trim worklist).
+      import org.apache.spark.sql.expressions.Window
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val runs = toks
+        .withColumn("new_run",
+          when(lag(col("tok"), 1).over(w).isNull ||
+            lag(col("tok"), 1).over(w) =!= col("tok"), 1L).otherwise(0L))
+        .withColumn("run_id", sum("new_run").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perRun = runs.groupBy(col("doc_id"), col("run_id"))
+        .agg(count(lit(1)).as("run_len"), first(col("tok")).as("tok"))
+      perRun.groupBy("doc_id").agg(
+        sum("run_len").as("n_tokens"),
+        count(lit(1)).as("n_kept"),
+        max("run_len").as("max_run"),
+        sum(when(col("run_len") > 1,
+          (col("run_len") - 1) * (length(col("tok")).cast("long")))
+          .otherwise(0L)).as("trimmed_chars"))
+        .where(col("max_run") > 1L)
+        .orderBy("doc_id")
+    }),
     "dedup_cluster_stats" -> ((s, dir) => {
       // the dedup REPORT: cluster-size histogram of the LSH candidate
       // graph's connected components — what "how duplicated is this
@@ -8108,6 +8141,25 @@ object SparkEntry {
            |  CAST(dup_words * 1000 // n_words AS BIGINT) AS dup_milli
            |FROM nw JOIN per_doc ON per_doc.doc_id = nw.doc_id
            |ORDER BY nw.doc_id""".stripMargin,
+      "text_rep_trim" ->
+        // token-level run collapse; IS DISTINCT FROM matches the Spark
+        // isNull-or-different lag test (tokens are never null here)
+        """WITH l AS (SELECT doc_id, i AS pos, ws[i+1] AS tok
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |  LATERAL (SELECT unnest(generate_series(0, len(ws)-1)) AS i) g),
+          |r AS (SELECT doc_id, pos, tok,
+          |    CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+          |      IS DISTINCT FROM tok THEN 1 ELSE 0 END AS new_run
+          |  FROM l),
+          |g AS (SELECT *, SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos)
+          |    AS run_id FROM r),
+          |pr AS (SELECT doc_id, run_id, count(*) AS run_len, min(tok) AS tok
+          |  FROM g GROUP BY 1, 2)
+          |SELECT doc_id, CAST(SUM(run_len) AS BIGINT) AS n_tokens,
+          |  count(*) AS n_kept, CAST(max(run_len) AS BIGINT) AS max_run,
+          |  CAST(SUM(CASE WHEN run_len > 1 THEN (run_len - 1) * length(tok)
+          |    ELSE 0 END) AS BIGINT) AS trimmed_chars
+          |FROM pr GROUP BY 1 HAVING max(run_len) > 1 ORDER BY doc_id""".stripMargin,
       "dedup_line_level" ->
         // identical 8-word chunking (DuckDB slice is 1-based inclusive =
         // Spark slice(ws, i*8+1, 8)); first occurrence = min integer key
