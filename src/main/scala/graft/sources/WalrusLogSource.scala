@@ -1181,7 +1181,9 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
       Option(options.get("maxTriggerDelayMs")).map(_.toLong)
         .getOrElse(15L * 60 * 1000),
       failOnDataLoss =
-        Option(options.get("failOnDataLoss")).exists(_.toBoolean))
+        Option(options.get("failOnDataLoss")).exists(_.toBoolean),
+      maxBytesPerTrigger =
+        Option(options.get("maxBytesPerTrigger")).map(_.toLong))
   }
 }
 
@@ -1223,7 +1225,8 @@ class WalrusMicroBatchStream(
     minRowsPerTrigger: Option[Long] = None,
     maxTriggerDelayMs: Long = 15L * 60 * 1000,
     clockMs: () => Long = () => System.currentTimeMillis(),
-    failOnDataLoss: Boolean = false)
+    failOnDataLoss: Boolean = false,
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with SupportsRealTimeMode {
 
@@ -1311,6 +1314,7 @@ class WalrusMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit = {
     val limits = maxBatchesPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
       maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).toSeq ++
+      maxBytesPerTrigger.map(n => ReadLimit.maxBytes(n)).toSeq ++
       minRowsPerTrigger.map(n => ReadLimit.minRows(n, maxTriggerDelayMs)).toSeq
     limits match {
       case Seq() => ReadLimit.allAvailable()
@@ -1329,6 +1333,17 @@ class WalrusMicroBatchStream(
     c.topics.iterator.collect {
       case (t, r) if streamSpec.topicMatches(t) => r.end - r.start
     }.sum
+
+  /** Decoded bytes a commit delivers to this stream — payload plus the
+    * per-entry metadata overhead, the same width convention the batch
+    * scan's estimateStatistics reports. */
+  private def commitBytes(c: CommitRecord): Long = {
+    val meta = graft.log.LogConfig().metaOverheadBytes.toLong
+    c.topics.iterator.collect {
+      case (t, r) if streamSpec.topicMatches(t) =>
+        r.bytes + meta * (r.end - r.start)
+    }.sum
+  }
 
   /** Wall instant of the last FIRED micro-batch — the maxTriggerDelay
     * reference point (Kafka keeps the same per-source clock). Injectable
@@ -1373,6 +1388,25 @@ class WalrusMicroBatchStream(
             val r = rowsAt(idx)
             if (r == 0L || !admittedRows || budget >= r) {
               if (r > 0L) { budget -= r; admittedRows = true }
+              idx += 1
+            } else more = false
+          }
+          idx
+        case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+          // the Delta/Auto-Loader maxBytesPerTrigger shape: same whole-
+          // commit admission as the row budget, against the DECODED byte
+          // width each commit records in metadata (payload + per-entry
+          // overhead) — no data IO to plan a trigger, same ≥ 1
+          // row-bearing-commit progress guarantee
+          var idx = startIdx
+          var budget = rl.maxBytes()
+          var admitted = false
+          var more = true
+          while (more && idx < available) {
+            val (c, flagged) = all(idx.toInt)
+            val b = if (flagged) 0L else commitBytes(c)
+            if (b == 0L || !admitted || budget >= b) {
+              if (b > 0L) { budget -= b; admitted = true }
               idx += 1
             } else more = false
           }

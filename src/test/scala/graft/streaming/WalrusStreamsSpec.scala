@@ -927,6 +927,42 @@ class WalrusStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("fodl_compact").count() == 9L)
   }
 
+  test("maxBytesPerTrigger paces micro-batches by metadata byte width (Auto Loader shape)") {
+    val root = tempRoot()
+    val log = new WalrusLog(spark, root)
+    // 4 commits × 10 entries × 8 B payload; decoded width per commit =
+    // 10 × (8 + 256 metaOverhead) = 2640 B
+    (0 until 4).foreach(i =>
+      log.batchAppend("t", (0 until 10).map(j => bytes(f"p$i$j%02d-aa"))))
+    val q = spark.readStream.format("walruslog").option("path", root)
+      .option("maxBytesPerTrigger", "3000").load()
+      .writeStream.format("memory").queryName("maxbytes_e2e")
+      .option("checkpointLocation",
+        Files.createTempDirectory("maxbytes-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("maxbytes_e2e").count() == 40L)
+    // 3000 B fits ONE 2640 B commit per trigger (the second would burst
+    // the budget) → four 10-row micro-batches
+    val batches = q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows)
+    assert(batches.toSeq == Seq(10L, 10L, 10L, 10L), batches.mkString(","))
+    // oversized commit: a budget below one commit still admits it whole
+    // (progress guarantee, never a stall)
+    val root2 = tempRoot()
+    val log2 = new WalrusLog(spark, root2)
+    log2.batchAppend("t", (0 until 10).map(j => bytes(s"q$j-aaaa")))
+    val q2 = spark.readStream.format("walruslog").option("path", root2)
+      .option("maxBytesPerTrigger", "100").load()
+      .writeStream.format("memory").queryName("maxbytes_big")
+      .option("checkpointLocation",
+        Files.createTempDirectory("maxbytes2-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.table("maxbytes_big").count() == 10L)
+  }
+
   test("SparkEntry streaming queries are rerun-stable (driver reruns them)") {
     // The bench and correctness drivers invoke each query repeatedly in one
     // JVM; the streaming entries manage per-invocation sinks/checkpoints and
