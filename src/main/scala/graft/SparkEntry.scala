@@ -1758,6 +1758,26 @@ object SparkEntry {
           StructField("cnt", LongType))))
         .orderBy("topic")
     }),
+    "stream_byte_budget" -> ((s, dir) => {
+      // the Delta/Auto-Loader maxBytesPerTrigger twin of
+      // stream_rate_limited: drain under a BYTE budget resolved from
+      // commit metadata (decoded width = payload + per-entry overhead),
+      // admitting whole commits and never stalling on an oversized one —
+      // totals must equal the unthrottled drain exactly (admission slices
+      // IO, never rows), including the payload byte sums.
+      val log = timesLog(s, dir)
+      val rows = runStreamToMemory(s,
+        graft.streaming.WalrusStreams.readStream(s, log.root,
+            maxBytesPerTrigger = Some(1L)) // < any commit: one commit/slice
+          .groupBy("topic").agg(count(lit(1)).as("cnt"),
+            sum(length(col("value")).cast("long")).as("payload_bytes")),
+        "complete")(_.orderBy("topic").collect().toSeq)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("cnt", LongType),
+          StructField("payload_bytes", LongType))))
+        .orderBy("topic")
+    }),
     "stream_start_timestamp" -> ((s, dir) => {
       // Kafka startingTimestamp parity: a FRESH stream positioned by time,
       // resolved from commit metadata (the r9 per-topic ts bounds — no
@@ -7603,6 +7623,12 @@ object SparkEntry {
         "SELECT event_type AS topic, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
       "stream_rate_limited" ->
         "SELECT event_type AS topic, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "stream_byte_budget" ->
+        // props is ASCII JSON, so length == payload bytes (the
+        // log_batch_write convention)
+        """SELECT event_type AS topic, count(*) AS cnt,
+          |  CAST(SUM(length(props)) AS BIGINT) AS payload_bytes
+          |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
       "stream_start_timestamp" ->
         // commits at T0 + ci hours; starting at T0+1h keeps ci >= 1; the
         // first delivered offset per topic = that topic's ci==0 row count

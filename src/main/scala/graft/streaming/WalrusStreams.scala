@@ -50,13 +50,15 @@ object WalrusStreams {
       topic: Option[String] = None,
       maxBatchesPerTrigger: Option[Int] = None,
       startingTimestampMs: Option[Long] = None,
-      maxRowsPerTrigger: Option[Long] = None): DataFrame = {
+      maxRowsPerTrigger: Option[Long] = None,
+      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     var r = spark.readStream.format("walruslog")
       .option("path", root).option("namespace", namespace)
     topic.foreach(t => r = r.option("topic", t))
     maxBatchesPerTrigger.foreach(n => r = r.option("maxBatchesPerTrigger", n))
     startingTimestampMs.foreach(ms => r = r.option("startingTimestampMs", ms))
     maxRowsPerTrigger.foreach(n => r = r.option("maxRowsPerTrigger", n))
+    maxBytesPerTrigger.foreach(n => r = r.option("maxBytesPerTrigger", n))
     entryShape(r.load())
   }
 
