@@ -780,6 +780,138 @@ case class BottomK(child: Expression, k: Int,
   override def prettyName: String = "bottom_k"
 }
 
+/** HDR-histogram-style quantile sketch over non-negative longs — fixed
+  * exponential buckets (value's power-of-two exponent) each split into 16
+  * LINEAR sub-buckets, as a native typed imperative aggregate. The state
+  * is a bucket -> (count, min, max) map of at most 64·16 entries, so a
+  * corpus-wide quantile shuffles ONE tiny map per group per map partition
+  * (map-side combine) — versus exact percentile's full value shuffle.
+  *
+  * Rank guarantee: the true q-quantile lies within the [min, max] of the
+  * bucket holding rank ceil(q·n); bucket width bounds the relative error
+  * at ≤ 1/16 ≈ 6.25% (the HdrHistogram/DDSketch trade, Masson et al.
+  * VLDB 2019, with deterministic integer bucketing instead of log()).
+  * Bucketing is integer-exact and ORDER-INDEPENDENT — unlike KLL's
+  * randomized compaction — so merge order across partitions cannot
+  * change the result and the DuckDB oracle reproduces the sketch (and
+  * its rank answers) EXACTLY. */
+case class HdrHistSketch(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, Array[Long]]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hdr_hist_sketch expects BIGINT, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bucket", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("vmin", LongType, nullable = false),
+    StructField("vmax", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, Array[Long]] =
+    new java.util.TreeMap[java.lang.Long, Array[Long]]()
+
+  private def add(b: java.util.TreeMap[java.lang.Long, Array[Long]],
+      bucket: Long, cnt: Long, mn: Long, mx: Long): Unit = {
+    val cur = b.get(bucket)
+    if (cur == null) b.put(bucket, Array(cnt, mn, mx))
+    else {
+      cur(0) += cnt
+      if (mn < cur(1)) cur(1) = mn
+      if (mx > cur(2)) cur(2) = mx
+    }
+  }
+
+  override def update(b: java.util.TreeMap[java.lang.Long, Array[Long]],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.TreeMap[java.lang.Long, Array[Long]] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      add(b, HdrHistSketch.bucketOf(x), 1L, x, x)
+    }
+    b
+  }
+
+  override def merge(b: java.util.TreeMap[java.lang.Long, Array[Long]],
+      o: java.util.TreeMap[java.lang.Long, Array[Long]])
+      : java.util.TreeMap[java.lang.Long, Array[Long]] = {
+    val it = o.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      add(b, e.getKey, e.getValue()(0), e.getValue()(1), e.getValue()(2))
+    }
+    b
+  }
+
+  override def eval(b: java.util.TreeMap[java.lang.Long, Array[Long]]): Any = {
+    val rows = new Array[Any](b.size)
+    val it = b.entrySet().iterator(); var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey.longValue, e.getValue()(0), e.getValue()(1), e.getValue()(2))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def serialize(b: java.util.TreeMap[java.lang.Long, Array[Long]]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 32 * b.size)
+    bb.putInt(b.size)
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey).putLong(e.getValue()(0))
+        .putLong(e.getValue()(1)).putLong(e.getValue()(2))
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, Array[Long]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new java.util.TreeMap[java.lang.Long, Array[Long]]()
+    (0 until n).foreach { _ =>
+      b.put(bb.getLong, Array(bb.getLong, bb.getLong, bb.getLong))
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): HdrHistSketch =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): HdrHistSketch =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): HdrHistSketch =
+    copy(child = newChild)
+  override def prettyName: String = "hdr_hist_sketch"
+}
+
+object HdrHistSketch {
+  /** 16 sub-buckets per power of two; a power of two keeps the sub-bucket
+    * split an exact shift, never a multiply that could overflow. */
+  val SubBuckets = 16
+
+  /** Integer-exact bucket id: 0 for v ≤ 0; otherwise e·16 + sub where
+    * e = bit length of v and sub = the top 4 bits below the leading one
+    * ((v−2^(e−1))·16 div 2^(e−1), computed as a shift). The same formula
+    * is expressible in ANSI SQL via length(bin(v)) / format('{:b}', v),
+    * which is what the oracle twins use. */
+  def bucketOf(v: Long): Long =
+    if (v <= 0L) 0L
+    else {
+      val e = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      val base = 1L << (e - 1)
+      val sub = if (e > 4) (v - base) >>> (e - 5) else v - base
+      e.toLong * SubBuckets + sub
+    }
+}
+
 /** Column-level entry points + SQL registration for graft's native functions. */
 object GraftFunctions {
   def fnv1a64(c: Column): Column =
@@ -806,6 +938,9 @@ object GraftFunctions {
   def bottom_k(c: Column, k: Int): Column =
     GraftSqlInternal.column(
       BottomK(GraftSqlInternal.expression(c), k).toAggregateExpression())
+  def hdr_hist_sketch(c: Column): Column =
+    GraftSqlInternal.column(
+      HdrHistSketch(GraftSqlInternal.expression(c)).toAggregateExpression())
   def sq8_recon(vec: Column, mn: Column, mx: Column): Column =
     GraftSqlInternal.column(Sq8Recon(GraftSqlInternal.expression(vec),
       GraftSqlInternal.expression(mn), GraftSqlInternal.expression(mx)))

@@ -61,6 +61,23 @@ class WalrusLog(
   Files.createDirectories(dataDir)
   Files.createDirectories(commitsDir)
 
+  // Persist the reader-relevant config bit so path-opened DSv2 scans and
+  // streams compute decoded width (payload + per-entry overhead) with
+  // THIS namespace's convention instead of the compile-time default
+  // (ADVICE r10: statistics and maxBytesPerTrigger pacing diverged for
+  // logs built with a custom metaOverheadBytes). It feeds width
+  // ESTIMATES, not correctness — last-writer-wins across concurrent
+  // opens with differing configs is acceptable and matches the cfg the
+  // most recent writer is actually producing entries under.
+  locally {
+    val p = nsDir.resolve("config.json")
+    val json = Serialization.write(
+      Map("metaOverheadBytes" -> cfg.metaOverheadBytes))
+    val cur =
+      if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8") else ""
+    if (cur != json) writeAtomic(p, json)
+  }
+
   // ---- in-memory state (rebuilt from disk on open; see recover()) ----
   private val topics = mutable.LinkedHashMap.empty[String, TopicState]
   /** Topics THIS instance explicitly unregistered, with the tombstone
@@ -123,8 +140,16 @@ class WalrusLog(
         // LogConfig.maxIrregularDroppedTags for the replay-window argument
         val cap = cfg.maxIrregularDroppedTags
         if (cap > 0 && droppedIrregularTags.size > cap) {
+          // amortized batch eviction: drop down to 90% of cap in ONE
+          // pass, so a workload sitting at the cap pays the full-map
+          // sort once per ~cap/10 tagged drops, not per drop (ADVICE
+          // r10: per-drop sort was O(cap log cap) each). Evicting a
+          // little below the cap stays inside the same replay-window
+          // argument — the cap is a bound on retained history, and the
+          // extra evictees are by definition the OLDEST-dropped tags.
+          val target = math.max(1, cap - cap / 10)
           val evict = droppedIrregularTags.toSeq.sortBy(_._2)
-            .take(droppedIrregularTags.size - cap)
+            .take(droppedIrregularTags.size - target)
           evict.foreach { case (t, _) => droppedIrregularTags.remove(t) }
         }
     }
@@ -1277,8 +1302,20 @@ class WalrusLog(
           r.tsUsMin.getOrElse(c.tsMillis * 1000L) }.min) else None
         val hi = if (allKnown) Some(rs.map { case (_, c, r) =>
           r.tsUsMax.getOrElse(c.tsMillis * 1000L) }.max) else None
+        // Exact row count: end-start is exact for ingest sources (offsets
+        // contiguous) but only an UPPER bound for compaction sources that
+        // merged across a vacuum hole — so sum the sources' EXACT counts,
+        // propagating unknown-ness from legacy (pre-`rows`) compactions
+        // exactly like the ts bounds above. The merged min/max range can
+        // span offsets vacuumed before this compaction; trimForLimit's
+        // covering walks rely on this field, never on end-start.
+        val exact = rs.map { case (_, c, r) =>
+          if (c.replaces.exists(_.nonEmpty)) r.rows else Some(r.end - r.start)
+        }
+        val nRows = if (exact.forall(_.isDefined)) Some(exact.flatten.sum)
+          else None
         t -> TopicRange(ranges.map(_.start).min, ranges.map(_.end).max,
-          ranges.map(_.bytes).sum, lo, hi)
+          ranges.map(_.bytes).sum, lo, hi, nRows)
       }
     val totalBytes = merged.valuesIterator.map(r =>
       r.bytes + cfg.metaOverheadBytes.toLong * (r.end - r.start)).sum
@@ -1646,33 +1683,87 @@ object WalrusLog {
     * is a multi-MB JSON whose json4s extraction costs SECONDS, and every
     * fresh batch scan re-reads the newest manifest (CommitScaleProbe:
     * ~2.5 s of a ~3 s plan at n=10⁵ was this parse). The key is the
-    * CONTENT hash (plus path/length), so a rewrite at the same name —
-    * writeManifest atomically replaces `manifest-<asOf>.json`, and a
-    * vacuum can rewrite at an unchanged asOf — can never serve stale
-    * state; the raw read (~tens of ms from page cache) is what the cache
+    * CONTENT hash (128-bit SHA-256 prefix, plus path/length), so a
+    * rewrite at the same name — writeManifest atomically replaces
+    * `manifest-<asOf>.json`, and a vacuum can rewrite at an unchanged
+    * asOf — cannot serve stale state short of a deliberate SHA-256
+    * collision; the raw read (~tens of ms from page cache) is what the cache
     * does NOT avoid, only the parse. Bounded small (manifests per
     * namespace are capped at 2 and a process talks to few namespaces);
     * cleared wholesale on overflow. */
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int), LogManifest]
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), LogManifest]
 
-  private[graft] def readNewestManifest(nsDir: Path): Option[LogManifest] = {
+  /** 128-bit content key (path, length, SHA-256 prefix halves) for the
+    * parsed-manifest cache. Metadata correctness rides on this cache
+    * never serving a stale parse, so a 32-bit hash (2⁻³² same-path
+    * same-length collision) is not acceptable headroom — SHA-256's first
+    * 128 bits make an accidental collision physically implausible, and
+    * the hash cost (~1 GB/s) is noise next to the multi-MB JSON parse the
+    * cache exists to skip (ADVICE r10). */
+  private def manifestKey(p: Path, bytes: Array[Byte]): (String, Long, Long, Long) = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    val bb = java.nio.ByteBuffer.wrap(d)
+    (p.toString, bytes.length.toLong, bb.getLong(0), bb.getLong(8))
+  }
+
+  private[graft] def readNewestManifest(nsDir: Path): Option[LogManifest] =
+    readNewestManifestKeyed(nsDir).map(_._1)
+
+  /** `manifests/`-dir fast path under the same "racily clean" mtime
+    * discipline as the commit-listing cache (see
+    * WalrusLogSource.commitFiles): while the dir mtime is unchanged the
+    * newest manifest cannot have changed (writeManifest lands a file and
+    * prunes old ones — both rename/delete inside this dir), so the
+    * multi-MB read + SHA-256 keying (~65 ms at 10⁵ live commits) is
+    * skipped. Entries are only cached when the observed mtime was at
+    * least a second old AND unchanged by a re-stat, so a same-tick
+    * manifest write can never be masked. */
+  private val manifestDirCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.nio.file.attribute.FileTime,
+      Option[(LogManifest, (String, Long, Long, Long))])]
+  private val ManifestMtimeEpsilonMs = 1000L
+
+  /** [[readNewestManifest]] plus the 128-bit content key the parse was
+    * cached under — callers caching state DERIVED from the manifest (the
+    * assembled covered-prefix, WalrusLogSource.assembleCommits) reuse
+    * the key instead of re-hashing or comparing entry vectors. */
+  private[graft] def readNewestManifestKeyed(
+      nsDir: Path): Option[(LogManifest, (String, Long, Long, Long))] = {
     implicit val formats: Formats = DefaultFormats
-    manifestFiles(nsDir.resolve("manifests")).reverseIterator.flatMap { p =>
+    val dir = nsDir.resolve("manifests")
+    val mtime =
+      try { if (Files.exists(dir)) Files.getLastModifiedTime(dir) else null }
+      catch { case _: java.io.IOException => null }
+    if (mtime != null) {
+      val hit = manifestDirCache.get(dir.toString)
+      if (hit != null && hit._1 == mtime) return hit._2
+    }
+    val out = manifestFiles(dir).reverseIterator.flatMap { p =>
       try {
         val bytes = Files.readAllBytes(p)
-        val key = (p.toString, bytes.length.toLong,
-          scala.util.hashing.MurmurHash3.bytesHash(bytes))
-        Option(manifestCache.get(key)).orElse {
+        val key = manifestKey(p, bytes)
+        Option(manifestCache.get(key)).map(m => (m, key)).orElse {
           val m = org.json4s.jackson.JsonMethods
             .parse(new String(bytes, "UTF-8")).extract[LogManifest]
           if (manifestCache.size >= 64) manifestCache.clear()
           manifestCache.put(key, m)
-          Some(m)
+          Some((m, key))
         }
       }
       catch { case _: java.nio.file.NoSuchFileException => None }
     }.nextOption()
+    if (mtime != null &&
+        System.currentTimeMillis() - mtime.toMillis >= ManifestMtimeEpsilonMs) {
+      val after =
+        try Files.getLastModifiedTime(dir)
+        catch { case _: java.io.IOException => null }
+      if (after == mtime) {
+        if (manifestDirCache.size >= 64) manifestDirCache.clear()
+        manifestDirCache.put(dir.toString, (mtime, out))
+      }
+    }
+    out
   }
 
   /** Registered-topic names straight from the persisted clean file — the

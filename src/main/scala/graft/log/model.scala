@@ -162,9 +162,22 @@ final class InvalidDataException(msg: String) extends RuntimeException(msg)
   * metadata answers alive on compacted logs (the reference's file-name ms
   * timestamps never lose time addressing either, src/wal/paths.rs:47-49).
   * Optional for wire-compat: ranges persisted before the field existed
-  * read back as None and fall back to commit-level semantics. */
+  * read back as None and fall back to commit-level semantics.
+  *
+  * `rows` is the EXACT delivered row count for this (commit, topic) pair.
+  * For an ingest commit it is always `end - start` (offsets are assigned
+  * contiguously), so ingest commits leave it None. A COMPACTION commit's
+  * `end - start` is only an UPPER bound: consumption-based vacuum can
+  * reclaim a mid-log commit (an earlier multi-topic commit survives
+  * because another topic is unconsumed) and a later compact() merges the
+  * topic range ACROSS that hole. compact() therefore records the exact
+  * sum of its sources' exact counts here; it stays None only when a
+  * legacy (pre-field) compaction source makes exactness unknowable —
+  * planner row-covering walks (trimForLimit) must then treat the count
+  * as 0 (a safe lower bound that keeps more commits), never end-start. */
 final case class TopicRange(start: Long, end: Long, bytes: Long,
-    tsUsMin: Option[Long] = None, tsUsMax: Option[Long] = None)
+    tsUsMin: Option[Long] = None, tsUsMax: Option[Long] = None,
+    rows: Option[Long] = None)
 
 /** One entry of the atomic commit log: batch `id` became visible, adding
   * `topics` ranges. Replaces the reference's "offset published only after

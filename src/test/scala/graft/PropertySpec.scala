@@ -314,7 +314,16 @@ class PropertySpec extends AnyFunSuite {
       var id = 0L
       var tsMs = 1700000000000L
       (0 until 2 + r.nextInt(8)).foreach { _ =>
-        if (r.nextInt(4) == 0 && commits.count(e => !e._2 && e._1.topics.nonEmpty) >= 2) {
+        if (r.nextInt(5) == 0 && commits.exists(e => !e._2)) {
+          // vacuum a random live commit MID-STREAM: a later compaction
+          // then merges a topic range ACROSS the reclaimed hole, so its
+          // end-start OVERCOUNTS rows — the interleaving behind the
+          // exact-`rows` metadata (ADVICE r10; vacuum-after-everything
+          // alone never exercised it)
+          val live = commits.zipWithIndex.filter { case ((_, f), _) => !f }
+          val (_, idx) = live(r.nextInt(live.size))
+          commits = commits.updated(idx, (commits(idx)._1, true))
+        } else if (r.nextInt(4) == 0 && commits.count(e => !e._2 && e._1.topics.nonEmpty) >= 2) {
           // compact a prefix of the live commits (maxSourceBatches shape)
           val live = commits.filter(e => !e._2 && e._1.topics.nonEmpty).map(_._1)
           val srcs = live.take(2 + r.nextInt(live.size - 1))
@@ -330,9 +339,19 @@ class PropertySpec extends AnyFunSuite {
               tr.tsUsMin.getOrElse(c.tsMillis * 1000L) }.min
             val hi = rs.map { case (_, c, tr) =>
               tr.tsUsMax.getOrElse(c.tsMillis * 1000L) }.max
+            // exact rows mirror WalrusLog.compact: sum of sources' exact
+            // counts (ingest = end-start; compaction = its recorded
+            // rows), unknown-ness propagating; a `legacy` record predates
+            // the field entirely
+            val exact = rs.map { case (_, c, tr) =>
+              if (c.replaces.exists(_.nonEmpty)) tr.rows
+              else Some(tr.end - tr.start) }
+            val nRows = if (exact.forall(_.isDefined)) Some(exact.flatten.sum)
+              else None
             t -> TopicRange(rs.map(_._3.start).min, rs.map(_._3.end).max, 0L,
               if (legacy || !allKnown) None else Some(lo),
-              if (legacy || !allKnown) None else Some(hi))
+              if (legacy || !allKnown) None else Some(hi),
+              if (legacy) None else nRows)
           }
           tsMs += 1000L
           val rec = CommitRecord(id, tsMs, merged, None, Some(srcs.map(_.id)))

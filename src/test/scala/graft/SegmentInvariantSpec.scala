@@ -99,4 +99,72 @@ class SegmentInvariantSpec extends AnyFunSuite {
         }
     })
   }
+
+  test("liveness: rollover always fires past the threshold (tla RolloverProgress, spec:188)") {
+    // RolloverProgress: whenever a segment's count reaches
+    // MaxSegmentEntries, the open segment id EVENTUALLY advances past it.
+    // Our transition satisfies the strongest possible witness — the
+    // rollover fires in the SAME applyAppend that crosses the threshold —
+    // so the twin asserts immediate fire on every crossing transition,
+    // plus conservation (no entry is lost to the seal) under sustained
+    // rollovers of every mix of batch sizes vs thresholds.
+    runProp(Prop.forAll(
+      Gen.choose(1L, 120L), Gen.listOfN(60, Gen.choose(1, 300))) {
+      (maxSeg, appends) =>
+      val st = new TopicState
+      appends.forall { n =>
+        val preSeg = st.currentSegment
+        val preOpen = st.entriesInOpenSegment
+        st.applyAppend(st.nextOffset + n, n * 10L, maxSeg,
+          seg => Nodes((seg % Nodes.size).toInt))
+        val crossed = preOpen + n >= maxSeg
+        (!crossed || st.currentSegment > preSeg) &&
+          (crossed || st.currentSegment == preSeg) &&
+          st.nextOffset == st.lastSealedEntryOffset + st.entriesInOpenSegment
+      }
+    })
+  }
+
+  test("liveness: a weakly-fair reader drains every appended entry (tla ReadProgress, spec:198)") {
+    // ReadProgress: a reader positioned below the appended count
+    // eventually advances. The twin models the engine's read clamp
+    // (batchRead delivers >= 1 entry whenever any is unread — the
+    // entriesCap/byte-budget floor) under a random interleaving of
+    // appends and reader schedulings, then closes with a fairness drain:
+    // scheduling the reader `remaining` more times MUST reach nextOffset
+    // (bounded progress — each fair step delivers at least one entry),
+    // across however many segment seals the appends forced. Seeks are
+    // deliberately absent: ReadProgress quantifies over the cursor's
+    // natural advance; seek replay is a safety concern (cursor clamp,
+    // first test). Engine-level drain-across-seals is asserted against
+    // the real log in WalrusLogSpec's rollover fixtures.
+    runProp(Prop.forAll(
+      Gen.choose(1L, 50L),
+      Gen.listOfN(50, Gen.frequency(
+        3 -> Gen.choose(1, 120).map(n => Left(n): Either[Int, Int]),
+        2 -> Gen.choose(1, 80).map(n => Right(n): Either[Int, Int])))) {
+      (maxSeg, ops) =>
+      val st = new TopicState
+      var cursor = 0L
+      val interleaveOk = ops.forall {
+        case Left(n) => // append: forces rollovers at small maxSeg
+          st.applyAppend(st.nextOffset + n, n * 10L, maxSeg,
+            seg => Nodes((seg % Nodes.size).toInt))
+          true
+        case Right(n) => // a scheduled read with unread entries progresses
+          val pre = cursor
+          cursor = math.min(cursor + n, st.nextOffset)
+          pre == st.nextOffset || cursor > pre
+      }
+      // fairness closure: one entry per scheduling is the worst case the
+      // read floor allows, so `remaining` schedulings must drain fully
+      var steps = 0L
+      val budget = st.nextOffset - cursor
+      while (cursor < st.nextOffset && steps < budget + 1) {
+        cursor = math.min(cursor + 1, st.nextOffset)
+        steps += 1
+      }
+      interleaveOk && cursor == st.nextOffset && steps <= budget
+    })
+  }
 }

@@ -1518,6 +1518,46 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(small == Seq(1L, 5L))
   }
 
+  test("hdr_hist_sketch: bucket map matches a reference fold regardless of partitioning; rank bracket holds") {
+    import spark.implicits._
+    import graft.functions.HdrHistSketch
+    // reference fold of bucket -> (cnt, min, max) over the raw values
+    def refHist(vs: Seq[Long]): Map[Long, (Long, Long, Long)] =
+      vs.groupBy(HdrHistSketch.bucketOf).map { case (b, g) =>
+        b -> ((g.size.toLong, g.min, g.max))
+      }
+    // adversarial values: 0, exact powers of two, bucket-boundary ±1,
+    // and a pseudo-random spread; scattered over 8 partitions so the
+    // update→serialize→merge path runs and merge ORDER varies
+    val vs = Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, 17L, 31L, 32L, 1023L, 1024L) ++
+      (0 until 500).map(i => (i * 2654435761L) % 100003)
+    val got = vs.toDF("v").repartition(8)
+      .agg(graft.functions.GraftFunctions.hdr_hist_sketch(col("v")).as("h"))
+      .select(explode(col("h")).as("b"))
+      .select(col("b.bucket"), col("b.cnt"), col("b.vmin"), col("b.vmax"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == refHist(vs))
+    // rank guarantee: for every q, the true quantile value lies inside
+    // the [vmin, vmax] of the bucket holding rank ceil(q·n/1000)
+    val sorted = vs.sorted
+    val hist = refHist(vs).toSeq.sortBy(_._1)
+    Seq(250L, 500L, 750L, 900L, 990L).foreach { q =>
+      val rank = (q * vs.size + 999) / 1000
+      val trueQ = sorted((rank - 1).toInt)
+      var cum = 0L
+      val picked = hist.find { case (_, (c, _, _)) => cum += c; cum >= rank }.get
+      assert(trueQ >= picked._2._2 && trueQ <= picked._2._3,
+        s"q=$q rank=$rank true=$trueQ bucket=$picked")
+    }
+    // bucketOf is monotone (order-preserving), the property the rank
+    // walk's correctness rests on
+    val probes = (0L to 2048L) ++ Seq(1L << 40, (1L << 40) + 1, Long.MaxValue)
+    probes.sliding(2).foreach { case Seq(a, b) =>
+      assert(HdrHistSketch.bucketOf(a) <= HdrHistSketch.bucketOf(b), s"$a,$b")
+    }
+  }
+
   test("HITS integer recurrence matches a BigInt reference; smaller-unit seed path agrees") {
     import spark.implicits._
     // the judge-flagged path: unit²·n_users must stay under 2⁶³, so large
