@@ -6736,6 +6736,71 @@ object SparkEntry {
         table(s, dir, "documents")
           .select(length(col("text")).cast("long").as("v")),
         Seq(250L, 500L, 750L, 900L, 990L))),
+    "sketch_cms_tokens" -> ((s, dir) => {
+      // Count-Min token-frequency sketch: the corpus collapses to a
+      // ≤ 4×256-cell counter table in ONE map-side-combining aggregation
+      // (Sketches.countMinCells); point queries broadcast the SKETCH and
+      // take min over 4 cells. Probes = distinct tokens of doc_id < 3 (a
+      // stable probe set); the exact count rides alongside — CMS only
+      // ever OVER-counts, and both engines rebuild the deterministic
+      // (a·h+b) mod P cells bit-for-bit.
+      val toks = table(s, dir, "documents")
+        .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+      val cells = graft.operators.Sketches.countMinCells(toks, "tok", 4, 256)
+      val probes = table(s, dir, "documents").where(col("doc_id") < 3)
+        .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      graft.operators.Sketches.countMinEstimates(cells, probes, "tok", 4, 256)
+        .join(exact, col("item") === col("tok"))
+        .select(col("item").as("probe_tok"), col("est"), col("n_exact"),
+          (col("est") - col("n_exact")).as("overcount"))
+        .orderBy("probe_tok")
+    }),
+    "sketch_hll_langs" -> ((s, dir) =>
+      // per-language distinct-token estimate via HLL registers: MAX-merged
+      // 256-register tables (order-independent), integer-exact denominator
+      // (capped-rho rescale — see Sketches.hllEstimate), raw estimator +
+      // exact distinct as the gate. The grouped COUNT(DISTINCT) shuffle
+      // this replaces is the classic 100 TB pain point.
+      graft.operators.Sketches.hllEstimate(
+          table(s, dir, "documents").select(col("lang"),
+            explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok")),
+          "lang", "tok", p = 8)
+        .withColumnRenamed("g", "lang")
+        .orderBy("lang")),
+    "sketch_quantile_grouped" -> ((s, dir) => {
+      // PER-GROUP HDR quantiles (p50/p90 of doc length per language):
+      // one grouped sketch aggregation — a ≤ 64·16-entry map per group
+      // per partition — then the rank walk per group over histogram rows
+      // (window partitioned BY GROUP, bounded by the sketch size). The
+      // grouped form is what a curation dashboard actually asks for.
+      import org.apache.spark.sql.expressions.Window
+      val hist = table(s, dir, "documents")
+        .select(col("lang"), length(col("text")).cast("long").as("v"))
+        .groupBy("lang")
+        .agg(graft.functions.GraftFunctions.hdr_hist_sketch(col("v")).as("h"))
+        .select(col("lang"), explode(col("h")).as("b"))
+        .select(col("lang"), col("b.bucket").as("bucket"), col("b.cnt").as("cnt"),
+          col("b.vmin").as("lo"), col("b.vmax").as("hi"))
+      val w = Window.partitionBy("lang").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum("cnt").over(w))
+      val total = hist.groupBy("lang").agg(sum("cnt").as("n"))
+      val sess = s
+      import sess.implicits._
+      val ranks = Seq(500L, 900L).toDF("q_milli")
+        .crossJoin(broadcast(total))
+        .select(col("lang"), col("q_milli"),
+          expr("(q_milli * n + 999) div 1000").as("rnk"))
+      val picked = ranks.join(cum, Seq("lang"))
+        .where(col("cum") >= col("rnk"))
+        .groupBy("lang", "q_milli", "rnk").agg(min("bucket").as("bucket"))
+      picked.join(cum.select(col("lang"), col("bucket"), col("cnt"),
+          col("lo"), col("hi")), Seq("lang", "bucket"))
+        .select(col("lang"), col("q_milli"), col("rnk"), col("bucket"),
+          col("lo"), col("hi"), col("cnt").as("bucket_cnt"))
+        .orderBy("lang", "q_milli")
+    }),
     "sketch_quantile_clusters" -> ((s, dir) => {
       // dedup-cluster-SIZE quantiles — "how big do duplicate clusters
       // get" is the operational question a dedup report answers; sizes
@@ -11195,6 +11260,67 @@ object SparkEntry {
       "sketch_quantile_doclen" ->
         s"""WITH vals AS (SELECT CAST(length(text) AS BIGINT) AS v FROM documents),
            |${hdrQuantileSqlTail(Seq(250, 500, 750, 900, 990))}""".stripMargin,
+      "sketch_cms_tokens" -> {
+        // cells generated from the SAME hashCoeffs the Spark side uses
+        val buildRows = TextOps.hashCoeffs(4).zipWithIndex.map { case ((a, b), j) =>
+          s"SELECT $j AS j, (hp * $a + $b) % 2147483647 % 256 AS cell FROM th"
+        }.mkString("\n  UNION ALL ")
+        val probeRows = TextOps.hashCoeffs(4).zipWithIndex.map { case ((a, b), j) =>
+          s"SELECT tok, $j AS j, (hp * $a + $b) % 2147483647 % 256 AS cell FROM ph"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH tk AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+           |th AS (SELECT CAST(mod(${fnvSql("tok")}, CAST('9223372036854775808' AS HUGEINT)) AS BIGINT) % 2147483647 AS hp FROM tk),
+           |cells AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |  $buildRows) GROUP BY 1, 2),
+           |pq AS (SELECT DISTINCT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+           |  FROM documents WHERE doc_id < 3),
+           |ph AS (SELECT tok, CAST(mod(${fnvSql("tok")}, CAST('9223372036854775808' AS HUGEINT)) AS BIGINT) % 2147483647 AS hp FROM pq),
+           |pc AS (
+           |  $probeRows),
+           |pe AS (SELECT pc.tok, min(cells.cnt) AS est FROM pc
+           |  JOIN cells USING (j, cell) GROUP BY 1),
+           |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM tk GROUP BY 1)
+           |SELECT pe.tok AS probe_tok, pe.est, ex.n_exact,
+           |  pe.est - ex.n_exact AS overcount
+           |FROM pe JOIN ex ON ex.tok = pe.tok ORDER BY probe_tok""".stripMargin
+      },
+      "sketch_hll_langs" -> {
+        val num = graft.operators.Sketches.hllNumConst(8)
+        s"""WITH tk AS (SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+           |th AS (SELECT lang, CAST(mod(${fnvSql("tok")}, CAST('9223372036854775808' AS HUGEINT)) AS BIGINT) AS h FROM tk),
+           |rr AS (SELECT lang, h % 256 AS bucket,
+           |    CASE WHEN h // 256 = 0 THEN 56
+           |         ELSE 56 - length(format('{:b}', h // 256)) END AS r
+           |  FROM th),
+           |regs AS (SELECT lang, bucket, max(r) AS rho FROM rr GROUP BY 1, 2),
+           |ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS m_used,
+           |    CAST(SUM(CAST(1 AS BIGINT) << CAST(40 - least(rho, 40) AS INTEGER)) AS BIGINT) AS snum
+           |  FROM regs GROUP BY 1),
+           |ex AS (SELECT lang, CAST(count(DISTINCT h) AS BIGINT) AS n_exact FROM th GROUP BY 1)
+           |SELECT ag.lang, m_used, n_exact,
+           |  floor($num / CAST(snum + (256 - m_used) * 1099511627776 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS raw_est
+           |FROM ag JOIN ex ON ex.lang = ag.lang ORDER BY ag.lang""".stripMargin
+      },
+      "sketch_quantile_grouped" ->
+        """WITH vals AS (SELECT lang, CAST(length(text) AS BIGINT) AS v FROM documents),
+          |hb AS (SELECT lang, v, CASE WHEN v <= 0 THEN CAST(0 AS BIGINT)
+          |    ELSE length(format('{:b}', v)) END AS e FROM vals),
+          |hbb AS (SELECT lang, v, CASE WHEN v <= 0 THEN CAST(0 AS BIGINT)
+          |    ELSE e * 16 + CASE WHEN e > 4 THEN (v - (CAST(1 AS BIGINT) << CAST(e - 1 AS INTEGER))) >> CAST(e - 5 AS INTEGER)
+          |                  ELSE v - (CAST(1 AS BIGINT) << CAST(e - 1 AS INTEGER)) END END AS bucket FROM hb),
+          |h AS (SELECT lang, bucket, count(*) AS cnt, min(v) AS lo, max(v) AS hi
+          |  FROM hbb GROUP BY 1, 2),
+          |hc AS (SELECT *, SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum FROM h),
+          |ht AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+          |hq AS (SELECT CAST(unnest([500,900]) AS BIGINT) AS q_milli),
+          |hr AS (SELECT lang, q_milli, CAST((q_milli * n + 999) // 1000 AS BIGINT) AS rnk FROM hq, ht),
+          |hp AS (SELECT hr.lang, hr.q_milli, hr.rnk, min(hc.bucket) AS bucket
+          |  FROM hr JOIN hc ON hc.lang = hr.lang AND hc.cum >= hr.rnk
+          |  GROUP BY 1, 2, 3)
+          |SELECT hp.lang, hp.q_milli, hp.rnk, hp.bucket, hc.lo, hc.hi,
+          |  hc.cnt AS bucket_cnt
+          |FROM hp JOIN hc ON hc.lang = hp.lang AND hc.bucket = hp.bucket
+          |ORDER BY hp.lang, hp.q_milli""".stripMargin,
       "sketch_quantile_clusters" ->
         s"""$lshReachCtes,
            |lab AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),

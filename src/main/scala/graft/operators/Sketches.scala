@@ -108,4 +108,100 @@ object Sketches {
         TextOps.q6(col("n_inter").cast("double") / col("n_union"))
           .as("jac_exact"))
   }
+
+  /** Count-Min frequency sketch cells (Cormode & Muthukrishnan 2005) as a
+    * COMPOSED aggregation — no custom aggregate needed: `d`
+    * pairwise-independent hash rows × `w` counters, built by exploding
+    * each item into its d (row, cell) coordinates and ONE groupBy whose
+    * map-side combine collapses the corpus to ≤ d·w cells. The sketch
+    * state crossing the wire is metadata-sized at any corpus size; the
+    * estimate (see [[countMinEstimates]]) only ever OVER-counts
+    * (est ≥ exact; P[est > exact + εN] ≤ δ at w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉).
+    * Hashes are the deterministic (a·x + b) mod P family over the
+    * positive FNV hash, so an oracle rebuilds counters and estimates
+    * bit-for-bit. Output: (j, cell, cnt). */
+  def countMinCells(items: DataFrame, itemCol: String,
+      d: Int, w: Int): DataFrame = {
+    items.select(explode(array(cmCoords(col(itemCol), d, w): _*)).as("jc"))
+      .select(col("jc.j").as("j"), col("jc.cell").as("cell"))
+      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The d (row, cell) coordinates of one item — shared by build and
+    * probe so they can never disagree. */
+  private def cmCoords(item: Column, d: Int, w: Int): Seq[Column] = {
+    val h = positiveHash(encode(item, "UTF-8")) % lit(TextOps.P)
+    TextOps.hashCoeffs(d).zipWithIndex.map { case ((a, b), j) =>
+      struct(lit(j.toLong).as("j"),
+        ((h * a + b) % TextOps.P % w).as("cell"))
+    }
+  }
+
+  /** Point-query the sketch for each distinct item of `queries`: the
+    * estimate is min over the item's d cells. `cells` is ≤ d·w rows, so
+    * the lookup join broadcasts the SKETCH, never the corpus. Output:
+    * (item, est). */
+  def countMinEstimates(cells: DataFrame, queries: DataFrame,
+      itemCol: String, d: Int, w: Int): DataFrame = {
+    val probes = queries.select(col(itemCol).as("item")).distinct()
+      .select(col("item"), explode(array(cmCoords(col("item"), d, w): _*)).as("jc"))
+      .select(col("item"), col("jc.j").as("j"), col("jc.cell").as("cell"))
+    probes.join(broadcast(cells), Seq("j", "cell"))
+      .groupBy("item").agg(min(col("cnt")).as("est"))
+  }
+
+  /** HyperLogLog register table (Flajolet et al. 2007) over the
+    * deterministic positive hash: bucket = h mod 2^p, rho = rank of the
+    * leading one in the remaining 63−p bits (64−p − bit length; 64−p for
+    * an all-zero remainder). Registers MAX-merge, so the aggregation is
+    * ORDER-INDEPENDENT — one ≤ 2^p-row table per group after map-side
+    * combine, exactly reproducible cross-engine (the KMV argument).
+    * Output: (group, bucket, rho). */
+  def hllRegisters(df: DataFrame, groupCol: String, itemCol: String,
+      p: Int): DataFrame = {
+    val m = 1L << p
+    val h = positiveHash(encode(col(itemCol), "UTF-8"))
+    val rest = shiftright(h, p) // top 63-p bits (integer shift, never `/`)
+    df.select(col(groupCol).as("g"), (h % m).as("bucket"),
+        when(rest === 0L, lit((64 - p).toLong))
+          .otherwise(lit((64 - p).toLong) - length(bin(rest)).cast("long"))
+          .as("r"))
+      .groupBy("g", "bucket").agg(max(col("r")).as("rho"))
+  }
+
+  /** Raw HLL estimate per group, INTEGER-EXACT denominator: registers
+    * are capped at rho ≤ 40 (implementations cap register width anyway;
+    * terms below 2^−40 are noise) so Σ2^−M rescales to the exact long
+    * Σ2^(40−M) + (m − m_used)·2^40 — order-independent by integer
+    * addition, never a float-summation last-ulp that merge order could
+    * flip (a naive double Σ of mixed-magnitude dyadics is NOT exact).
+    * One double division of exact integers lands under the q6 contract.
+    * Raw estimator only — the small-range linear-counting correction
+    * needs ln(), which the integer-exactness discipline avoids; the
+    * exact distinct count rides alongside as the oracle gate. Output:
+    * (group, m_used, n_exact, raw_est). */
+  /** α_m·m²·2^40 — [[hllEstimate]]'s numerator constant, exposed so the
+    * oracle SQL is GENERATED from the same value, never hand-copied. */
+  def hllNumConst(p: Int): Double = {
+    val m = (1L << p).toDouble
+    (0.7213 / (1.0 + 1.079 / m)) * m * m * 1099511627776.0
+  }
+
+  def hllEstimate(df: DataFrame, groupCol: String, itemCol: String,
+      p: Int): DataFrame = {
+    val num = hllNumConst(p)
+    val regs = hllRegisters(df, groupCol, itemCol, p)
+    val exact = df.select(col(groupCol).as("g"),
+        positiveHash(encode(col(itemCol), "UTF-8")).as("h"))
+      .groupBy("g").agg(countDistinct(col("h")).as("n_exact"))
+    regs.groupBy("g")
+      .agg(count(lit(1)).as("m_used"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - least(rho, 40) AS INT))"))
+          .as("snum"))
+      .join(exact, Seq("g"))
+      .select(col("g"), col("m_used"), col("n_exact"),
+        TextOps.q6(lit(num) /
+          (col("snum") + (lit((1L << p)) - col("m_used")) * lit(1099511627776L))
+            .cast("double")).as("raw_est"))
+  }
 }
