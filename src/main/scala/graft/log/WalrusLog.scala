@@ -1013,7 +1013,11 @@ class WalrusLog(
   def commitHistory: Seq[(Long, Long, Int, Long, Long, Option[String], Int, Boolean, Boolean)] =
     synchronized {
       commits.iterator.filter(_.id >= 0).toSeq.sortBy(_.id).map { c =>
-        val rows = c.topics.valuesIterator.map(r => r.end - r.start).sum
+        // exact when recorded: a compaction's end-start is only an upper
+        // bound once vacuum holes exist (see TopicRange.rows)
+        val rows = c.topics.valuesIterator.map(r =>
+          if (c.replaces.exists(_.nonEmpty)) r.rows.getOrElse(r.end - r.start)
+          else r.end - r.start).sum
         val bytes = c.topics.valuesIterator.map(_.bytes).sum
         (c.id, c.tsMillis, c.topics.size, rows, bytes, c.tag,
           c.replaces.map(_.size).getOrElse(0),

@@ -952,8 +952,8 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
           case _ => None
         }
         val cols = agg.aggregateExpressions.toSeq.map {
-          case _: CountStar => Some("count")
-          case c: Count if !c.isDistinct && name(c.column).exists(
+          case _: CountStar if rowsKnown => Some("count")
+          case c: Count if !c.isDistinct && rowsKnown && name(c.column).exists(
             Set("topic", "offset", "ts_us", "value", "checksum")) => Some("count")
           case m: Min if name(m.column).contains("offset") => Some("min_offset")
           case m: Max if name(m.column).contains("offset") => Some("max_offset")
@@ -983,6 +983,21 @@ class WalrusLogTable(options: CaseInsensitiveStringMap)
           flagged || !c.replaces.exists(_.nonEmpty) ||
             c.topics.valuesIterator.forall(r =>
               r.tsUsMin.isDefined && r.tsUsMax.isDefined)
+        }
+
+      /** COUNT may be answered from metadata only when every live
+        * compaction commit carries its exact row count — a compaction's
+        * end-start is only an UPPER bound (a consumption vacuum can
+        * reclaim a mid-log commit and compact() merges across the hole),
+        * so a legacy pre-`rows` compaction makes the metadata COUNT
+        * unknowable and the aggregate must fall back to a real scan
+        * (same gate pattern as [[tsBoundsKnown]]). MIN/MAX need no gate:
+        * a compaction's range endpoints are attained by real rows (its
+        * sources were live when merged). */
+      private def rowsKnown: Boolean =
+        builderCommits.forall { case (c, flagged) =>
+          flagged || !c.replaces.exists(_.nonEmpty) ||
+            c.topics.valuesIterator.forall(_.rows.isDefined)
         }
 
       override def supportCompletePushDown(
@@ -1209,7 +1224,12 @@ class WalrusLogScan(nsDir: Path, options: CaseInsensitiveStringMap,
       case (c, vacuumed) if !vacuumed && spec.commitMatches(c) =>
         c.topics.foreach { case (t, r) =>
           if (spec.topicMatches(t)) {
-            val n = r.end - r.start
+            // exact when recorded; a legacy compaction falls back to the
+            // end-start UPPER bound — for statistics an overcount only
+            // makes broadcast decisions more conservative, never wrong
+            val n =
+              if (c.replaces.exists(_.nonEmpty)) r.rows.getOrElse(r.end - r.start)
+              else r.end - r.start
             rows += n
             bytes += r.bytes + meta * n
           }
@@ -1760,7 +1780,13 @@ object WalrusAggRowsScan {
           // bounds never reach here (the builder's tsBoundsKnown gate)
           val rlo = r.tsUsMin.getOrElse(c.tsMillis * 1000L)
           val rhi = r.tsUsMax.getOrElse(c.tsMillis * 1000L)
-          perTopic(t) = (n + (r.end - r.start), math.min(lo, r.start),
+          // exact rows: a compaction's end-start is only an UPPER bound
+          // (merged across vacuum holes); the builder's rowsKnown gate
+          // guarantees `rows` is recorded whenever COUNT reaches here
+          val exact =
+            if (c.replaces.exists(_.nonEmpty)) r.rows.getOrElse(r.end - r.start)
+            else r.end - r.start
+          perTopic(t) = (n + exact, math.min(lo, r.start),
             math.max(hi, r.end - 1), math.min(tlo, rlo), math.max(thi, rhi))
         }
       }

@@ -129,6 +129,47 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unused columns not pruned from the log scan:\n$scanLine")
   }
 
+  test("metadata COUNT is exact across a vacuum-hole compaction (end-start is only an upper bound)") {
+    // the agg-pushdown twin of the r11 trimForLimit fix: a consumption
+    // vacuum reclaims a mid-log commit, a later compact() merges the
+    // topic range ACROSS the hole — metadata end-start overcounts, so
+    // the COUNT answer must come from the recorded exact rows, and MUST
+    // still be served from metadata (the rowsKnown gate holds: the
+    // compaction recorded its exact counts)
+    val root = Files.createTempDirectory("plan-hole-").toString
+    val log = new graft.log.WalrusLog(spark, root)
+    // c0 is MULTI-topic (a[0,5) + b[0,1)) so it SURVIVES the vacuum (b
+    // unconsumed) while the a-only c1 between the surviving a-ranges is
+    // reclaimed — the compaction then merges a[0,5) and a[10,15) into a
+    // metadata range [0,15) spanning the 5-row hole
+    import spark.implicits._
+    log.appendDF(
+      ((0 until 5).map(i => ("a", s"a$i")) :+ (("b", "keeper")))
+        .toDF("topic", "v")
+        .select(col("topic"), encode(col("v"), "UTF-8").as("value")))
+    log.batchAppend("a", (5 until 10).map(i => s"a$i".getBytes("UTF-8"))) // [5,10)
+    log.batchAppend("a", (10 until 15).map(i => s"a$i".getBytes("UTF-8")))// [10,15)
+    log.seek("g", "a", 10L) // only c1 (a[5,10)) is fully consumed
+    val reclaimed = log.vacuum()
+    assert(reclaimed.size == 1, reclaimed.toString)
+    assert(log.compact().nonEmpty)
+    val df = spark.read.format("walruslog").option("path", root).load()
+    val agg = df.groupBy("topic").agg(count(lit(1)).as("n"),
+      min("offset").as("lo"), max("offset").as("hi"))
+    assert(agg.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).contains("WalrusAggRowsScan"),
+      "exact-rows compaction must keep the metadata answer")
+    val rows = agg.orderBy("topic").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // a: 10 real rows ([0,5) ∪ [10,15)) though the merged range is [0,15)
+    assert(rows == Seq(("a", 10L, 0L, 14L), ("b", 1L, 0L, 0L)), rows.toString)
+    // and the REAL data scan agrees (collect actual rows, no pushdown —
+    // the gate would be meaningless otherwise)
+    assert(df.where(col("topic") === "a").select("offset")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((0L until 5L) ++ (10L until 15L)).toSeq)
+  }
+
   test("walruslog aggregate pushdown: COUNT/MIN/MAX(offset) answered from commit metadata") {
     val root = Files.createTempDirectory("plan-agg-").toString
     val log = new graft.log.WalrusLog(spark, root)
