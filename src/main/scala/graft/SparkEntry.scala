@@ -6801,6 +6801,61 @@ object SparkEntry {
           col("lo"), col("hi"), col("cnt").as("bucket_cnt"))
         .orderBy("lang", "q_milli")
     }),
+    "stream_quantile_lens" -> ((s, dir) => {
+      // quantiles THROUGH the streaming engine: per-topic payload-length
+      // HDR sketches maintained by a complete-mode streaming aggregation
+      // (the TypedImperativeAggregate's partials serialize through the
+      // state store), rank-walked in batch over the FINAL histograms —
+      // the streaming-parity twin of sketch_quantile_grouped. The oracle
+      // replays exactly from events (ASCII props: char length == payload
+      // bytes, the log_batch_write convention).
+      import org.apache.spark.sql.expressions.Window
+      val log = mainLog(s, dir)
+      val rows = runStreamToMemory(s,
+        graft.streaming.WalrusStreams.readStream(s, log.root)
+          .select(col("topic"), length(col("value")).cast("long").as("v"))
+          .groupBy("topic")
+          .agg(graft.functions.GraftFunctions.hdr_hist_sketch(col("v")).as("h")),
+        "complete") { t =>
+          // materialize the (topics × ≤64·16)-row histogram to a fresh
+          // local relation: the rank walk below self-joins it, and two
+          // branches of the SAME memory-sink view carry identical
+          // attribute ids (conflicting-references analyzer error)
+          val histRows = t.select(col("topic"), explode(col("h")).as("b"))
+            .select(col("topic"), col("b.bucket").as("bucket"),
+              col("b.cnt").as("cnt"), col("b.vmin").as("lo"),
+              col("b.vmax").as("hi")).collect().toSeq
+          val hist = s.createDataFrame(
+            s.sparkContext.parallelize(histRows, 1),
+            StructType(Seq(StructField("topic", StringType),
+              StructField("bucket", LongType), StructField("cnt", LongType),
+              StructField("lo", LongType), StructField("hi", LongType))))
+          val w = Window.partitionBy("topic").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val cum = hist.withColumn("cum", sum("cnt").over(w))
+          val total = hist.groupBy("topic").agg(sum("cnt").as("n"))
+          val sess = s
+          import sess.implicits._
+          val ranks = Seq(500L, 990L).toDF("q_milli")
+            .crossJoin(broadcast(total))
+            .select(col("topic"), col("q_milli"),
+              expr("(q_milli * n + 999) div 1000").as("rnk"))
+          val picked = ranks.join(cum, Seq("topic"))
+            .where(col("cum") >= col("rnk"))
+            .groupBy("topic", "q_milli", "rnk").agg(min("bucket").as("bucket"))
+          picked.join(cum.select(col("topic"), col("bucket"), col("cnt"),
+              col("lo"), col("hi")), Seq("topic", "bucket"))
+            .select(col("topic"), col("q_milli"), col("rnk"), col("bucket"),
+              col("lo"), col("hi"), col("cnt").as("bucket_cnt"))
+            .orderBy("topic", "q_milli").collect().toSeq
+        }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("topic", StringType), StructField("q_milli", LongType),
+        StructField("rnk", LongType), StructField("bucket", LongType),
+        StructField("lo", LongType), StructField("hi", LongType),
+        StructField("bucket_cnt", LongType))))
+        .orderBy("topic", "q_milli")
+    }),
     "sketch_quantile_clusters" -> ((s, dir) => {
       // dedup-cluster-SIZE quantiles — "how big do duplicate clusters
       // get" is the operational question a dedup report answers; sizes
@@ -11301,6 +11356,26 @@ object SparkEntry {
            |  floor($num / CAST(snum + (256 - m_used) * 1099511627776 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS raw_est
            |FROM ag JOIN ex ON ex.lang = ag.lang ORDER BY ag.lang""".stripMargin
       },
+      "stream_quantile_lens" ->
+        """WITH vals AS (SELECT event_type AS topic, CAST(length(props) AS BIGINT) AS v FROM events),
+          |hb AS (SELECT topic, v, CASE WHEN v <= 0 THEN CAST(0 AS BIGINT)
+          |    ELSE length(format('{:b}', v)) END AS e FROM vals),
+          |hbb AS (SELECT topic, v, CASE WHEN v <= 0 THEN CAST(0 AS BIGINT)
+          |    ELSE e * 16 + CASE WHEN e > 4 THEN (v - (CAST(1 AS BIGINT) << CAST(e - 1 AS INTEGER))) >> CAST(e - 5 AS INTEGER)
+          |                  ELSE v - (CAST(1 AS BIGINT) << CAST(e - 1 AS INTEGER)) END END AS bucket FROM hb),
+          |h AS (SELECT topic, bucket, count(*) AS cnt, min(v) AS lo, max(v) AS hi
+          |  FROM hbb GROUP BY 1, 2),
+          |hc AS (SELECT *, SUM(cnt) OVER (PARTITION BY topic ORDER BY bucket) AS cum FROM h),
+          |ht AS (SELECT topic, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+          |hq AS (SELECT CAST(unnest([500,990]) AS BIGINT) AS q_milli),
+          |hr AS (SELECT topic, q_milli, CAST((q_milli * n + 999) // 1000 AS BIGINT) AS rnk FROM hq, ht),
+          |hp AS (SELECT hr.topic, hr.q_milli, hr.rnk, min(hc.bucket) AS bucket
+          |  FROM hr JOIN hc ON hc.topic = hr.topic AND hc.cum >= hr.rnk
+          |  GROUP BY 1, 2, 3)
+          |SELECT hp.topic, hp.q_milli, hp.rnk, hp.bucket, hc.lo, hc.hi,
+          |  hc.cnt AS bucket_cnt
+          |FROM hp JOIN hc ON hc.topic = hp.topic AND hc.bucket = hp.bucket
+          |ORDER BY hp.topic, hp.q_milli""".stripMargin,
       "sketch_quantile_grouped" ->
         """WITH vals AS (SELECT lang, CAST(length(text) AS BIGINT) AS v FROM documents),
           |hb AS (SELECT lang, v, CASE WHEN v <= 0 THEN CAST(0 AS BIGINT)

@@ -1028,6 +1028,34 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
   }
 
+  test("hdr quantile sketch: one sketch aggregation over the data, windows only on histogram rows") {
+    // the corpus contributes through exactly ONE hdr_hist_sketch
+    // aggregate (map-side <= 64*16-entry partials); the rank walk's
+    // global window and non-equi rank join run over sketch OUTPUT rows,
+    // never data-scale inputs
+    val plan = planOf("sketch_quantile_doclen")
+    assert(plan.contains("hdr_hist_sketch"), s"sketch aggregate missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // grouped form: window is PARTITIONED by the group
+    val gplan = planOf("sketch_quantile_grouped")
+    assert(gplan.contains("hdr_hist_sketch"), s"sketch aggregate missing:\n$gplan")
+    assert(!gplan.contains("CartesianProduct"), s"cartesian:\n$gplan")
+  }
+
+  test("count-min probe joins broadcast the SKETCH, never the corpus") {
+    val plan = planOf("sketch_cms_tokens")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // the cells lookup must be a broadcast equi-join on (j, cell)
+    assert(plan.contains("BroadcastHashJoin"), s"cells join not broadcast:\n$plan")
+  }
+
+  test("hll registers: max-merged aggregation, no distinct expand over the corpus") {
+    val plan = planOf("sketch_hll_langs")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("Expand"), // COUNT(DISTINCT) rides one Expand-free
+      s"distinct expand leaked into the sketch path:\n$plan")
+  }
+
   test("ccnet pipeline: no cartesian, no unpartitioned data-scale window") {
     val plan = planOf("pipeline_ccnet")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
