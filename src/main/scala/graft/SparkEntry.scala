@@ -4116,6 +4116,44 @@ object SparkEntry {
           "vec_id", "embedding", planes = 4, minCosine = 0.2)
         .orderBy("query_id", "neighbor_id")
     }),
+    "pipeline_ccnet_buckets" -> ((s, dir) => {
+      // CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): docs
+      // ranked by LM perplexity per language, cut into TERCILES — the
+      // quality-tiering stage that decides which third of a crawl feeds
+      // pretraining. Surprisal is the text_perplexity machinery (bigram
+      // cross-entropy in integer millinats, one corpus aggregation);
+      // ranking is total-order deterministic (integer micro-nat average
+      // via truncating division — nonneg — then doc_id tie-break), so
+      // both engines cut identical terciles. Output = the split report:
+      // per (lang, bucket) doc count, token mass, surprisal band. Scale:
+      // the ntile window partitions BY LANGUAGE over DOC-level rows —
+      // the same grain any per-lang tercile cut must totally order.
+      import org.apache.spark.sql.expressions.Window
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .where(size(col("tk")) >= 2)
+      val bigrams = toks.select(col("doc_id"), col("lang"),
+        size(col("tk")).cast("long").as("n_toks"),
+        explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+          .as("bg"))
+      val corpus = bigrams.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      val tot = bigrams.agg(count(lit(1)).as("n_tot"))
+      val perDoc = bigrams.join(corpus, "bg").crossJoin(broadcast(tot))
+        .withColumn("s_m",
+          TextOps.milliLn(col("n_tot").cast("double") / col("cnt")))
+        .groupBy("doc_id", "lang", "n_toks")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("s_m")).as("sm"))
+        .withColumn("avg_q", expr("sm * 1000 div n_bigrams"))
+      val w = Window.partitionBy("lang").orderBy(col("avg_q"), col("doc_id"))
+      perDoc.withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+          min("avg_q").as("min_avg_micro"), max("avg_q").as("max_avg_micro"))
+        .orderBy("lang", "bucket")
+    }),
     "pipeline_ccnet" -> ((s, dir) => {
       // the CCNet pipeline shape (Wenzek et al. 2020, arXiv:1911.00359) in
       // ONE declarative plan: (1) corpus-wide paragraph dedup — 20-token
@@ -9425,6 +9463,29 @@ object SparkEntry {
            |  CAST(s_milli * 1000000 // s_total AS BIGINT) AS weight_micro,
            |  CAST((s_milli * 1000000 // s_total) * 1000 // 1000000 AS BIGINT) AS expected_docs
            |FROM psq, ptot ORDER BY domain""".stripMargin,
+      "pipeline_ccnet_buckets" ->
+        s"""WITH toks AS (
+          |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          |  FROM documents),
+          |pos AS (SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_toks, tk,
+          |    unnest(generate_series(1, len(tk) - 1)) AS i
+          |  FROM toks WHERE len(tk) >= 2),
+          |b AS (SELECT doc_id, lang, n_toks, tk[i] || ' ' || tk[i + 1] AS bg FROM pos),
+          |corpus AS (SELECT bg, count(*) AS cnt FROM b GROUP BY bg),
+          |tot AS (SELECT count(*) AS n_tot FROM b),
+          |t AS (SELECT doc_id, lang, n_toks,
+          |    ${TextOps.milliLnSql("CAST(n_tot AS DOUBLE) / cnt")} AS s_m
+          |  FROM b JOIN corpus USING (bg) CROSS JOIN tot),
+          |pd AS (SELECT doc_id, lang, n_toks, count(*) AS n_bigrams,
+          |    CAST(SUM(s_m) AS BIGINT) AS sm FROM t GROUP BY 1, 2, 3),
+          |bk AS (SELECT *, sm * 1000 // n_bigrams AS avg_q FROM pd),
+          |nt AS (SELECT *, CAST(ntile(3) OVER (
+          |    PARTITION BY lang ORDER BY avg_q, doc_id) AS BIGINT) AS bucket
+          |  FROM bk)
+          |SELECT lang, bucket, count(*) AS n_docs,
+          |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+          |  min(avg_q) AS min_avg_micro, max(avg_q) AS max_avg_micro
+          |FROM nt GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
       "pipeline_ccnet" -> {
         // langid CTE generated from the SAME LangMarkers as the engine
         val hitCols = TextAnalysis.LangMarkers.map { case (l, ws) =>
