@@ -2395,6 +2395,46 @@ object SparkEntry {
             .otherwise(0L)).as("kept_chars"))
         .orderBy("page_id")
     }),
+    "text_url_canon" -> ((s, dir) => {
+      // URL canonicalization + dedup — the crawl-curation stage that
+      // collapses scheme/host case, default ports, trailing slashes,
+      // tracking params (utm_*), param order, and fragments into ONE
+      // canonical key before URL-level dedup. The messy URLs are built
+      // deterministically from doc_id (the fixture has no URL column;
+      // both engines synthesize identical inputs), with every rule
+      // exercised: mixed-case scheme+host, a :443 default port on every
+      // 3rd doc, a trailing slash on every 5th, utm params, shuffled
+      // param order, a fragment. Scale shape: pure per-row string ops
+      // (codegen'd) + ONE hash-grouped dedup on the canonical key.
+      val urls = table(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+          lit("://WWW.Site"), col("doc_id") % 7, lit(".COM"),
+          when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+          lit("/a/b"),
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&item="), col("doc_id") % 20,
+          lit("&b=2&a=1#sec"), col("doc_id") % 4).as("url"))
+      val canon = urls
+        // split off fragment, then query
+        .withColumn("nofrag", expr("split(url, '#')[0]"))
+        .withColumn("base", expr("split(nofrag, '\\\\?')[0]"))
+        .withColumn("qs", expr("split(nofrag, '\\\\?')[1]"))
+        // scheme+host lowercase; default :443 stripped; rebuilding from
+        // the authority + the fixed path drops the trailing slash
+        .withColumn("base", concat(
+          regexp_replace(lower(expr("split(base, '/a/b')[0]")), ":443", ""),
+          lit("/a/b")))
+        // drop tracking params, sort the rest
+        .withColumn("params", expr(
+          "array_join(array_sort(filter(split(qs, '&'), " +
+            "p -> NOT p like 'utm_%')), '&')"))
+        .select(col("doc_id"), col("url"),
+          concat(col("base"), lit("?"), col("params")).as("canonical"))
+      canon.groupBy("canonical")
+        .agg(count(lit(1)).as("n_variants"), min("doc_id").as("kept_doc"))
+        .orderBy("canonical")
+    }),
     "text_rep_trim" -> ((s, dir) => {
       // WITHIN-doc consecutive-repetition collapse ("stutter removal") —
       // the cleanup pass for looping/degenerate generations (distinct
@@ -8609,6 +8649,26 @@ object SparkEntry {
           |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           |  CAST(SUM(CASE WHEN kept THEN length(line) ELSE 0 END) AS BIGINT) AS kept_chars
           |FROM m GROUP BY 1 ORDER BY page_id""".stripMargin,
+      "text_url_canon" ->
+        """WITH u AS (SELECT doc_id,
+          |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) ||
+          |    '://WWW.Site' || (doc_id % 7) || '.COM' ||
+          |    (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
+          |    '/a/b' || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+          |    '?utm_source=feed&item=' || (doc_id % 20) ||
+          |    '&b=2&a=1#sec' || (doc_id % 4) AS url
+          |  FROM documents),
+          |sp AS (SELECT doc_id, string_split(url, '#')[1] AS nofrag FROM u),
+          |pq AS (SELECT doc_id, string_split(nofrag, '?')[1] AS base0,
+          |    string_split(nofrag, '?')[2] AS qs FROM sp),
+          |cb AS (SELECT doc_id,
+          |    replace(lower(string_split(base0, '/a/b')[1]), ':443', '') || '/a/b' AS base,
+          |    array_to_string(list_sort(list_filter(string_split(qs, '&'),
+          |      p -> NOT p LIKE 'utm_%')), '&') AS params
+          |  FROM pq)
+          |SELECT base || '?' || params AS canonical,
+          |  count(*) AS n_variants, min(doc_id) AS kept_doc
+          |FROM cb GROUP BY 1 ORDER BY canonical""".stripMargin,
       "dedup_paragraph_ccnet" ->
         s"""WITH $multiLinePagesCtes,
           |pp AS (SELECT page_id, string_split(text, chr(10) || chr(10)) AS ps FROM pages),
