@@ -5219,6 +5219,20 @@ object SparkEntry {
       graft.operators.Sharding.domainBalance(table(s, dir, "documents"),
           "source", "text")
         .orderBy("domain")),
+    "shard_unimax_budget" -> ((s, dir) =>
+      // UniMax budget allocation (arXiv:2304.09151): spread 4/5 of the
+      // corpus's tokens across languages with at most ONE epoch per
+      // language — on this corpus the four tail languages come out
+      // CAP-bound (every token exactly once) while the en head absorbs
+      // the equal-share remainder, so BOTH water-filling regimes are
+      // exercised and oracled. One corpus scan to a 5-row capacity
+      // table; the closed-form threshold search runs on that table.
+      graft.operators.Sharding.unimaxBudget(
+          table(s, dir, "documents").select(col("lang"),
+            expr("size(filter(split(text, ' '), x -> x <> ''))")
+              .cast("long").as("n_tok")),
+          "lang", "n_tok", budgetNum = 4L, budgetDen = 5L, maxEpochs = 1L)
+        .orderBy("lang")),
     "stream_static_enrich" -> ((s, dir) => {
       // Stream-static broadcast enrichment: the event stream decodes its
       // payload key in-flight and joins the tiny static nation dim
@@ -10003,6 +10017,31 @@ object SparkEntry {
           |FROM s, tot ORDER BY domain""".stripMargin,
       "shard_domain_balance" -> graft.operators.Sharding.domainBalanceSql(
         "SELECT source AS domain, text FROM documents"),
+      "shard_unimax_budget" ->
+        // the same closed-form water-filling bracket over a sorted
+        // prefix-sum window; budget 4/5, maxEpochs 1
+        """WITH tk AS (SELECT lang,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+          |  FROM documents),
+          |caps AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_units,
+          |    CAST(SUM(n) * 1 AS BIGINT) AS cap FROM tk GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(n_units) AS BIGINT) AS total,
+          |    CAST(count(*) AS BIGINT) AS ng FROM caps),
+          |ix AS (SELECT lang, n_units, cap,
+          |    CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+          |    CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
+          |    CAST(COALESCE(lag(cap) OVER (ORDER BY cap, lang), 0) AS BIGINT) AS prev_cap
+          |  FROM caps),
+          |wt AS (SELECT ix.*, total * 4 // 5 AS b, ng FROM ix, tot),
+          |tc AS (SELECT *, CASE WHEN b >= prefix
+          |    THEN (b - prefix) // (ng - i + 1) ELSE NULL END AS t_cand FROM wt),
+          |tv AS (SELECT min(CASE WHEN t_cand IS NOT NULL AND t_cand >= prev_cap
+          |    AND t_cand < cap THEN t_cand END) AS t FROM tc)
+          |SELECT lang, n_units, cap,
+          |  CAST(CASE WHEN t IS NULL THEN cap ELSE least(cap, t) END AS BIGINT) AS alloc,
+          |  CAST((CASE WHEN t IS NULL THEN cap ELSE least(cap, t) END) * 1000 // n_units AS BIGINT) AS epochs_milli
+          |FROM tc, tv ORDER BY lang""".stripMargin,
       "shard_mixture_weights" ->
         """WITH pd AS (
           |  SELECT lang AS domain,

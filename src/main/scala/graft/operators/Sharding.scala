@@ -493,4 +493,50 @@ object Sharding {
         (col("padded_tokens") - col("real_tokens")).cast("double") /
           col("padded_tokens").cast("double")))
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    * spread a total token budget across groups so that no group exceeds
+    * `maxEpochs` passes over its own data and the remainder is shared
+    * EQUALLY — the published fix for temperature sampling's tail-language
+    * over-epoching. Integer water-filling: the largest threshold T with
+    * Σ min(cap_g, T) ≤ B, alloc_g = min(cap_g, T), found CLOSED-FORM on
+    * one sorted prefix-sum window (for ascending caps the T-regime index
+    * satisfies prev_cap ≤ (B − prefix) div (remaining) < cap, and that
+    * bracket holds for exactly one row; no valid row means B covers every
+    * cap). Budget is a rational `budgetNum/budgetDen` of the corpus total
+    * so the whole computation stays in exact longs.
+    *
+    * Scale: ONE corpus aggregation to the |groups|-row capacity table,
+    * then windows/joins on that table with 1-row broadcast totals — the
+    * DoReMi shape (corpus touched once, decisions on metadata). Output:
+    * (group, n_units, cap, alloc, epochs_milli). */
+  def unimaxBudget(df: DataFrame, groupCol: String, unitsCol: String,
+      budgetNum: Long, budgetDen: Long, maxEpochs: Long): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0 && maxEpochs > 0,
+      "budget fraction and maxEpochs must be positive")
+    val caps = df.groupBy(col(groupCol).as("g"))
+      .agg(sum(col(unitsCol)).as("n_units"))
+      .withColumn("cap", col("n_units") * maxEpochs)
+    val tot = caps.agg(sum(col("n_units")).as("total"),
+      count(lit(1)).as("ng"))
+    val w = Window.orderBy(col("cap"), col("g"))
+    val idx = caps.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("prefix", coalesce(
+        sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("prev_cap", coalesce(lag(col("cap"), 1).over(w), lit(0L)))
+      .withColumn("b", expr(s"total * $budgetNum div $budgetDen"))
+      .withColumn("t_cand",
+        when(col("b") >= col("prefix"),
+          expr("(b - prefix) div (ng - i + 1)")))
+    val t = idx.agg(min(when(
+      col("t_cand").isNotNull && col("t_cand") >= col("prev_cap") &&
+        col("t_cand") < col("cap"), col("t_cand"))).as("t"))
+    idx.crossJoin(broadcast(t))
+      .withColumn("alloc",
+        when(col("t").isNull, col("cap")).otherwise(least(col("cap"), col("t"))))
+      .select(col("g").as(groupCol), col("n_units"), col("cap"),
+        col("alloc"), expr("alloc * 1000 div n_units").as("epochs_milli"))
+  }
 }
