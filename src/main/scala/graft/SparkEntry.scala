@@ -2371,6 +2371,22 @@ object SparkEntry {
             .otherwise(0L)).as("kept_chars"))
         .orderBy("page_id")
     }),
+    "dedup_boilerplate_lines" -> ((s, dir) => {
+      // the boilerplate DETECTOR: lines recurring across many distinct
+      // pages (headers/footers/nav) — the report a curation run reviews
+      // before stripping. Over the multi-line pages fixture the planted
+      // boilerplate paragraph's lines hit all 40 pages while organic
+      // duplicates hit 2. One distinct-count aggregation keyed by line.
+      val lines = multiLinePages(s, dir)
+        .select(col("page_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+        .where(length(col("line")) > 0)
+      lines.groupBy("line")
+        .agg(countDistinct(col("page_id")).as("n_pages"),
+          count(lit(1)).as("n_occurrences"))
+        .where(col("n_pages") >= 20)
+        .orderBy("line")
+    }),
     "dedup_paragraph_ccnet" -> ((s, dir) => {
       // the PARAGRAPH leg of CCNet dedup over the same multi-line pages
       // fixture: split on blank-line boundaries ('\n\n'), keep each
@@ -8683,6 +8699,16 @@ object SparkEntry {
           |SELECT base || '?' || params AS canonical,
           |  count(*) AS n_variants, min(doc_id) AS kept_doc
           |FROM cb GROUP BY 1 ORDER BY canonical""".stripMargin,
+      "dedup_boilerplate_lines" ->
+        s"""WITH $multiLinePagesCtes,
+          |pl AS (SELECT page_id, string_split(text, chr(10)) AS ls FROM pages),
+          |l AS (SELECT page_id, ls[i] AS line
+          |  FROM pl, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g
+          |  WHERE length(ls[i]) > 0)
+          |SELECT line, CAST(count(DISTINCT page_id) AS BIGINT) AS n_pages,
+          |  count(*) AS n_occurrences
+          |FROM l GROUP BY 1 HAVING count(DISTINCT page_id) >= 20
+          |ORDER BY line""".stripMargin,
       "dedup_paragraph_ccnet" ->
         s"""WITH $multiLinePagesCtes,
           |pp AS (SELECT page_id, string_split(text, chr(10) || chr(10)) AS ps FROM pages),
