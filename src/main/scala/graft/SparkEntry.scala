@@ -6747,6 +6747,21 @@ object SparkEntry {
           col("node") % 7 === 0, rounds = 3)
         .orderBy("node")
     }),
+    "graph_degree_quantiles" -> ((s, dir) => {
+      // degree-distribution quantiles of the co-occurrence graph via the
+      // HDR sketch — the graph-health probe ("hub-dominated power law or
+      // flat?") that decides whether skew guards are needed downstream.
+      // Degrees are one aggregation over the symmetrized edge list; the
+      // quantiles ride the same sketch + rank walk as the doc-length
+      // family, so the answer costs a histogram, never a degree sort.
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val deg = graft.operators.Graph.symmetrize(co, "item_a", "item_b")
+        .groupBy("src").agg(count(lit(1)).as("v")).select(col("v"))
+      hdrQuantiles(deg, Seq(500L, 900L, 990L))
+    }),
     "graph_betweenness" -> ((s, dir) => {
       // sampled Brandes betweenness, truncated at 3 hops: which items
       // sit ON the shortest paths between others — the bridge/hub triage
@@ -6908,6 +6923,46 @@ object SparkEntry {
         .select(col("lang"), col("q_milli"), col("rnk"), col("bucket"),
           col("lo"), col("hi"), col("cnt").as("bucket_cnt"))
         .orderBy("lang", "q_milli")
+    }),
+    "stream_heavy_hitters" -> ((s, dir) => {
+      // heavy hitters THROUGH the streaming engine: the Count-Min cells
+      // are maintained by a complete-mode streaming aggregation (the
+      // state is the ≤ 4×256 counter table, never per-item), then the
+      // report joins CMS estimates with exact counts and keeps items
+      // whose true frequency clears total/100 — the classic streaming
+      // frequent-items shape (space-bounded state, overcount-only
+      // error). Oracle rebuilds cells and estimates exactly from events.
+      val log = mainLog(s, dir)
+      val rows = runStreamToMemory(s,
+        graft.operators.Sketches.countMinCells(
+          graft.streaming.WalrusStreams.readStream(s, log.root)
+            .select(get_json_object(
+              decode(col("value"), "UTF-8"), "$.k").as("item"))
+            .where(col("item").isNotNull),
+          "item", 4, 256),
+        "complete") { t =>
+          // local relation: the probe path self-joins against batch
+          // lineage (same memory-view attribute-id issue as
+          // stream_quantile_lens)
+          val cells = s.createDataFrame(
+            s.sparkContext.parallelize(t.collect().toSeq, 1), t.schema)
+          val items = log.toDF()
+            .select(get_json_object(
+              decode(col("value"), "UTF-8"), "$.k").as("item"))
+            .where(col("item").isNotNull)
+          val exact = items.groupBy("item").agg(count(lit(1)).as("n_exact"))
+          val thr = items.agg(expr("count(1) div 100").as("thr"))
+          graft.operators.Sketches
+            .countMinEstimates(cells, items, "item", 4, 256)
+            .join(exact, Seq("item")).crossJoin(broadcast(thr))
+            .where(col("n_exact") >= col("thr"))
+            .select(col("item"), col("est"), col("n_exact"))
+            .orderBy("item").collect().toSeq
+        }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("item", StringType), StructField("est", LongType),
+        StructField("n_exact", LongType))))
+        .orderBy("item")
     }),
     "stream_quantile_lens" -> ((s, dir) => {
       // quantiles THROUGH the streaming engine: per-topic payload-length
@@ -11406,6 +11461,10 @@ object SparkEntry {
         coEdgesSql(8), "node % 7 = 0", rounds = 3),
       "graph_betweenness" -> graft.operators.Graph.brandesBetweennessSql(
         coEdgesSql(8), "node % 13 = 0", rounds = 3),
+      "graph_degree_quantiles" ->
+        s"""WITH ${coEdgesSql(8)},
+           |vals AS (SELECT CAST(count(*) AS BIGINT) AS v FROM e GROUP BY src),
+           |${hdrQuantileSqlTail(Seq(500, 900, 990))}""".stripMargin,
       "graph_ppr" -> graft.operators.Graph.personalizedPageRankSql(
         coEdgesSql(8), "n.node % 10 = 0", iterations = 4),
       "graph_modularity" -> {
@@ -11541,6 +11600,30 @@ object SparkEntry {
            |SELECT ag.lang, m_used, n_exact,
            |  floor($num / CAST(snum + (256 - m_used) * 1099511627776 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS raw_est
            |FROM ag JOIN ex ON ex.lang = ag.lang ORDER BY ag.lang""".stripMargin
+      },
+      "stream_heavy_hitters" -> {
+        val buildRows = TextOps.hashCoeffs(4).zipWithIndex.map { case ((a, b), j) =>
+          s"SELECT $j AS j, (hp * $a + $b) % 2147483647 % 256 AS cell FROM ih"
+        }.mkString("\n  UNION ALL ")
+        val probeRows = TextOps.hashCoeffs(4).zipWithIndex.map { case ((a, b), j) =>
+          s"SELECT item, $j AS j, (hp * $a + $b) % 2147483647 % 256 AS cell FROM ph"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH it AS (SELECT json_extract_string(props, '$$.k') AS item FROM events
+           |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+           |ih AS (SELECT CAST(mod(${fnvSql("item")}, CAST('9223372036854775808' AS HUGEINT)) AS BIGINT) % 2147483647 AS hp FROM it),
+           |cells AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |  $buildRows) GROUP BY 1, 2),
+           |pq AS (SELECT DISTINCT item FROM it),
+           |ph AS (SELECT item, CAST(mod(${fnvSql("item")}, CAST('9223372036854775808' AS HUGEINT)) AS BIGINT) % 2147483647 AS hp FROM pq),
+           |pc AS (
+           |  $probeRows),
+           |pe AS (SELECT pc.item, min(cells.cnt) AS est FROM pc
+           |  JOIN cells USING (j, cell) GROUP BY 1),
+           |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS n_exact FROM it GROUP BY 1),
+           |tot AS (SELECT count(*) // 100 AS thr FROM it)
+           |SELECT pe.item, pe.est, ex.n_exact
+           |FROM pe JOIN ex ON ex.item = pe.item, tot
+           |WHERE ex.n_exact >= tot.thr ORDER BY pe.item""".stripMargin
       },
       "stream_quantile_lens" ->
         """WITH vals AS (SELECT event_type AS topic, CAST(length(props) AS BIGINT) AS v FROM events),
