@@ -1956,7 +1956,7 @@ object SparkEntry {
         .orderBy("grp", "topic")
     }),
 
-    "log_group_rebalance" -> ((s, dir) => {
+    "log_group_rebalance_e2e" -> ((s, dir) => {
       // D3's assignors driven END-TO-END through real shared (group,
       // topic) cursors (VERDICT r10 #8): phase 1 deals the topics
       // round-robin across 3 consumers and each drains HALF of its
@@ -8130,7 +8130,7 @@ object SparkEntry {
           |  CAST(n - least(n, 2000) AS BIGINT) AS lag_entries
           |FROM tot
           |ORDER BY grp, topic""".stripMargin,
-      "log_group_rebalance" ->
+      "log_group_rebalance_e2e" ->
         // predicts phase ownership (round-robin idx % 3, then the sticky
         // rule: survivors keep, orphans re-dealt i % 2 in sorted order),
         // the half/rest drain splits, and the final committed offsets —
@@ -8149,7 +8149,7 @@ object SparkEntry {
           |  p1.n - p1.n // 2 AS delivered_p2,
           |  p1.n AS committed
           |FROM p1 LEFT JOIN orph ON orph.topic = p1.topic
-          |ORDER BY topic""".stripMargin,
+          |ORDER BY p1.topic""".stripMargin,
       "stream_topic_counts" ->
         "SELECT event_type AS topic, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
       "stream_rate_limited" ->
