@@ -206,6 +206,27 @@ object SparkEntry {
       log
     })
 
+  /** A 1/11 slice of events mirrored as THREE commits (split by
+    * (event_id div 11) % 3, all topics in every commit) — the
+    * offset-islands fixture: a consumption vacuum can then reclaim a
+    * commit-granular prefix per the all-topics-below-cursor rule. */
+  private def gapLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "gap"), {
+      val root = Files.createTempDirectory("graft-log-gap-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ev = events(spark, dir).where(col("event_id") % 11 === 0)
+        .select(col("event_type").as("topic"),
+          encode(col("props"), "UTF-8").as("value"),
+          col("event_id").as("_seq"),
+          (expr("event_id div 11") % 3).as("_third"))
+      (0 until 3).foreach { j =>
+        log.appendDF(ev.where(col("_third") === j).drop("_third"),
+          Some(col("_seq")), FixedTs)
+      }
+      log
+    })
+
   /** Events mirrored once as "<user_id>|<day>" payloads on one topic —
     * the fixture behind the streaming retention query (user/day must ride
     * IN the payload; mainLog carries only props). */
@@ -1956,6 +1977,25 @@ object SparkEntry {
         .orderBy("grp", "topic")
     }),
 
+    "log_offset_islands" -> ((s, dir) => {
+      // retention leaves offset ISLANDS: seek a shared group to
+      // n div 2 per topic (an idempotent cursor write — reruns land the
+      // same state, unlike a checkpointed read), consumption-vacuum the
+      // fully-consumed commit prefix, then answer the live-range report
+      // ENTIRELY from commit metadata — one grouped COUNT/MIN/MAX(offset)
+      // aggregate pushdown over the surviving commits (zero data IO at
+      // any log size; the r11 exact-rows gate is what keeps COUNT
+      // trustworthy here). The oracle replays the 3-commit construction,
+      // the div-2 cursors, and vacuum's all-topics-below-cursor rule.
+      val log = gapLog(s, dir)
+      log.topicNames.sorted.foreach(t =>
+        log.seek("gap-g", t, log.totalAppended(t) / 2))
+      log.vacuum()
+      s.read.format("walruslog").option("path", log.root).load()
+        .groupBy("topic").agg(count(lit(1)).as("n_live"),
+          min("offset").as("min_off"), max("offset").as("max_off"))
+        .orderBy("topic")
+    }),
     "log_group_rebalance_e2e" -> ((s, dir) => {
       // D3's assignors driven END-TO-END through real shared (group,
       // topic) cursors (VERDICT r10 #8): phase 1 deals the topics
@@ -8130,6 +8170,27 @@ object SparkEntry {
           |  CAST(n - least(n, 2000) AS BIGINT) AS lag_entries
           |FROM tot
           |ORDER BY grp, topic""".stripMargin,
+      "log_offset_islands" ->
+        // replays: 3 commits by (event_id div 11) % 3 (cum counts per
+        // topic in j order), cursors at n div 2, vacuum's rule "commit
+        // reclaimed iff EVERY topic it carries is fully below that
+        // topic's cursor" — live range = [sum of reclaimed counts, n)
+        """WITH sl AS (SELECT event_type AS topic, (event_id // 11) % 3 AS j
+          |  FROM events WHERE event_id % 11 = 0),
+          |pc AS (SELECT topic, j, CAST(count(*) AS BIGINT) AS c FROM sl GROUP BY 1, 2),
+          |n AS (SELECT topic, CAST(SUM(c) AS BIGINT) AS n FROM pc GROUP BY 1),
+          |cum AS (SELECT topic, j, c,
+          |    CAST(SUM(c) OVER (PARTITION BY topic ORDER BY j) AS BIGINT) AS cum
+          |  FROM pc),
+          |ok AS (SELECT cum.j, bool_and(cum.cum <= n.n // 2) AS all_ok
+          |  FROM cum JOIN n USING (topic) GROUP BY 1),
+          |fl AS (SELECT topic,
+          |    CAST(COALESCE(SUM(CASE WHEN cum.j IN (SELECT j FROM ok WHERE all_ok)
+          |      THEN c END), 0) AS BIGINT) AS first_live
+          |  FROM cum GROUP BY topic)
+          |SELECT n.topic, CAST(n.n - fl.first_live AS BIGINT) AS n_live,
+          |  fl.first_live AS min_off, CAST(n.n - 1 AS BIGINT) AS max_off
+          |FROM n JOIN fl USING (topic) ORDER BY n.topic""".stripMargin,
       "log_group_rebalance_e2e" ->
         // predicts phase ownership (round-robin idx % 3, then the sticky
         // rule: survivors keep, orphans re-dealt i % 2 in sorted order),
