@@ -35,7 +35,7 @@ object CommitScaleProbe {
 
   /** Write `n` synthetic ingest commit JSONs (4 topics × 100 rows each,
     * point ts ascending 1 s per commit) under a fresh namespace dir. */
-  private def synthesize(n: Int, withManifest: Boolean): Path = {
+  private[tools] def synthesize(n: Int, withManifest: Boolean): Path = {
     val root = Files.createTempDirectory(s"graft-scale-$n-")
     val ns = root.resolve("default")
     val commitsDir = ns.resolve("commits")
