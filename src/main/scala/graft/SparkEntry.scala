@@ -6887,6 +6887,52 @@ object SparkEntry {
       graft.operators.Sketches.kmvPairJaccard(toks, "lang", "tok", 64)
         .orderBy("g1", "g2")
     }),
+    "sketch_kmv_setops" -> ((s, dir) => {
+      // theta-sketch-style SET OPERATIONS from ONE KMV union sketch
+      // (the Beyer et al. multi-set extension): |A∪B| from the k-th
+      // smallest union hash, |A∩B| / |A\B| / |B\A| from the sketch
+      // members' membership flags — corpora = en vs non-en word-TRIGRAM
+      // sets (unigram/bigram vocabularies fully overlap in this corpus;
+      // trigrams genuinely differ). All-integer estimates
+      // ((flag-count · est_union) div k_used); exact counts ride
+      // alongside as the gate. Scale: ONE distinct aggregation to
+      // (hash, flags), one 64-long sketch, one equi-join back for
+      // flags — the corpus never pairs with itself.
+      val m = table(s, dir, "documents")
+        .select((col("lang") === "en").as("is_en"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .where(size(col("tk")) >= 3)
+        .select(col("is_en"), explode(expr(
+          "transform(sequence(0, size(tk) - 3), i -> concat(" +
+            "element_at(tk, i + 1), ' ', element_at(tk, i + 2), ' ', " +
+            "element_at(tk, i + 3)))")).as("tok"))
+        .select(col("is_en"),
+          graft.operators.Sketches.positiveHash(
+            encode(col("tok"), "UTF-8")).as("h"))
+        .groupBy("h")
+        .agg(max(when(col("is_en"), 1L).otherwise(0L)).as("in_a"),
+          max(when(!col("is_en"), 1L).otherwise(0L)).as("in_b"))
+      val sk = m.agg(
+          graft.functions.GraftFunctions.bottom_k(col("h"), 64).as("bk"),
+          count(lit(1)).as("n_union"),
+          sum(col("in_a") * col("in_b")).as("n_inter"),
+          sum(col("in_a") * (lit(1L) - col("in_b"))).as("n_only_a"),
+          sum(col("in_b") * (lit(1L) - col("in_a"))).as("n_only_b"))
+        .withColumn("est_union",
+          graft.operators.Sketches.kmvEstimate(col("bk"), 64))
+      val flags = sk.select(explode(col("bk")).as("h"))
+        .join(m, Seq("h"))
+        .agg(count(lit(1)).as("k_used"),
+          sum(col("in_a") * col("in_b")).as("i_in_sk"),
+          sum(col("in_a") * (lit(1L) - col("in_b"))).as("a_in_sk"),
+          sum(col("in_b") * (lit(1L) - col("in_a"))).as("b_in_sk"))
+      sk.drop("bk").crossJoin(flags).select(
+        col("n_union"), col("n_inter"), col("n_only_a"), col("n_only_b"),
+        col("k_used"), col("est_union"),
+        expr("i_in_sk * est_union div k_used").as("est_inter"),
+        expr("a_in_sk * est_union div k_used").as("est_only_a"),
+        expr("b_in_sk * est_union div k_used").as("est_only_b"))
+    }),
     "sketch_quantile_doclen" -> ((s, dir) =>
       // document-length quantiles via the HdrHistSketch typed imperative
       // aggregate (VERDICT r10 #5): ONE map-side-combining sketch pass —
@@ -11617,6 +11663,38 @@ object SparkEntry {
            |  floor(CAST(n_inter AS DOUBLE) / n_union * 1000000 + 0.5) / 1000000
            |    AS jac_exact
            |FROM agg ORDER BY g1, g2""".stripMargin
+      },
+      "sketch_kmv_setops" -> {
+        val h = "CAST(mod(" + fnvSql("tok") +
+          ", CAST('9223372036854775808' AS HUGEINT)) AS BIGINT)"
+        s"""WITH tw AS (SELECT lang = 'en' AS is_en,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           |  FROM documents),
+           |t AS (SELECT is_en, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS tok
+           |  FROM tw, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+           |  WHERE len(tk) >= 3),
+           |m AS (SELECT h,
+           |    CAST(max(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+           |    CAST(max(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS in_b
+           |  FROM (SELECT is_en, $h AS h FROM t) GROUP BY h),
+           |r AS (SELECT *, row_number() OVER (ORDER BY h) AS rn FROM m),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_union,
+           |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter,
+           |    CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS n_only_a,
+           |    CAST(SUM(in_b * (1 - in_a)) AS BIGINT) AS n_only_b,
+           |    CAST(count(CASE WHEN rn <= 64 THEN 1 END) AS BIGINT) AS k_used,
+           |    CAST(SUM(CASE WHEN rn <= 64 THEN in_a * in_b END) AS BIGINT) AS i_in_sk,
+           |    CAST(SUM(CASE WHEN rn <= 64 THEN in_a * (1 - in_b) END) AS BIGINT) AS a_in_sk,
+           |    CAST(SUM(CASE WHEN rn <= 64 THEN in_b * (1 - in_a) END) AS BIGINT) AS b_in_sk
+           |  FROM r),
+           |kth AS (SELECT max(CASE WHEN rn = 64 THEN h END) AS kth FROM r),
+           |est AS (SELECT agg.*, ${graft.operators.Sketches.kmvEstimateSql("kth", "k_used", 64)} AS est_union
+           |  FROM agg, kth)
+           |SELECT n_union, n_inter, n_only_a, n_only_b, k_used, est_union,
+           |  i_in_sk * est_union // k_used AS est_inter,
+           |  a_in_sk * est_union // k_used AS est_only_a,
+           |  b_in_sk * est_union // k_used AS est_only_b
+           |FROM est""".stripMargin
       },
       "sketch_quantile_doclen" ->
         s"""WITH vals AS (SELECT CAST(length(text) AS BIGINT) AS v FROM documents),
