@@ -583,6 +583,24 @@ object SparkEntry {
       out
     })
 
+  /** Events' (event_id, item, day) stream split into 3 parquet files
+    * (once per sfDir): the file-source fixture behind
+    * `stream_decay_topk` — the decayed counters must come out identical
+    * whatever the file batch boundaries. */
+  private val decayDirCache = TrieMap.empty[String, String]
+  private def decayStreamDir(spark: SparkSession, dir: String): String =
+    decayDirCache.getOrElseUpdate(dir, {
+      val out = Files.createTempDirectory("graft-decay-stream-").toString + "/days"
+      events(spark, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("item"),
+          expr("ts div 86400000000000").as("day"))
+        .where(col("item").isNotNull)
+        .repartitionByRange(3, col("event_id"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   private val partDirCache = TrieMap.empty[String, String]
   private def partitionedDocs(spark: SparkSession, dir: String): String =
     partDirCache.getOrElseUpdate(dir, {
@@ -1559,6 +1577,36 @@ object SparkEntry {
         .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
           col("subword_tokens").cast("long").as("subword_tokens"),
           col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")),
+    "text_ttr_mattr" -> ((s, dir) =>
+      // lexical-diversity quality signal: raw type-token ratio + MATTR
+      // (Covington & McFall 2010 — the moving-average TTR over a w=20
+      // window, which unlike raw TTR is comparable across document
+      // lengths; templated/boilerplate docs score low). One fused
+      // per-row array pass (slice + array_distinct per window — O(n·w)
+      // chars, no explode, no shuffle); integer micros. The sequence()
+      // call sits under a size >= w guard because Spark sequence(1, 0)
+      // DESCENDS (NOTES trap); docs with no window emit the -1 sentinel
+      // (never NULL — the int64→pandas-float oracle trap).
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+          size(array_distinct(col("tk"))).cast("long").as("n_types"),
+          when(size(col("tk")) >= 20,
+              expr("aggregate(transform(sequence(1, size(tk) - 19), " +
+                "i -> size(array_distinct(slice(tk, i, 20)))), " +
+                "CAST(0 AS BIGINT), (a, x) -> a + x)"))
+            .otherwise(lit(0L)).as("win_types"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          when(col("n_tokens") >= 20, col("n_tokens") - 19)
+            .otherwise(lit(0L)).as("n_windows"),
+          when(col("n_tokens") > 0,
+              expr("n_types * 1000000 div n_tokens")).otherwise(lit(-1L))
+            .as("ttr_micro"),
+          when(col("n_tokens") >= 20,
+              expr("win_types * 1000000 div ((n_tokens - 19) * 20)"))
+            .otherwise(lit(-1L)).as("mattr_micro"))
         .orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(table(s, dir, "documents"), "doc_id", "text")
@@ -6818,6 +6866,40 @@ object SparkEntry {
           col("node") % 13 === 0, rounds = 3)
         .orderBy("node")
     }),
+    "graph_harmonic" -> ((s, dir) => {
+      // sampled truncated HARMONIC centrality: Σ 1/d(root, v) over the
+      // node % 7 == 0 root sample, 3-hop truncation, integer micro-units
+      // — "close to everything" anchors (betweenness finds connectors;
+      // harmonic finds hubs-of-reach, and is well-defined on this
+      // disconnected co-occurrence graph where classic closeness isn't).
+      // Forward-BFS-only Brandes shape: per level one frontier equi-join
+      // + one (root, node) anti-join; state never exceeds roots × nodes
+      // within 3 hops.
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      graft.operators.Graph.harmonicCentrality(co, "item_a", "item_b",
+          col("node") % 7 === 0, rounds = 3)
+        .orderBy("node")
+    }),
+    "graph_random_walks" -> ((s, dir) => {
+      // deterministic node2vec/DeepWalk corpus generation: 4-step
+      // uniform-neighbor walks from the node % 11 == 0 seed sample,
+      // neighbor picked by fnv1a64(walk ':' step) mod degree over a
+      // per-node row_number-indexed adjacency — hash-driven, so the walk
+      // corpus (the input skip-gram embedding training actually
+      // consumes) is bit-reproducible in any engine. Each step is two
+      // equi-joins; the index window is partitioned per node (bounded by
+      // max degree, never global).
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      graft.operators.Graph.randomWalks(co, "item_a", "item_b",
+          col("node") % 11 === 0, steps = 4)
+        .orderBy("walk_id", "step")
+    }),
     "graph_ppr" -> ((s, dir) => {
       // personalized PageRank: teleport mass restarts ONLY at the seed
       // items (node % 10 == 0), so ranks measure proximity to the seeds —
@@ -7116,6 +7198,103 @@ object SparkEntry {
         .groupBy("lbl").agg(count(lit(1)).as("v"))
         .select(col("v"))
       hdrQuantiles(sizes, Seq(500L, 900L, 990L))
+    }),
+    "sketch_decay_topk" -> ((s, dir) => {
+      // exponential-decay heavy hitters (the forward-decay shape, Cormode
+      // et al. ICDE 2009): each arrival weighs 2^-(age in days) relative
+      // to the NEWEST event, so trending items outrank stale high-volume
+      // ones — the "what is hot in the crawl right now" probe. Integer-
+      // exact: per-(item, day) counts aggregate FIRST (map-side
+      // combinable without knowing the landmark), then weights
+      // 2^(40 - min(age, 40)) apply on the ≤ items×days table against a
+      // broadcast 1-row max-day — exact long sums, never a float decay
+      // multiply, so merge order can't flip a tie and the oracle replays
+      // bit-for-bit (the HLL capped-rho lesson). Top-20 by decayed
+      // weight via TakeOrderedAndProject, ties broken by item.
+      val it = events(s, dir)
+        .select(get_json_object(col("props"), "$.k").as("item"),
+          expr("ts div 86400000000000").as("day"))
+        .where(col("item").isNotNull)
+      val byDay = it.groupBy("item", "day").agg(count(lit(1)).as("cnt"))
+      val mx = byDay.agg(max(col("day")).as("dmax"))
+      byDay.crossJoin(broadcast(mx))
+        .select(col("item"), col("cnt"),
+          (col("day") === col("dmax")).as("isnew"),
+          expr("shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(40 - least(dmax - day, 40) AS INT))").as("w"))
+        .groupBy("item")
+        .agg(sum(col("cnt")).as("n_events"),
+          sum(col("cnt") * col("w")).as("decayed"),
+          sum(when(col("isnew"), col("cnt")).otherwise(0L))
+            .as("n_newest_day"))
+        .orderBy(col("decayed").desc, col("item")).limit(20)
+    }),
+    "sketch_f2_moments" -> ((s, dir) => {
+      // AMS frequency moments per language over the token stream: F2 =
+      // Σc² IS the row count of a token equi-join's bucket blowup —
+      // computed BEFORE running a shingle/LSH join it forecasts whether
+      // hot-key caps (maxDocFreq / stop-shingles) are needed, which is
+      // exactly how the dedup family's caps were sized. avg collision
+      // partners per probe token = F2/F1; its ratio to the mean
+      // frequency F1/F0 is the skew multiplier (1e6 = uniform corpus).
+      // One (lang, token) count then one per-lang fold, both map-side
+      // combinable; micros via the split (q DIV 1)·1e6 + rem·1e6 DIV d
+      // decomposition so no product ever exceeds ~1e13. F2 fits BIGINT
+      // through ~3e9 same-token occurrences; past that the same fold
+      // runs on DECIMAL(38,0).
+      val toks = table(s, dir, "documents").select(col("lang"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+      toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("f0"), sum(col("c")).as("f1"),
+          sum(col("c") * col("c")).as("f2"))
+        .select(col("lang"), col("f0"), col("f1"), col("f2"),
+          expr("(f2 div f1) * 1000000 + (f2 % f1) * 1000000 div f1")
+            .as("avg_partners_micro"),
+          expr("((f2 div f1) * 1000000 + (f2 % f1) * 1000000 div f1)" +
+            " * 1000000 div ((f1 div f0) * 1000000 + (f1 % f0) * 1000000 div f0)")
+            .as("skew_x_micro"))
+        .orderBy("lang")
+    }),
+    "stream_decay_topk" -> ((s, dir) => {
+      // the forward-decay heavy-hitter report THROUGH the streaming
+      // engine: (item, day) counters are maintained by a complete-mode
+      // streaming aggregation over the 3-file change stream (state is
+      // one row per live (item, day); the CMS sibling
+      // stream_heavy_hitters is the space-bounded variant for unbounded
+      // vocabularies), and the decay report derives from the FINAL
+      // counter table — identical to sketch_decay_topk whatever the
+      // batch boundaries, because per-(item, day) counting is order-
+      // independent (the stream_cms_sketch streamed ≡ batch argument).
+      // The report runs on a materialized local relation (memory-sink
+      // self-join attribute-id trap, see stream_heavy_hitters).
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("item", StringType), StructField("day", LongType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(decayStreamDir(s, dir))
+        .groupBy("item", "day").agg(count(lit(1)).as("cnt"))
+      val rows = runStreamToMemory(s, src, "complete") { t =>
+        val byDay = s.createDataFrame(
+          s.sparkContext.parallelize(t.collect().toSeq, 1), t.schema)
+        val mx = byDay.agg(max(col("day")).as("dmax"))
+        byDay.crossJoin(broadcast(mx))
+          .select(col("item"), col("cnt"),
+            (col("day") === col("dmax")).as("isnew"),
+            expr("shiftleft(CAST(1 AS BIGINT), " +
+              "CAST(40 - least(dmax - day, 40) AS INT))").as("w"))
+          .groupBy("item")
+          .agg(sum(col("cnt")).as("n_events"),
+            sum(col("cnt") * col("w")).as("decayed"),
+            sum(when(col("isnew"), col("cnt")).otherwise(0L))
+              .as("n_newest_day"))
+          .orderBy(col("decayed").desc, col("item")).limit(20)
+          .collect().toSeq
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("item", StringType), StructField("n_events", LongType),
+        StructField("decayed", LongType),
+        StructField("n_newest_day", LongType))))
+        .orderBy(col("decayed").desc, col("item"))
     })
   )
 
@@ -7132,6 +7311,26 @@ object SparkEntry {
          |          fi -> CAST(ascii(substr($v, fi, 1)) AS HUGEINT))),
          |      (acc, fb) -> mod(xor(acc, fb) * 1099511628211,
          |        CAST('18446744073709551616' AS HUGEINT)))""".stripMargin
+    // forward-decay heavy-hitter twin — shared by the batch report
+    // (sketch_decay_topk) and its streaming equivalent
+    // (stream_decay_topk), so the two semantics can never drift
+    val decayTopkOracleSql =
+      """WITH it AS (SELECT json_extract_string(props, '$.k') AS item,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |bd AS (SELECT item, day, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM it GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS dmax FROM bd),
+        |ag AS (SELECT item,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_events,
+        |    CAST(SUM(cnt * (CAST(1 AS BIGINT)
+        |      << CAST(40 - least(dmax - day, 40) AS INTEGER))) AS BIGINT)
+        |      AS decayed,
+        |    CAST(SUM(CASE WHEN day = dmax THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS n_newest_day
+        |  FROM bd, mx GROUP BY item)
+        |SELECT item, n_events, decayed, n_newest_day FROM ag
+        |ORDER BY decayed DESC, item LIMIT 20""".stripMargin
     // CDC last-writer-wins materialization twin — shared by the batch
     // apply (rel_cdc_apply) and its streaming equivalent
     // (stream_cdc_apply), so the two semantics can never drift
@@ -7748,6 +7947,28 @@ object SparkEntry {
           |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS subword_tokens,
           |  CAST(length(text) AS BIGINT) AS n_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_ttr_mattr" ->
+        // list slice tk[i : i+19] == Spark slice(tk, i, 20) (1-based,
+        // inclusive end — the r10 ws-slice trap note)
+        """WITH d AS (SELECT doc_id,
+          |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          |  FROM documents),
+          |b AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens,
+          |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_types FROM d),
+          |wins AS (SELECT doc_id,
+          |    CAST(SUM(len(list_distinct(tk[i : i + 19]))) AS BIGINT) AS win_types
+          |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 19)) AS i
+          |        FROM b WHERE n_tokens >= 20)
+          |  GROUP BY doc_id)
+          |SELECT b.doc_id, n_tokens, n_types,
+          |  CASE WHEN n_tokens >= 20 THEN n_tokens - 19 ELSE 0 END AS n_windows,
+          |  CASE WHEN n_tokens > 0 THEN n_types * 1000000 // n_tokens
+          |       ELSE -1 END AS ttr_micro,
+          |  CASE WHEN n_tokens >= 20
+          |       THEN coalesce(w.win_types, 0) * 1000000 // ((n_tokens - 19) * 20)
+          |       ELSE -1 END AS mattr_micro
+          |FROM b LEFT JOIN wins w ON w.doc_id = b.doc_id
+          |ORDER BY b.doc_id""".stripMargin,
       "text_hash_embedding" -> {
         // FNV-1a-64 as an unsigned HUGEINT fold (the mm_feature_extract
         // twin); dim = low 6 bits, sign = bit 6 — identical to the signed
@@ -11568,6 +11789,11 @@ object SparkEntry {
         coEdgesSql(8), "node % 7 = 0", rounds = 3),
       "graph_betweenness" -> graft.operators.Graph.brandesBetweennessSql(
         coEdgesSql(8), "node % 13 = 0", rounds = 3),
+      "graph_harmonic" -> graft.operators.Graph.harmonicCentralitySql(
+        coEdgesSql(8), "node % 7 = 0", rounds = 3),
+      "graph_random_walks" -> graft.operators.Graph.randomWalksSql(
+        coEdgesSql(8), "node % 11 = 0", steps = 4,
+        v => s"CAST(mod(${fnvSql(v)}, CAST('9223372036854775808' AS HUGEINT)) AS BIGINT)"),
       "graph_degree_quantiles" ->
         s"""WITH ${coEdgesSql(8)},
            |vals AS (SELECT CAST(count(*) AS BIGINT) AS v FROM e GROUP BY src),
@@ -11808,7 +12034,27 @@ object SparkEntry {
         s"""$lshReachCtes,
            |lab AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
            |vals AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lab GROUP BY lbl),
-           |${hdrQuantileSqlTail(Seq(500, 900, 990))}""".stripMargin
+           |${hdrQuantileSqlTail(Seq(500, 900, 990))}""".stripMargin,
+      "sketch_decay_topk" -> decayTopkOracleSql,
+      // streamed ≡ batch: per-(item, day) counting is order-independent,
+      // so the streaming twin shares the batch oracle VERBATIM
+      "stream_decay_topk" -> decayTopkOracleSql,
+      "sketch_f2_moments" ->
+        """WITH tk AS (SELECT lang,
+          |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+          |  FROM documents),
+          |c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+          |  FROM tk GROUP BY 1, 2),
+          |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS f0,
+          |    CAST(SUM(c) AS BIGINT) AS f1, CAST(SUM(c * c) AS BIGINT) AS f2
+          |  FROM c GROUP BY lang)
+          |SELECT lang, f0, f1, f2,
+          |  (f2 // f1) * 1000000 + (f2 % f1) * 1000000 // f1
+          |    AS avg_partners_micro,
+          |  ((f2 // f1) * 1000000 + (f2 % f1) * 1000000 // f1) * 1000000
+          |    // ((f1 // f0) * 1000000 + (f1 % f0) * 1000000 // f0)
+          |    AS skew_x_micro
+          |FROM m ORDER BY lang""".stripMargin
     )
   }
 }

@@ -671,4 +671,142 @@ object Graph {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         coalesce(col("out_nbrs"), lit(0L)).as("out_nbrs"))
   }
+
+  /** Sampled truncated HARMONIC centrality (Boldi & Vigna 2014 — the
+    * closeness variant that is well-defined on disconnected graphs):
+    * h(v) = Σ over sampled roots r ≠ v of 1/d(r, v), distances truncated
+    * at `rounds` hops, in exact integer micro-units (`unit DIV dist` —
+    * non-negative, so both engines floor identically). Where betweenness
+    * finds CONNECTOR nodes, harmonic finds nodes CLOSE TO EVERYTHING —
+    * the "centrality of reach" triage for picking curriculum anchors.
+    *
+    * Plan shape: the Brandes forward pass without σ — per level one
+    * frontier equi-join + one (root, node) anti-join dedup; state is only
+    * (root, node, dist). Roots are a seed sample, so the keyed state is
+    * |roots|-bounded per node, never all-pairs. Output:
+    * (node, reached, harm_micro) for nodes within `rounds` hops of ≥ 1
+    * root (root self-distances excluded). */
+  def harmonicCentrality(edges: DataFrame, aCol: String, bCol: String,
+      seed: Column, rounds: Int, unit: Long = 1000000L): DataFrame = {
+    require(rounds >= 1)
+    val e = symmetrize(edges, aCol, bCol).localCheckpoint()
+    val roots = e.select(col("src").as("node")).distinct().where(seed)
+      .select(col("node").as("root"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = roots
+    var visited = roots
+    for (r <- 1 to rounds) {
+      val f = frontier.select(col("root"), col("node").as("src"))
+      val next = e.join(f, Seq("src"))
+        .select(col("root"), col("dst").as("node")).distinct()
+        .join(visited.select("root", "node"), Seq("root", "node"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
+        .localCheckpoint()
+      frontier = next
+      visited = visited.unionAll(next).localCheckpoint()
+    }
+    visited.where(col("dist") > 0L)
+      .groupBy("node")
+      .agg(count(lit(1)).as("reached"),
+        sum(expr(s"$unit DIV dist")).as("harm_micro"))
+  }
+
+  /** The DuckDB twin of [[harmonicCentrality]]: unrolled root-keyed BFS
+    * levels with NOT EXISTS visited guards. `edgesCte` must end with a
+    * SYMMETRIZED relation `e(src, dst)`; `seedWhere` is a predicate over
+    * `node`. */
+  def harmonicCentralitySql(edgesCte: String, seedWhere: String,
+      rounds: Int, unit: Long = 1000000L): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""f$i AS (SELECT DISTINCT p.root, e.dst AS node FROM e
+         |  JOIN f${i - 1} p ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v
+         |    WHERE v.root = p.root AND v.node = e.dst)),
+         |v$i AS (SELECT root, node, dist FROM v${i - 1}
+         |  UNION ALL SELECT root, node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |f0 AS (SELECT node AS root, node FROM n WHERE $seedWhere),
+       |v0 AS (SELECT root, node, CAST(0 AS BIGINT) AS dist FROM f0),
+       |$rs
+       |SELECT node, CAST(count(*) AS BIGINT) AS reached,
+       |  CAST(SUM($unit // dist) AS BIGINT) AS harm_micro
+       |FROM v$rounds WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin
+  }
+
+  /** Deterministic random walks (the node2vec/DeepWalk corpus-generation
+    * primitive): from each seed node, `steps` uniform-neighbor steps where
+    * step t of walk w picks neighbor index
+    * `fnv1a64(w || ':' || t) mod degree` — a hash-driven choice, so the
+    * walk corpus is exactly reproducible by any engine (no RNG state,
+    * the same argument as the MinHash permutations). Walks feed
+    * skip-gram-style embedding training; this emits the walk corpus
+    * itself: (walk_id, step, node).
+    *
+    * Plan shape: adjacency indexed once by a PER-NODE row_number window
+    * (partitioned by src — bounded by max degree, never global) +
+    * max-index degrees; each step is two equi-joins (current position ⋈
+    * degree on node, then ⋈ adjacency on (node, idx)). State per step is
+    * one row per live walk. Symmetrized edges mean degree ≥ 1 — walks
+    * never hit a dead end. */
+  def randomWalks(edges: DataFrame, aCol: String, bCol: String,
+      seed: Column, steps: Int): DataFrame = {
+    require(steps >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val e = symmetrize(edges, aCol, bCol).localCheckpoint()
+    val adj = e.withColumn("idx",
+        row_number().over(Window.partitionBy("src").orderBy("dst"))
+          .cast("long"))
+      .localCheckpoint()
+    val deg = adj.groupBy("src").agg(max(col("idx")).as("deg"))
+    val start = e.select(col("src").as("node")).distinct().where(seed)
+      .select(col("node").as("walk_id"), lit(0L).as("step"), col("node"))
+    var cur = start
+    var acc = start
+    for (t <- 1 to steps) {
+      val c = cur.select(col("walk_id"), col("node").as("src"))
+      val pick = c.join(deg, Seq("src"))
+        .select(col("walk_id"), col("src"),
+          (Sketches.positiveHash(encode(concat(
+            col("walk_id").cast("string"), lit(s":$t")), "UTF-8"))
+            % col("deg") + 1L).as("idx"))
+      cur = pick.join(adj, Seq("src", "idx"))
+        .select(col("walk_id"), lit(t.toLong).as("step"),
+          col("dst").as("node"))
+        .localCheckpoint()
+      acc = acc.unionAll(cur)
+    }
+    acc
+  }
+
+  /** The DuckDB twin of [[randomWalks]]: the same indexed adjacency
+    * (row_number per src ordered by dst) and unrolled hash-pick steps.
+    * `edgesCte` must end with a SYMMETRIZED `e(src, dst)`; `seedWhere` is
+    * a predicate over `node`; `posHashSql` renders the 63-bit positive
+    * FNV-1a-64 of a VARCHAR SQL expression (supplied by the caller so the
+    * hash definition lives in exactly one place per oracle). */
+  def randomWalksSql(edgesCte: String, seedWhere: String, steps: Int,
+      posHashSql: String => String): String = {
+    val ws = (1 to steps).map { t =>
+      s"""p$t AS (SELECT c.walk_id, c.node AS src,
+         |    ${posHashSql(s"CAST(c.walk_id AS VARCHAR) || ':$t'")}
+         |      % d.deg + 1 AS idx
+         |  FROM w${t - 1} c JOIN deg d ON d.src = c.node),
+         |w$t AS (SELECT p.walk_id, CAST($t AS BIGINT) AS step, a.dst AS node
+         |  FROM p$t p JOIN adj a ON a.src = p.src AND a.idx = p.idx)""".stripMargin
+    }.mkString(",\n")
+    val accAll = (0 to steps)
+      .map(t => s"SELECT walk_id, step, node FROM w$t").mkString("\n  UNION ALL ")
+    s"""WITH $edgesCte,
+       |adj AS (SELECT src, dst, CAST(row_number() OVER (
+       |    PARTITION BY src ORDER BY dst) AS BIGINT) AS idx FROM e),
+       |deg AS (SELECT src, CAST(max(idx) AS BIGINT) AS deg FROM adj GROUP BY src),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |w0 AS (SELECT node AS walk_id, CAST(0 AS BIGINT) AS step, node FROM n
+       |  WHERE $seedWhere),
+       |$ws,
+       |a AS ($accAll)
+       |SELECT walk_id, step, node FROM a ORDER BY walk_id, step""".stripMargin
+  }
 }

@@ -1607,4 +1607,55 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (smallExact, smallK, smallEst) = got("small")
     assert(smallExact == 50L && smallK == 50L && smallEst == 50L) // exact below k
   }
+
+  test("harmonic centrality: path-graph distances, truncation, multi-root sums") {
+    import spark.implicits._
+    // path 1-2-3-4-5
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val single = Graph.harmonicCentrality(es, "a", "b", col("node") === 1,
+        rounds = 3).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    // from root 1: d(2)=1, d(3)=2, d(4)=3; 5 is 4 hops -> truncated out
+    assert(single == Map(2L -> ((1L, 1000000L)), 3L -> ((1L, 500000L)),
+      4L -> ((1L, 333333L))), single)
+    val multi = Graph.harmonicCentrality(es, "a", "b", col("node") % 2 === 1,
+        rounds = 3).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(multi(2L) == ((3L, 2333333L)), multi) // roots 1,3 at d1; 5 at d3
+    assert(multi(1L) == ((1L, 500000L)), multi) // root 3 at d2; 5 truncated
+    assert(multi(3L) == ((2L, 1000000L)), multi) // roots 1,5 at d2 each
+    assert(multi(4L) == ((3L, 2333333L)), multi)
+  }
+
+  test("random walks: hash-driven picks match a naive replay; edges respected") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("a", "b")
+    val rows = Graph.randomWalks(es, "a", "b", col("node") % 2 === 1, steps = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val walks = rows.groupBy(_._1)
+    assert(walks.keySet == Set(1L, 3L))
+    // symmetrized adjacency, neighbors in dst order (the row_number index)
+    val adj = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L, 4L), 4L -> Seq(1L, 3L))
+    def fnvPos(v: String): Long = {
+      var h = 0xcbf29ce484222325L
+      v.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h & Long.MaxValue
+    }
+    for ((w, wr) <- walks) {
+      val byStep = wr.sortBy(_._2).map(_._3)
+      assert(byStep.length == 5 && byStep.head == w, s"walk $w: $byStep")
+      var cur = w
+      for (t <- 1 to 4) {
+        val nbrs = adj(cur)
+        val expect = nbrs((fnvPos(s"$w:$t") % nbrs.length).toInt)
+        assert(byStep(t) == expect, s"walk $w step $t: $byStep")
+        cur = expect
+      }
+    }
+    // determinism across runs (no RNG state anywhere)
+    val again = Graph.randomWalks(es, "a", "b", col("node") % 2 === 1, steps = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(again.sorted.sameElements(rows.sorted))
+  }
 }
