@@ -1608,6 +1608,36 @@ object SparkEntry {
               expr("win_types * 1000000 div ((n_tokens - 19) * 20)"))
             .otherwise(lit(-1L)).as("mattr_micro"))
         .orderBy("doc_id")),
+    "text_readability" -> ((s, dir) =>
+      // readability as a quality-filter signal. The corpus has no
+      // sentence structure (no '.' anywhere — fixture note), so
+      // Flesch/FK are undefined; FORCAST (Caylor & Sticht 1973) was
+      // designed for exactly this case — grade = 20 − monosyllables-
+      // per-150-words/10, no sentence count needed. Syllables = vowel
+      // groups ([aeiouy]+, floor 1 per word) — the standard heuristic,
+      // deterministic in both engines. One fused array pass per row
+      // (regexp inside a higher-order transform — codegen'd, no explode,
+      // no shuffle); integer micros, all DIV operands non-negative.
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_words"),
+          expr("transform(tk, w -> greatest(1, " +
+            "size(regexp_extract_all(w, '[aeiouy]+', 0))))").as("syl"))
+        .select(col("doc_id"), col("n_words"),
+          expr("aggregate(syl, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("n_syll"),
+          expr("CAST(size(filter(syl, x -> x = 1)) AS BIGINT)").as("n_mono"),
+          expr("CAST(size(filter(syl, x -> x >= 3)) AS BIGINT)")
+            .as("n_complex"))
+        .select(col("doc_id"), col("n_words"), col("n_syll"), col("n_mono"),
+          col("n_complex"),
+          when(col("n_words") > 0, expr("n_syll * 1000000 div n_words"))
+            .otherwise(lit(-1L)).as("spw_micro"),
+          when(col("n_words") > 0,
+              expr("20000000 - n_mono * 15000000 div n_words"))
+            .otherwise(lit(-1L)).as("forcast_micro"))
+        .orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(table(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
@@ -6900,6 +6930,34 @@ object SparkEntry {
           col("node") % 11 === 0, steps = 4)
         .orderBy("walk_id", "step")
     }),
+    "graph_walk_cooc" -> ((s, dir) => {
+      // the DeepWalk pipeline completed: walk corpus → skip-gram
+      // (center, context) pairs within window 2 → pair counts + PMI in
+      // integer millinats — exactly the training table a skip-gram
+      // node-embedding run consumes (pairs + marginals weight the
+      // negative-sampling distribution). Pairs are generated array-
+      // locally per walk after ONE groupBy(walk_id) shuffle (never a
+      // corpus self-join); marginal joins key on single node ids.
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val walks = graft.operators.Graph.randomWalks(co, "item_a", "item_b",
+        col("node") % 11 === 0, steps = 4)
+      val pairs = graft.operators.Graph.walkSkipgramPairs(walks, window = 2)
+      val cab = pairs.groupBy("center", "context").agg(count(lit(1)).as("n_cooc"))
+      val ccn = pairs.groupBy("center").agg(count(lit(1)).as("n_center"))
+      val cxn = pairs.groupBy("context").agg(count(lit(1)).as("n_context"))
+      val n = pairs.agg(count(lit(1)).as("n_tot"))
+      cab.join(ccn, "center").join(cxn, "context").crossJoin(broadcast(n))
+        .select(col("center"), col("context"), col("n_cooc"),
+          col("n_center"), col("n_context"),
+          graft.operators.TextOps.milliLn(
+            (col("n_cooc") * col("n_tot")).cast("double") /
+              (col("n_center") * col("n_context")).cast("double"))
+            .as("pmi_milli"))
+        .orderBy("center", "context")
+    }),
     "graph_ppr" -> ((s, dir) => {
       // personalized PageRank: teleport mass restarts ONLY at the seed
       // items (node % 10 == 0), so ranks measure proximity to the seeds —
@@ -7969,6 +8027,27 @@ object SparkEntry {
           |       ELSE -1 END AS mattr_micro
           |FROM b LEFT JOIN wins w ON w.doc_id = b.doc_id
           |ORDER BY b.doc_id""".stripMargin,
+      "text_readability" ->
+        // DuckDB list_sum on an empty list is NULL (Spark aggregate's
+        // init makes it 0) -- coalesce pins the agreement
+        """WITH d AS (SELECT doc_id,
+          |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          |  FROM documents),
+          |s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+          |    list_transform(tk, w -> greatest(1,
+          |      len(regexp_extract_all(w, '[aeiouy]+')))) AS syl FROM d),
+          |m AS (SELECT doc_id, n_words,
+          |    CAST(coalesce(list_sum(syl), 0) AS BIGINT) AS n_syll,
+          |    CAST(len(list_filter(syl, x -> x = 1)) AS BIGINT) AS n_mono,
+          |    CAST(len(list_filter(syl, x -> x >= 3)) AS BIGINT) AS n_complex
+          |  FROM s)
+          |SELECT doc_id, n_words, n_syll, n_mono, n_complex,
+          |  CASE WHEN n_words > 0 THEN n_syll * 1000000 // n_words
+          |       ELSE -1 END AS spw_micro,
+          |  CASE WHEN n_words > 0
+          |       THEN 20000000 - n_mono * 15000000 // n_words
+          |       ELSE -1 END AS forcast_micro
+          |FROM m ORDER BY doc_id""".stripMargin,
       "text_hash_embedding" -> {
         // FNV-1a-64 as an unsigned HUGEINT fold (the mm_feature_extract
         // twin); dim = low 6 bits, sign = bit 6 — identical to the signed
@@ -11794,6 +11873,30 @@ object SparkEntry {
       "graph_random_walks" -> graft.operators.Graph.randomWalksSql(
         coEdgesSql(8), "node % 11 = 0", steps = 4,
         v => s"CAST(mod(${fnvSql(v)}, CAST('9223372036854775808' AS HUGEINT)) AS BIGINT)"),
+      "graph_walk_cooc" ->
+        // the walk-corpus CTEs are GENERATED by the same code as the
+        // graph_random_walks oracle, so the two definitions cannot drift;
+        // pair generation here is the self-join spelling of the array-
+        // local window (equivalent because each walk's steps are unique)
+        s"""WITH ${graft.operators.Graph.randomWalksCtes(
+          coEdgesSql(8), "node % 11 = 0", steps = 4,
+          v => s"CAST(mod(${fnvSql(v)}, CAST('9223372036854775808' AS HUGEINT)) AS BIGINT)")},
+           |pr AS (SELECT x.node AS center, y.node AS context
+           |  FROM wk x JOIN wk y ON x.walk_id = y.walk_id
+           |    AND x.step <> y.step AND abs(x.step - y.step) <= 2
+           |    AND x.node <> y.node),
+           |cab AS (SELECT center, context, CAST(count(*) AS BIGINT) AS n_cooc
+           |  FROM pr GROUP BY 1, 2),
+           |ccn AS (SELECT center, CAST(count(*) AS BIGINT) AS n_center
+           |  FROM pr GROUP BY 1),
+           |cxn AS (SELECT context, CAST(count(*) AS BIGINT) AS n_context
+           |  FROM pr GROUP BY 1),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM pr)
+           |SELECT center, context, n_cooc, n_center, n_context,
+           |  ${graft.operators.TextOps.milliLnSql(
+               "CAST(n_cooc * n_tot AS DOUBLE) / CAST(n_center * n_context AS DOUBLE)")} AS pmi_milli
+           |FROM cab JOIN ccn USING (center) JOIN cxn USING (context), nt
+           |ORDER BY center, context""".stripMargin,
       "graph_degree_quantiles" ->
         s"""WITH ${coEdgesSql(8)},
            |vals AS (SELECT CAST(count(*) AS BIGINT) AS v FROM e GROUP BY src),

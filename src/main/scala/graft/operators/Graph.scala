@@ -787,6 +787,15 @@ object Graph {
     * FNV-1a-64 of a VARCHAR SQL expression (supplied by the caller so the
     * hash definition lives in exactly one place per oracle). */
   def randomWalksSql(edgesCte: String, seedWhere: String, steps: Int,
+      posHashSql: String => String): String =
+    s"""WITH ${randomWalksCtes(edgesCte, seedWhere, steps, posHashSql)}
+       |SELECT walk_id, step, node FROM wk ORDER BY walk_id, step""".stripMargin
+
+  /** The [[randomWalksSql]] CTE chain alone, ending in the walk corpus
+    * `wk(walk_id, step, node)` — shared by the corpus dump oracle and any
+    * downstream consumer (skip-gram pair oracles) so the walk definition
+    * can never drift between them. */
+  def randomWalksCtes(edgesCte: String, seedWhere: String, steps: Int,
       posHashSql: String => String): String = {
     val ws = (1 to steps).map { t =>
       s"""p$t AS (SELECT c.walk_id, c.node AS src,
@@ -798,7 +807,7 @@ object Graph {
     }.mkString(",\n")
     val accAll = (0 to steps)
       .map(t => s"SELECT walk_id, step, node FROM w$t").mkString("\n  UNION ALL ")
-    s"""WITH $edgesCte,
+    s"""$edgesCte,
        |adj AS (SELECT src, dst, CAST(row_number() OVER (
        |    PARTITION BY src ORDER BY dst) AS BIGINT) AS idx FROM e),
        |deg AS (SELECT src, CAST(max(idx) AS BIGINT) AS deg FROM adj GROUP BY src),
@@ -806,7 +815,30 @@ object Graph {
        |w0 AS (SELECT node AS walk_id, CAST(0 AS BIGINT) AS step, node FROM n
        |  WHERE $seedWhere),
        |$ws,
-       |a AS ($accAll)
-       |SELECT walk_id, step, node FROM a ORDER BY walk_id, step""".stripMargin
+       |wk AS ($accAll)""".stripMargin
+  }
+
+  /** Skip-gram (center, context) pair corpus from a walk corpus — the
+    * DeepWalk/node2vec step between walk generation and embedding
+    * training (Perozzi et al. KDD 2014): within each walk, every ordered
+    * pair of positions at step distance 1..`window` (self-pairs dropped)
+    * becomes a training pair.
+    *
+    * Plan shape: ONE shuffle (groupBy walk_id) collects each walk into a
+    * (steps+1)-element array, and pairs are generated array-locally with
+    * indexed higher-order functions — no self-join of the corpus, no
+    * quadratic blowup (each walk emits ≤ 2·window·steps pairs).
+    * `collect_list` order is nondeterministic; the sort_array on
+    * (step, node) restores it. */
+  def walkSkipgramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1)
+    walks.groupBy("walk_id")
+      .agg(sort_array(collect_list(struct(col("step"), col("node")))).as("sq"))
+      .select(explode(expr(
+        s"""filter(flatten(transform(sq, (a, i) -> transform(sq, (b, j) ->
+           |  IF(i <> j AND abs(i - j) <= $window AND a.node <> b.node,
+           |     struct(a.node AS center, b.node AS context), NULL)))),
+           |  x -> x IS NOT NULL)""".stripMargin)).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
   }
 }

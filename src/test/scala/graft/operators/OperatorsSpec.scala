@@ -1658,4 +1658,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
     assert(again.sorted.sameElements(rows.sorted))
   }
+
+  test("walk skip-gram pairs: window, ordering, self-pair exclusion") {
+    import spark.implicits._
+    val walks = Seq(
+      (1L, 0L, 10L), (1L, 1L, 20L), (1L, 2L, 30L), (1L, 3L, 40L),
+      (2L, 0L, 5L), (2L, 1L, 5L), (2L, 2L, 7L))
+      .toDF("walk_id", "step", "node")
+    val got = Graph.walkSkipgramPairs(walks, window = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val walk1 = Seq((10L, 20L), (10L, 30L), (20L, 10L), (20L, 30L),
+      (20L, 40L), (30L, 10L), (30L, 20L), (30L, 40L), (40L, 20L), (40L, 30L))
+    // walk 2: the 5-5 pair at distance 1 is a self-pair (dropped); each
+    // 5 pairs with 7 in both directions
+    val walk2 = Seq((5L, 7L), (5L, 7L), (7L, 5L), (7L, 5L))
+    assert(got.sameElements((walk1 ++ walk2).sorted), got.mkString(","))
+  }
 }
