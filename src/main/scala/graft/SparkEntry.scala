@@ -5424,6 +5424,39 @@ object SparkEntry {
       // map-side-combinable per-doc sum — no join, no broadcast
       TextAnalysis.linearClassifier(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "text_perceptron_train" -> ((s, dir) => {
+      // the TRAINING leg of the hashed-linear filter: 3-epoch batch
+      // perceptron (order-independent integer updates — both engines
+      // replay the run bit-for-bit) learning lang='en' vs rest from
+      // 32-dim hashed bag-of-words counts. Per epoch: one per-doc margin
+      // aggregate (weights as a literal array, no join) + one
+      // features ⋈ wrong-docs equi-join gradient; driver holds 32 longs
+      // (the pca_power pattern).
+      val feats = TextAnalysis.perceptronFeatures(table(s, dir, "documents"),
+        "doc_id", "text", when(col("lang") === "en", 1L).otherwise(-1L),
+        dims = 32)
+      val w = TextAnalysis.perceptronTrain(feats, dims = 32, epochs = 3)
+      import s.implicits._
+      w.toIndexedSeq.zipWithIndex
+        .map { case (wt, d) => (d.toLong, wt) }.toDF("dim", "weight")
+        .orderBy("dim")
+    }),
+    "text_perceptron_eval" -> ((s, dir) => {
+      // training-set fit of the trained perceptron: per-doc margin, ±1
+      // prediction (the zero margin ties to −1 in both engines), and the
+      // correctness bit — the audit table a filter-training run ships
+      // with its weights.
+      val feats = TextAnalysis.perceptronFeatures(table(s, dir, "documents"),
+        "doc_id", "text", when(col("lang") === "en", 1L).otherwise(-1L),
+        dims = 32)
+      val w = TextAnalysis.perceptronTrain(feats, dims = 32, epochs = 3)
+      TextAnalysis.perceptronMargins(feats, w)
+        .select(col("doc_id"), col("y").as("label"), col("m").as("margin"),
+          when(col("m") > 0, 1L).otherwise(-1L).as("pred"),
+          when((col("m") > 0) === (col("y") > 0), 1L).otherwise(0L)
+            .as("correct"))
+        .orderBy("doc_id")
+    }),
     "shard_decontaminate_semantic" -> ((s, dir) => {
       // embedding-space complement of shard_decontaminate: ~1% of vectors
       // play the eval set (broadcast), train vectors within cosine 0.30 of
@@ -10593,6 +10626,26 @@ object SparkEntry {
            |SELECT doc_id, count(*) AS n_tokens,
            |  CAST(sum(w) AS BIGINT) AS score_milli, sum(w) > 0 AS keep
            |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "text_perceptron_train" ->
+        // the epoch unrolling is GENERATED by TextAnalysis.perceptronCtes
+        // so the training recurrence lives in exactly one place
+        s"""WITH ${graft.operators.TextAnalysis.perceptronCtes(dims = 32,
+             epochs = 3,
+             posHash = v => s"CAST(mod(${fnvSql(v)}, CAST('9223372036854775808' AS HUGEINT)) AS BIGINT)",
+             labelSql = "CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT)")}
+           |SELECT dim, w AS weight FROM w3 ORDER BY dim""".stripMargin,
+      "text_perceptron_eval" ->
+        s"""WITH ${graft.operators.TextAnalysis.perceptronCtes(dims = 32,
+             epochs = 3,
+             posHash = v => s"CAST(mod(${fnvSql(v)}, CAST('9223372036854775808' AS HUGEINT)) AS BIGINT)",
+             labelSql = "CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT)")},
+           |mf AS (SELECT f.doc_id, f.y, CAST(SUM(f.cnt * w.w) AS BIGINT) AS margin
+           |  FROM f JOIN w3 w ON w.dim = f.dim GROUP BY 1, 2)
+           |SELECT doc_id, y AS label, margin,
+           |  CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+           |  CAST(CASE WHEN (margin > 0) = (y > 0) THEN 1 ELSE 0 END AS BIGINT)
+           |    AS correct
+           |FROM mf ORDER BY doc_id""".stripMargin,
       "shard_decontaminate_semantic" ->
         s"""WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings
            |  WHERE vec_id % 97 = 0),

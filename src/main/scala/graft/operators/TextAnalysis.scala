@@ -566,4 +566,89 @@ object TextAnalysis {
       .select(col("word"), col("exact_n"), col("cms_estimate"),
         (col("cms_estimate") >= col("exact_n")).as("overestimated"))
   }
+
+  /** Hashed bag-of-words training features for [[perceptronTrain]]:
+    * (doc_id, y, dim, cnt) — token count per hashed feature bucket
+    * (FNV-1a-64 positive hash mod `dims`; dims a power of two so
+    * signed/unsigned residues agree cross-engine, the hashEmbedding
+    * note), label y ∈ {+1, −1} from `label`. One explode + one
+    * map-side-combinable count; ≤ `dims` rows per document. */
+  def perceptronFeatures(df: DataFrame, idCol: String, textCol: String,
+      label: Column, dims: Int): DataFrame = {
+    require(Integer.bitCount(dims) == 1, "dims must be a power of two")
+    df.select(col(idCol).as("doc_id"), label.as("y"),
+        explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("doc_id"), col("y"),
+        (Sketches.positiveHash(encode(col("w"), "UTF-8")) % dims).as("dim"))
+      .groupBy("doc_id", "y", "dim").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Distributed BATCH-perceptron training — the training leg of the
+    * hashed-linear filter family ([[linearClassifier]] is the inference
+    * leg with pretrained weights). Each epoch updates weights by the SUM
+    * of y·x over all currently-misclassified documents (margin y·⟨w,x⟩
+    * ≤ 0), so the update is order-independent (unlike the sequential
+    * perceptron) and all-integer — both engines replay the training run
+    * bit-for-bit, and map-side combining is safe.
+    *
+    * Plan shape per epoch (the pca_power pattern): margins come from one
+    * per-doc aggregate against the weight vector embedded as a literal
+    * array (no join); the gradient is one features ⋈ wrong-docs equi-join
+    * on doc_id plus a `dims`-row aggregate; the driver holds `dims`
+    * longs. Weight magnitude is bounded by epochs × total token count —
+    * BIGINT headroom to ~10¹⁵ tokens. */
+  def perceptronTrain(feats: DataFrame, dims: Int, epochs: Int): Array[Long] = {
+    require(epochs >= 1)
+    val f = feats.localCheckpoint()
+    val w = Array.fill(dims)(0L)
+    for (_ <- 1 to epochs) {
+      val wrong = perceptronMargins(f, w).where(col("y") * col("m") <= 0)
+        .select("doc_id")
+      f.join(wrong, "doc_id")
+        .groupBy("dim").agg(sum(col("y") * col("cnt")).as("g"))
+        .collect()
+        .foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+    }
+    w
+  }
+
+  /** Per-document margins ⟨w, x⟩ for a trained weight vector: one
+    * aggregate, weights as a literal array (never a join). Output
+    * (doc_id, y, m). */
+  def perceptronMargins(feats: DataFrame, w: Array[Long]): DataFrame = {
+    val wArr = array(w.map(lit).toIndexedSeq: _*)
+    feats.groupBy("doc_id", "y")
+      .agg(sum(col("cnt") * element_at(wArr, col("dim").cast("int") + 1))
+        .as("m"))
+  }
+
+  /** DuckDB twin of [[perceptronFeatures]] + [[perceptronTrain]]: CTE
+    * chain over `documents` ending in `w$epochs(dim, w)` covering every
+    * dim 0..dims-1 (zero where no gradient ever landed — matching the
+    * driver-side array). Epoch 1 is the closed form (w₀ = 0 makes every
+    * featured document misclassified); later epochs unroll margin →
+    * wrong-set → gradient → update. `posHash` renders the positive
+    * FNV-1a-64 of a VARCHAR SQL expression; `labelSql` yields ±1. */
+  def perceptronCtes(dims: Int, epochs: Int, posHash: String => String,
+      labelSql: String): String = {
+    val head =
+      s"""ptk AS (SELECT doc_id, $labelSql AS y,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents),
+         |f AS (SELECT doc_id, y, CAST(${posHash("w")} % $dims AS BIGINT) AS dim,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM ptk GROUP BY 1, 2, 3),
+         |ds AS (SELECT CAST(unnest(generate_series(0, ${dims - 1})) AS BIGINT) AS dim),
+         |w1 AS (SELECT ds.dim, CAST(coalesce(SUM(f.y * f.cnt), 0) AS BIGINT) AS w
+         |  FROM ds LEFT JOIN f ON f.dim = ds.dim GROUP BY ds.dim)""".stripMargin
+    val rest = (2 to epochs).map { e =>
+      s"""m$e AS (SELECT f.doc_id, f.y, SUM(f.cnt * w.w) AS m
+         |  FROM f JOIN w${e - 1} w ON w.dim = f.dim GROUP BY 1, 2),
+         |g$e AS (SELECT f.dim, SUM(f.y * f.cnt) AS g FROM f
+         |  JOIN m$e m ON m.doc_id = f.doc_id AND m.y * m.m <= 0 GROUP BY 1),
+         |w$e AS (SELECT w.dim, CAST(w.w + coalesce(g.g, 0) AS BIGINT) AS w
+         |  FROM w${e - 1} w LEFT JOIN g$e g ON g.dim = w.dim)""".stripMargin
+    }
+    (head +: rest).mkString(",\n")
+  }
 }

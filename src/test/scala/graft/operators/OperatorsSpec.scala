@@ -1674,4 +1674,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val walk2 = Seq((5L, 7L), (5L, 7L), (7L, 5L), (7L, 5L))
     assert(got.sameElements((walk1 ++ walk2).sorted), got.mkString(","))
   }
+
+  test("batch perceptron: separable toy converges by epoch 1, exact weights") {
+    import spark.implicits._
+    // aa/bb/cc/dd hash to dims 23/5/3/21 (no collisions) — the epoch-1
+    // closed form w = Σ y·x already separates, epochs 2-3 are no-ops
+    val docs = Seq((1L, "aa aa bb", "en"), (2L, "aa bb bb", "en"),
+      (3L, "cc dd dd", "de"), (4L, "cc cc dd", "de"))
+      .toDF("doc_id", "text", "lang")
+    val feats = TextAnalysis.perceptronFeatures(docs, "doc_id", "text",
+      when(col("lang") === "en", 1L).otherwise(-1L), dims = 32)
+    val w = TextAnalysis.perceptronTrain(feats, dims = 32, epochs = 3)
+    assert(w(23) == 3L && w(5) == 3L && w(3) == -3L && w(21) == -3L, w.toSeq)
+    assert(w.zipWithIndex.filterNot(x => Set(23, 5, 3, 21)(x._2)).forall(_._1 == 0L))
+    val ok = TextAnalysis.perceptronMargins(feats, w)
+      .select((col("y") * col("m") > 0).as("ok")).collect()
+    assert(ok.length == 4 && ok.forall(_.getBoolean(0)))
+  }
 }
