@@ -4447,6 +4447,49 @@ object SparkEntry {
           col("weight_micro"), col("expected_docs"))
         .orderBy("domain")
     }),
+    "pipeline_filter_ablation" -> ((s, dir) => {
+      // filter-ablation matrix — the survivorship report a curation run
+      // is tuned with: every CUBE combination of the three main gates
+      // (g = Gopher quality keep, d = exact-dedup keep-first, c = 13-gram
+      // decontamination clean) with doc + token counts; -1 = "any" (the
+      // cube margin, so each gate's marginal cost reads off one row).
+      // Gates reuse their standalone siblings' exact definitions
+      // (text_gopher_rules / dedup_exact_keep / shard_decontaminate_13gram),
+      // and the grain is one row per train doc before ONE cube aggregate —
+      // no gate needs more than its sibling's own plan.
+      val docs = table(s, dir, "documents")
+      val train = docs.where(col("doc_id") % 20 =!= 0)
+      val g = TextAnalysis.gopherRules(train, "doc_id", "text")
+        .select(col("doc_id"), col("keep").cast("int").as("g"))
+      val hashed = train.select(col("doc_id"), xxhash64(col("text")).as("_h"))
+      val keeps = hashed.groupBy("_h").agg(min("doc_id").as("_kid"))
+      val d = hashed.join(keeps, "_h")
+        .select(col("doc_id"), (col("doc_id") === col("_kid")).cast("int").as("d"))
+      def grams(df: DataFrame) = df
+        .select(col("doc_id"), split(col("text"), " ").as("_ws"))
+        .where(size(col("_ws")) >= 13)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(_ws) - 12), " +
+            "i -> concat_ws(' ', slice(_ws, i, 13)))")).as("gram"))
+      val ev = grams(docs.where(col("doc_id") % 20 === 0)).select("gram").distinct()
+      val dirty = grams(train).join(broadcast(ev), Seq("gram"), "left_semi")
+        .select("doc_id").distinct().withColumn("_dirty", lit(1))
+      val flags = train
+        .select(col("doc_id"), expr(
+          "CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)")
+          .as("n_tok"))
+        .join(g, "doc_id").join(d, "doc_id")
+        .join(dirty, Seq("doc_id"), "left")
+        .select(col("n_tok"), col("g"), col("d"),
+          when(col("_dirty").isNull, 1).otherwise(0).as("c"))
+      flags.cube(col("g"), col("d"), col("c"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .select(coalesce(col("g"), lit(-1)).cast("long").as("g"),
+          coalesce(col("d"), lit(-1)).cast("long").as("d"),
+          coalesce(col("c"), lit(-1)).cast("long").as("c"),
+          col("n_docs"), col("n_tokens"))
+        .orderBy("g", "d", "c")
+    }),
     "pipeline_dataset_card" -> ((s, dir) => {
       // datasheet-for-datasets rollup (Gebru et al. 2021,
       // arXiv:1803.09010) per (source, lang): volume, token mass, mean
@@ -10006,6 +10049,37 @@ object SparkEntry {
            |SELECT query_id, neighbor_id, cosine FROM p
            |WHERE cosine >= 0.2 ORDER BY query_id, neighbor_id""".stripMargin
       },
+      "pipeline_filter_ablation" ->
+        s"""WITH $gopherMaskCtes,
+           |ftr AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+           |fgg AS (SELECT m.doc_id,
+           |    CAST(CASE WHEN m.rule_mask = 31 THEN 1 ELSE 0 END AS INTEGER) AS g
+           |  FROM gmask m JOIN ftr USING (doc_id)),
+           |fdd AS (SELECT doc_id, CAST(CASE WHEN doc_id = min(doc_id)
+           |      OVER (PARTITION BY text) THEN 1 ELSE 0 END AS INTEGER) AS d
+           |  FROM ftr),
+           |fws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 13),
+           |fgr AS (SELECT doc_id, array_to_string(ws[i : i + 12], ' ') AS gram
+           |  FROM (SELECT doc_id, ws,
+           |          unnest(generate_series(1, len(ws) - 12)) AS i FROM fws)),
+           |fev AS (SELECT DISTINCT gram FROM fgr WHERE doc_id % 20 = 0),
+           |fdy AS (SELECT DISTINCT doc_id FROM fgr
+           |  WHERE doc_id % 20 <> 0 AND gram IN (SELECT gram FROM fev)),
+           |ffl AS (SELECT t.doc_id,
+           |    CAST(len(list_filter(string_split(t.text, ' '), x -> x <> ''))
+           |      AS BIGINT) AS n_tok,
+           |    gg.g, dd.d,
+           |    CAST(CASE WHEN dy.doc_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS c
+           |  FROM ftr t JOIN fgg gg ON gg.doc_id = t.doc_id
+           |  JOIN fdd dd ON dd.doc_id = t.doc_id
+           |  LEFT JOIN fdy dy ON dy.doc_id = t.doc_id)
+           |SELECT CAST(coalesce(g, -1) AS BIGINT) AS g,
+           |  CAST(coalesce(d, -1) AS BIGINT) AS d,
+           |  CAST(coalesce(c, -1) AS BIGINT) AS c,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+           |FROM ffl GROUP BY CUBE (g, d, c) ORDER BY g, d, c""".stripMargin,
       "pipeline_dataset_card" ->
         s"""$lshReachCtes,
            |$QualityBaseCte,
