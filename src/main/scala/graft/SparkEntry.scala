@@ -1852,6 +1852,27 @@ object SparkEntry {
             .between(element_at(col("ex"), 5), element_at(col("ex"), 6)).as("p90_ok"))
         .orderBy("l_returnflag")
     }),
+    "mm_resize" -> ((s, dir) => {
+      // stub-backed deterministic resize: box-fit dims by integer
+      // aspect-preserving scale, payload downsampled by the area-ratio
+      // stride (nearest-neighbor on the opaque bytes). Batched
+      // partition-local plumbing (mapInPandas shape); the oracle twins
+      // the stub geometry exactly, so dims, output length, AND the
+      // resampled midpoint byte are all cross-checked.
+      val d = table(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      val wrapped = graft.operators.Multimodal.wrap(
+        d, "doc_id", "payload", lit("text/plain"), Seq.empty)
+      graft.operators.Multimodal.resize(s, wrapped, box = 64)
+        .select(col("id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"),
+          length(col("resized")).cast("long").as("out_len"),
+          col("mid_byte").cast("long").as("mid_byte"))
+        .orderBy("doc_id")
+    }),
     "mm_feature_extract" -> ((s, dir) => {
       // stubbed batched decode (mapPartitions = the mapInPandas shape):
       // engine-specific feature bytes, rows-only check; spec covers
@@ -7006,6 +7027,21 @@ object SparkEntry {
           col("node") % 11 === 0, steps = 4)
         .orderBy("walk_id", "step")
     }),
+    "graph_node2vec_walks" -> ((s, dir) => {
+      // node2vec SECOND-ORDER biased walks (return/common/out weights
+      // 3/6/2 ≙ p=2, q=3 scaled to integers): each step weighs
+      // candidates by their relation to the previous node and picks via
+      // the hash-driven cumulative-weight ladder — bit-reproducible
+      // corpus, per-step cost one adjacency equi-join + one (prev, dst)
+      // edge probe + degree-bounded windows (never global).
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      graft.operators.Graph.node2vecWalks(co, "item_a", "item_b",
+          col("node") % 11 === 0, steps = 3)
+        .orderBy("walk_id", "step")
+    }),
     "graph_walk_cooc" -> ((s, dir) => {
       // the DeepWalk pipeline completed: walk corpus → skip-gram
       // (center, context) pairs within window 2 → pair counts + PMI in
@@ -8524,6 +8560,37 @@ object SparkEntry {
            |SELECT query_id, neighbor_id, rnk, cosine FROM r
            |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
       },
+      "mm_resize" ->
+        // twin of Multimodal.resize over the same stub geometry as the
+        // mm_feature_extract oracle (signed abs(h % 1024) CASE on the
+        // unsigned residue); the midpoint byte reads the SOURCE position
+        // the stride resample maps it to
+        s"""WITH f AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS blen,
+           |    ${fnvSql("text")} AS h
+           |  FROM documents WHERE length(text) > 0),
+           |g AS (SELECT doc_id, text, blen,
+           |    16 + CAST(CASE WHEN h < CAST('9223372036854775808' AS HUGEINT)
+           |      THEN h % 1024 ELSE (1024 - (h % 1024)) % 1024 END AS BIGINT)
+           |      AS width,
+           |    16 + CAST((h // 1024) % 1024 AS BIGINT) AS height
+           |  FROM f),
+           |r AS (SELECT doc_id, text, blen, width, height,
+           |    CASE WHEN greatest(width, height) <= 64 THEN width
+           |         ELSE greatest(1, width * 64 // greatest(width, height))
+           |    END AS out_w,
+           |    CASE WHEN greatest(width, height) <= 64 THEN height
+           |         ELSE greatest(1, height * 64 // greatest(width, height))
+           |    END AS out_h
+           |  FROM g),
+           |o AS (SELECT doc_id, text, blen, width, height, out_w, out_h,
+           |    greatest(1, blen * out_w * out_h // (width * height)) AS out_len
+           |  FROM r)
+           |SELECT doc_id, width, height, out_w, out_h, out_len,
+           |  CAST(ascii(substr(text,
+           |    CAST((out_len // 2) * blen // out_len AS INTEGER) + 1, 1))
+           |    AS BIGINT) AS mid_byte
+           |FROM o ORDER BY doc_id""".stripMargin,
       "mm_feature_extract" ->
         // exact twin of MediaCodecStub.decodeBatch: FNV-1a-64 over the
         // UTF-8 payload (ASCII corpus -> ascii() per char) folded with
@@ -11999,6 +12066,9 @@ object SparkEntry {
         coEdgesSql(8), "node % 7 = 0", rounds = 3),
       "graph_random_walks" -> graft.operators.Graph.randomWalksSql(
         coEdgesSql(8), "node % 11 = 0", steps = 4,
+        v => s"CAST(mod(${fnvSql(v)}, CAST('9223372036854775808' AS HUGEINT)) AS BIGINT)"),
+      "graph_node2vec_walks" -> graft.operators.Graph.node2vecWalksSql(
+        coEdgesSql(8), "node % 11 = 0", steps = 3,
         v => s"CAST(mod(${fnvSql(v)}, CAST('9223372036854775808' AS HUGEINT)) AS BIGINT)"),
       "graph_walk_cooc" ->
         // the walk-corpus CTEs are GENERATED by the same code as the

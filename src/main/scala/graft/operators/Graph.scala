@@ -841,4 +841,93 @@ object Graph {
            |  x -> x IS NOT NULL)""".stripMargin)).as("p"))
       .select(col("p.center").as("center"), col("p.context").as("context"))
   }
+
+  /** node2vec SECOND-ORDER biased walks (Grover & Leskovec KDD 2016):
+    * where [[randomWalks]] picks neighbors uniformly, each step here
+    * weighs candidate `dst` by its relation to the PREVIOUS node —
+    * `wReturn` when dst = prev (the 1/p return bias), `wCommon` when
+    * (prev, dst) is an edge (BFS-ish stay-local), `wOut` otherwise
+    * (DFS-ish explore; the 1/q bias). Integer weights, and the pick is
+    * hash-driven over the cumulative-weight ladder in dst order —
+    * bit-reproducible in any engine, same argument as [[randomWalks]].
+    * Step 1 seeds prev = cur, so every candidate is a (prev, dst) edge
+    * neighbor and the first hop is uniform — the node2vec convention.
+    *
+    * Plan shape per step: one equi-join onto the adjacency + one
+    * left-join edge-existence probe against (prev, dst), then TWO
+    * windows partitioned per walk (all candidates of a walk-step share
+    * one cur, so partitions are degree-bounded, never global). State per
+    * step is one (walk_id, prev, cur) row per live walk. */
+  def node2vecWalks(edges: DataFrame, aCol: String, bCol: String,
+      seed: Column, steps: Int, wReturn: Long = 3L, wCommon: Long = 6L,
+      wOut: Long = 2L): DataFrame = {
+    require(steps >= 1 && wReturn > 0 && wCommon > 0 && wOut > 0)
+    import org.apache.spark.sql.expressions.Window
+    val e = symmetrize(edges, aCol, bCol).localCheckpoint()
+    val start = e.select(col("src").as("node")).distinct().where(seed)
+      .select(col("node").as("walk_id"), col("node").as("prev"),
+        col("node").as("cur"))
+    var state = start
+    var acc = start.select(col("walk_id"), lit(0L).as("step"),
+      col("cur").as("node"))
+    for (t <- 1 to steps) {
+      val cand = state
+        .join(e.select(col("src").as("cur"), col("dst")), "cur")
+        .join(e.select(col("src").as("prev"), col("dst"),
+          lit(1L).as("_pe")), Seq("prev", "dst"), "left")
+        .select(col("walk_id"), col("prev"), col("cur"), col("dst"),
+          when(col("dst") === col("prev"), lit(wReturn))
+            .when(col("_pe").isNotNull, lit(wCommon))
+            .otherwise(lit(wOut)).as("wgt"))
+      val ladder = Window.partitionBy("walk_id").orderBy("dst")
+      val whole = Window.partitionBy("walk_id")
+      val picked = cand
+        .withColumn("cum", sum(col("wgt")).over(ladder))
+        .withColumn("tot", sum(col("wgt")).over(whole))
+        .withColumn("r", Sketches.positiveHash(encode(concat(
+          col("walk_id").cast("string"), lit(s":$t")), "UTF-8")) % col("tot"))
+        .where(col("cum") - col("wgt") <= col("r") && col("r") < col("cum"))
+        .select(col("walk_id"), col("cur").as("prev"), col("dst").as("cur"))
+        .localCheckpoint()
+      state = picked
+      acc = acc.unionAll(picked.select(col("walk_id"),
+        lit(t.toLong).as("step"), col("cur").as("node")))
+    }
+    acc
+  }
+
+  /** The DuckDB twin of [[node2vecWalks]]: unrolled per-step candidate →
+    * cumulative-ladder → hash-pick CTEs over the same symmetrized
+    * `e(src, dst)`. */
+  def node2vecWalksSql(edgesCte: String, seedWhere: String, steps: Int,
+      posHashSql: String => String, wReturn: Long = 3L, wCommon: Long = 6L,
+      wOut: Long = 2L): String = {
+    val sts = (1 to steps).map { t =>
+      val r = s"${posHashSql(s"CAST(walk_id AS VARCHAR) || ':$t'")} % tot"
+      s"""c$t AS (SELECT w.walk_id, w.cur, a.dst,
+         |    CASE WHEN a.dst = w.prev THEN $wReturn
+         |         WHEN pe.src IS NOT NULL THEN $wCommon
+         |         ELSE $wOut END AS wgt
+         |  FROM s${t - 1} w JOIN e a ON a.src = w.cur
+         |  LEFT JOIN e pe ON pe.src = w.prev AND pe.dst = a.dst),
+         |k$t AS (SELECT walk_id, cur, dst, wgt,
+         |    CAST(SUM(wgt) OVER (PARTITION BY walk_id ORDER BY dst)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(wgt) OVER (PARTITION BY walk_id) AS BIGINT) AS tot
+         |  FROM c$t),
+         |s$t AS (SELECT walk_id, cur AS prev, dst AS cur FROM k$t
+         |  WHERE cum - wgt <= $r AND $r < cum)""".stripMargin
+    }.mkString(",\n")
+    val accAll = (s"SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS node FROM s0" +:
+      (1 to steps).map(t =>
+        s"SELECT walk_id, CAST($t AS BIGINT) AS step, cur AS node FROM s$t"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH $edgesCte,
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |s0 AS (SELECT node AS walk_id, node AS prev, node AS cur FROM n
+       |  WHERE $seedWhere),
+       |$sts,
+       |wkk AS ($accAll)
+       |SELECT walk_id, step, node FROM wkk ORDER BY walk_id, step""".stripMargin
+  }
 }

@@ -146,4 +146,43 @@ object Multimodal {
       }
     }.toDF("id", "frame_idx", "frame_bytes")
   }
+
+  case class MediaResized(id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, resized: Array[Byte], mid_byte: Int)
+
+  /** Stub-backed deterministic resize: the stub decode yields (w, h); the
+    * output box fit preserves aspect ratio in integer arithmetic
+    * (`d·box DIV max(w,h)`, floor 1), and the "resized" payload is the
+    * area-ratio stride resample of the source bytes (output byte j reads
+    * source byte `j·len DIV out_len` — the nearest-neighbor downsample a
+    * real codec kernel would do per pixel, applied to the opaque payload).
+    * Same batched partition-local plumbing as [[extractFeatures]]; a real
+    * deployment swaps only the decode/kernel inner calls. `mid_byte`
+    * (the resampled midpoint, 0-255) rides along so downstream checks
+    * need not re-materialize payloads. Empty payloads are dropped. */
+  def resize(spark: SparkSession, df: DataFrame, box: Int): DataFrame = {
+    require(box >= 1)
+    import spark.implicits._
+    df.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val len = r.media.bytes.length
+        if (len == 0) None
+        else {
+          val h64 = graft.functions.Fnv1a64.hash(r.media.bytes)
+          val w = 16 + math.abs(h64 % 1024).toInt
+          val h = 16 + math.abs((h64 >>> 10) % 1024).toInt
+          val m = math.max(w, h)
+          val (ow, oh) =
+            if (m <= box) (w, h)
+            else (math.max(1, w * box / m), math.max(1, h * box / m))
+          val outLen = math.max(1,
+            (len.toLong * ow * oh / (w.toLong * h)).toInt)
+          val out = Array.tabulate(outLen)(j =>
+            r.media.bytes((j.toLong * len / outLen).toInt))
+          Some(MediaResized(r.id, w, h, ow, oh, out,
+            out(outLen / 2) & 0xff))
+        }
+      }
+    }.toDF()
+  }
 }

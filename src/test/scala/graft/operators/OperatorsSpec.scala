@@ -1675,6 +1675,43 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sameElements((walk1 ++ walk2).sorted), got.mkString(","))
   }
 
+  test("node2vec walks: biased picks match a naive weighted replay") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("a", "b")
+    val rows = Graph.node2vecWalks(es, "a", "b", col("node") % 2 === 1, steps = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val adj = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L, 4L), 4L -> Seq(1L, 3L))
+    // adj.toSeq first: flatMap on a Map returning tuples rebuilds a Map
+    // (dedup by key) and would silently drop most edges
+    val edge = adj.toSeq.flatMap { case (s0, ds) => ds.map((s0, _)) }.toSet
+    def fnvPos(v: String): Long = {
+      var h = 0xcbf29ce484222325L
+      v.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h & Long.MaxValue
+    }
+    def pick(walk: Long, t: Int, prev: Long, cur: Long): Long = {
+      val cands = adj(cur).map { d =>
+        (d, if (d == prev) 3L else if (edge((prev, d))) 6L else 2L)
+      }
+      val r = fnvPos(s"$walk:$t") % cands.map(_._2).sum
+      var cum = 0L
+      cands.find { case (_, w) => cum += w; cum > r }.get._1
+    }
+    val walks = rows.groupBy(_._1)
+    assert(walks.keySet == Set(1L, 3L))
+    for ((w, wr) <- walks) {
+      val byStep = wr.sortBy(_._2).map(_._3)
+      assert(byStep.length == 4 && byStep.head == w, s"walk $w: $byStep")
+      var (prev, cur) = (w, w) // step 1 seeds prev = cur (uniform first hop)
+      for (t <- 1 to 3) {
+        val expect = pick(w, t, prev, cur)
+        assert(byStep(t) == expect, s"walk $w step $t: $byStep")
+        prev = cur; cur = expect
+      }
+    }
+  }
+
   test("batch perceptron: separable toy converges by epoch 1, exact weights") {
     import spark.implicits._
     // aa/bb/cc/dd hash to dims 23/5/3/21 (no collisions) — the epoch-1
