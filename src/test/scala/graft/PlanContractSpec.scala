@@ -1387,4 +1387,45 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(messages(err).exists(_.contains("endingTimestampMs")),
       messages(err).mkString(" | "))
   }
+
+  test("walk skip-gram pairs: array-local generation, never a corpus self-join") {
+    val plan = planOf("graph_walk_cooc")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // pairs explode from the per-walk array after ONE walk-keyed
+    // aggregate — never a corpus self-join; the single nested-loop join
+    // is the 1-row n_tot broadcast (Cross BuildRight), by design
+    assert(plan.contains("Generate"), s"array-local pair explode missing:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2, // tree + detail section
+      s"only the 1-row total may nested-loop:\n$plan")
+  }
+
+  test("harmonic + node2vec walks: level/step joins are equi-joins, never all-pairs") {
+    Seq("graph_harmonic", "graph_node2vec_walks", "graph_random_walks").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q BNL join:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+    }
+  }
+
+  test("perceptron eval: margins from the literal weight array, join-free") {
+    // the scoring pass must never join a weight table — weights ride as
+    // an array literal so the plan is explode -> count -> one aggregate
+    val plan = planOf("text_perceptron_eval")
+    assert(!plan.contains("Join"), s"scoring must be join-free:\n$plan")
+    assert(plan.contains("Generate"), s"token explode missing:\n$plan")
+  }
+
+  test("filter ablation: one cube Expand, equi-join gates, no all-pairs") {
+    val plan = planOf("pipeline_filter_ablation")
+    assert(plan.contains("Expand"), s"cube must plan as Expand:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNL join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("mm resize: batched partition-local kernel, no pre-shuffle") {
+    val plan = planOf("mm_resize")
+    assert(plan.contains("MapPartitions"),
+      s"batched partition-local kernel missing:\n$plan")
+    assert(!plan.contains("Join"), s"resize must not join:\n$plan")
+  }
 }
