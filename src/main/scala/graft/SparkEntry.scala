@@ -1529,6 +1529,17 @@ object SparkEntry {
           nCentroids = 8, iters = 1)
         .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
         .orderBy("vec_id")),
+    "sim_silhouette" -> ((s, dir) =>
+      // cluster-quality audit of the sim_ivf_kmeans clustering: SIMPLIFIED
+      // (centroid-based) silhouette — the O(n·k) variant that scales where
+      // pairwise silhouette's O(n²) cannot. Per-cluster exact Σ s_micro +
+      // counts; integer micros throughout, division sign-decomposed
+      // (truncate-vs-floor never disagrees on the operands both engines see).
+      Similarity.silhouetteSimplified(table(s, dir, "embeddings"),
+          "vec_id", "embedding", nCentroids = 8)
+        .select(col("centroid_id").cast("long").as("centroid_id"),
+          col("n_vectors"), col("s_sum_micro"))
+        .orderBy("centroid_id")),
     "sim_kmeans_balanced" -> ((s, dir) => {
       // capacity-constrained assignment (balanced k-means, one rebalance
       // round): cells capped at ceil(n/8), overflow spills to the
@@ -8040,6 +8051,66 @@ object SparkEntry {
            |  SELECT vec_id, cid, row_number() OVER (
            |    PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM sc)
            |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+      },
+      "sim_silhouette" -> {
+        // integer-quantized twin of Similarity.silhouetteSimplified: same
+        // s0/a0 seed-argmax as the kmeans oracle, then exact micro-integer
+        // vectors/centroids (floor means via double — plain // would
+        // floor while Spark DIV truncates on negative sums), exact BIGINT
+        // dots/norms, ONE identical IEEE mul/sqrt/div per score, top-2
+        // per vector, sign-decomposed silhouette fold
+        val cells0 = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, $cIdx AS cid, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        val sumCols = (0 until 64).map(d =>
+          s"CAST(SUM(v.vm[${d + 1}]) AS BIGINT) AS s$d").mkString(",\n    ")
+        val centCols = (0 until 64).map(d =>
+          s"CAST(floor(CAST(s$d AS DOUBLE) / n) AS BIGINT) AS c$d")
+          .mkString(",\n    ")
+        val dot = (0 until 64).map(d => s"v.vm[${d + 1}] * c.c$d").mkString(" + ")
+        val nv = (0 until 64).map(d => s"v.vm[${d + 1}] * v.vm[${d + 1}]").mkString(" + ")
+        val nc = (0 until 64).map(d => s"c.c$d * c.c$d").mkString(" + ")
+        s"""WITH s0 AS (
+           |  $cells0),
+           |a0 AS (SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s0)
+           |  WHERE rn = 1),
+           |vq AS (SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vm
+           |  FROM embeddings),
+           |agg AS (SELECT cid, count(*) AS n,
+           |    $sumCols
+           |  FROM vq v JOIN a0 USING (vec_id) GROUP BY cid),
+           |cent AS (SELECT cid,
+           |    $centCols
+           |  FROM agg),
+           |dnn AS (SELECT v.vec_id, c.cid,
+           |    CAST($dot AS BIGINT) AS dot,
+           |    CAST($nv AS BIGINT) AS nvv,
+           |    CAST($nc AS BIGINT) AS ncc
+           |  FROM vq v CROSS JOIN cent c),
+           |scm AS (SELECT vec_id, cid,
+           |    CASE WHEN nvv = 0 OR ncc = 0 THEN CAST(-2000000 AS BIGINT)
+           |         ELSE CAST(floor(CAST(dot AS DOUBLE) /
+           |           sqrt(CAST(nvv AS DOUBLE) * CAST(ncc AS DOUBLE))
+           |           * 1000000.0 + 0.5) AS BIGINT) END AS sim
+           |  FROM dnn),
+           |rk AS (SELECT vec_id, cid, sim, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM scm),
+           |ab AS (SELECT r1.vec_id, r1.cid AS centroid_id,
+           |    1000000 - r1.sim AS a, 1000000 - r2.sim AS b
+           |  FROM rk r1 JOIN rk r2 ON r2.vec_id = r1.vec_id AND r2.rn = 2
+           |  WHERE r1.rn = 1),
+           |sv AS (SELECT centroid_id,
+           |    CASE WHEN greatest(a, b) = 0 THEN 0
+           |         WHEN b >= a THEN (b - a) * 1000000 // greatest(a, b)
+           |         ELSE -((a - b) * 1000000 // greatest(a, b)) END AS s
+           |  FROM ab)
+           |SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+           |  CAST(count(*) AS BIGINT) AS n_vectors,
+           |  CAST(SUM(s) AS BIGINT) AS s_sum_micro
+           |FROM sv GROUP BY 1 ORDER BY 1""".stripMargin
       },
       "sim_lsh_topk" -> {
         val bits = (0 until 4).map { j =>

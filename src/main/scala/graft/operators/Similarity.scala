@@ -301,20 +301,28 @@ object Similarity {
     * is one groupBy shuffle over members plus a broadcast of `nCentroids`
     * centroid rows — the textbook scalable k-means|| shape. Empty clusters
     * drop out (their rows simply stop existing). */
+  /** One Lloyd centroid update: exact integer-quantized per-cell means of
+    * the vectors under `assign` — the (cid, cent) table [[ivfKmeans]]
+    * reassigns against (and [[silhouetteSimplified]] scores against). */
+  def lloydCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      assign: DataFrame): DataFrame = {
+    def elem(d: Int): Column = element_at(col(vecCol), d + 1).cast("double")
+    val joined = emb.join(assign, idCol)
+    val sums = (0 until 64).map(d =>
+      sum(floor(elem(d) * lit(1e6)).cast("long")).as(s"s$d"))
+    val agg = joined.groupBy(col("centroid_id").as("cid"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+    agg.select(col("cid"), array((0 until 64).map(d =>
+      round(col(s"s$d").cast("double") / col("n") / lit(1e6), 6)): _*).as("cent"))
+  }
+
   def ivfKmeans(
       emb: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 1): DataFrame = {
-    def elem(d: Int): Column = element_at(col(vecCol), d + 1).cast("double")
     var assign = ivfAssign(emb, idCol, vecCol, nCentroids)
       .select(col(idCol), col("centroid_id"))
     (0 until iters).foreach { _ =>
-      val joined = emb.join(assign, idCol)
-      val sums = (0 until 64).map(d =>
-        sum(floor(elem(d) * lit(1e6)).cast("long")).as(s"s$d"))
-      val agg = joined.groupBy(col("centroid_id").as("cid"))
-        .agg(count(lit(1)).as("n"), sums: _*)
-      val cents = agg.select(col("cid"), array((0 until 64).map(d =>
-        round(col(s"s$d").cast("double") / col("n") / lit(1e6), 6)): _*).as("cent"))
+      val cents = lloydCentroids(emb, idCol, vecCol, assign)
       // cosine_similarity's fused loop accumulates dot and both norms in
       // the same left-to-right order as the oracle's 64-term chains
       val sim = q6(
@@ -326,6 +334,75 @@ object Similarity {
         .select(col(idCol), col("m.cid").as("centroid_id"))
     }
     assign
+  }
+
+  /** SIMPLIFIED silhouette (Hruschka et al. 2004 — centroid-based a/b, the
+    * standard O(n·k) stand-in for the O(n²) pairwise silhouette and the
+    * only variant that scales): per vector, cohesion a = 1 − cos(v, own
+    * centroid) and separation b = min over OTHER centroids of 1 − cos,
+    * s = (b − a) / max(a, b) ∈ [−1, 1]. Centroids are the one-Lloyd-round
+    * table ([[lloydCentroids]] over [[ivfAssign]]), "own" is the argmax
+    * cosine — exactly [[ivfKmeans]]'s assignment, so the score audits the
+    * clustering sim_ivf_kmeans ships.
+    *
+    * All-integer micros; the s division is SIGN-DECOMPOSED
+    * (num can be negative, and truncating vs flooring integer division
+    * disagree there — both engines compute sign · (|num|·10⁶ DIV den)).
+    * Per cluster: vector count and exact Σ s_micro (no mean division —
+    * exact longs merge in any order). Plan: one k-row centroid broadcast
+    * onto the corpus, one per-vector k-bounded sorted-array top-2, one
+    * final k-row aggregate — the corpus never shuffles by pair. */
+  def silhouetteSimplified(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): DataFrame = {
+    val a0 = ivfAssign(emb, idCol, vecCol, nCentroids)
+      .select(col(idCol), col("centroid_id"))
+    // INTEGER-QUANTIZED pipeline: vectors and centroids become exact
+    // micro-integers, dots/norms are exact BIGINT sums (order-free), and
+    // the ONLY float ops are one mul + sqrt + div + scale on exactly-
+    // representable inputs (< 2⁵³) — identical IEEE results in any
+    // engine. A float-cosine formulation drifts by ±1 micro per score
+    // (fused vs chained accumulation), which ranking queries absorb but
+    // an exact per-cluster Σ s would expose.
+    val vm = emb.select(col(idCol), expr(
+      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+      .as("vm"))
+    val sums = (0 until 64).map(d => sum(expr(s"vm[$d]")).as(s"s$d"))
+    val agg = vm.join(a0, idCol)
+      .groupBy(col("centroid_id").as("cid"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+    // per-dim FLOOR mean via double (exact inputs; n bounded): plain
+    // integer DIV would truncate-vs-floor-disagree on negative sums
+    val cents = agg.select(col("cid"), array((0 until 64).map(d =>
+      expr(s"CAST(floor(CAST(s$d AS DOUBLE) / n) AS BIGINT)")): _*).as("cm"))
+    val simMicro = expr(
+      """CASE WHEN nv = 0 OR nc = 0 THEN CAST(-2000000 AS BIGINT)
+        |     ELSE CAST(floor(CAST(dot AS DOUBLE) /
+        |       sqrt(CAST(nv AS DOUBLE) * CAST(nc AS DOUBLE)) * 1000000.0
+        |       + 0.5) AS BIGINT) END""".stripMargin)
+    vm.crossJoin(broadcast(cents))
+      .select(col(idCol), col("cid"),
+        expr("aggregate(zip_with(vm, cm, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)").as("dot"),
+        expr("aggregate(transform(vm, x -> x * x), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)").as("nv"),
+        expr("aggregate(transform(cm, x -> x * x), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)").as("nc"))
+      .select(col(idCol), struct(simMicro.as("sim"), col("cid")).as("sc"))
+      .groupBy(col(idCol))
+      // top-2 by (sim, cid) desc over the k-bounded cell scores: [0] is
+      // the own (argmax-assignment) cell, [1] the best other cell
+      .agg(expr("slice(sort_array(collect_list(sc), false), 1, 2)").as("t2"))
+      .select(col(idCol),
+        expr("t2[0].cid").as("centroid_id"),
+        (lit(1000000L) - expr("t2[0].sim")).as("a"),
+        (lit(1000000L) - expr("t2[1].sim")).as("b"))
+      .select(col("centroid_id"),
+        expr("""CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+               |     WHEN b >= a THEN (b - a) * 1000000 div greatest(a, b)
+               |     ELSE -((a - b) * 1000000 div greatest(a, b))
+               |END""".stripMargin).as("s"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vectors"), sum(col("s")).as("s_sum_micro"))
   }
 
   /** IVF probe search: assign corpus and queries to their coarse cells
