@@ -1712,6 +1712,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("simplified silhouette: partitions the corpus, argmax own-cluster keeps s >= 0") {
+    import spark.implicits._
+    // two tight clusters + one all-zero vector (nv=0 sentinel path:
+    // every cell scores -2e6, a = b = 3e6, s = 0)
+    def v(hot: Int, mag: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == hot) mag else 0.001f * ((i % 3) - 1))
+    val emb = (Seq.tabulate(3)(i => (i.toLong, v(0, 1.0f + i * 0.01f))) ++
+      Seq.tabulate(3)(i => (10L + i, v(7, -1.0f - i * 0.01f))) ++
+      Seq((99L, Array.fill(64)(0.0f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.silhouetteSimplified(emb, "vec_id", "embedding",
+      nCentroids = 8).collect()
+    assert(out.map(_.getLong(1)).sum == 7L, out.toSeq) // every vector scored once
+    // own cluster is the argmax -> a <= b -> simplified s is never negative
+    assert(out.forall(_.getLong(2) >= 0L), out.toSeq)
+    val again = Similarity.silhouetteSimplified(emb, "vec_id", "embedding",
+      nCentroids = 8).collect()
+    assert(again.map(r => (r.get(0), r.getLong(1), r.getLong(2))).sortBy(_.toString)
+      .sameElements(out.map(r => (r.get(0), r.getLong(1), r.getLong(2))).sortBy(_.toString)))
+  }
+
   test("batch perceptron: separable toy converges by epoch 1, exact weights") {
     import spark.implicits._
     // aa/bb/cc/dd hash to dims 23/5/3/21 (no collisions) — the epoch-1
