@@ -7053,6 +7053,74 @@ object SparkEntry {
           col("node") % 11 === 0, steps = 3)
         .orderBy("walk_id", "step")
     }),
+    "graph_linkpred_auc" -> ((s, dir) => {
+      // link-prediction AUC — the standard "does this graph/embedding
+      // carry signal" eval: hold out the (a+b) % 5 == 0 co-occurrence
+      // edges, score common-neighbor candidate pairs from the TRAIN
+      // graph with Adamic–Adar (per-term integer micro weights), label
+      // candidates by held-out membership, and compute the exact
+      // Mann–Whitney AUC via integer MIDRANKS (2× scaling keeps tie
+      // halves integral). Ranks come from a cumulative window over the
+      // SCORE HISTOGRAM only (the hdr-sketch precedent) — never over
+      // candidates. BIGINT headroom: u2·10⁶ needs n_pos·n_neg ≲ 4·10¹¹;
+      // at larger scale the eval set is sampled anyway (standard
+      // practice). CN-based candidates can miss held-out pairs with no
+      // common train neighbor — AUC is over scored candidates, the
+      // conventional protocol.
+      import org.apache.spark.sql.expressions.Window
+      // top-1200 strongest pairs, not a fixed co_users floor: a floor
+      // that is sparse at sf0.1 is empty at sf0.001 (the graph densifies
+      // ~linearly with users) — the kNN-graph shape is also what a real
+      // item-graph ships. Total order (co_users desc, a, b) makes the
+      // cut deterministic; TakeOrderedAndProject, never a global sort.
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+        .orderBy(col("co_users").desc, col("item_a"), col("item_b"))
+        .limit(1200)
+        .select(col("item_a"), col("item_b"))
+      val isTest = (col("item_a") + col("item_b")) % 5 === 0
+      val test = co.where(isTest)
+      val train = co.where(!isTest)
+      val e = train.select(col("item_a").as("src"), col("item_b").as("dst"))
+        .unionAll(train.select(col("item_b").as("src"), col("item_a").as("dst")))
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg").between(2, 60))
+        .withColumn("w", floor(lit(1000000.0) /
+          log(col("deg").cast("double")) + lit(0.5)).cast("long"))
+      val byNode = e.join(deg, "src").groupBy(col("src"), col("w"))
+        .agg(sort_array(collect_set(col("dst"))).as("ns"))
+      val cand = byNode.select(col("w"), explode(expr(
+          "flatten(transform(ns, (x, i) -> " +
+            "transform(slice(ns, i + 2, size(ns) - i - 1), " +
+            "y -> struct(x AS a, y AS b))))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("w")).as("score"))
+        .join(train.select(col("item_a").as("a"), col("item_b").as("b")),
+          Seq("a", "b"), "left_anti")
+      val scored = cand.join(
+          test.select(col("item_a").as("a"), col("item_b").as("b"),
+            lit(1L).as("lbl")), Seq("a", "b"), "left")
+        .select(col("score"), coalesce(col("lbl"), lit(0L)).as("lbl"))
+      val hist = scored.groupBy("score")
+        .agg(sum(col("lbl")).as("np"),
+          (count(lit(1)) - sum(col("lbl"))).as("nn"))
+      // histogram-row window under the non-foldable all-zero partition
+      // key (text_pmi_bigrams pattern)
+      val wdw = Window.partitionBy(pmod(col("np"), lit(1)))
+        .orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+      hist.withColumn("cumnn", coalesce(sum(col("nn")).over(wdw), lit(0L)))
+        .agg(coalesce(sum(col("np")), lit(0L)).as("n_pos"),
+          coalesce(sum(col("nn")), lit(0L)).as("n_neg"),
+          coalesce(sum(col("np") * (lit(2L) * col("cumnn") + col("nn"))),
+            lit(0L)).as("u2"))
+        .select((col("n_pos") + col("n_neg")).as("n_candidates"),
+          col("n_pos"), col("n_neg"), col("u2"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            expr("u2 * 1000000 div (2 * n_pos * n_neg)"))
+            .otherwise(lit(-1L)).as("auc_micro"))
+    }),
     "graph_walk_cooc" -> ((s, dir) => {
       // the DeepWalk pipeline completed: walk corpus → skip-gram
       // (center, context) pairs within window 2 → pair counts + PMI in
@@ -12138,6 +12206,55 @@ object SparkEntry {
       "graph_random_walks" -> graft.operators.Graph.randomWalksSql(
         coEdgesSql(8), "node % 11 = 0", steps = 4,
         v => s"CAST(mod(${fnvSql(v)}, CAST('9223372036854775808' AS HUGEINT)) AS BIGINT)"),
+      "graph_linkpred_auc" ->
+        // canonical co-occurrence pairs (the coEdgesSql chain's `c`),
+        // then the self-join spelling of the array-local neighbor pairs
+        // (equivalent: neighbor sets are distinct) and the same
+        // histogram-midrank AUC fold
+        s"""WITH r AS (SELECT DISTINCT user_id AS u,
+           |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS it FROM events),
+           |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM r GROUP BY u)
+           |  WHERE dg > 1000),
+           |kept AS (SELECT * FROM r WHERE u NOT IN (SELECT u FROM pow)),
+           |c AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS co_users
+           |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2),
+           |co8 AS (SELECT item_a, item_b FROM c WHERE co_users >= 8
+           |  ORDER BY co_users DESC, item_a, item_b LIMIT 1200),
+           |tst AS (SELECT * FROM co8 WHERE (item_a + item_b) % 5 = 0),
+           |trn AS (SELECT * FROM co8 WHERE (item_a + item_b) % 5 <> 0),
+           |te AS (SELECT item_a AS src, item_b AS dst FROM trn
+           |  UNION ALL SELECT item_b AS src, item_a AS dst FROM trn),
+           |dg AS (SELECT src, count(*) AS deg FROM te GROUP BY src
+           |  HAVING count(*) BETWEEN 2 AND 60),
+           |wt AS (SELECT src,
+           |    CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT) AS w
+           |  FROM dg),
+           |pr AS (SELECT a.dst AS a, b.dst AS b, w.w
+           |  FROM te a JOIN te b ON a.src = b.src AND a.dst < b.dst
+           |  JOIN wt w ON w.src = a.src),
+           |cd AS (SELECT a, b, CAST(SUM(w) AS BIGINT) AS score
+           |  FROM pr GROUP BY 1, 2),
+           |cda AS (SELECT cd.a, cd.b, cd.score FROM cd
+           |  LEFT JOIN trn t ON t.item_a = cd.a AND t.item_b = cd.b
+           |  WHERE t.item_a IS NULL),
+           |sc AS (SELECT score,
+           |    CASE WHEN t.item_a IS NOT NULL THEN 1 ELSE 0 END AS lbl
+           |  FROM cda LEFT JOIN tst t ON t.item_a = cda.a AND t.item_b = cda.b),
+           |h AS (SELECT score, CAST(SUM(lbl) AS BIGINT) AS np,
+           |    CAST(count(*) - SUM(lbl) AS BIGINT) AS nn FROM sc GROUP BY score),
+           |cum AS (SELECT score, np, nn,
+           |    CAST(coalesce(SUM(nn) OVER (ORDER BY score
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |      AS cumnn
+           |  FROM h),
+           |t AS (SELECT CAST(coalesce(SUM(np), 0) AS BIGINT) AS n_pos,
+           |    CAST(coalesce(SUM(nn), 0) AS BIGINT) AS n_neg,
+           |    CAST(coalesce(SUM(np * (2 * cumnn + nn)), 0) AS BIGINT) AS u2
+           |  FROM cum)
+           |SELECT n_pos + n_neg AS n_candidates, n_pos, n_neg, u2,
+           |  CASE WHEN n_pos > 0 AND n_neg > 0
+           |       THEN u2 * 1000000 // (2 * n_pos * n_neg) ELSE -1 END AS auc_micro
+           |FROM t""".stripMargin,
       "graph_node2vec_walks" -> graft.operators.Graph.node2vecWalksSql(
         coEdgesSql(8), "node % 11 = 0", steps = 3,
         v => s"CAST(mod(${fnvSql(v)}, CAST('9223372036854775808' AS HUGEINT)) AS BIGINT)"),
