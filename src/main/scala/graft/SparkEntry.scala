@@ -1661,6 +1661,21 @@ object SparkEntry {
       // integer milli-ratios, one narrow projection, no shuffle
       TextAnalysis.gopherRules(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "text_code_detect" -> ((s, dir) =>
+      // prose-vs-code routing signals: exact integer milli-ratios of code
+      // symbols / digits / long identifier-shaped words, combined into a
+      // deterministic score + verdict — one fused scan-bound pass. The
+      // prose corpus carries no code chars, so every 5th doc is
+      // deterministically "codified" (vowels → {}=;) — the mm_format_sniff
+      // synthesis precedent: detection must read the chars, and the
+      // verdict column separates exactly the codified docs
+      TextAnalysis.codeSignals(
+          table(s, dir, "documents").withColumn("text2",
+            when(col("doc_id") % 5 === 0,
+                translate(col("text"), "aeio", "{}=;"))
+              .otherwise(col("text"))),
+          "doc_id", "text2")
+        .orderBy("doc_id")),
     "text_hash_embedding" -> ((s, dir) =>
       // model-free 64-dim doc embedding via the hashing trick: integer
       // signed-count vector per doc, sparse (id, dim, val) rows — the
@@ -1793,6 +1808,24 @@ object SparkEntry {
           tolerance = Some(lit(86400000000L)))
         .select(col("purchase_id"), col("user_id"),
           col("nearest_click_id"), col("nearest_delta").as("delta_us"))
+        .orderBy("purchase_id")
+    }),
+
+    "asof_next_click" -> ((s, dir) => {
+      // forward as-of ("next attribution"): the FIRST click strictly after
+      // each purchase by the same user — joinLastPrior's mirror through a
+      // following-frame window; ties at an equal timestamp go to the
+      // smallest click_id (the operator's payload tiebreaker, replayed by
+      // the oracle's ORDER BY ts, click_id)
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.operators.AsOf.joinFirstAfter(
+          purchases, clicks, Seq("user_id"), "ts", Seq("click_id"))
+        .select(col("purchase_id"), col("user_id"),
+          col("next_click_id"))
         .orderBy("purchase_id")
     }),
 
@@ -2207,6 +2240,27 @@ object SparkEntry {
         .join(sig.as("b"), col("id_b") === col("b.doc_id"))
         .select(col("id_a"), col("id_b"),
           round(matches.cast("double") / 16.0, 6).as("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_lsh_curve" -> ((s, dir) => {
+      // the LSH S-curve audited on the DEPLOYED config (b=4 bands × r=4
+      // rows): per discovered candidate pair, exact shingle Jaccard s and
+      // the analytic catch probability p = 1 − (1 − s⁴)⁴ — the number that
+      // says whether a pair at this similarity was lucky or expected.
+      // pow() is NOT cross-engine exact, so the curve is an explicit
+      // multiplication chain ((s·s)·(s·s), then squares) on the
+      // q6-quantized jaccard — IEEE mul/sub are exactly specified, both
+      // engines run the identical chain
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 5, bands = 4, rowsPerBand = 4)
+      Dedup.jaccardForPairs(docs, pairs, "doc_id", "text", k = 5)
+        .withColumn("s2", col("jaccard") * col("jaccard"))
+        .withColumn("s4", col("s2") * col("s2"))
+        .withColumn("t", lit(1.0) - col("s4"))
+        .withColumn("t2", col("t") * col("t"))
+        .withColumn("p_catch", TextOps.q6(lit(1.0) - col("t2") * col("t2")))
+        .select(col("id_a"), col("id_b"), col("jaccard"), col("p_catch"))
         .orderBy("id_a", "id_b")
     }),
     "dedup_bbit_minhash" -> ((s, dir) => {
@@ -3020,6 +3074,57 @@ object SparkEntry {
       graft.operators.Sharding.packManifest(
           table(s, dir, "documents"), "doc_id", "text", budget = 4096)
         .orderBy("doc_id")),
+    "shard_chunk_spans" -> ((s, dir) =>
+      // concat-and-chunk sequence composition: the corpus concatenated in
+      // doc_id order and cut into 1024-token context windows, one row per
+      // (doc, chunk) overlap — documents SPLIT across boundaries (what a
+      // pretraining loader actually feeds), vs shard_pack_manifest's
+      // first-token pack assignment. whole=1 marks docs fully inside one
+      // chunk. Distributed two-phase prefix sum + per-row sequence explode
+      graft.operators.Sharding.chunkSpans(
+          table(s, dir, "documents"), "doc_id", "text", chunkTokens = 1024)
+        .select(col("chunk_id"), col("doc_id"), col("tok_in_chunk"),
+          when(col("tok_in_chunk") === col("n_tokens"), lit(1L))
+            .otherwise(lit(0L)).as("whole"))
+        .orderBy("chunk_id", "doc_id")),
+    "shard_chunk_stats" -> ((s, dir) =>
+      // per-context-window composition report over the same chunking: how
+      // many documents feed each 1024-token window, how many are whole,
+      // and the window's actual token fill (== 1024 except the tail) —
+      // the "how fragmented is my packing" diagnostic, one aggregation
+      // over the chunk-span manifest
+      graft.operators.Sharding.chunkSpans(
+          table(s, dir, "documents"), "doc_id", "text", chunkTokens = 1024)
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("tok_in_chunk") === col("n_tokens"), lit(1L))
+            .otherwise(lit(0L))).as("n_whole"),
+          sum(col("tok_in_chunk")).as("fill_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("chunk_id")),
+    "shard_chunk_frag" -> ((s, dir) => {
+      // per-source fragmentation report of the concat-and-chunk packing:
+      // which domains get SPLIT across context windows (attention never
+      // spans a chunk boundary, so split docs train on truncated context)
+      // — n_split_docs / frag_milli per source, from one groupBy over the
+      // chunk-span manifest + an id-keyed join back to sources
+      val docs = table(s, dir, "documents")
+      val perDoc = graft.operators.Sharding.chunkSpans(
+          docs, "doc_id", "text", chunkTokens = 1024)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), max(col("n_tokens")).as("n_tokens"))
+      perDoc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_chunks") > 1L, lit(1L)).otherwise(lit(0L)))
+            .as("n_split_docs"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(when(col("n_chunks") > 1L, col("n_tokens")).otherwise(lit(0L)))
+            .as("tokens_split"))
+        .withColumn("frag_milli", expr("(n_split_docs * 1000) DIV n_docs"))
+        .orderBy("source")
+    }),
     "shard_stratified_sample" -> ((s, dir) => {
       // source-mixture weighting: per-source keep rates (250 + 35·srcidx
       // thousandths), decided by modular id hash — rerun/cluster-stable,
@@ -4313,6 +4418,34 @@ object SparkEntry {
         .agg(sum(when(col("a_q").isNotNull, 1L).otherwise(0L)).as("n_common"))
         .withColumn("recall_milli", col("n_common") * 200)
         .orderBy("query_id")
+    }),
+    "sim_recall_sweep" -> ((s, dir) => {
+      // the nprobe tuning CURVE: corpus-mean recall@5 of IVF multiprobe
+      // search at nprobe ∈ {1, 2, 4} vs the exact ground truth — the
+      // recall-vs-cost sweep every ANN deployment runs before fixing its
+      // probe budget. Exact top-5 computes ONCE (localCheckpoint — three
+      // sweep points reuse the small (query, neighbor) truth set, not the
+      // corpus scan); each point is one cell-bucketed equi-join search +
+      // a 1-row aggregate. Integer milli recall; recall is monotone in
+      // nprobe by construction (probe sets nest)
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val runs = Seq(1, 2, 4).map { np =>
+        val approx = Similarity.ivfSearchMultiProbe(q, e, "vec_id", "embedding",
+            nCentroids = 8, nprobe = np, k = 5)
+          .select(col("query_id").as("a_q"), col("neighbor_id").as("a_n"))
+        exact.join(approx,
+            col("query_id") === col("a_q") && col("neighbor_id") === col("a_n"),
+            "left")
+          .agg(sum(when(col("a_q").isNotNull, 1L).otherwise(0L)).as("n_common"),
+            countDistinct(col("query_id")).as("n_queries"))
+          .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+            col("n_common"),
+            expr("(n_common * 1000) DIV (n_queries * 5)").as("recall_milli"))
+      }
+      runs.reduce(_.unionByName(_)).orderBy("nprobe")
     }),
     "sim_range_search" -> ((s, dir) => {
       // all neighbors within a cosine radius (unbounded result, vs top-k):
@@ -6077,6 +6210,86 @@ object SparkEntry {
       graft.operators.Graph.triangleCounts(co, "item_a", "item_b")
         .orderBy("node")
     }),
+    "graph_ktruss" -> ((s, dir) => {
+      // bounded-round 4-truss peel (2 rounds): keep edges supported by
+      // >= 2 triangles, recompute support on the survivors — the
+      // edge-grained community core (k-core keeps hub-spoke fluff; truss
+      // requires actual triangle density). The events co-occurrence
+      // saturates to a CLIQUE at bench SFs (every item pair co-occurs),
+      // where any peel is a no-op — so the fixture thins it with a
+      // deterministic modular mask (the codified-docs planted-structure
+      // precedent): support then genuinely varies and round 1 prunes
+      // ~85% of edges (round 2 verifies the fixpoint). Twin unrolls the
+      // same integer rounds.
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 3L, maxUserDegree = 1000)
+        .where((col("item_a") * 31 + col("item_b")) % 7 === 0)
+      graft.operators.Graph.kTrussPrune(co, "item_a", "item_b",
+          k = 4L, rounds = 2)
+        .orderBy("a", "b")
+    }),
+    "graph_clustering_coeff" -> ((s, dir) => {
+      // local clustering coefficient 2·tri/(deg·(deg−1)) per node of the
+      // same co-occurrence graph: degrees from one symmetrized aggregate,
+      // triangles from the canonical a<b<c closure, one exact integer
+      // ratio pushed through a single IEEE division then q6 — the
+      // "how cliquish is this neighbourhood" community signal.
+      // localCheckpoint: deg and tri both read the co-occurrence edge
+      // list; materializing the tiny edge list once beats re-running the
+      // corpus aggregation on both branches at any scale
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+        .localCheckpoint()
+      val deg = graft.operators.Graph.symmetrize(co, "item_a", "item_b")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+      val tri = graft.operators.Graph.triangleCounts(co, "item_a", "item_b")
+      deg.join(tri, Seq("node"), "left")
+        .select(col("node"), col("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"))
+        .withColumn("coeff_q6", when(col("degree") > 1L,
+            TextOps.q6((lit(2L) * col("triangles")).cast("double") /
+              (col("degree") * (col("degree") - lit(1L))).cast("double")))
+          .otherwise(lit(0.0)))
+        .orderBy("node")
+    }),
+    "graph_assortativity" -> ((s, dir) => {
+      // degree assortativity (Newman 2002): Pearson correlation of
+      // endpoint degrees over the directed symmetrized edges. All five
+      // sums are exact longs (bounded well inside 2^63 by the degree cap);
+      // the only floats are the final IEEE sqrt/divide of exact integers,
+      // identical in any engine, then q6. Plan: degrees once, two
+      // broadcast-able joins onto the edge list, ONE global aggregate row
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+        .localCheckpoint()
+      val e = graft.operators.Graph.symmetrize(co, "item_a", "item_b")
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      val pairs = e
+        .join(deg.select(col("node").as("src"), col("d").as("dx")), Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("d").as("dy")), Seq("dst"))
+      pairs.agg(
+          count(lit(1)).as("n_edges"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("n_edges"),
+          when(col("n_edges") * col("sxx") - col("sx") * col("sx") > 0L &&
+               col("n_edges") * col("syy") - col("sy") * col("sy") > 0L,
+            TextOps.q6(
+              (col("n_edges") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (sqrt((col("n_edges") * col("sxx") - col("sx") * col("sx"))
+                    .cast("double")) *
+                  sqrt((col("n_edges") * col("syy") - col("sy") * col("sy"))
+                    .cast("double")))))
+            .otherwise(lit(0.0)).as("assortativity_q6"))
+    }),
     "rel_incremental_view" -> ((s, dir) => {
       // incremental materialized-view maintenance: yesterday's aggregate
       // state merges with today's delta WITHOUT rescanning the base —
@@ -6752,6 +6965,31 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("detected_mime"),
           col("header_len"), col("byte_len"))
         .orderBy("doc_id")
+    }),
+    "mm_dedup_exact" -> ((s, dir) => {
+      // content-addressed exact media dedup: payloads synthesized with
+      // real duplicate structure (every group of 3 consecutive doc_ids
+      // carries its leader's bytes), then deduped by the 8-byte
+      // FNV-1a-64 content hash (+ byte_len) — the shuffle key is a long,
+      // never the media bytes (the binary-column twin of
+      // dedup_exact_keep's hash-first rule). The oracle groups by the
+      // payload ITSELF, so the hash match proves the hash key is lossless
+      val docs = table(s, dir, "documents")
+      val leaders = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("lead_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+      val withPayload = docs.select(col("doc_id"),
+          (col("doc_id") - col("doc_id") % 3).as("lead_id"))
+        .join(leaders, Seq("lead_id"))
+      val wrapped = graft.operators.Multimodal.wrap(withPayload, "doc_id",
+        "payload", lit("application/octet-stream"), Seq.empty)
+      wrapped.select(col("id"),
+          graft.functions.GraftFunctions.fnv1a64(col("media.bytes")).as("h"),
+          length(col("media.bytes")).cast("long").as("byte_len"))
+        .groupBy("h", "byte_len")
+        .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select(col("keeper_id"), col("n_copies"), col("byte_len"))
+        .orderBy("keeper_id")
     }),
     "text_chunk_windows" -> ((s, dir) => {
       // RAG/context-window chunking: overlapping 64-token windows with a
@@ -8339,6 +8577,31 @@ object SparkEntry {
            |  round(na / nc, 6) AS punct_ratio,
            |  $QualityScoreSql AS quality_score
            |FROM b ORDER BY doc_id""".stripMargin,
+      "text_code_detect" ->
+        // same integer milli-ratio arithmetic: regexp_replace needs the
+        // 'g' flag here (Spark replaces all matches by default), and //
+        // agrees with Spark DIV on these non-negative operands
+        """WITH d2 AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 5 = 0 THEN translate(text, 'aeio', '{}=;')
+          |         ELSE text END AS text
+          |  FROM documents),
+          |b AS (SELECT doc_id,
+          |    greatest(length(text), 1) AS n,
+          |    length(text) - length(regexp_replace(text, '[{}();=<>\[\]#&|]', '', 'g')) AS sym,
+          |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dig,
+          |    greatest(len(string_split(text, ' ')), 1) AS nw,
+          |    len(list_filter(string_split(text, ' '), w -> len(w) > 12)) AS lw
+          |  FROM d2),
+          |m AS (SELECT doc_id,
+          |    CAST((sym * 1000) // n AS BIGINT) AS sym_milli,
+          |    CAST((dig * 1000) // n AS BIGINT) AS digit_milli,
+          |    CAST((lw * 1000) // nw AS BIGINT) AS longword_milli
+          |  FROM b)
+          |SELECT doc_id, sym_milli, digit_milli, longword_milli,
+          |  3 * sym_milli + digit_milli + 2 * longword_milli AS code_score,
+          |  CAST(CASE WHEN 3 * sym_milli + digit_milli + 2 * longword_milli >= 120
+          |    THEN 1 ELSE 0 END AS BIGINT) AS is_code
+          |FROM m ORDER BY doc_id""".stripMargin,
       "text_repetition" ->
         // Gopher-style repetition twin: identical grams, counts, and q6
         // floor quantization as TextAnalysis.repetitionSignals
@@ -8623,6 +8886,22 @@ object SparkEntry {
           |  CASE WHEN d <= 86400000000 THEN nid END AS nearest_click_id,
           |  CASE WHEN d <= 86400000000 THEN d END AS delta_us
           |FROM m ORDER BY purchase_id""".stripMargin,
+      "asof_next_click" ->
+        // plain-SQL twin (no ASOF): rank the strictly-later clicks per
+        // purchase by (ts, click_id) — the (ts, click_id) order replays
+        // the operator's equal-timestamp tiebreak exactly
+        """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+          |  WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, ts, event_id AS click_id FROM events
+          |  WHERE event_type = 'click'),
+          |j AS (SELECT p.purchase_id, c.click_id,
+          |    row_number() OVER (PARTITION BY p.purchase_id
+          |      ORDER BY c.ts, c.click_id) AS rnk
+          |  FROM p JOIN c ON p.user_id = c.user_id AND c.ts > p.ts)
+          |SELECT p.purchase_id, p.user_id, j.click_id AS next_click_id
+          |FROM p LEFT JOIN (SELECT purchase_id, click_id FROM j WHERE rnk = 1) j
+          |  USING (purchase_id)
+          |ORDER BY purchase_id""".stripMargin,
       "rel_distinct_exact" ->
         ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
           "count(DISTINCT l_suppkey) AS n_supps FROM lineitem " +
@@ -9153,6 +9432,45 @@ object SparkEntry {
            |JOIN sig a ON a.doc_id = id_a
            |JOIN sig b ON b.doc_id = id_b
            |ORDER BY id_a, id_b""".stripMargin
+      },
+      "dedup_lsh_curve" -> {
+        val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(${permSql("code", a, b)}) AS mh$j"
+        }.mkString(",\n  ")
+        val bandKeys = (0 until 4).map { bnd =>
+          (0 until 4).map(r => s"CAST(mh${bnd * 4 + r} AS VARCHAR)")
+            .mkString(s"SELECT doc_id, $bnd AS band, ", " || '_' || ", " AS bkey FROM sig")
+        }.mkString("\n  UNION ALL ")
+        // exact per-pair jaccard mirrors jaccardForPairs (distinct-shingle
+        // counts, integer sums cast to DOUBLE, one division, q6); the
+        // S-curve is the explicit multiplication chain — never pow()
+        s"""${shinglesSql(5, "TRUE")},
+           |sig AS (SELECT doc_id, $mins FROM codes GROUP BY doc_id),
+           |banded AS (
+           |  $bandKeys),
+           |pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+           |  WHERE l.doc_id < r.doc_id),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM codes GROUP BY doc_id),
+           |ov AS (SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS both_n
+           |  FROM pairs p JOIN codes ca ON ca.doc_id = p.id_a
+           |  JOIN codes cb ON cb.doc_id = p.id_b AND cb.code = ca.code
+           |  GROUP BY 1, 2),
+           |jac AS (SELECT ov.id_a, ov.id_b,
+           |    floor(CAST(both_n AS DOUBLE)
+           |      / CAST(sa.n + sb.n - both_n AS DOUBLE) * 1000000 + 0.5) / 1000000
+           |      AS jaccard
+           |  FROM ov JOIN sizes sa ON sa.doc_id = ov.id_a
+           |  JOIN sizes sb ON sb.doc_id = ov.id_b),
+           |c1 AS (SELECT id_a, id_b, jaccard, jaccard * jaccard AS s2 FROM jac),
+           |c2 AS (SELECT id_a, id_b, jaccard, s2 * s2 AS s4 FROM c1),
+           |c3 AS (SELECT id_a, id_b, jaccard, 1.0 - s4 AS t FROM c2),
+           |c4 AS (SELECT id_a, id_b, jaccard, t * t AS t2 FROM c3)
+           |SELECT id_a, id_b, jaccard,
+           |  floor((1.0 - t2 * t2) * 1000000 + 0.5) / 1000000 AS p_catch
+           |FROM c4 ORDER BY id_a, id_b""".stripMargin
       },
       "dedup_bbit_minhash" -> {
         val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
@@ -9786,6 +10104,75 @@ object SparkEntry {
           |  CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id,
           |  CAST((cum - n_tokens) % 4096 AS BIGINT) AS pack_pos
           |FROM c ORDER BY doc_id""".stripMargin,
+      "shard_chunk_spans" ->
+        // the single global window + lateral generate_series IS the
+        // definition the two-phase prefix sum + sequence explode must
+        // reproduce bit-for-bit
+        """WITH t AS (
+          |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          |  FROM documents),
+          |c AS (SELECT doc_id, n,
+          |    CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+          |      AS BIGINT) AS st
+          |  FROM t),
+          |x AS (SELECT doc_id, n, st,
+          |    unnest(generate_series(st // 1024, (st + n - 1) // 1024))
+          |      AS chunk_id
+          |  FROM c WHERE n > 0)
+          |SELECT chunk_id, doc_id,
+          |  least(st + n, (chunk_id + 1) * 1024) - greatest(st, chunk_id * 1024)
+          |    AS tok_in_chunk,
+          |  CAST(CASE WHEN least(st + n, (chunk_id + 1) * 1024)
+          |      - greatest(st, chunk_id * 1024) = n THEN 1 ELSE 0 END AS BIGINT)
+          |    AS whole
+          |FROM x ORDER BY chunk_id, doc_id""".stripMargin,
+      "shard_chunk_stats" ->
+        """WITH t AS (
+          |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          |  FROM documents),
+          |c AS (SELECT doc_id, n,
+          |    CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+          |      AS BIGINT) AS st
+          |  FROM t),
+          |u AS (SELECT doc_id, n, st,
+          |    unnest(generate_series(st // 1024, (st + n - 1) // 1024))
+          |      AS chunk_id
+          |  FROM c WHERE n > 0),
+          |x AS (SELECT doc_id, n, st, chunk_id,
+          |    least(st + n, (chunk_id + 1) * 1024)
+          |      - greatest(st, chunk_id * 1024) AS tok
+          |  FROM u)
+          |SELECT chunk_id, count(*) AS n_docs,
+          |  CAST(SUM(CASE WHEN tok = n THEN 1 ELSE 0 END) AS BIGINT) AS n_whole,
+          |  CAST(SUM(tok) AS BIGINT) AS fill_tokens,
+          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          |FROM x GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+      "shard_chunk_frag" ->
+        """WITH t AS (
+          |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          |  FROM documents),
+          |c AS (SELECT doc_id, n,
+          |    CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+          |      AS BIGINT) AS st
+          |  FROM t),
+          |u AS (SELECT doc_id, n, st,
+          |    unnest(generate_series(st // 1024, (st + n - 1) // 1024))
+          |      AS chunk_id
+          |  FROM c WHERE n > 0),
+          |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+          |    CAST(max(n) AS BIGINT) AS n_tokens
+          |  FROM u GROUP BY doc_id),
+          |agg AS (SELECT d.source, count(*) AS n_docs,
+          |    CAST(SUM(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_split_docs,
+          |    CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+          |    CAST(SUM(CASE WHEN n_chunks > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+          |      AS tokens_split
+          |  FROM pd JOIN documents d USING (doc_id)
+          |  GROUP BY d.source)
+          |SELECT source, n_docs, n_split_docs, tokens_total, tokens_split,
+          |  CAST((n_split_docs * 1000) // n_docs AS BIGINT) AS frag_milli
+          |FROM agg ORDER BY source""".stripMargin,
       "shard_curriculum" ->
         // the single global window IS the oracle definition the two-phase
         // bucketed rank must reproduce bit-for-bit
@@ -10239,6 +10626,59 @@ object SparkEntry {
            |FROM exact e LEFT JOIN approx ap
            |  ON e.query_id = ap.query_id AND e.neighbor_id = ap.neighbor_id
            |GROUP BY 1 ORDER BY e.query_id""".stripMargin
+      },
+      "sim_recall_sweep" -> {
+        val cells = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        // one probe/search/recall leg per sweep point, sharing the exact
+        // ground truth and the corpus cell assignment
+        def leg(np: Int) =
+          s"""iq$np AS (SELECT e.vec_id, e.embedding, p.cid FROM embeddings e
+             |  JOIN (SELECT vec_id, cid FROM ranked WHERE rn <= $np) p USING (vec_id)
+             |  WHERE e.vec_id < 20),
+             |ip$np AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    floor((${dotSql("q", "c")}) /
+             |      (sqrt(${normSqSql("q")}) * sqrt(${normSqSql("c")})) * 1000000 + 0.5) / 1000000 AS cosine
+             |  FROM iq$np q JOIN ic c ON q.cid = c.cid AND q.vec_id <> c.vec_id),
+             |r$np AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |  FROM ip$np) WHERE rnk <= 5),
+             |rec$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+             |  CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+             |  CAST(SUM(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+             |  FROM exact e LEFT JOIN r$np t
+             |    ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id)"""
+        s"""WITH bq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+           |bc AS (SELECT vec_id, embedding FROM embeddings),
+           |bp AS (
+           |  SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id,
+           |    floor((${dotSql("bq", "bc")}) /
+           |      (sqrt(${normSqSql("bq")}) * sqrt(${normSqSql("bc")})) * 1000000 + 0.5) / 1000000 AS cosine
+           |  FROM bq CROSS JOIN bc WHERE bq.vec_id <> bc.vec_id),
+           |exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+           |    FROM bp) WHERE rnk <= 5),
+           |s AS (
+           |  $cells),
+           |ranked AS (
+           |  SELECT vec_id, cid, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s),
+           |a AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+           |ic AS (SELECT e.vec_id, e.embedding, a.cid FROM embeddings e
+           |  JOIN a USING (vec_id)),
+           |${leg(1)},
+           |${leg(2)},
+           |${leg(4)}
+           |SELECT nprobe, n_queries, n_common,
+           |  CAST((n_common * 1000) // (n_queries * 5) AS BIGINT) AS recall_milli
+           |FROM (SELECT * FROM rec1 UNION ALL SELECT * FROM rec2
+           |  UNION ALL SELECT * FROM rec4)
+           |ORDER BY nprobe""".stripMargin
       },
       "sim_range_search" -> {
         val bits = (0 until 4).map { j =>
@@ -11395,6 +11835,72 @@ object SparkEntry {
           |  UNION ALL SELECT z FROM t)
           |SELECT node, count(*) AS triangles FROM n GROUP BY node
           |ORDER BY node""".stripMargin,
+      "graph_ktruss" -> {
+        val edgesCte =
+          s"""r AS (SELECT DISTINCT user_id AS u,
+             |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS it FROM events),
+             |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM r GROUP BY u)
+             |  WHERE dg > 1000),
+             |kept AS (SELECT * FROM r WHERE u NOT IN (SELECT u FROM pow)),
+             |c AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS co_users
+             |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2),
+             |e0 AS (SELECT item_a AS a, item_b AS b FROM c
+             |  WHERE co_users >= 3 AND (item_a * 31 + item_b) % 7 = 0)""".stripMargin
+        graft.operators.Graph.kTrussSql(edgesCte, k = 4L, rounds = 2)
+      },
+      "graph_clustering_coeff" ->
+        """WITH r AS (SELECT DISTINCT user_id AS u,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS it FROM events),
+          |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM r GROUP BY u)
+          |  WHERE dg > 1000),
+          |kept AS (SELECT * FROM r WHERE u NOT IN (SELECT u FROM pow)),
+          |e AS (SELECT item_a AS a, item_b AS b FROM (
+          |  SELECT a.it AS item_a, b.it AS item_b, count(*) AS co_users
+          |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2)
+          |  WHERE co_users >= 8),
+          |sym AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+          |deg AS (SELECT node, count(*) AS degree FROM sym GROUP BY node),
+          |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+          |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+          |nn AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+          |  UNION ALL SELECT z FROM t),
+          |tri AS (SELECT node, count(*) AS triangles FROM nn GROUP BY node)
+          |SELECT d.node, d.degree, COALESCE(tri.triangles, 0) AS triangles,
+          |  CASE WHEN d.degree > 1 THEN
+          |    floor(CAST(2 * COALESCE(tri.triangles, 0) AS DOUBLE)
+          |      / CAST(d.degree * (d.degree - 1) AS DOUBLE) * 1000000 + 0.5)
+          |      / 1000000
+          |  ELSE 0.0 END AS coeff_q6
+          |FROM deg d LEFT JOIN tri ON d.node = tri.node
+          |ORDER BY d.node""".stripMargin,
+      "graph_assortativity" ->
+        """WITH r AS (SELECT DISTINCT user_id AS u,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS it FROM events),
+          |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM r GROUP BY u)
+          |  WHERE dg > 1000),
+          |kept AS (SELECT * FROM r WHERE u NOT IN (SELECT u FROM pow)),
+          |e AS (SELECT item_a AS a, item_b AS b FROM (
+          |  SELECT a.it AS item_a, b.it AS item_b, count(*) AS co_users
+          |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2)
+          |  WHERE co_users >= 8),
+          |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+          |deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY u),
+          |p AS (SELECT dx.d AS dx, dy.d AS dy FROM sym
+          |  JOIN deg dx ON sym.u = dx.node JOIN deg dy ON sym.v = dy.node),
+          |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+          |    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+          |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+          |    CAST(SUM(dy * dy) AS BIGINT) AS syy FROM p)
+          |SELECT n AS n_edges,
+          |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+          |    floor(CAST(n * sxy - sx * sy AS DOUBLE)
+          |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000 + 0.5)
+          |      / 1000000
+          |  ELSE 0.0 END AS assortativity_q6
+          |FROM agg""".stripMargin,
       "rel_incremental_view" ->
         """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
           |  count(*) AS n,
@@ -12049,6 +12555,16 @@ object SparkEntry {
           |       ELSE 0 END AS BIGINT) AS header_len,
           |  CAST(bl AS BIGINT) AS byte_len
           |FROM v ORDER BY doc_id""".stripMargin,
+      "mm_dedup_exact" ->
+        // groups by the payload ITSELF (the Spark side groups by its
+        // FNV-1a-64 + byte_len) — identical groups proves the 8-byte
+        // dedup key is lossless on this corpus
+        """WITH p AS (SELECT d.doc_id, l.text AS payload
+          |  FROM documents d
+          |  JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 3)
+          |SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+          |  CAST(octet_length(encode(payload)) AS BIGINT) AS byte_len
+          |FROM p GROUP BY payload ORDER BY keeper_id""".stripMargin,
       "text_chunk_windows" ->
         """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
           |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),

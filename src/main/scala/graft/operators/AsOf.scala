@@ -47,6 +47,43 @@ object AsOf {
       .select(lCols.toSeq.map(col) ++ rightPayload.map(c => col(s"asof_$c")): _*)
   }
 
+  /** Forward as-of: for each left row, attach the EARLIEST right row with
+    * the same `keys` and `right.timeCol > left.timeCol` (strictly after —
+    * the "next attribution" direction; a right row at exactly t is NOT
+    * visible to a left row at t). Right payload columns come back as
+    * `next_<name>` (null when no later right row exists).
+    *
+    * Mirror of [[joinLastPrior]]: one union, one shuffle on the keys, one
+    * `first(..., ignoreNulls)` over a FOLLOWING frame. Right rows sort
+    * before left rows at equal time (side 0 < 1), so an equal-time right
+    * row falls outside the left row's following frame — that ordering IS
+    * the strict-> semantics. The payload tiebreaker pins the pick among
+    * right rows sharing an identical (keys, time) to the smallest payload
+    * value, deterministic across partitionings. */
+  def joinFirstAfter(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], timeCol: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val tagged =
+      left.select(lCols.toSeq.map(col) :+ lit(1).as("_side"): _*)
+        .unionByName(
+          right.select(
+            (keys.map(col) ++ Seq(col(timeCol)) ++ rightPayload.map(col)
+              :+ lit(0).as("_side")): _*),
+          allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(Seq(col(timeCol).asc, col("_side").asc) ++
+        rightPayload.headOption.map(c => col(c).asc_nulls_last): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withNext = rightPayload.foldLeft(tagged) { (df, c) =>
+      df.withColumn(s"next_$c",
+        first(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    withNext.where(col("_side") === 1)
+      .select(lCols.toSeq.map(col) ++ rightPayload.map(c => col(s"next_$c")): _*)
+  }
+
   /** For each left row, attach the right row with the same `keys` NEAREST
     * in time (either direction); ties go to the prior row. `timeCol` must
     * be numeric (e.g. epoch nanos) so deltas are exact integers. With

@@ -400,6 +400,72 @@ object Graph {
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Bounded-round k-truss peeling over an undirected edge list: each
+    * round computes per-EDGE triangle support on the surviving subgraph
+    * (the canonical a<b<c closure of [[triangleCounts]], each triangle
+    * crediting its three edges) and drops edges supported by fewer than
+    * k−2 triangles. Run to fixpoint this is the exact k-truss (Cohen
+    * 2008) — the edge-grained dense-community core that k-core's
+    * node-degree peel overcounts; the bounded-round form is the
+    * scheduled-pipeline variant ([[kCorePrune]]'s relationship to the
+    * exact core). Integer-only, so the SQL twin unrolls identical rounds.
+    *
+    * Plan shape per round: one 2-path equi-join + one semi-join closure +
+    * one map-side-combined support aggregation + one edge semi-join —
+    * the same Σ deg² fan-out bound as [[triangleCounts]] (orient by
+    * degree at extreme scale). localCheckpoint per round: round r's plan
+    * references round r−1's edge set four times. Returns the surviving
+    * canonical (a, b) edges. */
+  def kTrussPrune(edges: DataFrame, aCol: String, bCol: String,
+      k: Long, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && k >= 3, "need rounds >= 1 and k >= 3")
+    var e = edges.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") < col("b")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"),
+          "left_semi")
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val keep = tri.select(explode(array(
+          struct(col("x").as("a"), col("y").as("b")),
+          struct(col("y").as("a"), col("z").as("b")),
+          struct(col("x").as("a"), col("z").as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+        .where(col("support") >= k - 2)
+        .select("a", "b")
+      // an edge in no triangle has no support row -> dropped by the
+      // semi-join, which is exactly the support-0 < k-2 rule
+      e = e.join(keep, Seq("a", "b"), "left_semi").localCheckpoint()
+    }
+    e.select(col("a"), col("b"))
+  }
+
+  /** The DuckDB twin of [[kTrussPrune]]: unrolled peel rounds. `edgesCte`
+    * must define `e0(a, b)` as the canonical a<b distinct edge list. */
+  def kTrussSql(edgesCte: String, k: Long, rounds: Int): String = {
+    val rcte = (1 to rounds).map { r =>
+      s"""t$r AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e${r - 1} e1 JOIN e${r - 1} e2 ON e1.b = e2.a
+         |  WHERE EXISTS (SELECT 1 FROM e${r - 1} e3
+         |    WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |s$r AS (SELECT a, b FROM (
+         |  SELECT x AS a, y AS b FROM t$r
+         |  UNION ALL SELECT y, z FROM t$r
+         |  UNION ALL SELECT x, z FROM t$r)
+         |  GROUP BY a, b HAVING count(*) >= ${k - 2}),
+         |e$r AS (SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN s$r s ON e.a = s.a AND e.b = s.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |$rcte
+       |SELECT a, b FROM e$rounds ORDER BY a, b""".stripMargin
+  }
+
   /** Bounded-round multi-source BFS over an undirected edge list: every
     * node satisfying `seed` starts at distance 0 and each round extends
     * the frontier one hop, so after `rounds` rounds the output holds

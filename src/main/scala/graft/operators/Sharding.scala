@@ -304,16 +304,31 @@ object Sharding {
   def packManifest(df: DataFrame, idCol: String, textCol: String,
       budget: Long, targetRanges: Int = 256): DataFrame = {
     require(budget > 0, "budget must be positive")
+    tokenOffsets(df, idCol, textCol, targetRanges)
+      .select(col(idCol), col("n_tokens"),
+        expr(s"start_tok DIV $budget").as("pack_id"),
+        (col("start_tok") % budget).as("pack_pos"))
+  }
+
+  /** Global concat offsets shared by [[packManifest]] and [[chunkSpans]]:
+    * (id, n_tokens, start_tok) where `start_tok` is the total token count
+    * of all earlier documents in ascending `idCol` order — a DISTRIBUTED
+    * two-phase prefix sum (phase 0: id bounds → deterministic
+    * value-derived coarse ranges; phase 1: per-range totals scanned into
+    * base offsets on the driver, ≤ `targetRanges` rows; phase 2:
+    * range-partitioned cumulative window + broadcast bases), never a
+    * global single-partition window. Bit-identical to the global window
+    * for any `targetRanges`. */
+  private def tokenOffsets(df: DataFrame, idCol: String, textCol: String,
+      targetRanges: Int): DataFrame = {
     require(targetRanges > 0, "targetRanges must be positive")
     val tokens = df.select(col(idCol),
       size(split(col(textCol), " ")).cast("long").as("n_tokens"))
-    val empty = tokens.where(lit(false))
-      .select(col(idCol), col("n_tokens"),
-        lit(0L).as("pack_id"), lit(0L).as("pack_pos"))
     // phase 0: id bounds (one tiny agg) -> deterministic range width
     val bounds = tokens
       .agg(min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
-    if (bounds.isNullAt(0)) return empty
+    if (bounds.isNullAt(0))
+      return tokens.where(lit(false)).withColumn("start_tok", lit(0L))
     val minId = bounds.getLong(0)
     val span = bounds.getLong(1) - minId + 1
     val width = math.max(1L, (span + targetRanges - 1) / targetRanges)
@@ -333,11 +348,37 @@ object Sharding {
     val w = Window.partitionBy("rng").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged.join(broadcast(baseDf), Seq("rng"))
-      .withColumn("cum_incl", sum(col("n_tokens")).over(w) + col("base"))
-      .withColumn("start_tok", col("cum_incl") - col("n_tokens"))
-      .select(col(idCol), col("n_tokens"),
-        expr(s"start_tok DIV $budget").as("pack_id"),
-        (col("start_tok") % budget).as("pack_pos"))
+      .withColumn("start_tok",
+        sum(col("n_tokens")).over(w) + col("base") - col("n_tokens"))
+      .select(col(idCol), col("n_tokens"), col("start_tok"))
+  }
+
+  /** Concat-and-chunk sequence composition: the corpus is conceptually
+    * concatenated in ascending `idCol` order and cut into fixed
+    * `chunkTokens` context windows (the packing most pretraining loaders
+    * actually run — documents SPLIT across chunk boundaries, nothing is
+    * padded). Emits one row per (document, chunk) overlap:
+    * (chunk_id, id, n_tokens, start_tok, tok_in_chunk).
+    *
+    * Built on the same two-phase distributed prefix sum as
+    * [[packManifest]]; the chunk fan-out generates per-row from an exact
+    * integer `sequence(first_chunk, last_chunk)` explode — a document adds
+    * rows only for chunks it overlaps (total rows = docs + boundary
+    * crossings ≈ docs + total_tokens/chunkTokens), never a join, so the
+    * manifest scales linearly with the corpus at any chunk size. */
+  def chunkSpans(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Long, targetRanges: Int = 256): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    tokenOffsets(df, idCol, textCol, targetRanges)
+      .where(col("n_tokens") > 0)
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"start_tok DIV ${chunkTokens}L"),
+        expr(s"(start_tok + n_tokens - 1) DIV ${chunkTokens}L"))))
+      .select(col("chunk_id"), col(idCol), col("n_tokens"), col("start_tok"),
+        (least(col("start_tok") + col("n_tokens"),
+            (col("chunk_id") + lit(1L)) * chunkTokens) -
+          greatest(col("start_tok"), col("chunk_id") * chunkTokens))
+          .as("tok_in_chunk"))
   }
 
   /** Deterministic weighted systematic (PPS) sampling: documents in

@@ -134,6 +134,45 @@ object TextAnalysis {
       round(raw, 6).as("quality_score"))
   }
 
+  /** Code-likeness signals: prose-vs-code routing for a pretraining mix
+    * (the StarCoder/FineWeb-style source-tagging heuristic), re-expressed
+    * as exact integer milli-ratios so the verdict is bit-identical in any
+    * engine — no model, no floats:
+    *   sym_milli      = 1000·|{}();=<>[]#&|| chars    / n_chars
+    *   digit_milli    = 1000·digit chars              / n_chars
+    *   longword_milli = 1000·words longer than 12     / n_words
+    *   code_score     = 3·sym_milli + digit_milli + 2·longword_milli
+    *   is_code        = code_score ≥ threshold
+    * One fused per-row pass (codegen'd regexp_replace lengths + an array
+    * filter on the token split) — scan-bound, no shuffle, no UDF; all
+    * divisions are non-negative DIV so Spark truncation and floor-division
+    * engines agree (NOTES.md integer-division invariant). */
+  def codeSignals(df: DataFrame, idCol: String, textCol: String,
+      threshold: Long = 120L): DataFrame = {
+    val t = col(textCol)
+    val n = greatest(length(t).cast("long"), lit(1L))
+    val sym = length(t).cast("long") -
+      length(regexp_replace(t, "[{}();=<>\\[\\]#&|]", "")).cast("long")
+    val dig = length(t).cast("long") -
+      length(regexp_replace(t, "[0-9]", "")).cast("long")
+    val words = split(t, " ")
+    val nWords = greatest(size(words).cast("long"), lit(1L))
+    val longWords = size(expr(s"filter(split(`$textCol`, ' '), w -> length(w) > 12)"))
+      .cast("long")
+    // Column `/` is double division in Spark — integer DIV via expr only
+    df.select(col(idCol), sym.as("_sym"), dig.as("_dig"), n.as("_n"),
+        longWords.as("_lw"), nWords.as("_nw"))
+      .select(col(idCol),
+        expr("(_sym * 1000) DIV _n").as("sym_milli"),
+        expr("(_dig * 1000) DIV _n").as("digit_milli"),
+        expr("(_lw * 1000) DIV _nw").as("longword_milli"))
+      .withColumn("code_score",
+        lit(3L) * col("sym_milli") + col("digit_milli") +
+          lit(2L) * col("longword_milli"))
+      .withColumn("is_code",
+        when(col("code_score") >= threshold, lit(1L)).otherwise(lit(0L)))
+  }
+
   /** Feature-hashing ("hashing trick") document embedding (Weinberger
     * et al. 2009, arXiv:0902.2206): each token instance lands in dimension
     * `fnv(token) mod dims` with sign from the next hash bit, so a doc's

@@ -1428,4 +1428,51 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"batched partition-local kernel missing:\n$plan")
     assert(!plan.contains("Join"), s"resize must not join:\n$plan")
   }
+
+  test("chunk spans: range-partitioned prefix window + broadcast bases, never global") {
+    val plan = planOf("shard_chunk_spans")
+    assert(plan.contains("hashpartitioning(rng"),
+      s"prefix-sum window must partition by the coarse range:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-range bases must broadcast:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"a global single-partition stage crept in:\n$plan")
+  }
+
+  test("forward as-of: one union + keyed window, no range-join explosion") {
+    val plan = planOf("asof_next_click")
+    assert(plan.contains("Union"), s"tagged-union shape lost:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"window must partition by the join keys:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"range-join explosion:\n$plan")
+  }
+
+  test("code detect: join-free narrow projection, no explode-driven shuffle") {
+    val plan = planOf("text_code_detect")
+    assert(!plan.contains("Join"), s"code signals must not join:\n$plan")
+    // only the output sort may exchange; no aggregation shuffle
+    assert(!plan.contains("HashAggregate"),
+      s"per-row signals must not aggregate:\n$plan")
+  }
+
+  test("k-truss: 2-path equi-joins + support aggregation, never all-pairs") {
+    val plan = planOf("graph_ktruss")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+  }
+
+  test("lsh curve: fused per-pair overlap, broadcast pair list, no corpus join") {
+    val plan = planOf("dedup_lsh_curve")
+    assert(plan.contains("shingle_overlap"),
+      s"fused overlap expression dropped out:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+  }
+
+  test("assortativity: equi-joins onto the degree table, one aggregate row") {
+    val plan = planOf("graph_assortativity")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+  }
 }

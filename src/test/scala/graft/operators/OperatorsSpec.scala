@@ -1749,4 +1749,85 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select((col("y") * col("m") > 0).as("ok")).collect()
     assert(ok.length == 4 && ok.forall(_.getBoolean(0)))
   }
+
+  test("k-truss peel: K4 survives k=4, lone triangle and chain do not") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} (every edge in 2 triangles), a lone triangle
+    // {10,11,12} (support 1), a chain 20-21-22 (support 0)
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val edges = (k4 ++ Seq((10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (21L, 22L))).toDF("a", "b")
+    val t4 = Graph.kTrussPrune(edges, "a", "b", k = 4L, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t4 == k4.toSet, t4)
+    val t3 = Graph.kTrussPrune(edges, "a", "b", k = 3L, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t3 == k4.toSet ++ Set((10L, 11L), (10L, 12L), (11L, 12L)), t3)
+  }
+
+  test("chunk spans: exact coverage, naive-reference equality, boundary splits") {
+    val docs = docsDF(Seq(
+      (0L, "a b c"), (1L, "d e f g h"), (3L, "i"),      // id gap on purpose
+      (7L, "j k l m n o p"), (9L, "q r")))
+    val out = Sharding.chunkSpans(docs, "doc_id", "text", chunkTokens = 4,
+        targetRanges = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // naive reference: concat in id order, cut every 4 tokens
+    val naive = {
+      var st = 0L
+      Seq((0L, 3L), (1L, 5L), (3L, 1L), (7L, 7L), (9L, 2L)).flatMap {
+        case (id, n) =>
+          val rows = ((st / 4) to ((st + n - 1) / 4)).map { c =>
+            (c, id, n, st,
+              math.min(st + n, (c + 1) * 4) - math.max(st, c * 4))
+          }
+          st += n
+          rows
+      }
+    }
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ==
+      naive.sortBy(r => (r._1, r._2)), out.toSeq)
+    // every doc's chunk slices sum back to its token count
+    val perDoc = out.groupBy(_._2).map { case (id, rs) =>
+      (id, rs.map(_._5).sum, rs.head._3) }
+    assert(perDoc.forall { case (_, sum, n) => sum == n }, perDoc)
+    // every chunk except the last is exactly full
+    val perChunk = out.groupBy(_._1).map { case (c, rs) => (c, rs.map(_._5).sum) }
+    val lastChunk = perChunk.keys.max
+    assert(perChunk.filter(_._1 != lastChunk).forall(_._2 == 4L), perChunk)
+  }
+
+  test("as-of first-after: strictly later, earliest wins, payload tiebreak") {
+    import spark.implicits._
+    val left = Seq((10L, 1L, 100L), (11L, 1L, 250L), (12L, 2L, 50L))
+      .toDF("lid", "k", "ts")
+    val right = Seq(
+      (1L, 100L, 900L),  // equal ts -> NOT visible (strict >)
+      (1L, 200L, 901L), (1L, 200L, 899L), // tie at 200 -> min payload 899
+      (1L, 300L, 902L))
+      .toDF("k", "ts", "pay")
+    val out = AsOf.joinFirstAfter(left, right, Seq("k"), "ts", Seq("pay"))
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.toString)))
+      .toMap
+    assert(out(10L).contains("899"), out)   // 100 -> first after is 200, min pay
+    assert(out(11L).contains("902"), out)   // 250 -> next is 300
+    assert(out(12L).isEmpty, out)           // key 2 has no right rows
+  }
+
+  test("code signals: hand-computed milli ratios and verdict") {
+    val docs = docsDF(Seq(
+      (0L, "x=1; y=2; if (x<y) { z[0]=3; } #done"),   // code-ish
+      (1L, "the quick brown fox jumps over the lazy dog")))
+    val out = TextAnalysis.codeSignals(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // doc 0: n=36 chars, sym {}=;()<>[]# = 14, digits = 4
+    val (sym0, dig0, lw0, score0, is0) = out(0L)
+    assert(sym0 == 14L * 1000 / 36, out(0L))
+    assert(dig0 == 4L * 1000 / 36, out(0L))
+    assert(lw0 == 0L && score0 == 3 * sym0 + dig0 && is0 == 1L, out(0L))
+    val (sym1, dig1, _, score1, is1) = out(1L)
+    assert(sym1 == 0L && dig1 == 0L && score1 == 0L && is1 == 0L, out(1L))
+  }
 }
