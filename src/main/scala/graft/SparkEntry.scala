@@ -1589,6 +1589,27 @@ object SparkEntry {
           col("subword_tokens").cast("long").as("subword_tokens"),
           col("n_chars").cast("long").as("n_chars"))
         .orderBy("doc_id")),
+    "text_fertility" -> ((s, dir) => {
+      // tokenizer FERTILITY per language (subword tokens per whitespace
+      // word — the metric that says which languages a tokenizer taxes;
+      // fertility ~1 is English-like, >2 means the context window holds
+      // half the text): corpus-exact integer milli-ratios from two
+      // aggregates over the token-stats projection, one id-keyed join to
+      // attach lang, one group-by — O(corpus) scan, |langs| output rows
+      val docs = table(s, dir, "documents")
+      TextAnalysis.tokenStats(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens").cast("long")).as("ws_total"),
+          sum(col("subword_tokens").cast("long")).as("subword_total"),
+          sum(col("n_chars").cast("long")).as("chars_total"))
+        .withColumn("fertility_milli",
+          expr("(subword_total * 1000) DIV ws_total"))
+        .withColumn("chars_per_subword_milli",
+          expr("(chars_total * 1000) DIV subword_total"))
+        .orderBy("lang")
+    }),
     "text_ttr_mattr" -> ((s, dir) =>
       // lexical-diversity quality signal: raw type-token ratio + MATTR
       // (Covington & McFall 2010 — the moving-average TTR over a w=20
@@ -3103,6 +3124,34 @@ object SparkEntry {
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy("chunk_id")),
+    "shard_decon_sweep" -> ((s, dir) => {
+      // the decontamination THRESHOLD sweep: single-hit n-gram gates at
+      // n ∈ {8, 13, 20} against the same eval slice — how many train docs
+      // each gram length flags, next to the eval-gram vocabulary size
+      // that pays for it (short grams flag everything, long grams are
+      // sparse; 13 is the GPT-3 compromise — this query is the evidence).
+      // Each leg: eval grams distinct + broadcast, one semi-join, two
+      // 1-row aggregates crossJoined (both broadcast)
+      val docs = table(s, dir, "documents")
+      def grams(df: DataFrame, n: Int) = df
+        .select(col("doc_id"), split(col("text"), " ").as("_ws"))
+        .where(size(col("_ws")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(_ws) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(_ws, i, $n)))")).as("gram"))
+      val legs = Seq(8, 13, 20).map { n =>
+        val ev = grams(docs.where(col("doc_id") % 20 === 0), n)
+          .select("gram").distinct()
+        val nEv = ev.agg(count(lit(1)).as("n_eval_grams"))
+        val flagged = grams(docs.where(col("doc_id") % 20 =!= 0), n)
+          .join(broadcast(ev), Seq("gram"), "left_semi")
+          .agg(countDistinct(col("doc_id")).as("n_flagged"))
+        flagged.crossJoin(broadcast(nEv))
+          .select(lit(n.toLong).as("gram_len"), col("n_eval_grams"),
+            col("n_flagged"))
+      }
+      legs.reduce(_.unionByName(_)).orderBy("gram_len")
+    }),
     "shard_chunk_frag" -> ((s, dir) => {
       // per-source fragmentation report of the concat-and-chunk packing:
       // which domains get SPLIT across context windows (attention never
@@ -8494,6 +8543,22 @@ object SparkEntry {
           |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS subword_tokens,
           |  CAST(length(text) AS BIGINT) AS n_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_fertility" ->
+        """WITH t AS (SELECT doc_id, lang,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+          |    CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS sw,
+          |    CAST(length(text) AS BIGINT) AS nc
+          |  FROM documents),
+          |agg AS (SELECT lang, count(*) AS n_docs,
+          |    CAST(SUM(ws) AS BIGINT) AS ws_total,
+          |    CAST(SUM(sw) AS BIGINT) AS subword_total,
+          |    CAST(SUM(nc) AS BIGINT) AS chars_total
+          |  FROM t GROUP BY lang)
+          |SELECT lang, n_docs, ws_total, subword_total, chars_total,
+          |  CAST((subword_total * 1000) // ws_total AS BIGINT) AS fertility_milli,
+          |  CAST((chars_total * 1000) // subword_total AS BIGINT)
+          |    AS chars_per_subword_milli
+          |FROM agg ORDER BY lang""".stripMargin,
       "text_ttr_mattr" ->
         // list slice tk[i : i+19] == Spark slice(tk, i, 20) (1-based,
         // inclusive end — the r10 ws-slice trap note)
@@ -10896,6 +10961,28 @@ object SparkEntry {
           |FROM g13 t JOIN ev USING (gram)
           |WHERE t.doc_id % 20 <> 0
           |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+      "shard_decon_sweep" -> {
+        def leg(n: Int) =
+          s"""d$n AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |  WHERE len(string_split(text, ' ')) >= $n),
+             |gg$n AS (SELECT doc_id, ws,
+             |  unnest(generate_series(1, len(ws) - ${n - 1})) AS pos FROM d$n),
+             |g$n AS (SELECT doc_id, array_to_string(ws[pos:pos+${n - 1}], ' ')
+             |  AS gram FROM gg$n),
+             |ev$n AS (SELECT DISTINCT gram FROM g$n WHERE doc_id % 20 = 0),
+             |rec$n AS (SELECT CAST($n AS BIGINT) AS gram_len,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM ev$n) AS n_eval_grams,
+             |  (SELECT CAST(count(DISTINCT t.doc_id) AS BIGINT)
+             |     FROM g$n t JOIN ev$n USING (gram)
+             |     WHERE t.doc_id % 20 <> 0) AS n_flagged)"""
+        s"""WITH ${leg(8)},
+           |${leg(13)},
+           |${leg(20)}
+           |SELECT gram_len, n_eval_grams, n_flagged
+           |FROM (SELECT * FROM rec8 UNION ALL SELECT * FROM rec13
+           |  UNION ALL SELECT * FROM rec20)
+           |ORDER BY gram_len""".stripMargin
+      },
       "shard_decontaminate" ->
         s"""${shinglesSql(8, "TRUE")},
            |ev AS (SELECT DISTINCT code FROM codes WHERE doc_id % 97 = 0),

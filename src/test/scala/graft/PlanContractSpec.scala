@@ -1470,6 +1470,22 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
   }
 
+  test("decon sweep: eval grams broadcast into every leg's semi-join") {
+    val plan = planOf("shard_decon_sweep")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval gram set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus-scale merge join crept into the sweep:\n$plan")
+  }
+
+  test("fertility: two aggregates + id join, no cartesian") {
+    val plan = planOf("text_fertility")
+    assert(plan.contains("HashAggregate"), s"missing aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  }
+
   test("assortativity: equi-joins onto the degree table, one aggregate row") {
     val plan = planOf("graph_assortativity")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
