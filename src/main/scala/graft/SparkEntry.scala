@@ -23,6 +23,12 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  // shared parameter lists — defined ONCE so the Spark query and its SQL
+  // twin can never disagree on the sweep points
+  private val lshTuneCfgs = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+  private val vocabCoverageKs = Seq(10, 50, 200, 800)
+  private val kAnonKs = Seq(2, 5, 10, 20)
+
   private def events(spark: SparkSession, dir: String): DataFrame = {
     // Every events query (and its DuckDB oracle twin, via epoch_ns/epoch_us)
     // assumes ts in the raw-NANOS LongType domain. The testdata has shipped
@@ -7831,6 +7837,134 @@ object SparkEntry {
         StructField("decayed", LongType),
         StructField("n_newest_day", LongType))))
         .orderBy(col("decayed").desc, col("item"))
+    }),
+    "sketch_bloom_fpr" -> ((s, dir) => {
+      // Bloom-filter audit over the corpus's distinct token BIGRAMS (the
+      // unit a decontamination/dedup admission gate would key on; the
+      // unigram vocabulary is 31 tokens — degenerate): m = 8192 bits,
+      // k = 3 double-hashed positions per item. The filter state is the
+      // SET of set bit positions — ≤ m rows after map-side combine at any
+      // corpus size — and the report prices it: exact fill, micronat-ln
+      // cardinality estimate, multiplication-chain FPR. Saturation-proof
+      // estimate (NULL at full) and every float step quantized; see
+      // Sketches.bloomFillReport.
+      val bg = table(s, dir, "documents")
+        .select(expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .where(size(col("tk")) >= 2)
+        .select(explode(expr("transform(sequence(1, size(tk) - 1), " +
+          "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+          .as("g"))
+      graft.operators.Sketches.bloomFillReport(bg, "g", m = 8192, k = 3)
+    }),
+    "text_vocab_coverage" -> ((s, dir) => {
+      // tokenizer-design coverage curve: what fraction of the corpus's
+      // bigram MASS the top-k most frequent bigrams cover, at
+      // k ∈ {10, 50, 200, 800} — the "how big must the vocab be" curve.
+      // One vocab aggregation, ONE pass over the ranked vocab computing
+      // all four conditional sums (never a theta join against the k
+      // list), then a 4-row stack. The ranking window is global but runs
+      // over the VOCAB (≪ corpus, Heaps' law); at extreme vocab sizes the
+      // two-phase prefix sum (Sharding.tokenOffsets) replaces it.
+      import org.apache.spark.sql.expressions.Window
+      val bg = table(s, dir, "documents")
+        .select(expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .where(size(col("tk")) >= 2)
+        .select(explode(expr("transform(sequence(1, size(tk) - 1), " +
+          "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+          .as("g"))
+      val vocab = bg.groupBy("g").agg(count(lit(1)).as("n"))
+      val ranked = vocab.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("g"))))
+      val ks = vocabCoverageKs
+      val aggCols = sum(col("n")).as("total") +:
+        ks.map(k => sum(when(col("rank") <= k, col("n")).otherwise(0L))
+          .as(s"c$k"))
+      val aggd = ranked.agg(count(lit(1)).as("nv"), aggCols: _*)
+      aggd.selectExpr(
+          s"stack(${ks.size}, " +
+            ks.map(k => s"CAST($k AS BIGINT), c$k").mkString(", ") +
+            ") AS (k, covered)",
+          "nv", "total")
+        .select(col("k"), least(col("k"), col("nv")).as("rank_used"),
+          col("covered"), col("total"),
+          expr("(1000000 * covered) DIV total").as("coverage_micro"))
+        .orderBy("k")
+    }),
+    "pipeline_k_anonymity" -> ((s, dir) => {
+      // k-anonymity audit over the quasi-identifier tuple (lang, source,
+      // 256-char length bucket): for each k ∈ {2, 5, 10, 20}, how many QI
+      // groups have fewer than k members and how many documents sit in
+      // them — the re-identification risk report a training-data release
+      // runs next to PII scrubbing (text_pii_scrub). One group
+      // aggregation (map-side combined), then four conditional sums over
+      // the GROUP table (|groups| rows, never the corpus) and a 1-row
+      // broadcast total. Integer-exact throughout.
+      val docs = table(s, dir, "documents")
+      val g = docs.groupBy(col("lang"), col("source"),
+          expr("n_chars DIV 256").as("lb"))
+        .agg(count(lit(1)).as("n"))
+      val ks = kAnonKs
+      val aggCols = sum(col("n")).as("docs_total") +:
+        ks.flatMap(k => Seq(
+          sum(when(col("n") < k, 1L).otherwise(0L)).as(s"gv$k"),
+          sum(when(col("n") < k, col("n")).otherwise(0L)).as(s"dv$k")))
+      val aggd = g.agg(count(lit(1)).as("groups_total"), aggCols: _*)
+      aggd.selectExpr(
+          s"stack(${ks.size}, " +
+            ks.map(k => s"CAST($k AS BIGINT), gv$k, dv$k").mkString(", ") +
+            ") AS (k, groups_violating, docs_at_risk)",
+          "groups_total", "docs_total")
+        .select(col("k"), col("groups_violating"), col("docs_at_risk"),
+          col("groups_total"), col("docs_total"),
+          expr("(1000000 * docs_at_risk) DIV docs_total").as("risk_micro"))
+        .orderBy("k")
+    }),
+    "dedup_lsh_tune" -> ((s, dir) => {
+      // LSH index tuning on OBSERVED pair similarities: for every
+      // (bands, rows-per-band) split of the 16 MinHash components, the
+      // expected catch mass Σ 1−(1−s^r)^b over the deployed index's
+      // verified candidate pairs — the number that says which config to
+      // redeploy. ONE pass computes all five configs' sums (the pair
+      // pipeline is never re-run); each catch probability is the
+      // TextOps.lshCatchMicroSql multiplication chain (never pow()),
+      // quantized to integer micro per-term BEFORE summation so the
+      // reduction is order-independent.
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 5, bands = 4, rowsPerBand = 4)
+      val jac = Dedup.jaccardForPairs(docs, pairs, "doc_id", "text", k = 5)
+      val cfgs = lshTuneCfgs
+      val aggCols = cfgs.map { case (b, r) =>
+        sum(expr(TextOps.lshCatchMicroSql("jaccard", r, b))).as(s"cm_${b}_$r")
+      }
+      val aggd = jac.agg(count(lit(1)).as("n_pairs"), aggCols: _*)
+      aggd.selectExpr(
+          s"stack(${cfgs.size}, " +
+            cfgs.map { case (b, r) =>
+              s"CAST($b AS BIGINT), CAST($r AS BIGINT), cm_${b}_$r"
+            }.mkString(", ") +
+            ") AS (bands, rpb, caught_micro)",
+          "n_pairs")
+        .select(col("bands"), col("rpb"), col("n_pairs"), col("caught_micro"),
+          (col("n_pairs") * lit(1000000L) - col("caught_micro"))
+            .as("missed_micro"))
+        .orderBy(col("bands").desc)
+    }),
+    "graph_reach_curve" -> ((s, dir) => {
+      // hop plot from sampled roots (Palmer et al. 2002's ANF question):
+      // cumulative nodes-within-d for d = 0..4 — the neighborhood-growth
+      // / effective-diameter data. The co-occurrence graph saturates to a
+      // clique at bench SFs, so the fixture thins it with the ktruss
+      // modular mask (minShared = 4 keeps sf0.001 populated); probed:
+      // real growth curves at all three SFs, saturation at hop 3 only.
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 4L, maxUserDegree = 1000)
+        .where((col("item_a") * 31 + col("item_b")) % 7 === 0)
+      graft.operators.Graph.reachCurve(co, "item_a", "item_b",
+          col("node") % 11 === 0, rounds = 4)
+        .orderBy("root", "hop")
     })
   )
 
@@ -13145,7 +13279,143 @@ object SparkEntry {
           |  ((f2 // f1) * 1000000 + (f2 % f1) * 1000000 // f1) * 1000000
           |    // ((f1 // f0) * 1000000 + (f1 % f0) * 1000000 // f0)
           |    AS skew_x_micro
-          |FROM m ORDER BY lang""".stripMargin
+          |FROM m ORDER BY lang""".stripMargin,
+      "sketch_bloom_fpr" -> {
+        val h = "CAST(mod(" + fnvSql("g") +
+          ", CAST('9223372036854775808' AS HUGEINT)) AS BIGINT)"
+        s"""WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           |  FROM documents),
+           |bg AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+           |    i -> tk[i] || ' ' || tk[i + 1])) AS g
+           |  FROM t WHERE len(tk) >= 2),
+           |h AS (SELECT DISTINCT $h AS h FROM bg),
+           |p AS (SELECT unnest(${graft.operators.Sketches
+              .bloomPositionsSql("h", 8192, 3)}) AS pos FROM h),
+           |b AS (SELECT CAST(count(DISTINCT pos) AS BIGINT) AS bits_set FROM p),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM h),
+           |e AS (SELECT bits_set, n_exact,
+           |    CASE WHEN bits_set < 8192 THEN
+           |      CAST(floor(ln(CAST(8192 - bits_set AS DOUBLE) / 8192.0)
+           |        * 1000000 + 0.5) AS BIGINT) END AS lnq
+           |  FROM b CROSS JOIN n)
+           |SELECT CAST(8192 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k_hashes,
+           |  bits_set, CAST((1000000 * bits_set) // 8192 AS BIGINT) AS fill_micro,
+           |  n_exact, CAST(((-lnq) * 8192) // 3000000 AS BIGINT) AS est_distinct,
+           |  CAST(floor(${TextOps.powChainSql(
+                "(CAST(bits_set AS DOUBLE) / 8192.0)", 3)}
+           |    * 1000000 + 0.5) AS BIGINT) AS fpr_micro
+           |FROM e""".stripMargin
+      },
+      "text_vocab_coverage" -> {
+        val sums = vocabCoverageKs.map(k =>
+          s"CAST(SUM(CASE WHEN rank <= $k THEN n ELSE 0 END) AS BIGINT) AS c$k")
+          .mkString(",\n    ")
+        val legs = vocabCoverageKs.map(k =>
+          s"""SELECT CAST($k AS BIGINT) AS k, least(CAST($k AS BIGINT), nv) AS rank_used,
+             |    c$k AS covered, total,
+             |    CAST((1000000 * c$k) // total AS BIGINT) AS coverage_micro
+             |  FROM a""".stripMargin).mkString("\n  UNION ALL ")
+        s"""WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           |  FROM documents),
+           |bg AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+           |    i -> tk[i] || ' ' || tk[i + 1])) AS g
+           |  FROM t WHERE len(tk) >= 2),
+           |v AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY g),
+           |rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, g) AS rank FROM v),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS nv,
+           |    CAST(SUM(n) AS BIGINT) AS total,
+           |    $sums
+           |  FROM rk)
+           |SELECT * FROM (
+           |  $legs)
+           |ORDER BY k""".stripMargin
+      },
+      "pipeline_k_anonymity" -> {
+        val sums = kAnonKs.map(k =>
+          s"""CAST(SUM(CASE WHEN n < $k THEN 1 ELSE 0 END) AS BIGINT) AS gv$k,
+             |    CAST(SUM(CASE WHEN n < $k THEN n ELSE 0 END) AS BIGINT) AS dv$k"""
+            .stripMargin).mkString(",\n    ")
+        val legs = kAnonKs.map(k =>
+          s"""SELECT CAST($k AS BIGINT) AS k, gv$k AS groups_violating,
+             |    dv$k AS docs_at_risk, groups_total, docs_total,
+             |    CAST((1000000 * dv$k) // docs_total AS BIGINT) AS risk_micro
+             |  FROM a""".stripMargin).mkString("\n  UNION ALL ")
+        s"""WITH g AS (SELECT lang, source, n_chars // 256 AS lb,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM documents GROUP BY 1, 2, 3),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS groups_total,
+           |    CAST(SUM(n) AS BIGINT) AS docs_total,
+           |    $sums
+           |  FROM g)
+           |SELECT * FROM (
+           |  $legs)
+           |ORDER BY k""".stripMargin
+      },
+      "dedup_lsh_tune" -> {
+        val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(${permSql("code", a, b)}) AS mh$j"
+        }.mkString(",\n  ")
+        val bandKeys = (0 until 4).map { bnd =>
+          (0 until 4).map(r => s"CAST(mh${bnd * 4 + r} AS VARCHAR)")
+            .mkString(s"SELECT doc_id, $bnd AS band, ", " || '_' || ", " AS bkey FROM sig")
+        }.mkString("\n  UNION ALL ")
+        val sums = lshTuneCfgs.map { case (b, r) =>
+          s"CAST(SUM(${TextOps.lshCatchMicroSql("jaccard", r, b)}) AS BIGINT)" +
+            s" AS cm_${b}_$r"
+        }.mkString(",\n    ")
+        val legs = lshTuneCfgs.map { case (b, r) =>
+          s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rpb,
+             |    n_pairs, cm_${b}_$r AS caught_micro,
+             |    CAST(n_pairs * 1000000 - cm_${b}_$r AS BIGINT) AS missed_micro
+             |  FROM a""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        // pair discovery + exact jaccard: the dedup_lsh_curve CTE family
+        // (banded equi-join candidates, distinct-shingle overlap, q6);
+        // the per-config catch chain is GENERATED by lshCatchMicroSql —
+        // the identical string the Spark query evaluates via expr()
+        s"""${shinglesSql(5, "TRUE")},
+           |sig AS (SELECT doc_id, $mins FROM codes GROUP BY doc_id),
+           |banded AS (
+           |  $bandKeys),
+           |pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+           |  WHERE l.doc_id < r.doc_id),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM codes GROUP BY doc_id),
+           |ov AS (SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS both_n
+           |  FROM pairs p JOIN codes ca ON ca.doc_id = p.id_a
+           |  JOIN codes cb ON cb.doc_id = p.id_b AND cb.code = ca.code
+           |  GROUP BY 1, 2),
+           |jac AS (SELECT ov.id_a, ov.id_b,
+           |    floor(CAST(both_n AS DOUBLE)
+           |      / CAST(sa.n + sb.n - both_n AS DOUBLE) * 1000000 + 0.5) / 1000000
+           |      AS jaccard
+           |  FROM ov JOIN sizes sa ON sa.doc_id = ov.id_a
+           |  JOIN sizes sb ON sb.doc_id = ov.id_b),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |    $sums
+           |  FROM jac)
+           |SELECT * FROM (
+           |  $legs)
+           |ORDER BY bands DESC""".stripMargin
+      },
+      "graph_reach_curve" -> {
+        val edgesCte =
+          s"""r AS (SELECT DISTINCT user_id AS u,
+             |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS it FROM events),
+             |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM r GROUP BY u)
+             |  WHERE dg > 1000),
+             |kept AS (SELECT * FROM r WHERE u NOT IN (SELECT u FROM pow)),
+             |c AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS co_users
+             |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2),
+             |e0 AS (SELECT item_a AS src, item_b AS dst FROM c
+             |  WHERE co_users >= 4 AND (item_a * 31 + item_b) % 7 = 0),
+             |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)"""
+            .stripMargin
+        graft.operators.Graph.reachCurveSql(edgesCte, "node % 11 = 0",
+          rounds = 4)
+      }
     )
   }
 }

@@ -801,6 +801,72 @@ object Graph {
        |FROM v$rounds WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** Hop plot / reach curve (Palmer et al. KDD 2002's ANF question asked
+    * exactly on a seed sample): for each sampled root, the cumulative
+    * count of nodes within `hop` ≤ d for d = 0..`rounds` — the raw data
+    * behind effective-diameter and neighborhood-growth estimates. Shares
+    * [[harmonicCentrality]]'s BFS machinery (per level one frontier
+    * equi-join + one (root, node) anti-join dedup; state (root, node,
+    * dist) is |roots|-bounded per node, never all-pairs); the cumulative
+    * step is a per-root window over ≤ rounds+1 rows, never the corpus.
+    * Integer-only, so [[reachCurveSql]] unrolls identical levels.
+    * Output: (root, hop, n_within) including hop 0 (the root itself). */
+  def reachCurve(edges: DataFrame, aCol: String, bCol: String,
+      seed: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = symmetrize(edges, aCol, bCol).localCheckpoint()
+    val roots = e.select(col("src").as("node")).distinct().where(seed)
+      .select(col("node").as("root"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = roots
+    var visited = roots
+    for (r <- 1 to rounds) {
+      val f = frontier.select(col("root"), col("node").as("src"))
+      val next = e.join(f, Seq("src"))
+        .select(col("root"), col("dst").as("node")).distinct()
+        .join(visited.select("root", "node"), Seq("root", "node"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
+        .localCheckpoint()
+      frontier = next
+      visited = visited.unionAll(next).localCheckpoint()
+    }
+    // per-(root, dist) counts, then the cumulative reach per root: the
+    // window partitions by root over ≤ rounds+1 rows — bounded, never a
+    // global window (the sort key set is the hop index)
+    visited.groupBy(col("root"), col("dist").as("hop"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n_within", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("root")
+          .orderBy("hop")))
+      .select(col("root"), col("hop"), col("n_within"))
+  }
+
+  /** DuckDB twin of [[reachCurve]]: unrolled root-keyed BFS levels (the
+    * [[harmonicCentralitySql]] CTE family) + a per-root cumulative window.
+    * `edgesCte` must end with a SYMMETRIZED relation `e(src, dst)`. */
+  def reachCurveSql(edgesCte: String, seedWhere: String,
+      rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""f$i AS (SELECT DISTINCT p.root, e.dst AS node FROM e
+         |  JOIN f${i - 1} p ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v
+         |    WHERE v.root = p.root AND v.node = e.dst)),
+         |v$i AS (SELECT root, node, dist FROM v${i - 1}
+         |  UNION ALL SELECT root, node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |f0 AS (SELECT node AS root, node FROM n WHERE $seedWhere),
+       |v0 AS (SELECT root, node, CAST(0 AS BIGINT) AS dist FROM f0),
+       |$rs,
+       |pc AS (SELECT root, dist AS hop, CAST(count(*) AS BIGINT) AS c
+       |  FROM v$rounds GROUP BY 1, 2)
+       |SELECT root, hop,
+       |  CAST(SUM(c) OVER (PARTITION BY root ORDER BY hop) AS BIGINT)
+       |    AS n_within
+       |FROM pc ORDER BY root, hop""".stripMargin
+  }
+
   /** Deterministic random walks (the node2vec/DeepWalk corpus-generation
     * primitive): from each seed node, `steps` uniform-neighbor steps where
     * step t of walk w picks neighbor index

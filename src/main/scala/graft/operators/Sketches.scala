@@ -204,4 +204,69 @@ object Sketches {
           (col("snum") + (lit((1L << p)) - col("m_used")) * lit(1099511627776L))
             .cast("double")).as("raw_est"))
   }
+
+  /** The k Bloom-filter bit positions of a positive 63-bit hash, by
+    * double hashing (Kirsch & Mitzenmacher 2006 — two hash values
+    * simulate k independent ones with no asymptotic FPR loss):
+    * `pos_i = (h mod m + i·(1 + (h div m) mod (m−1))) mod m`. All
+    * operands non-negative, so div/mod agree across engines; `m` must be
+    * a power of two (the div is an exact shift, and fill-ratio doubles
+    * divide exactly by 2^log2m downstream). [[bloomPositionsSql]] is the
+    * generated twin. */
+  def bloomPositions(h: Column, m: Int, k: Int): Column = {
+    require(m >= 4 && (m & (m - 1)) == 0, "m must be a power of two")
+    require(k >= 1)
+    val log2m = java.lang.Integer.numberOfTrailingZeros(m)
+    val h1 = h % m
+    val h2 = shiftright(h, log2m) % (m - 1) + lit(1L)
+    array((0 until k).map(i => (h1 + lit(i.toLong) * h2) % m): _*)
+  }
+
+  /** DuckDB twin of [[bloomPositions]] over a non-negative BIGINT
+    * expression `h`: a k-element list literal of the same arithmetic
+    * (`//` floors = Spark's shift for non-negative operands). */
+  def bloomPositionsSql(h: String, m: Int, k: Int): String = {
+    val h1 = s"(($h) % $m)"
+    val h2 = s"((($h) // $m) % ${m - 1} + 1)"
+    (0 until k).map(i => s"(($h1 + $i * $h2) % $m)").mkString("[", ", ", "]")
+  }
+
+  /** One-row Bloom-filter audit over the distinct items of `itemCol`:
+    * build the m-bit filter (as the SET of distinct bit positions — the
+    * aggregation collapses to ≤ m rows after map-side combine, never a
+    * data-sized exchange), report the exact fill, the classic
+    * cardinality estimate n̂ = −(m/k)·ln(1 − X/m) (Swamidass & Baldi
+    * 2007) and the fill-based FPR estimate (X/m)^k, with the exact
+    * distinct count alongside as the oracle gate. Float discipline: the
+    * fill ratios divide by a power of two (exact), ln is quantized to
+    * integer micronats before the ONE integer division, and the FPR
+    * power is an explicit multiplication chain — every step replayable
+    * bit-for-bit by the SQL twin. A saturated filter (every bit set) has
+    * no finite estimate; `est_distinct` is NULL there by construction.
+    *
+    * At 100 TB this is the shape of a streaming-dedup admission gate's
+    * health check: the filter state is m bits however large the corpus,
+    * and this report prices its current false-positive cost. */
+  def bloomFillReport(df: DataFrame, itemCol: String, m: Int,
+      k: Int): DataFrame = {
+    val hashes = df
+      .select(positiveHash(encode(col(itemCol), "UTF-8")).as("h")).distinct()
+    val bits = hashes
+      .select(explode(bloomPositions(col("h"), m, k)).as("pos"))
+      .agg(countDistinct(col("pos")).as("bits_set"))
+    val n = hashes.agg(count(lit(1)).as("n_exact"))
+    bits.crossJoin(n) // two 1-row sides
+      .withColumn("fill_micro", expr(s"(1000000 * bits_set) DIV $m"))
+      .withColumn("lnq", when(col("bits_set") < m,
+        floor(log((lit(m.toLong) - col("bits_set")).cast("double") /
+          lit(m.toDouble)) * lit(1e6) + lit(0.5)).cast("long")))
+      .withColumn("est_distinct",
+        expr(s"((-lnq) * $m) DIV ${k.toLong * 1000000L}"))
+      .withColumn("fpr_micro", expr("CAST(floor(" +
+        TextOps.powChainSql(s"(CAST(bits_set AS DOUBLE) / $m.0)", k) +
+        " * 1000000 + 0.5) AS BIGINT)"))
+      .select(lit(m.toLong).as("m_bits"), lit(k.toLong).as("k_hashes"),
+        col("bits_set"), col("fill_micro"), col("n_exact"),
+        col("est_distinct"), col("fpr_micro"))
+  }
 }

@@ -80,4 +80,27 @@ object TextOps {
   /** Modular permutation hash of a code column. */
   def permHash(code: Column, a: Long, b: Long): Column =
     (lit(a) * (code % lit(P)) + lit(b)) % lit(P)
+
+  /** `v^n` as an EXPLICIT left-associated multiplication chain —
+    * `((v * v) * v) * …` — because `pow()` is NOT cross-engine exact
+    * (libm differences), while a fixed chain of IEEE multiplies is
+    * bit-identical in any engine (the dedup_lsh_curve precedent). The
+    * returned string is valid in both Spark SQL and DuckDB; parenthesized
+    * so associativity can never be re-grouped by a parser. */
+  def powChainSql(v: String, n: Int): String = {
+    require(n >= 1)
+    (1 until n).foldLeft(v)((acc, _) => s"($acc * $v)")
+  }
+
+  /** LSH catch probability `1 − (1 − s^r)^b` for a banded MinHash index,
+    * in integer MICRO units (`floor(p·10⁶ + 0.5)`), as one deterministic
+    * expression string shared by the Spark query (via `expr`) and the
+    * DuckDB twin — generated, never hand-copied, so the two engines run
+    * the IDENTICAL IEEE multiply chain ([[powChainSql]]). `s` must be a
+    * q6-quantized jaccard column name. */
+  def lshCatchMicroSql(s: String, r: Int, b: Int): String = {
+    val sr = powChainSql(s, r)
+    val miss = powChainSql(s"(1.0 - $sr)", b)
+    s"CAST(floor((1.0 - $miss) * 1000000 + 0.5) AS BIGINT)"
+  }
 }

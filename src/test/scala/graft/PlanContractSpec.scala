@@ -1491,4 +1491,44 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
   }
+
+  test("bloom fpr: filter state collapses in aggregation, no corpus-scale join") {
+    val plan = planOf("sketch_bloom_fpr")
+    // the only join is the two 1-row aggregates meeting (the accepted
+    // 1-row crossJoin pattern); a merge join would mean a corpus-sized
+    // side slipped in
+    assert(plan.contains("HashAggregate"), s"missing aggregation:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-scale join in a 1-row report:\n$plan")
+  }
+
+  test("vocab coverage: join-free — one vocab window + one conditional agg") {
+    val plan = planOf("text_vocab_coverage")
+    assert(plan.contains("Window"), s"rank window dropped out:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
+  test("k-anonymity: join-free — group agg then 4 conditional sums") {
+    val plan = planOf("pipeline_k_anonymity")
+    assert(plan.contains("HashAggregate"), s"missing aggregation:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
+  test("lsh tune: one pair pipeline computes all five configs, fused overlap") {
+    val plan = planOf("dedup_lsh_tune")
+    assert(plan.contains("shingle_overlap"),
+      s"fused overlap expression dropped out:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+    // all five configs' sums live in ONE aggregate over jac — the pair
+    // pipeline must appear once, not per config
+    assert("shingle_overlap".r.findAllIn(plan).size <= 2,
+      s"pair pipeline duplicated across configs:\n$plan")
+  }
+
+  test("reach curve: per-level frontier equi-joins, never all-pairs") {
+    val plan = planOf("graph_reach_curve")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+  }
 }

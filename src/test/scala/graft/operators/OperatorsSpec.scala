@@ -1830,4 +1830,93 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (sym1, dig1, _, score1, is1) = out(1L)
     assert(sym1 == 0L && dig1 == 0L && score1 == 0L && is1 == 0L, out(1L))
   }
+
+  test("bloom positions: double-hashing arithmetic matches a scalar replay") {
+    val m = 64
+    val k = 3
+    val items = (0L until 50L).map(i => s"item_$i")
+    val df = spark.createDataFrame(
+      items.map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("it",
+          org.apache.spark.sql.types.StringType))))
+    val got = df.select(col("it"),
+        Sketches.bloomPositions(
+          Sketches.positiveHash(encode(col("it"), "UTF-8")), m, k).as("pos"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // scalar replay of pos_i = (h mod m + i*(1 + (h div m) mod (m-1))) mod m
+    def fnv(s: String): Long = {
+      var h = -3750763034362895579L // 14695981039346656037 as signed
+      s.getBytes("UTF-8").foreach { b =>
+        h = (h ^ (b & 0xffL)) * 1099511628211L
+      }
+      h & Long.MaxValue
+    }
+    items.foreach { it =>
+      val h = fnv(it)
+      val h1 = h % m
+      val h2 = (h / m) % (m - 1) + 1
+      val want = (0 until k).map(i => (h1 + i * h2) % m)
+      assert(got(it) == want, s"$it: ${got(it)} != $want")
+    }
+    // positions are within [0, m) and h2 >= 1 guarantees k distinct-ish probes
+    assert(got.values.flatten.forall(p => p >= 0 && p < m))
+  }
+
+  test("bloom fill report: exact bit count, estimate brackets truth, saturation NULL") {
+    val items = (0L until 40L).map(i => s"tok_$i") ++ Seq("tok_0", "tok_1")
+    val df = spark.createDataFrame(
+      items.map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("it",
+          org.apache.spark.sql.types.StringType))))
+    val r = Sketches.bloomFillReport(df, "it", m = 256, k = 3).collect()(0)
+    val bits = r.getLong(2)
+    val nExact = r.getLong(4)
+    val est = r.getLong(5)
+    assert(nExact == 40L) // duplicates collapse
+    assert(bits > 0 && bits <= 3 * 40 && bits < 256)
+    // Swamidass-Baldi is tight at this fill: within 20% of truth
+    assert(math.abs(est - nExact) <= nExact / 5, s"est=$est exact=$nExact")
+    assert(r.getLong(3) == 1000000L * bits / 256) // fill_micro integer-exact
+    // saturated filter: every bit set -> no finite estimate (NULL, not crash)
+    val sat = Sketches.bloomFillReport(df, "it", m = 4, k = 3).collect()(0)
+    if (sat.getLong(2) == 4L) assert(sat.isNullAt(5))
+  }
+
+  test("reach curve: hand-built path graph, per-root cumulative counts, truncation") {
+    // path 1-2-3-4-5 plus isolated-ish edge 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val df = spark.createDataFrame(
+      edges.map { case (a, b) => org.apache.spark.sql.Row(a, b) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType))))
+    // roots: nodes divisible by 5 -> {5, 10}
+    val got = Graph.reachCurve(df, "a", "b", col("node") % 5 === 0, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // root 5: hop0 {5}, hop1 +{4}, hop2 +{3}; truncation hides 1, 2
+    assert(got((5L, 0L)) == 1 && got((5L, 1L)) == 2 && got((5L, 2L)) == 3)
+    // root 10: hop0 {10}, hop1 +{11}, no hop-2 row (frontier empty)
+    assert(got((10L, 0L)) == 1 && got((10L, 1L)) == 2)
+    assert(!got.contains((10L, 2L)))
+    assert(got.size == 5)
+  }
+
+  test("pow chain SQL: literal left-assoc chain equals math.pow on exact dyadics") {
+    assert(TextOps.powChainSql("x", 1) == "x")
+    assert(TextOps.powChainSql("x", 3) == "((x * x) * x)")
+    // evaluate the generated chain through Spark on a dyadic-exact input
+    val df = spark.sql(s"SELECT ${TextOps.powChainSql("0.5", 16)} AS p")
+    assert(df.collect()(0).getAs[java.math.BigDecimal](0).doubleValue()
+      == math.pow(0.5, 16))
+    // catch-probability chain: s=1 -> 1e6, s=0 -> 0 at any (b, r)
+    val edge = spark.sql(
+      s"SELECT ${TextOps.lshCatchMicroSql("CAST(1.0 AS DOUBLE)", 4, 4)} AS hi, " +
+        s"${TextOps.lshCatchMicroSql("CAST(0.0 AS DOUBLE)", 4, 4)} AS lo")
+      .collect()(0)
+    assert(edge.getLong(0) == 1000000L && edge.getLong(1) == 0L)
+  }
 }
