@@ -7950,6 +7950,45 @@ object SparkEntry {
             .as("missed_micro"))
         .orderBy(col("bands").desc)
     }),
+    "sketch_bloom_setops" -> ((s, dir) => {
+      // mergeable-filter set algebra: English vs non-English token-bigram
+      // Bloom filters (same m = 8192, k = 3 as sketch_bloom_fpr), their
+      // OR-union and the inclusion-exclusion intersection estimate — the
+      // shard-merge shape: per-shard filters OR together bit-by-bit and
+      // the merged audit never re-reads a shard (Sketches.bloomSetOps;
+      // exact counts ride alongside as the gate).
+      val bg = table(s, dir, "documents")
+        .select((col("lang") === "en").as("is_en"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .where(size(col("tk")) >= 2)
+        .select(col("is_en"),
+          explode(expr("transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+            .as("g"))
+      graft.operators.Sketches.bloomSetOps(bg, "is_en", "g", m = 8192, k = 3)
+    }),
+    "text_bigram_condent" -> ((s, dir) =>
+      // per-language bigram entropy rate H(W2|W1) vs unigram entropy
+      // H(W1) in integer micronats (TextAnalysis.conditionalEntropy —
+      // count-weighted quantized surprisals, order-independent sums):
+      // the corpus-level "next-token predictability" complexity signal
+      TextAnalysis.conditionalEntropy(
+          table(s, dir, "documents"), "lang", "text")
+        .withColumnRenamed("g", "lang")
+        .orderBy("lang")),
+    "graph_eff_diameter" -> ((s, dir) => {
+      // truncated eccentricity + 90%-effective diameter per sampled root
+      // (the hop-plot reading of graph_reach_curve, same thinned
+      // co-occurrence fixture — probed non-degenerate at all 3 SFs)
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 4L, maxUserDegree = 1000)
+        .where((col("item_a") * 31 + col("item_b")) % 7 === 0)
+      graft.operators.Graph.effectiveDiameter(co, "item_a", "item_b",
+          col("node") % 11 === 0, rounds = 4)
+        .orderBy("root")
+    }),
     "graph_reach_curve" -> ((s, dir) => {
       // hop plot from sampled roots (Palmer et al. 2002's ANF question):
       // cumulative nodes-within-d for d = 0..4 — the neighborhood-growth
@@ -13399,6 +13438,91 @@ object SparkEntry {
            |SELECT * FROM (
            |  $legs)
            |ORDER BY bands DESC""".stripMargin
+      },
+      "sketch_bloom_setops" -> {
+        val h = "CAST(mod(" + fnvSql("g") +
+          ", CAST('9223372036854775808' AS HUGEINT)) AS BIGINT)"
+        import graft.operators.Sketches.{bloomEstSql, bloomPositionsSql}
+        s"""WITH t AS (SELECT lang = 'en' AS fa,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           |  FROM documents),
+           |d AS (SELECT fa, tk, len(tk) AS n FROM t WHERE len(tk) >= 2),
+           |bg AS (SELECT fa, tk[i] || ' ' || tk[i + 1] AS g FROM (
+           |  SELECT fa, tk, unnest(generate_series(1, n - 1)) AS i FROM d)),
+           |hh AS (SELECT $h AS h,
+           |    CAST(max(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+           |    CAST(max(CASE WHEN fa THEN 0 ELSE 1 END) AS BIGINT) AS in_b
+           |  FROM bg GROUP BY 1),
+           |hx AS (SELECT CAST(SUM(in_a) AS BIGINT) AS n_exact_a,
+           |    CAST(SUM(in_b) AS BIGINT) AS n_exact_b,
+           |    CAST(count(*) AS BIGINT) AS n_exact_union,
+           |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_exact_inter
+           |  FROM hh),
+           |ps AS (SELECT unnest(${bloomPositionsSql("h", 8192, 3)}) AS pos,
+           |    in_a, in_b FROM hh),
+           |pp AS (SELECT pos, max(in_a) AS pa, max(in_b) AS pb
+           |  FROM ps GROUP BY pos),
+           |bb AS (SELECT CAST(SUM(pa) AS BIGINT) AS bits_a,
+           |    CAST(SUM(pb) AS BIGINT) AS bits_b,
+           |    CAST(count(*) AS BIGINT) AS bits_union
+           |  FROM pp),
+           |ee AS (SELECT *,
+           |    CAST(${bloomEstSql("bits_a", 8192, 3, "//")} AS BIGINT) AS est_a,
+           |    CAST(${bloomEstSql("bits_b", 8192, 3, "//")} AS BIGINT) AS est_b,
+           |    CAST(${bloomEstSql("bits_union", 8192, 3, "//")} AS BIGINT)
+           |      AS est_union
+           |  FROM bb CROSS JOIN hx)
+           |SELECT bits_a, bits_b, bits_union, n_exact_a, n_exact_b,
+           |  n_exact_union, n_exact_inter, est_a, est_b, est_union,
+           |  CAST(greatest(est_a + est_b - est_union, 0) AS BIGINT) AS est_inter
+           |FROM ee""".stripMargin
+      },
+      "text_bigram_condent" ->
+        s"""WITH t AS (SELECT lang AS g,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           |  FROM documents),
+           |d AS (SELECT g, tk, len(tk) AS n FROM t WHERE len(tk) >= 2),
+           |bg AS (SELECT g, tk[i] AS w1, tk[i + 1] AS w2 FROM (
+           |  SELECT g, tk, unnest(generate_series(1, n - 1)) AS i FROM d)),
+           |c12 AS (SELECT g, w1, w2, CAST(count(*) AS BIGINT) AS c12
+           |  FROM bg GROUP BY 1, 2, 3),
+           |c1 AS (SELECT g, w1, CAST(SUM(c12) AS BIGINT) AS c1
+           |  FROM c12 GROUP BY 1, 2),
+           |nt AS (SELECT g, CAST(SUM(c12) AS BIGINT) AS nn
+           |  FROM c12 GROUP BY 1),
+           |co AS (SELECT c12.g,
+           |    CAST(SUM(c12.c12 * ${TextOps.microLnSql(
+                "CAST(c1.c1 AS DOUBLE) / CAST(c12.c12 AS DOUBLE)")})
+           |      AS BIGINT) AS sc,
+           |    CAST(count(*) AS BIGINT) AS n_bigrams
+           |  FROM c12 JOIN c1 ON c1.g = c12.g AND c1.w1 = c12.w1
+           |  GROUP BY 1),
+           |un AS (SELECT c1.g,
+           |    CAST(SUM(c1.c1 * ${TextOps.microLnSql(
+                "CAST(nt.nn AS DOUBLE) / CAST(c1.c1 AS DOUBLE)")})
+           |      AS BIGINT) AS su,
+           |    CAST(count(*) AS BIGINT) AS vocab1
+           |  FROM c1 JOIN nt ON nt.g = c1.g GROUP BY 1)
+           |SELECT co.g AS lang, n_bigrams, vocab1,
+           |  CAST(sc // nn AS BIGINT) AS h_cond_micro,
+           |  CAST(su // nn AS BIGINT) AS h_uni_micro
+           |FROM co JOIN un ON un.g = co.g JOIN nt ON nt.g = co.g
+           |ORDER BY lang""".stripMargin,
+      "graph_eff_diameter" -> {
+        val edgesCte =
+          s"""r AS (SELECT DISTINCT user_id AS u,
+             |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS it FROM events),
+             |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM r GROUP BY u)
+             |  WHERE dg > 1000),
+             |kept AS (SELECT * FROM r WHERE u NOT IN (SELECT u FROM pow)),
+             |c AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS co_users
+             |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2),
+             |e0 AS (SELECT item_a AS src, item_b AS dst FROM c
+             |  WHERE co_users >= 4 AND (item_a * 31 + item_b) % 7 = 0),
+             |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)"""
+            .stripMargin
+        graft.operators.Graph.effectiveDiameterSql(edgesCte, "node % 11 = 0",
+          rounds = 4)
       },
       "graph_reach_curve" -> {
         val edgesCte =

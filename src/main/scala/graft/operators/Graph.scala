@@ -867,6 +867,40 @@ object Graph {
        |FROM pc ORDER BY root, hop""".stripMargin
   }
 
+  /** Truncated eccentricity and 90%-effective diameter per sampled root,
+    * derived from [[reachCurve]] (the classic hop-plot reading: the
+    * smallest hop covering ≥ `permille`/1000 of everything the root ever
+    * reaches within `rounds`). `ecc_hop` is the truncated eccentricity —
+    * a LOWER bound on the true one when the frontier is still growing at
+    * the last round. Integer-only; the twin is [[effectiveDiameterSql]].
+    * Output: (root, reached, ecc_hop, eff_hop). */
+  def effectiveDiameter(edges: DataFrame, aCol: String, bCol: String,
+      seed: Column, rounds: Int, permille: Int = 900): DataFrame = {
+    val rc = reachCurve(edges, aCol, bCol, seed, rounds)
+    val tot = rc.groupBy("root")
+      .agg(max("n_within").as("reached"), max("hop").as("ecc_hop"))
+    val eff = rc.join(tot, Seq("root"))
+      .where(col("n_within") * 1000 >= col("reached") * permille)
+      .groupBy("root").agg(min("hop").as("eff_hop"))
+    tot.join(eff, Seq("root"))
+      .select(col("root"), col("reached"), col("ecc_hop"), col("eff_hop"))
+  }
+
+  /** DuckDB twin of [[effectiveDiameter]]: [[reachCurveSql]] as a CTE +
+    * the same max/threshold-min reading. */
+  def effectiveDiameterSql(edgesCte: String, seedWhere: String, rounds: Int,
+      permille: Int = 900): String = {
+    s"""WITH rc AS (${reachCurveSql(edgesCte, seedWhere, rounds)}),
+       |t AS (SELECT root, max(n_within) AS reached, max(hop) AS ecc_hop
+       |  FROM rc GROUP BY root),
+       |e AS (SELECT rc.root, min(hop) AS eff_hop FROM rc
+       |  JOIN t ON t.root = rc.root
+       |  WHERE rc.n_within * 1000 >= t.reached * $permille
+       |  GROUP BY rc.root)
+       |SELECT t.root, reached, ecc_hop, eff_hop FROM t
+       |JOIN e ON e.root = t.root ORDER BY t.root""".stripMargin
+  }
+
   /** Deterministic random walks (the node2vec/DeepWalk corpus-generation
     * primitive): from each seed node, `steps` uniform-neighbor steps where
     * step t of walk w picks neighbor index

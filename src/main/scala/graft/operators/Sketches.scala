@@ -231,6 +231,58 @@ object Sketches {
     (0 until k).map(i => s"(($h1 + $i * $h2) % $m)").mkString("[", ", ", "]")
   }
 
+  /** The Swamidass-Baldi Bloom cardinality estimate
+    * n̂ = −(m/k)·ln(1 − X/m) as ONE expression string valid in both Spark
+    * SQL and DuckDB (`div` is `"DIV"` for Spark, `"//"` for DuckDB — the
+    * only token the dialects disagree on; operands are non-negative so
+    * truncate = floor). ln is quantized to integer micronats before the
+    * single integer division; a saturated filter (X = m) yields NULL. */
+  def bloomEstSql(bits: String, m: Int, k: Int, div: String): String =
+    s"CASE WHEN $bits < $m THEN " +
+      s"((-(CAST(floor(ln(CAST($m - $bits AS DOUBLE) / $m.0) * 1000000 + 0.5)" +
+      s" AS BIGINT))) * $m) $div ${k.toLong * 1000000L} END"
+
+  /** Bloom set-operations audit between two item sets (split by the
+    * boolean `flagCol`: true = A, false = B): the union of two Bloom
+    * filters over the same (m, k) is their bitwise OR — the property
+    * that makes Bloom state MERGEABLE across shards/streams with no
+    * precision loss — and |A∩B| falls out of inclusion-exclusion over
+    * the three cardinality estimates ([[bloomEstSql]]; clamped at 0).
+    * Exact counts ride alongside as the oracle gate.
+    *
+    * Plan: one hash-distinct with membership flags (map-side combined),
+    * one ≤ m-row position aggregation, two 1-row sides crossJoined. At
+    * 100 TB per-shard filters OR together at m bits each; this audit
+    * prices the merged filter without re-reading any shard. */
+  def bloomSetOps(df: DataFrame, flagCol: String, itemCol: String, m: Int,
+      k: Int): DataFrame = {
+    val h = df.select(col(flagCol).as("fa"),
+        positiveHash(encode(col(itemCol), "UTF-8")).as("h"))
+      .groupBy("h")
+      .agg(max(when(col("fa"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("fa"), 0L).otherwise(1L)).as("in_b"))
+    val hx = h.agg(sum(col("in_a")).as("n_exact_a"),
+      sum(col("in_b")).as("n_exact_b"),
+      count(lit(1)).as("n_exact_union"),
+      sum(col("in_a") * col("in_b")).as("n_exact_inter"))
+    val bits = h
+      .select(explode(bloomPositions(col("h"), m, k)).as("pos"),
+        col("in_a"), col("in_b"))
+      .groupBy("pos").agg(max("in_a").as("pa"), max("in_b").as("pb"))
+      .agg(sum(col("pa")).as("bits_a"), sum(col("pb")).as("bits_b"),
+        count(lit(1)).as("bits_union"))
+    bits.crossJoin(hx) // two 1-row sides
+      .withColumn("est_a", expr(bloomEstSql("bits_a", m, k, "DIV")))
+      .withColumn("est_b", expr(bloomEstSql("bits_b", m, k, "DIV")))
+      .withColumn("est_union", expr(bloomEstSql("bits_union", m, k, "DIV")))
+      .withColumn("est_inter",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .select(col("bits_a"), col("bits_b"), col("bits_union"),
+        col("n_exact_a"), col("n_exact_b"), col("n_exact_union"),
+        col("n_exact_inter"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_inter"))
+  }
+
   /** One-row Bloom-filter audit over the distinct items of `itemCol`:
     * build the m-bit filter (as the SET of distinct bit positions — the
     * aggregation collapses to ≤ m rows after map-side combine, never a

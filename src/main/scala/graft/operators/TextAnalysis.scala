@@ -690,4 +690,50 @@ object TextAnalysis {
     }
     (head +: rest).mkString(",\n")
   }
+
+  /** Per-group bigram entropy rate: the conditional entropy
+    * H(W₂|W₁) = Σ c(w₁,w₂)·ln(c(w₁)/c(w₁,w₂)) / N next to the unigram
+    * entropy H(W₁) = Σ c(w₁)·ln(N/c(w₁)) / N, in integer MICROnats —
+    * the "how predictable is the next token" complexity signal that
+    * separates templated/boilerplate text (low rate) from natural prose
+    * at corpus level, complementing the per-document [[entropyStats]].
+    * Each surprisal is quantized ([[TextOps.microLn]]) then weighted by
+    * its exact integer count BEFORE summation, so the reduction is
+    * order-independent and the SQL twin replays it bit-for-bit; the
+    * closing division is integer on non-negative operands.
+    *
+    * The unigram distribution derives FROM the bigram table's left word
+    * (c₁ = Σ_w₂ c₁₂ — one corpus pass total). Plan: one explode + count,
+    * two vocabulary-sized re-aggregations, an equi-join on (g, w₁), and
+    * a per-group-row broadcast of N. Output:
+    * (g, n_bigrams, vocab1, h_cond_micro, h_uni_micro). */
+  def conditionalEntropy(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("g"),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("tk"))
+      .where(size(col("tk")) >= 2)
+    val c12 = toks.select(col("g"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
+        .as("b"))
+      .groupBy(col("g"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // feeds c1, N and the join — materialize once
+    val c1 = c12.groupBy("g", "w1").agg(sum("c12").as("c1"))
+    val nTab = c12.groupBy("g").agg(sum("c12").as("nn"))
+    val cond = c12.join(c1, Seq("g", "w1"))
+      .select(col("g"),
+        (col("c12") * TextOps.microLn(
+          col("c1").cast("double") / col("c12").cast("double"))).as("t"))
+      .groupBy("g").agg(sum("t").as("sc"), count(lit(1)).as("n_bigrams"))
+    val uni = c1.join(broadcast(nTab), Seq("g"))
+      .select(col("g"),
+        (col("c1") * TextOps.microLn(
+          col("nn").cast("double") / col("c1").cast("double"))).as("tu"))
+      .groupBy("g").agg(sum("tu").as("su"), count(lit(1)).as("vocab1"))
+    cond.join(uni, Seq("g")).join(broadcast(nTab), Seq("g"))
+      .select(col("g"), col("n_bigrams"), col("vocab1"),
+        expr("sc DIV nn").as("h_cond_micro"),
+        expr("su DIV nn").as("h_uni_micro"))
+  }
 }

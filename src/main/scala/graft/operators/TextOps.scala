@@ -44,6 +44,18 @@ object TextOps {
   def milliLnSql(x: String): String =
     s"CAST(floor((CAST(floor(ln($x) * 1000000 + 0.5) AS BIGINT) + 500) / 1000.0) AS BIGINT)"
 
+  /** `ln(x)` quantized to integer MICROnats — [[milliLn]]'s inner step,
+    * exposed for operators that weight each surprisal by an exact integer
+    * count BEFORE summation (entropy-rate family): the weighted sum of
+    * micro-integers is order-independent, and the grain argument from
+    * [[milliLn]]'s scaladoc applies unchanged. */
+  def microLn(x: Column): Column =
+    floor(log(x) * lit(1e6) + lit(0.5)).cast("long")
+
+  /** DuckDB twin of [[microLn]], generated from the same formula. */
+  def microLnSql(x: String): String =
+    s"CAST(floor(ln($x) * 1000000 + 0.5) AS BIGINT)"
+
   /** Deterministic per-permutation coefficients (odd multipliers derived
     * from the golden-ratio constant, reduced mod P). */
   def hashCoeffs(n: Int): Seq[(Long, Long)] =

@@ -1531,4 +1531,23 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
   }
+
+  test("bloom setops: position/hash aggregations, no corpus-scale merge join") {
+    val plan = planOf("sketch_bloom_setops")
+    assert(plan.contains("HashAggregate"), s"missing aggregation:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-scale join in a 1-row report:\n$plan")
+  }
+
+  test("conditional entropy: vocab-sized equi-joins, never all-pairs") {
+    val plan = planOf("text_bigram_condent")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+  }
+
+  test("effective diameter: frontier equi-joins + per-root aggregates only") {
+    val plan = planOf("graph_eff_diameter")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+  }
 }

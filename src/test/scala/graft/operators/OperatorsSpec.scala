@@ -1905,6 +1905,67 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 5)
   }
 
+  test("bloom set ops: exact overlap arithmetic, union bits dominate, estimates bracket") {
+    val rows = ((0L until 10L).map(i => (true, s"x$i")) ++
+      (5L until 15L).map(i => (false, s"x$i")))
+    val df = spark.createDataFrame(
+      rows.map { case (f, it) => org.apache.spark.sql.Row(f, it) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fa",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("it",
+          org.apache.spark.sql.types.StringType))))
+    val r = Sketches.bloomSetOps(df, "fa", "it", m = 1024, k = 3).collect()(0)
+    // A = x0..x9, B = x5..x14: |A|=10 |B|=10 |A∪B|=15 |A∩B|=5
+    assert(r.getLong(3) == 10 && r.getLong(4) == 10 &&
+      r.getLong(5) == 15 && r.getLong(6) == 5, r.toString)
+    // union filter bits dominate both sides (bitwise-OR property)
+    assert(r.getLong(2) >= r.getLong(0) && r.getLong(2) >= r.getLong(1))
+    // estimates at this fill are near-exact; inclusion-exclusion lands ±2
+    assert(math.abs(r.getLong(10) - 5L) <= 2, s"est_inter=${r.getLong(10)}")
+  }
+
+  test("conditional entropy: deterministic successors give zero rate; scalar replay") {
+    def micro(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val df = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row("g1", "a b a b a b"),
+        org.apache.spark.sql.Row("g2", "a b a c")).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val out = TextAnalysis.conditionalEntropy(df, "lang", "text").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // g1: bigrams ab(3), ba(2); every w1 has ONE successor -> H(W2|W1)=0
+    val (nb1, v1, hc1, hu1) = out("g1")
+    assert(nb1 == 2 && v1 == 2 && hc1 == 0)
+    assert(hu1 == (3 * micro(5.0 / 3) + 2 * micro(5.0 / 2)) / 5)
+    // g2: ab, ba, ac; c1(a)=2 -> hcond = (ln2 + 0 + ln2)/3 in micros
+    val (nb2, v2, hc2, _) = out("g2")
+    assert(nb2 == 3 && v2 == 2)
+    assert(hc2 == 2 * micro(2.0) / 3, s"hc2=$hc2")
+  }
+
+  test("effective diameter: path graph thresholds at 90% and 60%") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val df = spark.createDataFrame(
+      edges.map { case (a, b) => org.apache.spark.sql.Row(a, b) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType))))
+    val r90 = Graph.effectiveDiameter(df, "a", "b",
+      col("node") === 5L, rounds = 4).collect()(0)
+    // from 5: reach 1,2,3,4,5 over hops 0..4
+    assert(r90.getLong(1) == 5 && r90.getLong(2) == 4 && r90.getLong(3) == 4)
+    val r60 = Graph.effectiveDiameter(df, "a", "b",
+      col("node") === 5L, rounds = 4, permille = 600).collect()(0)
+    assert(r60.getLong(3) == 2, s"60% diameter: ${r60.getLong(3)}")
+  }
+
   test("pow chain SQL: literal left-assoc chain equals math.pow on exact dyadics") {
     assert(TextOps.powChainSql("x", 1) == "x")
     assert(TextOps.powChainSql("x", 3) == "((x * x) * x)")
