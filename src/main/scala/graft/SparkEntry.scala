@@ -7989,6 +7989,46 @@ object SparkEntry {
           col("node") % 11 === 0, rounds = 4)
         .orderBy("root")
     }),
+    "graph_four_cycles" -> ((s, dir) => {
+      // wedge/4-cycle census on the thinned co-occurrence graph — the
+      // quadrilateral community signal triangles miss (bipartite co-visit
+      // structure closes 4-cycles, not 3-cycles). Top-20 endpoint pairs
+      // by wedge count, the total riding as a 1-row broadcast column.
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 4L, maxUserDegree = 1000)
+        .where((col("item_a") * 31 + col("item_b")) % 7 === 0)
+      graft.operators.Graph.fourCycles(co, "item_a", "item_b")
+        .orderBy(col("wedges").desc, col("a"), col("c")).limit(20)
+    }),
+    "text_gini_vocab" -> ((s, dir) => {
+      // Gini concentration of per-language bigram mass (the inequality
+      // reading of the Zipf curve): vocab ranked ASCENDING by count, the
+      // exact integer numerator Σ(2i − n − 1)·cᵢ (non-negative by the
+      // rearrangement inequality), one integer division. The rank window
+      // partitions by language over the VOCAB — bounded, never the
+      // corpus.
+      import org.apache.spark.sql.expressions.Window
+      val bg = table(s, dir, "documents")
+        .select(col("lang"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .where(size(col("tk")) >= 2)
+        .select(col("lang"),
+          explode(expr("transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+            .as("g"))
+      val vocab = bg.groupBy("lang", "g").agg(count(lit(1)).as("n"))
+      val ranked = vocab.withColumn("i", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n").asc, col("g"))))
+      ranked.groupBy("lang")
+        .agg(count(lit(1)).as("n_vocab"), sum(col("n")).as("total"),
+          sum((col("i") * 2 - 1) * col("n")).as("wsum"))
+        .select(col("lang"), col("n_vocab"), col("total"),
+          expr("(1000000 * (wsum - n_vocab * total)) DIV (n_vocab * total)")
+            .as("gini_micro"))
+        .orderBy("lang")
+    }),
     "graph_reach_curve" -> ((s, dir) => {
       // hop plot from sampled roots (Palmer et al. 2002's ANF question):
       // cumulative nodes-within-d for d = 0..4 — the neighborhood-growth
@@ -13508,6 +13548,41 @@ object SparkEntry {
            |  CAST(su // nn AS BIGINT) AS h_uni_micro
            |FROM co JOIN un ON un.g = co.g JOIN nt ON nt.g = co.g
            |ORDER BY lang""".stripMargin,
+      "graph_four_cycles" -> {
+        val edgesCte =
+          s"""r AS (SELECT DISTINCT user_id AS u,
+             |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS it FROM events),
+             |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM r GROUP BY u)
+             |  WHERE dg > 1000),
+             |kept AS (SELECT * FROM r WHERE u NOT IN (SELECT u FROM pow)),
+             |c0 AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS co_users
+             |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2),
+             |e0 AS (SELECT item_a AS src, item_b AS dst FROM c0
+             |  WHERE co_users >= 4 AND (item_a * 31 + item_b) % 7 = 0),
+             |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)"""
+            .stripMargin
+        s"""SELECT * FROM (${graft.operators.Graph.fourCyclesSql(edgesCte)})
+           |ORDER BY wedges DESC, a, c LIMIT 20""".stripMargin
+      },
+      "text_gini_vocab" ->
+        """WITH t AS (SELECT lang,
+          |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          |  FROM documents),
+          |d AS (SELECT lang, tk, len(tk) AS n FROM t WHERE len(tk) >= 2),
+          |bg AS (SELECT lang, tk[i] || ' ' || tk[i + 1] AS g FROM (
+          |  SELECT lang, tk, unnest(generate_series(1, n - 1)) AS i FROM d)),
+          |v AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS n
+          |  FROM bg GROUP BY 1, 2),
+          |rk AS (SELECT lang, n, CAST(row_number() OVER (
+          |    PARTITION BY lang ORDER BY n ASC, g) AS BIGINT) AS i FROM v),
+          |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab,
+          |    CAST(SUM(n) AS BIGINT) AS total,
+          |    CAST(SUM((i * 2 - 1) * n) AS BIGINT) AS wsum
+          |  FROM rk GROUP BY lang)
+          |SELECT lang, n_vocab, total,
+          |  CAST((1000000 * (wsum - n_vocab * total))
+          |    // (n_vocab * total) AS BIGINT) AS gini_micro
+          |FROM a ORDER BY lang""".stripMargin,
       "graph_eff_diameter" -> {
         val edgesCte =
           s"""r AS (SELECT DISTINCT user_id AS u,

@@ -867,6 +867,47 @@ object Graph {
        |FROM pc ORDER BY root, hop""".stripMargin
   }
 
+  /** Wedge census + 4-cycle counts (the quadrilateral sibling of
+    * [[triangleCounts]]): for every unordered endpoint pair (a, c) the
+    * number of 2-paths a–m–c (`wedges`), the 4-cycles through that pair
+    * C(wedges, 2) — each 4-cycle has two diagonal pairs, so the graph
+    * total is Σ C(w,2)/2 (always even; integer division exact) — and the
+    * graph total alongside (1-row broadcast). Bipartite-ish co-visit
+    * structure shows up as 4-cycles where triangles are absent, which is
+    * why both censuses matter for community triage.
+    *
+    * Plan: ONE equi-join of the symmetrized edge list on the middle node
+    * (Σ deg² fan-out, the [[triangleCounts]] bound — orient by degree at
+    * extreme scale), one map-side-combined (a, c) aggregation, one 1-row
+    * total. Integer-only; the twin unrolls identically. Output:
+    * (a, c, wedges, c4_pair, c4_total). */
+  def fourCycles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = symmetrize(edges, aCol, bCol).localCheckpoint()
+    val left = e.select(col("src").as("a"), col("dst").as("m"))
+    val right = e.select(col("src").as("m"), col("dst").as("c"))
+    val wc = left.join(right, Seq("m")).where(col("a") < col("c"))
+      .groupBy("a", "c").agg(count(lit(1)).as("wedges"))
+      .withColumn("c4_pair", expr("wedges * (wedges - 1) DIV 2"))
+    val tot = wc.agg(sum(col("c4_pair")).as("s"))
+      .select(expr("s DIV 2").as("c4_total"))
+    wc.crossJoin(broadcast(tot)) // 1-row side
+      .select(col("a"), col("c"), col("wedges"), col("c4_pair"),
+        col("c4_total"))
+  }
+
+  /** DuckDB twin of [[fourCycles]]. `edgesCte` must end with a
+    * SYMMETRIZED relation `e(src, dst)`. */
+  def fourCyclesSql(edgesCte: String): String =
+    s"""WITH $edgesCte,
+       |w AS (SELECT l.src AS a, r.dst AS c FROM e l
+       |  JOIN e r ON r.src = l.dst WHERE l.src < r.dst),
+       |wc AS (SELECT a, c, CAST(count(*) AS BIGINT) AS wedges
+       |  FROM w GROUP BY 1, 2),
+       |wp AS (SELECT a, c, wedges,
+       |    CAST(wedges * (wedges - 1) // 2 AS BIGINT) AS c4_pair FROM wc),
+       |t AS (SELECT CAST(SUM(c4_pair) // 2 AS BIGINT) AS c4_total FROM wp)
+       |SELECT a, c, wedges, c4_pair, c4_total FROM wp CROSS JOIN t""".stripMargin
+
   /** Truncated eccentricity and 90%-effective diameter per sampled root,
     * derived from [[reachCurve]] (the classic hop-plot reading: the
     * smallest hop covering ≥ `permille`/1000 of everything the root ever

@@ -1550,4 +1550,19 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
   }
+
+  test("four cycles: middle-node equi-join, 1-row total broadcast only") {
+    val plan = planOf("graph_four_cycles")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // the only nested-loop is the 1-row c4_total broadcast (each node
+    // appears twice in FormattedMode: tree line + detail header)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2,
+      s"unexpected all-pairs join beyond the 1-row total:\n$plan")
+  }
+
+  test("gini vocab: lang-partitioned vocab window, join-free") {
+    val plan = planOf("text_gini_vocab")
+    assert(plan.contains("Window"), s"rank window dropped out:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
 }

@@ -1966,6 +1966,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r60.getLong(3) == 2, s"60% diameter: ${r60.getLong(3)}")
   }
 
+  test("four cycles: square graph counts one cycle via both diagonal pairs") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val df = spark.createDataFrame(
+      edges.map { case (a, b) => org.apache.spark.sql.Row(a, b) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType))))
+    val rows = Graph.fourCycles(df, "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the square 1-2-3-4: only diagonal pairs carry wedges (2 middles each)
+    assert(rows.keySet == Set((1L, 3L), (2L, 4L)), rows.toString)
+    assert(rows((1L, 3L)) == ((2L, 1L, 1L)) && rows((2L, 4L)) == ((2L, 1L, 1L)))
+  }
+
   test("pow chain SQL: literal left-assoc chain equals math.pow on exact dyadics") {
     assert(TextOps.powChainSql("x", 1) == "x")
     assert(TextOps.powChainSql("x", 3) == "((x * x) * x)")
