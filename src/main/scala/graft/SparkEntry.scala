@@ -7989,6 +7989,47 @@ object SparkEntry {
           col("node") % 11 === 0, rounds = 4)
         .orderBy("root")
     }),
+    "dedup_savings" -> ((s, dir) => {
+      // what near-dup removal would actually buy, per source: keep-min
+      // per LSH cluster (dedup_clusters' rule), every other member
+      // removed; docs/chars removed and the micro savings fraction. The
+      // number a storage/training-cost review asks for before green-
+      // lighting a 100 TB dedup pass — candidate discovery stays the
+      // banded equi-join, the report is two source-keyed aggregates.
+      val docs = table(s, dir, "documents")
+      val cc = Dedup.connectedComponents(
+        Dedup.minHashLshPairs(docs, "doc_id", "text",
+          k = 5, bands = 4, rowsPerBand = 4))
+      val removed = cc.where(col("node") =!= col("lbl"))
+        .select(col("node").as("doc_id"))
+      val r = docs.join(removed, Seq("doc_id"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("docs_removed"),
+          sum(col("n_chars")).as("chars_removed"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("docs_total"), sum(col("n_chars")).as("chars_total"))
+        .join(r, Seq("source"), "left")
+        .withColumn("docs_removed", coalesce(col("docs_removed"), lit(0L)))
+        .withColumn("chars_removed", coalesce(col("chars_removed"), lit(0L)))
+        .select(col("source"), col("docs_total"), col("docs_removed"),
+          col("chars_total"), col("chars_removed"),
+          expr("(1000000 * chars_removed) DIV chars_total").as("savings_micro"))
+        .orderBy("source")
+    }),
+    "graph_knn_degree" -> ((s, dir) => {
+      // degree-correlation curve knn(k) — the disaggregated view behind
+      // graph_assortativity's single r. Degree VARIANCE needs planting:
+      // the linear modular mask keeps the projection near-regular (2
+      // degree classes at bench SFs — probed), so this fixture thins
+      // with a QUADRATIC residue mask (a² + b) % 5 — non-uniform per
+      // node, 27-39 degree classes at all 3 SFs (probed).
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 4L, maxUserDegree = 1000)
+        .where((col("item_a") * col("item_a") + col("item_b")) % 5 === 0)
+      graft.operators.Graph.knnDegree(co, "item_a", "item_b")
+        .orderBy("deg")
+    }),
     "graph_four_cycles" -> ((s, dir) => {
       // wedge/4-cycle census on the thinned co-occurrence graph — the
       // quadrilateral community signal triangles miss (bipartite co-visit
@@ -13548,6 +13589,39 @@ object SparkEntry {
            |  CAST(su // nn AS BIGINT) AS h_uni_micro
            |FROM co JOIN un ON un.g = co.g JOIN nt ON nt.g = co.g
            |ORDER BY lang""".stripMargin,
+      "dedup_savings" ->
+        s"""$lshReachCtes,
+           |cc AS (SELECT node AS doc_id, min(lbl) AS lbl FROM reach GROUP BY node),
+           |rm AS (SELECT doc_id FROM cc WHERE doc_id <> lbl),
+           |ra AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_removed,
+           |    CAST(SUM(n_chars) AS BIGINT) AS chars_removed
+           |  FROM documents JOIN rm USING (doc_id) GROUP BY source),
+           |ta AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_total,
+           |    CAST(SUM(n_chars) AS BIGINT) AS chars_total
+           |  FROM documents GROUP BY source)
+           |SELECT ta.source, docs_total,
+           |  CAST(coalesce(docs_removed, 0) AS BIGINT) AS docs_removed,
+           |  chars_total,
+           |  CAST(coalesce(chars_removed, 0) AS BIGINT) AS chars_removed,
+           |  CAST((1000000 * coalesce(chars_removed, 0)) // chars_total
+           |    AS BIGINT) AS savings_micro
+           |FROM ta LEFT JOIN ra ON ra.source = ta.source
+           |ORDER BY ta.source""".stripMargin,
+      "graph_knn_degree" -> {
+        val edgesCte =
+          s"""r AS (SELECT DISTINCT user_id AS u,
+             |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS it FROM events),
+             |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM r GROUP BY u)
+             |  WHERE dg > 1000),
+             |kept AS (SELECT * FROM r WHERE u NOT IN (SELECT u FROM pow)),
+             |c AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS co_users
+             |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2),
+             |e0 AS (SELECT item_a AS src, item_b AS dst FROM c
+             |  WHERE co_users >= 4 AND (item_a * item_a + item_b) % 5 = 0),
+             |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)"""
+            .stripMargin
+        graft.operators.Graph.knnDegreeSql(edgesCte)
+      },
       "graph_four_cycles" -> {
         val edgesCte =
           s"""r AS (SELECT DISTINCT user_id AS u,

@@ -908,6 +908,43 @@ object Graph {
        |t AS (SELECT CAST(SUM(c4_pair) // 2 AS BIGINT) AS c4_total FROM wp)
        |SELECT a, c, wedges, c4_pair, c4_total FROM wp CROSS JOIN t""".stripMargin
 
+  /** Degree-correlation curve knn(k) (Pastor-Satorras et al. 2001 — the
+    * disaggregated view whose single-number summary is
+    * [[degreeProfile]]-fed assortativity): for each degree class k, the
+    * mean over degree-k nodes of their mean neighbor degree. Rising
+    * knn(k) = assortative (hubs link hubs), falling = disassortative.
+    * Integer micro discipline: per node `1e6·Σ nbr_deg DIV deg` (exact,
+    * non-negative), per class one more integer mean — both engines
+    * replay bit-for-bit. Plan: one degree aggregate, one equi-join of
+    * the edge list onto it, two map-side-combined aggregations — linear
+    * in edges at any scale. Output: (deg, n_nodes, knn_micro). */
+  def knnDegree(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = symmetrize(edges, aCol, bCol).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val perNode = e
+      .join(deg.select(col("src").as("dst"), col("deg").as("nd")), Seq("dst"))
+      .groupBy("src").agg(sum(col("nd")).as("snd"))
+      .join(deg, Seq("src"))
+      .select(col("deg"), expr("(1000000 * snd) DIV deg").as("mnd_micro"))
+    perNode.groupBy("deg")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("mnd_micro")).as("sm"))
+      .select(col("deg"), col("n_nodes"),
+        expr("sm DIV n_nodes").as("knn_micro"))
+  }
+
+  /** DuckDB twin of [[knnDegree]]. `edgesCte` must end with a
+    * SYMMETRIZED relation `e(src, dst)`. */
+  def knnDegreeSql(edgesCte: String): String =
+    s"""WITH $edgesCte,
+       |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |pn AS (SELECT e.src, CAST((1000000 * SUM(d2.deg)) // MAX(d1.deg)
+       |      AS BIGINT) AS mnd_micro, MAX(d1.deg) AS deg
+       |  FROM e JOIN dg d1 ON d1.src = e.src JOIN dg d2 ON d2.src = e.dst
+       |  GROUP BY e.src)
+       |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(mnd_micro) // count(*) AS BIGINT) AS knn_micro
+       |FROM pn GROUP BY deg ORDER BY deg""".stripMargin
+
   /** Truncated eccentricity and 90%-effective diameter per sampled root,
     * derived from [[reachCurve]] (the classic hop-plot reading: the
     * smallest hop covering ≥ `permille`/1000 of everything the root ever

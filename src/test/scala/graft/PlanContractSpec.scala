@@ -1560,6 +1560,18 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected all-pairs join beyond the 1-row total:\n$plan")
   }
 
+  test("dedup savings: banded discovery + source aggregates, never all-pairs") {
+    val plan = planOf("dedup_savings")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+  }
+
+  test("knn degree: degree-table equi-joins only, two combined aggregations") {
+    val plan = planOf("graph_knn_degree")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+  }
+
   test("gini vocab: lang-partitioned vocab window, join-free") {
     val plan = planOf("text_gini_vocab")
     assert(plan.contains("Window"), s"rank window dropped out:\n$plan")

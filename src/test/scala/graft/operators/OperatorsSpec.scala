@@ -1983,6 +1983,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows((1L, 3L)) == ((2L, 1L, 1L)) && rows((2L, 4L)) == ((2L, 1L, 1L)))
   }
 
+  test("knn degree: star graph separates hub and leaf classes exactly") {
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val df = spark.createDataFrame(
+      edges.map { case (a, b) => org.apache.spark.sql.Row(a, b) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType))))
+    val got = Graph.knnDegree(df, "a", "b").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // hub (deg 3): neighbors all deg 1 -> knn = 1e6; leaves (deg 1):
+    // neighbor is the deg-3 hub -> knn = 3e6
+    assert(got(3L) == ((1L, 1000000L)) && got(1L) == ((3L, 3000000L)), got)
+  }
+
   test("pow chain SQL: literal left-assoc chain equals math.pow on exact dyadics") {
     assert(TextOps.powChainSql("x", 1) == "x")
     assert(TextOps.powChainSql("x", 3) == "((x * x) * x)")
