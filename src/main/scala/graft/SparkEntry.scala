@@ -7989,6 +7989,38 @@ object SparkEntry {
           col("node") % 11 === 0, rounds = 4)
         .orderBy("root")
     }),
+    "sim_bitext_mine" -> ((s, dir) => {
+      // margin-based bitext candidate mining (the LASER/CCMatrix shape,
+      // Artetxe & Schwenk 2019): for each sampled non-English document,
+      // its two nearest ENGLISH neighbors in embedding space; a pair is
+      // a translation candidate when the best cosine clears the
+      // runner-up by a margin (absolute-margin variant, integer micros —
+      // cross-engine exact). Brute force against the English side is the
+      // oracle-able baseline; at 100 TB the same margin test runs inside
+      // IVF cells (sim_ivf_search's machinery) — candidate generation
+      // changes, the acceptance rule does not.
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val lv = table(s, dir, "embeddings")
+        .join(docs, col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("lang"), col("embedding"))
+      val q = lv.where(col("lang") =!= "en" && col("vec_id") % 7 === 0)
+      val c = lv.where(col("lang") === "en")
+      val tk = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", k = 2)
+      val m1 = tk.where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("best_en"),
+          expr("CAST(floor(cosine * 1000000 + 0.5) AS BIGINT)").as("cos1_micro"))
+      val m2 = tk.where(col("rank") === 2)
+        .select(col("query_id"),
+          expr("CAST(floor(cosine * 1000000 + 0.5) AS BIGINT)").as("cos2_micro"))
+      m1.join(m2, Seq("query_id"))
+        .join(docs.select(col("doc_id").as("query_id"), col("lang")),
+          Seq("query_id"))
+        .select(col("query_id"), col("lang"), col("best_en"),
+          col("cos1_micro"), col("cos2_micro"),
+          (col("cos1_micro") - col("cos2_micro")).as("margin_micro"),
+          (col("cos1_micro") - col("cos2_micro") >= 20000L).as("accepted"))
+        .orderBy("query_id")
+    }),
     "dedup_savings" -> ((s, dir) => {
       // what near-dup removal would actually buy, per source: keep-min
       // per LSH cluster (dedup_clusters' rule), every other member
@@ -13589,6 +13621,31 @@ object SparkEntry {
            |  CAST(su // nn AS BIGINT) AS h_uni_micro
            |FROM co JOIN un ON un.g = co.g JOIN nt ON nt.g = co.g
            |ORDER BY lang""".stripMargin,
+      "sim_bitext_mine" -> {
+        def cosSql(a: String, b: String): String =
+          s"floor((${dotSql(a, b)}) /" +
+            s" (sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)})) * 1000000 + 0.5) / 1000000"
+        s"""WITH lv AS (SELECT e.vec_id, d.lang, e.embedding
+           |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+           |q AS (SELECT * FROM lv WHERE lang <> 'en' AND vec_id % 7 = 0),
+           |c AS (SELECT * FROM lv WHERE lang = 'en'),
+           |s AS (SELECT l.vec_id AS query_id, l.lang, r.vec_id AS neighbor_id,
+           |    CAST(floor((${cosSql("l", "r")}) * 1000000 + 0.5) AS BIGINT)
+           |      AS cm
+           |  FROM q l JOIN c r ON r.vec_id <> l.vec_id),
+           |f AS (SELECT query_id, lang, neighbor_id, cm,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cm DESC, neighbor_id) AS rnk
+           |  FROM s),
+           |m1 AS (SELECT query_id, lang, neighbor_id AS best_en,
+           |    cm AS cos1_micro FROM f WHERE rnk = 1),
+           |m2 AS (SELECT query_id, cm AS cos2_micro FROM f WHERE rnk = 2)
+           |SELECT m1.query_id, m1.lang, best_en, cos1_micro, cos2_micro,
+           |  cos1_micro - cos2_micro AS margin_micro,
+           |  cos1_micro - cos2_micro >= 20000 AS accepted
+           |FROM m1 JOIN m2 ON m2.query_id = m1.query_id
+           |ORDER BY m1.query_id""".stripMargin
+      },
       "dedup_savings" ->
         s"""$lshReachCtes,
            |cc AS (SELECT node AS doc_id, min(lbl) AS lbl FROM reach GROUP BY node),

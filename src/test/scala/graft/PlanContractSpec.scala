@@ -1560,6 +1560,15 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected all-pairs join beyond the 1-row total:\n$plan")
   }
 
+  test("bitext mine: query side broadcast, id-keyed rank-pivot equi-joins") {
+    val plan = planOf("sim_bitext_mine")
+    // bruteForceTopK's non-equi (id <> id) join must broadcast the
+    // bounded QUERY sample, never shuffle the corpus against itself
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the broadcast scored join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("dedup savings: banded discovery + source aggregates, never all-pairs") {
     val plan = planOf("dedup_savings")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
