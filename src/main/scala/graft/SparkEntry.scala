@@ -29,6 +29,29 @@ object SparkEntry {
   private val vocabCoverageKs = Seq(10, 50, 200, 800)
   private val kAnonKs = Seq(2, 5, 10, 20)
 
+  /** The k-anonymity report over a QI GROUP table (one row per group,
+    * member count `n`) — shared by the batch audit
+    * (pipeline_k_anonymity) and its streaming twin (stream_k_anonymity)
+    * so the two semantics can never drift. All conditional sums run over
+    * the |groups|-row table, never the corpus. */
+  private def kAnonReport(g: DataFrame): DataFrame = {
+    val ks = kAnonKs
+    val aggCols = sum(col("n")).as("docs_total") +:
+      ks.flatMap(k => Seq(
+        sum(when(col("n") < k, 1L).otherwise(0L)).as(s"gv$k"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as(s"dv$k")))
+    val aggd = g.agg(count(lit(1)).as("groups_total"), aggCols: _*)
+    aggd.selectExpr(
+        s"stack(${ks.size}, " +
+          ks.map(k => s"CAST($k AS BIGINT), gv$k, dv$k").mkString(", ") +
+          ") AS (k, groups_violating, docs_at_risk)",
+        "groups_total", "docs_total")
+      .select(col("k"), col("groups_violating"), col("docs_at_risk"),
+        col("groups_total"), col("docs_total"),
+        expr("(1000000 * docs_at_risk) DIV docs_total").as("risk_micro"))
+      .orderBy("k")
+  }
+
   private def events(spark: SparkSession, dir: String): DataFrame = {
     // Every events query (and its DuckDB oracle twin, via epoch_ns/epoch_us)
     // assumes ts in the raw-NANOS LongType domain. The testdata has shipped
@@ -7900,23 +7923,38 @@ object SparkEntry {
       // the GROUP table (|groups| rows, never the corpus) and a 1-row
       // broadcast total. Integer-exact throughout.
       val docs = table(s, dir, "documents")
-      val g = docs.groupBy(col("lang"), col("source"),
+      kAnonReport(docs.groupBy(col("lang"), col("source"),
           expr("n_chars DIV 256").as("lb"))
-        .agg(count(lit(1)).as("n"))
-      val ks = kAnonKs
-      val aggCols = sum(col("n")).as("docs_total") +:
-        ks.flatMap(k => Seq(
-          sum(when(col("n") < k, 1L).otherwise(0L)).as(s"gv$k"),
-          sum(when(col("n") < k, col("n")).otherwise(0L)).as(s"dv$k")))
-      val aggd = g.agg(count(lit(1)).as("groups_total"), aggCols: _*)
-      aggd.selectExpr(
-          s"stack(${ks.size}, " +
-            ks.map(k => s"CAST($k AS BIGINT), gv$k, dv$k").mkString(", ") +
-            ") AS (k, groups_violating, docs_at_risk)",
-          "groups_total", "docs_total")
-        .select(col("k"), col("groups_violating"), col("docs_at_risk"),
-          col("groups_total"), col("docs_total"),
-          expr("(1000000 * docs_at_risk) DIV docs_total").as("risk_micro"))
+        .agg(count(lit(1)).as("n")))
+    }),
+    "stream_k_anonymity" -> ((s, dir) => {
+      // the release audit maintained IN-FLIGHT (streamed ≡ batch:
+      // per-(lang, source, bucket) counting is order-independent, so
+      // the final counter table matches pipeline_k_anonymity's whatever
+      // the batch boundaries — the stream_cms_sketch argument). A
+      // stream-static join hangs the QI dims on the doc stream;
+      // complete-mode state is |QI groups| rows forever. The k report
+      // (shared kAnonReport — the two semantics can never drift) runs
+      // on a materialized local relation (memory-sink attribute-id
+      // trap, see stream_heavy_hitters).
+      val dims = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val cnts = parsedDocsStream(s, dir)
+        .select(col("doc_id"), expr("length(text) DIV 256").as("lb"))
+        .join(dims, Seq("doc_id"))
+        .groupBy("lang", "source", "lb").agg(count(lit(1)).as("n"))
+      val rows = runStreamToMemory(s, cnts, "complete") { t =>
+        val g = s.createDataFrame(
+          s.sparkContext.parallelize(t.collect().toSeq, 1), t.schema)
+        kAnonReport(g).collect().toSeq
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("k", LongType),
+        StructField("groups_violating", LongType),
+        StructField("docs_at_risk", LongType),
+        StructField("groups_total", LongType),
+        StructField("docs_total", LongType),
+        StructField("risk_micro", LongType))))
         .orderBy("k")
     }),
     "dedup_lsh_tune" -> ((s, dir) => {
@@ -8133,6 +8171,30 @@ object SparkEntry {
          |          fi -> CAST(ascii(substr($v, fi, 1)) AS HUGEINT))),
          |      (acc, fb) -> mod(xor(acc, fb) * 1099511628211,
          |        CAST('18446744073709551616' AS HUGEINT)))""".stripMargin
+    // k-anonymity twin — shared by the batch audit (pipeline_k_anonymity)
+    // and its streaming equivalent (stream_k_anonymity): per-group
+    // counting is order-independent, so one oracle gates both
+    val kAnonOracleSql = {
+      val sums = kAnonKs.map(k =>
+        s"""CAST(SUM(CASE WHEN n < $k THEN 1 ELSE 0 END) AS BIGINT) AS gv$k,
+           |    CAST(SUM(CASE WHEN n < $k THEN n ELSE 0 END) AS BIGINT) AS dv$k"""
+          .stripMargin).mkString(",\n    ")
+      val legs = kAnonKs.map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS k, gv$k AS groups_violating,
+           |    dv$k AS docs_at_risk, groups_total, docs_total,
+           |    CAST((1000000 * dv$k) // docs_total AS BIGINT) AS risk_micro
+           |  FROM a""".stripMargin).mkString("\n  UNION ALL ")
+      s"""WITH g AS (SELECT lang, source, n_chars // 256 AS lb,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2, 3),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS groups_total,
+         |    CAST(SUM(n) AS BIGINT) AS docs_total,
+         |    $sums
+         |  FROM g)
+         |SELECT * FROM (
+         |  $legs)
+         |ORDER BY k""".stripMargin
+    }
     // forward-decay heavy-hitter twin — shared by the batch report
     // (sketch_decay_topk) and its streaming equivalent
     // (stream_decay_topk), so the two semantics can never drift
@@ -13482,27 +13544,8 @@ object SparkEntry {
            |  $legs)
            |ORDER BY k""".stripMargin
       },
-      "pipeline_k_anonymity" -> {
-        val sums = kAnonKs.map(k =>
-          s"""CAST(SUM(CASE WHEN n < $k THEN 1 ELSE 0 END) AS BIGINT) AS gv$k,
-             |    CAST(SUM(CASE WHEN n < $k THEN n ELSE 0 END) AS BIGINT) AS dv$k"""
-            .stripMargin).mkString(",\n    ")
-        val legs = kAnonKs.map(k =>
-          s"""SELECT CAST($k AS BIGINT) AS k, gv$k AS groups_violating,
-             |    dv$k AS docs_at_risk, groups_total, docs_total,
-             |    CAST((1000000 * dv$k) // docs_total AS BIGINT) AS risk_micro
-             |  FROM a""".stripMargin).mkString("\n  UNION ALL ")
-        s"""WITH g AS (SELECT lang, source, n_chars // 256 AS lb,
-           |    CAST(count(*) AS BIGINT) AS n
-           |  FROM documents GROUP BY 1, 2, 3),
-           |a AS (SELECT CAST(count(*) AS BIGINT) AS groups_total,
-           |    CAST(SUM(n) AS BIGINT) AS docs_total,
-           |    $sums
-           |  FROM g)
-           |SELECT * FROM (
-           |  $legs)
-           |ORDER BY k""".stripMargin
-      },
+      "pipeline_k_anonymity" -> kAnonOracleSql,
+      "stream_k_anonymity" -> kAnonOracleSql,
       "dedup_lsh_tune" -> {
         val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
           s"MIN(${permSql("code", a, b)}) AS mh$j"
