@@ -462,6 +462,34 @@ object SparkEntry {
     })
 
   /** Events in three commits (same thirds as [[vacLog]]) on a fresh
+    * namespace with ONE group ("planner") seeked to commit 1's cuts —
+    * the NON-mutating fixture behind `log_vacuum_plan`: the dry run must
+    * see all three commits on every rerun, so it cannot share
+    * [[vacLog]], which the destructive `log_vacuum` reclaims from. */
+  private def planLog(spark: SparkSession, dir: String): WalrusLog =
+    logCache.getOrElseUpdate((dir, "vacplan"), {
+      val root = Files.createTempDirectory("graft-log-vacplan-").toString
+      val log = new WalrusLog(spark, root,
+        consistency = ReadConsistency.AtLeastOnce(5000), cfg = LogConfig())
+      val ev = events(spark, dir).select(
+        col("event_type").as("topic"),
+        encode(col("props"), "UTF-8").as("value"),
+        col("event_id").as("_seq")).cache()
+      val n = ev.count()
+      val cut1 = n / 3
+      val cut2 = 2 * n / 3
+      log.appendDF(ev.where(col("_seq") < cut1), Some(col("_seq")), FixedTs)
+      val cuts = log.topicNames.map(t => t -> log.totalAppended(t)).toMap
+      log.topicNames.sorted.foreach(t =>
+        log.seek("planner", t, cuts.getOrElse(t, 0L)))
+      log.appendDF(ev.where(col("_seq") >= cut1 && col("_seq") < cut2),
+        Some(col("_seq")), FixedTs)
+      log.appendDF(ev.where(col("_seq") >= cut2), Some(col("_seq")), FixedTs)
+      ev.unpersist()
+      log
+    })
+
+  /** Events in three commits (same thirds as [[vacLog]]) on a fresh
     * namespace with NO consumers — the fixture behind size-based
     * retention (`log_retention_bytes`), which must reclaim storage purely
     * from per-topic payload-byte accounting. */
@@ -8027,6 +8055,30 @@ object SparkEntry {
           col("node") % 11 === 0, rounds = 4)
         .orderBy("root")
     }),
+    "log_vacuum_plan" -> ((s, dir) => {
+      // reclamation DRY RUN: what consumption-based vacuum() and
+      // size-based vacuumToBytes() WOULD reclaim, per commit, priced
+      // from commit metadata only — no data IO, no mutation (the
+      // operator's cost-a-policy-before-running-it surface; see
+      // WalrusLog.vacuumPlan). Size threshold = 2/5 of the smallest
+      // topic's total payload bytes — deterministic, so the oracle
+      // replays both eligibility rules from the events table.
+      val log = planLog(s, dir)
+      val perTopic = log.snapshotManifest()
+        .groupBy(_._2).map { case (_, rs) => rs.map(_._3.bytes).sum }
+      val b = 2L * perTopic.min / 5L
+      val plan = log.vacuumPlan(b)
+      val rows = plan.zipWithIndex.map { case ((_, ce, se, r, by), i) =>
+        Row((i + 1).toLong, ce, se, r, by)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("batch_seq", LongType),
+        StructField("consume_eligible", BooleanType),
+        StructField("size_eligible", BooleanType),
+        StructField("n_rows", LongType),
+        StructField("n_bytes", LongType))))
+        .orderBy("batch_seq")
+    }),
     "sim_bitext_mine" -> ((s, dir) => {
       // margin-based bitext candidate mining (the LASER/CCMatrix shape,
       // Artetxe & Schwenk 2019): for each sampled non-English document,
@@ -13664,6 +13716,33 @@ object SparkEntry {
            |  CAST(su // nn AS BIGINT) AS h_uni_micro
            |FROM co JOIN un ON un.g = co.g JOIN nt ON nt.g = co.g
            |ORDER BY lang""".stripMargin,
+      "log_vacuum_plan" ->
+        """WITH nn AS (SELECT count(*) AS n FROM events),
+          |e AS (SELECT event_type AS t, CAST(length(props) AS BIGINT) AS b,
+          |    CASE WHEN event_id < (SELECT n FROM nn) // 3 THEN 1
+          |         WHEN event_id < (2 * (SELECT n FROM nn)) // 3 THEN 2
+          |         ELSE 3 END AS seq
+          |  FROM events),
+          |st AS (SELECT seq, t, CAST(count(*) AS BIGINT) AS r,
+          |    CAST(SUM(b) AS BIGINT) AS bb FROM e GROUP BY 1, 2),
+          |tt AS (SELECT t, CAST(SUM(bb) AS BIGINT) AS tot FROM st GROUP BY t),
+          |bthr AS (SELECT (2 * min(tot)) // 5 AS bt FROM tt),
+          |cut AS (SELECT t,
+          |    CAST(SUM(CASE WHEN seq = 1 THEN r ELSE 0 END) AS BIGINT) AS cut
+          |  FROM st GROUP BY t),
+          |ends AS (SELECT seq, t, r, bb,
+          |    SUM(r) OVER (PARTITION BY t ORDER BY seq) AS cum,
+          |    SUM(bb) OVER (PARTITION BY t ORDER BY seq) AS cumb
+          |  FROM st),
+          |j AS (SELECT en.seq, en.t, en.r, en.bb, en.cum,
+          |    tt.tot - en.cumb AS suf, c.cut
+          |  FROM ends en JOIN tt ON tt.t = en.t JOIN cut c ON c.t = en.t)
+          |SELECT CAST(seq AS BIGINT) AS batch_seq,
+          |  bool_and(cum <= cut) AS consume_eligible,
+          |  bool_and(suf >= (SELECT bt FROM bthr)) AS size_eligible,
+          |  CAST(SUM(r) AS BIGINT) AS n_rows,
+          |  CAST(SUM(bb) AS BIGINT) AS n_bytes
+          |FROM j GROUP BY seq ORDER BY seq""".stripMargin,
       "sim_bitext_mine" -> {
         def cosSql(a: String, b: String): String =
           s"floor((${dotSql(a, b)}) /" +

@@ -1172,6 +1172,42 @@ class WalrusLog(
     reclaim.map(_.id).sorted
   }
 
+  /** Reclamation DRY RUN (the `VACUUM ... DRY RUN` analogue): what the
+    * consumption-based [[vacuum]] and size-based [[vacuumToBytes]]
+    * policies WOULD reclaim right now, priced per commit from METADATA
+    * only — no data IO, no mutation, so operators can cost a retention
+    * policy before running it. One row per visible commit in id order:
+    * (id, consumptionEligible, sizeEligible(maxTopicBytes), rows,
+    * bytes). The eligibility predicates are the EXACT rules the
+    * destructive paths apply ([[vacuum]]'s all-topics-consumed and
+    * [[vacuumToBytes]]'s strictly-newer suffix-byte test); rows use the
+    * exact per-range counts where recorded, end−start otherwise (exact
+    * for ingest commits). */
+  def vacuumPlan(maxTopicBytes: Long): Seq[(Long, Boolean, Boolean, Long, Long)] =
+    synchronized {
+      val groups = cursors.keys.map(_._1).toSet
+      def minCursor(topic: String): Long =
+        if (groups.isEmpty) 0L
+        else groups.map(g => cursors.getOrElse((g, topic), 0L)).min
+      val vis = visibleCommits.filter(_.topics.nonEmpty).toSeq.sortBy(_.id)
+      val newer = mutable.Map.empty[String, Long]
+      val sizeOk = vis.reverseIterator.map { c =>
+        val ok = c.topics.forall { case (t, _) =>
+          newer.getOrElse(t, 0L) >= maxTopicBytes
+        }
+        c.topics.foreach { case (t, r) =>
+          newer(t) = newer.getOrElse(t, 0L) + r.bytes
+        }
+        c.id -> ok
+      }.toMap
+      vis.map { c =>
+        val consume = c.topics.forall { case (t, r) => r.end <= minCursor(t) }
+        val rows = c.topics.values.map(r => r.rows.getOrElse(r.end - r.start)).sum
+        val bytes = c.topics.values.map(_.bytes).sum
+        (c.id, consume, sizeOk(c.id), rows, bytes)
+      }
+    }
+
   // -------------------------------------------------------------- manifest
   // The rolled-up commit-log checkpoint (the Delta checkpoint / Raft
   // snapshot analogue — reference: distributed-walrus/src/metadata.rs:

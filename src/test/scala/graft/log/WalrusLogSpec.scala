@@ -302,6 +302,29 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.entryCount("t") == 5)
   }
 
+  test("vacuumPlan dry run predicts exactly what the destructive paths reclaim") {
+    val log = new WalrusLog(spark, tempRoot(),
+      consistency = ReadConsistency.StrictlyAtOnce)
+    log.batchAppend("t", (0 until 5).map(i => bytes(s"e$i")))  // 10 B payload
+    log.batchAppend("t", (0 until 5).map(i => bytes(s"f$i")))
+    log.batchAppend("u", (0 until 3).map(i => bytes(s"ggg$i"))) // 12 B payload
+    (0 until 5).foreach(_ => log.readNext("t", checkpoint = true))
+    // size threshold 10: commit 0 has 10 B of newer 't' data -> eligible;
+    // commits 1 (no newer t) and 2 (no newer u) are not
+    val plan = log.vacuumPlan(maxTopicBytes = 10L)
+    assert(plan.map(_._1) == Seq(0L, 1L, 2L))
+    assert(plan.map(_._2) == Seq(true, false, false), s"consume: $plan")
+    assert(plan.map(_._3) == Seq(true, false, false), s"size: $plan")
+    assert(plan.map(_._4) == Seq(5L, 5L, 3L))
+    assert(plan.map(_._5) == Seq(10L, 10L, 12L))
+    // the dry run is not a mutation: a second call sees the same commits
+    assert(log.vacuumPlan(10L) == plan)
+    // and the destructive path reclaims EXACTLY the predicted commits
+    assert(log.vacuum() == plan.collect { case (id, true, _, _, _) => id })
+    // entryCount is the UNREAD count (R6): 5 of t consumed, u untouched
+    assert(log.entryCount("t") == 5 && log.entryCount("u") == 3)
+  }
+
   // at-least-once: cursor persisted every N; replay ≤ N after "crash"
   test("at-least-once persists cursor every N entries") {
     val root = tempRoot()
