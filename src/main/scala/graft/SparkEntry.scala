@@ -8055,6 +8055,61 @@ object SparkEntry {
           col("node") % 11 === 0, rounds = 4)
         .orderBy("root")
     }),
+    "graph_conductance" -> ((s, dir) => {
+      // community QUALITY audit: conductance of the 2-round HashMin
+      // labelling on the thinned co-occurrence graph. 2 rounds is the
+      // POINT: at 3 the labels converge to connected components and
+      // every cut is zero (probed — a no-op report); at 2 the mix is
+      // real (converged fragments at φ = 0 next to still-split labels
+      // with genuine crossing edges, 4-8 communities at every SF).
+      // Low φ = real community; φ near 1 = the label is noise.
+      val co = graft.operators.Graph.cooccurrence(
+        table(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 4L, maxUserDegree = 1000)
+        .where((col("item_a") * 31 + col("item_b")) % 7 === 0)
+      val labels = graft.operators.Graph.labelPropagation(
+        co, "item_a", "item_b", iterations = 2)
+      graft.operators.Graph.conductance(co, "item_a", "item_b", labels)
+        .orderBy("community")
+    }),
+    "sketch_kmv_windows" -> ((s, dir) => {
+      // KMV sketches PARTITIONED BY TIME then merged (the property that
+      // makes per-day sketch tables maintainable at 100 TB: yesterday's
+      // sketches never recompute): per-day bottom-64 distinct-item
+      // sketches + the union sketch computed FROM THE DAY SKETCHES ONLY
+      // (day = -1 row) — bottom-k of unioned bottom-ks equals bottom-k
+      // of everything, which the exact counts alongside gate.
+      import graft.functions.GraftFunctions.bottom_k
+      val it = events(s, dir)
+        .select(expr("ts DIV 86400000000000").as("day"),
+          get_json_object(col("props"), "$.k").as("item"))
+        .where(col("item").isNotNull)
+      // FNV-1a barely diffuses its HIGH bits on 1-2 byte inputs (the raw
+      // item ids cluster at ~0.062 of the hash range -> a 10x-off KMV
+      // estimate, measured); the salted triple form gives the fold
+      // enough rounds to avalanche. Short-input hazard noted in NOTES.
+      val salted = concat(lit("kmv:"), col("item"), lit(":"),
+        col("item"), lit(":"), col("item"))
+      val hashed = it.select(col("day"),
+        graft.operators.Sketches.positiveHash(encode(salted, "UTF-8"))
+          .as("h"))
+      val daySk = hashed.groupBy("day")
+        .agg(bottom_k(col("h"), 64).as("bk"),
+          countDistinct(col("h")).as("n_exact"))
+        .localCheckpoint() // feeds both the day rows and the merge
+      val dayRows = daySk.select(col("day"),
+        size(col("bk")).cast("long").as("k_used"), col("n_exact"),
+        graft.operators.Sketches.kmvEstimate(col("bk"), 64).as("est_distinct"))
+      val merged = daySk.select(explode(col("bk")).as("h"))
+        .agg(bottom_k(col("h"), 64).as("bk"))
+      val mexact = hashed.agg(countDistinct(col("h")).as("n_exact"))
+      val mrow = merged.crossJoin(mexact) // two 1-row sides
+        .select(lit(-1L).as("day"), size(col("bk")).cast("long").as("k_used"),
+          col("n_exact"),
+          graft.operators.Sketches.kmvEstimate(col("bk"), 64).as("est_distinct"))
+      dayRows.unionByName(mrow).orderBy("day")
+    }),
     "log_vacuum_plan" -> ((s, dir) => {
       // reclamation DRY RUN: what consumption-based vacuum() and
       // size-based vacuumToBytes() WOULD reclaim, per commit, priced
@@ -13716,6 +13771,77 @@ object SparkEntry {
            |  CAST(su // nn AS BIGINT) AS h_uni_micro
            |FROM co JOIN un ON un.g = co.g JOIN nt ON nt.g = co.g
            |ORDER BY lang""".stripMargin,
+      "graph_conductance" -> {
+        val rounds = (1 to 2).map { i =>
+          s"""l$i AS (SELECT l.node, least(l.label, min(nb.label)) AS label
+             |  FROM l${i - 1} l JOIN e ON e.src = l.node
+             |  JOIN l${i - 1} nb ON nb.node = e.dst
+             |  GROUP BY l.node, l.label)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH r AS (SELECT DISTINCT user_id AS u,
+           |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS it FROM events),
+           |pow AS (SELECT u FROM (SELECT u, count(*) AS dg FROM r GROUP BY u)
+           |  WHERE dg > 1000),
+           |kept AS (SELECT * FROM r WHERE u NOT IN (SELECT u FROM pow)),
+           |c AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS co_users
+           |  FROM kept a JOIN kept b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2),
+           |e0 AS (SELECT item_a AS src, item_b AS dst FROM c
+           |  WHERE co_users >= 4 AND (item_a * 31 + item_b) % 7 = 0),
+           |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+           |$rounds,
+           |dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+           |  FROM e GROUP BY src),
+           |v AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+           |    CAST(SUM(deg) AS BIGINT) AS vol
+           |  FROM l2 JOIN dg USING (node) GROUP BY label),
+           |tot AS (SELECT CAST(SUM(vol) AS BIGINT) AS voltot FROM v),
+           |ct AS (SELECT la.label, CAST(count(*) AS BIGINT) AS cut
+           |  FROM e JOIN l2 la ON la.node = e.src
+           |  JOIN l2 lb ON lb.node = e.dst
+           |  WHERE la.label <> lb.label GROUP BY la.label)
+           |SELECT v.label AS community, n_nodes, vol,
+           |  CAST(coalesce(ct.cut, 0) AS BIGINT) AS cut,
+           |  CASE WHEN least(vol, voltot - vol) > 0 THEN
+           |    CAST((1000000 * coalesce(ct.cut, 0))
+           |      // least(vol, voltot - vol) AS BIGINT) END AS phi_micro
+           |FROM v LEFT JOIN ct ON ct.label = v.label CROSS JOIN tot
+           |ORDER BY community""".stripMargin
+      },
+      "sketch_kmv_windows" -> {
+        val h = "CAST(mod(" +
+          fnvSql("'kmv:' || item || ':' || item || ':' || item") +
+          ", CAST('9223372036854775808' AS HUGEINT)) AS BIGINT)"
+        s"""WITH it AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+           |    json_extract_string(props, '$$.k') AS item FROM events
+           |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+           |h AS (SELECT DISTINCT day, $h AS h FROM it),
+           |r AS (SELECT day, h,
+           |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
+           |    count(*) OVER (PARTITION BY day) AS nd
+           |  FROM h),
+           |kt AS (SELECT day,
+           |    max(CASE WHEN rn = 64 THEN h END) AS kth,
+           |    CAST(count(CASE WHEN rn <= 64 THEN 1 END) AS BIGINT) AS k_used,
+           |    CAST(max(nd) AS BIGINT) AS n_exact
+           |  FROM r GROUP BY day),
+           |ha AS (SELECT DISTINCT h FROM h),
+           |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+           |    count(*) OVER () AS nd FROM ha),
+           |ka AS (SELECT max(CASE WHEN rn = 64 THEN h END) AS kth,
+           |    CAST(count(CASE WHEN rn <= 64 THEN 1 END) AS BIGINT) AS k_used,
+           |    CAST(max(nd) AS BIGINT) AS n_exact
+           |  FROM ra)
+           |SELECT CAST(day AS BIGINT) AS day, k_used, n_exact,
+           |  ${graft.operators.Sketches.kmvEstimateSql("kth", "k_used", 64)}
+           |    AS est_distinct
+           |FROM kt
+           |UNION ALL
+           |SELECT CAST(-1 AS BIGINT), k_used, n_exact,
+           |  ${graft.operators.Sketches.kmvEstimateSql("kth", "k_used", 64)}
+           |FROM ka
+           |ORDER BY day""".stripMargin
+      },
       "log_vacuum_plan" ->
         """WITH nn AS (SELECT count(*) AS n FROM events),
           |e AS (SELECT event_type AS t, CAST(length(props) AS BIGINT) AS b,

@@ -908,6 +908,38 @@ object Graph {
        |t AS (SELECT CAST(SUM(c4_pair) // 2 AS BIGINT) AS c4_total FROM wp)
        |SELECT a, c, wedges, c4_pair, c4_total FROM wp CROSS JOIN t""".stripMargin
 
+  /** Conductance per community (the standard community-QUALITY audit for
+    * a labelling such as [[labelPropagation]]'s):
+    * φ(S) = cut(S) / min(vol(S), vol(V∖S)) — crossing edges over the
+    * smaller side's degree volume, in integer micros (exact longs, one
+    * integer division; NULL when a community swallows the whole volume).
+    * `labels` is (node, label). Plan: one degree aggregate, two
+    * label-attach equi-joins on the edge endpoints, per-label
+    * map-side-combined aggregates, a 1-row total broadcast — linear in
+    * edges. Output: (community, n_nodes, vol, cut, phi_micro). */
+  def conductance(edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame): DataFrame = {
+    val e = symmetrize(edges, aCol, bCol).localCheckpoint()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val vol = labels.join(deg, Seq("node")).groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("vol"))
+    val tot = vol.agg(sum(col("vol")).as("voltot"))
+    val la = labels.select(col("node").as("src"), col("label").as("la"))
+    val lb = labels.select(col("node").as("dst"), col("label").as("lb"))
+    // each undirected crossing edge has exactly ONE symmetrized copy with
+    // src inside S, so the per-label count IS the cut — no halving
+    val cut = e.join(la, Seq("src")).join(lb, Seq("dst"))
+      .where(col("la") =!= col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("cut"))
+    vol.join(cut, Seq("label"), "left")
+      .withColumn("cut", coalesce(col("cut"), lit(0L)))
+      .crossJoin(broadcast(tot)) // 1-row side
+      .select(col("label").as("community"), col("n_nodes"), col("vol"),
+        col("cut"),
+        expr("CASE WHEN least(vol, voltot - vol) > 0 THEN " +
+          "(1000000 * cut) DIV least(vol, voltot - vol) END").as("phi_micro"))
+  }
+
   /** Degree-correlation curve knn(k) (Pastor-Satorras et al. 2001 — the
     * disaggregated view whose single-number summary is
     * [[degreeProfile]]-fed assortativity): for each degree class k, the

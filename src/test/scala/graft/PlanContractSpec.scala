@@ -1560,6 +1560,23 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected all-pairs join beyond the 1-row total:\n$plan")
   }
 
+  test("conductance: label-attach equi-joins + per-label aggregates only") {
+    val plan = planOf("graph_conductance")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // only nested-loop: the 1-row volume-total broadcast (×2 in
+    // FormattedMode: tree + detail)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2,
+      s"unexpected all-pairs join:\n$plan")
+  }
+
+  test("kmv windows: day-keyed sketch aggregation, merge from sketches only") {
+    val plan = planOf("sketch_kmv_windows")
+    assert(plan.contains("bottom_k") || plan.contains("BottomK"),
+      s"sketch aggregate dropped out:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), s"corpus-scale join:\n$plan")
+  }
+
   test("bitext mine: query side broadcast, id-keyed rank-pivot equi-joins") {
     val plan = planOf("sim_bitext_mine")
     // bruteForceTopK's non-equi (id <> id) join must broadcast the

@@ -1999,6 +1999,52 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == ((1L, 1000000L)) && got(1L) == ((3L, 3000000L)), got)
   }
 
+  test("conductance: two triangles + bridge, hand-computed phi") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val eDf = spark.createDataFrame(
+      edges.map { case (a, b) => org.apache.spark.sql.Row(a, b) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType))))
+    val labels = spark.createDataFrame(
+      Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L, 5L -> 20L, 6L -> 20L)
+        .map { case (n, l) => org.apache.spark.sql.Row(n, l) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.LongType))))
+    val got = Graph.conductance(eDf, "a", "b", labels).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // each side: vol 7 (degrees 2+2+3), cut 1, phi = 1e6/7 = 142857
+    assert(got(10L) == ((3L, 7L, 1L, 142857L)), got)
+    assert(got(20L) == ((3L, 7L, 1L, 142857L)), got)
+  }
+
+  test("kmv sketch merge: bottom-k of unioned day sketches equals global bottom-k") {
+    import graft.functions.GraftFunctions.bottom_k
+    val rows = (0L until 300L).map(i => (i % 5, s"item_${i % 97}"))
+    val df = spark.createDataFrame(
+      rows.map { case (d, it) => org.apache.spark.sql.Row(d, it) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("day",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("it",
+          org.apache.spark.sql.types.StringType))))
+    val hashed = df.select(col("day"),
+      Sketches.positiveHash(encode(col("it"), "UTF-8")).as("h"))
+    val daySk = hashed.groupBy("day").agg(bottom_k(col("h"), 16).as("bk"))
+    val merged = daySk.select(explode(col("bk")).as("h"))
+      .agg(bottom_k(col("h"), 16).as("bk")).collect()(0).getSeq[Long](0)
+    val global = hashed.agg(bottom_k(col("h"), 16).as("bk"))
+      .collect()(0).getSeq[Long](0)
+    assert(merged == global, s"merge property broken:\n$merged\n$global")
+  }
+
   test("pow chain SQL: literal left-assoc chain equals math.pow on exact dyadics") {
     assert(TextOps.powChainSql("x", 1) == "x")
     assert(TextOps.powChainSql("x", 3) == "((x * x) * x)")
