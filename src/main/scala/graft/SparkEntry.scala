@@ -8055,6 +8055,70 @@ object SparkEntry {
           col("node") % 11 === 0, rounds = 4)
         .orderBy("root")
     }),
+    "pipeline_mix_audit" -> ((s, dir) => {
+      // the target → sample → audit loop CLOSED: α=0.5 temperature
+      // weights become per-doc PPS masses (each language's total mass ∝
+      // its target share), the deterministic systematic sampler draws
+      // the shard, and the audit compares ACHIEVED token shares against
+      // the target — the mixture-drift report a sampled pretraining
+      // shard ships with (doc-grained sampling drifts from token-grained
+      // targets exactly by within-language length variation, which this
+      // measures). Integer end-to-end; the twin replays weights, ticks
+      // and shares.
+      val docs = table(s, dir, "documents")
+      val mix = graft.operators.Sharding.temperatureMix(docs, "lang", "text")
+      val nd = docs.groupBy(col("lang").as("domain"))
+        .agg(count(lit(1)).as("n_docs"))
+      val docW = docs.select(col("doc_id"), col("lang").as("domain"),
+          expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)")
+            .as("n_tok"))
+        .join(broadcast(mix.select(col("domain"), col("weight_micro"))
+          .join(nd, Seq("domain"))), Seq("domain"))
+        .select(col("doc_id"), col("domain"), col("n_tok"),
+          greatest(lit(1L), expr("(weight_micro * 1000) DIV n_docs"))
+            .as("weight"))
+        .localCheckpoint() // one row per doc; feeds sampler phases + join
+      val sampled = graft.operators.Sharding.systematicSample(
+        docW, "doc_id", "weight", period = 10000000L)
+      val achieved = sampled.select(col("doc_id"), col("n_ticks"))
+        .join(docW, Seq("doc_id"))
+        .groupBy("domain").agg(sum(col("n_ticks") * col("n_tok"))
+          .as("sample_tokens"))
+      val atot = achieved.agg(sum(col("sample_tokens")).as("st"))
+      mix.select(col("domain"), col("n_tokens"),
+          col("weight_micro").as("target_micro"))
+        .join(achieved, Seq("domain"), "left")
+        .withColumn("sample_tokens", coalesce(col("sample_tokens"), lit(0L)))
+        .crossJoin(broadcast(atot)) // 1-row side
+        .select(col("domain"), col("n_tokens"), col("target_micro"),
+          col("sample_tokens"),
+          expr("(1000000 * sample_tokens) DIV st").as("achieved_micro"),
+          (expr("(1000000 * sample_tokens) DIV st") - col("target_micro"))
+            .as("drift_micro"))
+        .orderBy("domain")
+    }),
+    "text_burstiness" -> ((s, dir) => {
+      // Church-Gale burstiness: tokens-per-document-that-contains-it —
+      // the tf/df ratio that separates topical terms (bursty: many
+      // occurrences in few docs) from function words (spread thin).
+      // Bigram grain (the unigram vocab is 31 tokens); df ≥ 3 for
+      // stability; one corpus explode + one vocab-sized aggregate.
+      val bg = table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .where(size(col("tk")) >= 2)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+            .as("g"))
+      bg.groupBy("g")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .where(col("df") >= 3)
+        .select(col("g"), col("tf"), col("df"),
+          expr("(1000000 * tf) DIV df").as("burst_micro"))
+        .orderBy(col("burst_micro").desc, col("tf").desc, col("g"))
+        .limit(25)
+    }),
     "graph_conductance" -> ((s, dir) => {
       // community QUALITY audit: conductance of the 2-round HashMin
       // labelling on the thinned co-occurrence graph. 2 rounds is the
@@ -13771,6 +13835,61 @@ object SparkEntry {
            |  CAST(su // nn AS BIGINT) AS h_uni_micro
            |FROM co JOIN un ON un.g = co.g JOIN nt ON nt.g = co.g
            |ORDER BY lang""".stripMargin,
+      "pipeline_mix_audit" ->
+        """WITH pd AS (SELECT doc_id, lang AS domain,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+          |      AS BIGINT) AS n_tok
+          |  FROM documents),
+          |tk AS (SELECT domain, SUM(n_tok) AS n_tokens,
+          |    CAST(count(*) AS BIGINT) AS n_docs FROM pd GROUP BY 1),
+          |sm AS (SELECT domain, n_tokens, n_docs,
+          |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+          |      AS s_milli
+          |  FROM tk),
+          |tot AS (SELECT SUM(s_milli) AS s_total FROM sm),
+          |mx AS (SELECT domain, n_tokens, n_docs,
+          |    CAST(s_milli * 1000000 // s_total AS BIGINT) AS weight_micro
+          |  FROM sm, tot),
+          |dw AS (SELECT pd.doc_id, pd.domain, pd.n_tok,
+          |    greatest(1, (mx.weight_micro * 1000) // mx.n_docs) AS weight
+          |  FROM pd JOIN mx ON mx.domain = pd.domain),
+          |c AS (SELECT doc_id, domain, n_tok, weight,
+          |    sum(weight) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl
+          |  FROM dw),
+          |t AS (SELECT doc_id, domain, n_tok, weight, cum_incl,
+          |    cum_incl - weight AS cum_before FROM c),
+          |sel AS (SELECT domain, n_tok,
+          |    (cum_incl - 1) // 10000000 - (cum_before + 9999999) // 10000000 + 1
+          |      AS n_ticks
+          |  FROM t
+          |  WHERE (cum_before + 9999999) // 10000000 <= (cum_incl - 1) // 10000000),
+          |ach AS (SELECT domain, CAST(SUM(n_ticks * n_tok) AS BIGINT)
+          |    AS sample_tokens
+          |  FROM sel GROUP BY domain),
+          |at AS (SELECT CAST(SUM(sample_tokens) AS BIGINT) AS st FROM ach)
+          |SELECT mx.domain, CAST(mx.n_tokens AS BIGINT) AS n_tokens,
+          |  mx.weight_micro AS target_micro,
+          |  CAST(coalesce(ach.sample_tokens, 0) AS BIGINT) AS sample_tokens,
+          |  CAST((1000000 * coalesce(ach.sample_tokens, 0)) // at.st AS BIGINT)
+          |    AS achieved_micro,
+          |  CAST((1000000 * coalesce(ach.sample_tokens, 0)) // at.st
+          |    - mx.weight_micro AS BIGINT) AS drift_micro
+          |FROM mx LEFT JOIN ach ON ach.domain = mx.domain CROSS JOIN at
+          |ORDER BY mx.domain""".stripMargin,
+      "text_burstiness" ->
+        """WITH t AS (SELECT doc_id,
+          |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          |  FROM documents),
+          |d AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) >= 2),
+          |bg AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g FROM (
+          |  SELECT doc_id, tk, unnest(generate_series(1, n - 1)) AS i FROM d)),
+          |v AS (SELECT g, CAST(count(*) AS BIGINT) AS tf,
+          |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          |  FROM bg GROUP BY g)
+          |SELECT g, tf, df, CAST((1000000 * tf) // df AS BIGINT) AS burst_micro
+          |FROM v WHERE df >= 3
+          |ORDER BY burst_micro DESC, tf DESC, g LIMIT 25""".stripMargin,
       "graph_conductance" -> {
         val rounds = (1 to 2).map { i =>
           s"""l$i AS (SELECT l.node, least(l.label, min(nb.label)) AS label

@@ -1560,6 +1560,26 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected all-pairs join beyond the 1-row total:\n$plan")
   }
 
+  test("mix audit: keyed equi-joins + prefix-sum sampler, never all-pairs") {
+    // the sampled-docs ⋈ weights join is doc-keyed and corpus-
+    // proportional — a shuffle join IS the correct scale shape there,
+    // so only all-pairs shapes are banned (the 1-row total broadcast is
+    // the accepted BNLJ, ×2 in FormattedMode)
+    val plan = planOf("pipeline_mix_audit")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // two accepted 1-row crossJoins: temperatureMix's s_total normalizer
+    // and the audit's sample-token total (each ×2 in FormattedMode)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 4,
+      s"unexpected all-pairs join:\n$plan")
+  }
+
+  test("burstiness: one explode + one vocab aggregate, join-free TopN") {
+    val plan = planOf("text_burstiness")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-25 should be TakeOrdered, not sort+limit:\n$plan")
+  }
+
   test("conductance: label-attach equi-joins + per-label aggregates only") {
     val plan = planOf("graph_conductance")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
