@@ -29,6 +29,14 @@ object SparkEntry {
   private val vocabCoverageKs = Seq(10, 50, 200, 800)
   private val kAnonKs = Seq(2, 5, 10, 20)
 
+  /** Benford first-digit expectations `round(log10(1 + 1/d)·10⁶)` as
+    * integer-micro constants — computed ONCE here and stamped into both
+    * the Spark query and its SQL twin, so no query-time log10 can
+    * diverge cross-engine. */
+  private val benfordMicro: Seq[(Long, Long)] =
+    (1 to 9).map(d =>
+      (d.toLong, math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong))
+
   /** The k-anonymity report over a QI GROUP table (one row per group,
     * member count `n`) — shared by the batch audit
     * (pipeline_k_anonymity) and its streaming twin (stream_k_anonymity)
@@ -8055,6 +8063,60 @@ object SparkEntry {
           col("node") % 11 === 0, rounds = 4)
         .orderBy("root")
     }),
+    "sim_ivf_drift" -> ((s, dir) => {
+      // index-maintenance signal: per-cell occupancy drift between two
+      // corpus halves (parity split stands in for old/new ingest) under
+      // the SAME coarse quantizer — cells whose share moved are where an
+      // IVF index needs re-training or re-balancing. One assignment
+      // pass, one cell-keyed aggregate, one 1-row totals broadcast;
+      // integer micro shares, symmetric absolute drift.
+      val a = Similarity.ivfAssign(table(s, dir, "embeddings"),
+          "vec_id", "embedding", nCentroids = 8)
+        .select(col("vec_id"), col("centroid_id").cast("long").as("cid"),
+          (col("vec_id") % 2 === 0).as("is_a"))
+      val cells = a.groupBy("cid")
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"))
+      val tot = cells.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+      cells.crossJoin(broadcast(tot)) // 1-row side
+        .select(col("cid").as("centroid_id"), col("n_a"), col("n_b"),
+          expr("(1000000 * n_a) DIV ta").as("share_a_micro"),
+          expr("(1000000 * n_b) DIV tb").as("share_b_micro"),
+          abs(expr("(1000000 * n_a) DIV ta") - expr("(1000000 * n_b) DIV tb"))
+            .as("drift_micro"))
+        .orderBy("centroid_id")
+    }),
+    "rel_benford" -> ((s, dir) => {
+      // Benford first-digit forensics over order totals — the classic
+      // fabricated-data screen: observed first-significant-digit shares
+      // vs the Benford expectation log10(1 + 1/d). The expectations are
+      // Scala-side integer-micro CONSTANTS stamped into both engines
+      // (never a cross-engine log10 at query time); deviation is exact
+      // integer arithmetic. One narrow scan + a 9-row aggregate.
+      val bf = benfordMicro
+      // first digit via INTEGER string rendering (floor first: DuckDB's
+      // double->bigint CAST rounds while Spark truncates; and double->
+      // string formatting is not a cross-engine contract — int's is)
+      val digits = table(s, dir, "orders")
+        .select(substring(
+          floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("long").as("d"))
+        .where(col("d") >= 1) // defensive: prices are positive
+        .groupBy("d").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("nt"))
+      val bfDf = s.createDataFrame(
+        s.sparkContext.parallelize(bf.map { case (d, m) => Row(d, m) }, 1),
+        StructType(Seq(StructField("d", LongType),
+          StructField("benford_micro", LongType))))
+      digits.join(broadcast(bfDf), Seq("d"))
+        .crossJoin(broadcast(tot)) // 1-row side
+        .select(col("d"), col("n"),
+          expr("(1000000 * n) DIV nt").as("share_micro"),
+          col("benford_micro"),
+          (expr("(1000000 * n) DIV nt") - col("benford_micro"))
+            .as("dev_micro"))
+        .orderBy("d")
+    }),
     "pipeline_mix_audit" -> ((s, dir) => {
       // the target → sample → audit loop CLOSED: α=0.5 temperature
       // weights become per-doc PPS masses (each language's total mass ∝
@@ -13835,6 +13897,47 @@ object SparkEntry {
            |  CAST(su // nn AS BIGINT) AS h_uni_micro
            |FROM co JOIN un ON un.g = co.g JOIN nt ON nt.g = co.g
            |ORDER BY lang""".stripMargin,
+      "sim_ivf_drift" -> {
+        val cells = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${
+            projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim" +
+            " FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH s AS (
+           |  $cells),
+           |r AS (SELECT vec_id, cid, row_number() OVER (
+           |  PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s),
+           |a AS (SELECT vec_id, cid, vec_id % 2 = 0 AS is_a FROM r WHERE rn = 1),
+           |c AS (SELECT cid,
+           |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+           |  FROM a GROUP BY cid),
+           |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+           |    CAST(SUM(n_b) AS BIGINT) AS tb FROM c)
+           |SELECT cid AS centroid_id, n_a, n_b,
+           |  CAST((1000000 * n_a) // ta AS BIGINT) AS share_a_micro,
+           |  CAST((1000000 * n_b) // tb AS BIGINT) AS share_b_micro,
+           |  CAST(abs((1000000 * n_a) // ta - (1000000 * n_b) // tb) AS BIGINT)
+           |    AS drift_micro
+           |FROM c CROSS JOIN t ORDER BY centroid_id""".stripMargin
+      },
+      "rel_benford" -> {
+        val bfRows = benfordMicro.map { case (d, m) =>
+          s"($d, CAST($m AS BIGINT))"
+        }.mkString(", ")
+        s"""WITH dg AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+           |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+           |  FROM orders),
+           |c AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM dg
+           |  WHERE d >= 1 GROUP BY d),
+           |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c),
+           |bf(d, benford_micro) AS (VALUES $bfRows)
+           |SELECT c.d, n, CAST((1000000 * n) // nt AS BIGINT) AS share_micro,
+           |  benford_micro,
+           |  CAST((1000000 * n) // nt - benford_micro AS BIGINT) AS dev_micro
+           |FROM c JOIN bf ON bf.d = c.d CROSS JOIN t
+           |ORDER BY c.d""".stripMargin
+      },
       "pipeline_mix_audit" ->
         """WITH pd AS (SELECT doc_id, lang AS domain,
           |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))

@@ -1580,6 +1580,20 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"top-25 should be TakeOrdered, not sort+limit:\n$plan")
   }
 
+  test("ivf drift: one assignment pass + cell aggregate, 1-row totals only") {
+    val plan = planOf("sim_ivf_drift")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2,
+      s"unexpected all-pairs join beyond the 1-row totals:\n$plan")
+  }
+
+  test("benford: narrow scan + 9-row digit aggregate, broadcast constants") {
+    val plan = planOf("rel_benford")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), s"heavy join in a 9-row report:\n$plan")
+    assert(plan.contains("HashAggregate"), s"missing aggregation:\n$plan")
+  }
+
   test("conductance: label-attach equi-joins + per-label aggregates only") {
     val plan = planOf("graph_conductance")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
