@@ -26,6 +26,9 @@ object SparkEntry {
   // shared parameter lists — defined ONCE so the Spark query and its SQL
   // twin can never disagree on the sweep points
   private val lshTuneCfgs = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+  // literal STRINGS (not doubles), pasted verbatim into both engines so
+  // no float-formatting step sits between the sweep and its twin
+  private val semanticSweepTaus = Seq("0.25", "0.35", "0.60")
   private val vocabCoverageKs = Seq(10, 50, 200, 800)
   private val kAnonKs = Seq(2, 5, 10, 20)
 
@@ -8063,6 +8066,46 @@ object SparkEntry {
           col("node") % 11 === 0, rounds = 4)
         .orderBy("root")
     }),
+    "dedup_semantic_sweep" -> ((s, dir) => {
+      // threshold-selection evidence for SemDeDup (the semantic sibling
+      // of shard_decon_sweep / dedup_lsh_tune): ONE cell-bucketed pair
+      // pass scores exact cosines, then every τ gate is a conditional
+      // aggregate over the scored pairs — candidates are never
+      // re-discovered per threshold. τ literals are shared strings, so
+      // the twin compares the identical decimals.
+      import graft.functions.GraftFunctions.cosine_similarity
+      val emb = table(s, dir, "embeddings")
+      val assigned = emb
+        .join(Similarity.ivfAssign(emb, "vec_id", "embedding", nCentroids = 8),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val a = assigned.select(col("vec_id").as("id_a"),
+        col("embedding").as("v_a"), col("centroid_id"))
+      val b = assigned.select(col("vec_id").as("id_b"),
+        col("embedding").as("v_b"), col("centroid_id"))
+      val scored = a.join(b, Seq("centroid_id"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_b"),
+          TextOps.q6(cosine_similarity(col("v_a"), col("v_b"))).as("cos"))
+      val taus = semanticSweepTaus
+      def tag(t: String): String = t.replace("0.", "")
+      val aggCols = taus.flatMap(t => Seq(
+        sum(when(col("cos") >= expr(t), 1L).otherwise(0L)).as(s"p${tag(t)}"),
+        countDistinct(when(col("cos") >= expr(t), col("id_b")))
+          .as(s"d${tag(t)}")))
+      val aggd = scored.agg(aggCols.head, aggCols.tail: _*)
+      val n = emb.agg(count(lit(1)).as("n_vecs"))
+      aggd.crossJoin(broadcast(n)) // two 1-row sides
+        .selectExpr(
+          s"stack(${taus.size}, " + taus.map(t =>
+            s"CAST(${(t.toDouble * 1000).round} AS BIGINT), " +
+              s"p${tag(t)}, d${tag(t)}").mkString(", ") +
+            ") AS (tau_milli, n_pairs, n_dups)",
+          "n_vecs")
+        .select(col("tau_milli"), col("n_pairs"), col("n_dups"),
+          (col("n_vecs") - col("n_dups")).as("n_keep"))
+        .orderBy("tau_milli")
+    }),
     "sim_ivf_drift" -> ((s, dir) => {
       // index-maintenance signal: per-cell occupancy drift between two
       // corpus halves (parity split stands in for old/new ingest) under
@@ -13897,6 +13940,44 @@ object SparkEntry {
            |  CAST(su // nn AS BIGINT) AS h_uni_micro
            |FROM co JOIN un ON un.g = co.g JOIN nt ON nt.g = co.g
            |ORDER BY lang""".stripMargin,
+      "dedup_semantic_sweep" -> {
+        val cells = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${
+            projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim" +
+            " FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        val cosine = s"floor((${dotSql("a", "b")}) /" +
+          s" (sqrt(${normSqSql("a")}) * sqrt(${normSqSql("b")})) * 1000000 + 0.5) / 1000000"
+        def tag(t: String): String = t.replace("0.", "")
+        val sums = semanticSweepTaus.flatMap(t => Seq(
+          s"CAST(SUM(CASE WHEN cos >= $t THEN 1 ELSE 0 END) AS BIGINT) AS p${tag(t)}",
+          s"CAST(count(DISTINCT CASE WHEN cos >= $t THEN id_b END) AS BIGINT) AS d${tag(t)}"))
+          .mkString(",\n    ")
+        val legs = semanticSweepTaus.map { t =>
+          s"""SELECT CAST(${(t.toDouble * 1000).round} AS BIGINT) AS tau_milli,
+             |    p${tag(t)} AS n_pairs, d${tag(t)} AS n_dups,
+             |    CAST(n_vecs - d${tag(t)} AS BIGINT) AS n_keep FROM ag, nv"""
+            .stripMargin
+        }.mkString("\n  UNION ALL ")
+        s"""WITH s AS (
+           |  $cells),
+           |asg AS (SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s)
+           |  WHERE rn = 1),
+           |sc AS (SELECT b.vec_id AS id_b, $cosine AS cos
+           |  FROM embeddings a JOIN asg aa ON a.vec_id = aa.vec_id
+           |  JOIN asg bb ON aa.cid = bb.cid
+           |  JOIN embeddings b ON b.vec_id = bb.vec_id
+           |  WHERE a.vec_id < b.vec_id),
+           |ag AS (SELECT
+           |    $sums
+           |  FROM sc),
+           |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings)
+           |SELECT * FROM (
+           |  $legs)
+           |ORDER BY tau_milli""".stripMargin
+      },
       "sim_ivf_drift" -> {
         val cells = (0 until 8).map { cIdx =>
           s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${

@@ -1580,6 +1580,15 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"top-25 should be TakeOrdered, not sort+limit:\n$plan")
   }
 
+  test("semantic sweep: one cell-bucketed pair pass feeds all tau gates") {
+    val plan = planOf("dedup_semantic_sweep")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // cell-bucketed pair join only; the 1-row n_vecs crossJoin is the
+    // accepted BNLJ (x2 in FormattedMode)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2,
+      s"unexpected all-pairs join:\n$plan")
+  }
+
   test("ivf drift: one assignment pass + cell aggregate, 1-row totals only") {
     val plan = planOf("sim_ivf_drift")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
