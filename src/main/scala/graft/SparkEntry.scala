@@ -8066,6 +8066,37 @@ object SparkEntry {
           col("node") % 11 === 0, rounds = 4)
         .orderBy("root")
     }),
+    "asof_pit_count" -> ((s, dir) => {
+      // leakage-free point-in-time EXPANDING features (the feature-store
+      // correctness shape next to the asof_* last-value joins): for each
+      // purchase, how many clicks and how many click-cents the same user
+      // had accumulated strictly before it in (ts, event_id) order —
+      // computed with ONE user exchange: both event kinds union into one
+      // ordered stream, an expanding window accumulates click markers,
+      // purchase rows read the accumulator. No range join, no
+      // per-entity re-scan; at 100 TB this is a single keyed window
+      // over the union.
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(1L).as("is_click"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          lit(null).cast("long").as("purchase_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(0L).as("is_click"), lit(0L).as("cents"),
+          col("event_id").as("purchase_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("n_prior_clicks", sum(col("is_click")).over(w))
+        .withColumn("prior_cents", sum(col("cents")).over(w))
+        .where(col("purchase_id").isNotNull)
+        .select(col("purchase_id"), col("user_id"),
+          col("n_prior_clicks"), col("prior_cents"))
+        .orderBy("purchase_id")
+    }),
     "dedup_semantic_sweep" -> ((s, dir) => {
       // threshold-selection evidence for SemDeDup (the semantic sibling
       // of shard_decon_sweep / dedup_lsh_tune): ONE cell-bucketed pair
@@ -13940,6 +13971,30 @@ object SparkEntry {
            |  CAST(su // nn AS BIGINT) AS h_uni_micro
            |FROM co JOIN un ON un.g = co.g JOIN nt ON nt.g = co.g
            |ORDER BY lang""".stripMargin,
+      "asof_pit_count" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn,
+          |    event_type, value FROM events),
+          |u AS (
+          |  SELECT user_id, tsn, event_id, 1 AS is_click,
+          |    CAST(floor(value * 100) AS BIGINT) AS cents,
+          |    CAST(NULL AS BIGINT) AS purchase_id
+          |  FROM ev WHERE event_type = 'click'
+          |  UNION ALL
+          |  SELECT user_id, tsn, event_id, 0, 0, event_id
+          |  FROM ev WHERE event_type = 'purchase'),
+          |w AS (SELECT purchase_id, user_id,
+          |    SUM(is_click) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS n_prior_clicks,
+          |    SUM(cents) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS prior_cents
+          |  FROM u)
+          |SELECT purchase_id, user_id,
+          |  CAST(n_prior_clicks AS BIGINT) AS n_prior_clicks,
+          |  CAST(prior_cents AS BIGINT) AS prior_cents
+          |FROM w WHERE purchase_id IS NOT NULL
+          |ORDER BY purchase_id""".stripMargin,
       "dedup_semantic_sweep" -> {
         val cells = (0 until 8).map { cIdx =>
           s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, floor((${

@@ -1580,6 +1580,12 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"top-25 should be TakeOrdered, not sort+limit:\n$plan")
   }
 
+  test("pit count: one keyed window over the union, no range join") {
+    val plan = planOf("asof_pit_count")
+    assert(plan.contains("Window"), s"expanding window dropped out:\n$plan")
+    assert(!plan.contains("Join"), s"a join crept into the union+window:\n$plan")
+  }
+
   test("semantic sweep: one cell-bucketed pair pass feeds all tau gates") {
     val plan = planOf("dedup_semantic_sweep")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
