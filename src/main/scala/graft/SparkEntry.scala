@@ -8066,6 +8066,31 @@ object SparkEntry {
           col("node") % 11 === 0, rounds = 4)
         .orderBy("root")
     }),
+    "dedup_incremental" -> ((s, dir) => {
+      // incremental-crawl NEAR-dedup (the MinHash sibling of the exact
+      // dedup_bloom_probe gate): the NEW batch (upper half of doc ids)
+      // is checked against the PRIOR corpus only — candidate pairs are
+      // the banded equi-join restricted to prior×new (id_a < id_b plus
+      // the halves split makes the filter exact), so the new batch never
+      // self-joins and the prior corpus's band table is the reusable
+      // index. Flagged new docs report their best prior match by exact
+      // jaccard (q6 + id tiebreak).
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val half = 250L // fixture halves: doc ids are dense 0..n-1, n>=500
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          k = 5, bands = 4, rowsPerBand = 4)
+        .where(col("id_a") < half && col("id_b") >= half)
+      val jac = Dedup.jaccardForPairs(docs, pairs, "doc_id", "text", k = 5)
+        .where(col("jaccard") >= 0.5)
+      val w = Window.partitionBy("id_b")
+        .orderBy(col("jaccard").desc, col("id_a"))
+      jac.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id_b").as("new_id"), col("id_a").as("best_prior"),
+          col("jaccard"))
+        .orderBy("new_id")
+    }),
     "asof_pit_count" -> ((s, dir) => {
       // leakage-free point-in-time EXPANDING features (the feature-store
       // correctness shape next to the asof_* last-value joins): for each
@@ -13971,6 +13996,39 @@ object SparkEntry {
            |  CAST(su // nn AS BIGINT) AS h_uni_micro
            |FROM co JOIN un ON un.g = co.g JOIN nt ON nt.g = co.g
            |ORDER BY lang""".stripMargin,
+      "dedup_incremental" -> {
+        val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(${permSql("code", a, b)}) AS mh$j"
+        }.mkString(",\n  ")
+        val bandKeys = (0 until 4).map { bnd =>
+          (0 until 4).map(r => s"CAST(mh${bnd * 4 + r} AS VARCHAR)")
+            .mkString(s"SELECT doc_id, $bnd AS band, ", " || '_' || ", " AS bkey FROM sig")
+        }.mkString("\n  UNION ALL ")
+        s"""${shinglesSql(5, "TRUE")},
+           |sig AS (SELECT doc_id, $mins FROM codes GROUP BY doc_id),
+           |banded AS (
+           |  $bandKeys),
+           |pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+           |  WHERE l.doc_id < 250 AND r.doc_id >= 250),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM codes GROUP BY doc_id),
+           |jac AS (SELECT p.id_a, p.id_b,
+           |    floor(CAST(count(*) AS DOUBLE)
+           |      / CAST(sa.n + sb.n - count(*) AS DOUBLE) * 1000000 + 0.5)
+           |      / 1000000 AS jaccard
+           |  FROM pairs p JOIN codes ca ON ca.doc_id = p.id_a
+           |  JOIN codes cb ON cb.doc_id = p.id_b AND cb.code = ca.code
+           |  JOIN sizes sa ON sa.doc_id = p.id_a
+           |  JOIN sizes sb ON sb.doc_id = p.id_b
+           |  GROUP BY p.id_a, p.id_b, sa.n, sb.n),
+           |f AS (SELECT id_b, id_a, jaccard, row_number() OVER (
+           |    PARTITION BY id_b ORDER BY jaccard DESC, id_a) AS rn
+           |  FROM jac WHERE jaccard >= 0.5)
+           |SELECT id_b AS new_id, id_a AS best_prior, jaccard
+           |FROM f WHERE rn = 1 ORDER BY new_id""".stripMargin
+      },
       "asof_pit_count" ->
         """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn,
           |    event_type, value FROM events),

@@ -1580,6 +1580,13 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"top-25 should be TakeOrdered, not sort+limit:\n$plan")
   }
 
+  test("incremental dedup: banded prior-new equi-join, fused verify") {
+    val plan = planOf("dedup_incremental")
+    assert(plan.contains("shingle_overlap"),
+      s"fused overlap expression dropped out:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("pit count: one keyed window over the union, no range join") {
     val plan = planOf("asof_pit_count")
     assert(plan.contains("Window"), s"expanding window dropped out:\n$plan")
