@@ -8066,6 +8066,35 @@ object SparkEntry {
           col("node") % 11 === 0, rounds = 4)
         .orderBy("root")
     }),
+    "shard_leakage_audit" -> ((s, dir) => {
+      // the why-you-need-leakage_split report: run the NAIVE per-doc
+      // hash split, then count how many near-dup clusters straddle a
+      // fold boundary (train/test contamination a content-blind split
+      // bakes in; shard_leakage_split is the fix this report justifies).
+      // Cluster discovery is the shared banded-LSH machinery; the audit
+      // is two cluster-keyed aggregates.
+      val docs = table(s, dir, "documents")
+      val cc = Dedup.connectedComponents(
+        Dedup.minHashLshPairs(docs, "doc_id", "text",
+          k = 5, bands = 4, rowsPerBand = 4))
+      val folds = graft.operators.Sharding.hashSplit(docs, "doc_id")
+        .select(col("doc_id"), col("split"))
+      val perCluster = cc.join(folds, col("node") === col("doc_id"))
+        .groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split")).as("n_folds"))
+      perCluster.agg(
+          count(lit(1)).as("n_clusters"),
+          sum(when(col("n_folds") > 1, 1L).otherwise(0L))
+            .as("clusters_straddling"),
+          sum(when(col("n_folds") > 1, col("n_docs")).otherwise(0L))
+            .as("docs_in_straddling"),
+          sum(col("n_docs")).as("docs_clustered"))
+        .select(col("n_clusters"), col("clusters_straddling"),
+          col("docs_in_straddling"), col("docs_clustered"),
+          expr("(1000000 * docs_in_straddling) DIV docs_clustered")
+            .as("risk_micro"))
+    }),
     "dedup_incremental" -> ((s, dir) => {
       // incremental-crawl NEAR-dedup (the MinHash sibling of the exact
       // dedup_bloom_probe gate): the NEW batch (upper half of doc ids)
@@ -13996,6 +14025,30 @@ object SparkEntry {
            |  CAST(su // nn AS BIGINT) AS h_uni_micro
            |FROM co JOIN un ON un.g = co.g JOIN nt ON nt.g = co.g
            |ORDER BY lang""".stripMargin,
+      "shard_leakage_audit" ->
+        s"""$lshReachCtes,
+           |cc AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+           |fd AS (SELECT cc.node, cc.lbl,
+           |    CASE WHEN (cc.node * ${graft.operators.Sharding.HashMul}) % 100 < 90
+           |      THEN 'train'
+           |    WHEN (cc.node * ${graft.operators.Sharding.HashMul}) % 100 < 95
+           |      THEN 'val' ELSE 'test' END AS split
+           |  FROM cc),
+           |pc AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(count(DISTINCT split) AS BIGINT) AS n_folds
+           |  FROM fd GROUP BY lbl),
+           |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           |    CAST(SUM(CASE WHEN n_folds > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS clusters_straddling,
+           |    CAST(SUM(CASE WHEN n_folds > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+           |      AS docs_in_straddling,
+           |    CAST(SUM(n_docs) AS BIGINT) AS docs_clustered
+           |  FROM pc)
+           |SELECT n_clusters, clusters_straddling, docs_in_straddling,
+           |  docs_clustered,
+           |  CAST((1000000 * docs_in_straddling) // docs_clustered AS BIGINT)
+           |    AS risk_micro
+           |FROM ag""".stripMargin,
       "dedup_incremental" -> {
         val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
           s"MIN(${permSql("code", a, b)}) AS mh$j"

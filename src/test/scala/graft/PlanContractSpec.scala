@@ -1580,6 +1580,12 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"top-25 should be TakeOrdered, not sort+limit:\n$plan")
   }
 
+  test("leakage audit: cluster-keyed aggregates over the LSH graph") {
+    val plan = planOf("shard_leakage_audit")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  }
+
   test("incremental dedup: banded prior-new equi-join, fused verify") {
     val plan = planOf("dedup_incremental")
     assert(plan.contains("shingle_overlap"),
