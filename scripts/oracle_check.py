@@ -2,22 +2,34 @@
 """Self-check: compare Verify parquet outputs against the DuckDB oracle SQL,
 the same way the driver's correctness gate does (sort columns by name,
 compare row multisets of stringified values)."""
-import sys, json, glob, os
+import sys, json, glob, os, threading
 import duckdb
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# Per-query wall-time budget: one stalled DuckDB twin must fail THAT query,
+# not hang the whole gate (r11 lesson: the round's signal zeroed).
+budget_s = float(os.environ.get("ORACLE_QUERY_BUDGET_S", "120"))
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
+def run_with_budget(c, sql):
+    """Execute sql on connection c; interrupt it after budget_s seconds."""
+    timer = threading.Timer(budget_s, c.interrupt)
+    timer.start()
+    try:
+        return c.execute(sql).fetchdf()
+    finally:
+        timer.cancel()
+
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
     try:
-        exp = con.execute(sql).fetchdf()
+        exp = run_with_budget(con, sql)
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {str(e)[:200]}")
         fail += 1

@@ -26,15 +26,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,9 +38,39 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Crash-durable gate: write oracle_sql.json FIRST, so a budget-expired
+    // or killed run still leaves the driver every completed query's parquet
+    // plus the oracle map (instead of zeroing the whole round). Reference
+    // analogue: publish the index incrementally so a crash loses one entry,
+    // not the log (reference src/wal/runtime/index.rs:70-83).
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-query status journal, appended (and fsynced via CREATE/APPEND
+    // open) after each query — a post-mortem shows exactly which query a
+    // crashed run died in and the per-query wall time.
+    val statusPath = Paths.get(s"$outDir/_status.jsonl")
+    Files.deleteIfExists(statusPath)
+    val t0 = System.nanoTime()
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      val tq = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/$name"); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          Some(e.getMessage)
+        }
+      val line = s"""{"q": ${q(name)}, "ok": ${err.isEmpty}, "sec": ${
+        (System.nanoTime() - tq) / 1e9}${
+        err.map(m => s""", "err": ${q(m.take(300))}""").getOrElse("")}}\n"""
+      Files.writeString(statusPath, line,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    System.err.println(f"[verify] total ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }
