@@ -7870,22 +7870,22 @@ object SparkEntry {
       // counter table — identical to sketch_decay_topk whatever the
       // batch boundaries, because per-(item, day) counting is order-
       // independent (the stream_cms_sketch streamed ≡ batch argument).
-      // The report runs on a materialized local relation (memory-sink
-      // self-join attribute-id trap, see stream_heavy_hitters).
+      // The report runs DISTRIBUTED on the sink table: dmax is the only
+      // driver-side value (a 1-row collect), stamped in as a literal —
+      // which also sidesteps the memory-sink self-join attribute-id trap
+      // (see stream_heavy_hitters) without materializing the counter
+      // table on the driver; only the final 20 report rows are collected.
       val sch = StructType(Seq(StructField("event_id", LongType),
         StructField("item", StringType), StructField("day", LongType)))
       val src = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", 1).parquet(decayStreamDir(s, dir))
         .groupBy("item", "day").agg(count(lit(1)).as("cnt"))
       val rows = runStreamToMemory(s, src, "complete") { t =>
-        val byDay = s.createDataFrame(
-          s.sparkContext.parallelize(t.collect().toSeq, 1), t.schema)
-        val mx = byDay.agg(max(col("day")).as("dmax"))
-        byDay.crossJoin(broadcast(mx))
-          .select(col("item"), col("cnt"),
-            (col("day") === col("dmax")).as("isnew"),
-            expr("shiftleft(CAST(1 AS BIGINT), " +
-              "CAST(40 - least(dmax - day, 40) AS INT))").as("w"))
+        val dmax = t.agg(max(col("day"))).head.getLong(0)
+        t.select(col("item"), col("cnt"),
+            (col("day") === lit(dmax)).as("isnew"),
+            expr(s"shiftleft(CAST(1 AS BIGINT), " +
+              s"CAST(40 - least($dmax - day, 40) AS INT))").as("w"))
           .groupBy("item")
           .agg(sum(col("cnt")).as("n_events"),
             sum(col("cnt") * col("w")).as("decayed"),
@@ -8106,7 +8106,11 @@ object SparkEntry {
       // jaccard (q6 + id tiebreak).
       import org.apache.spark.sql.expressions.Window
       val docs = table(s, dir, "documents")
-      val half = 250L // fixture halves: doc ids are dense 0..n-1, n>=500
+      // prior/new cut derived FROM THE DATA (not a hard-coded prefix): the
+      // halves split is (max(doc_id)+1) DIV 2, stamped identically into the
+      // DuckDB twin as a scalar subquery — doc_id >= 0 so Spark DIV and
+      // DuckDB // agree. One 1-row driver agg; the cut is a plan literal.
+      val half = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1L) / 2
       val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
           k = 5, bands = 4, rowsPerBand = 4)
         .where(col("id_a") < half && col("id_b") >= half)
@@ -13991,7 +13995,10 @@ object SparkEntry {
            |  FROM bb CROSS JOIN hx)
            |SELECT bits_a, bits_b, bits_union, n_exact_a, n_exact_b,
            |  n_exact_union, n_exact_inter, est_a, est_b, est_union,
-           |  CAST(greatest(est_a + est_b - est_union, 0) AS BIGINT) AS est_inter
+           |  CAST(CASE WHEN est_a IS NULL OR est_b IS NULL
+           |      OR est_union IS NULL THEN NULL
+           |    ELSE greatest(est_a + est_b - est_union, 0) END AS BIGINT)
+           |    AS est_inter
            |FROM ee""".stripMargin
       },
       "text_bigram_condent" ->
@@ -14061,10 +14068,12 @@ object SparkEntry {
            |sig AS (SELECT doc_id, $mins FROM codes GROUP BY doc_id),
            |banded AS (
            |  $bandKeys),
+           |cut AS (SELECT (max(doc_id) + 1) // 2 AS h FROM documents),
            |pairs AS (
            |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
            |  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
-           |  WHERE l.doc_id < 250 AND r.doc_id >= 250),
+           |  WHERE l.doc_id < (SELECT h FROM cut)
+           |    AND r.doc_id >= (SELECT h FROM cut)),
            |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
            |  FROM codes GROUP BY doc_id),
            |jac AS (SELECT p.id_a, p.id_b,

@@ -810,7 +810,12 @@ object Graph {
     * dist) is |roots|-bounded per node, never all-pairs); the cumulative
     * step is a per-root window over ≤ rounds+1 rows, never the corpus.
     * Integer-only, so [[reachCurveSql]] unrolls identical levels.
-    * Output: (root, hop, n_within) including hop 0 (the root itself). */
+    * Output: (root, hop, n_within) including hop 0 (the root itself).
+    * The hop grid is SPARSE by design: a hop whose frontier adds no new
+    * nodes emits no row (the curve has no plateau rows) — a consumer
+    * joining on a dense 0..rounds grid must forward-fill n_within from
+    * the prior emitted hop, not read missing hops as zero
+    * ([[effectiveDiameter]] already consumes it this way). */
   def reachCurve(edges: DataFrame, aCol: String, bCol: String,
       seed: Column, rounds: Int): DataFrame = {
     require(rounds >= 1)

@@ -208,7 +208,10 @@ object Sketches {
   /** The k Bloom-filter bit positions of a positive 63-bit hash, by
     * double hashing (Kirsch & Mitzenmacher 2006 — two hash values
     * simulate k independent ones with no asymptotic FPR loss):
-    * `pos_i = (h mod m + i·(1 + (h div m) mod (m−1))) mod m`. All
+    * `pos_i = (h mod m + i·h2) mod m` with
+    * `h2 = ((h div m) mod (m/2))·2 + 1` — h2 is forced ODD so it is
+    * coprime with the power-of-two m and the k probe positions never
+    * coincide (an even h2 would silently halve the effective k). All
     * operands non-negative, so div/mod agree across engines; `m` must be
     * a power of two (the div is an exact shift, and fill-ratio doubles
     * divide exactly by 2^log2m downstream). [[bloomPositionsSql]] is the
@@ -218,7 +221,7 @@ object Sketches {
     require(k >= 1)
     val log2m = java.lang.Integer.numberOfTrailingZeros(m)
     val h1 = h % m
-    val h2 = shiftright(h, log2m) % (m - 1) + lit(1L)
+    val h2 = (shiftright(h, log2m) % (m / 2)) * lit(2L) + lit(1L)
     array((0 until k).map(i => (h1 + lit(i.toLong) * h2) % m): _*)
   }
 
@@ -227,7 +230,7 @@ object Sketches {
     * (`//` floors = Spark's shift for non-negative operands). */
   def bloomPositionsSql(h: String, m: Int, k: Int): String = {
     val h1 = s"(($h) % $m)"
-    val h2 = s"((($h) // $m) % ${m - 1} + 1)"
+    val h2 = s"(((($h) // $m) % ${m / 2}) * 2 + 1)"
     (0 until k).map(i => s"(($h1 + $i * $h2) % $m)").mkString("[", ", ", "]")
   }
 
@@ -275,8 +278,15 @@ object Sketches {
       .withColumn("est_a", expr(bloomEstSql("bits_a", m, k, "DIV")))
       .withColumn("est_b", expr(bloomEstSql("bits_b", m, k, "DIV")))
       .withColumn("est_union", expr(bloomEstSql("bits_union", m, k, "DIV")))
+      // NULL must propagate explicitly: greatest() SKIPS nulls, so a
+      // saturated filter (est_* NULL by design) would otherwise read as a
+      // confident 0 intersection — and DuckDB's greatest NULL handling is
+      // version-dependent, so the twin could diverge exactly there.
       .withColumn("est_inter",
-        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+        when(col("est_a").isNull || col("est_b").isNull ||
+          col("est_union").isNull, lit(null).cast("long"))
+        .otherwise(
+          greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))))
       .select(col("bits_a"), col("bits_b"), col("bits_union"),
         col("n_exact_a"), col("n_exact_b"), col("n_exact_union"),
         col("n_exact_inter"), col("est_a"), col("est_b"),

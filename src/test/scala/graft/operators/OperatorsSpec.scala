@@ -1844,7 +1844,8 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         Sketches.bloomPositions(
           Sketches.positiveHash(encode(col("it"), "UTF-8")), m, k).as("pos"))
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
-    // scalar replay of pos_i = (h mod m + i*(1 + (h div m) mod (m-1))) mod m
+    // scalar replay of pos_i = (h mod m + i*h2) mod m with the forced-odd
+    // step h2 = ((h div m) mod (m/2))*2 + 1 (coprime with power-of-two m)
     def fnv(s: String): Long = {
       var h = -3750763034362895579L // 14695981039346656037 as signed
       s.getBytes("UTF-8").foreach { b =>
@@ -1855,7 +1856,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     items.foreach { it =>
       val h = fnv(it)
       val h1 = h % m
-      val h2 = (h / m) % (m - 1) + 1
+      val h2 = ((h / m) % (m / 2)) * 2 + 1
       val want = (0 until k).map(i => (h1 + i * h2) % m)
       assert(got(it) == want, s"$it: ${got(it)} != $want")
     }
