@@ -2006,6 +2006,55 @@ object SparkEntry {
           col("mid_byte").cast("long").as("mid_byte"))
         .orderBy("doc_id")
     }),
+    "mm_real_decode" -> ((s, dir) => {
+      // REAL codec lane (javax.imageio — public JDK): even doc_ids carry a
+      // genuine PNG (encoded by the JDK, pixels from a closed form the
+      // oracle replays without any image library), odd doc_ids carry
+      // opaque text bytes that fall back to the hash-derived stub decode,
+      // flagged real_codec = false. True dimensions + exact per-channel
+      // integer milli-means for the real lane; both lanes fully oracled.
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(col("doc_id") < 40)
+      val media = docs.as[(Long, String)].map { case (d, text) =>
+        if (d % 2 == 0) {
+          val w = 8 + (d % 9).toInt
+          val h = 8 + ((d * 3) % 9).toInt
+          (d, graft.operators.Multimodal.MediaCodecImageIO
+            .syntheticPng(d, w, h), "image/png")
+        } else (d, text.getBytes("UTF-8"), "application/octet-stream")
+      }.toDF("doc_id", "payload", "mime")
+      val wrapped = graft.operators.Multimodal.wrap(
+        media, "doc_id", "payload", col("mime"), Seq.empty)
+      graft.operators.Multimodal.decodeReal(s, wrapped).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("mean_r_milli"), col("mean_g_milli"), col("mean_b_milli"),
+          col("real_codec"))
+        .orderBy("doc_id")
+    }),
+    "mm_real_resize" -> ((s, dir) => {
+      // real decode + integer-exact nearest-neighbor resize kernel over
+      // TRUE pixels (box fit 6 forces a downscale of every 8..16-px
+      // fixture image): output dims, output-midpoint RGB, and the resized
+      // frame's mean integer luma — all replayed by the oracle from the
+      // pixel closed form.
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 40 && col("doc_id") % 2 === 0)
+      val media = docs.as[Long].map { d =>
+        val w = 8 + (d % 9).toInt
+        val h = 8 + ((d * 3) % 9).toInt
+        (d, graft.operators.Multimodal.MediaCodecImageIO
+          .syntheticPng(d, w, h), "image/png")
+      }.toDF("doc_id", "payload", "mime")
+      val wrapped = graft.operators.Multimodal.wrap(
+        media, "doc_id", "payload", col("mime"), Seq.empty)
+      graft.operators.Multimodal.resizeReal(s, wrapped, box = 6)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("out_w"), col("out_h"), col("mid_r"), col("mid_g"),
+          col("mid_b"), col("mean_luma_milli"))
+        .orderBy("doc_id")
+    }),
     "mm_feature_extract" -> ((s, dir) => {
       // stubbed batched decode (mapPartitions = the mapInPandas shape):
       // engine-specific feature bytes, rows-only check; spec covers
@@ -9787,6 +9836,78 @@ object SparkEntry {
            |    CAST((out_len // 2) * blen // out_len AS INTEGER) + 1, 1))
            |    AS BIGINT) AS mid_byte
            |FROM o ORDER BY doc_id""".stripMargin,
+      "mm_real_decode" ->
+        // Real lane (even doc_ids): the PNG pixels follow the closed form
+        // r=(7x+13y+d)%256, g=(3x+5y+2d)%256, b=(11x+2y+3d)%256 over
+        // w = 8+d%9, h = 8+(3d)%9 — PNG is lossless, so the engine's
+        // ImageIO decode must reproduce them exactly; the oracle just sums
+        // the form. Stub lane (odd doc_ids): FNV fold as mm_feature_extract.
+        s"""WITH dims AS (
+           |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (3 * doc_id) % 9 AS h
+           |  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0),
+           |p AS (SELECT doc_id, w, h,
+           |    unnest(generate_series(0, w * h - 1)) AS i FROM dims),
+           |v AS (SELECT doc_id, w, h, i % w AS x, i // w AS y FROM p),
+           |realm AS (SELECT doc_id, CAST(w AS BIGINT) AS width,
+           |    CAST(h AS BIGINT) AS height,
+           |    CAST(SUM((7 * x + 13 * y + doc_id) % 256) * 1000
+           |      // (w * h) AS BIGINT) AS mean_r_milli,
+           |    CAST(SUM((3 * x + 5 * y + 2 * doc_id) % 256) * 1000
+           |      // (w * h) AS BIGINT) AS mean_g_milli,
+           |    CAST(SUM((11 * x + 2 * y + 3 * doc_id) % 256) * 1000
+           |      // (w * h) AS BIGINT) AS mean_b_milli,
+           |    TRUE AS real_codec
+           |  FROM v GROUP BY doc_id, w, h),
+           |f AS (SELECT doc_id, ${fnvSql("text")} AS fh
+           |  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 1),
+           |stubm AS (SELECT doc_id,
+           |    16 + CAST(CASE WHEN fh < CAST('9223372036854775808' AS HUGEINT)
+           |      THEN fh % 1024 ELSE (1024 - (fh % 1024)) % 1024 END
+           |      AS BIGINT) AS width,
+           |    16 + CAST((fh // 1024) % 1024 AS BIGINT) AS height,
+           |    CAST(((fh // 1048576) % 256) * 1000 // 255 AS BIGINT)
+           |      AS mean_r_milli,
+           |    CAST(((fh // 268435456) % 256) * 1000 // 255 AS BIGINT)
+           |      AS mean_g_milli,
+           |    CAST(((fh // 68719476736) % 256) * 1000 // 255 AS BIGINT)
+           |      AS mean_b_milli,
+           |    FALSE AS real_codec
+           |  FROM f)
+           |SELECT * FROM realm UNION ALL SELECT * FROM stubm
+           |ORDER BY doc_id""".stripMargin,
+      "mm_real_resize" ->
+        // nearest-neighbor replay: out pixel (x,y) reads source
+        // ((x*w)//ow, (y*h)//oh); box fit 6 with w,h in 8..16 always
+        // downscales, ow = max(1, 6w//max(w,h)), oh likewise.
+        """WITH dims AS (
+          |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (3 * doc_id) % 9 AS h
+          |  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0),
+          |box AS (SELECT doc_id, w, h,
+          |    greatest(1, 6 * w // greatest(w, h)) AS ow,
+          |    greatest(1, 6 * h // greatest(w, h)) AS oh
+          |  FROM dims),
+          |p AS (SELECT doc_id, w, h, ow, oh,
+          |    unnest(generate_series(0, ow * oh - 1)) AS i FROM box),
+          |v AS (SELECT doc_id, w, h, ow, oh,
+          |    ((i % ow) * w) // ow AS sx, ((i // ow) * h) // oh AS sy
+          |  FROM p),
+          |luma AS (SELECT doc_id, w, h, ow, oh,
+          |    CAST(SUM(((7 * sx + 13 * sy + doc_id) % 256
+          |      + (3 * sx + 5 * sy + 2 * doc_id) % 256
+          |      + (11 * sx + 2 * sy + 3 * doc_id) % 256) // 3) * 1000
+          |      // (ow * oh) AS BIGINT) AS mean_luma_milli
+          |  FROM v GROUP BY doc_id, w, h, ow, oh),
+          |mid AS (SELECT doc_id, ((ow // 2) * w) // ow AS mx,
+          |    ((oh // 2) * h) // oh AS my FROM box)
+          |SELECT l.doc_id, CAST(l.w AS BIGINT) AS width,
+          |  CAST(l.h AS BIGINT) AS height, CAST(l.ow AS BIGINT) AS out_w,
+          |  CAST(l.oh AS BIGINT) AS out_h,
+          |  CAST((7 * m.mx + 13 * m.my + l.doc_id) % 256 AS BIGINT) AS mid_r,
+          |  CAST((3 * m.mx + 5 * m.my + 2 * l.doc_id) % 256 AS BIGINT) AS mid_g,
+          |  CAST((11 * m.mx + 2 * m.my + 3 * l.doc_id) % 256 AS BIGINT) AS mid_b,
+          |  l.mean_luma_milli
+          |FROM luma l JOIN mid m ON m.doc_id = l.doc_id
+          |ORDER BY l.doc_id""".stripMargin,
       "mm_feature_extract" ->
         // exact twin of MediaCodecStub.decodeBatch: FNV-1a-64 over the
         // UTF-8 payload (ASCII corpus -> ascii() per char) folded with

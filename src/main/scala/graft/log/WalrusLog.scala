@@ -268,6 +268,22 @@ class WalrusLog(
       arrivalOrder: Boolean = false,
       sizeHintBytes: Option[Long] = None): CommitRecord =
     synchronized {
+      // Losing a commit race against another live writer resyncs this
+      // instance from disk and re-runs the attempt (bounded; see
+      // LogConfig.commitCollisionRetries) — offsets re-sequence from the
+      // resynced state, so both writers' batches land durably.
+      withCollisionRetry(appendDFAttempt(
+        input, seqCol, ingestTs, tag, arrivalOrder, sizeHintBytes))
+    }
+
+  private def appendDFAttempt(
+      input: DataFrame,
+      seqCol: Option[org.apache.spark.sql.Column],
+      ingestTs: Timestamp,
+      tag: Option[String],
+      arrivalOrder: Boolean,
+      sizeHintBytes: Option[Long]): CommitRecord =
+    {
       // Idempotence for streaming-sink epoch retries: a commit tagged with
       // an already-committed tag is a no-op (exactly-once foreachBatch).
       tag.foreach { t =>
@@ -424,8 +440,7 @@ class WalrusLog(
       val outRows = if (nOut < inParts) entryRows.coalesce(nOut) else entryRows
 
       val id = nextBatchId
-      val batchDir = dataDir.resolve(s"batch=$id")
-      writeEntryRows(outRows, batchDir)
+      claimBatchDir(id)(d => writeEntryRows(outRows, d))
       mark("phase2 write")
 
       // Publish: the atomic rename IS the visibility point (W2/M2 parity).
@@ -653,8 +668,11 @@ class WalrusLog(
       if (nOut < entryRows.getNumPartitions) entryRows.coalesce(nOut)
       else entryRows
     val id = nextBatchId
-    val batchDir = dataDir.resolve(s"batch=$id")
-    writeEntryRows(outRows, batchDir)
+    // Written to staging first; the empty-input check below must see the
+    // accumulator (populated by the write job) BEFORE deciding whether to
+    // claim the id at all.
+    val stage = stagePathFor(id)
+    writeEntryRows(outRows, stage)
 
     val perTopic = mutable.LinkedHashMap.empty[String, (Long, Long)]
     acc.value.asScala.foreach { case (t, c, b) =>
@@ -662,11 +680,12 @@ class WalrusLog(
       perTopic(t) = (pc + c, pb + b)
     }
     if (perTopic.isEmpty) {
-      // Nothing was written (empty input): drop the placeholder dir so the
-      // batch id can be reused — parity with the general path's early out.
-      WalrusLog.deleteRecursively(batchDir)
+      // Nothing was written (empty input): drop the staging dir — the
+      // batch id was never claimed, parity with the general path's early out.
+      WalrusLog.deleteRecursively(stage)
       return CommitRecord(-1L, ingestTs.getTime, Map.empty)
     }
+    publishStage(stage, id)
     val ranges = perTopic.map { case (t, (c, b)) =>
       val start = bases.getOrElse(t, 0L)
       val tsUs = ingestTs.getTime * 1000L // every entry carries this ts_us
@@ -1318,6 +1337,11 @@ class WalrusLog(
     * < 2 batches. */
   def compact(targetFileBytes: Long = 1L << 30,
       maxSourceBatches: Int = Int.MaxValue): Option[Long] = synchronized {
+    withCollisionRetry(compactAttempt(targetFileBytes, maxSourceBatches))
+  }
+
+  private def compactAttempt(targetFileBytes: Long,
+      maxSourceBatches: Int): Option[Long] = {
     val sources = visibleCommits.filter(_.topics.nonEmpty).take(maxSourceBatches)
     if (sources.size < 2) return None
     val ids = sources.map(_.id)
@@ -1361,15 +1385,16 @@ class WalrusLog(
       r.bytes + cfg.metaOverheadBytes.toLong * (r.end - r.start)).sum
     val nParts = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val id = nextBatchId
-    val batchDir = dataDir.resolve(s"batch=$id")
-    toDF().where(col("batch").isin(ids: _*))
-      .select(col("topic"), col("offset"), unix_micros(col("ts")).as("ts_us"),
-        col("value"), col("checksum"), col("len"))
-      .repartitionByRange(nParts, col("topic"), col("offset"))
-      .sortWithinPartitions("topic", "offset")
-      .write.mode(SaveMode.ErrorIfExists)
-      .option("compression", cfg.compression)
-      .partitionBy("topic").parquet(batchDir.toString)
+    claimBatchDir(id) { d =>
+      toDF().where(col("batch").isin(ids: _*))
+        .select(col("topic"), col("offset"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("checksum"), col("len"))
+        .repartitionByRange(nParts, col("topic"), col("offset"))
+        .sortWithinPartitions("topic", "offset")
+        .write.mode(SaveMode.ErrorIfExists)
+        .option("compression", cfg.compression)
+        .partitionBy("topic").parquet(d.toString)
+    }
     val rec = CommitRecord(id, System.currentTimeMillis(), merged,
       tag = None, replaces = Some(ids))
     writeAtomicNew(commitsDir.resolve(f"$id%012d.json"), Serialization.write(rec))
@@ -1537,6 +1562,11 @@ class WalrusLog(
           vacuumed.contains(id) || replaced.contains(id)
         if (dead) deleteRecursively(p)
       }
+      // A writer that crashed between staging a batch and claiming its id
+      // leaves `batch=<id>.stage-<uuid>` — never referenced by any commit
+      // (the atomic rename IS the claim), so deletion is the whole abort,
+      // exactly like the txn-spool sweep above.
+      if (n.startsWith("batch=") && n.contains(".stage-")) deleteRecursively(p)
     }
     // maxPublishedId guards against id reuse when EVERY covered commit was
     // dropped from a v2 manifest (commits empty, data dirs reclaimed).
@@ -1547,6 +1577,126 @@ class WalrusLog(
       if (n.startsWith("batch=")) n.stripPrefix("batch=").toLongOption else None
     }.maxOption.getOrElse(-1L)
     nextBatchId = math.max(maxCommit, maxDir) + 1
+  }
+
+  /** Claim `batch=<id>` atomically for this writer: `write` lands the data
+    * in a process-unique staging dir, which is then `rename(2)`'d into
+    * place — the move succeeds only if the target does not exist, so two
+    * live writers racing the same id can never interleave part-files in
+    * one batch dir (the check-then-write window `SaveMode.ErrorIfExists`
+    * leaves open). The loser's staging dir is entirely its own, so it is
+    * deleted before the collision is surfaced for retry. Listing code
+    * ignores staging dirs everywhere (`batch=`-prefix + `toLongOption`
+    * parses reject the `.stage-` suffix); [[recover]] sweeps any a crashed
+    * writer left behind. */
+  private def stagePathFor(id: Long): Path =
+    dataDir.resolve(s"batch=$id.stage-${java.util.UUID.randomUUID()}")
+
+  /** Rename a fully-written staging dir into `batch=<id>`. The rename
+    * fails (and the staging dir — entirely this writer's — is deleted)
+    * when another writer already claimed the id. */
+  private def publishStage(stage: Path, id: Long): Path = {
+    val target = dataDir.resolve(s"batch=$id")
+    try Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        WalrusLog.deleteRecursively(stage)
+        throw new CommitCollisionException(
+          s"commit collision: batch dir $target was claimed by another " +
+            "writer on this namespace", e)
+    }
+    target
+  }
+
+  private def claimBatchDir(id: Long)(write: Path => Unit): Path = {
+    val stage = stagePathFor(id)
+    write(stage)
+    publishStage(stage, id)
+  }
+
+  /** Lease-resync analogue (reference: the losing writer re-syncs with the
+    * controller before retrying, distributed-walrus/src/controller/
+    * mod.rs:165-187, 321-371): fold every commit file another live writer
+    * published since our last look into in-memory state, and advance
+    * `nextBatchId` past both published ids and already-claimed batch dirs
+    * (a concurrent writer may have claimed a dir whose commit is not yet
+    * public). Returns the number of foreign commits applied. */
+  private def resyncFromDisk(): Int = synchronized {
+    def applyFresh(): Int = {
+      val known = commits.iterator.map(_.id).toSet
+      val fresh = WalrusLog.listDir(commitsDir)
+        .filter(p => WalrusLog.commitIdOf(p).exists(id =>
+          !known(id) && !vacuumed.contains(id)))
+        .sorted
+      fresh.foreach { p =>
+        val parsed = org.json4s.jackson.JsonMethods.parse(
+          new String(Files.readAllBytes(p), "UTF-8"))
+        val rec = parsed.extract[CommitRecord]
+        val isVac = (parsed \ "vacuumed") match {
+          case org.json4s.JBool(b) => b
+          case _ => false
+        }
+        if (isVac) vacuumed += rec.id
+        applyCommit(rec)
+        rec.topics.foreach { case (t, _) => state(t) }
+      }
+      fresh.size
+    }
+    def claimedUnpublished: Seq[Long] = {
+      val known = commits.iterator.map(_.id).toSet
+      WalrusLog.listDir(dataDir).flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("batch=") && !n.contains(".stage-"))
+          n.stripPrefix("batch=").toLongOption.filterNot(known)
+        else None
+      }
+    }
+    var applied = applyFresh()
+    // A batch dir claimed by a writer whose commit file is not yet
+    // visible: the claimant sits in the (tiny, driver-side) claim →
+    // publish gap, and its per-topic ranges are unknowable until the
+    // commit lands — retrying now would re-sequence OVER them (the
+    // cross-process race this method exists for). Wait the gap out; a
+    // claimant that never publishes (crashed mid-gap) fails the resync
+    // and the caller fail-stops exactly as the pre-retry code did.
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (claimedUnpublished.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(10)
+      applied += applyFresh()
+    }
+    val orphans = claimedUnpublished
+    if (orphans.nonEmpty)
+      throw new CommitCollisionException(
+        s"commit collision: batch dir(s) ${orphans.mkString(", ")} were " +
+          "claimed by another writer that never published their commits " +
+          "(crashed mid-publish?); re-open the log to recover")
+    val maxDir = WalrusLog.listDir(dataDir).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("batch=")) n.stripPrefix("batch=").toLongOption else None
+    }.maxOption.getOrElse(-1L)
+    nextBatchId = math.max(nextBatchId, math.max(
+      commits.iterator.map(_.id).maxOption.getOrElse(-1L), maxDir) + 1)
+    applied
+  }
+
+  /** Run `op` (a commit-publishing operation whose visibility point is the
+    * commit file — everything before it is invisible and re-runnable),
+    * resyncing and retrying on [[CommitCollisionException]] up to
+    * [[LogConfig.commitCollisionRetries]] times. Collisions can only be
+    * thrown BEFORE the commit publishes ([[claimBatchDir]] /
+    * [[WalrusLog.writeAtomicNew]]), so a retry never double-commits. */
+  private def withCollisionRetry[T](op: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case e: CommitCollisionException =>
+          if (attempt >= cfg.commitCollisionRetries) throw e
+          attempt += 1
+          resyncFromDisk()
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def close(): Unit = synchronized {
@@ -1687,7 +1837,7 @@ object WalrusLog {
     try Files.createLink(target, tmp)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
+        throw new CommitCollisionException(
           s"commit collision: $target was already published by another writer " +
             "on this namespace; re-open the log to observe its commit", e)
     } finally Files.deleteIfExists(tmp)

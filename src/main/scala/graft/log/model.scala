@@ -100,7 +100,15 @@ final case class LogConfig(
       * window (a replay that old re-commits rows whose originals were
       * deliberately reclaimed — retention already made that data
       * unserveable). 0 disables eviction (unbounded, pre-r10 behavior). */
-    maxIrregularDroppedTags: Int = 100000)
+    maxIrregularDroppedTags: Int = 100000,
+    /** Bounded retries when a commit publication collides with another
+      * live writer on the same namespace (reference: the losing writer
+      * re-syncs with the controller and retries ×2, distributed-walrus/
+      * src/controller/mod.rs:165-187, 321-371). On collision the loser
+      * folds the winner's commits into its state (resync), re-sequences
+      * offsets, and re-runs the append; past the budget it fail-stops
+      * exactly as before. 0 restores pure fail-stop. */
+    commitCollisionRetries: Int = 2)
 
 /** One commit of the rolled-up manifest: the [[CommitRecord]] fields plus
   * the vacuumed flag its commit JSON would carry. */
@@ -147,6 +155,13 @@ final case class LogManifest(asOf: Long, entries: Seq[ManifestEntry],
   * (reference: src/wal/runtime/writer.rs:135-165).
   */
 final class WouldBlockException(msg: String) extends RuntimeException(msg)
+
+/** Another live writer on the same namespace claimed this batch dir or
+  * commit id first. Subclasses IllegalStateException so pre-retry callers
+  * that caught the fail-stop keep working; [[graft.log.WalrusLog]] catches
+  * it to resync + retry within [[LogConfig.commitCollisionRetries]]. */
+final class CommitCollisionException(msg: String, cause: Throwable = null)
+  extends IllegalStateException(msg, cause)
 
 /** Payload checksum mismatch on read — parity with the reference's
   * `InvalidData` (reference: src/wal/runtime/walrus_read.rs:1052-1057). */

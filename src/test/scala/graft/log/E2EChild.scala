@@ -78,6 +78,38 @@ object E2EChild {
       spark.stop()
       println(s"APPENDED $count")
 
+    case "racingappend" =>
+      // Two of these race one namespace: both OPEN the log (nextBatchId=0
+      // in each), report READY, block on the barrier, then batch-append —
+      // the loser of the commit race must resync + retry internally
+      // (LogConfig.commitCollisionRetries), not throw.
+      val (root, topic, n, marker) = (args(1), args(2), args(3).toInt, args(4))
+      val barrier = Paths.get(args(5))
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .appName(s"e2e-race-$marker")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val log = new WalrusLog(spark, root)
+      println("READY")
+      Console.out.flush()
+      while (!Files.exists(barrier)) Thread.onSpinWait()
+      try {
+        log.batchAppend(topic,
+          (0 until n).map(i => s"$marker-$i".getBytes("UTF-8")))
+        println(s"APPENDED ${log.entryCount(topic)}")
+        Console.out.flush()
+      } catch {
+        case e: Throwable =>
+          println(s"FAILED ${e.getClass.getSimpleName}: ${e.getMessage}")
+          Console.out.flush()
+          sys.exit(1)
+      }
+      log.close()
+      spark.stop()
+
     case "stagecrash" =>
       val (root, topic, n) = (args(1), args(2), args(3).toInt)
       val spark = org.apache.spark.sql.SparkSession.builder()

@@ -1301,15 +1301,34 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!d.topicNames.contains("doomed"))
   }
 
-  test("two live instances racing one namespace: exactly one append wins") {
+  test("two live instances racing one namespace: the loser resyncs, retries, and re-sequences") {
     val root = tempRoot()
     val a = new WalrusLog(spark, root)
     val b = new WalrusLog(spark, root) // both instances now plan batch id 0
     a.batchAppend("t", Seq(bytes("from-a")))
     // b's stale nextBatchId collides with a's published commit — the
-    // append must FAIL (data-dir or commit-file collision, whichever
-    // lands first), leaving a's commit fully intact
-    intercept[Exception] { b.batchAppend("t", Seq(bytes("from-b"))) }
+    // collision loser resyncs from disk (folding a's commit into its
+    // state) and retries within LogConfig.commitCollisionRetries, landing
+    // its batch AFTER a's with correctly re-sequenced offsets (reference:
+    // resync + retry ×2, distributed-walrus/src/controller/mod.rs:165-187)
+    b.batchAppend("t", Seq(bytes("from-b")))
+    assert(b.entryCount("t") == 2L) // b observed a's entry during resync
+    val fresh = new WalrusLog(spark, root)
+    assert(fresh.entryCount("t") == 2L)
+    val got = fresh.batchRead("t", 1 << 20, checkpoint = false)
+    assert(got.map(_.offset) == Seq(0L, 1L))
+    assert(got.map(e => str(e.value)) == Seq("from-a", "from-b"))
+  }
+
+  test("commitCollisionRetries = 0 restores pure fail-stop: exactly one append wins") {
+    val root = tempRoot()
+    val cfg = LogConfig(commitCollisionRetries = 0)
+    val a = new WalrusLog(spark, root, cfg = cfg)
+    val b = new WalrusLog(spark, root, cfg = cfg)
+    a.batchAppend("t", Seq(bytes("from-a")))
+    intercept[CommitCollisionException] {
+      b.batchAppend("t", Seq(bytes("from-b")))
+    }
     val fresh = new WalrusLog(spark, root)
     assert(fresh.entryCount("t") == 1L)
     val got = fresh.batchRead("t", 1 << 20, checkpoint = false)

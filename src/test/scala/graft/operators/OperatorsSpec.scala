@@ -136,6 +136,44 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.filter(_.getLong(0) == 1L).map(_.getAs[Array[Byte]](2).length).sum == 11)
   }
 
+  test("multimodal real codec: PNG roundtrip is pixel-exact; opaque falls back to stub") {
+    import spark.implicits._
+    // a genuine PNG through the JDK encoder/decoder must reproduce the
+    // pixel closed form exactly (PNG is lossless)
+    val png = Multimodal.MediaCodecImageIO.syntheticPng(seed = 5L, w = 9, h = 11)
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val img = Multimodal.MediaCodecImageIO.decode(png).get
+    assert(img.getWidth == 9 && img.getHeight == 11)
+    for (x <- 0 until 9; y <- 0 until 11) {
+      val p = img.getRGB(x, y)
+      assert(((p >> 16) & 0xff) == (7 * x + 13 * y + 5) % 256, s"r at ($x,$y)")
+      assert(((p >> 8) & 0xff) == (3 * x + 5 * y + 10) % 256, s"g at ($x,$y)")
+      assert((p & 0xff) == (11 * x + 2 * y + 15) % 256, s"b at ($x,$y)")
+    }
+    // mixed batch: one PNG (real lane), one opaque payload (stub lane)
+    val media = Seq(
+      (1L, png, "image/png"),
+      (2L, "not an image".getBytes("UTF-8"), "application/octet-stream"))
+      .toDF("doc_id", "payload", "mime")
+    val wrapped = Multimodal.wrap(media, "doc_id", "payload", col("mime"), Seq.empty)
+    val dec = Multimodal.decodeReal(spark, wrapped).collect()
+      .map(d => d.id -> d).toMap
+    assert(dec(1L).real_codec && dec(1L).width == 9 && dec(1L).height == 11)
+    // mean_r: Σ (7x+13y+5)%256 over the 9×11 grid, milli-units
+    val meanR = (for (x <- 0 until 9; y <- 0 until 11)
+      yield ((7 * x + 13 * y + 5) % 256).toLong).sum * 1000 / 99
+    assert(dec(1L).mean_r_milli == meanR)
+    assert(!dec(2L).real_codec) // opaque payload routed to the stub lane
+    // real resize: box 6 downscales 9×11 → (4, 6); kernel is replayable
+    val rs = Multimodal.resizeReal(spark, wrapped, box = 6).collect()
+    assert(rs.length == 1) // the opaque row is dropped from the image lane
+    val r = rs.head
+    assert(r.getLong(3) == 9 * 6 / 11 && r.getLong(4) == 6)
+    val (mx, my) = (((r.getLong(3) / 2) * 9 / r.getLong(3)).toInt,
+      ((r.getLong(4) / 2) * 11 / r.getLong(4)).toInt)
+    assert(r.getLong(5) == (7 * mx + 13 * my + 5) % 256)
+  }
+
   test("interval join matches exactly the rows in the half-open window") {
     import org.apache.spark.sql.types._
     import spark.implicits._

@@ -103,6 +103,56 @@ class CrossJvmE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leftovers.isEmpty, s"tmp leftovers: $leftovers")
   }
 
+  test("two racing writer JVMs: the collision loser resyncs and retries; both batches land") {
+    // The reference's losing writer re-syncs with the controller and
+    // retries ×2 (distributed-walrus/src/controller/mod.rs:165-187,
+    // 321-371); here the create-exclusive claim is the fence and the
+    // retry is LogConfig.commitCollisionRetries. Both children open the
+    // namespace FIRST (each believes nextBatchId = 0), so the commit race
+    // is guaranteed, not timing-dependent: whichever publishes second MUST
+    // collide and re-sequence its offsets after the winner's.
+    val root = Files.createTempDirectory("xjvm-race-").toString
+    val barrier = Paths.get(root, "go.barrier")
+    val a = spawnChild(Seq("racingappend", root, "r", "5", "alpha",
+      barrier.toString), withSpark = true)
+    val b = spawnChild(Seq("racingappend", root, "r", "5", "beta",
+      barrier.toString), withSpark = true)
+    val ra = new java.io.BufferedReader(new java.io.InputStreamReader(a.getInputStream))
+    val rb = new java.io.BufferedReader(new java.io.InputStreamReader(b.getInputStream))
+    assert(ra.readLine() == "READY" && rb.readLine() == "READY")
+    Files.writeString(barrier, "go")
+    val (la, lb) = (ra.readLine(), rb.readLine())
+    assert(a.waitFor(180, TimeUnit.SECONDS) && b.waitFor(180, TimeUnit.SECONDS))
+    assert(a.exitValue() == 0 && b.exitValue() == 0,
+      s"a child failed: a=$la b=$lb")
+    // the winner counted its own 5; the loser resynced and counted all 10
+    assert(Set(la, lb).map(_.stripPrefix("APPENDED ").trim.toLong) == Set(5L, 10L),
+      s"unexpected counts: a=$la b=$lb")
+    // reopen here: both batches durable, offsets dense and re-sequenced —
+    // each writer's batch contiguous and internally ordered
+    val reopened = new WalrusLog(spark, root)
+    assert(reopened.entryCount("r") == 10)
+    val entries = reopened.batchRead("r", 1 << 20, checkpoint = false)
+    assert(entries.map(_.offset) == (0L until 10L))
+    val vals = entries.map(e => new String(e.value))
+    val blocks = vals.grouped(5).toSeq
+    val names = blocks.map(_.head.takeWhile(_ != '-'))
+    assert(names.toSet == Set("alpha", "beta"), s"blocks interleaved: $vals")
+    blocks.zip(names).foreach { case (blk, nm) =>
+      assert(blk == (0 until 5).map(i => s"$nm-$i"), s"block out of order: $blk")
+    }
+    // no staging leftovers from the losing attempt
+    val dataDir = Paths.get(root, "default", "data")
+    val s = Files.list(dataDir)
+    val leftovers =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.contains(".stage-")).toList
+      } finally s.close()
+    assert(leftovers.isEmpty, s"staging leftovers: $leftovers")
+  }
+
   test("second JVM appends through its own WalrusLog; reopen here observes its commits") {
     val root = Files.createTempDirectory("xjvm-append-").toString
     val log = new WalrusLog(spark, root)
