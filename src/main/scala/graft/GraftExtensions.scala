@@ -170,6 +170,39 @@ object GraftExtensions {
     GraftSqlInternal.analyzedPlan(df)
   }
 
+  /** `walrus_namespaces(root)` — the CLUSTER-level federation view: one
+    * row per namespace under `root` (the multi-tenant layout where each
+    * tenant/instance key owns a namespace dir) with topic / entry / byte /
+    * consumer-group / commit totals read from each namespace's driver-side
+    * catalog — the reference's cluster METRICS aggregated across buckets
+    * (distributed-walrus/src/controller/mod.rs:278-282), here across
+    * namespaces. Metadata only (commit records + cursor files; no data
+    * scan) and snapshot-at-plan like the other admin TVFs. */
+  private[graft] def walrusNamespacesPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1, "walrus_namespaces expects (root)")
+    require(exprs.head.foldable && exprs.head.eval() != null,
+      "walrus_namespaces: root must be a constant string")
+    val spark = SparkSession.active
+    val root = String.valueOf(exprs.head.eval())
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = graft.log.WalrusLog.namespacesUnder(root).map { ns =>
+      val log = new graft.log.WalrusLog(spark, root, ns)
+      val counts = log.entryCounts
+      Row(ns, log.topicNames.size.toLong, counts.valuesIterator.sum,
+        log.topicNames.map(log.topicSize).sum,
+        log.consumerCursors.map(_._1).distinct.size.toLong,
+        log.commitHistory.size.toLong)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("namespace", StringType),
+        StructField("topics", LongType), StructField("entries", LongType),
+        StructField("bytes", LongType), StructField("groups", LongType),
+        StructField("commits", LongType))))
+    GraftSqlInternal.analyzedPlan(df)
+  }
+
   /** Runtime registration of the TVFs on a live session (the extensions
     * path below covers sessions built with spark.sql.extensions). */
   def registerWalrusLogTvf(spark: SparkSession): Unit = {
@@ -178,6 +211,7 @@ object GraftExtensions {
     GraftSqlInternal.registerTableFunction(spark, "walrus_groups", walrusGroupsPlan)
     GraftSqlInternal.registerTableFunction(spark, "walrus_members", walrusMembersPlan)
     GraftSqlInternal.registerTableFunction(spark, "walrus_commits", walrusCommitsPlan)
+    GraftSqlInternal.registerTableFunction(spark, "walrus_namespaces", walrusNamespacesPlan)
   }
 
   /** Runtime registration of the manual bloom-filter function pair
@@ -283,6 +317,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(path) - the commit log as a table (DESCRIBE HISTORY): " +
           "instant, rows, bytes, tag, lifecycle flags per commit."),
       GraftExtensions.walrusCommitsPlan _))
+    ext.injectTableFunction((FunctionIdentifier("walrus_namespaces"),
+      info("walrus_namespaces",
+        "_FUNC_(root) - cluster-level federation: per-namespace topic / " +
+          "entry / byte / group / commit totals across one root."),
+      GraftExtensions.walrusNamespacesPlan _))
     ext.injectFunction((FunctionIdentifier("pq_code"),
       info("pq_code",
         "_FUNC_(vec, subspaces, subCentroids, subDim, basePlane) - packed PQ code in one fused pass."),

@@ -185,6 +185,29 @@ object SparkEntry {
   private def mainLog(spark: SparkSession, dir: String): WalrusLog =
     eventsLog(spark, dir, "main", LogConfig())
 
+  private val nsFedCache = TrieMap.empty[String, String]
+  /** Documents sharded into ONE WalrusLog NAMESPACE PER LANG under a
+    * single root (topic = source, value = utf-8 text, arrival = doc_id) —
+    * the multi-tenant layout `walrus_namespaces` federates. Built once per
+    * sfDir; each namespace lands in one commit. */
+  private def nsFedRoot(spark: SparkSession, dir: String): String =
+    nsFedCache.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-log-nsfed-").toString
+      val langs = table(spark, dir, "documents").select("lang").distinct()
+        .collect().map(_.getString(0)).sorted
+      langs.foreach { lang =>
+        val log = new WalrusLog(spark, root, lang,
+          consistency = ReadConsistency.AtLeastOnce(5000))
+        val in = table(spark, dir, "documents")
+          .where(col("lang") === lang)
+          .select(col("source").as("topic"),
+            encode(col("text"), "UTF-8").as("value"),
+            col("doc_id").as("_seq"))
+        log.appendDF(in, Some(col("_seq")), FixedTs)
+      }
+      root
+    })
+
   /** Lineitem mirrored once per sfDir into a scratch log — topic =
     * ship YEAR (`ship-1997`), value = JSON of the Q6 measure columns.
     * The "log as topic-partitioned fact table" fixture: a predicate on
@@ -5135,6 +5158,18 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    "log_tvf_namespaces" -> ((s, dir) => {
+      // cluster-level federation (the reference's METRICS aggregated
+      // across buckets, controller/mod.rs:278-282): one row per namespace
+      // under one root — a per-lang tenant layout over documents — with
+      // topic/entry/byte/group/commit totals, all metadata-side.
+      val root = nsFedRoot(s, dir)
+      GraftExtensions.registerWalrusLogTvf(s)
+      s.sql(
+        s"""SELECT namespace, topics, entries, bytes, groups, commits
+           |FROM walrus_namespaces('$root')
+           |ORDER BY namespace""".stripMargin)
+    }),
     "log_tvf_topics" -> ((s, dir) => {
       // STATE (D4) as a table: per-topic entries/bytes/segment accounting
       // through the walrus_topics TVF — metadata only, no data scan.
@@ -11930,6 +11965,15 @@ object SparkEntry {
         (s"""SELECT event_type AS topic, count(*) AS entries,
            |  CAST(SUM(length(props)) + $Meta * count(*) AS BIGINT) AS bytes
            |FROM events GROUP BY 1 ORDER BY topic""".stripMargin),
+      "log_tvf_namespaces" ->
+        // per-lang namespace totals: one appendDF per namespace = one
+        // commit; no consumer groups are ever created on this fixture
+        (s"""SELECT lang AS namespace,
+           |  CAST(count(DISTINCT source) AS BIGINT) AS topics,
+           |  count(*) AS entries,
+           |  CAST(SUM(length(text)) + $Meta * count(*) AS BIGINT) AS bytes,
+           |  CAST(0 AS BIGINT) AS groups, CAST(1 AS BIGINT) AS commits
+           |FROM documents GROUP BY 1 ORDER BY namespace""".stripMargin),
       "rel_bloom_manual_prune" ->
         """SELECT o_orderpriority, count(*) AS n_lines,
           |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS gross

@@ -1808,6 +1808,14 @@ object WalrusLog {
     def build(): WalrusLog = new WalrusLog(spark, dataDir, key, cons, config)
   }
 
+  /** Namespace keys present under `root`: every child dir holding a
+    * `commits` dir is an openable namespace (the layout `new WalrusLog`
+    * creates). The cluster-level federation surface enumerates these. */
+  def namespacesUnder(root: String): Seq[String] =
+    listDir(Paths.get(root))
+      .filter(p => Files.isDirectory(p.resolve("commits")))
+      .map(_.getFileName.toString).sorted
+
   /** Key sanitization parity (reference: src/wal/paths.rs:12-36). */
   def sanitizeKey(key: String): String =
     key.map(c => if (c.isLetterOrDigit || c == '-' || c == '_') c else '_')
