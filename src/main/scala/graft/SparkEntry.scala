@@ -4968,6 +4968,39 @@ object SparkEntry {
         .select("source", "tok", "tf", "df", "idf_milli", "score_milli", "rnk")
         .orderBy("source", "rnk")
     }),
+    "text_cluster_keywords" -> ((s, dir) => {
+      // BERTopic-style cluster labelling (c-TF-IDF, Grootendorst 2022):
+      // docs cluster by their EMBEDDINGS (the sim_ivf_assign coarse
+      // quantizer; vec_id aligns with doc_id), each cluster becomes one
+      // pseudo-document, and W(t,c) = tf(t,c) · ln(1 + A/f(t)) (A = mean
+      // tokens per cluster, f = corpus term frequency) ranks 5 label
+      // terms per cluster — the "what is this cluster about" report next
+      // to the semantic-dedup family. ln in integer millinats rounded per
+      // DISTINCT term (text_tfidf pattern), scores exact integers; the
+      // only shuffles are the two token aggs + the vocab-sized join.
+      import org.apache.spark.sql.expressions.Window
+      val cells = Similarity.ivfAssign(table(s, dir, "embeddings"),
+          "vec_id", "embedding", nCentroids = 8)
+        .select(col("vec_id").as("doc_id"),
+          col("centroid_id").cast("long").as("cluster"))
+      val toks = table(s, dir, "documents").join(cells, Seq("doc_id"))
+        .select(col("cluster"),
+          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+      val tf = toks.groupBy("cluster", "tok").agg(count(lit(1)).as("tf"))
+      val fTot = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      val scored = tf.join(fTot, Seq("tok")).crossJoin(broadcast(total))
+        .withColumn("w_milli", TextOps.milliLn(
+          lit(1.0) + col("total").cast("double") / (lit(8.0) * col("f"))))
+        .withColumn("score_milli", col("tf") * col("w_milli"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("score_milli").desc, col("tok").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("cluster"), col("tok"), col("tf"), col("f"),
+          col("w_milli"), col("score_milli"), col("rnk"))
+        .orderBy("cluster", "rnk")
+    }),
     "text_bm25_topk" -> ((s, dir) => {
       // BM25 retrieval (the lexical-search scorer TF-IDF approximates)
       // with integer-exact cross-engine math: k1 = 6/5, b = 3/4 make the
@@ -8004,6 +8037,56 @@ object SparkEntry {
           col("covered"), col("total"),
           expr("(1000000 * covered) DIV total").as("coverage_micro"))
         .orderBy("k")
+    }),
+    "pipeline_filter_agreement" -> ((s, dir) => {
+      // do the quality gates agree, or is the ensemble redundant? Cohen's
+      // kappa between each pair of the three deployed keep/drop filters
+      // (heuristic quality_score >= 0.5, the Gopher rule battery, the
+      // repetition gate) over the docs all three score (>= 4 tokens —
+      // repetitionSignals' domain). Chance-corrected agreement in exact
+      // integers: po and pe stay as count products, kappa_micro is ONE
+      // sign-decomposed integer division (numerator can be negative;
+      // Spark DIV truncates while DuckDB // floors, so both engines
+      // compute sign(num)·(|num|·1e6 DIV den)); den = 0 (degenerate
+      // marginals) yields NULL, never a fake 0. One scan per gate, one
+      // 1-row agg, a 3-row stack.
+      val docs = table(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), (col("quality_score") >= 0.5).as("gq"))
+      val gph = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), (col("keep") === 1L).as("gg"))
+      val rep = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("gr"))
+      val j = q.join(gph, Seq("doc_id")).join(rep, Seq("doc_id"))
+      def cells(x: String, y: String, tag: String) = Seq(
+        sum(when(col(x) && col(y), 1L).otherwise(0L)).as(s"a_$tag"),
+        sum(when(col(x) && !col(y), 1L).otherwise(0L)).as(s"b_$tag"),
+        sum(when(!col(x) && col(y), 1L).otherwise(0L)).as(s"c_$tag"),
+        sum(when(!col(x) && !col(y), 1L).otherwise(0L)).as(s"d_$tag"))
+      val aggd = j.agg(count(lit(1)).as("n"),
+        (cells("gq", "gg", "qg") ++ cells("gq", "gr", "qr") ++
+          cells("gg", "gr", "gr")): _*)
+      aggd.selectExpr("n",
+          "stack(3, " +
+            "'gopher_vs_repetition', a_gr, b_gr, c_gr, d_gr, " +
+            "'quality_vs_gopher', a_qg, b_qg, c_qg, d_qg, " +
+            "'quality_vs_repetition', a_qr, b_qr, c_qr, d_qr" +
+            ") AS (pair, both_keep, only_first, only_second, both_drop)")
+        .withColumn("po_micro",
+          expr("(both_keep + both_drop) * 1000000 DIV n"))
+        .withColumn("_num", expr("(both_keep + both_drop) * n" +
+          " - (both_keep + only_first) * (both_keep + only_second)" +
+          " - (only_second + both_drop) * (only_first + both_drop)"))
+        .withColumn("_den", expr("n * n" +
+          " - (both_keep + only_first) * (both_keep + only_second)" +
+          " - (only_second + both_drop) * (only_first + both_drop)"))
+        .withColumn("kappa_micro", expr("CASE WHEN _den = 0 THEN NULL " +
+          "WHEN _num >= 0 THEN (_num * 1000000) DIV _den " +
+          "ELSE -(((-_num) * 1000000) DIV _den) END"))
+        .select(col("pair"), col("n").as("n_docs"), col("both_keep"),
+          col("only_first"), col("only_second"), col("both_drop"),
+          col("po_micro"), col("kappa_micro"))
+        .orderBy("pair")
     }),
     "pipeline_k_anonymity" -> ((s, dir) => {
       // k-anonymity audit over the quasi-identifier tuple (lang, source,
@@ -11869,6 +11952,35 @@ object SparkEntry {
           |  FROM sc)
           |SELECT source, tok, tf, df, idf_milli, score_milli, rnk
           |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+      "text_cluster_keywords" -> {
+        val cells = (0 until 8).map { cIdx =>
+          s"SELECT vec_id, CAST($cIdx AS BIGINT) AS cid, " +
+            s"floor((${projDotSql("e", cIdx + 101)}) * 1000000 + 0.5) / 1000000 AS sim " +
+            "FROM embeddings e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH s AS (
+           |  $cells),
+           |r AS (SELECT vec_id, cid, row_number() OVER (
+           |  PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM s),
+           |asg AS (SELECT vec_id AS doc_id, cid AS cluster FROM r WHERE rn = 1),
+           |toks AS (SELECT cluster,
+           |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+           |  FROM documents JOIN asg USING (doc_id)),
+           |tf AS (SELECT cluster, tok, CAST(count(*) AS BIGINT) AS tf
+           |  FROM toks GROUP BY 1, 2),
+           |ft AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks),
+           |sc AS (SELECT cluster, tf.tok, tf, f,
+           |    ${TextOps.milliLnSql("1.0 + CAST(total AS DOUBLE) / (8.0 * f)")} AS w_milli
+           |  FROM tf JOIN ft ON ft.tok = tf.tok CROSS JOIN tot),
+           |rk AS (SELECT cluster, tok, tf, f, w_milli,
+           |    tf * w_milli AS score_milli,
+           |    CAST(row_number() OVER (PARTITION BY cluster
+           |      ORDER BY tf * w_milli DESC, tok) AS BIGINT) AS rnk
+           |  FROM sc)
+           |SELECT cluster, tok, tf, f, w_milli, score_milli, rnk
+           |FROM rk WHERE rnk <= 5 ORDER BY cluster, rnk""".stripMargin
+      },
       "text_watermark_greenlist" ->
         s"""WITH t AS (
            |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
@@ -13428,6 +13540,67 @@ object SparkEntry {
            |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
            |$rounds
            |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+      },
+      "pipeline_filter_agreement" -> {
+        val pairsDef = Seq(("qg", "gq", "gg"), ("qr", "gq", "gr"),
+          ("gr", "gg", "gr"))
+        val sums = pairsDef.flatMap { case (tag, x, y) => Seq(
+          s"CAST(SUM(CASE WHEN $x AND $y THEN 1 ELSE 0 END) AS BIGINT) AS a_$tag",
+          s"CAST(SUM(CASE WHEN $x AND NOT $y THEN 1 ELSE 0 END) AS BIGINT) AS b_$tag",
+          s"CAST(SUM(CASE WHEN NOT $x AND $y THEN 1 ELSE 0 END) AS BIGINT) AS c_$tag",
+          s"CAST(SUM(CASE WHEN NOT $x AND NOT $y THEN 1 ELSE 0 END) AS BIGINT) AS d_$tag")
+        }.mkString(",\n    ")
+        s"""WITH $QualityBaseCte,
+           |$gopherMaskCtes,
+           |rt AS (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           |  FROM documents),
+           |rd AS (SELECT doc_id, tk, len(tk) AS n FROM rt WHERE len(tk) >= 4),
+           |rbg AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g
+           |  FROM (SELECT doc_id, tk, unnest(generate_series(1, n - 1)) AS i FROM rd)),
+           |rbstat AS (SELECT doc_id, max(c) AS top2, sum(c) AS nbg
+           |  FROM (SELECT doc_id, g, count(*) AS c FROM rbg GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |rfg AS (SELECT doc_id,
+           |    tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] AS g4
+           |  FROM (SELECT doc_id, tk, unnest(generate_series(1, n - 3)) AS i FROM rd)),
+           |rfstat AS (SELECT doc_id, count(DISTINCT g4) AS nd4, count(*) AS n4
+           |  FROM rfg GROUP BY 1),
+           |rkeep AS (SELECT rd.doc_id,
+           |    (floor(CAST(top2 AS DOUBLE) / CAST(nbg AS DOUBLE) * 1000000 + 0.5)
+           |      / 1000000) <= 0.20
+           |    AND (floor((1.0 - CAST(nd4 AS DOUBLE) / CAST(n4 AS DOUBLE)) * 1000000 + 0.5)
+           |      / 1000000) <= 0.15 AS gr
+           |  FROM rd JOIN rbstat USING (doc_id) JOIN rfstat USING (doc_id)),
+           |gates AS (SELECT b.doc_id,
+           |    ($QualityScoreSql) >= 0.5 AS gq,
+           |    gmask.rule_mask = 31 AS gg,
+           |    rkeep.gr AS gr
+           |  FROM b JOIN gmask ON gmask.doc_id = b.doc_id
+           |  JOIN rkeep ON rkeep.doc_id = b.doc_id),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    $sums
+           |  FROM gates),
+           |rws AS (
+           |  SELECT n, 'gopher_vs_repetition' AS pair, a_gr AS both_keep,
+           |    b_gr AS only_first, c_gr AS only_second, d_gr AS both_drop FROM agg
+           |  UNION ALL SELECT n, 'quality_vs_gopher', a_qg, b_qg, c_qg, d_qg FROM agg
+           |  UNION ALL SELECT n, 'quality_vs_repetition', a_qr, b_qr, c_qr, d_qr FROM agg),
+           |k AS (SELECT pair, n AS n_docs, both_keep, only_first,
+           |    only_second, both_drop,
+           |    (both_keep + both_drop) * 1000000 // n AS po_micro,
+           |    (both_keep + both_drop) * n
+           |      - (both_keep + only_first) * (both_keep + only_second)
+           |      - (only_second + both_drop) * (only_first + both_drop) AS num,
+           |    n * n - (both_keep + only_first) * (both_keep + only_second)
+           |      - (only_second + both_drop) * (only_first + both_drop) AS den
+           |  FROM rws)
+           |SELECT pair, n_docs, both_keep, only_first, only_second, both_drop,
+           |  CAST(po_micro AS BIGINT) AS po_micro,
+           |  CAST(CASE WHEN den = 0 THEN NULL
+           |    WHEN num >= 0 THEN (num * 1000000) // den
+           |    ELSE -(((-num) * 1000000) // den) END AS BIGINT) AS kappa_micro
+           |FROM k ORDER BY pair""".stripMargin
       },
       "rel_cdc_apply" -> cdcApplyOracleSql,
       "stream_cdc_apply" -> cdcApplyOracleSql,

@@ -1670,6 +1670,17 @@ class WalrusLog(
         s"commit collision: batch dir(s) ${orphans.mkString(", ")} were " +
           "claimed by another writer that never published their commits " +
           "(crashed mid-publish?); re-open the log to recover")
+    // Producer watermarks too: the winner may have advanced a shared
+    // idempotent producer's high-water mark — fold it in (max-merge, so a
+    // replay that raced the other writer still dedups correctly).
+    if (Files.exists(producersPath)) {
+      val pf = org.json4s.jackson.JsonMethods
+        .parse(new String(Files.readAllBytes(producersPath), "UTF-8"))
+        .extract[ProducerFile]
+      pf.producers.foreach { case (p, sq) =>
+        producerSeq(p) = math.max(producerSeq.getOrElse(p, Long.MinValue), sq)
+      }
+    }
     val maxDir = WalrusLog.listDir(dataDir).flatMap { p =>
       val n = p.getFileName.toString
       if (n.startsWith("batch=")) n.stripPrefix("batch=").toLongOption else None

@@ -1320,6 +1320,26 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(e => str(e.value)) == Seq("from-a", "from-b"))
   }
 
+  test("stale instance's compact retries past a foreign commit and folds it in") {
+    val root = tempRoot()
+    val a = new WalrusLog(spark, root)
+    val b = new WalrusLog(spark, root)
+    a.batchAppend("t", Seq(bytes("a0")))
+    a.batchAppend("t", Seq(bytes("a1")))
+    // b is stale (planned id 0): its append collides, resyncs, lands id 2
+    b.batchAppend("t", Seq(bytes("b0")))
+    // a is now the stale one (nextBatchId = 2 — b's id): its compact claim
+    // collides, resyncs (folding b's commit INTO the source set), retries —
+    // the compacted batch must carry all three entries at their offsets
+    val cid = a.compact()
+    assert(cid.exists(_ >= 3L), s"compact id: $cid")
+    val fresh = new WalrusLog(spark, root)
+    assert(fresh.entryCount("t") == 3L)
+    val got = fresh.batchRead("t", 1 << 20, checkpoint = false)
+    assert(got.map(_.offset) == Seq(0L, 1L, 2L))
+    assert(got.map(e => str(e.value)) == Seq("a0", "a1", "b0"))
+  }
+
   test("commitCollisionRetries = 0 restores pure fail-stop: exactly one append wins") {
     val root = tempRoot()
     val cfg = LogConfig(commitCollisionRetries = 0)
