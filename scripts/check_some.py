@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
 """Run Verify for a subset (or all) queries already dumped to out_dir and
 compare ONLY the names given on argv against the DuckDB oracle."""
-import sys, json
+import sys, json, os, threading
 import duckdb
+
+BUDGET_S = float(os.environ.get("ORACLE_QUERY_BUDGET_S", "120"))
 
 sf_dir = sys.argv[1]
 out_dir = sys.argv[2]
@@ -21,7 +23,14 @@ for name in names:
         print(f"SKIP {name}: no oracle")
         continue
     try:
-        exp = con.execute(sql).fetchdf()
+        # same per-query wall-time budget as oracle_check.py: one stalled
+        # DuckDB twin fails only that query
+        timer = threading.Timer(BUDGET_S, con.interrupt)
+        timer.start()
+        try:
+            exp = con.execute(sql).fetchdf()
+        finally:
+            timer.cancel()
         got = duckdb.connect().execute(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
     except Exception as e:
