@@ -398,6 +398,18 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Join"), "Q6 must be join-free")
   }
 
+  test("graph queries scan the materialized co-occurrence fixture, never rebuild it") {
+    // r12 bench contract (graph family 59s -> 24s): the per-sfDir coGraph
+    // fixture means a graph query's plan contains ONE parquet scan of the
+    // edge list — no events scan, no per-user collect_set/explode pair
+    // stage upstream of the algorithm itself.
+    val plan = planOf("graph_triangles")
+    assert(plan.contains("graft-cograph-") || plan.contains("cograph"),
+      s"co-occurrence fixture scan missing:\n$plan")
+    assert(!plan.contains("events.parquet"),
+      s"graph query still rebuilds co-occurrence from events:\n$plan")
+  }
+
   test("Q3: dims broadcast, fact side never shuffles before the join") {
     val plan = planOf("rel_q3_top_orders")
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
