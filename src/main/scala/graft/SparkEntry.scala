@@ -2102,6 +2102,43 @@ object SparkEntry {
           col("mid_b"), col("mean_luma_milli"))
         .orderBy("doc_id")
     }),
+    "mm_jpeg_dims" -> ((s, dir) => {
+      // the LOSSY half of the real-codec lane: JPEG through the JDK's
+      // encoder/decoder. Pixels are not replayable (DCT quantization), so
+      // the oracle pins exactly what survives the lossy hop — true
+      // dimensions, the real_codec flag, and the detected container magic
+      // (FF D8 FF) — while the decode itself still runs the real codec
+      // end-to-end. Dims come from the same closed form as the PNG lane.
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 30)
+      val media = docs.as[Long].map { d =>
+        val w = 8 + (d % 9).toInt
+        val h = 8 + ((d * 3) % 9).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (((7 * x + 13 * y + d) % 256).toInt << 16))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        (d, bos.toByteArray, "image/jpeg")
+      }.toDF("doc_id", "payload", "mime")
+      val wrapped = graft.operators.Multimodal.wrap(
+        media, "doc_id", "payload", col("mime"), Seq.empty)
+      val dims = graft.operators.Multimodal.decodeReal(s, wrapped).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("real_codec"))
+      val sniff = graft.operators.Multimodal.formatSniff(wrapped)
+        .select(col("id").as("doc_id"), col("detected_mime"))
+      dims.join(sniff, Seq("doc_id")).orderBy("doc_id")
+    }),
     "mm_feature_extract" -> ((s, dir) => {
       // stubbed batched decode (mapPartitions = the mapInPandas shape):
       // engine-specific feature bytes, rows-only check; spec covers
@@ -9980,6 +10017,13 @@ object SparkEntry {
           |  l.mean_luma_milli
           |FROM luma l JOIN mid m ON m.doc_id = l.doc_id
           |ORDER BY l.doc_id""".stripMargin,
+      "mm_jpeg_dims" ->
+        // dims + flag + magic only: JPEG pixel values are lossy and NOT
+        // oracle-replayable; the dimensions and container magic are.
+        """SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS width,
+          |  CAST(8 + (3 * doc_id) % 9 AS BIGINT) AS height,
+          |  TRUE AS real_codec, 'image/jpeg' AS detected_mime
+          |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin,
       "mm_feature_extract" ->
         // exact twin of MediaCodecStub.decodeBatch: FNV-1a-64 over the
         // UTF-8 payload (ASCII corpus -> ascii() per char) folded with

@@ -1340,6 +1340,22 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(e => str(e.value)) == Seq("a0", "a1", "b0"))
   }
 
+  test("four stale instances interleave appends; every batch lands, offsets dense") {
+    val root = tempRoot()
+    val logs = (0 until 4).map(_ => new WalrusLog(spark, root))
+    // every append after the first collides (each instance is stale by up
+    // to 3 foreign commits between its own turns) — one resync per append
+    // must land it, well inside the default retry budget
+    for (round <- 0 until 2; (log, i) <- logs.zipWithIndex)
+      log.batchAppend("t", Seq(bytes(s"w$i-r$round")))
+    val fresh = new WalrusLog(spark, root)
+    assert(fresh.entryCount("t") == 8L)
+    val got = fresh.batchRead("t", 1 << 20, checkpoint = false)
+    assert(got.map(_.offset) == (0L until 8L))
+    val want = for (round <- 0 until 2; i <- 0 until 4) yield s"w$i-r$round"
+    assert(got.map(e => str(e.value)) == want)
+  }
+
   test("commitCollisionRetries = 0 restores pure fail-stop: exactly one append wins") {
     val root = tempRoot()
     val cfg = LogConfig(commitCollisionRetries = 0)
