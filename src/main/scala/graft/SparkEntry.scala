@@ -2139,6 +2139,38 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("detected_mime"))
       dims.join(sniff, Seq("doc_id")).orderBy("doc_id")
     }),
+    "mm_wav_stats" -> ((s, dir) => {
+      // real AUDIO decode (javax.sound.sampled — public JDK): genuine
+      // RIFF/WAVE PCM fixtures through the JDK encoder AND decoder. PCM is
+      // lossless, so the decoded sample statistics replay the synthesis
+      // closed form s_i = ((37i + 101d) mod 4001) − 2000 exactly — frames,
+      // rate, channels, sum/min/max all oracled; the container magic ties
+      // in via formatSniff (audio/wav). Same partition-local batch shape
+      // as the image lane.
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 30)
+      val media = docs.as[Long].map { d =>
+        (d, graft.operators.Multimodal.MediaCodecAudio
+          .syntheticWav(d, nFrames = 100 + d.toInt, sampleRate = 8000f),
+          "audio/wav")
+      }.toDF("doc_id", "payload", "mime")
+      val wrapped = graft.operators.Multimodal.wrap(
+        media, "doc_id", "payload", col("mime"), Seq.empty)
+      val stats = wrapped.as[graft.operators.Multimodal.MediaRow]
+        .map { r =>
+          val st = graft.operators.Multimodal.MediaCodecAudio
+            .decodeStats(r.media.bytes)
+          val (rate, ch, frames, sum, mn, mx) =
+            st.getOrElse((-1L, -1L, -1L, 0L, 0L, 0L))
+          (r.id, rate, ch, frames, sum, mn, mx, st.isDefined)
+        }
+        .toDF("doc_id", "sample_rate", "channels", "n_frames",
+          "sum_samples", "min_sample", "max_sample", "real_codec")
+      val sniff = graft.operators.Multimodal.formatSniff(wrapped)
+        .select(col("id").as("doc_id"), col("detected_mime"))
+      stats.join(sniff, Seq("doc_id")).orderBy("doc_id")
+    }),
     "mm_feature_extract" -> ((s, dir) => {
       // stubbed batched decode (mapPartitions = the mapInPandas shape):
       // engine-specific feature bytes, rows-only check; spec covers
@@ -10017,6 +10049,22 @@ object SparkEntry {
           |  l.mean_luma_milli
           |FROM luma l JOIN mid m ON m.doc_id = l.doc_id
           |ORDER BY l.doc_id""".stripMargin,
+      "mm_wav_stats" ->
+        // PCM is lossless: decoded samples replay the synthesis closed
+        // form exactly, so every statistic is oracled from arithmetic
+        """WITH d AS (SELECT doc_id, 100 + doc_id AS nf FROM documents
+          |  WHERE doc_id < 30),
+          |sm AS (SELECT doc_id, nf,
+          |    unnest(generate_series(0, nf - 1)) AS i FROM d),
+          |v AS (SELECT doc_id, nf, (37 * i + 101 * doc_id) % 4001 - 2000 AS s
+          |  FROM sm)
+          |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+          |  CAST(1 AS BIGINT) AS channels, CAST(nf AS BIGINT) AS n_frames,
+          |  CAST(SUM(s) AS BIGINT) AS sum_samples,
+          |  CAST(MIN(s) AS BIGINT) AS min_sample,
+          |  CAST(MAX(s) AS BIGINT) AS max_sample,
+          |  TRUE AS real_codec, 'audio/wav' AS detected_mime
+          |FROM v GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin,
       "mm_jpeg_dims" ->
         // dims + flag + magic only: JPEG pixel values are lossy and NOT
         // oracle-replayable; the dimensions and container magic are.

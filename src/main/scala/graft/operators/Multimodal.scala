@@ -189,6 +189,57 @@ object Multimodal {
     }
   }
 
+  /** Real AUDIO codec via the JDK's own javax.sound.sampled (WAV/AIFF/AU
+    * PCM — public JDK, no external library): the audio sibling of
+    * [[MediaCodecImageIO]]. PCM is lossless, so decoded samples replay a
+    * synthesis closed form exactly — the oracle needs no audio library. */
+  object MediaCodecAudio {
+    /** Deterministic 16-bit mono PCM WAV (a GENUINE RIFF/WAVE container
+      * through the JDK encoder): frame i of seed s is
+      * `((37·i + 101·s) mod 4001) − 2000`. Test/fixture helper. */
+    def syntheticWav(seed: Long, nFrames: Int, sampleRate: Float): Array[Byte] = {
+      val raw = new Array[Byte](nFrames * 2)
+      var i = 0
+      while (i < nFrames) {
+        val v = (java.lang.Math.floorMod(37L * i + 101L * seed, 4001L) - 2000L).toShort
+        raw(2 * i) = (v & 0xff).toByte
+        raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode a PCM audio container: (sampleRateHz, channels, frames,
+      * sum, min, max) over the 16-bit samples, or None when the JDK has
+      * no reader for the payload. */
+    def decodeStats(bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+          val raw = ais.readAllBytes()
+          var (sum, mn, mx) = (0L, Long.MaxValue, Long.MinValue)
+          var i = 0
+          while (i + 1 < raw.length) {
+            val v = ((raw(i) & 0xff) | (raw(i + 1) << 8)).toShort.toLong
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            i += 2
+          }
+          val frames = raw.length / 2 / fmt.getChannels
+          Some((fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+            frames.toLong, sum, mn, mx))
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   case class MediaDecoded(id: Long, mime: String, byte_len: Long,
       width: Long, height: Long, mean_r_milli: Long, mean_g_milli: Long,
       mean_b_milli: Long, real_codec: Boolean)
