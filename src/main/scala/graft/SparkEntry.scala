@@ -2171,6 +2171,39 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("detected_mime"))
       stats.join(sniff, Seq("doc_id")).orderBy("doc_id")
     }),
+    "mm_audio_energy" -> ((s, dir) => {
+      // windowed energy over REAL decoded audio — the STFT-frame shape on
+      // true samples (hopWindows is the byte-manifest shape; this one
+      // decodes): 50-frame tumbling windows, per-window integer energy
+      // Σ s² and a voiced flag (energy ≥ 50·10⁶ ⟺ mean square ≥ 1e6 —
+      // the VAD gate a speech-segmentation pass runs). PCM is lossless,
+      // so window energies replay the synthesis closed form exactly;
+      // partial tail windows are dropped (only complete frames score).
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 20)
+      val media = docs.as[Long].map { d =>
+        (d, graft.operators.Multimodal.MediaCodecAudio
+          .syntheticWav(d, nFrames = 100 + d.toInt, sampleRate = 8000f),
+          "audio/wav")
+      }.toDF("doc_id", "payload", "mime")
+      graft.operators.Multimodal.wrap(media, "doc_id", "payload",
+          col("mime"), Seq.empty)
+        .as[graft.operators.Multimodal.MediaRow]
+        .flatMap { r =>
+          graft.operators.Multimodal.MediaCodecAudio.decodeSamples(
+            r.media.bytes).toSeq.flatMap { samples =>
+            samples.grouped(50).zipWithIndex
+              .filter(_._1.length == 50)
+              .map { case (win, w) =>
+                val energy = win.foldLeft(0L)((a, v) => a + v.toLong * v)
+                (r.id, w.toLong, energy, energy >= 50L * 1000000L)
+              }
+          }
+        }
+        .toDF("doc_id", "win_idx", "energy", "voiced")
+        .orderBy("doc_id", "win_idx")
+    }),
     "mm_feature_extract" -> ((s, dir) => {
       // stubbed batched decode (mapPartitions = the mapInPandas shape):
       // engine-specific feature bytes, rows-only check; spec covers
@@ -10049,6 +10082,22 @@ object SparkEntry {
           |  l.mean_luma_milli
           |FROM luma l JOIN mid m ON m.doc_id = l.doc_id
           |ORDER BY l.doc_id""".stripMargin,
+      "mm_audio_energy" ->
+        // complete 50-frame windows only (grouped drops the partial tail
+        // ⟺ the nf // 50 window count); energy replays the closed form
+        """WITH d AS (SELECT doc_id, 100 + doc_id AS nf FROM documents
+          |  WHERE doc_id < 20),
+          |w AS (SELECT doc_id, nf,
+          |    unnest(generate_series(0, nf // 50 - 1)) AS win FROM d),
+          |p AS (SELECT doc_id, win, unnest(generate_series(0, 49)) AS j
+          |  FROM w),
+          |v AS (SELECT doc_id, win,
+          |    (37 * (win * 50 + j) + 101 * doc_id) % 4001 - 2000 AS s
+          |  FROM p),
+          |e AS (SELECT doc_id, CAST(win AS BIGINT) AS win_idx,
+          |    CAST(SUM(s * s) AS BIGINT) AS energy FROM v GROUP BY 1, 2)
+          |SELECT doc_id, win_idx, energy, energy >= 50000000 AS voiced
+          |FROM e ORDER BY doc_id, win_idx""".stripMargin,
       "mm_wav_stats" ->
         // PCM is lossless: decoded samples replay the synthesis closed
         // form exactly, so every statistic is oracled from arithmetic

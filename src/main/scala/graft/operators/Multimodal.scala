@@ -215,6 +215,26 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Decode a PCM container to its 16-bit samples (channel-interleaved,
+      * little-endian), or None when the JDK has no reader for it. */
+    def decodeSamples(bytes: Array[Byte]): Option[Array[Short]] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          require(ais.getFormat.getSampleSizeInBits == 16 &&
+            !ais.getFormat.isBigEndian)
+          val raw = ais.readAllBytes()
+          val out = new Array[Short](raw.length / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          Some(out)
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** Decode a PCM audio container: (sampleRateHz, channels, frames,
       * sum, min, max) over the 16-bit samples, or None when the JDK has
       * no reader for the payload. */
