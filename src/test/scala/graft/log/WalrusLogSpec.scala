@@ -1356,6 +1356,26 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(e => str(e.value)) == want)
   }
 
+  test("recovery sweeps a crashed writer's abandoned staging dir") {
+    val root = tempRoot()
+    val a = new WalrusLog(spark, root)
+    a.batchAppend("t", Seq(bytes("e0")))
+    // a writer crashed between staging its batch and claiming the id:
+    // fabricate the leftover exactly as a dead writeEntryRows would leave it
+    val stage = java.nio.file.Paths.get(root, "default", "data",
+      "batch=7.stage-dead-writer")
+    Files.createDirectories(stage.resolve("topic=t"))
+    Files.write(stage.resolve("topic=t").resolve("part-junk.parquet"),
+      "junk".getBytes("UTF-8"))
+    val fresh = new WalrusLog(spark, root)
+    assert(!Files.exists(stage), "staging dir not swept at recovery")
+    assert(fresh.entryCount("t") == 1L) // never visible, log intact
+    fresh.batchAppend("t", Seq(bytes("e1")))
+    assert(fresh.entryCount("t") == 2L)
+    val got = fresh.batchRead("t", 1 << 20, checkpoint = false)
+    assert(got.map(e => str(e.value)) == Seq("e0", "e1"))
+  }
+
   test("commitCollisionRetries = 0 restores pure fail-stop: exactly one append wins") {
     val root = tempRoot()
     val cfg = LogConfig(commitCollisionRetries = 0)
