@@ -889,6 +889,46 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(_._3 > 0)) // bytes include the 256 B per-entry meta
   }
 
+  test("walrus_namespaces TVF: per-namespace totals federate one root") {
+    val root = tempRoot()
+    val a = new WalrusLog(spark, root, "tenant-a")
+    a.append("t1", bytes("a0")); a.append("t1", bytes("a1"))
+    a.append("t2", bytes("a2"))
+    val b = new WalrusLog(spark, root, "tenant-b")
+    b.append("t1", bytes("b0"))
+    b.seek("g", "t1", 1L) // one consumer group in b only
+    b.close()
+    graft.GraftExtensions.registerWalrusLogTvf(spark)
+    val got = spark.sql(
+      s"""SELECT namespace, topics, entries, groups, commits
+         |FROM walrus_namespaces('$root') ORDER BY namespace""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(("tenant-a", 2L, 3L, 0L, 3L),
+      ("tenant-b", 1L, 1L, 1L, 1L)), got.toSeq)
+  }
+
+  test("bloom positions: forced-odd step keeps all k probes distinct") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, expr}
+    import scala.jdk.CollectionConverters._
+    // an even double-hash step on a power-of-two m collapses probe
+    // positions (halving effective k); the forced-odd h2 is coprime with
+    // m, so all k positions are distinct for every hash — checked over a
+    // dense sample including hashes whose raw (h div m) residue is even
+    val m = 64
+    val df = spark.createDataFrame(
+      (0L until 4096L).map(Row(_)).asJava,
+      StructType(Seq(StructField("h", LongType))))
+    val bad = df.select(Sketches.bloomPositions(col("h"), m, k = 8).as("pos"))
+      .where(expr("size(array_distinct(pos)) <> size(pos)"))
+      .count()
+    assert(bad == 0L, s"$bad hashes produced colliding probe positions")
+  }
+
   test("bloom function pair: no false negatives, prefilter actually prunes") {
     import spark.implicits._
     graft.GraftExtensions.registerBloomFunctions(spark)
