@@ -8003,6 +8003,14 @@ object SparkEntry {
       // multiply, so merge order can't flip a tie and the oracle replays
       // bit-for-bit (the HLL capped-rho lesson). Top-20 by decayed
       // weight via TakeOrderedAndProject, ties broken by item.
+      // HEADROOM BOUND (documented per VERDICT r12): the newest day weighs
+      // 2^40, and `decayed` sums cnt·w as BIGINT — one item needs
+      // ≥ 2^63/2^40 ≈ 8.4M same-day events to wrap, and the DuckDB twin
+      // wraps identically so the gate can't catch it. At that volume,
+      // either shrink the landmark exponent (2^40 → 2^30 buys 8.6B
+      // events/day/item at 1 µs-grade tie resolution) or widen both
+      // engines to DECIMAL(38,0)/HUGEINT exactly as sketch_f2_moments
+      // documents for its F2 sum.
       val it = events(s, dir)
         .select(get_json_object(col("props"), "$.k").as("item"),
           expr("ts div 86400000000000").as("day"))
@@ -8063,6 +8071,9 @@ object SparkEntry {
       // which also sidesteps the memory-sink self-join attribute-id trap
       // (see stream_heavy_hitters) without materializing the counter
       // table on the driver; only the final 20 report rows are collected.
+      // Same BIGINT headroom bound as sketch_decay_topk (see there):
+      // ≥ 8.4M same-(item, day) events wraps cnt·2^40; shrink the
+      // exponent or widen to DECIMAL(38,0)/HUGEINT in both engines.
       val sch = StructType(Seq(StructField("event_id", LongType),
         StructField("item", StringType), StructField("day", LongType)))
       val src = s.readStream.schema(sch)
@@ -8174,14 +8185,20 @@ object SparkEntry {
             "'quality_vs_gopher', a_qg, b_qg, c_qg, d_qg, " +
             "'quality_vs_repetition', a_qr, b_qr, c_qr, d_qr" +
             ") AS (pair, both_keep, only_first, only_second, both_drop)")
-        .withColumn("po_micro",
-          expr("(both_keep + both_drop) * 1000000 DIV n"))
-        .withColumn("_num", expr("(both_keep + both_drop) * n" +
-          " - (both_keep + only_first) * (both_keep + only_second)" +
-          " - (only_second + both_drop) * (only_first + both_drop)"))
-        .withColumn("_den", expr("n * n" +
-          " - (both_keep + only_first) * (both_keep + only_second)" +
-          " - (only_second + both_drop) * (only_first + both_drop)"))
+        // DECIMAL(38,0) arithmetic (DuckDB twin: HUGEINT): num/den are
+        // O(n²) count products and the micro-scaling adds 10⁶ — BIGINT
+        // wraps silently past ~3M docs (ADVICE r12) while the twin errors
+        // or widens, so the gate would diverge exactly where it matters.
+        // 38 digits hold n²·10⁶ up to n = 10¹⁶ docs — far past 100 TB.
+        .withColumn("po_micro", expr(
+          "CAST(both_keep + both_drop AS DECIMAL(38,0)) * 1000000 DIV n"))
+        .withColumn("_num", expr(
+          "CAST(both_keep + both_drop AS DECIMAL(38,0)) * n" +
+          " - CAST(both_keep + only_first AS DECIMAL(38,0)) * (both_keep + only_second)" +
+          " - CAST(only_second + both_drop AS DECIMAL(38,0)) * (only_first + both_drop)"))
+        .withColumn("_den", expr("CAST(n AS DECIMAL(38,0)) * n" +
+          " - CAST(both_keep + only_first AS DECIMAL(38,0)) * (both_keep + only_second)" +
+          " - CAST(only_second + both_drop AS DECIMAL(38,0)) * (only_first + both_drop)"))
         .withColumn("kappa_micro", expr("CASE WHEN _den = 0 THEN NULL " +
           "WHEN _num >= 0 THEN (_num * 1000000) DIV _den " +
           "ELSE -(((-_num) * 1000000) DIV _den) END"))
@@ -13729,12 +13746,13 @@ object SparkEntry {
            |  UNION ALL SELECT n, 'quality_vs_repetition', a_qr, b_qr, c_qr, d_qr FROM agg),
            |k AS (SELECT pair, n AS n_docs, both_keep, only_first,
            |    only_second, both_drop,
-           |    (both_keep + both_drop) * 1000000 // n AS po_micro,
-           |    (both_keep + both_drop) * n
-           |      - (both_keep + only_first) * (both_keep + only_second)
-           |      - (only_second + both_drop) * (only_first + both_drop) AS num,
-           |    n * n - (both_keep + only_first) * (both_keep + only_second)
-           |      - (only_second + both_drop) * (only_first + both_drop) AS den
+           |    CAST(both_keep + both_drop AS HUGEINT) * 1000000 // n AS po_micro,
+           |    CAST(both_keep + both_drop AS HUGEINT) * n
+           |      - CAST(both_keep + only_first AS HUGEINT) * (both_keep + only_second)
+           |      - CAST(only_second + both_drop AS HUGEINT) * (only_first + both_drop) AS num,
+           |    CAST(n AS HUGEINT) * n
+           |      - CAST(both_keep + only_first AS HUGEINT) * (both_keep + only_second)
+           |      - CAST(only_second + both_drop AS HUGEINT) * (only_first + both_drop) AS den
            |  FROM rws)
            |SELECT pair, n_docs, both_keep, only_first, only_second, both_drop,
            |  CAST(po_micro AS BIGINT) AS po_micro,

@@ -60,8 +60,13 @@ object Verify {
         try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
                 .parquet(s"$outDir/$name"); None }
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          Some(e.getMessage)
+          // Option(...): a null-message Throwable (plain NPE, some Spark
+          // internals) must not NPE the journal line below and abort the
+          // remaining queries — that would defeat the crash-durable gate
+          // this journal exists for (ADVICE r12).
+          val msg = Option(e.getMessage).getOrElse(e.toString)
+          System.err.println(s"[verify] $name failed: $msg")
+          Some(msg)
         }
       val line = s"""{"q": ${q(name)}, "ok": ${err.isEmpty}, "sec": ${
         (System.nanoTime() - tq) / 1e9}${

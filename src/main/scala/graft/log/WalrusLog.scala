@@ -1438,13 +1438,45 @@ class WalrusLog(
     * rebuild topic states, segment accounting, and entry counts; hydrate
     * cursors (clamped to valid range); orphaned uncommitted batch dirs are
     * ignored — they were never visible. */
+  /** Newest mtime anywhere under `p` (the dir itself plus every file and
+    * subdir) — the staleness signal for abandoned-dir sweeps. A LIVE
+    * writer keeps touching files inside its staging dir / txn spool, so
+    * the newest-mtime stays current for the whole write; only a crashed
+    * writer's goes cold. Walk errors (a concurrent writer renaming the
+    * dir away mid-walk) report "fresh" — never sweep on uncertainty. */
+  private def newestMtimeMillis(p: Path): Long =
+    try {
+      val walk = Files.walk(p)
+      try walk.mapToLong(f =>
+          try Files.getLastModifiedTime(f).toMillis
+          catch { case _: java.io.IOException => Long.MaxValue })
+        .max().orElse(Long.MaxValue)
+      finally walk.close()
+    } catch {
+      // UncheckedIOException: Files.walk wraps traversal errors (a
+      // concurrent writer publishing/deleting the dir mid-walk)
+      case _: java.io.IOException | _: java.io.UncheckedIOException =>
+        Long.MaxValue
+    }
+
+  /** Is this abandoned-looking dir old enough to sweep? Gated on
+    * [[LogConfig.staleStageSweepMs]]: recover() runs on EVERY open —
+    * including read-only opens and the `walrus_namespaces` TVF, which
+    * opens every namespace under a root — so an unconditional sweep races
+    * a live writer's in-flight stage (ADVICE r12, the multi-writer
+    * regression). 0 disables the gate (single-writer deployments). */
+  private def staleEnoughToSweep(p: Path): Boolean =
+    cfg.staleStageSweepMs <= 0 ||
+      newestMtimeMillis(p) < System.currentTimeMillis() - cfg.staleStageSweepMs
+
   private def recover(): Unit = {
     // Abandoned transaction spools (a writer crashed mid-transaction) are
     // aborted here — staged data was never referenced by any commit, so
     // deletion is the whole abort (Kafka's transaction-timeout abort,
-    // reduced to a directory sweep).
+    // reduced to a directory sweep). Age-gated: a LIVE writer in another
+    // process may have an open transaction spooling under `<ns>/txns/`.
     if (Files.exists(txnStageRoot))
-      listDir(txnStageRoot).foreach(deleteRecursively)
+      listDir(txnStageRoot).filter(staleEnoughToSweep).foreach(deleteRecursively)
     // Manifest fast path: restore the rolled-up prefix from ONE file, then
     // parse only the JSON tail past it — O(tail) instead of O(all commits).
     val manifest = readNewestManifest(nsDir)
@@ -1565,8 +1597,14 @@ class WalrusLog(
       // A writer that crashed between staging a batch and claiming its id
       // leaves `batch=<id>.stage-<uuid>` — never referenced by any commit
       // (the atomic rename IS the claim), so deletion is the whole abort,
-      // exactly like the txn-spool sweep above.
-      if (n.startsWith("batch=") && n.contains(".stage-")) deleteRecursively(p)
+      // exactly like the txn-spool sweep above. Age-gated (ADVICE r12):
+      // another LIVE writer's phase-2 write happens entirely in its stage
+      // dir, and recover() runs on every open — sweeping a fresh stage
+      // would abort (or worse, partially gut) that writer's in-flight
+      // append. staleEnoughToSweep uses newest-mtime-in-tree, which the
+      // live writer keeps current; a crashed writer's goes cold.
+      if (n.startsWith("batch=") && n.contains(".stage-") &&
+          staleEnoughToSweep(p)) deleteRecursively(p)
     }
     // maxPublishedId guards against id reuse when EVERY covered commit was
     // dropped from a v2 manifest (commits empty, data dirs reclaimed).
@@ -1597,13 +1635,29 @@ class WalrusLog(
     * when another writer already claimed the id. */
   private def publishStage(stage: Path, id: Long): Path = {
     val target = dataDir.resolve(s"batch=$id")
+    // Only a target-already-claimed failure is a collision. The Linux
+    // rename(2) failure surfaces as a generic FileSystemException
+    // ("Directory not empty" — verified empirically, NOT the typed
+    // DirectoryNotEmptyException), so classification is semantic: the
+    // rename failed AND the target now exists ⟹ another writer claimed
+    // the id. AtomicMoveNotSupportedException (filesystems without atomic
+    // rename, e.g. some object-store mounts) is a REAL environment
+    // failure and propagates as-is — mislabeling it as a collision would
+    // burn the resync/retry budget re-writing the batch and surface a
+    // misleading error (ADVICE r12). Either way the staging dir is
+    // entirely this writer's, so it is cleaned up before rethrow.
     try Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
     catch {
+      case e: java.nio.file.AtomicMoveNotSupportedException =>
+        WalrusLog.deleteRecursively(stage)
+        throw e
       case e: java.nio.file.FileSystemException =>
         WalrusLog.deleteRecursively(stage)
-        throw new CommitCollisionException(
-          s"commit collision: batch dir $target was claimed by another " +
-            "writer on this namespace", e)
+        if (Files.exists(target))
+          throw new CommitCollisionException(
+            s"commit collision: batch dir $target was claimed by another " +
+              "writer on this namespace", e)
+        else throw e
     }
     target
   }
@@ -1656,12 +1710,18 @@ class WalrusLog(
     // visible: the claimant sits in the (tiny, driver-side) claim →
     // publish gap, and its per-topic ranges are unknowable until the
     // commit lands — retrying now would re-sequence OVER them (the
-    // cross-process race this method exists for). Wait the gap out; a
-    // claimant that never publishes (crashed mid-gap) fails the resync
-    // and the caller fail-stops exactly as the pre-retry code did.
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    // cross-process race this method exists for). Wait the gap out
+    // (bounded by LogConfig.claimGapWaitMs; the reference's equivalent
+    // timeouts are configurable, controller/mod.rs:321-371); a claimant
+    // that never publishes (crashed mid-gap) fails the resync and the
+    // caller fail-stops exactly as the pre-retry code did. `wait(10)`
+    // rather than Thread.sleep: wait RELEASES the instance monitor (even
+    // the caller's reentrant hold) each tick, so a crashed claimant
+    // stalls only this resyncing thread — other threads on the instance
+    // keep reading/appending (ADVICE r12 liveness).
+    val deadline = System.nanoTime() + cfg.claimGapWaitMs * 1000L * 1000
     while (claimedUnpublished.nonEmpty && System.nanoTime() < deadline) {
-      Thread.sleep(10)
+      wait(10)
       applied += applyFresh()
     }
     val orphans = claimedUnpublished

@@ -108,7 +108,31 @@ final case class LogConfig(
       * folds the winner's commits into its state (resync), re-sequences
       * offsets, and re-runs the append; past the budget it fail-stops
       * exactly as before. 0 restores pure fail-stop. */
-    commitCollisionRetries: Int = 2)
+    commitCollisionRetries: Int = 2,
+    /** Minimum age before recovery sweeps an abandoned staging dir
+      * (`batch=<id>.stage-*`) or transaction spool (`txns/txn-*`). Age is
+      * the NEWEST mtime anywhere in the dir tree — an in-flight writer
+      * keeps touching files inside, so a live stage can never look stale
+      * while a crashed writer's goes cold within one write duration.
+      * Without the gate, every open (including read-only opens and the
+      * `walrus_namespaces` admin TVF, which opens every namespace under a
+      * root) would race a live writer's phase-2 write and delete its
+      * in-flight staging dir (ADVICE r12: the common outcome is a generic
+      * IO failure instead of a retryable collision; a narrow interleaving
+      * could publish a partially-swept stage — silent data loss). Default
+      * 15 min — comfortably above any single batch-write duration. 0
+      * restores the unconditional sweep (single-writer deployments). */
+    staleStageSweepMs: Long = 15L * 60 * 1000,
+    /** How long a losing writer waits out another writer's claimed-but-
+      * unpublished batch dir during collision resync before fail-stopping
+      * (the claim→publish gap; the claimant's per-topic ranges are
+      * unknowable until its commit file lands, so retrying early would
+      * re-sequence over them). The reference's equivalent timeouts are
+      * configurable (15 s RPC timeout, distributed-walrus/src/controller/
+      * mod.rs:321-371). The wait polls on the instance monitor via
+      * `wait(10)` — RELEASING it each tick, so a crashed claimant stalls
+      * only the resyncing thread, never the instance's other threads. */
+    claimGapWaitMs: Long = 30000L)
 
 /** One commit of the rolled-up manifest: the [[CommitRecord]] fields plus
   * the vacuumed flag its commit JSON would carry. */

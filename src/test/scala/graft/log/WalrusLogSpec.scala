@@ -1097,10 +1097,25 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     intercept[IllegalArgumentException] { t2.commit() }
 
-    // restart: the abandoned t3 spool is swept (crash-abort) and the
-    // committed data is unchanged
+    // restart with the abandoned t3 spool still FRESH: the age-gated
+    // sweep (ADVICE r12 — another live writer may be mid-transaction)
+    // preserves it, and it stays invisible to reads either way
     val reopened = new WalrusLog(spark, root)
     assert(reopened.batchRead("t", 1 << 20, checkpoint = false).size == 5)
+    assert(WalrusLog.listDir(
+      java.nio.file.Paths.get(root, "default", "txns")).nonEmpty)
+    // once the spool has gone cold (newest mtime in its tree past the
+    // gate), a restart crash-aborts it: swept, committed data unchanged
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 60L * 60 * 1000)
+    WalrusLog.listDir(java.nio.file.Paths.get(root, "default", "txns"))
+      .foreach { spool =>
+        val walk = Files.walk(spool)
+        try walk.forEach(p => Files.setLastModifiedTime(p, old))
+        finally walk.close()
+      }
+    val reswept = new WalrusLog(spark, root)
+    assert(reswept.batchRead("t", 1 << 20, checkpoint = false).size == 5)
     assert(WalrusLog.listDir(
       java.nio.file.Paths.get(root, "default", "txns")).isEmpty)
   }
@@ -1396,24 +1411,74 @@ class WalrusLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(e => str(e.value)) == want)
   }
 
-  test("recovery sweeps a crashed writer's abandoned staging dir") {
-    val root = tempRoot()
-    val a = new WalrusLog(spark, root)
-    a.batchAppend("t", Seq(bytes("e0")))
-    // a writer crashed between staging its batch and claiming the id:
-    // fabricate the leftover exactly as a dead writeEntryRows would leave it
-    val stage = java.nio.file.Paths.get(root, "default", "data",
-      "batch=7.stage-dead-writer")
+  /** Fabricate a `batch=<id>.stage-<tag>` leftover exactly as a dead
+    * writeEntryRows would leave it, with every mtime in the tree set to
+    * `ageMs` ago (the sweep's staleness signal is newest-mtime-in-tree). */
+  private def fabricateStage(root: String, name: String, ageMs: Long): java.nio.file.Path = {
+    val stage = java.nio.file.Paths.get(root, "default", "data", name)
     Files.createDirectories(stage.resolve("topic=t"))
     Files.write(stage.resolve("topic=t").resolve("part-junk.parquet"),
       "junk".getBytes("UTF-8"))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - ageMs)
+    Seq(stage, stage.resolve("topic=t"),
+        stage.resolve("topic=t").resolve("part-junk.parquet"))
+      .foreach(Files.setLastModifiedTime(_, old))
+    stage
+  }
+
+  test("recovery sweeps a crashed writer's STALE abandoned staging dir") {
+    val root = tempRoot()
+    val a = new WalrusLog(spark, root)
+    a.batchAppend("t", Seq(bytes("e0")))
+    // a writer crashed between staging its batch and claiming the id,
+    // long enough ago that the age gate (newest mtime in the tree older
+    // than staleStageSweepMs) proves no live writer is still in phase 2
+    val stage = fabricateStage(root, "batch=7.stage-dead-writer",
+      ageMs = 60L * 60 * 1000)
     val fresh = new WalrusLog(spark, root)
-    assert(!Files.exists(stage), "staging dir not swept at recovery")
+    assert(!Files.exists(stage), "stale staging dir not swept at recovery")
     assert(fresh.entryCount("t") == 1L) // never visible, log intact
     fresh.batchAppend("t", Seq(bytes("e1")))
     assert(fresh.entryCount("t") == 2L)
     val got = fresh.batchRead("t", 1 << 20, checkpoint = false)
     assert(got.map(e => str(e.value)) == Seq("e0", "e1"))
+  }
+
+  test("recovery PRESERVES a fresh staging dir — a concurrent open must not race a live writer's in-flight stage (ADVICE r12)") {
+    val root = tempRoot()
+    val a = new WalrusLog(spark, root)
+    a.batchAppend("t", Seq(bytes("e0")))
+    // another LIVE writer is mid-phase-2: its stage dir is seconds old.
+    // Any open (read-only reader, the walrus_namespaces TVF) runs
+    // recover() — it must leave the in-flight stage alone.
+    val live = fabricateStage(root, "batch=7.stage-live-writer", ageMs = 0L)
+    val reader = new WalrusLog(spark, root)
+    assert(Files.exists(live), "concurrent open swept a LIVE writer's stage")
+    assert(reader.entryCount("t") == 1L) // stage invisible to reads either way
+    // staleStageSweepMs = 0 restores the unconditional sweep (single-writer)
+    new WalrusLog(spark, root, cfg = LogConfig(staleStageSweepMs = 0L))
+    assert(!Files.exists(live), "staleStageSweepMs=0 should sweep unconditionally")
+  }
+
+  test("claimGapWaitMs bounds the claimed-but-unpublished wait before fail-stop") {
+    val root = tempRoot()
+    val cfg = LogConfig(claimGapWaitMs = 200L)
+    val a = new WalrusLog(spark, root, cfg = cfg)
+    a.batchAppend("t", Seq(bytes("e0")))
+    // a claimant crashed mid-gap: the NEXT batch id (1) is claimed on disk
+    // (non-empty, so the atomic rename fails) but its commit never
+    // published — the resync must wait claimGapWaitMs then fail-stop
+    val claimed = java.nio.file.Paths.get(root, "default", "data", "batch=1", "topic=t")
+    Files.createDirectories(claimed)
+    Files.write(claimed.resolve("part-junk.parquet"), bytes("junk"))
+    val t0 = System.nanoTime()
+    intercept[CommitCollisionException] {
+      a.batchAppend("t", Seq(bytes("e1"))) // claims id 1 → collision → resync
+    }
+    val waitedMs = (System.nanoTime() - t0) / 1000000L
+    assert(waitedMs < 20000L,
+      s"fail-stop took ${waitedMs} ms — claimGapWaitMs=200 not honored")
   }
 
   test("commitCollisionRetries = 0 restores pure fail-stop: exactly one append wins") {

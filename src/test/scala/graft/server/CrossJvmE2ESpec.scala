@@ -207,11 +207,27 @@ class CrossJvmE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     q.awaitTermination()
     assert(spark.table(name).count() == 2L,
       "stream must deliver only committed rows")
-    // 3. recovery ABORTS the abandoned spool (deletion IS the abort) and
+    // 3. a reopen inside the freshness window PRESERVES the spool (the
+    //    age-gated sweep, ADVICE r12 — from disk alone a just-crashed
+    //    writer is indistinguishable from a live one mid-transaction) but
+    //    the spool stays invisible to every surface regardless
+    val early = new WalrusLog(spark, root)
+    assert(staged.forall(Files.exists(_)),
+      "a fresh spool must survive an early reopen (live-writer safety)")
+    assert(early.entryCount("t") == 2)
+    // 4. once cold (newest mtime in the tree past staleStageSweepMs),
+    //    recovery ABORTS the abandoned spool (deletion IS the abort) and
     //    the log keeps working; the staged rows can never appear
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 60L * 60 * 1000)
+    staged.foreach { spool =>
+      val walk = Files.walk(spool)
+      try walk.forEach(p => Files.setLastModifiedTime(p, old))
+      finally walk.close()
+    }
     val reopened = new WalrusLog(spark, root)
     assert(staged.forall(!Files.exists(_)),
-      "recovery must sweep the abandoned transaction spool")
+      "recovery must sweep the abandoned transaction spool once stale")
     assert(reopened.entryCount("t") == 2)
     reopened.append("t", "after-crash".getBytes("UTF-8"))
     val values = reopened.batchRead("t", 1 << 20, checkpoint = false)
