@@ -2084,6 +2084,61 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == global, s"merge property broken:\n$merged\n$global")
   }
 
+  test("multimodal video codec: MP4 box walk round-trips the fixture; corrupt payloads degrade") {
+    import spark.implicits._
+    import Multimodal.MediaCodecMp4
+    for (d <- 0L until 8L) {
+      val b = MediaCodecMp4.syntheticMp4(d)
+      assert(new String(b, 4, 4, "ISO-8859-1") == "ftyp")
+      val m = MediaCodecMp4.parseMeta(b).get
+      val n = 5 + (d % 4).toInt
+      val lens = (0 until n).map(i => 50 + ((7L * i + d) % 40).toInt)
+      assert(m.majorBrand == "isom" && m.handler == "vide")
+      assert(m.width == 16 * (1 + d % 4) && m.height == 16 * (1 + (3 * d) % 4))
+      assert(m.codec == Seq("avc1", "hev1", "vp09")((d % 3).toInt))
+      assert(m.timescale == 600 && m.durationMs == 40L * n)
+      assert(m.nSamples == n && m.mdatLen == lens.sum)
+      // sample table resolves to exact back-to-back ranges from offset 32,
+      // and the bytes behind each range replay the content closed form
+      val ss = MediaCodecMp4.parseSamples(b).get
+      assert(ss.size == n)
+      var off = 32L
+      for (i <- 0 until n) {
+        assert(ss(i).start == off && ss(i).len == lens(i), s"d=$d i=$i ${ss(i)}")
+        for (j <- 0 until lens(i))
+          assert((b(ss(i).start.toInt + j) & 0xff) ==
+            java.lang.Math.floorMod(j + 17L * i + d, 256L).toInt)
+        off += lens(i)
+      }
+    }
+    // corrupt / non-BMFF payloads return None, never throw
+    assert(MediaCodecMp4.parseMeta("not an mp4".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodecMp4.parseMeta(Array.empty[Byte]).isEmpty)
+    assert(MediaCodecMp4.parseMeta(MediaCodecMp4.syntheticMp4(3).take(40)).isEmpty)
+    assert(MediaCodecMp4.parseSamples(Array.fill[Byte](64)(0x7f)).isEmpty)
+    // a size field pointing past the buffer must end the walk cleanly
+    val lying = MediaCodecMp4.syntheticMp4(1)
+    lying(0) = 0x7f.toByte // ftyp "size" becomes enormous
+    assert(MediaCodecMp4.parseMeta(lying).isEmpty)
+    // through the Spark operators: mixed batch, opaque lane flagged
+    val media = Seq(
+      (1L, MediaCodecMp4.syntheticMp4(1), "video/mp4"),
+      (2L, "opaque bytes".getBytes("UTF-8"), "application/octet-stream"))
+      .toDF("doc_id", "payload", "mime")
+    val wrapped = Multimodal.wrap(media, "doc_id", "payload", col("mime"), Seq.empty)
+    val vm = Multimodal.videoMeta(spark, wrapped).collect().map(v => v.id -> v).toMap
+    assert(vm(1L).real_codec && vm(1L).codec == "hev1" && vm(1L).width == 32)
+    assert(!vm(2L).real_codec && vm(2L).mdat_len == 12L)
+    val fr = Multimodal.sampleFramesMp4(spark, wrapped).collect()
+    assert(fr.map(_.getLong(0)).distinct.toSeq == Seq(1L)) // opaque → no rows
+    assert(fr.length == 6) // n = 5 + 1%4
+    val f0 = fr.minBy(r => r.getInt(1))
+    assert(f0.getLong(2) == 32L && f0.getLong(3) == 51L) // 50 + (0+1)%40
+    val bytes0 = f0.getAs[Array[Byte]](4)
+    assert(bytes0.length == 51 &&
+      f0.getLong(5) == bytes0.map(_ & 0xff).map(_.toLong).sum)
+  }
+
   test("pow chain SQL: literal left-assoc chain equals math.pow on exact dyadics") {
     assert(TextOps.powChainSql("x", 1) == "x")
     assert(TextOps.powChainSql("x", 3) == "((x * x) * x)")
