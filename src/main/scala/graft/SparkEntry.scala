@@ -1036,12 +1036,29 @@ object SparkEntry {
       |  SELECT page_id, string_agg(para, chr(10) || chr(10) ORDER BY para_no) AS text
       |  FROM mlp GROUP BY page_id)""".stripMargin
 
+  /** LSH candidate pairs for CLUSTERING consumers (everything that feeds
+    * Dedup.connectedComponents): star-bucket cap 64 — band buckets larger
+    * than 64 docs emit hub-and-spoke pairs around the bucket minimum
+    * instead of the B² clique. Stars and cliques have identical transitive
+    * closure, so the COMPONENTS (and thus every one of these queries'
+    * results, and their clique-replaying DuckDB twins) are exactly the
+    * same — but bucket fan-out is O(B), not O(B²). The r13 DataScaleProbe
+    * measured the clique form at 211× shuffle for 10× corpus (boilerplate
+    * dup-families grow with the corpus; BASELINE.md slopes table) — this
+    * is the 100 TB fix. Pair-LEVEL queries (dedup_minhash_lsh_pairs, the
+    * verify pipelines) keep the exact clique contract; the star semantics
+    * themselves are oracled by dedup_lsh_star_pairs. */
+  private def lshClusterPairs(docs: DataFrame): DataFrame =
+    Dedup.minHashLshPairs(docs, "doc_id", "text",
+      k = 5, bands = 4, rowsPerBand = 4, starBucketThreshold = Some(64))
+
   /** WITH-clause (RECURSIVE) CTE chain computing connected components over
     * the MinHash-LSH candidate graph of ALL documents (k=5, 4 bands × 4
     * rows): ends with `reach(node, lbl)` where min(lbl) per node is the
     * cluster label. Shared by the dedup_clusters and shard_leakage_split
     * oracles — the Spark side is Dedup.minHashLshPairs +
-    * connectedComponents with the same constants. */
+    * connectedComponents with the same constants (via [[lshClusterPairs]]:
+    * the star-bucket cap yields identical components by construction). */
   private def lshReachCtes: String = {
     val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
       s"MIN(${permSql("code", a, b)}) AS mh$j"
@@ -1536,6 +1553,18 @@ object SparkEntry {
       Dedup.minHashLshPairs(table(s, dir, "documents"), "doc_id", "text",
           k = 5, bands = 4, rowsPerBand = 4)
         .orderBy("id_a", "id_b")),
+    "dedup_lsh_star_pairs" -> ((s, dir) =>
+      // the 100 TB form of the LSH bucket join (r13 DataScaleProbe: the
+      // clique form's shuffle grew 211× for 10× corpus): band buckets
+      // larger than the threshold emit hub-and-spoke pairs around the
+      // bucket MINIMUM (O(B)) instead of the B² clique; transitive
+      // closure — and thus every clustering consumer — is identical.
+      // Threshold 2 here so BOTH paths fire at bench SFs; production uses
+      // ~64 (lshClusterPairs). The oracle replays the exact rule: clique
+      // below the cut, star above it, one distinct union.
+      Dedup.minHashLshPairs(table(s, dir, "documents"), "doc_id", "text",
+          k = 5, bands = 4, rowsPerBand = 4, starBucketThreshold = Some(2))
+        .orderBy("id_a", "id_b")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHash(table(s, dir, "documents"), "doc_id", "text", k = 4, bits = 16)
         .orderBy("doc_id")),
@@ -1576,8 +1605,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) => {
       // canonical-document assignment: connected components over the LSH
       // candidate graph, label = min doc_id in the component
-      val pairs = Dedup.minHashLshPairs(table(s, dir, "documents"),
-        "doc_id", "text", k = 5, bands = 4, rowsPerBand = 4)
+      val pairs = lshClusterPairs(table(s, dir, "documents"))
       Dedup.connectedComponents(pairs)
         .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
@@ -1592,8 +1620,7 @@ object SparkEntry {
       // rows at any corpus size (Σ n_clusters = the effective dataset
       // size the weighting implies).
       val docs = table(s, dir, "documents")
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
-        k = 5, bands = 4, rowsPerBand = 4)
+      val pairs = lshClusterPairs(docs)
       val cc = Dedup.connectedComponents(pairs)
         .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       val clustered = cc.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
@@ -3032,8 +3059,7 @@ object SparkEntry {
       // graph's connected components — what "how duplicated is this
       // corpus" resolves to operationally (n docs removable = sum over
       // sizes of (size-1) · n_clusters)
-      val pairs = Dedup.minHashLshPairs(table(s, dir, "documents"),
-        "doc_id", "text", k = 5, bands = 4, rowsPerBand = 4)
+      val pairs = lshClusterPairs(table(s, dir, "documents"))
       Dedup.connectedComponents(pairs)
         .groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
@@ -5087,8 +5113,7 @@ object SparkEntry {
       // near-dup CLUSTER representative (LSH candidate graph → connected
       // components; singletons represent themselves), not the document id.
       val docs = table(s, dir, "documents")
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
-        k = 5, bands = 4, rowsPerBand = 4)
+      val pairs = lshClusterPairs(docs)
       val cc = Dedup.connectedComponents(pairs)
         .withColumnRenamed("node", "doc_id")
       val rep = docs.select(col("doc_id"))
@@ -6176,8 +6201,7 @@ object SparkEntry {
       // never global.
       import org.apache.spark.sql.expressions.Window
       val docs = table(s, dir, "documents")
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
-        k = 5, bands = 4, rowsPerBand = 4)
+      val pairs = lshClusterPairs(docs)
       val cl = Dedup.connectedComponents(pairs)
         .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
@@ -8037,8 +8061,7 @@ object SparkEntry {
       // come from the same LSH component labeling as dedup_cluster_stats
       // and feed the same sketch + rank walk as sketch_quantile_doclen.
       val sizes = Dedup.connectedComponents(
-          Dedup.minHashLshPairs(table(s, dir, "documents"),
-            "doc_id", "text", k = 5, bands = 4, rowsPerBand = 4))
+          lshClusterPairs(table(s, dir, "documents")))
         .groupBy("lbl").agg(count(lit(1)).as("v"))
         .select(col("v"))
       hdrQuantiles(sizes, Seq(500L, 900L, 990L))
@@ -8378,9 +8401,7 @@ object SparkEntry {
       // Cluster discovery is the shared banded-LSH machinery; the audit
       // is two cluster-keyed aggregates.
       val docs = table(s, dir, "documents")
-      val cc = Dedup.connectedComponents(
-        Dedup.minHashLshPairs(docs, "doc_id", "text",
-          k = 5, bands = 4, rowsPerBand = 4))
+      val cc = Dedup.connectedComponents(lshClusterPairs(docs))
       val folds = graft.operators.Sharding.hashSplit(docs, "doc_id")
         .select(col("doc_id"), col("split"))
       val perCluster = cc.join(folds, col("node") === col("doc_id"))
@@ -8733,9 +8754,7 @@ object SparkEntry {
       // lighting a 100 TB dedup pass — candidate discovery stays the
       // banded equi-join, the report is two source-keyed aggregates.
       val docs = table(s, dir, "documents")
-      val cc = Dedup.connectedComponents(
-        Dedup.minHashLshPairs(docs, "doc_id", "text",
-          k = 5, bands = 4, rowsPerBand = 4))
+      val cc = Dedup.connectedComponents(lshClusterPairs(docs))
       val removed = cc.where(col("node") =!= col("lbl"))
         .select(col("node").as("doc_id"))
       val r = docs.join(removed, Seq("doc_id"), "left_semi")
@@ -9199,6 +9218,32 @@ object SparkEntry {
            |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
            |FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
            |WHERE l.doc_id < r.doc_id
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+      "dedup_lsh_star_pairs" -> {
+        val mins = TextOps.hashCoeffs(16).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(${permSql("code", a, b)}) AS mh$j"
+        }.mkString(",\n  ")
+        val bandKeys = (0 until 4).map { bnd =>
+          (0 until 4).map(r => s"CAST(mh${bnd * 4 + r} AS VARCHAR)")
+            .mkString(s"SELECT doc_id, $bnd AS band, ", " || '_' || ", " AS bkey FROM sig")
+        }.mkString("\n  UNION ALL ")
+        s"""${shinglesSql(5, "TRUE")},
+           |sig AS (SELECT doc_id, $mins FROM codes GROUP BY doc_id),
+           |banded AS (
+           |  $bandKeys),
+           |stats AS (SELECT band, bkey, count(*) AS bn, min(doc_id) AS bmin
+           |  FROM banded GROUP BY 1, 2),
+           |small AS (SELECT b.doc_id, b.band, b.bkey
+           |  FROM banded b JOIN stats s USING (band, bkey) WHERE s.bn <= 2),
+           |clique AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM small l JOIN small r
+           |  ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+           |star AS (SELECT s.bmin AS id_a, b.doc_id AS id_b
+           |  FROM banded b JOIN stats s USING (band, bkey)
+           |  WHERE s.bn > 2 AND b.doc_id > s.bmin)
+           |SELECT DISTINCT id_a, id_b FROM
+           |  (SELECT * FROM clique UNION ALL SELECT * FROM star)
            |ORDER BY id_a, id_b""".stripMargin
       },
       "dedup_clusters" ->

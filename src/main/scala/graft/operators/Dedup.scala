@@ -76,21 +76,58 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs: band the signature (`bands` ×
     * `rowsPerBand`), bucket-join on identical band keys, emit each unordered
-    * pair once. Pair fan-out is per-bucket, never all-pairs. */
+    * pair once. Pair fan-out is per-bucket, never all-pairs — but a bucket
+    * of B docs still emits B² pairs, and bucket sizes GROW with the corpus
+    * (boilerplate dup-families share whole bands), so the clique form is
+    * quadratic in dup-family size. The r13 DataScaleProbe measured it:
+    * 10× the corpus → 211× the shuffle (BASELINE.md slopes table).
+    *
+    * `starBucketThreshold`: buckets larger than the threshold emit STAR
+    * pairs — every member linked to the bucket MINIMUM id — O(B) per
+    * bucket instead of O(B²). Stars and cliques have identical transitive
+    * closure (every member reaches every other through the hub), so
+    * CONNECTED COMPONENTS over the pairs are exactly the same; only
+    * pair-level consumers that verify each candidate edge individually
+    * see fewer candidates inside oversized buckets. None (default) keeps
+    * the full clique semantics. */
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 4, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+      k: Int = 4, bands: Int = 4, rowsPerBand: Int = 4,
+      starBucketThreshold: Option[Int] = None): DataFrame = {
     // No explicit cache: the bucket self-join's two sides canonicalize to
     // the same exchange, so AQE stage reuse computes the signature pipeline
     // once. (Measured: an explicit .cache() here costs 3-5× wall time in
     // materialization jobs + InMemoryRelation scans.)
     val banded = bandedKeys(df, idCol, textCol, k, bands, rowsPerBand)
-    val l = banded.as("l")
-    val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-        col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
-      .distinct()
+    starBucketThreshold match {
+      case None =>
+        val l = banded.as("l")
+        val r = banded.as("r")
+        l.join(r, col("l.band") === col("r.band") &&
+            col("l.bkey") === col("r.bkey") &&
+            col(s"l.$idCol") < col(s"r.$idCol"))
+          .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+          .distinct()
+      case Some(thr) =>
+        // bucket stats share the join's (band, bkey) exchange (AQE stage
+        // reuse); small buckets keep the exact clique, oversized ones
+        // collapse to hub-and-spoke around the deterministic min id
+        val stats = banded.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("_bn"), min(col(idCol)).as("_bmin"))
+        val tagged = banded.join(stats, Seq("band", "bkey"))
+        val small = tagged.where(col("_bn") <= thr)
+          .select(col("band"), col("bkey"), col(idCol))
+        val l = small.as("l")
+        val r = small.as("r")
+        val clique = l.join(r, col("l.band") === col("r.band") &&
+            col("l.bkey") === col("r.bkey") &&
+            col(s"l.$idCol") < col(s"r.$idCol"))
+          .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+        val star = tagged
+          .where(col("_bn") > thr && col(idCol) > col("_bmin"))
+          .select(col("_bmin").as("id_a"), col(idCol).as("id_b"))
+        clique.unionByName(star).distinct()
+    }
   }
 
   /** SimHash fingerprint (`bits` ≤ 31): per shingle hash, each bit votes

@@ -2084,6 +2084,39 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == global, s"merge property broken:\n$merged\n$global")
   }
 
+  test("LSH star-bucket pairs: identical connected components to the clique form, strictly fewer pairs in hot buckets") {
+    import spark.implicits._
+    // synthesize a corpus with a PLANTED hot bucket: 12 near-identical
+    // boilerplate docs (one shared text + id-suffix noise past the
+    // shingle window) plus distinct docs — the band buckets for the
+    // boilerplate family exceed any small threshold
+    val boiler = (0L until 12L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val rest = (100L until 110L).map(i =>
+      (i, s"completely different document number $i with its own words ${i * 37}"))
+    val docs = (boiler ++ rest).toDF("doc_id", "text")
+    val clique = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      k = 5, bands = 4, rowsPerBand = 4)
+    val star = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      k = 5, bands = 4, rowsPerBand = 4, starBucketThreshold = Some(3))
+    val nClique = clique.count()
+    val nStar = star.count()
+    // the 12-doc family alone is 66 clique pairs vs 11 star pairs
+    assert(nStar < nClique, s"star ($nStar) must prune the clique ($nClique)")
+    assert(nStar >= 11L)
+    // the CONTRACT: connected components are identical
+    def comps(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(star) == comps(clique),
+      "star-bucket pairs changed the connected components")
+    // threshold high enough → byte-identical to the clique form
+    val same = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      k = 5, bands = 4, rowsPerBand = 4, starBucketThreshold = Some(1000))
+    assert(same.orderBy("id_a", "id_b").collect().toSeq ==
+      clique.orderBy("id_a", "id_b").collect().toSeq)
+  }
+
   test("multimodal video codec: MP4 box walk round-trips the fixture; corrupt payloads degrade") {
     import spark.implicits._
     import Multimodal.MediaCodecMp4
