@@ -795,6 +795,23 @@ object SparkEntry {
       (result: DataFrame => Seq[Row]): Seq[Row] = {
     val qn = s"graft_stream_${System.nanoTime()}"
     val ckpt = Files.createTempDirectory("graft-stream-")
+    // Right-size the drive's state parallelism, the stream_outer_join
+    // knob applied to the SHARED drive: a stateful micro-batch commits
+    // one state-store instance per shuffle partition per trigger, and at
+    // toy key cardinalities that is pure fixed overhead — the r13
+    // FloorKnobProbe measured the zero-work 3-trigger drive at 2.0 s
+    // with 32 instances vs 1.0 s with 8 (task launch + store commit
+    // scale with instance count; the data stages never need 32-way
+    // parallelism at bench SFs). Results are partition-count invariant
+    // (hash partitioning only moves WHERE a key aggregates — every gate
+    // row is identical), and each drive's fresh checkpoint records its
+    // own instance count, so no resume conflict exists. A 100 TB
+    // deployment raises this with key volume — it is the state
+    // parallelism knob, not a semantics knob. Micro-batch planning reads
+    // the session conf per trigger, all inside start..awaitTermination,
+    // so the conf is restored only after the drive fully completes.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       // start()/awaitTermination() sit INSIDE the try whose finally drops
       // the temp view: the memory sink registers the view at start(), so a
@@ -809,7 +826,10 @@ object SparkEntry {
         q.awaitTermination()
         probeName.foreach(graft.streaming.StreamStateProbe.record(_, q))
         result(s.table(qn))
-      } finally s.catalog.dropTempView(qn)
+      } finally {
+        s.catalog.dropTempView(qn)
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     } finally WalrusLog.deleteRecursively(ckpt)
   }
 
@@ -3884,7 +3904,11 @@ object SparkEntry {
       val log = sessionLog(s, dir)
       val qn = s"stream_session_windows_${System.nanoTime()}"
       val ckpt = Files.createTempDirectory("graft-stream-sw-")
-      val q = graft.streaming.WalrusStreams.readStream(s, log.root)
+      // state parallelism right-sized on a conf-isolated clone, exactly
+      // like stream_outer_join (see runStreamToMemory's knob note)
+      val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = graft.streaming.WalrusStreams.readStream(s2, log.root)
         .withColumn("k",
           get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
         .where(col("k").isNotNull)
@@ -3905,14 +3929,14 @@ object SparkEntry {
       log.appendDF(sent2, Some(col("_seq")), FixedTs)
       q.processAllAvailable()
       q.stop()
-      val rows = s.table(qn)
+      val rows = s2.table(qn)
         .select(col("topic"),
           (unix_timestamp(col("sw.start")) - 3600).as("sess_start"),
           (unix_timestamp(col("sw.end")) - 3600).as("sess_end"),
           col("n"))
         .where(col("sess_start") < 1000000L) // belt+braces: exclude sentinel
         .orderBy("topic", "sess_start").collect().toSeq
-      s.catalog.dropTempView(qn)
+      s2.catalog.dropTempView(qn)
       WalrusLog.deleteRecursively(ckpt)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1),
         StructType(Seq(StructField("topic", StringType),

@@ -96,6 +96,10 @@ object StreamFloorProbe {
     }
     val floorIn = spark.read.parquet(s"$floorDir/f0").schema
     def floorDrive(): Double = {
+      // match the deployed drives' right-sized state parallelism (the
+      // runStreamToMemory 8-partition knob) so floor_est is computed
+      // against the same machinery the queries actually run on
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
       val t0 = System.nanoTime()
       val src = spark.readStream.schema(floorIn)
         .option("maxFilesPerTrigger", 1)
