@@ -2214,6 +2214,32 @@ object SparkEntry {
           col("real_codec"))
         .orderBy("doc_id")
     }),
+    "mm_avi_meta" -> ((s, dir) => {
+      // the SECOND container family (RIFF/AVI — little-endian chunk walk
+      // where ISO BMFF is big-endian, even-padding rule, closed-form
+      // fixture FIXTURES.md synthetic_avi): µs/frame, frame count, stream
+      // count, dims, handler fourcc, movi frame-chunk census, integer
+      // duration. Even doc_ids carry a genuine AVI, odd ids opaque text
+      // (zero/empty sentinels, real_codec = false; movi_bytes carries the
+      // payload length in that lane, the videoMeta mdat_len convention).
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(col("doc_id") < 20)
+      val media = docs.as[(Long, String)].map { case (d, text) =>
+        if (d % 2 == 0)
+          (d, graft.operators.Multimodal.MediaCodecRiffAvi.syntheticAvi(d),
+            "video/x-msvideo")
+        else (d, text.getBytes("UTF-8"), "application/octet-stream")
+      }.toDF("doc_id", "payload", "mime")
+      val wrapped = graft.operators.Multimodal.wrap(
+        media, "doc_id", "payload", col("mime"), Seq.empty)
+      graft.operators.Multimodal.aviMeta(s, wrapped).toDF()
+        .select(col("id").as("doc_id"), col("us_per_frame"), col("n_frames"),
+          col("n_streams"), col("width"), col("height"), col("handler"),
+          col("movi_frames"), col("movi_bytes"), col("duration_ms"),
+          col("real_codec"))
+        .orderBy("doc_id")
+    }),
     "mm_frame_sample_mp4" -> ((s, dir) => {
       // REAL frame byte-ranges via the sample table (stsc × stsz × stco)
       // — mm_frame_sample's byte-slice stub upgraded to a demuxer-grade
@@ -10108,6 +10134,27 @@ object SparkEntry {
           |      generate_series(0, n - 1), i -> 50 + (7 * i + doc_id) % 40))
           |    ELSE strlen(text) END AS BIGINT) AS mdat_len,
           |  is_mp4 AS real_codec
+          |FROM p ORDER BY doc_id""".stripMargin,
+      "mm_avi_meta" ->
+        """WITH p AS (SELECT doc_id, text, doc_id % 2 = 0 AS avi,
+          |    4 + doc_id % 3 AS n, 33333 + 100 * (doc_id % 5) AS usf
+          |  FROM documents WHERE doc_id < 20)
+          |SELECT doc_id,
+          |  CAST(CASE WHEN avi THEN usf ELSE 0 END AS BIGINT) AS us_per_frame,
+          |  CAST(CASE WHEN avi THEN n ELSE 0 END AS BIGINT) AS n_frames,
+          |  CAST(CASE WHEN avi THEN 1 ELSE 0 END AS BIGINT) AS n_streams,
+          |  CAST(CASE WHEN avi THEN 32 * (1 + doc_id % 3) ELSE 0 END AS BIGINT) AS width,
+          |  CAST(CASE WHEN avi THEN 24 * (1 + (2 * doc_id) % 3) ELSE 0 END AS BIGINT) AS height,
+          |  CASE WHEN avi THEN
+          |    CASE WHEN doc_id % 3 = 0 THEN 'mjpg'
+          |      WHEN doc_id % 3 = 1 THEN 'xvid' ELSE 'dib ' END
+          |    ELSE '' END AS handler,
+          |  CAST(CASE WHEN avi THEN n ELSE 0 END AS BIGINT) AS movi_frames,
+          |  CAST(CASE WHEN avi THEN list_sum(list_transform(
+          |      generate_series(0, n - 1), i -> 40 + 2 * ((5 * i + doc_id) % 12)))
+          |    ELSE strlen(text) END AS BIGINT) AS movi_bytes,
+          |  CAST(CASE WHEN avi THEN (usf * n) // 1000 ELSE 0 END AS BIGINT) AS duration_ms,
+          |  avi AS real_codec
           |FROM p ORDER BY doc_id""".stripMargin,
       "mm_frame_sample_mp4" ->
         """WITH f AS (SELECT doc_id,

@@ -499,6 +499,125 @@ object Multimodal {
     }
   }
 
+  /** Second real VIDEO-CONTAINER codec: a pure-JDK RIFF/AVI header walk —
+    * the little-endian sibling of [[MediaCodecMp4]] (RIFF chunk sizes are
+    * LE where ISO BMFF is BE; chunks pad to even offsets). Parses the
+    * MainAVIHeader (`avih`: µs/frame, total frames, stream count, dims),
+    * the first video stream's handler fourcc (`strh` fccType `vids`), the
+    * BITMAPINFOHEADER dims (`strf`), and walks the `movi` list counting
+    * frame chunks (`##dc`/`##db`) and their payload bytes. Public format
+    * (Microsoft RIFF/AVI); the fixture is arithmetic, so the oracle
+    * replays every field with no media library. */
+  object MediaCodecRiffAvi {
+    case class AviMeta(usPerFrame: Long, totalFrames: Long, streams: Long,
+        width: Long, height: Long, handler: String, moviFrames: Long,
+        moviBytes: Long)
+
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def cc4(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "ISO-8859-1")
+
+    /** Walk RIFF chunks in [from, until): (fourcc, dataFrom, dataUntil).
+      * Chunks advance by size + pad-to-even; malformed sizes end the walk. */
+    private def chunks(b: Array[Byte], from: Int, until: Int): List[(String, Int, Int)] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var o = from
+      var guard = 0
+      while (o + 8 <= until && guard < 10000) {
+        guard += 1
+        val id = cc4(b, o)
+        val sz = le32(b, o + 4)
+        val end = o + 8 + sz
+        if (end < o + 8 || end > until) { o = until }
+        else {
+          out += ((id, o + 8, end.toInt))
+          o = (end + (sz % 2)).toInt // even padding
+        }
+      }
+      out.result()
+    }
+
+    /** Parse the AVI headers, or None when the payload is not RIFF/AVI. */
+    def parseMeta(bytes: Array[Byte]): Option[AviMeta] =
+      try {
+        if (bytes.length < 12 || cc4(bytes, 0) != "RIFF" ||
+            cc4(bytes, 8) != "AVI ") return None
+        val top = chunks(bytes, 12, math.min(bytes.length, 12 + le32(bytes, 4).toInt - 4))
+        def listOf(cs: List[(String, Int, Int)], subtype: String): Option[(Int, Int)] =
+          cs.collectFirst { case ("LIST", f, u)
+            if u - f >= 4 && cc4(bytes, f) == subtype => (f + 4, u) }
+        for {
+          (hdrlF, hdrlU) <- listOf(top, "hdrl")
+          hdrl = chunks(bytes, hdrlF, hdrlU)
+          (avihF, _) <- hdrl.collectFirst { case ("avih", f, u) if u - f >= 40 => (f, u) }
+        } yield {
+          val strl = listOf(hdrl, "strl").map { case (f, u) => chunks(bytes, f, u) }
+            .getOrElse(Nil)
+          val handler = strl.collectFirst {
+            case ("strh", f, u) if u - f >= 8 && cc4(bytes, f) == "vids" =>
+              cc4(bytes, f + 4)
+          }.getOrElse("")
+          val (frames, moviBytes) = listOf(top, "movi").map { case (f, u) =>
+            val fs = chunks(bytes, f, u).filter { case (id, _, _) =>
+              id.endsWith("dc") || id.endsWith("db") }
+            (fs.size.toLong, fs.map { case (_, df, du) => (du - df).toLong }.sum)
+          }.getOrElse((0L, 0L))
+          AviMeta(le32(bytes, avihF), le32(bytes, avihF + 16),
+            le32(bytes, avihF + 24), le32(bytes, avihF + 32),
+            le32(bytes, avihF + 36), handler, frames, moviBytes)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    // ------------------------------------------------------ fixture side
+    private def le(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    private def chunk(id: String, parts: Array[Byte]*): Array[Byte] = {
+      val data = parts.flatten.toArray
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(id) ++ le(data.length.toLong) ++ data ++ pad
+    }
+    private def list(subtype: String, parts: Array[Byte]*): Array[Byte] =
+      chunk("LIST", (cc(subtype) +: parts): _*)
+
+    /** Closed-form synthetic AVI (FIXTURES.md synthetic_avi): for seed d,
+      * w = 32·(1 + d%3), h = 24·(1 + (2d)%3), µs/frame = 33333 + 100·(d%5),
+      * n = 4 + d%3 frames, handler [mjpg, xvid, dib ][d%3]; frame i has
+      * len = 40 + 2·((5i + d) mod 12) (even — no pad ambiguity), byte j =
+      * (3j + 11i + d) mod 256. */
+    def syntheticAvi(seed: Long): Array[Byte] = {
+      val d = seed
+      val w = 32L * (1 + d % 3)
+      val h = 24L * (1 + (2 * d) % 3)
+      val usf = 33333L + 100 * (d % 5)
+      val n = (4 + d % 3).toInt
+      val handler = Seq("mjpg", "xvid", "dib ")((d % 3).toInt)
+      val avih = chunk("avih",
+        le(usf), le(0), le(0), le(0x10), // µs/frame, maxBytes, pad, flags
+        le(n.toLong), le(0), le(1), le(0), // totalFrames, init, streams, buf
+        le(w), le(h), le(0), le(0), le(0), le(0)) // dims + reserved[4]
+      val strh = chunk("strh",
+        cc("vids"), cc(handler), le(0), le(0), // type, handler, flags, prio+lang
+        le(0), le(usf), le(1000000L), le(0), // init, scale, rate, start
+        le(n.toLong), le(0), le(0xffffffffL), le(0), // length, buf, quality, sample
+        le(0), le(0)) // rcFrame
+      val strf = chunk("strf",
+        le(40), le(w), le(h), le((1 << 16) | 24L), // biSize, dims, planes+bpp
+        cc("MJPG"), le(w * h * 3), le(0), le(0), le(0), le(0))
+      val frames = (0 until n).map { i =>
+        val len = 40 + 2 * ((5L * i + d) % 12).toInt
+        chunk("00dc", Array.tabulate(len)(j =>
+          java.lang.Math.floorMod(3L * j + 11L * i + d, 256L).toByte))
+      }
+      val body = list("hdrl", avih, list("strl", strh, strf)) ++
+        list("movi", frames: _*)
+      cc("RIFF") ++ le(body.length + 4L) ++ cc("AVI ") ++ body
+    }
+  }
+
   case class VideoMeta(id: Long, container: String, codec: String,
       handler: String, width: Long, height: Long, timescale: Long,
       duration_ms: Long, n_samples: Long, mdat_len: Long, real_codec: Boolean)
@@ -520,6 +639,34 @@ object Multimodal {
           case None =>
             VideoMeta(r.id, "", "", "", 0L, 0L, 0L, 0L, 0L,
               r.media.bytes.length.toLong, real_codec = false)
+        }
+      }
+    }
+  }
+
+  case class AviMetaRow(id: Long, us_per_frame: Long, n_frames: Long,
+      n_streams: Long, width: Long, height: Long, handler: String,
+      movi_frames: Long, movi_bytes: Long, duration_ms: Long,
+      real_codec: Boolean)
+
+  /** Container-metadata extraction over RIFF/AVI payloads — the AVI
+    * sibling of [[videoMeta]]: real payloads get the header walk
+    * ([[MediaCodecRiffAvi.parseMeta]]); non-RIFF payloads degrade to the
+    * opaque lane (zero/empty sentinels, `real_codec = false`).
+    * duration_ms = µsPerFrame·frames DIV 1000 — integer-exact, oracle-
+    * replayable. */
+  def aviMeta(spark: SparkSession, df: DataFrame): Dataset[AviMetaRow] = {
+    import spark.implicits._
+    df.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodecRiffAvi.parseMeta(r.media.bytes) match {
+          case Some(m) =>
+            AviMetaRow(r.id, m.usPerFrame, m.totalFrames, m.streams,
+              m.width, m.height, m.handler, m.moviFrames, m.moviBytes,
+              m.usPerFrame * m.totalFrames / 1000, real_codec = true)
+          case None =>
+            AviMetaRow(r.id, 0L, 0L, 0L, 0L, 0L, "", 0L,
+              r.media.bytes.length.toLong, 0L, real_codec = false)
         }
       }
     }

@@ -2172,6 +2172,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       f0.getLong(5) == bytes0.map(_ & 0xff).map(_.toLong).sum)
   }
 
+  test("multimodal video codec: RIFF/AVI header walk round-trips the fixture; corrupt payloads degrade") {
+    import spark.implicits._
+    import Multimodal.MediaCodecRiffAvi
+    for (d <- 0L until 6L) {
+      val b = MediaCodecRiffAvi.syntheticAvi(d)
+      assert(new String(b, 0, 4, "ISO-8859-1") == "RIFF" &&
+        new String(b, 8, 4, "ISO-8859-1") == "AVI ")
+      val m = MediaCodecRiffAvi.parseMeta(b).get
+      val n = 4 + (d % 3).toInt
+      assert(m.usPerFrame == 33333 + 100 * (d % 5))
+      assert(m.totalFrames == n && m.streams == 1 && m.moviFrames == n)
+      assert(m.width == 32 * (1 + d % 3) && m.height == 24 * (1 + (2 * d) % 3))
+      assert(m.handler == Seq("mjpg", "xvid", "dib ")((d % 3).toInt))
+      assert(m.moviBytes ==
+        (0 until n).map(i => 40L + 2 * ((5L * i + d) % 12)).sum)
+    }
+    assert(MediaCodecRiffAvi.parseMeta("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(MediaCodecRiffAvi.parseMeta("not riff".getBytes).isEmpty)
+    assert(MediaCodecRiffAvi.parseMeta(
+      MediaCodecRiffAvi.syntheticAvi(2).take(30)).isEmpty)
+    // Spark operator: mixed batch, opaque lane flagged
+    val media = Seq(
+      (1L, MediaCodecRiffAvi.syntheticAvi(1), "video/x-msvideo"),
+      (2L, "opaque".getBytes("UTF-8"), "application/octet-stream"))
+      .toDF("doc_id", "payload", "mime")
+    val wrapped = Multimodal.wrap(media, "doc_id", "payload", col("mime"), Seq.empty)
+    val am = Multimodal.aviMeta(spark, wrapped).collect().map(v => v.id -> v).toMap
+    assert(am(1L).real_codec && am(1L).handler == "xvid" &&
+      am(1L).duration_ms == 33433L * 5 / 1000)
+    assert(!am(2L).real_codec && am(2L).movi_bytes == 6L)
+  }
+
   test("pow chain SQL: literal left-assoc chain equals math.pow on exact dyadics") {
     assert(TextOps.powChainSql("x", 1) == "x")
     assert(TextOps.powChainSql("x", 3) == "((x * x) * x)")
