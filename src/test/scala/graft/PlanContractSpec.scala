@@ -502,6 +502,41 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
   }
 
+  test("star-bucket LSH pairs: equi-joins only, no all-pairs, and the cluster path carries the bucket-stats aggregate") {
+    // the r13 scale fix (BASELINE.md slopes table): oversized band buckets
+    // emit hub-and-spoke pairs, O(B) not O(B²). The plan must stay pure
+    // equi-join (band, bkey) — no BNL/cartesian — and the star path's
+    // bucket-stats aggregate must actually be present (if a refactor
+    // silently drops the threshold, the clique comes back quadratic).
+    val plan = planOf("dedup_lsh_star_pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join is back:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
+    assert(plan.contains("_bn") && plan.contains("_bmin"),
+      s"star bucket-stats aggregate missing — clique fan-out is back:\n$plan")
+    // The 8 CC consumers run through the shared lshClusterPairs helper —
+    // their own plans can't show the aggregate (connectedComponents is an
+    // eager RDD loop; the final plan is a scan of its result), so pin the
+    // cap at the source: the helper must keep passing a Some threshold.
+    val src = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")), "UTF-8")
+    val helper = src.substring(src.indexOf("private def lshClusterPairs"))
+      .takeWhile(_ != '}')
+    assert(helper.contains("starBucketThreshold = Some("),
+      "lshClusterPairs dropped the star-bucket cap — CC fan-out is quadratic again")
+  }
+
+  test("video container lanes: metadata-only scans stay narrow, no joins at all") {
+    // the MP4/AVI box walks are per-row partition-local maps over the
+    // payload column: the plan must contain no join or aggregation before
+    // the final sort — a join appearing here means the codec lane started
+    // shuffling payloads.
+    Seq("mm_video_meta", "mm_avi_meta").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"$q grew a join over payloads:\n$plan")
+    }
+  }
+
   test("global top-k queries rank via distributed TakeOrdered, not a window") {
     Seq("text_pmi_bigrams", "text_passage_dedup").foreach { q =>
       val plan = planOf(q)
