@@ -2264,6 +2264,29 @@ object SparkEntry {
           col("frame_start"), col("frame_len"), col("frame_byte_sum"))
         .orderBy("doc_id", "frame_idx")
     }),
+    "mm_frame_sample_avi" -> ((s, dir) => {
+      // REAL frame byte-ranges from the RIFF movi walk — the little-endian
+      // sibling of mm_frame_sample_mp4 on the synthetic_avi fixture. The
+      // oracle replays the RIFF layout arithmetically: hdrl list is 200
+      // bytes, movi data starts at 224, frame i's data at
+      // 232 + 8i + Σ_{k<i} len_k with len_i = 40 + 2·((5i+d) mod 12)
+      // (even, so no pad ambiguity), and the emitted slice's unsigned
+      // byte sum pins the content to byte j = (3j + 11i + d) mod 256.
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 16 && col("doc_id") % 2 === 0)
+      val media = docs.as[Long].map { d =>
+        (d, graft.operators.Multimodal.MediaCodecRiffAvi.syntheticAvi(d),
+          "video/x-msvideo")
+      }.toDF("doc_id", "payload", "mime")
+      val wrapped = graft.operators.Multimodal.wrap(
+        media, "doc_id", "payload", col("mime"), Seq.empty)
+      graft.operators.Multimodal.sampleFramesAvi(s, wrapped)
+        .select(col("id").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_start"), col("frame_len"), col("frame_byte_sum"))
+        .orderBy("doc_id", "frame_idx")
+    }),
     "mm_wav_stats" -> ((s, dir) => {
       // real AUDIO decode (javax.sound.sampled — public JDK): genuine
       // RIFF/WAVE PCM fixtures through the JDK encoder AND decoder. PCM is
@@ -10170,6 +10193,23 @@ object SparkEntry {
           |  CAST(flen AS BIGINT) AS frame_len,
           |  CAST(list_sum(list_transform(generate_series(0, flen - 1),
           |    j -> (j + 17 * fi + doc_id) % 256)) AS BIGINT) AS frame_byte_sum
+          |FROM o ORDER BY doc_id, frame_idx""".stripMargin,
+      "mm_frame_sample_avi" ->
+        """WITH f AS (SELECT doc_id,
+          |    unnest(generate_series(0, CAST(3 + doc_id % 3 AS BIGINT))) AS fi
+          |  FROM documents WHERE doc_id < 16 AND doc_id % 2 = 0),
+          |l AS (SELECT doc_id, fi, 40 + 2 * ((5 * fi + doc_id) % 12) AS flen
+          |  FROM f),
+          |o AS (SELECT doc_id, fi, flen,
+          |    232 + 8 * fi + COALESCE(SUM(flen) OVER (PARTITION BY doc_id
+          |      ORDER BY fi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |      0) AS fstart
+          |  FROM l)
+          |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+          |  CAST(fstart AS BIGINT) AS frame_start,
+          |  CAST(flen AS BIGINT) AS frame_len,
+          |  CAST(list_sum(list_transform(generate_series(0, flen - 1),
+          |    j -> (3 * j + 11 * fi + doc_id) % 256)) AS BIGINT) AS frame_byte_sum
           |FROM o ORDER BY doc_id, frame_idx""".stripMargin,
       "mm_feature_knn" -> {
         val fnvCte =

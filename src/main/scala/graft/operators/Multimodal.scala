@@ -570,6 +570,25 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** Resolve the movi frame chunks (`..dc`/`..db`) to absolute byte
+      * ranges in the payload — the RIFF sibling of
+      * [[MediaCodecMp4.parseSamples]]: (frameIdx, dataStart, dataLen).
+      * None when the payload is not RIFF/AVI. */
+    def parseFrames(bytes: Array[Byte]): Option[Seq[(Int, Long, Long)]] =
+      try {
+        if (bytes.length < 12 || cc4(bytes, 0) != "RIFF" ||
+            cc4(bytes, 8) != "AVI ") return None
+        val top = chunks(bytes, 12, math.min(bytes.length, 12 + le32(bytes, 4).toInt - 4))
+        top.collectFirst { case ("LIST", f, u)
+            if u - f >= 4 && cc4(bytes, f) == "movi" =>
+          chunks(bytes, f + 4, u).filter { case (id, _, _) =>
+            id.endsWith("dc") || id.endsWith("db")
+          }.zipWithIndex.map { case ((_, df, du), i) =>
+            (i, df.toLong, (du - df).toLong)
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     // ------------------------------------------------------ fixture side
     private def le(v: Long): Array[Byte] = Array(
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -692,6 +711,29 @@ object Multimodal {
           var sum = 0L; var j = 0
           while (j < bytes.length) { sum += bytes(j) & 0xff; j += 1 }
           (r.id, s.idx, s.start, s.len, bytes, sum)
+        }
+    }.toDF("id", "frame_idx", "frame_start", "frame_len", "frame_bytes",
+      "frame_byte_sum")
+  }
+
+  /** REAL frame sampling for RIFF/AVI payloads — the little-endian sibling
+    * of [[sampleFramesMp4]]: the movi chunk walk resolves each `..dc`/
+    * `..db` frame to its true byte range, the frame bytes are sliced at
+    * those ranges, and the unsigned byte sum rides along for downstream
+    * integrity checks. Non-RIFF payloads yield no rows (the stub lane
+    * keeps serving those). Partition-local, no shuffle — the 100 TB shape
+    * is a payload-partitioned scan. */
+  def sampleFramesAvi(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.as[MediaRow].flatMap { r =>
+      MediaCodecRiffAvi.parseFrames(r.media.bytes).getOrElse(Seq.empty)
+        .iterator.filter { case (_, st, ln) => st + ln <= r.media.bytes.length }
+        .map { case (idx, st, ln) =>
+          val bytes = java.util.Arrays.copyOfRange(
+            r.media.bytes, st.toInt, (st + ln).toInt)
+          var sum = 0L; var j = 0
+          while (j < bytes.length) { sum += bytes(j) & 0xff; j += 1 }
+          (r.id, idx, st, ln, bytes, sum)
         }
     }.toDF("id", "frame_idx", "frame_start", "frame_len", "frame_bytes",
       "frame_byte_sum")

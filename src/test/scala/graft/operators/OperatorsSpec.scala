@@ -2204,6 +2204,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!am(2L).real_codec && am(2L).movi_bytes == 6L)
   }
 
+  test("multimodal video codec: AVI movi frame ranges match the RIFF layout closed form") {
+    import spark.implicits._
+    import Multimodal.MediaCodecRiffAvi
+    for (d <- 0L until 6L) {
+      val b = MediaCodecRiffAvi.syntheticAvi(d)
+      val frames = MediaCodecRiffAvi.parseFrames(b).get
+      val n = 4 + (d % 3).toInt
+      assert(frames.size == n)
+      var expectStart = 232L // 12 RIFF hdr + 200 hdrl list + 12 movi LIST hdr + 8 chunk hdr
+      frames.foreach { case (i, st, ln) =>
+        val expectLen = 40L + 2 * ((5L * i + d) % 12)
+        assert(st == expectStart && ln == expectLen, s"frame $i of seed $d")
+        // slice content replays byte j = (3j + 11i + d) mod 256
+        val sum = (st until st + ln).map(o => b(o.toInt) & 0xffL).sum
+        val expectSum = (0L until expectLen).map(j =>
+          java.lang.Math.floorMod(3 * j + 11 * i + d, 256L)).sum
+        assert(sum == expectSum)
+        expectStart += 8 + expectLen // even lens: no pad byte
+      }
+    }
+    assert(MediaCodecRiffAvi.parseFrames("not riff".getBytes).isEmpty)
+    // Spark operator: non-RIFF payloads yield no rows
+    val media = Seq(
+      (1L, MediaCodecRiffAvi.syntheticAvi(1), "video/x-msvideo"),
+      (2L, "opaque".getBytes("UTF-8"), "application/octet-stream"))
+      .toDF("doc_id", "payload", "mime")
+    val wrapped = Multimodal.wrap(media, "doc_id", "payload", col("mime"), Seq.empty)
+    val rows = Multimodal.sampleFramesAvi(spark, wrapped).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L) && rows.length == 5)
+    val f0 = rows.minBy(r => r.getInt(1))
+    val bytes0 = f0.getAs[Array[Byte]](4)
+    assert(f0.getLong(2) == 232L && bytes0.length == f0.getLong(3).toInt &&
+      f0.getLong(5) == bytes0.map(_ & 0xff).map(_.toLong).sum)
+  }
+
   test("pow chain SQL: literal left-assoc chain equals math.pow on exact dyadics") {
     assert(TextOps.powChainSql("x", 1) == "x")
     assert(TextOps.powChainSql("x", 3) == "((x * x) * x)")
