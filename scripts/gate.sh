@@ -23,7 +23,14 @@ for sf in $SFS; do
   rm -rf "$out"
   sbt -batch "runMain graft.Verify /root/testdata/sf$sf $out" \
     > "/tmp/gate_verify_sf$sf.log" 2>&1 || { echo "GATE: Verify sf$sf FAILED (see /tmp/gate_verify_sf$sf.log)"; FAIL=1; }
-  if python3 scripts/oracle_check.py "/root/testdata/sf$sf" "$out" > "/tmp/gate_oracle_sf$sf.log" 2>&1; then
+  # sf0.1: the heaviest DuckDB twins (recursive-CC clusters over the full
+  # LSH pipeline) measure ~115 s IDLE -- borderline against the default
+  # 120 s stall budget, and any box load tips them into INTERRUPT. Give
+  # the big-SF leg headroom; the budget's job is catching stalls, not
+  # racing borderline twins. (Driver-side correctness runs at sf0.01,
+  # where these twins are cheap.)
+  budget=120; [ "$sf" = "0.1" ] && budget=300
+  if ORACLE_QUERY_BUDGET_S=$budget python3 scripts/oracle_check.py "/root/testdata/sf$sf" "$out" > "/tmp/gate_oracle_sf$sf.log" 2>&1; then
     tail -1 "/tmp/gate_oracle_sf$sf.log"
   else
     grep '^FAIL' "/tmp/gate_oracle_sf$sf.log" | head -20
