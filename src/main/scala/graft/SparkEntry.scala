@@ -2287,6 +2287,30 @@ object SparkEntry {
           col("frame_start"), col("frame_len"), col("frame_byte_sum"))
         .orderBy("doc_id", "frame_idx")
     }),
+    "mm_gzip_text" -> ((s, dir) => {
+      // compressed-payload lane (java.util.zip — real inflate, capped
+      // against zip bombs): even doc_ids carry gzip(text), odd ids plain
+      // text bytes; both lanes decode to the SAME content because gzip is
+      // lossless, so every output column replays from documents.text
+      // directly — only the is_gzip flag differs. The compressed bytes
+      // themselves are impl-defined (zlib version) and never pinned.
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(col("doc_id") < 40)
+      val media = docs.as[(Long, String)].map { case (d, text) =>
+        val raw = text.getBytes("UTF-8")
+        if (d % 2 == 0)
+          (d, graft.operators.Multimodal.MediaCodecGzip.gzip(raw),
+            "application/gzip")
+        else (d, raw, "text/plain")
+      }.toDF("doc_id", "payload", "mime")
+      val wrapped = graft.operators.Multimodal.wrap(
+        media, "doc_id", "payload", col("mime"), Seq.empty)
+      graft.operators.Multimodal.inflateText(s, wrapped).toDF()
+        .select(col("id").as("doc_id"), col("is_gzip"), col("n_chars"),
+          col("char_sum"), col("head"))
+        .orderBy("doc_id")
+    }),
     "mm_wav_stats" -> ((s, dir) => {
       // real AUDIO decode (javax.sound.sampled — public JDK): genuine
       // RIFF/WAVE PCM fixtures through the JDK encoder AND decoder. PCM is
@@ -10211,6 +10235,14 @@ object SparkEntry {
           |  CAST(list_sum(list_transform(generate_series(0, flen - 1),
           |    j -> (3 * j + 11 * fi + doc_id) % 256)) AS BIGINT) AS frame_byte_sum
           |FROM o ORDER BY doc_id, frame_idx""".stripMargin,
+      "mm_gzip_text" ->
+        """SELECT doc_id, doc_id % 2 = 0 AS is_gzip,
+          |  CAST(length(text) AS BIGINT) AS n_chars,
+          |  CAST(COALESCE(list_sum(list_transform(
+          |    generate_series(1, length(text)),
+          |    i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS char_sum,
+          |  substr(text, 1, 12) AS head
+          |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin,
       "mm_feature_knn" -> {
         val fnvCte =
           """f AS (

@@ -149,6 +149,79 @@ object Multimodal {
     }.toDF("id", "frame_idx", "frame_bytes")
   }
 
+  /** Compressed-payload lane: gzip sniff + REAL inflate through the JDK's
+    * own zlib binding (`java.util.zip.GZIPInputStream` — public JDK, no
+    * external library). The large-scale ingest reality this serves:
+    * web-scale training corpora arrive as .gz members (WARC/WET
+    * convention), and the decompression must happen inside the
+    * partition-local scan, never as a driver-side prepass. */
+  object MediaCodecGzip {
+    def isGzip(b: Array[Byte]): Boolean =
+      b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+    /** Inflate a gzip member, or None when the payload is not gzip /
+      * corrupt / inflates past `maxBytes` (the zip-bomb guard: a hostile
+      * 10 KB member can inflate to GBs and OOM the executor — cap and
+      * degrade to the opaque lane instead). */
+    def gunzip(bytes: Array[Byte], maxBytes: Int = 1 << 26): Option[Array[Byte]] =
+      if (!isGzip(bytes)) None
+      else try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 16))
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (out.size() + n > maxBytes) return None
+            out.write(buf, 0, n)
+            n = in.read(buf)
+          }
+          Some(out.toByteArray)
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Deterministic-enough fixture helper: gzip-compress `data`. The
+      * COMPRESSED bytes are impl-defined (deflate output varies by zlib
+      * version), so oracles must only ever pin properties of the DECODED
+      * content — gzip is lossless, so those replay exactly. */
+    def gzip(data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(data); gz.close()
+      bos.toByteArray
+    }
+  }
+
+  case class InflatedText(id: Long, is_gzip: Boolean, n_chars: Long,
+      char_sum: Long, head: String)
+
+  /** Decompress-and-read for text payloads: gzip members inflate through
+    * [[MediaCodecGzip]] (capped — oversized/corrupt members degrade to the
+    * opaque lane), plain payloads read as-is; both decode UTF-8 and report
+    * codepoint-exact stats. Partition-local map, no shuffle — at 100 TB
+    * this is the first stage of every compressed-corpus scan. */
+  def inflateText(spark: SparkSession, df: DataFrame): Dataset[InflatedText] = {
+    import spark.implicits._
+    df.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val gz = MediaCodecGzip.gunzip(r.media.bytes)
+        val data = gz.getOrElse(r.media.bytes)
+        val s = new String(data, java.nio.charset.StandardCharsets.UTF_8)
+        var sum = 0L; var n = 0L; var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          sum += cp; n += 1
+          i += Character.charCount(cp)
+        }
+        val headEnd =
+          if (s.codePointCount(0, s.length) <= 12) s.length
+          else s.offsetByCodePoints(0, 12)
+        InflatedText(r.id, gz.isDefined, n, sum, s.substring(0, headEnd))
+      }
+    }
+  }
+
   // ------------------------------------------------------ real codec path
 
   /** Real-codec decode via the JDK's own ImageIO (PNG/JPEG/BMP/GIF —

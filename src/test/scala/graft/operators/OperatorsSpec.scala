@@ -2239,6 +2239,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       f0.getLong(5) == bytes0.map(_ & 0xff).map(_.toLong).sum)
   }
 
+  test("gzip lane: lossless round-trip, corrupt members degrade, zip bombs are capped") {
+    import spark.implicits._
+    import Multimodal.MediaCodecGzip
+    // round-trip: inflate(gzip(x)) == x, including non-ASCII codepoints
+    val texts = Seq("hello world", "", "héllo ωorld 世界", "a" * 10000)
+    texts.foreach { t =>
+      val raw = t.getBytes("UTF-8")
+      assert(MediaCodecGzip.gunzip(MediaCodecGzip.gzip(raw))
+        .map(new String(_, "UTF-8")).contains(t))
+    }
+    // non-gzip and corrupt payloads -> None
+    assert(MediaCodecGzip.gunzip("plain".getBytes).isEmpty)
+    val corrupt = MediaCodecGzip.gzip("payload".getBytes)
+    corrupt(12) = (corrupt(12) ^ 0x5a).toByte // flip bits mid-deflate-stream
+    assert(MediaCodecGzip.gunzip(corrupt).isEmpty)
+    // zip-bomb guard: 1 MB of zeros compresses tiny but must not inflate
+    // past the cap
+    val bomb = MediaCodecGzip.gzip(new Array[Byte](1 << 20))
+    assert(bomb.length < 4096)
+    assert(MediaCodecGzip.gunzip(bomb, maxBytes = 1 << 16).isEmpty)
+    assert(MediaCodecGzip.gunzip(bomb, maxBytes = 1 << 21).isDefined)
+    // Spark operator: both lanes decode to the same content stats
+    val media = Seq(
+      (0L, MediaCodecGzip.gzip("abcé".getBytes("UTF-8")), "application/gzip"),
+      (1L, "abcé".getBytes("UTF-8"), "text/plain"))
+      .toDF("doc_id", "payload", "mime")
+    val wrapped = Multimodal.wrap(media, "doc_id", "payload", col("mime"), Seq.empty)
+    val inf = Multimodal.inflateText(spark, wrapped).collect().map(v => v.id -> v).toMap
+    assert(inf(0L).is_gzip && !inf(1L).is_gzip)
+    Seq(0L, 1L).foreach { id =>
+      assert(inf(id).n_chars == 4 && inf(id).head == "abcé" &&
+        inf(id).char_sum == 'a'.toLong + 'b' + 'c' + 0xe9)
+    }
+  }
+
   test("pow chain SQL: literal left-assoc chain equals math.pow on exact dyadics") {
     assert(TextOps.powChainSql("x", 1) == "x")
     assert(TextOps.powChainSql("x", 3) == "((x * x) * x)")
