@@ -2287,6 +2287,32 @@ object SparkEntry {
           col("frame_start"), col("frame_len"), col("frame_byte_sum"))
         .orderBy("doc_id", "frame_idx")
     }),
+    "mm_mkv_meta" -> ((s, dir) => {
+      // the THIRD container family (Matroska/WebM — EBML variable-length
+      // integers, where ISO BMFF is fixed big-endian and RIFF fixed
+      // little-endian; closed-form fixture FIXTURES.md synthetic_mkv):
+      // timestamp scale, integer duration, track census, first video
+      // track's codec/dims, cluster/SimpleBlock census. Even doc_ids
+      // carry a genuine MKV, odd ids opaque text (zero/empty sentinels,
+      // real_codec = false; block_bytes carries the payload length).
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(col("doc_id") < 20)
+      val media = docs.as[(Long, String)].map { case (d, text) =>
+        if (d % 2 == 0)
+          (d, graft.operators.Multimodal.MediaCodecMkv.syntheticMkv(d),
+            "video/x-matroska")
+        else (d, text.getBytes("UTF-8"), "application/octet-stream")
+      }.toDF("doc_id", "payload", "mime")
+      val wrapped = graft.operators.Multimodal.wrap(
+        media, "doc_id", "payload", col("mime"), Seq.empty)
+      graft.operators.Multimodal.mkvMeta(s, wrapped).toDF()
+        .select(col("id").as("doc_id"), col("timestamp_scale"),
+          col("duration_ms"), col("n_tracks"), col("video_track"),
+          col("codec_id"), col("width"), col("height"), col("n_clusters"),
+          col("n_blocks"), col("block_bytes"), col("real_codec"))
+        .orderBy("doc_id")
+    }),
     "mm_gzip_text" -> ((s, dir) => {
       // compressed-payload lane (java.util.zip — real inflate, capped
       // against zip bombs): even doc_ids carry gzip(text), odd ids plain
@@ -10235,6 +10261,27 @@ object SparkEntry {
           |  CAST(list_sum(list_transform(generate_series(0, flen - 1),
           |    j -> (3 * j + 11 * fi + doc_id) % 256)) AS BIGINT) AS frame_byte_sum
           |FROM o ORDER BY doc_id, frame_idx""".stripMargin,
+      "mm_mkv_meta" ->
+        """WITH p AS (SELECT doc_id, text, doc_id % 2 = 0 AS mkv,
+          |    3 + doc_id % 4 AS n FROM documents WHERE doc_id < 20)
+          |SELECT doc_id,
+          |  CAST(CASE WHEN mkv THEN 1000000 ELSE 0 END AS BIGINT) AS timestamp_scale,
+          |  CAST(CASE WHEN mkv THEN 40 * n ELSE 0 END AS BIGINT) AS duration_ms,
+          |  CAST(CASE WHEN mkv THEN 1 ELSE 0 END AS BIGINT) AS n_tracks,
+          |  CAST(CASE WHEN mkv THEN 1 ELSE 0 END AS BIGINT) AS video_track,
+          |  CASE WHEN mkv THEN
+          |    CASE WHEN doc_id % 3 = 0 THEN 'V_VP9'
+          |      WHEN doc_id % 3 = 1 THEN 'V_AV1' ELSE 'V_MPEG4/ISO/AVC' END
+          |    ELSE '' END AS codec_id,
+          |  CAST(CASE WHEN mkv THEN 64 * (1 + doc_id % 4) ELSE 0 END AS BIGINT) AS width,
+          |  CAST(CASE WHEN mkv THEN 36 * (1 + (3 * doc_id) % 4) ELSE 0 END AS BIGINT) AS height,
+          |  CAST(CASE WHEN mkv THEN 2 ELSE 0 END AS BIGINT) AS n_clusters,
+          |  CAST(CASE WHEN mkv THEN n ELSE 0 END AS BIGINT) AS n_blocks,
+          |  CAST(CASE WHEN mkv THEN list_sum(list_transform(
+          |      generate_series(0, n - 1), i -> 24 + 2 * ((7 * i + doc_id) % 10)))
+          |    ELSE strlen(text) END AS BIGINT) AS block_bytes,
+          |  mkv AS real_codec
+          |FROM p ORDER BY doc_id""".stripMargin,
       "mm_gzip_text" ->
         """SELECT doc_id, doc_id % 2 = 0 AS is_gzip,
           |  CAST(length(text) AS BIGINT) AS n_chars,

@@ -149,6 +149,198 @@ object Multimodal {
     }.toDF("id", "frame_idx", "frame_bytes")
   }
 
+  /** The THIRD video-container family: Matroska/WebM via a pure-JDK EBML
+    * walk. EBML's parsing discipline differs from both prior lanes: where
+    * ISO BMFF uses fixed big-endian 32-bit sizes and RIFF fixed
+    * little-endian ones, EBML sizes and IDs are VARIABLE-LENGTH integers
+    * — the leading-zero count of the first byte gives the width, and for
+    * sizes (not IDs) the marker bit is stripped. Walked elements:
+    * Segment → Info (TimestampScale, Duration) / Tracks (TrackEntry:
+    * number, type, CodecID, Video PixelWidth/PixelHeight) / Cluster
+    * (SimpleBlock census). Public format; no media library involved. */
+  object MediaCodecMkv {
+    case class MkvMeta(timestampScale: Long, durationMs: Long, tracks: Long,
+        videoTrack: Long, codecId: String, width: Long, height: Long,
+        clusters: Long, blocks: Long, blockBytes: Long)
+
+    // element IDs (with their marker bits, as they appear on the wire)
+    private val EBML_HEADER = 0x1A45DFA3L
+    private val SEGMENT = 0x18538067L
+    private val INFO = 0x1549A966L
+    private val TIMESTAMP_SCALE = 0x2AD7B1L
+    private val DURATION = 0x4489L
+    private val TRACKS = 0x1654AE6BL
+    private val TRACK_ENTRY = 0xAEL
+    private val TRACK_NUMBER = 0xD7L
+    private val TRACK_TYPE = 0x83L
+    private val CODEC_ID = 0x86L
+    private val VIDEO = 0xE0L
+    private val PIXEL_WIDTH = 0xB0L
+    private val PIXEL_HEIGHT = 0xBAL
+    private val CLUSTER = 0x1F43B675L
+    private val SIMPLE_BLOCK = 0xA3L
+
+    /** Read a vint at `o`: (value, widthBytes). `keepMarker` = true for
+      * element IDs (the ID includes its length descriptor), false for
+      * sizes (the marker bit is data-stripped). */
+    private def vint(b: Array[Byte], o: Int, keepMarker: Boolean): (Long, Int) = {
+      val first = b(o) & 0xff
+      if (first == 0) throw new IllegalArgumentException("bad vint")
+      val w = Integer.numberOfLeadingZeros(first) - 24 + 1 // 1..8
+      var v = if (keepMarker) first.toLong else (first & (0xff >>> w)).toLong
+      var i = 1
+      while (i < w) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      (v, w)
+    }
+
+    /** Children of a master element body [from, until): (id, dataFrom,
+      * dataUntil). Malformed sizes end the walk. */
+    private def children(b: Array[Byte], from: Int, until: Int): List[(Long, Int, Int)] = {
+      val out = List.newBuilder[(Long, Int, Int)]
+      var o = from
+      var guard = 0
+      while (o < until && guard < 100000) {
+        guard += 1
+        val (id, iw) = vint(b, o, keepMarker = true)
+        val (sz, sw) = vint(b, o + iw, keepMarker = false)
+        val df = o + iw + sw
+        val du = df + sz
+        if (du < df || du > until) { o = until }
+        else { out += ((id, df, du.toInt)); o = du.toInt }
+      }
+      out.result()
+    }
+
+    private def uint(b: Array[Byte], from: Int, until: Int): Long = {
+      var v = 0L; var i = from
+      while (i < until) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      v
+    }
+    private def float64(b: Array[Byte], from: Int, until: Int): Double =
+      if (until - from == 8) java.lang.Double.longBitsToDouble(uint(b, from, until))
+      else if (until - from == 4) java.lang.Float.intBitsToFloat(uint(b, from, until).toInt).toDouble
+      else 0.0
+
+    /** Parse Matroska metadata, or None when the payload is not EBML. */
+    def parseMeta(bytes: Array[Byte]): Option[MkvMeta] =
+      try {
+        val top = children(bytes, 0, bytes.length)
+        if (!top.headOption.exists(_._1 == EBML_HEADER)) return None
+        top.collectFirst { case (SEGMENT, sf, su) =>
+          val seg = children(bytes, sf, su)
+          var tscale = 1000000L // spec default: 1 ms per tick
+          var durTicks = 0.0
+          seg.collectFirst { case (INFO, f, u) => children(bytes, f, u) }
+            .getOrElse(Nil).foreach {
+              case (TIMESTAMP_SCALE, f, u) => tscale = uint(bytes, f, u)
+              case (DURATION, f, u) => durTicks = float64(bytes, f, u)
+              case _ =>
+            }
+          var (nTracks, vTrack, codec, w, h) = (0L, 0L, "", 0L, 0L)
+          seg.collectFirst { case (TRACKS, f, u) => children(bytes, f, u) }
+            .getOrElse(Nil).foreach {
+              case (TRACK_ENTRY, f, u) =>
+                nTracks += 1
+                var (num, typ) = (0L, 0L)
+                var (cid, pw, ph) = ("", 0L, 0L)
+                children(bytes, f, u).foreach {
+                  case (TRACK_NUMBER, cf, cu) => num = uint(bytes, cf, cu)
+                  case (TRACK_TYPE, cf, cu) => typ = uint(bytes, cf, cu)
+                  case (CODEC_ID, cf, cu) =>
+                    cid = new String(bytes, cf, cu - cf, "ISO-8859-1")
+                  case (VIDEO, cf, cu) => children(bytes, cf, cu).foreach {
+                    case (PIXEL_WIDTH, vf, vu) => pw = uint(bytes, vf, vu)
+                    case (PIXEL_HEIGHT, vf, vu) => ph = uint(bytes, vf, vu)
+                    case _ =>
+                  }
+                  case _ =>
+                }
+                if (typ == 1L && vTrack == 0L) {
+                  vTrack = num; codec = cid; w = pw; h = ph
+                }
+              case _ =>
+            }
+          var (nClusters, nBlocks, blockBytes) = (0L, 0L, 0L)
+          seg.foreach {
+            case (CLUSTER, f, u) =>
+              nClusters += 1
+              children(bytes, f, u).foreach {
+                case (SIMPLE_BLOCK, bf, bu) =>
+                  nBlocks += 1
+                  // block = track vint + 2B timestamp + 1B flags + payload
+                  val (_, tw) = vint(bytes, bf, keepMarker = false)
+                  blockBytes += (bu - bf - tw - 3).toLong
+                case _ =>
+              }
+            case _ =>
+          }
+          // duration ticks × ns/tick → ms (truncating integer, oracle-exact
+          // when durTicks is an exactly-representable integer)
+          MkvMeta(tscale, (durTicks * tscale).toLong / 1000000L, nTracks,
+            vTrack, codec, w, h, nClusters, nBlocks, blockBytes)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    // ------------------------------------------------------ fixture side
+    private def beBytes(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+    private def idBytes(id: Long): Array[Byte] = {
+      var n = 1; while ((id >> (8 * n)) != 0) n += 1
+      beBytes(id, n)
+    }
+    /** Encode a size as a 4-byte vint (0x20-prefixed) — valid EBML for any
+      * size < 2^29 - 1 and keeps the writer trivial; the PARSER handles all
+      * widths 1..8. */
+    private def sizeBytes(sz: Long): Array[Byte] =
+      beBytes(sz | 0x10000000L, 4)
+    private def elem(id: Long, parts: Array[Byte]*): Array[Byte] = {
+      val data = parts.flatten.toArray
+      idBytes(id) ++ sizeBytes(data.length.toLong) ++ data
+    }
+
+    /** Closed-form synthetic Matroska (FIXTURES.md synthetic_mkv): for
+      * seed d, w = 64·(1 + d%4), h = 36·(1 + (3d)%4), codec
+      * [V_VP9, V_AV1, V_MPEG4/ISO/AVC][d%3], n = 3 + d%4 SimpleBlocks in
+      * 2 clusters (ceil/floor split), Duration = 40·n ticks at the default
+      * 1 ms TimestampScale (exactly representable float64); block i
+      * payload len = 24 + 2·((7i + d) mod 10), byte j = (5j + 13i + d)
+      * mod 256. */
+    def syntheticMkv(seed: Long): Array[Byte] = {
+      val d = seed
+      val w = 64L * (1 + d % 4)
+      val h = 36L * (1 + (3 * d) % 4)
+      val n = (3 + d % 4).toInt
+      val codec = Seq("V_VP9", "V_AV1", "V_MPEG4/ISO/AVC")((d % 3).toInt)
+      val header = elem(EBML_HEADER,
+        elem(0x4286L, beBytes(1, 1)), // EBMLVersion
+        elem(0x4282L, "matroska".getBytes("ISO-8859-1"))) // DocType
+      val info = elem(INFO,
+        elem(TIMESTAMP_SCALE, beBytes(1000000L, 3)),
+        elem(DURATION, beBytes(java.lang.Double.doubleToLongBits(40.0 * n), 8)))
+      val tracks = elem(TRACKS, elem(TRACK_ENTRY,
+        elem(TRACK_NUMBER, beBytes(1, 1)),
+        elem(TRACK_TYPE, beBytes(1, 1)),
+        elem(CODEC_ID, codec.getBytes("ISO-8859-1")),
+        elem(VIDEO,
+          elem(PIXEL_WIDTH, beBytes(w, 2)),
+          elem(PIXEL_HEIGHT, beBytes(h, 2)))))
+      def block(i: Int): Array[Byte] = {
+        val len = 24 + 2 * ((7L * i + d) % 10).toInt
+        val payload = Array.tabulate(len)(j =>
+          java.lang.Math.floorMod(5L * j + 13L * i + d, 256L).toByte)
+        // track 1 vint (0x81) + 2B relative timestamp + 1B flags
+        elem(SIMPLE_BLOCK,
+          Array(0x81.toByte), beBytes(40L * i, 2), Array(0.toByte), payload)
+      }
+      val half = (n + 1) / 2
+      val cluster1 = elem(CLUSTER, (elem(0xE7L, beBytes(0, 1)) +:
+        (0 until half).map(block)): _*)
+      val cluster2 = elem(CLUSTER, (elem(0xE7L, beBytes(40L * half, 2)) +:
+        (half until n).map(block)): _*)
+      header ++ elem(SEGMENT, info, tracks, cluster1, cluster2)
+    }
+  }
+
   /** Compressed-payload lane: gzip sniff + REAL inflate through the JDK's
     * own zlib binding (`java.util.zip.GZIPInputStream` — public JDK, no
     * external library). The large-scale ingest reality this serves:
@@ -759,6 +951,33 @@ object Multimodal {
           case None =>
             AviMetaRow(r.id, 0L, 0L, 0L, 0L, 0L, "", 0L,
               r.media.bytes.length.toLong, 0L, real_codec = false)
+        }
+      }
+    }
+  }
+
+  case class MkvMetaRow(id: Long, timestamp_scale: Long, duration_ms: Long,
+      n_tracks: Long, video_track: Long, codec_id: String, width: Long,
+      height: Long, n_clusters: Long, n_blocks: Long, block_bytes: Long,
+      real_codec: Boolean)
+
+  /** Container-metadata extraction over Matroska/WebM payloads — the EBML
+    * sibling of [[videoMeta]]/[[aviMeta]]: real payloads get the vint walk
+    * ([[MediaCodecMkv.parseMeta]]); non-EBML payloads degrade to the
+    * opaque lane (zero/empty sentinels, `real_codec = false`; block_bytes
+    * carries the payload length there, the established convention). */
+  def mkvMeta(spark: SparkSession, df: DataFrame): Dataset[MkvMetaRow] = {
+    import spark.implicits._
+    df.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodecMkv.parseMeta(r.media.bytes) match {
+          case Some(m) =>
+            MkvMetaRow(r.id, m.timestampScale, m.durationMs, m.tracks,
+              m.videoTrack, m.codecId, m.width, m.height, m.clusters,
+              m.blocks, m.blockBytes, real_codec = true)
+          case None =>
+            MkvMetaRow(r.id, 0L, 0L, 0L, 0L, "", 0L, 0L, 0L, 0L,
+              r.media.bytes.length.toLong, real_codec = false)
         }
       }
     }

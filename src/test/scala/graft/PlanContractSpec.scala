@@ -531,7 +531,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     // payload column: the plan must contain no join or aggregation before
     // the final sort — a join appearing here means the codec lane started
     // shuffling payloads.
-    Seq("mm_video_meta", "mm_avi_meta",
+    Seq("mm_video_meta", "mm_avi_meta", "mm_mkv_meta",
         "mm_frame_sample_mp4", "mm_frame_sample_avi").foreach { q =>
       val plan = planOf(q)
       assert(!plan.contains("Join"), s"$q grew a join over payloads:\n$plan")

@@ -2239,6 +2239,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       f0.getLong(5) == bytes0.map(_ & 0xff).map(_.toLong).sum)
   }
 
+  test("multimodal video codec: Matroska EBML walk round-trips the fixture; corrupt payloads degrade") {
+    import spark.implicits._
+    import Multimodal.MediaCodecMkv
+    for (d <- 0L until 8L) {
+      val b = MediaCodecMkv.syntheticMkv(d)
+      // EBML header magic on the wire
+      assert((b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+        (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3)
+      val m = MediaCodecMkv.parseMeta(b).get
+      val n = 3 + (d % 4).toInt
+      assert(m.timestampScale == 1000000L && m.durationMs == 40L * n)
+      assert(m.tracks == 1 && m.videoTrack == 1)
+      assert(m.codecId == Seq("V_VP9", "V_AV1", "V_MPEG4/ISO/AVC")((d % 3).toInt))
+      assert(m.width == 64 * (1 + d % 4) && m.height == 36 * (1 + (3 * d) % 4))
+      assert(m.clusters == 2 && m.blocks == n)
+      assert(m.blockBytes ==
+        (0 until n).map(i => 24L + 2 * ((7L * i + d) % 10)).sum)
+    }
+    assert(MediaCodecMkv.parseMeta("not ebml at all".getBytes).isEmpty)
+    assert(MediaCodecMkv.parseMeta(Array[Byte](0x1a, 0x45)).isEmpty)
+    assert(MediaCodecMkv.parseMeta(
+      MediaCodecMkv.syntheticMkv(3).take(25)).isEmpty)
+    // Spark operator: mixed batch, opaque lane flagged
+    val media = Seq(
+      (1L, MediaCodecMkv.syntheticMkv(1), "video/x-matroska"),
+      (2L, "opaque".getBytes("UTF-8"), "application/octet-stream"))
+      .toDF("doc_id", "payload", "mime")
+    val wrapped = Multimodal.wrap(media, "doc_id", "payload", col("mime"), Seq.empty)
+    val mm = Multimodal.mkvMeta(spark, wrapped).collect().map(v => v.id -> v).toMap
+    assert(mm(1L).real_codec && mm(1L).codec_id == "V_AV1" &&
+      mm(1L).duration_ms == 160L && mm(1L).n_clusters == 2)
+    assert(!mm(2L).real_codec && mm(2L).block_bytes == 6L)
+  }
+
   test("gzip lane: lossless round-trip, corrupt members degrade, zip bombs are capped") {
     import spark.implicits._
     import Multimodal.MediaCodecGzip
