@@ -2313,6 +2313,29 @@ object SparkEntry {
           col("n_blocks"), col("block_bytes"), col("real_codec"))
         .orderBy("doc_id")
     }),
+    "mm_frame_sample_mkv" -> ((s, dir) => {
+      // SimpleBlock byte-ranges from the EBML walk — all three container
+      // families now carry a meta AND a frame-map query. The oracle
+      // replays the EBML layout arithmetically: with L = len(codec_id),
+      // block i's payload starts at 141 + L + Σ_{k<i}(9 + len_k) in
+      // cluster 1 and 156 + L + Σ (the cluster-2 header shift) after the
+      // split at ceil(n/2); len_i = 24 + 2·((7i+d) mod 10) and byte j =
+      // (5j + 13i + d) mod 256 pin the content.
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 16 && col("doc_id") % 2 === 0)
+      val media = docs.as[Long].map { d =>
+        (d, graft.operators.Multimodal.MediaCodecMkv.syntheticMkv(d),
+          "video/x-matroska")
+      }.toDF("doc_id", "payload", "mime")
+      val wrapped = graft.operators.Multimodal.wrap(
+        media, "doc_id", "payload", col("mime"), Seq.empty)
+      graft.operators.Multimodal.sampleFramesMkv(s, wrapped)
+        .select(col("id").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_start"), col("frame_len"), col("frame_byte_sum"))
+        .orderBy("doc_id", "frame_idx")
+    }),
     "mm_gzip_text" -> ((s, dir) => {
       // compressed-payload lane (java.util.zip — real inflate, capped
       // against zip bombs): even doc_ids carry gzip(text), odd ids plain
@@ -10282,6 +10305,25 @@ object SparkEntry {
           |    ELSE strlen(text) END AS BIGINT) AS block_bytes,
           |  mkv AS real_codec
           |FROM p ORDER BY doc_id""".stripMargin,
+      "mm_frame_sample_mkv" ->
+        """WITH f AS (SELECT doc_id, 3 + doc_id % 4 AS n,
+          |    CASE WHEN doc_id % 3 = 2 THEN 15 ELSE 5 END AS L,
+          |    unnest(generate_series(0, CAST(2 + doc_id % 4 AS BIGINT))) AS fi
+          |  FROM documents WHERE doc_id < 16 AND doc_id % 2 = 0),
+          |l AS (SELECT doc_id, n, L, fi,
+          |    24 + 2 * ((7 * fi + doc_id) % 10) AS flen FROM f),
+          |o AS (SELECT doc_id, fi, flen,
+          |    CASE WHEN fi < (n + 1) // 2 THEN 141 ELSE 156 END + L
+          |      + COALESCE(SUM(flen + 9) OVER (PARTITION BY doc_id
+          |        ORDER BY fi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |        0) AS fstart
+          |  FROM l)
+          |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+          |  CAST(fstart AS BIGINT) AS frame_start,
+          |  CAST(flen AS BIGINT) AS frame_len,
+          |  CAST(list_sum(list_transform(generate_series(0, flen - 1),
+          |    j -> (5 * j + 13 * fi + doc_id) % 256)) AS BIGINT) AS frame_byte_sum
+          |FROM o ORDER BY doc_id, frame_idx""".stripMargin,
       "mm_gzip_text" ->
         """SELECT doc_id, doc_id % 2 = 0 AS is_gzip,
           |  CAST(length(text) AS BIGINT) AS n_chars,

@@ -281,6 +281,32 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** Resolve SimpleBlock payloads to absolute byte ranges — the EBML
+      * sibling of [[MediaCodecMp4.parseSamples]]/[[MediaCodecRiffAvi
+      * .parseFrames]]: (blockIdx, payloadStart, payloadLen), indexed
+      * across clusters in stream order, block-header bytes (track vint +
+      * 16-bit timestamp + flags) stripped. None when not EBML. */
+    def parseBlocks(bytes: Array[Byte]): Option[Seq[(Int, Long, Long)]] =
+      try {
+        val top = children(bytes, 0, bytes.length)
+        if (!top.headOption.exists(_._1 == EBML_HEADER)) return None
+        top.collectFirst { case (SEGMENT, sf, su) =>
+          val out = Seq.newBuilder[(Int, Long, Long)]
+          var idx = 0
+          children(bytes, sf, su).foreach {
+            case (CLUSTER, f, u) => children(bytes, f, u).foreach {
+              case (SIMPLE_BLOCK, bf, bu) =>
+                val (_, tw) = vint(bytes, bf, keepMarker = false)
+                out += ((idx, (bf + tw + 3).toLong, (bu - bf - tw - 3).toLong))
+                idx += 1
+              case _ =>
+            }
+            case _ =>
+          }
+          out.result()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     // ------------------------------------------------------ fixture side
     private def beBytes(v: Long, n: Int): Array[Byte] =
       Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
@@ -339,6 +365,27 @@ object Multimodal {
         (half until n).map(block)): _*)
       header ++ elem(SEGMENT, info, tracks, cluster1, cluster2)
     }
+  }
+
+  /** REAL frame sampling for Matroska payloads — completes the
+    * meta+frame-map pair for all three container families: SimpleBlock
+    * payloads sliced at their true byte ranges, unsigned byte sum riding
+    * along. Non-EBML payloads yield no rows. Partition-local, no
+    * shuffle. */
+  def sampleFramesMkv(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.as[MediaRow].flatMap { r =>
+      MediaCodecMkv.parseBlocks(r.media.bytes).getOrElse(Seq.empty)
+        .iterator.filter { case (_, st, ln) => ln >= 0 && st + ln <= r.media.bytes.length }
+        .map { case (idx, st, ln) =>
+          val bytes = java.util.Arrays.copyOfRange(
+            r.media.bytes, st.toInt, (st + ln).toInt)
+          var sum = 0L; var j = 0
+          while (j < bytes.length) { sum += bytes(j) & 0xff; j += 1 }
+          (r.id, idx, st, ln, bytes, sum)
+        }
+    }.toDF("id", "frame_idx", "frame_start", "frame_len", "frame_bytes",
+      "frame_byte_sum")
   }
 
   /** Compressed-payload lane: gzip sniff + REAL inflate through the JDK's

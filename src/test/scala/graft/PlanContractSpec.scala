@@ -532,7 +532,8 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the final sort — a join appearing here means the codec lane started
     // shuffling payloads.
     Seq("mm_video_meta", "mm_avi_meta", "mm_mkv_meta",
-        "mm_frame_sample_mp4", "mm_frame_sample_avi").foreach { q =>
+        "mm_frame_sample_mp4", "mm_frame_sample_avi",
+        "mm_frame_sample_mkv").foreach { q =>
       val plan = planOf(q)
       assert(!plan.contains("Join"), s"$q grew a join over payloads:\n$plan")
     }

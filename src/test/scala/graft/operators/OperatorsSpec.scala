@@ -2271,6 +2271,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mm(1L).real_codec && mm(1L).codec_id == "V_AV1" &&
       mm(1L).duration_ms == 160L && mm(1L).n_clusters == 2)
     assert(!mm(2L).real_codec && mm(2L).block_bytes == 6L)
+    // block ranges match the EBML layout closed form (the oracle's
+    // arithmetic): cluster-1 base 141+L, cluster-2 base 156+L
+    for (d <- 0L until 8L) {
+      val b = MediaCodecMkv.syntheticMkv(d)
+      val blocks = MediaCodecMkv.parseBlocks(b).get
+      val n = 3 + (d % 4).toInt
+      val L = Seq(5, 5, 15)((d % 3).toInt)
+      val half = (n + 1) / 2
+      assert(blocks.size == n)
+      var cum = 0L
+      blocks.foreach { case (i, st, ln) =>
+        val expectLen = 24L + 2 * ((7L * i + d) % 10)
+        val base = if (i < half) 141L else 156L
+        assert(st == base + L + cum && ln == expectLen, s"block $i seed $d")
+        val sum = (st until st + ln).map(o => b(o.toInt) & 0xffL).sum
+        assert(sum == (0L until expectLen).map(j =>
+          java.lang.Math.floorMod(5 * j + 13 * i + d, 256L)).sum)
+        cum += 9 + expectLen
+      }
+    }
+    assert(MediaCodecMkv.parseBlocks("nope".getBytes).isEmpty)
   }
 
   test("gzip lane: lossless round-trip, corrupt members degrade, zip bombs are capped") {
