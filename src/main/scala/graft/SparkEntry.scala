@@ -2336,6 +2336,30 @@ object SparkEntry {
           col("frame_start"), col("frame_len"), col("frame_byte_sum"))
         .orderBy("doc_id", "frame_idx")
     }),
+    "mm_zip_members" -> ((s, dir) => {
+      // archive-EXPANSION lane (java.util.zip — real unzip, per-member
+      // zip-bomb cap): one payload explodes into k member rows via a
+      // partition-local flatMap. Even doc_ids < 24 carry the closed-form
+      // synthetic_zip (k = 2 + d%3 members, member m: len 20+((5m+d)%15),
+      // char j = 'a'+(3j+7m+d)%26); odd ids opaque text that yields no
+      // rows — the oracle replays members and byte sums arithmetically.
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(col("doc_id") < 24)
+      val media = docs.as[(Long, String)].map { case (d, text) =>
+        if (d % 2 == 0)
+          (d, graft.operators.Multimodal.MediaCodecZip.syntheticZip(d),
+            "application/zip")
+        else (d, text.getBytes("UTF-8"), "application/octet-stream")
+      }.toDF("doc_id", "payload", "mime")
+      val wrapped = graft.operators.Multimodal.wrap(
+        media, "doc_id", "payload", col("mime"), Seq.empty)
+      graft.operators.Multimodal.expandArchive(s, wrapped)
+        .select(col("id").as("doc_id"),
+          col("member_idx").cast("long").as("member_idx"),
+          col("name"), col("n_bytes"), col("byte_sum"))
+        .orderBy("doc_id", "member_idx")
+    }),
     "mm_gzip_text" -> ((s, dir) => {
       // compressed-payload lane (java.util.zip — real inflate, capped
       // against zip bombs): even doc_ids carry gzip(text), odd ids plain
@@ -10324,6 +10348,20 @@ object SparkEntry {
           |  CAST(list_sum(list_transform(generate_series(0, flen - 1),
           |    j -> (5 * j + 13 * fi + doc_id) % 256)) AS BIGINT) AS frame_byte_sum
           |FROM o ORDER BY doc_id, frame_idx""".stripMargin,
+      "mm_zip_members" ->
+        """WITH z AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM documents
+          |  WHERE doc_id < 24 AND doc_id % 2 = 0),
+          |m AS (SELECT doc_id,
+          |    unnest(generate_series(0, CAST(1 + doc_id % 3 AS BIGINT))) AS mi
+          |  FROM z),
+          |l AS (SELECT doc_id, mi, 20 + ((5 * mi + doc_id) % 15) AS mlen FROM m)
+          |SELECT doc_id, CAST(mi AS BIGINT) AS member_idx,
+          |  'doc_' || CAST(mi AS VARCHAR) || '.txt' AS name,
+          |  CAST(mlen AS BIGINT) AS n_bytes,
+          |  CAST(97 * mlen + list_sum(list_transform(
+          |    generate_series(0, mlen - 1),
+          |    j -> (3 * j + 7 * mi + doc_id) % 26)) AS BIGINT) AS byte_sum
+          |FROM l ORDER BY doc_id, member_idx""".stripMargin,
       "mm_gzip_text" ->
         """SELECT doc_id, doc_id % 2 = 0 AS is_gzip,
           |  CAST(length(text) AS BIGINT) AS n_chars,

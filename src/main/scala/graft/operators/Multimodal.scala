@@ -432,6 +432,85 @@ object Multimodal {
     }
   }
 
+  /** Archive-expansion lane: ZIP members through the JDK's own
+    * `java.util.zip.ZipInputStream`. The shape this serves at scale: a
+    * multi-document archive is ONE ingest payload that explodes into MANY
+    * logical documents — the expansion must be a partition-local flatMap
+    * (1 row in, k rows out), never a driver-side unpack. */
+  object MediaCodecZip {
+    def isZip(b: Array[Byte]): Boolean =
+      b.length >= 4 && b(0) == 'P' && b(1) == 'K' &&
+        (b(2) == 3 || b(2) == 5 || b(2) == 7) // local hdr / empty / spanned
+
+    /** Decode the archive's members in stream order, or None when the
+      * payload is not a ZIP / corrupt. Per-member inflate is capped
+      * (zip-bomb guard — same rationale as [[MediaCodecGzip.gunzip]]). */
+    def members(bytes: Array[Byte], maxBytesPerMember: Int = 1 << 26)
+        : Option[Seq[(String, Array[Byte])]] =
+      if (!isZip(bytes)) None
+      else try {
+        val zin = new java.util.zip.ZipInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val out = Seq.newBuilder[(String, Array[Byte])]
+          var e = zin.getNextEntry
+          var any = false
+          while (e != null) {
+            any = true
+            if (!e.isDirectory) {
+              val bos = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              var n = zin.read(buf)
+              while (n >= 0) {
+                if (bos.size() + n > maxBytesPerMember) return None
+                bos.write(buf, 0, n)
+                n = zin.read(buf)
+              }
+              out += ((e.getName, bos.toByteArray))
+            }
+            e = zin.getNextEntry
+          }
+          if (any) Some(out.result()) else None
+        } finally zin.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Closed-form synthetic ZIP (FIXTURES.md synthetic_zip): for seed d,
+      * k = 2 + d%3 members; member m is named `doc_<m>.txt` with length
+      * 20 + ((5m + d) mod 15) and char j = 'a' + (3j + 7m + d) mod 26.
+      * Compressed bytes are impl-defined and never pinned — only the
+      * lossless decode is. */
+    def syntheticZip(seed: Long): Array[Byte] = {
+      val d = seed
+      val k = (2 + d % 3).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      val zout = new java.util.zip.ZipOutputStream(bos)
+      for (m <- 0 until k) {
+        zout.putNextEntry(new java.util.zip.ZipEntry(s"doc_$m.txt"))
+        val len = 20 + ((5L * m + d) % 15).toInt
+        zout.write(Array.tabulate(len)(j =>
+          ('a' + java.lang.Math.floorMod(3L * j + 7L * m + d, 26L)).toByte))
+        zout.closeEntry()
+      }
+      zout.close()
+      bos.toByteArray
+    }
+  }
+
+  /** Expand archive payloads into per-member rows: (id, member_idx, name,
+    * n_bytes, byte_sum) — a partition-local flatMap; non-archive payloads
+    * yield no rows (the single-doc lanes keep serving those). */
+  def expandArchive(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.as[MediaRow].flatMap { r =>
+      MediaCodecZip.members(r.media.bytes).getOrElse(Seq.empty)
+        .iterator.zipWithIndex.map { case ((name, data), m) =>
+          var sum = 0L; var j = 0
+          while (j < data.length) { sum += data(j) & 0xff; j += 1 }
+          (r.id, m, name, data.length.toLong, sum)
+        }
+    }.toDF("id", "member_idx", "name", "n_bytes", "byte_sum")
+  }
+
   case class InflatedText(id: Long, is_gzip: Boolean, n_chars: Long,
       char_sum: Long, head: String)
 

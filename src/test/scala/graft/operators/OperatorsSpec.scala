@@ -2294,6 +2294,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MediaCodecMkv.parseBlocks("nope".getBytes).isEmpty)
   }
 
+  test("zip archive expansion: members decode to the closed form, non-archives yield no rows") {
+    import spark.implicits._
+    import Multimodal.MediaCodecZip
+    for (d <- 0L until 6L) {
+      val ms = MediaCodecZip.members(MediaCodecZip.syntheticZip(d)).get
+      val k = (2 + d % 3).toInt
+      assert(ms.size == k)
+      ms.zipWithIndex.foreach { case ((name, data), m) =>
+        assert(name == s"doc_$m.txt")
+        val len = 20 + ((5L * m + d) % 15).toInt
+        assert(data.length == len)
+        data.zipWithIndex.foreach { case (b, j) =>
+          assert(b == ('a' + java.lang.Math.floorMod(3L * j + 7L * m + d, 26L)).toByte)
+        }
+      }
+    }
+    assert(MediaCodecZip.members("PK but not zip".getBytes).isEmpty)
+    assert(MediaCodecZip.members("plain".getBytes).isEmpty)
+    // per-member cap: a member inflating past the cap kills the archive
+    val big = new java.io.ByteArrayOutputStream()
+    val zo = new java.util.zip.ZipOutputStream(big)
+    zo.putNextEntry(new java.util.zip.ZipEntry("bomb.bin"))
+    zo.write(new Array[Byte](1 << 20)); zo.closeEntry(); zo.close()
+    assert(MediaCodecZip.members(big.toByteArray, maxBytesPerMember = 1 << 16).isEmpty)
+    assert(MediaCodecZip.members(big.toByteArray).isDefined)
+    // Spark operator: archive explodes, opaque yields nothing
+    val media = Seq(
+      (0L, MediaCodecZip.syntheticZip(0), "application/zip"),
+      (1L, "opaque".getBytes("UTF-8"), "application/octet-stream"))
+      .toDF("doc_id", "payload", "mime")
+    val wrapped = Multimodal.wrap(media, "doc_id", "payload", col("mime"), Seq.empty)
+    val rows = Multimodal.expandArchive(spark, wrapped).collect()
+    assert(rows.length == 2 && rows.forall(_.getLong(0) == 0L))
+  }
+
   test("gzip lane: lossless round-trip, corrupt members degrade, zip bombs are capped") {
     import spark.implicits._
     import Multimodal.MediaCodecGzip
