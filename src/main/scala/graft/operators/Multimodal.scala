@@ -194,7 +194,8 @@ object Multimodal {
     }
 
     /** Children of a master element body [from, until): (id, dataFrom,
-      * dataUntil). Malformed sizes end the walk. */
+      * dataUntil). Malformed sizes end the walk; unknown sizes (all value
+      * bits set) are handled inline below. */
     private def children(b: Array[Byte], from: Int, until: Int): List[(Long, Int, Int)] = {
       val out = List.newBuilder[(Long, Int, Int)]
       var o = from
@@ -204,9 +205,26 @@ object Multimodal {
         val (id, iw) = vint(b, o, keepMarker = true)
         val (sz, sw) = vint(b, o + iw, keepMarker = false)
         val df = o + iw + sw
-        val du = df + sz
-        if (du < df || du > until) { o = until }
-        else { out += ((id, df, du.toInt)); o = du.toInt }
+        if (sz == (1L << (7 * sw)) - 1) {
+          // Unknown size (how live-streamed Matroska writes Segment and
+          // Cluster): an unknown CLUSTER ends at the next Cluster ID (the
+          // demuxer resync rule); anything else runs to the parent's end.
+          val end = if (id == CLUSTER) {
+            var p = df; var found = -1
+            while (found < 0 && p + 4 <= until) {
+              if ((b(p) & 0xff) == 0x1f && (b(p + 1) & 0xff) == 0x43 &&
+                  (b(p + 2) & 0xff) == 0xb6 && (b(p + 3) & 0xff) == 0x75)
+                found = p
+              else p += 1
+            }
+            if (found >= 0) found else until
+          } else until
+          out += ((id, df, end)); o = end
+        } else {
+          val du = df + sz
+          if (du < df || du > until) { o = until }
+          else { out += ((id, df, du.toInt)); o = du.toInt }
+        }
       }
       out.result()
     }

@@ -2294,6 +2294,72 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MediaCodecMkv.parseBlocks("nope".getBytes).isEmpty)
   }
 
+  test("Matroska unknown-size elements: streamed Segment/Cluster parse identically") {
+    import Multimodal.MediaCodecMkv
+    // live-streamed Matroska writes Segment (and often Clusters) with the
+    // UNKNOWN size vint because the final size isn't known at write time;
+    // the parser must terminate the Segment at payload end and resync
+    // unknown Clusters at the next Cluster ID. Rewrite the closed-form
+    // fixture's 4-byte sizes to the 1-byte unknown vint (0xFF) by byte
+    // surgery and require the identical parse.
+    def unknownize(b: Array[Byte], ids: Set[Long]): Array[Byte] = {
+      // walk top-down; when an element's id is in `ids`, replace its
+      // 4-byte size with 0xFF (shrinking the stream by 3 bytes each time)
+      val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+      def idAt(o: Int): (Long, Int) = {
+        val first = b(o) & 0xff
+        val w = Integer.numberOfLeadingZeros(first) - 24 + 1
+        var v = first.toLong
+        (1 until w).foreach(i => v = (v << 8) | (b(o + i) & 0xffL))
+        (v, w)
+      }
+      var o = 0
+      while (o < b.length) {
+        val (id, iw) = idAt(o)
+        val szFirst = b(o + iw) & 0xff
+        val sw = Integer.numberOfLeadingZeros(szFirst) - 24 + 1
+        var sz = (szFirst & (0xff >>> sw)).toLong
+        (1 until sw).foreach(i => sz = (sz << 8) | (b(o + iw + i) & 0xffL))
+        out ++= b.slice(o, o + iw)
+        if (ids.contains(id)) {
+          out += 0xff.toByte // unknown size; recurse into the body
+          var inner = o + iw + sw
+          val end = inner + sz.toInt
+          // master bodies: only Segment/Cluster are unknownized here, and
+          // both contain whole child elements — copy them verbatim (their
+          // own sizes stay known)
+          out ++= b.slice(inner, end)
+          o = end
+        } else {
+          out ++= b.slice(o + iw, o + iw + sw + sz.toInt)
+          o = o + iw + sw + sz.toInt
+        }
+      }
+      out.toArray
+    }
+    val SEGMENT = 0x18538067L; val CLUSTER = 0x1F43B675L
+    for (d <- 0L until 6L) {
+      val b = MediaCodecMkv.syntheticMkv(d)
+      val known = MediaCodecMkv.parseMeta(b).get
+      // streamed segment only
+      val segStreamed = unknownize(b, Set(SEGMENT))
+      assert(MediaCodecMkv.parseMeta(segStreamed).contains(known), s"seed $d seg")
+      // streamed segment AND clusters (the cluster resync path)
+      val allStreamed = unknownize(b, Set(SEGMENT, CLUSTER))
+      assert(MediaCodecMkv.parseMeta(allStreamed).contains(known), s"seed $d all")
+      // block payloads parse to the same lengths and content sums
+      val kb = MediaCodecMkv.parseBlocks(b).get
+      val sb = MediaCodecMkv.parseBlocks(allStreamed).get
+      assert(kb.size == sb.size)
+      kb.zip(sb).foreach { case ((ki, kst, kln), (si, sst, sln)) =>
+        assert(ki == si && kln == sln)
+        val ksum = (kst until kst + kln).map(o => b(o.toInt) & 0xffL).sum
+        val ssum = (sst until sst + sln).map(o => allStreamed(o.toInt) & 0xffL).sum
+        assert(ksum == ssum)
+      }
+    }
+  }
+
   test("zip archive expansion: members decode to the closed form, non-archives yield no rows") {
     import spark.implicits._
     import Multimodal.MediaCodecZip
