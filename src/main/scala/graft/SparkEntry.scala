@@ -2360,6 +2360,29 @@ object SparkEntry {
           col("name"), col("n_bytes"), col("byte_sum"))
         .orderBy("doc_id", "member_idx")
     }),
+    "mm_tar_members" -> ((s, dir) => {
+      // the SECOND archive family (POSIX ustar — hand-rolled fixed-offset
+      // octal headers with checksum validation, vs ZIP's streamed binary
+      // records): same expansion shape through the same expandArchive
+      // flatMap. Closed-form fixture: k = 2 + d%4 members, member m named
+      // file_<m>.dat, len 30 + ((9m+d) mod 21), byte j = (7j+3m+d) mod 256.
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(col("doc_id") < 24)
+      val media = docs.as[(Long, String)].map { case (d, text) =>
+        if (d % 2 == 0)
+          (d, graft.operators.Multimodal.MediaCodecTar.syntheticTar(d),
+            "application/x-tar")
+        else (d, text.getBytes("UTF-8"), "application/octet-stream")
+      }.toDF("doc_id", "payload", "mime")
+      val wrapped = graft.operators.Multimodal.wrap(
+        media, "doc_id", "payload", col("mime"), Seq.empty)
+      graft.operators.Multimodal.expandArchive(s, wrapped)
+        .select(col("id").as("doc_id"),
+          col("member_idx").cast("long").as("member_idx"),
+          col("name"), col("n_bytes"), col("byte_sum"))
+        .orderBy("doc_id", "member_idx")
+    }),
     "mm_gzip_text" -> ((s, dir) => {
       // compressed-payload lane (java.util.zip — real inflate, capped
       // against zip bombs): even doc_ids carry gzip(text), odd ids plain
@@ -10361,6 +10384,19 @@ object SparkEntry {
           |  CAST(97 * mlen + list_sum(list_transform(
           |    generate_series(0, mlen - 1),
           |    j -> (3 * j + 7 * mi + doc_id) % 26)) AS BIGINT) AS byte_sum
+          |FROM l ORDER BY doc_id, member_idx""".stripMargin,
+      "mm_tar_members" ->
+        """WITH t AS (SELECT doc_id FROM documents
+          |  WHERE doc_id < 24 AND doc_id % 2 = 0),
+          |m AS (SELECT doc_id,
+          |    unnest(generate_series(0, CAST(1 + doc_id % 4 AS BIGINT))) AS mi
+          |  FROM t),
+          |l AS (SELECT doc_id, mi, 30 + ((9 * mi + doc_id) % 21) AS mlen FROM m)
+          |SELECT doc_id, CAST(mi AS BIGINT) AS member_idx,
+          |  'file_' || CAST(mi AS VARCHAR) || '.dat' AS name,
+          |  CAST(mlen AS BIGINT) AS n_bytes,
+          |  CAST(list_sum(list_transform(generate_series(0, mlen - 1),
+          |    j -> (7 * j + 3 * mi + doc_id) % 256)) AS BIGINT) AS byte_sum
           |FROM l ORDER BY doc_id, member_idx""".stripMargin,
       "mm_gzip_text" ->
         """SELECT doc_id, doc_id % 2 = 0 AS is_gzip,

@@ -515,18 +515,110 @@ object Multimodal {
   }
 
   /** Expand archive payloads into per-member rows: (id, member_idx, name,
-    * n_bytes, byte_sum) — a partition-local flatMap; non-archive payloads
-    * yield no rows (the single-doc lanes keep serving those). */
+    * n_bytes, byte_sum) — a partition-local flatMap; ZIP and ustar both
+    * decode, non-archive payloads yield no rows (the single-doc lanes
+    * keep serving those). */
   def expandArchive(spark: SparkSession, df: DataFrame): DataFrame = {
     import spark.implicits._
     df.as[MediaRow].flatMap { r =>
-      MediaCodecZip.members(r.media.bytes).getOrElse(Seq.empty)
+      MediaCodecZip.members(r.media.bytes)
+        .orElse(MediaCodecTar.members(r.media.bytes)).getOrElse(Seq.empty)
         .iterator.zipWithIndex.map { case ((name, data), m) =>
           var sum = 0L; var j = 0
           while (j < data.length) { sum += data(j) & 0xff; j += 1 }
           (r.id, m, name, data.length.toLong, sum)
         }
     }.toDF("id", "member_idx", "name", "n_bytes", "byte_sum")
+  }
+
+  /** The SECOND archive family: POSIX ustar, parsed by hand (the JDK has
+    * no tar reader — and the format needs none: fixed-offset header
+    * fields in a 512-byte block, sizes as octal ASCII, data padded to the
+    * block, two zero blocks at the end). The parsing-discipline contrast
+    * to ZIP's streamed binary records mirrors the video-container trio. */
+  object MediaCodecTar {
+    private def octal(b: Array[Byte], off: Int, len: Int): Long = {
+      var v = 0L; var i = off
+      val end = off + len
+      while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
+      while (i < end && b(i) >= '0' && b(i) <= '7') { v = v * 8 + (b(i) - '0'); i += 1 }
+      v
+    }
+    private def str(b: Array[Byte], off: Int, len: Int): String = {
+      var end = off
+      while (end < off + len && b(end) != 0) end += 1
+      new String(b, off, end - off, "ISO-8859-1")
+    }
+
+    /** Header checksum: byte sum with the chksum field read as spaces. */
+    private def checksum(b: Array[Byte], off: Int): Long = {
+      var s = 0L; var i = 0
+      while (i < 512) {
+        s += (if (i >= 148 && i < 156) ' '.toLong else (b(off + i) & 0xffL))
+        i += 1
+      }
+      s
+    }
+
+    def isTar(b: Array[Byte]): Boolean =
+      b.length >= 512 && str(b, 257, 5) == "ustar"
+
+    /** Walk the archive: regular-file members as (name, data). None when
+      * the payload is not ustar or a header checksum fails. */
+    def members(bytes: Array[Byte]): Option[Seq[(String, Array[Byte])]] =
+      if (!isTar(bytes)) None
+      else try {
+        val out = Seq.newBuilder[(String, Array[Byte])]
+        var o = 0
+        while (o + 512 <= bytes.length && bytes(o) != 0) {
+          if (str(bytes, o + 257, 5) != "ustar" ||
+              checksum(bytes, o) != octal(bytes, o + 148, 8)) return None
+          val size = octal(bytes, o + 124, 12)
+          val tf = bytes(o + 156)
+          if ((tf == '0' || tf == 0) && o + 512 + size <= bytes.length)
+            out += ((str(bytes, o, 100), java.util.Arrays.copyOfRange(
+              bytes, o + 512, (o + 512 + size).toInt)))
+          o += 512 + (((size + 511) / 512) * 512).toInt
+        }
+        Some(out.result())
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Closed-form synthetic tar (FIXTURES.md synthetic_tar): for seed d,
+      * k = 2 + d%4 members; member m is `file_<m>.dat`, len
+      * 30 + ((9m + d) mod 21), byte j = (7j + 3m + d) mod 256. Unlike the
+      * zip/gzip fixtures the BYTES are deterministic (no compressor
+      * involved), but oracles still only pin the decoded members. */
+    def syntheticTar(seed: Long): Array[Byte] = {
+      val d = seed
+      val k = (2 + d % 4).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      for (m <- 0 until k) {
+        val len = 30 + ((9L * m + d) % 21).toInt
+        val hdr = new Array[Byte](512)
+        val name = s"file_$m.dat".getBytes("ISO-8859-1")
+        System.arraycopy(name, 0, hdr, 0, name.length)
+        def putOctal(v: Long, off: Int, width: Int): Unit = {
+          val s = java.lang.Long.toOctalString(v)
+          val pad = "0" * (width - 1 - s.length) + s
+          System.arraycopy(pad.getBytes("ISO-8859-1"), 0, hdr, off, width - 1)
+        }
+        putOctal(420, 100, 8) // mode 0644
+        putOctal(0, 108, 8); putOctal(0, 116, 8)
+        putOctal(len.toLong, 124, 12)
+        putOctal(0, 136, 12)
+        hdr(156) = '0'
+        System.arraycopy("ustar".getBytes("ISO-8859-1"), 0, hdr, 257, 5)
+        hdr(263) = '0'; hdr(264) = '0' // version "00"
+        java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+        putOctal(checksum(hdr, 0), 148, 8)
+        bos.write(hdr)
+        bos.write(Array.tabulate(len)(j =>
+          java.lang.Math.floorMod(7L * j + 3L * m + d, 256L).toByte))
+        bos.write(new Array[Byte](512 - (len % 512))) // pad to block
+      }
+      bos.write(new Array[Byte](1024)) // two zero end blocks
+      bos.toByteArray
+    }
   }
 
   case class InflatedText(id: Long, is_gzip: Boolean, n_chars: Long,

@@ -2395,6 +2395,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 2 && rows.forall(_.getLong(0) == 0L))
   }
 
+  test("tar archive: ustar headers round-trip the closed form, bad checksums reject") {
+    import spark.implicits._
+    import Multimodal.MediaCodecTar
+    for (d <- 0L until 8L) {
+      val b = MediaCodecTar.syntheticTar(d)
+      assert(b.length % 512 == 0)
+      val ms = MediaCodecTar.members(b).get
+      val k = (2 + d % 4).toInt
+      assert(ms.size == k)
+      ms.zipWithIndex.foreach { case ((name, data), m) =>
+        assert(name == s"file_$m.dat")
+        val len = 30 + ((9L * m + d) % 21).toInt
+        assert(data.length == len)
+        data.zipWithIndex.foreach { case (byte, j) =>
+          assert(byte == java.lang.Math.floorMod(7L * j + 3L * m + d, 256L).toByte)
+        }
+      }
+    }
+    assert(MediaCodecTar.members("not a tar".getBytes).isEmpty)
+    // corrupt a header byte after the checksum was computed -> reject
+    val bad = MediaCodecTar.syntheticTar(2)
+    bad(0) = 'X'.toByte
+    assert(MediaCodecTar.members(bad).isEmpty)
+    // the shared operator expands tar payloads through the same flatMap
+    val media = Seq(
+      (0L, MediaCodecTar.syntheticTar(0), "application/x-tar"),
+      (1L, "opaque".getBytes("UTF-8"), "application/octet-stream"))
+      .toDF("doc_id", "payload", "mime")
+    val wrapped = Multimodal.wrap(media, "doc_id", "payload", col("mime"), Seq.empty)
+    val rows = Multimodal.expandArchive(spark, wrapped).collect()
+    assert(rows.length == 2 && rows.forall(_.getLong(0) == 0L) &&
+      rows.map(_.getString(2)).toSet == Set("file_0.dat", "file_1.dat"))
+  }
+
   test("gzip lane: lossless round-trip, corrupt members degrade, zip bombs are capped") {
     import spark.implicits._
     import Multimodal.MediaCodecGzip
