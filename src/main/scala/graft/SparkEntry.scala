@@ -2383,6 +2383,32 @@ object SparkEntry {
           col("name"), col("n_bytes"), col("byte_sum"))
         .orderBy("doc_id", "member_idx")
     }),
+    "mm_tgz_members" -> ((s, dir) => {
+      // the COMPOSED convention (.tgz — gzip wrapping ustar): the same
+      // expandArchive flatMap transparently inflates the wrapper first,
+      // so the member rows are byte-identical to mm_tar_members' closed
+      // form; the gzip layer adds zero new oracle surface because it is
+      // lossless. Odd ids carry gzip(text): inflates but is no archive —
+      // no rows, proving wrapper-inflate alone doesn't fabricate members.
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(col("doc_id") < 24)
+      val media = docs.as[(Long, String)].map { case (d, text) =>
+        if (d % 2 == 0)
+          (d, graft.operators.Multimodal.MediaCodecGzip.gzip(
+            graft.operators.Multimodal.MediaCodecTar.syntheticTar(d)),
+            "application/gzip")
+        else (d, graft.operators.Multimodal.MediaCodecGzip.gzip(
+          text.getBytes("UTF-8")), "application/gzip")
+      }.toDF("doc_id", "payload", "mime")
+      val wrapped = graft.operators.Multimodal.wrap(
+        media, "doc_id", "payload", col("mime"), Seq.empty)
+      graft.operators.Multimodal.expandArchive(s, wrapped)
+        .select(col("id").as("doc_id"),
+          col("member_idx").cast("long").as("member_idx"),
+          col("name"), col("n_bytes"), col("byte_sum"))
+        .orderBy("doc_id", "member_idx")
+    }),
     "mm_gzip_text" -> ((s, dir) => {
       // compressed-payload lane (java.util.zip — real inflate, capped
       // against zip bombs): even doc_ids carry gzip(text), odd ids plain
@@ -10386,6 +10412,19 @@ object SparkEntry {
           |    j -> (3 * j + 7 * mi + doc_id) % 26)) AS BIGINT) AS byte_sum
           |FROM l ORDER BY doc_id, member_idx""".stripMargin,
       "mm_tar_members" ->
+        """WITH t AS (SELECT doc_id FROM documents
+          |  WHERE doc_id < 24 AND doc_id % 2 = 0),
+          |m AS (SELECT doc_id,
+          |    unnest(generate_series(0, CAST(1 + doc_id % 4 AS BIGINT))) AS mi
+          |  FROM t),
+          |l AS (SELECT doc_id, mi, 30 + ((9 * mi + doc_id) % 21) AS mlen FROM m)
+          |SELECT doc_id, CAST(mi AS BIGINT) AS member_idx,
+          |  'file_' || CAST(mi AS VARCHAR) || '.dat' AS name,
+          |  CAST(mlen AS BIGINT) AS n_bytes,
+          |  CAST(list_sum(list_transform(generate_series(0, mlen - 1),
+          |    j -> (7 * j + 3 * mi + doc_id) % 256)) AS BIGINT) AS byte_sum
+          |FROM l ORDER BY doc_id, member_idx""".stripMargin,
+      "mm_tgz_members" ->
         """WITH t AS (SELECT doc_id FROM documents
           |  WHERE doc_id < 24 AND doc_id % 2 = 0),
           |m AS (SELECT doc_id,

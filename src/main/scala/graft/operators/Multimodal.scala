@@ -515,14 +515,16 @@ object Multimodal {
   }
 
   /** Expand archive payloads into per-member rows: (id, member_idx, name,
-    * n_bytes, byte_sum) — a partition-local flatMap; ZIP and ustar both
-    * decode, non-archive payloads yield no rows (the single-doc lanes
-    * keep serving those). */
+    * n_bytes, byte_sum) — a partition-local flatMap. A gzip wrapper is
+    * inflated first (the .tar.gz/.tgz and .zip-in-.gz conventions), then
+    * ZIP and ustar both decode; non-archive payloads yield no rows (the
+    * single-doc lanes keep serving those). */
   def expandArchive(spark: SparkSession, df: DataFrame): DataFrame = {
     import spark.implicits._
     df.as[MediaRow].flatMap { r =>
-      MediaCodecZip.members(r.media.bytes)
-        .orElse(MediaCodecTar.members(r.media.bytes)).getOrElse(Seq.empty)
+      val raw = MediaCodecGzip.gunzip(r.media.bytes).getOrElse(r.media.bytes)
+      MediaCodecZip.members(raw)
+        .orElse(MediaCodecTar.members(raw)).getOrElse(Seq.empty)
         .iterator.zipWithIndex.map { case ((name, data), m) =>
           var sum = 0L; var j = 0
           while (j < data.length) { sum += data(j) & 0xff; j += 1 }

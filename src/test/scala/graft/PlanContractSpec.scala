@@ -539,6 +539,18 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("archive and compressed lanes: partition-local flatMaps, no joins or shuffles before the sort") {
+    // gzip inflate / zip / tar / tgz expansion must stay 1-row-in
+    // k-rows-out inside the scan partition — a join or aggregate here
+    // means payload bytes started crossing the wire.
+    Seq("mm_gzip_text", "mm_zip_members", "mm_tar_members",
+        "mm_tgz_members").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"$q grew a join over payloads:\n$plan")
+      assert(!plan.contains("HashAggregate"), s"$q grew an aggregate:\n$plan")
+    }
+  }
+
   test("global top-k queries rank via distributed TakeOrdered, not a window") {
     Seq("text_pmi_bigrams", "text_passage_dedup").foreach { q =>
       val plan = planOf(q)

@@ -2427,6 +2427,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = Multimodal.expandArchive(spark, wrapped).collect()
     assert(rows.length == 2 && rows.forall(_.getLong(0) == 0L) &&
       rows.map(_.getString(2)).toSet == Set("file_0.dat", "file_1.dat"))
+    // .tgz: the gzip wrapper inflates transparently to the same members;
+    // gzip-wrapped NON-archives still yield nothing
+    val tgz = Seq(
+      (0L, Multimodal.MediaCodecGzip.gzip(MediaCodecTar.syntheticTar(0)),
+        "application/gzip"),
+      (1L, Multimodal.MediaCodecGzip.gzip("just text".getBytes), "application/gzip"))
+      .toDF("doc_id", "payload", "mime")
+    val tgzWrapped = Multimodal.wrap(tgz, "doc_id", "payload", col("mime"), Seq.empty)
+    val tgzRows = Multimodal.expandArchive(spark, tgzWrapped).collect()
+    assert(tgzRows.length == 2 && tgzRows.forall(_.getLong(0) == 0L))
   }
 
   test("gzip lane: lossless round-trip, corrupt members degrade, zip bombs are capped") {
