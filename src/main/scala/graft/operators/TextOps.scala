@@ -78,15 +78,23 @@ object TextOps {
 
   /** `(doc_id, code)` k-shingle codes per document, via the O(len) rolling
     * [[graft.functions.ShingleCodes]] expression (one array per doc, one
-    * explode). `distinct = false` skips the dedup shuffle — correct for
+    * explode). `distinct = false` skips the per-doc dedup — correct for
     * duplicate-insensitive consumers (MIN-aggregation in MinHash /
-    * fingerprints). */
+    * fingerprints).
+    *
+    * `distinct = true` dedups INSIDE the per-doc array (`array_distinct`
+    * before the explode) instead of a corpus-wide `.distinct()`: every
+    * caller feeds one row per `idCol`, so the (id, code) set is identical —
+    * but the set arrives with ZERO shuffle where `.distinct()` exchanged
+    * the full exploded pair stream (the largest relation in the whole
+    * shingle-join family; r13 bench: the removed exchange was ~10M rows at
+    * sf0.1). Downstream per-doc aggregations also map-side-combine fully,
+    * since a doc's codes stay contiguous in its scan partition. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int,
       distinct: Boolean = true): DataFrame = {
-    val raw = df
-      .select(col(idCol),
-        explode(graft.functions.GraftFunctions.shingle_codes(col(textCol), k)).as("code"))
-    if (distinct) raw.distinct() else raw
+    val codes = graft.functions.GraftFunctions.shingle_codes(col(textCol), k)
+    df.select(col(idCol),
+      explode(if (distinct) array_distinct(codes) else codes).as("code"))
   }
 
   /** Modular permutation hash of a code column. */
