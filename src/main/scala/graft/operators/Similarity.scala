@@ -812,8 +812,17 @@ object Similarity {
           .cast("long") * n > row.getLong(1 + d), 1L << (d - lo))
           .otherwise(0L)
       }.reduce(_ + _)
+    // The packed codes are MATERIALIZED (localCheckpoint): this is the
+    // 8 B/vector in-RAM index layout the operator exists to produce, and
+    // without the barrier Catalyst collapses the 64-branch word projection
+    // ABOVE whatever join consumes the codes — hammingTopKWords' per-query
+    // fan-out then re-quantizes every (query × corpus) pair instead of
+    // each corpus row once (measured on sim_binary_quant at sf0.1: the
+    // post-join recompute cost 1.7 s of a 2.5 s query; 20× redundant work
+    // that grows with the query count at any scale). Values unchanged.
     emb.select(col(idCol) +:
       (0 until dims / 32).map(wi => word(wi * 32).as(s"bq$wi")): _*)
+      .localCheckpoint()
   }
 
   /** Hamming top-k over multi-word packed codes (the query surface of
