@@ -243,8 +243,23 @@ object Bench {
       // store debris, and with 175 queries ahead of them one GC at the
       // family boundary no longer holds the in-sweep inflation down
       // (measured 8.6 s in-sweep vs 2.8 s isolated on session_windows)
-      if (family != prevFamily || family == "stream") {
-        prevFamily = family; System.gc()
+      if (family != prevFamily) {
+        prevFamily = family
+        // Hard barrier at family boundaries (r13): one System.gc() no
+        // longer holds the late-sweep inflation down — a FamilySweep A/B
+        // (rel+sim+sketch then stream, sf0.1) measured the stream family
+        // at 83.8 s with the old single gc vs 76.8 s with
+        // gc-gc-settle-gc (fresh-JVM floor 65.9 s). The settle window
+        // lets reference processing + ContextCleaner drain before the
+        // next family's first timed query. Untimed, like every fence in
+        // this harness.
+        System.gc(); System.gc(); Thread.sleep(500); System.gc()
+      } else if (family == "stream") {
+        // stream drives leave checkpoint/state-store debris plus streaming
+        // teardown work in flight; the settle window between gc passes
+        // lets reference processing and the cleaner drain before the next
+        // drive's timer starts (same A/B evidence as the family barrier)
+        System.gc(); Thread.sleep(200); System.gc()
       }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
