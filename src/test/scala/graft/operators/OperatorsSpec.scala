@@ -1221,6 +1221,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l4(5L) == 1L, "one more round reaches the component min")
   }
 
+  test("shingles distinct: per-doc array_distinct equals corpus-wide distinct") {
+    // r13 rewrote shingles(distinct = true) from explode-then-.distinct()
+    // to array_distinct-then-explode (zero-shuffle). With one row per id —
+    // the documented caller contract — the (id, code) sets must be
+    // identical even when texts repeat shingles internally.
+    val df = docsDF(Seq(
+      (0L, "abc abc abc abc abc"),            // heavy internal repeats
+      (1L, "xyz xyz abc abc xyz xyz"),
+      (2L, "ab"),                              // shorter than k → no codes
+      (3L, "the quick brown fox the quick brown fox")))
+    for (k <- Seq(4, 8)) {
+      val got = TextOps.shingles(df, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val reference = df.select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.shingle_codes(col("text"), k)).as("code"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == reference, s"k=$k distinct shingle sets diverge")
+      // and no duplicates leak through the per-doc dedup
+      val rows = TextOps.shingles(df, "doc_id", "text", k).collect()
+      assert(rows.length == got.size, s"k=$k duplicate (id, code) rows")
+    }
+  }
+
   test("binary quant: bits match a scala reference; hamming ranks self-similar first") {
     import spark.implicits._
     val vecs = (0L until 12L).map { i =>
