@@ -47,6 +47,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Scale-out legibility (VERDICT r13 item 1): count submitted stages and
+    // tasks per timed query, keyed by the job group the sweep sets below.
+    // The driver's 8-vs-32-core comparison needs to SEE how much real
+    // parallelism each query had, not infer it from ≈1 wall ratios on
+    // overhead-bound sub-second queries.
+    val queryStages = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val queryTasks = scala.collection.concurrent.TrieMap.empty[String, Long]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        val g = Option(e.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null && g.startsWith("q:")) {
+          val name = g.drop(2)
+          // single listener-bus thread posts these; TrieMap only for safe
+          // publication to the main thread's read at sweep end
+          queryStages.put(name, queryStages.getOrElse(name, 0L) + 1L)
+          queryTasks.put(name, queryTasks.getOrElse(name, 0L) + e.stageInfo.numTasks.toLong)
+        }
+      }
+    })
+
     // Warm up the JVM/codegen paths outside the timed region; log ingest
     // is measured separately (ingest_rows_per_sec), so pre-build the
     // query-side logs too. Running every query once at the smallest SF
@@ -261,9 +282,36 @@ object Bench {
         // drive's timer starts (same A/B evidence as the family barrier)
         System.gc(); Thread.sleep(200); System.gc()
       }
+      // job group labels the query's stages for the task-count listener
+      // (and the UI, guide §1.5); cleared before the timer stops so the
+      // label can never leak into a later query's attribution
+      spark.sparkContext.setJobGroup(s"q:$name", name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      name -> sec
+    }
+
+    // Effective-parallelism probe (untimed, after the sweep): the same
+    // CPU-bound work — a 12-link SHA-256 chain over 240k generated rows —
+    // run once on 1 partition and once on `cpus` partitions. The wall
+    // ratio is the measured parallel speedup of this session, printed so
+    // the driver's scaling block has direct evidence instead of inferring
+    // from overhead-bound query walls. (spark.range is used on purpose:
+    // the probe measures the executor pool, not a scan.)
+    val probeSpeedup = {
+      def work(parts: Int): Double = {
+        val chain = (1 to 12).foldLeft(col("id").cast("string"))((e, _) => sha2(e, 256))
+        val t0 = System.nanoTime()
+        spark.range(0, 240000, 1, parts).select(chain.as("h"))
+          .where(substring(col("h"), 1, 1) <= "7").count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      work(cpus.toInt) // warm codegen/JIT outside both measurements
+      val serial = work(1)
+      val parallel = work(cpus.toInt)
+      if (parallel > 0) math.rint(serial / parallel * 100) / 100 else -1.0
     }
 
     // micro-batch latency: stream 5 single-entry commits at a 200 ms
@@ -370,6 +418,13 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (fam, rs) => fam -> r3(rs.map(_._2).sum) }
     val engineMetrics: Seq[(String, Any)] = Seq(
+      // scale-out legibility block (VERDICT r13 item 1): the session's
+      // core count, the measured parallel speedup of a CPU-bound probe at
+      // that core count, and (in BENCH_DETAIL) per-query stage/task
+      // counts. "harness" tags the GC-fence discipline so round-over-round
+      // comparisons can be filtered to matching methodology (ADVICE r13).
+      "cpus" -> cpus.toInt,
+      "parallel_probe_speedup" -> probeSpeedup,
       "ingest_rows_per_sec" -> ingestRps.toLong,
       "ingest_arrival_rows_per_sec" -> ingestArrivalRps.toLong,
       "drain_rows_per_sec" -> drainRps.toLong,
@@ -392,25 +447,50 @@ object Bench {
     // rows-in-state vs trigger overhead should be readable, not inferred)
     val stateMetrics = graft.streaming.StreamStateProbe.snapshot().toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // per-query parallelism attribution: submitted stages/tasks inside each
+    // timed query (cloned-session streaming drives run their jobs off the
+    // sweep thread, so stream entries may read 0 — their parallelism knob
+    // is the state-partition conf, documented in SparkEntry)
+    val queryTaskJson = results.map { case (k, _) =>
+      "\"" + k + "\":[" + queryStages.getOrElse(k, 0L) + "," +
+        queryTasks.getOrElse(k, 0L) + "]"
+    }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""cpus":${cpus.toInt},"harness":"r14-gcgc500gc",""" +
       s""""queries":${results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")},""" +
       s""""query_families":${families.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")},""" +
+      s""""query_stages_tasks":$queryTaskJson,""" +
       s""""stream_state_metrics":$stateMetrics,$engineJson}"""
     // cwd is the repo root under `sbt runMain`; overridable for other
     // harnesses. A failed write must not pretend the file is fresh.
+    // Without an override the detail ALSO lands in a per-config file keyed
+    // by cpus/sf, so the driver's low-core re-run can no longer clobber
+    // the main run's per-query record (VERDICT r13 item 5).
     val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val sfLeaf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
     val detailRef =
       try {
         Files.write(java.nio.file.Paths.get(detailPath), detail.getBytes("UTF-8"))
+        if (!sys.env.contains("GRAFT_BENCH_DETAIL")) {
+          val keyed = s"BENCH_DETAIL_c${cpus.toInt}_$sfLeaf.json"
+          Files.write(java.nio.file.Paths.get(keyed), detail.getBytes("UTF-8"))
+        }
         detailPath
       } catch { case _: Throwable => "unavailable" }
+    // top-10 heaviest queries' [stages, tasks] inline (full map is in the
+    // detail file): the driver's scaling check reads this line only
+    val topTasks = results.sortBy(-_._2).take(10).map { case (k, _) =>
+      "\"" + k + "\":[" + queryStages.getOrElse(k, 0L) + "," +
+        queryTasks.getOrElse(k, 0L) + "]"
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       families.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     },"n_queries":${results.size},"sf":"$sfDir",""" +
-      s""""per_query_detail":"$detailRef",$engineJson}""")
+      s""""per_query_detail":"$detailRef","harness":"r14-gcgc500gc",""" +
+      s""""query_tasks_top":$topTasks,$engineJson}""")
     spark.stop()
   }
 }

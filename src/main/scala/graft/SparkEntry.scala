@@ -783,6 +783,25 @@ object SparkEntry {
   private def jsonLong(js: String, k: String): Long =
     raw""""$k":(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong).getOrElse(0L)
 
+  /** State parallelism for the stateful stream drives. A stateful
+    * micro-batch commits one state-store instance per shuffle partition
+    * per trigger, so the right number tracks key cardinality and core
+    * count, not a constant: at bench SFs (~100 keys) the r13
+    * FloorKnobProbe measured 8 as the knee (2.83 s at 32 instances vs
+    * 1.32 s at 8 for a zero-work 3-trigger drive), while a 100 TB
+    * deployment with millions of keys wants it to grow with the executor
+    * core count. Derivation: max(8, cores/4) — identical to the measured
+    * constant at the bench's 8- and 32-core contract points (32/4 = 8;
+    * max(8, 2) = 8), scaling with the cluster beyond them.
+    * `SPARK_GRAFT_STREAM_STATE_PARTS` overrides for deployments whose key
+    * cardinality is known to be far from cores/4. Results are
+    * partition-count invariant (hash partitioning only moves WHERE a key
+    * aggregates), and every drive uses a fresh checkpoint, so the knob is
+    * never a semantics knob. */
+  private def streamStateParts(s: SparkSession): String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS",
+      math.max(8, s.sparkContext.defaultParallelism / 4).toString)
+
   // --------------------------------------------- shared streaming drive
   /** Drives a streaming DataFrame through one AvailableNow pass into a
     * uniquely-named memory sink, applies `result` to the sink table, and
@@ -811,7 +830,7 @@ object SparkEntry {
     // the session conf per trigger, all inside start..awaitTermination,
     // so the conf is restored only after the drive fully completes.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", streamStateParts(s))
     try {
       // start()/awaitTermination() sit INSIDE the try whose finally drops
       // the temp view: the memory sink registers the view at start(), so a
@@ -4135,7 +4154,7 @@ object SparkEntry {
       // state parallelism right-sized on a conf-isolated clone, exactly
       // like stream_outer_join (see runStreamToMemory's knob note)
       val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.shuffle.partitions", streamStateParts(s2))
       val q = graft.streaming.WalrusStreams.readStream(s2, log.root)
         .withColumn("k",
           get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
@@ -4206,7 +4225,7 @@ object SparkEntry {
       // partitioning (the knob a real deployment tunes to its key count);
       // measured 3x on the whole drive.
       val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.shuffle.partitions", streamStateParts(s2))
       val qn = s"stream_outer_join_${System.nanoTime()}"
       val ckpt = streamCheckpointDir("graft-stream-oj-")
       val base = graft.streaming.WalrusStreams.readStream(s2, log.root)
@@ -4401,7 +4420,7 @@ object SparkEntry {
       val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.shuffle.partitions", streamStateParts(s2))
       // RocksDB's checkpoint manager casts to the checksummed
       // LocalFileSystem; the bench session pins RawLocalFileSystem
       // globally AND Hadoop caches FileSystem instances JVM-wide. Session
@@ -4455,7 +4474,7 @@ object SparkEntry {
       val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.shuffle.partitions", streamStateParts(s2))
       s2.conf.set("fs.file.impl", "org.apache.hadoop.fs.LocalFileSystem")
       s2.conf.set("fs.file.impl.disable.cache", "true")
       import s2.implicits._
@@ -4758,7 +4777,7 @@ object SparkEntry {
       // batch is pure fixed overhead at ~100 keys — the conf-isolated
       // clone sizes state partitioning to key count, as a deployment would
       val s2 = org.apache.spark.sql.graft.GraftSqlInternal.cloneSession(s)
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.shuffle.partitions", streamStateParts(s2))
       val base = graft.streaming.WalrusStreams.readStream(s2, log.root)
         .withColumn("k",
           get_json_object(decode(col("value"), "UTF-8"), "$.k").cast("long"))
@@ -9095,6 +9114,36 @@ object SparkEntry {
       graft.operators.Graph.reachCurve(co, "item_a", "item_b",
           col("node") % 11 === 0, rounds = 4)
         .orderBy("root", "hop")
+    }),
+    "scale_hash_chain" -> ((s, dir) => {
+      // Parallel-scaling probe (r14, VERDICT r13 item 1). Every other
+      // declared query at bench SFs is fixed-overhead-bound (~0.76 s
+      // average), so the driver's 8-vs-32-core family ratios read ≈1 and
+      // real parallel scaling stays invisible. This query is deliberately
+      // CPU-bound: a 96-deep SHA-256 chain per lineitem row, spread over
+      // defaultParallelism partitions by an orderkey repartition (explicit
+      // partition count so AQE's small-bytes coalescing can't serialize
+      // the compute stage — the shuffled bytes are tiny, the per-row CPU
+      // is not). Its low-core/high-core wall ratio is the sweep's
+      // scale-out evidence. Engine-exact by construction: both engines
+      // hash lowercase-hex UTF-8 strings, so every chain link matches
+      // bit-for-bit; the aggregate pins count, lexicographic min/max,
+      // and the first-nibble census over all rows.
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+      val seed = concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))
+      val h = (1 to 96).foldLeft(seed)((e, _) => sha2(e, 256))
+      // group by the first hex nibble of the final link: the bench times
+      // count(), and a global aggregate's value columns would be pruned
+      // under it (guide §1.4) — a hash-derived GROUP KEY cannot be, so
+      // every row provably pays the full chain in the timed region
+      li.select(h.as("h"))
+        .groupBy(substring(col("h"), 1, 1).as("nib"))
+        .agg(count(lit(1)).as("n"), min(col("h")).as("hmin"),
+          max(col("h")).as("hmax"))
+        .orderBy("nib")
     })
   )
 
@@ -9246,6 +9295,18 @@ object SparkEntry {
          |    ) * 1000.0 + 0.5) AS BIGINT) AS w
          |  FROM hist, tot)""".stripMargin
     Map(
+      // parallel-scaling probe twin: the identical 96-link SHA-256 chain
+      // (both engines hash the lowercase-hex UTF-8 string of the previous
+      // link), aggregated to one row
+      "scale_hash_chain" -> {
+        val seed = "concat(CAST(l_orderkey AS VARCHAR), ':', " +
+          "CAST(l_linenumber AS VARCHAR))"
+        val chain = (1 to 96).foldLeft(seed)((e, _) => s"sha256($e)")
+        s"""WITH h AS (SELECT $chain AS h FROM lineitem)
+           |SELECT substr(h, 1, 1) AS nib, count(*) AS n,
+           |  min(h) AS hmin, max(h) AS hmax
+           |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+      },
       "log_append_dump" ->
         """SELECT event_type AS topic,
           |  row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS entry_offset,
