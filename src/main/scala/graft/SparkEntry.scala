@@ -1388,7 +1388,13 @@ object SparkEntry {
       val c = table(s, dir, "customer")
       val o = table(s, dir, "orders")
       val li = table(s, dir, "lineitem")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // r14: merge hint on the fact⨝fact join — at bench SF the planner's
+      // size estimate put the 150 k-row ORDERS fact under the broadcast
+      // threshold, paying a driver collect + hash-relation build every run
+      // (measured 1.50 → 0.96 s isolated with the SMJ). At real scale
+      // orders never fits a broadcast, so the hint pins the plan to the
+      // 100 TB shape rather than tuning away from it.
+      li.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .where(col("c_acctbal") > 0)
         .groupBy("l_orderkey")
@@ -2949,6 +2955,11 @@ object SparkEntry {
       val sup = table(s, dir, "supplier")
       val n = table(s, dir, "nation")
       val r = table(s, dir, "region")
+      // r14 note: pushing the implied "customer in ASIA" restriction below
+      // the lineitem⨝orders exchange (§3.2) was built and measured flat
+      // (0.86 → 0.90 s) — same bench-SF planner artifact as rel_q8 (the
+      // shrunken orders side invites a fact-side broadcast). Reverted;
+      // evidence in OPTIMIZATION_r14.md.
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
@@ -2981,11 +2992,18 @@ object SparkEntry {
           keep = Seq("p_brand"))
         .withColumn("p_partkey", col("ps_partkey"))
         .join(euroSup, col("ps_suppkey") === col("s_suppkey"))
-      val minCost = cand.groupBy(col("ps_partkey").as("mk"))
-        .agg(min("ps_supplycost_cents").as("min_cost"))
-      cand.join(broadcast(minCost),
-          col("ps_partkey") === col("mk") &&
-            col("ps_supplycost_cents") === col("min_cost"))
+      // r14: region-minimum per part as a part-partitioned window min
+      // instead of groupBy + broadcast join-back — the join-back form
+      // evaluated the whole cand subtree (part scan, ×4 explode, supplier
+      // broadcast join) twice, once per reference (§2.4: a window keyed
+      // like the aggregation needs one exchange, the decorrelated
+      // join-back needed two passes). Rows kept are identical: cost equal
+      // to its part's minimum.
+      import org.apache.spark.sql.expressions.Window
+      val wMin = Window.partitionBy("ps_partkey")
+      cand
+        .withColumn("min_cost", min("ps_supplycost_cents").over(wMin))
+        .where(col("ps_supplycost_cents") === col("min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_brand"), col("ps_supplycost_cents"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
@@ -4843,7 +4861,10 @@ object SparkEntry {
       val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
       val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
         col("o_orderpriority"))
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // r14: merge hint, same rationale and measurement as rel_q3 (orders
+      // is a fact; its bench-SF broadcast build cost 0.71 → 0.53 s): the
+      // SMJ is the only shape that exists at 100 TB.
+      li.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
             1L).otherwise(0L)).as("late_lines"),
@@ -4882,6 +4903,13 @@ object SparkEntry {
       // The textbook n_name = ':1' filter would push into this broadcast
       // dim exactly as in rel_q5; the synthetic nations are uniform, so
       // the join is kept for shape parity with no filter.
+      // r14 note: a single-pass rewrite through a shared
+      // (l_orderkey, l_suppkey) pre-aggregation was built and measured
+      // (BenchOne best-of-3: 1.19–1.32 s vs 1.14 s here) — the two-level
+      // agg + SMJ sorts cost more locally than the saved second
+      // lineitem⨝orders pass, and the pre-execution plan still showed the
+      // agg subtree duplicated (reuse only materializes at runtime).
+      // Reverted; evidence in OPTIMIZATION_r14.md.
       val nat = table(s, dir, "nation").select(col("n_nationkey"))
       lf.where(col("late"))
         .join(ord, col("l_orderkey") === col("q_orderkey"))
@@ -5006,6 +5034,13 @@ object SparkEntry {
       val n1 = n.select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
       val vol = col("l_extendedprice").cast("decimal(18,4)") *
         (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+      // r14 note: pre-filtering orders through the customer→nation→region
+      // chain BEFORE the lineitem join (§3.2 reduce-before-shuffle) was
+      // built and measured 0.73 → 1.00 s — with the orders side shrunk to
+      // the region slice, the planner broadcast the 600 k-row LINEITEM
+      // side (driver collect + 4-col hash relation), a bench-SF artifact
+      // that can't happen at real fact sizes. Reverted; the shape note
+      // lives in OPTIMIZATION_r14.md for deployments with honest stats.
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
@@ -5028,7 +5063,14 @@ object SparkEntry {
       val li = table(s, dir, "lineitem")
       val p = table(s, dir, "part").where(col("p_brand") === "Brand#5")
         .select(col("p_partkey"))
-      val per = li.groupBy(col("l_partkey").as("agg_pk"))
+      // r14: the per-part average is only ever consumed for Brand#5 parts
+      // (the inner join below discards every other part), so the broadcast
+      // semi-filter moves BELOW the aggregation — the agg shuffles the
+      // brand's ~1/25 slice of lineitem instead of every part's rows
+      // (§3.2 pre-filter before the exchange). Identical values: per-part
+      // stats are per-part, unaffected by which other parts aggregate.
+      val per = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("agg_pk"))
         .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
           count(lit(1)).as("n_li"))
       li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
@@ -7601,10 +7643,18 @@ object SparkEntry {
           col("o_totalprice").as("price"))
         .agg(count(lit(1)).as("n_orders"))
       val wd = Window.partitionBy("day").orderBy(col("price").desc)
+      // r14: `best` feeds BOTH the per-range driver collect and the final
+      // range-local window — without a barrier each consumer replays the
+      // full orders scan + (day,price) agg + window (two passes, the
+      // collect runs first). One row per day bounds it by the date DOMAIN
+      // (~2.5 k rows at ANY corpus scale — localCheckpoint of a
+      // domain-bounded relation is the documented safe use; see
+      // OPTIMIZATION_r14 localCheckpoint audit), so the scan now runs once.
       val best = g.withColumn("rn", row_number().over(wd))
         .where(col("rn") === 1).drop("rn")
         .withColumn("dk", datediff(col("day"), lit("1990-01-01")).cast("long"))
         .withColumn("rng", expr("dk DIV 64"))
+        .localCheckpoint()
       // defensive double cast: o_totalprice may arrive as DECIMAL in
       // canonical TPC-H data — read the max through the cast, as the
       // joins/filters below compare doubles anyway
