@@ -486,11 +486,17 @@ object Bench {
       "\"" + k + "\":[" + queryStages.getOrElse(k, 0L) + "," +
         queryTasks.getOrElse(k, 0L) + "]"
     }.mkString("{", ",", "}")
+    // pointer to the committed data-scaling artifact (1×/3×/10× slope
+    // table from graft.tools.DataScaleProbe, self-stamped with the git
+    // revision it measured) — the in-sweep complement is scale_hash_chain
+    val scalingRef =
+      if (Files.exists(java.nio.file.Paths.get("SCALING.json"))) "SCALING.json"
+      else "unavailable"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       families.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     },"n_queries":${results.size},"sf":"$sfDir",""" +
       s""""per_query_detail":"$detailRef","harness":"r14-gcgc500gc",""" +
-      s""""query_tasks_top":$topTasks,$engineJson}""")
+      s""""scaling_slopes":"$scalingRef","query_tasks_top":$topTasks,$engineJson}""")
     spark.stop()
   }
 }

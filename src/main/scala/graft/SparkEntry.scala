@@ -798,7 +798,7 @@ object SparkEntry {
     * partition-count invariant (hash partitioning only moves WHERE a key
     * aggregates), and every drive uses a fresh checkpoint, so the knob is
     * never a semantics knob. */
-  private def streamStateParts(s: SparkSession): String =
+  private[graft] def streamStateParts(s: SparkSession): String =
     sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS",
       math.max(8, s.sparkContext.defaultParallelism / 4).toString)
 

@@ -549,7 +549,11 @@ object Graph {
       .select(col("node").as("root"), col("node"), lit(1L).as("sigma"))
       .localCheckpoint()
     var levels = Vector(roots)
-    var visited = roots.select("root", "node").localCheckpoint()
+    // visited is only ever a union of ALREADY-checkpointed level frames, so
+    // its lineage stays one union deep without a barrier of its own —
+    // checkpointing it spent an eager Spark job per round for nothing
+    // (r14; measured on graph_betweenness)
+    var visited = roots.select("root", "node")
     for (_ <- 1 to rounds) {
       val f = levels.last.select(col("root"), col("node").as("src"), col("sigma"))
       val next = e.join(f, Seq("src"))
@@ -558,7 +562,7 @@ object Graph {
         .groupBy("root", "node").agg(sum("sigma").as("sigma"))
         .localCheckpoint()
       levels = levels :+ next
-      visited = visited.unionAll(next.select("root", "node")).localCheckpoint()
+      visited = visited.unionAll(next.select("root", "node"))
     }
     var deeper = levels(rounds).withColumn("delta", lit(0L))
     var acc = deeper.select(col("root"), col("node"), col("delta"))
@@ -769,7 +773,9 @@ object Graph {
         .withColumn("dist", lit(r.toLong))
         .localCheckpoint()
       frontier = next
-      visited = visited.unionAll(next).localCheckpoint()
+      // union of already-checkpointed frames: lineage is one union deep,
+      // so a per-round barrier here only spent an eager job (r14)
+      visited = visited.unionAll(next)
     }
     visited.where(col("dist") > 0L)
       .groupBy("node")
@@ -833,7 +839,9 @@ object Graph {
         .withColumn("dist", lit(r.toLong))
         .localCheckpoint()
       frontier = next
-      visited = visited.unionAll(next).localCheckpoint()
+      // union of already-checkpointed frames: lineage is one union deep,
+      // so a per-round barrier here only spent an eager job (r14)
+      visited = visited.unionAll(next)
     }
     // per-(root, dist) counts, then the cumulative reach per root: the
     // window partitions by root over ≤ rounds+1 rows — bounded, never a

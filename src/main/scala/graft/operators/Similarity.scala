@@ -820,6 +820,16 @@ object Similarity {
     // each corpus row once (measured on sim_binary_quant at sf0.1: the
     // post-join recompute cost 1.7 s of a 2.5 s query; 20× redundant work
     // that grows with the query count at any scale). Values unchanged.
+    // localCheckpoint, NOT persist+count (r14 audit): a persisted
+    // relation registers in the session CacheManager, where the NEXT
+    // query's identical binaryQuantCodes plan fragment would silently
+    // reuse this query's materialized result — cross-query result caching
+    // the bench forbids (measured: the second consumer ran 2× "faster" on
+    // the first's cache). localCheckpoint materializes per call with no
+    // cross-query visibility. Cluster note: the checkpoint is 8 B/vector
+    // (the smallest relation in the pipeline); an executor loss fails the
+    // query, which re-runs — the idiom trades that rare retry for never
+    // re-quantizing per joined pair.
     emb.select(col(idCol) +:
       (0 until dims / 32).map(wi => word(wi * 32).as(s"bq$wi")): _*)
       .localCheckpoint()

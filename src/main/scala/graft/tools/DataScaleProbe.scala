@@ -146,6 +146,33 @@ object DataScaleProbe {
       println(f"[dscale] ${op.name}%-24s x$m%-3d wall_ratio=${wm / w1}%6.2f " +
         f"(ideal $m)  shuffle_ratio=${if (s1 == 0) 0.0 else sm.toDouble / s1}%6.2f")
     }
+    // machine-readable artifact (VERDICT r13 item 1): the driver cannot
+    // run a 10× probe itself, so the slope table lands in SCALING.json
+    // next to the bench outputs, stamped with the code revision it
+    // measured so a stale artifact is detectable
+    val rev = try {
+      val pr = new ProcessBuilder("git", "rev-parse", "--short", "HEAD").start()
+      val out = new String(pr.getInputStream.readAllBytes()).trim
+      pr.waitFor(); out
+    } catch { case _: Throwable => "unknown" }
+    def r2(d: Double): Double = math.rint(d * 100) / 100
+    val opsJson = ops.map { op =>
+      val rows = scales.map { m =>
+        val (w, sh) = results((op.name, m))
+        s"""{"scale":$m,"wall_s":${r2(w)},"shuffle_mb":${sh / 1000000}}"""
+      }.mkString("[", ",", "]")
+      val (w1, s1) = results((op.name, 1))
+      val (wm, sm) = results((op.name, scales.max))
+      s""""${op.name}":{"runs":$rows,"wall_ratio_at_${scales.max}x":${r2(wm / w1)},""" +
+        s""""shuffle_ratio_at_${scales.max}x":${
+          if (s1 == 0) 0.0 else r2(sm.toDouble / s1)}}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"probe":"DataScaleProbe","git_rev":"$rev","sf_dir":"$sfDir",""" +
+      s""""scales":${scales.mkString("[", ",", "]")},"ideal_ratio":${scales.max},""" +
+      s""""ops":$opsJson}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
+      json.getBytes("UTF-8"))
+    println(s"[dscale] wrote SCALING.json (rev $rev)")
     spark.stop()
   }
 }
