@@ -3710,9 +3710,12 @@ object SparkEntry {
       // (groupwise top-k over the quality operator's score)
       import org.apache.spark.sql.expressions.Window
       val docs = table(s, dir, "documents")
-      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
-        .select(col("doc_id"), col("quality_score"))
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      // r14: source rides the quality projection (passthrough) — the gate
+      // is row-local, so re-joining docs on doc_id was a second corpus
+      // scan + SMJ for a column the same row already had
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text",
+          passthrough = Seq("source"))
+        .select(col("doc_id"), col("quality_score"), col("source"))
       val w = Window.partitionBy("source")
         .orderBy(col("quality_score").desc, col("doc_id"))
       q.withColumn("rnk", row_number().over(w).cast("long"))
@@ -5266,6 +5269,12 @@ object SparkEntry {
       // Every stage is an existing operator; the composition is the point
       // (one declarative plan, no materialization between stages).
       val docs = table(s, dir, "documents")
+      // r14 note: gating in place via passthrough (one scan) was built and
+      // measured 0.60 → 0.74 s — `kept` is referenced twice downstream
+      // (exact-dedup build + semi join-back), so the regex-heavy quality
+      // projection re-evaluated per reference and lost to the extra scan.
+      // Reverted; the fusion only pays when the gated relation is
+      // consumed once (see pipeline_dataset_card).
       val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
         .select(col("doc_id"), col("quality_score"))
       val kept = docs.join(q, "doc_id").where(col("quality_score") >= 0.45)
@@ -5287,6 +5296,10 @@ object SparkEntry {
       // SURVIVORS. Every stage is an existing oracled operator; the
       // composition (semi-join gates feeding the mixture) is the point.
       val docs = table(s, dir, "documents")
+      // r14 note: gating in place via passthrough was built and measured
+      // 1.93 → 2.39 s — `gated` is referenced twice (exact-dedup build +
+      // join-back), so the Gopher regex battery re-evaluated per
+      // reference. Reverted; same lesson as pipeline_curate.
       val gated = docs.join(
         TextAnalysis.gopherRules(docs, "doc_id", "text")
           .where(col("keep") === 1L).select("doc_id"),
@@ -5368,18 +5381,23 @@ object SparkEntry {
       // involvement — the one-page data card a corpus release ships,
       // composed from three operator families in one plan
       val docs = table(s, dir, "documents")
-      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
-        .select(col("doc_id"),
-          floor(col("quality_score") * 1000 + lit(0.5)).cast("long").as("qmilli"))
-      val g = TextAnalysis.gopherRules(docs, "doc_id", "text")
-        .select(col("doc_id"), col("keep"))
+      // r14: both gates are row-local — chaining them through passthrough
+      // computes the whole per-doc card in ONE corpus scan; the two
+      // doc_id SMJs (plus two extra scans) they previously cost are gone.
+      // Only the LSH dup flag still needs its join (it is pair-derived).
+      val qg = TextAnalysis.gopherRules(
+          TextAnalysis.qualityScore(docs, "doc_id", "text",
+            passthrough = Seq("text", "source", "lang")),
+          "doc_id", "text",
+          passthrough = Seq("quality_score", "text", "source", "lang"))
+        .withColumn("qmilli",
+          floor(col("quality_score") * 1000 + lit(0.5)).cast("long"))
       val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
         k = 5, bands = 4, rowsPerBand = 4)
       val dupDocs = pairs.select(col("id_a").as("doc_id"))
         .union(pairs.select(col("id_b").as("doc_id"))).distinct()
         .withColumn("is_dup", lit(1L))
-      docs.join(q, "doc_id").join(g, "doc_id")
-        .join(dupDocs, Seq("doc_id"), "left")
+      qg.join(dupDocs, Seq("doc_id"), "left")
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
@@ -6517,14 +6535,16 @@ object SparkEntry {
       val pairs = lshClusterPairs(docs)
       val cl = Dedup.connectedComponents(pairs)
         .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      // r14: the quality score is row-local — starting the base relation
+      // FROM the scored scan removes a second corpus scan + doc_id SMJ
+      // (the score used to be joined back onto a bare doc_id projection
+      // of the same table)
       val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
         .select(col("doc_id"), col("quality_score"))
       val w = Window.partitionBy("cluster_id")
         .orderBy(col("quality_score").desc, col("doc_id"))
-      docs.select(col("doc_id"))
-        .join(cl, Seq("doc_id"), "left")
+      q.join(cl, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-        .join(q, Seq("doc_id"))
         .withColumn("canonical_id", first(col("doc_id")).over(w))
         .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
           (col("doc_id") === col("canonical_id")).as("is_canonical"))
@@ -8572,13 +8592,21 @@ object SparkEntry {
       // marginals) yields NULL, never a fake 0. One scan per gate, one
       // 1-row agg, a 3-row stack.
       val docs = table(s, dir, "documents")
-      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
-        .select(col("doc_id"), (col("quality_score") >= 0.5).as("gq"))
-      val gph = TextAnalysis.gopherRules(docs, "doc_id", "text")
-        .select(col("doc_id"), (col("keep") === 1L).as("gg"))
+      // r14: quality and gopher are both ROW-LOCAL functions of text, yet
+      // joining their separate applications cost two corpus scans and a
+      // doc_id SMJ (Spark has no self-join elimination). The passthrough
+      // hook chains them into ONE scan/projection; only the aggregation-
+      // based repetition gate still needs its id-keyed join. Flags and the
+      // join domain (repetitionSignals' ≥4-token docs) are unchanged.
+      val qg = TextAnalysis.gopherRules(
+          TextAnalysis.qualityScore(docs, "doc_id", "text",
+            passthrough = Seq("text")),
+          "doc_id", "text", passthrough = Seq("quality_score"))
+        .select(col("doc_id"), (col("quality_score") >= 0.5).as("gq"),
+          (col("keep") === 1L).as("gg"))
       val rep = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
         .select(col("doc_id"), col("keep").as("gr"))
-      val j = q.join(gph, Seq("doc_id")).join(rep, Seq("doc_id"))
+      val j = qg.join(rep, Seq("doc_id"))
       def cells(x: String, y: String, tag: String) = Seq(
         sum(when(col(x) && col(y), 1L).otherwise(0L)).as(s"a_$tag"),
         sum(when(col(x) && !col(y), 1L).otherwise(0L)).as(s"b_$tag"),

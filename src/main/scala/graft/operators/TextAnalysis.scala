@@ -109,7 +109,8 @@ object TextAnalysis {
 
   /** Quality scoring: length, word-shape, stopword and punctuation ratios,
     * combined into a deterministic [0,1] score (rounded to 6 dp). */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val nChars = length(t).cast("double")
     val nWords = size(split(t, " ")).cast("double")
@@ -124,14 +125,17 @@ object TextAnalysis {
     val lenScore = least(nChars / lit(400.0), lit(1.0))
     val raw = lit(0.4) * lenScore + lit(0.4) * least(stopRatio * lit(5.0), lit(1.0)) +
       lit(0.2) * (lit(1.0) - least(punctRatio * lit(4.0), lit(1.0)))
+    // passthrough (r14): lets a caller keep extra input columns so two
+    // row-local gates can run in ONE scan/projection instead of being
+    // re-joined on the id (default Nil — every existing output unchanged)
     df.select(
-      col(idCol),
-      length(t).as("n_chars"),
-      nWords.cast("long").as("n_words"),
-      round(meanWordLen, 6).as("mean_word_len"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(punctRatio, 6).as("punct_ratio"),
-      round(raw, 6).as("quality_score"))
+      (Seq(col(idCol),
+        length(t).as("n_chars"),
+        nWords.cast("long").as("n_words"),
+        round(meanWordLen, 6).as("mean_word_len"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(punctRatio, 6).as("punct_ratio"),
+        round(raw, 6).as("quality_score")) ++ passthrough.map(col)): _*)
   }
 
   /** Code-likeness signals: prose-vs-code routing for a pretraining mix
@@ -210,7 +214,8 @@ object TextAnalysis {
     * Rules: r1 word count in [10, 1000]; r2 mean word length in
     * [2, 12] chars; r3 ≥ 2 stopword hits; r4 symbol ratio ≤ 10%;
     * r5 ≥ 80% of words contain a letter. keep = all five. */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val nChars = length(t).cast("long")
     val nWords = size(split(t, " ")).cast("long")
@@ -220,11 +225,11 @@ object TextAnalysis {
     val nonAlnum = (length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))).cast("long")
     val stop = markerCount(t, Seq("the", "and", "of", "to", "is", "a", "in", "that"))
       .cast("long")
-    df.select(col(idCol), nWords.as("n_words"),
+    df.select((Seq(col(idCol), nWords.as("n_words"),
         (wordChars * lit(1000L)).as("_wc1000"),
         (nonAlnum * lit(1000L)).as("_na1000"),
         (alphaWords * lit(1000L)).as("_aw1000"),
-        stop.as("stop_cnt"), nChars.as("_nc"))
+        stop.as("stop_cnt"), nChars.as("_nc")) ++ passthrough.map(col)): _*)
       .withColumn("mwl_milli", expr("_wc1000 DIV n_words"))
       .withColumn("sym_milli", expr("_na1000 DIV _nc"))
       .withColumn("alpha_milli", expr("_aw1000 DIV n_words"))
@@ -235,8 +240,9 @@ object TextAnalysis {
         when(col("sym_milli") <= 100L, 8L).otherwise(0L) +
         when(col("alpha_milli") >= 800L, 16L).otherwise(0L))
       .withColumn("keep", (col("rule_mask") === 31L).cast("long"))
-      .select(col(idCol), col("n_words"), col("mwl_milli"), col("stop_cnt"),
-        col("sym_milli"), col("alpha_milli"), col("rule_mask"), col("keep"))
+      .select((Seq(col(idCol), col("n_words"), col("mwl_milli"),
+        col("stop_cnt"), col("sym_milli"), col("alpha_milli"),
+        col("rule_mask"), col("keep")) ++ passthrough.map(col)): _*)
   }
 
   /** Language ID: per-language marker-stopword hit counts; winner is the
