@@ -293,25 +293,33 @@ object Bench {
       name -> sec
     }
 
-    // Effective-parallelism probe (untimed, after the sweep): the same
-    // CPU-bound work — a 12-link SHA-256 chain over 240k generated rows —
-    // run once on 1 partition and once on `cpus` partitions. The wall
-    // ratio is the measured parallel speedup of this session, printed so
-    // the driver's scaling block has direct evidence instead of inferring
-    // from overhead-bound query walls. (spark.range is used on purpose:
-    // the probe measures the executor pool, not a scan.)
+    // Effective-parallelism probe (untimed, after the sweep): WEAK-scaling
+    // form — every task gets the SAME CPU-bound work (a 12-link SHA-256
+    // chain over 240k generated rows per partition), run once as 1 task
+    // and once as `cpus` tasks. Effective parallelism =
+    // cpus · serial_wall / parallel_wall. NOTE this reads the box's REAL
+    // concurrent-CPU capacity, not the advertised core count: this sandbox
+    // presents 32 logical CPUs but raw busy-loop processes measure ~9–12×
+    // effective parallelism (hypervisor oversubscription; no cgroup
+    // quota), which is why 8-vs-32-core sweep ratios hover near 1 — the
+    // probe makes that hardware truth a per-run, driver-visible number.
+    // The strong-scaling form (fixed total work) was measured first and
+    // read 1.8× — 7.5k rows/task made task overhead dominate, saying
+    // nothing about the pool. (spark.range on purpose: compute, not scan.)
     val probeSpeedup = {
       def work(parts: Int): Double = {
         val chain = (1 to 12).foldLeft(col("id").cast("string"))((e, _) => sha2(e, 256))
         val t0 = System.nanoTime()
-        spark.range(0, 240000, 1, parts).select(chain.as("h"))
+        spark.range(0, 240000L * parts, 1, parts).select(chain.as("h"))
           .where(substring(col("h"), 1, 1) <= "7").count()
         (System.nanoTime() - t0) / 1e9
       }
       work(cpus.toInt) // warm codegen/JIT outside both measurements
       val serial = work(1)
       val parallel = work(cpus.toInt)
-      if (parallel > 0) math.rint(serial / parallel * 100) / 100 else -1.0
+      if (parallel > 0)
+        math.rint(cpus.toInt * serial / parallel * 100) / 100
+      else -1.0
     }
 
     // micro-batch latency: stream 5 single-entry commits at a 200 ms

